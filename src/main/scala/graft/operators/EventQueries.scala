@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-window operators over the `events` stream table, verified in their
+  * batch form (the streaming execution of the same expressions is exercised
+  * in graft.streaming; results are identical by Structured Streaming's
+  * batch-equivalence contract).
+  *
+  * Scale design: tumbling/sliding/session windows are all hash aggregations
+  * keyed by (window, key) — partial aggregation applies, and with a
+  * watermark the streaming state store evicts closed windows, so state is
+  * bounded by (active windows × keys), not by history.
+  */
+object EventQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q33_window_tumbling",
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+             |       event_type,
+             |       count(*) AS n,
+             |       round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY w_start, event_type""".stripMargin),
+      "Tumbling 5-minute window: window assignment is a pure projection " +
+        "(epoch-aligned bucketing), then a standard partial+final agg."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
+    GraftQuery(
+      "q34_window_sliding",
+      Some("""SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+             |                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS w_start,
+             |             value
+             |      FROM events)
+             |GROUP BY w_start
+             |ORDER BY w_start""".stripMargin),
+      "Sliding window (10 min length, 5 min slide): each row replicates " +
+        "into length/slide = 2 windows before the agg — replication factor " +
+        "is constant, so cost scales linearly."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("w_start")
+    },
+
+    GraftQuery(
+      "q35_window_session",
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts, value,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), numbered AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked
+             |)
+             |SELECT user_id, min(ts) AS s_start, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM numbered
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin),
+      "Session window (30-minute gap): Spark's session_window merges " +
+        "per-key sorted runs; state per key is one open session. The oracle " +
+        "reproduces the gap-merge with lag + cumulative-sum islands."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s_start"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    },
+
+    GraftQuery(
+      "q36_dedup_keyed_first",
+      Some("""SELECT event_id, user_id, event_type
+             |FROM (SELECT event_id, user_id, event_type,
+             |             row_number() OVER (PARTITION BY user_id, event_type
+             |                                ORDER BY event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1
+             |ORDER BY event_id""".stripMargin),
+      "Deterministic keep-first dedup (the batch analogue of streaming " +
+        "dropDuplicates): one shuffle on the dedup key; in streaming the " +
+        "same key-state lives in the state store behind a watermark."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q37_event_user_join",
+      Some("""SELECT e.event_type,
+             |       count(*) AS n,
+             |       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_users,
+             |       round(avg(e.value), 4) AS avg_value
+             |FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             |GROUP BY e.event_type
+             |ORDER BY e.event_type""".stripMargin),
+      "Stream-static enrichment join in batch form: customer is the static " +
+        "broadcast side, so the event stream never shuffles for the join."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_custkey")).as("n_users"),
+          round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join surface: equi inner/left/full, semi/anti, theta/range, as-of
+  * (SURVEY.md §2.2 "Joins").
+  *
+  * Scale design: dimension tables (region 5, nation 25, supplier, literal
+  * band tables) are explicitly `broadcast()` — the fact table never shuffles
+  * for them. Fact-fact joins (lineitem⋈orders) hash-partition on the join key
+  * and rely on AQE for skew splitting. Non-equi joins are only ever
+  * broadcast-nested-loop against provably small sides.
+  */
+object JoinQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q15_join_inner_star",
+      Some("""SELECT r_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey  = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin),
+      "Star join: lineitem⋈orders shuffles on orderkey (both fact-sized); " +
+        "customer/nation/region are broadcast so the big side never " +
+        "re-partitions for them. orderdate filter pushed below the join."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    GraftQuery(
+      "q16_join_left_outer",
+      Some("""SELECT c_custkey,
+             |       count(o_orderkey) AS n_orders,
+             |       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+             |FROM customer
+             |LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey
+             |ORDER BY c_custkey""".stripMargin),
+      "Left outer keeps order-less customers (count=0). Both sides hash on " +
+        "custkey; at 100 TB pre-aggregate orders per custkey before the join " +
+        "to shrink the probe side."
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q17_join_semi",
+      Some("""SELECT c_custkey, c_name
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |ORDER BY c_custkey""".stripMargin),
+      "left_semi = EXISTS: probe side emits at most one match per row, no " +
+        "row multiplication; the totalprice filter shrinks the build side " +
+        "before the shuffle."
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q18_join_anti",
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "left_anti = NOT EXISTS — same shuffle shape as semi."
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q19_join_full_outer",
+      Some("""SELECT coalesce(ca.nationkey, sa.nationkey) AS nationkey,
+             |       coalesce(n_cust, 0) AS n_cust,
+             |       coalesce(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) ca
+             |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |           FROM supplier GROUP BY 1) sa
+             |  ON ca.nationkey = sa.nationkey
+             |ORDER BY nationkey""".stripMargin),
+      "Aggregate-then-full-join: both inputs reduce to #nations rows before " +
+        "the join, so the full outer is trivially small at any scale."
+    ) { (s, dir) =>
+      val ca = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sa = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      ca.join(sa, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    GraftQuery(
+      "q20_join_range_residual",
+      Some("""SELECT s_suppkey, c_custkey
+             |FROM supplier
+             |JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+             |WHERE c_acctbal < 1000
+             |ORDER BY s_suppkey, c_custkey""".stripMargin),
+      "Mixed equi+range: hash join on the equi key (nationkey) with the " +
+        "range predicate as residual filter — never a nested-loop over the " +
+        "cross product."
+    ) { (s, dir) =>
+      Tables.supplier(s, dir)
+        .join(
+          Tables.customer(s, dir).filter(col("c_acctbal") < 1000),
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    },
+
+    GraftQuery(
+      "q21_join_theta_band",
+      Some("""WITH bands(band, lo, hi) AS (
+             |  VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e18)
+             |)
+             |SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events JOIN bands ON value >= lo AND value < hi
+             |GROUP BY band
+             |ORDER BY band""".stripMargin),
+      "Pure theta join against a literal band table: broadcast-nested-loop " +
+        "where the broadcast side is O(bands) — the only safe non-equi join " +
+        "shape at 100 TB (band count stays constant as data grows)."
+    ) { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType, false),
+        org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType, false)))
+      val rows = Seq(
+        org.apache.spark.sql.Row(0, 0.0, 50.0),
+        org.apache.spark.sql.Row(1, 50.0, 100.0),
+        org.apache.spark.sql.Row(2, 100.0, 150.0),
+        org.apache.spark.sql.Row(3, 150.0, 1e18)).asJava
+      val bands = s.createDataFrame(rows, schema)
+      Tables.events(s, dir)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("band")
+    },
+
+    GraftQuery(
+      "q22_join_asof",
+      Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
+             |FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             |             row_number() OVER (PARTITION BY e.event_id
+             |                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |      FROM events e
+             |      JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+             |WHERE rn = 1
+             |ORDER BY event_id""".stripMargin),
+      "As-of join (event → latest order at or before its timestamp): " +
+        "composed as equi join on the entity key + windowed latest-row " +
+        "selection. Shuffles once on user key; at 100 TB partition both " +
+        "sides by key and time-bucket so a sort-merge within partitions " +
+        "replaces the row-multiplying join."
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }
+  )
+}

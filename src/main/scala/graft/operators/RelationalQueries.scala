@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, hash aggregations, rollup/cube/grouping sets,
+  * distinct, sorts/limits and set operations (SURVEY.md §2.2).
+  *
+  * Scale design shared by the family: every aggregation here is a plain
+  * `groupBy().agg()` — Catalyst plans it as partial (map-side) + final hash
+  * aggregate, so the shuffle carries one row per (partition, group), not per
+  * input row. Filters and projections stay directly over the parquet scan so
+  * they reach the reader as PushedFilters/ReadSchema — at 100 TB the scan
+  * reads only the referenced columns and skips row groups by min/max stats.
+  */
+object RelationalQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q01_scan_projection",
+      // round at 4dp = the product's exact decimal precision (2dp × 2dp), so
+      // both engines round a value ~1e-12 from the same 4dp decimal — never
+      // on a rounding boundary (Spark rounds HALF_UP on the shortest decimal
+      // repr, DuckDB scales-and-rounds the raw double; they disagree at 2dp).
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Pure scan+project: ReadSchema prunes to 4 of 11 columns; no shuffle " +
+        "except the final presentation sort (drop the sort in production)."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    GraftQuery(
+      "q02_filter_predicates",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE ((l_quantity BETWEEN 5 AND 15 AND l_returnflag IN ('A','N'))
+             |       OR (l_discount > 0.09 AND NOT (l_linestatus IS NOT DISTINCT FROM 'O')))
+             |  AND l_shipdate >= TIMESTAMP '1996-06-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Conjunctive/disjunctive predicates with BETWEEN/IN/null-safe-eq; the " +
+        "shipdate conjunct is pushed to parquet (PushedFilters) and prunes " +
+        "row groups by min/max at scale."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          ((col("l_quantity").between(5, 15) && col("l_returnflag").isin("A", "N")) ||
+            (col("l_discount") > 0.09 && !col("l_linestatus").eqNullSafe("O"))) &&
+            col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    GraftQuery(
+      "q03_agg_tpch_q1",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2)      AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       round(avg(l_quantity), 4)      AS avg_qty,
+             |       round(avg(l_extendedprice), 4) AS avg_price,
+             |       count(*)                       AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1 shape: partial+final hash agg over ~6 groups — shuffle " +
+        "carries 6 rows per map partition regardless of input size; the " +
+        "canonical 100 TB-safe aggregation."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    GraftQuery(
+      "q04_count_distinct",
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps,
+             |       count(*) AS n_rows
+             |FROM lineitem""".stripMargin),
+      "Exact distinct: Catalyst expands multi-distinct via partial " +
+        "de-duplication before the shuffle; for 100 TB cardinality " +
+        "estimation prefer q05's HLL sketch (no exact shuffle)."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    GraftQuery(
+      "q05_approx_count_distinct",
+      None, // HLL sketch — not bit-reproducible in DuckDB; rows-only check.
+      "approx_count_distinct = HyperLogLog++: fixed-size sketch merged on " +
+        "the reduce side — the scale path for distinct counts (exact " +
+        "distinct shuffles every key once; HLL shuffles ~1.5KB/partition)."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    },
+
+    GraftQuery(
+      "q06_rollup",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "Rollup expands to grouping sets inside the same partial+final hash " +
+        "agg — one pass, one shuffle, rows multiplied only by #grouping-sets."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    GraftQuery(
+      "q07_cube",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "Cube = 2^k grouping sets in one aggregation pass; keep k small at " +
+        "scale (sets multiply the shuffle rows)."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    GraftQuery(
+      "q08_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "Explicit grouping sets — same single-shuffle expansion as rollup/cube."
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      li.createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    GraftQuery(
+      "q09_distinct",
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+             |FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+      "distinct() = groupBy(all cols): partial dedup before the shuffle, so " +
+        "low-cardinality distincts move almost nothing at scale."
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    GraftQuery(
+      "q10_union",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      "UNION (distinct) = unionAll + dedup; partial dedup keeps the shuffle " +
+        "at distinct-key volume."
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+
+    GraftQuery(
+      "q11_union_all_agg",
+      Some("""SELECT nationkey, count(*) AS n
+             |FROM (SELECT c_nationkey AS nationkey FROM customer
+             |      UNION ALL
+             |      SELECT s_nationkey FROM supplier)
+             |GROUP BY nationkey
+             |ORDER BY nationkey""".stripMargin),
+      "UNION ALL is shuffle-free (pure concatenation of partitions); the " +
+        "following agg is the only exchange."
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey")))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+
+    GraftQuery(
+      "q12_intersect",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      "INTERSECT plans as left-semi join over distinct inputs — hash " +
+        "partitioned both sides, dedup'd map-side first."
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    GraftQuery(
+      "q13_except",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      "EXCEPT plans as left-anti join over distinct inputs."
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    GraftQuery(
+      "q14_sort_limit",
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin),
+      "Global top-100: Spark plans TakeOrderedAndProject — each task keeps a " +
+        "100-row heap, driver merges; no global sort materializes at 100 TB."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }
+  )
+}

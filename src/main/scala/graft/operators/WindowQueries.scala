@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window functions: ranking, analytic (lag/lead), frame-spec aggregates,
+  * top-k per group (SURVEY.md §2.2 "Window functions").
+  *
+  * Scale design: a window = one shuffle on partitionBy keys + an in-partition
+  * sort. All windows here partition on a real entity key (custkey, segment),
+  * so partitions stay bounded as data grows; none uses an empty partitionBy
+  * (which would serialize the whole dataset through one task at 100 TB).
+  * Every orderBy carries a unique tie-break column so rank/lag results are
+  * deterministic across engines.
+  */
+object WindowQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q23_window_rank",
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             |       row_number()  OVER w AS rn,
+             |       rank()        OVER w AS rnk,
+             |       dense_rank()  OVER w AS drnk,
+             |       ntile(4)      OVER w AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_mktsegment, rn""".stripMargin),
+      "Ranking family over one shared window spec — single shuffle+sort " +
+        "serves all four functions."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    GraftQuery(
+      "q24_window_analytic",
+      Some("""SELECT o_orderkey, o_custkey,
+             |       lag(o_totalprice)  OVER w AS prev_price,
+             |       lead(o_totalprice) OVER w AS next_price,
+             |       first_value(o_orderdate) OVER w AS first_date
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      "lag/lead/first_value share one per-customer chronological window; " +
+        "partition key = custkey keeps state bounded per task."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_orderdate").over(w).as("first_date"))
+        .orderBy("o_orderkey")
+    },
+
+    GraftQuery(
+      "q25_window_frames",
+      Some("""SELECT o_orderkey, o_custkey,
+             |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+             |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      "Frame-spec aggregates (running sum, 3-row moving average) — " +
+        "incremental evaluation within the sorted partition, no extra pass."
+    ) { (s, dir) =>
+      val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum("o_totalprice").over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          round(avg("o_totalprice").over(base.rowsBetween(-2, Window.currentRow)), 4)
+            .as("moving_avg3"))
+        .orderBy("o_orderkey")
+    },
+
+    GraftQuery(
+      "q26_topk_per_group",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY o_custkey
+             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin),
+      "Top-3 per customer via row_number≤k — Catalyst rewrites this to a " +
+        "per-partition top-k (WindowGroupLimit) so each task keeps a k-heap " +
+        "instead of sorting whole groups."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }
+  )
+}
