@@ -16,7 +16,10 @@ object SparkEntry {
       operators.JoinQueries.all ++
       operators.WindowQueries.all ++
       functions.ScalarQueries.all ++
-      operators.EventQueries.all
+      operators.EventQueries.all ++
+      operators.DedupQueries.all ++
+      operators.SimilarityQueries.all ++
+      functions.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregation — the engine's bread-and-butter plan shape. */

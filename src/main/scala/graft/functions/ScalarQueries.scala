@@ -46,7 +46,7 @@ object ScalarQueries {
     GraftQuery(
       "q28_date_funcs",
       Some("""SELECT o_orderkey,
-             |       date_trunc('month', o_orderdate)                     AS order_month,
+             |       CAST(date_trunc('month', o_orderdate) AS DATE)       AS order_month,
              |       CAST(year(o_orderdate) AS BIGINT)                    AS yr,
              |       CAST(month(o_orderdate) AS BIGINT)                   AS mth,
              |       CAST(day(o_orderdate) AS BIGINT)                     AS dom,
@@ -59,7 +59,7 @@ object ScalarQueries {
     ) { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"),
-          date_trunc("month", col("o_orderdate")).as("order_month"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
           year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mth"),
           dayofmonth(col("o_orderdate")).cast("long").as("dom"),
@@ -75,8 +75,8 @@ object ScalarQueries {
              |       round(ln(l_extendedprice), 6)     AS ln_price,
              |       round(log10(l_extendedprice), 6)  AS log10_price,
              |       round(abs(l_discount - 0.05), 4)  AS disc_dev,
-             |       ceil(l_extendedprice)             AS price_ceil,
-             |       floor(l_extendedprice)            AS price_floor,
+             |       CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+             |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
              |       round(sqrt(l_quantity), 6)        AS qty_sqrt
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber""".stripMargin),

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+
+/** One-pass sketch aggregators for near-duplicate detection.
+  *
+  * Both are `Aggregator`s (partial-aggregate capable): the map side folds every
+  * shingle hash into a fixed-size buffer and the shuffle carries ONE buffer per
+  * (partition, doc) — never the shingles themselves. That is the property that
+  * makes MinHash/SimHash viable at 100 TB, where a per-(doc, hash-index)
+  * explode (64× the shingle count) would dominate the shuffle.
+  *
+  * All parameters derive from a fixed seed via SplitMix64, so signatures are
+  * deterministic across JVMs, sessions and partitionings.
+  */
+object Sketches {
+
+  /** SplitMix64 (Steele et al., OOPSLA'14; the `java.util.SplittableRandom`
+    * mixer) — deterministic parameter derivation. */
+  private def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  val NumMinHashes = 64
+
+  /** Mersenne prime 2^31-1: (a*h + b) stays < 2^62 — no Long overflow. */
+  val MinHashPrime = 2147483647L
+
+  /** Universal-hash params a_i (non-zero), b_i for h_i(x) = (a·x + b) mod p. */
+  private[graft] val (hashA, hashB): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](NumMinHashes)
+    val b = new Array[Long](NumMinHashes)
+    var s = 42L
+    var i = 0
+    while (i < NumMinHashes) {
+      s = splitMix64(s); a(i) = Math.floorMod(s, MinHashPrime - 1) + 1
+      s = splitMix64(s); b(i) = Math.floorMod(s, MinHashPrime)
+      i += 1
+    }
+    (a, b)
+  }
+
+  private val longArrayEnc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+
+  /** MinHash signature of a set of 64-bit element hashes (Broder '97).
+    * IN = element hash (e.g. xxhash64 of a shingle); OUT = 64 minima of
+    * pairwise-independent hashes — Pr[sig_i(A)=sig_i(B)] = Jaccard(A,B). */
+  class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(NumMinHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val hm = Math.floorMod(h, MinHashPrime)
+      var i = 0
+      while (i < NumMinHashes) {
+        val v = Math.floorMod(hashA(i) * hm + hashB(i), MinHashPrime)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumMinHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  /** 64-bit SimHash of a multiset of element hashes: bit k of the output is 1
+    * iff more elements have bit k set than unset (Charikar, STOC'02). Near
+    * duplicates land at small Hamming distance. */
+  class SimHashAgg extends Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = new Array[Long](64)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var k = 0
+      while (k < 64) { buf(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L); k += 1 }
+      buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < 64) { x(k) += y(k); k += 1 }
+      x
+    }
+    def finish(buf: Array[Long]): Long = {
+      var out = 0L
+      var k = 0
+      while (k < 64) { if (buf(k) > 0) out |= (1L << k); k += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Aggregate a column of 64-bit element hashes into a MinHash signature. */
+  def minhash(col: Column): Column = minhashUdaf(col)
+
+  /** Aggregate a column of 64-bit element hashes into a 64-bit SimHash. */
+  def simhash(col: Column): Column = simhashUdaf(col)
+
+  private lazy val minhashUdaf = udaf(new MinHashAgg, Encoders.scalaLong)
+  private lazy val simhashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
+}

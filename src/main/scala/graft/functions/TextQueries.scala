@@ -1,0 +1,169 @@
+package graft.functions
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family for the LLM-data-pipeline surface (SURVEY.md §2.2):
+  * language ID (marker-token heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex) and rolling-hash fingerprinting — all over
+  * `documents.text`.
+  *
+  * Everything is built-in expressions (split / filter / aggregate /
+  * regexp_*) — per-row, shuffle-free map work that scales embarrassingly;
+  * the only exchanges are the final presentation sorts. No transcendental
+  * functions in oracle-checked outputs (libm last-ulp drift across engines).
+  */
+object TextQueries {
+
+  /** Count of tokens of `w` that appear in the marker list. */
+  private def markerCount(w: Column, markers: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(markers))).cast("long")
+
+  private val enM = Seq("the", "a", "and", "of")
+  private val esM = Seq("el", "la", "de", "y")
+  private val deM = Seq("der", "die", "das", "und")
+  private val frM = Seq("le", "la", "et", "les")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q45_lang_id",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
+             |), scored AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) n_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','y'], x)))   n_es,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) n_de,
+             |    len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) n_fr
+             |  FROM t
+             |)
+             |SELECT doc_id, lang, n_en, n_es, n_de, n_fr,
+             |  CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+             |       WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+             |       WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+             |       WHEN n_fr > 0 THEN 'fr'
+             |       ELSE 'und' END AS pred_lang
+             |FROM scored
+             |ORDER BY doc_id""".stripMargin),
+      "Marker-token language ID: fixed lexicons folded into codegen'd array " +
+        "filters — no dictionary join, no shuffle; the lexicon lives in the " +
+        "instruction stream. At 100 TB swap the marker lists for per-lang " +
+        "n-gram profile tables broadcast to every executor; plan unchanged."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        markerCount(w, enM).as("n_en"), markerCount(w, esM).as("n_es"),
+        markerCount(w, deM).as("n_de"), markerCount(w, frM).as("n_fr"))
+      scored.withColumn("pred_lang",
+        when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de") &&
+          col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_fr") &&
+            col("n_es") > 0, "es")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q46_text_quality",
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split(lower(text), ' ') w FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(text) AS BIGINT) n_chars,
+             |    CAST(len(w) AS BIGINT) n_tokens,
+             |    list_reduce(list_transform(w, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) sum_tok_len,
+             |    CAST(len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) n_stop,
+             |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) n_punct
+             |  FROM t
+             |)
+             |SELECT doc_id, n_chars, n_tokens,
+             |       round(sum_tok_len * 1.0 / n_tokens, 4) AS avg_tok_len,
+             |       round(n_stop * 1.0 / n_tokens, 4)      AS stop_ratio,
+             |       round(n_punct * 1.0 / n_chars, 4)      AS punct_ratio,
+             |       round(0.2 * (sum_tok_len * 1.0 / n_tokens)
+             |             + 3.0 * (n_stop * 1.0 / n_tokens)
+             |             - 0.5 * (n_punct * 1.0 / n_chars), 4) AS quality
+             |FROM m
+             |ORDER BY doc_id""".stripMargin),
+      "Per-document quality features (length, token stats, stopword / punct " +
+        "ratios) folded into one projection — a single pass, no shuffle. The " +
+        "linear quality score is deliberately transcendental-free so the " +
+        "same bits fall out of any engine."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(w).cast("long").as("n_tokens"),
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+          .as("sum_tok_len"),
+        markerCount(w, enM).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+          .as("n_punct"))
+      m.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("sum_tok_len") * 1.0 / col("n_tokens"), 4).as("avg_tok_len"),
+        round(col("n_stop") * 1.0 / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("n_punct") * 1.0 / col("n_chars"), 4).as("punct_ratio"),
+        round(lit(0.2) * (col("sum_tok_len") * 1.0 / col("n_tokens"))
+          + lit(3.0) * (col("n_stop") * 1.0 / col("n_tokens"))
+          - lit(0.5) * (col("n_punct") * 1.0 / col("n_chars")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q47_token_count",
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             |  round(len(text) * 1.0
+             |        / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')), 4)
+             |    AS chars_per_token
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      "Token counting two ways: whitespace split and a BPE-ish pre-token " +
+        "regex (letter runs / digits / punct singletons — the GPT-2 " +
+        "pre-tokenizer shape). Pure map work; the regex is the same " +
+        "class-only pattern in Java and RE2 dialects."
+    ) { (s, dir) =>
+      val bpe = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        bpe.cast("long").as("bpe_tokens"),
+        round(length(col("text")) * lit(1.0) / bpe, 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q48_fingerprint",
+      Some("""SELECT doc_id,
+             |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),
+             |                             c -> CAST(ascii(c) AS BIGINT)),
+             |              (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+             |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),
+             |                             c -> CAST(ascii(c) AS BIGINT)),
+             |              (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS shard
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      "Rolling polynomial fingerprint (base-31 mod 1e9+7) over the head of " +
+        "each document — a cheap content address for shard routing and " +
+        "incremental dedup. acc stays < 2^30, so acc*31+c < 2^36: no " +
+        "overflow under ANSI arithmetic. `shard` shows fingerprint-based " +
+        "partition assignment (1024-way)."
+    ) { (s, dir) =>
+      val fp = aggregate(
+        transform(split(substring(lower(col("text")), 1, 64), ""),
+          c => ascii(c).cast("long")),
+        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+      Tables.documents(s, dir).select(
+        col("doc_id"), fp.as("fp"), pmod(fp, lit(1024L)).as("shard"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the LLM-data-pipeline surface (SURVEY.md §2.2):
+  * exact hash dedup, MinHash+LSH, SimHash, exact n-gram Jaccard, and
+  * embedding-cosine near-dup — all over the `documents` / `embeddings` tables.
+  *
+  * Scale design shared by the family: nothing here ever materializes the
+  * O(n²) document-pair space except through a candidate generator (an
+  * inverted-index join on shingles, or an LSH band join), and all sketches are
+  * computed by one-pass partial `Aggregator`s so the shuffle carries one
+  * fixed-size buffer per document.
+  */
+object DedupQueries {
+
+  /** (doc_id, shingle) — distinct lowercase word 3-grams per document.
+    * The generator-side prep shared by MinHash / SimHash / exact Jaccard. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ",
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q38_dedup_exact",
+      Some("""SELECT sha256(text) AS h, min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY sha256(text)
+             |ORDER BY doc_id""".stripMargin),
+      "Exact dedup = hash-groupBy: partial agg dedups map-side, the shuffle " +
+        "carries one (hash, min_id, count) per distinct text per partition. " +
+        "At 100 TB, group on the 256-bit digest (32 bytes) instead of the " +
+        "full text so the exchange never moves document bodies."
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q39_dedup_minhash_lsh",
+      None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
+      "MinHash+LSH: one-pass Aggregator folds xxhash64(shingle) into a " +
+        "64-minimum signature (shuffle = 512 B/doc, not the shingles); " +
+        "16 bands × 4 rows hashed to a long band key; the band self-join is " +
+        "an equi-join on (band, key) — shuffle-partitionable, skew-salted if " +
+        "a band bucket gets hot. Candidate pairs are re-scored on the full " +
+        "signature; O(n²) never materializes. P[candidate | J=0.8] ≈ 99.98%."
+    ) { (s, dir) =>
+      val sigs = shingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(Sketches.minhash(col("h")).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(15)), b => struct(
+          b.as("band"),
+          // Bounded polynomial fold: acc < 2^31 and x < 2^31, so
+          // acc*1000003 + x < 2^52 — no ANSI Long overflow.
+          aggregate(slice(col("sig"), b * 4 + 1, lit(4)), b.cast("long"),
+            (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cands
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v) / lit(Sketches.NumMinHashes.toDouble))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
+      "q40_dedup_simhash",
+      None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
+      "SimHash: 8 bytes per doc total state. Pigeonhole banding (Manku et " +
+        "al., WWW'07): 7 blocks over 64 bits, so any pair at Hamming ≤ 6 " +
+        "agrees on ≥1 whole block — the band equi-join is an EXHAUSTIVE " +
+        "candidate generator for the ≤6 threshold, then exact distance is " +
+        "re-checked with bit_count(xor). Joins on (int, int) keys only."
+    ) { (s, dir) =>
+      val sigs = shingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(Sketches.simhash(col("h")).as("sim"))
+      // 7 blocks of widths 10,9,9,9,9,9,9 — any Hamming-≤6 pair leaves ≥1
+      // block untouched (pigeonhole), so banding misses nothing.
+      val bandDefs = Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
+        (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
+      val bands = sigs.select(col("doc_id"), col("sim"),
+        explode(array(bandDefs.map { case (b, off, mask) =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
+      "q41_dedup_ngram_jaccard",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_a, doc_b, c*1.0/((sa.n + sb.n) - c) jac
+             |  FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |)
+             |SELECT doc_a, doc_b, round(jac, 4) AS jac
+             |FROM scored WHERE jac >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "Exact n-gram Jaccard via inverted-index join: pairs are generated " +
+        "only for documents sharing ≥1 shingle, then |A∩B| is a count per " +
+        "pair and |A∪B| = |A|+|B|−|A∩B| — no document-pair cross join. At " +
+        "100 TB add prefix filtering (only join on each doc's rarest-k " +
+        "shingles) to cut the candidate volume; the plan shape is unchanged."
+    ) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jac",
+          col("c") * lit(1.0) / ((col("sa.n") + col("sb.n")) - col("c")))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
+      "q42_dedup_embedding_cosine",
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+             |), n AS (
+             |  SELECT vec_id, v,
+             |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+             |  FROM e
+             |), pairs AS (
+             |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+             |         list_reduce(list_transform(range(1, len(a.v)+1),
+             |                                    i -> a.v[i] * b.v[i]),
+             |                     (x,y) -> x+y) / (a.nrm * b.nrm) c
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |)
+             |SELECT vec_a, vec_b, round(c, 4) AS cos
+             |FROM pairs WHERE c >= 0.35
+             |ORDER BY vec_a, vec_b""".stripMargin),
+      "Embedding near-dup by cosine threshold. Test scale: broadcast " +
+        "nested-loop pair join (500×500) with the dot product as a codegen'd " +
+        "higher-order fold — no UDF. At 100 TB this form is wrong by design; " +
+        "the engine's scale path is q44's LSH-bucketed variant (hyperplane " +
+        "buckets turn the cross join into an equi-join). Norms are " +
+        "precomputed once per vector, not per pair."
+    ) { (s, dir) =>
+      import graft.functions.VectorFunctions.dotd
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dotd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+        .filter(col("c") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}

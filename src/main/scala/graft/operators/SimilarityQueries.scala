@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
+  * §2.2, LLM-pipeline surface): brute-force exact top-k cosine as the
+  * correctness baseline, and a sign-LSH bucketed variant as the scale path.
+  *
+  * All vector math is codegen'd higher-order functions (`transform`,
+  * `zip_with`, `aggregate`) — no UDF boundary, stays inside whole-stage
+  * codegen.
+  */
+object SimilarityQueries {
+
+  val K = 10
+
+  import graft.functions.VectorFunctions.dotd
+
+  /** (vec_id, v: array<double>, nrm) — norm computed once per vector via the
+    * codegen'd native dot-product expression (VectorExpressions.scala). */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dotd(va, vb) / (na * nb)
+
+  /** Deterministic ±1 sign hyperplanes: `tables` tables × `bits` planes each,
+    * derived from xxhash-style mixing of (table, bit, dim) — reproducible
+    * across JVMs with no RNG state. */
+  private[graft] def hyperplane(table: Int, bit: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      var z = (table.toLong << 40) + (bit.toLong << 20) + d + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q43_knn_bruteforce",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), q AS (
+              |  SELECT * FROM n WHERE vec_id % 50 = 0
+              |), scored AS (
+              |  SELECT q.vec_id query_id, a.vec_id neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.v)+1),
+              |                                    i -> q.v[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.nrm * a.nrm) c
+              |  FROM q JOIN n a ON a.vec_id <> q.vec_id
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM scored
+              |)
+              |SELECT query_id, neighbor_id, rk, round(c, 4) AS cos
+              |FROM ranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
+      "Exact ANN baseline: the small query set is broadcast against the " +
+        "corpus scan (no corpus shuffle), then top-k is taken in two phases " +
+        "— a salted partial top-k (64-way) so no single reducer ever sees a " +
+        "query's full n scored rows, then a final top-k over 64·k survivors. " +
+        "This is the plan that survives a 10^9-vector corpus; the window " +
+        "never materializes a global per-query sort."
+    ) { (s, dir) =>
+      val n = normed(s, dir)
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      // Phase 1: per-(query, salt) partial top-k — bounded partitions.
+      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      // Phase 2: exact top-k over the ≤ 64·k survivors per query.
+      val finalW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      scored
+        .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
+        .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q44_knn_lsh",
+      None, // approximate by design; spec checks candidates are exactly re-ranked.
+      "Sign-LSH ANN (Charikar hyperplane LSH): 4 tables × 8-bit bucket " +
+        "codes per vector; query and corpus meet in an equi-join on " +
+        "(table, bucket) instead of a cross join — candidate volume drops " +
+        "from n·q to Σ bucket collisions, and the join shuffles on a 2-int " +
+        "key. Candidates are exactly re-ranked (true cosine), so precision " +
+        "is 1; recall is tuned by tables × bits (and multi-probe at 100 TB). " +
+        "The same plan shape serves IVF: swap bucket code for a centroid id."
+    ) { (s, dir) =>
+      val Tbl = 4
+      val Bits = 8
+      val Dim = 64
+      val n = normed(s, dir)
+      // bucket code per (vector, table): sign bits against fixed hyperplanes
+      val codeFor: Int => Column = t =>
+        (0 until Bits).map { b =>
+          val plane = typedLit(hyperplane(t, b, Dim))
+          when(dotd(col("v"), plane) > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val buckets = n.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until Tbl).map(t =>
+          struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("bk.tbl"), col("bk.code"))
+      val qbuckets = buckets.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("tbl"), col("code"))
+      val cands = buckets.join(broadcast(qbuckets),
+        Seq("tbl", "code"), "inner")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("qv"), col("v"), col("qn"), col("nrm"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      cands
+        .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    }
+  )
+}

@@ -1,80 +1,73 @@
 #!/usr/bin/env python3
-"""Dev-only oracle pre-check (mirrors the driver's DuckDB compare).
+"""Local mimic of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
-Loads each Spark result parquet written by graft.Verify, runs the matching
-DuckDB oracle SQL, sorts columns by name and rows by all columns, and
-compares values (floats with small tolerance). NOT part of the shipped
-library — the Scala engine never depends on this.
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the parquet
+tables in <sfDir>, and compares: schema (column names), row count, and a
+value hash over columns sorted by name.
 """
-import sys, json, math
+import json
+import sys
+
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
-    return df.reset_index(drop=True)
 
-def cell_eq(a, b):
-    if a is None and b is None:
-        return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            # exact: the driver hash-compares values, so any drift fails
-            return fa == fb
-    except (TypeError, ValueError):
-        pass
-    return str(a) == str(b)
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)
+
+
+def table_rows(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
+    return sorted(cols), sorted(rows)
+
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    failed = []
-    for name in sorted(oracle):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # events.ts is TIMESTAMP_NS; Spark side truncates to micros — mirror it.
+    con.sql("DROP VIEW events")
+    con.sql(f"CREATE VIEW events AS SELECT event_id, "
+            f"CAST(ts AS TIMESTAMP) ts, user_id, event_type, value, props "
+            f"FROM '{sf_dir}/events.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
-            want = con.execute(oracle[name]).fetchdf()
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols, srows = table_rows(spark_rel)
+            ocols, orows = table_rows(con.sql(sql))
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            failed.append(name)
+            print(f"FAIL {name}: exception {str(e)[:200]}")
+            n_fail += 1
             continue
-        g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-            failed.append(name)
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            failed.append(name)
-            continue
-        bad = None
-        for col in g.columns:
-            gv, wv = g[col].tolist(), w[col].tolist()
-            for i, (a, b) in enumerate(zip(gv, wv)):
-                if not cell_eq(a, b):
-                    bad = (col, i, a, b)
-                    break
-            if bad:
-                break
-        if bad:
-            col, i, a, b = bad
-            print(f"FAIL {name}: first diff col={col} row={i}: spark={a!r} duck={b!r}")
-            failed.append(name)
+        if scols != ocols:
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            n_fail += 1
+        elif srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)} "
+                  f"first-diffs={diff}")
+            n_fail += 1
         else:
-            print(f"ok   {name} ({len(g)} rows)")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
-    sys.exit(1 if failed else 0)
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip")
+    sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
