@@ -19,7 +19,9 @@ object SparkEntry {
       operators.EventQueries.all ++
       operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++
-      functions.TextQueries.all
+      functions.TextQueries.all ++
+      operators.AvroQueries.all ++
+      operators.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregation — the engine's bread-and-butter plan shape. */

@@ -1,0 +1,85 @@
+package graft.avro
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+
+/** `from_avro` / `to_avro` equivalents as Catalyst expressions (the engine's
+  * R2/R7: `application.yml:11-16` — KafkaAvroDeserializer/Serializer — minus
+  * the wire-format header, which the registry layer owns).
+  *
+  * Expression-level (not UDF) so the decoded struct's schema is visible to
+  * Catalyst at plan time: projections over decoded fields prune correctly and
+  * the expressions compose with any operator. Value conversion work happens on
+  * executors row-by-row; CodegenFallback is acceptable because Avro decode is
+  * malloc-bound, not dispatch-bound.
+  *
+  * Thread-safety: GenericDatumReader/Writer keep resolver state, so the codec
+  * constructs them per call (expressions are shared across an executor's task
+  * threads); the parsed Schema is immutable and safely shared.
+  */
+case class AvroToCatalyst(child: Expression, jsonSchema: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema: Schema = new Schema.Parser().parse(jsonSchema)
+
+  override lazy val dataType: DataType = AvroSchemaConverter.toStructType(
+    new Schema.Parser().parse(jsonSchema))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_from_avro"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val rec = AvroCodec.decode(input.asInstanceOf[Array[Byte]], schema)
+    AvroCodec.avroToCatalyst(rec, schema, dataType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroToCatalyst =
+    copy(child = newChild)
+}
+
+case class CatalystToAvro(child: Expression, recordName: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema: Schema = avroSchema
+
+  private def avroSchema: Schema = child.dataType match {
+    case st: StructType => AvroSchemaConverter.toAvroSchema(st, recordName)
+    case dt => throw new IllegalArgumentException(s"to_avro needs a struct, got $dt")
+  }
+
+  /** The derived writer schema (register it before producing — R7). */
+  def schemaJson: String = avroSchema.toString
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "graft_to_avro"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val rec = AvroCodec.catalystToAvro(input, child.dataType, schema)
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    AvroCodec.encode(rec, schema)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CatalystToAvro =
+    copy(child = newChild)
+}
+
+/** Column facade. */
+object AvroFunctions {
+  /** Decode an Avro-binary column into a struct under `jsonSchema`. */
+  def fromAvro(col: Column, jsonSchema: String): Column =
+    ColumnBridge.column(AvroToCatalyst(ColumnBridge.expression(col), jsonSchema))
+
+  /** Encode a struct column to Avro binary (schema derived from the struct). */
+  def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =
+    ColumnBridge.column(CatalystToAvro(ColumnBridge.expression(col), recordName))
+
+  /** The writer schema `toAvro` will use for a struct of this Catalyst type. */
+  def writerSchemaFor(st: StructType, recordName: String = "topLevelRecord"): String =
+    AvroSchemaConverter.toAvroSchema(st, recordName).toString
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary-state streaming operators (SURVEY.md §2.2 "streaming" —
+  * generalizing the reference's per-batch processing loop into keyed,
+  * checkpointed state).
+  *
+  * State design for 100 TB streams: state lives in the executor-local state
+  * store keyed by user, sized O(active keys) — the shuffle partitions the
+  * stream once on the grouping key and every micro-batch touches only its
+  * delta. Watermarks (set by the caller) bound retention.
+  */
+object StatefulOps {
+
+  final case class Event(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, sum_value: Double)
+
+  /** Per-user running (count, sum) — emitted once per micro-batch per
+    * updated key (OutputMode.Update). */
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode the runner must use for [[runningPerUser]]. */
+  val runningOutputMode: OutputMode = OutputMode.Update()
+}

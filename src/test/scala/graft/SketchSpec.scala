@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.Sketches
+import graft.functions.Sketches.{MinHashAgg, SimHashAgg}
+
+/** Sketch-aggregator unit properties: estimate quality, merge associativity
+  * (the partial-aggregation contract), and determinism across buffers. */
+class SketchSpec extends SparkSpec {
+
+  private def sig(elems: Seq[Long]): Array[Long] = {
+    val agg = new MinHashAgg
+    elems.foldLeft(agg.zero)(agg.reduce)
+  }
+
+  test("minhash estimates Jaccard within 0.15 for known-overlap sets") {
+    val a = (0L until 1000L)
+    val b = (200L until 1200L) // |A∩B|=800, |A∪B|=1200 → J=2/3
+    val sa = sig(a)
+    val sb = sig(b)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / Sketches.NumMinHashes
+    assert(math.abs(est - 2.0 / 3.0) < 0.15, s"est=$est")
+  }
+
+  test("minhash merge == single-pass reduce (partial aggregation contract)") {
+    val agg = new MinHashAgg
+    val elems = (0L until 500L).map(i => i * 2654435761L)
+    val whole = sig(elems)
+    val (l, r) = elems.splitAt(137)
+    val merged = agg.merge(sig(l), sig(r))
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("simhash: near-identical multisets land at small Hamming distance") {
+    val agg = new SimHashAgg
+    def simOf(elems: Seq[Long]): Long = agg.finish(elems.foldLeft(agg.zero)(agg.reduce))
+    // 2 of 400 elements changed: each 64-bit counter moves by ≤4, so only
+    // bits whose majority margin is ≤4 can flip — a handful at most.
+    val base = (0L until 400L).map(i => i * 0x9e3779b97f4a7c15L)
+    val tweaked = base.drop(2) ++ Seq(1L, 2L).map(_ * 7919L)
+    val h = java.lang.Long.bitCount(simOf(base) ^ simOf(tweaked))
+    assert(h <= 10, s"hamming=$h")
+    // and unrelated sets are far apart
+    val other = (10000L until 10400L).map(i => i * 0x9e3779b97f4a7c15L)
+    assert(java.lang.Long.bitCount(simOf(base) ^ simOf(other)) > 10)
+  }
+
+  test("simhash merge == single-pass reduce") {
+    val agg = new SimHashAgg
+    val elems = (0L until 300L).map(i => i * 6364136223846793005L + 1442695040888963407L)
+    val whole = agg.finish(elems.foldLeft(agg.zero)(agg.reduce))
+    val (l, r) = elems.splitAt(97)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged === whole)
+  }
+
+  test("LSH candidate pairs cover every exact-Jaccard>=0.8 pair (sf0.001)") {
+    val mh = SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q41_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall (${exact.size} exact pairs, ${mh.size} candidates)")
+  }
+
+  test("ANN-LSH results are a correctly-ranked subset of brute force (precision 1)") {
+    val brute = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = SparkEntry.queries("q44_knn_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH (query, neighbor) carries the true cosine — exact re-ranking
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Event, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** M4 acceptance: streaming operators over MemoryStream — tumbling windows
+  * (batch-equivalence), watermark late-data drop, streaming dedup, and
+  * arbitrary keyed state (mapGroupsWithState running counters).
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window agg on a stream equals the batch query on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val data = Seq(
+      Event(1, "view", ts(1), 1.0), Event(1, "view", ts(2), 2.0),
+      Event(2, "buy", ts(6), 5.0), Event(1, "view", ts(7), 3.0),
+      Event(2, "buy", ts(12), 7.0))
+    input.addData(data: _*)
+
+    val agg = input.toDS()
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling").orderBy("w_start", "event_type").collect()
+    val batch = data.toDS()
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("watermark drops events later than the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val agg = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"n")
+
+    val q = agg.writeStream.format("memory").queryName("wmark")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, "view", ts(1), 1.0), Event(1, "view", ts(30), 1.0))
+      q.processAllAvailable() // watermark advances to 10:20
+      input.addData(Event(1, "late", ts(2), 1.0)) // 10:02 << watermark → dropped
+      input.addData(Event(1, "view", ts(45), 1.0)) // pushes watermark, closes 10:30 window
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("wmark").as[(Timestamp, Long)].collect().toMap
+    // the 10:00 window emitted exactly 1 (the late 10:02 event was dropped)
+    assert(rows(ts(0)) === 1L)
+    assert(rows(ts(30)) === 1L)
+  }
+
+  test("dropDuplicates within a stream dedups by key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val dedup = input.toDS()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+    val q = dedup.writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, "view", ts(1), 1.0), Event(1, "view", ts(2), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "view", ts(3), 3.0), Event(2, "view", ts(3), 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("dedupstream").as[Event].collect()
+    assert(out.map(e => (e.user_id, e.event_type)).toSet.size === out.length)
+    assert(out.length === 2) // (1,view) kept once, (2,view) kept once
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val q = StatefulOps.runningPerUser(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(StatefulOps.runningOutputMode).start()
+    try {
+      input.addData(Event(1, "view", ts(1), 1.0), Event(1, "view", ts(2), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "view", ts(3), 4.0), Event(2, "buy", ts(3), 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import org.apache.spark.sql.Row
+    // last update per user wins
+    val last = spark.table("running").collect()
+      .map { case Row(u: Long, n: Long, s: Double) => (u, (n, s)) }.toMap
+    assert(last(1L) === ((3L, 7.0)))
+    assert(last(2L) === ((1L, 10.0)))
+  }
+}
