@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every catalog query timed at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout. An untimed warm-up absorbs JVM/codegen/parquet
+  * footer costs so per-query numbers reflect steady state; queries run in
+  * catalog order so numbers are comparable across rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +12,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up: run every query once at the smallest SF. Generated code is
+    // keyed by plan shape, not data volume, so this JIT-compiles all codegen
+    // paths (the cold cost is ~10s for the sketch queries' nested-transform
+    // expressions) while touching minimal data; the timed pass below then
+    // measures steady-state throughput at the bench SF.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    SparkEntry.catalog.foreach { q =>
+      try q.run(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

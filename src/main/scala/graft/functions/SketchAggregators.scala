@@ -48,21 +48,40 @@ object Sketches {
 
   private val longArrayEnc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 
+  /** Fold one element hash into a MinHash buffer (shared by the Aggregator
+    * reference model and the native TypedImperativeAggregate). */
+  def minhashReduce(buf: Array[Long], h: Long): Array[Long] = {
+    val hm = Math.floorMod(h, MinHashPrime)
+    var i = 0
+    while (i < NumMinHashes) {
+      val v = Math.floorMod(hashA(i) * hm + hashB(i), MinHashPrime)
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  /** Fold one element hash into a SimHash counter buffer. */
+  def simhashReduce(buf: Array[Long], h: Long): Array[Long] = {
+    var k = 0
+    while (k < 64) { buf(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L); k += 1 }
+    buf
+  }
+
+  /** Collapse SimHash counters to the 64-bit signature. */
+  def simhashFinish(buf: Array[Long]): Long = {
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (buf(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
   /** MinHash signature of a set of 64-bit element hashes (Broder '97).
     * IN = element hash (e.g. xxhash64 of a shingle); OUT = 64 minima of
     * pairwise-independent hashes — Pr[sig_i(A)=sig_i(B)] = Jaccard(A,B). */
   class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.fill(NumMinHashes)(Long.MaxValue)
-    def reduce(buf: Array[Long], h: Long): Array[Long] = {
-      val hm = Math.floorMod(h, MinHashPrime)
-      var i = 0
-      while (i < NumMinHashes) {
-        val v = Math.floorMod(hashA(i) * hm + hashB(i), MinHashPrime)
-        if (v < buf(i)) buf(i) = v
-        i += 1
-      }
-      buf
-    }
+    def reduce(buf: Array[Long], h: Long): Array[Long] = minhashReduce(buf, h)
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var i = 0
       while (i < NumMinHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
@@ -78,32 +97,29 @@ object Sketches {
     * duplicates land at small Hamming distance. */
   class SimHashAgg extends Aggregator[Long, Array[Long], Long] {
     def zero: Array[Long] = new Array[Long](64)
-    def reduce(buf: Array[Long], h: Long): Array[Long] = {
-      var k = 0
-      while (k < 64) { buf(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L); k += 1 }
-      buf
-    }
+    def reduce(buf: Array[Long], h: Long): Array[Long] = simhashReduce(buf, h)
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var k = 0
       while (k < 64) { x(k) += y(k); k += 1 }
       x
     }
-    def finish(buf: Array[Long]): Long = {
-      var out = 0L
-      var k = 0
-      while (k < 64) { if (buf(k) > 0) out |= (1L << k); k += 1 }
-      out
-    }
+    def finish(buf: Array[Long]): Long = simhashFinish(buf)
     def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Aggregate a column of 64-bit element hashes into a MinHash signature. */
-  def minhash(col: Column): Column = minhashUdaf(col)
+  /** Aggregate a column of 64-bit element hashes into a MinHash signature.
+    * Backed by the native TypedImperativeAggregate (raw buffer per
+    * partition, serialized only at shuffle) — see
+    * org.apache.spark.sql.graft.SketchAggExpressions. */
+  def minhash(col: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, MinHashSketch}
+    ColumnBridge.column(MinHashSketch(ColumnBridge.expression(col)).toAggregateExpression())
+  }
 
   /** Aggregate a column of 64-bit element hashes into a 64-bit SimHash. */
-  def simhash(col: Column): Column = simhashUdaf(col)
-
-  private lazy val minhashUdaf = udaf(new MinHashAgg, Encoders.scalaLong)
-  private lazy val simhashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
+  def simhash(col: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, SimHashSketch}
+    ColumnBridge.column(SimHashSketch(ColumnBridge.expression(col)).toAggregateExpression())
+  }
 }

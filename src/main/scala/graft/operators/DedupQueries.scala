@@ -55,10 +55,12 @@ object DedupQueries {
       None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
       "MinHash+LSH: one-pass Aggregator folds xxhash64(shingle) into a " +
         "64-minimum signature (shuffle = 512 B/doc, not the shingles); " +
-        "16 bands × 4 rows hashed to a long band key; the band self-join is " +
-        "an equi-join on (band, key) — shuffle-partitionable, skew-salted if " +
-        "a band bucket gets hot. Candidate pairs are re-scored on the full " +
-        "signature; O(n²) never materializes. P[candidate | J=0.8] ≈ 99.98%."
+        "16 bands × 4 rows hashed to a long band key. Candidates come from " +
+        "grouping by (band, key) and expanding pairs inside each bucket — " +
+        "the signature aggregation runs ONCE (a self-join would compute it " +
+        "twice) and O(n²) never materializes. Hot buckets are the skew " +
+        "risk; at 100 TB cap bucket size (a bucket of ubiquitous content " +
+        "is near-dup noise) or salt the band key. P[candidate|J=0.8]≈99.98%."
     ) { (s, dir) =>
       val sigs = shingles(s, dir)
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
@@ -72,12 +74,15 @@ object DedupQueries {
           aggregate(slice(col("sig"), b * 4 + 1, lit(4)), b.cast("long"),
             (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))).as("bk"))
         .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-      val cands = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"))
+      val buckets = bands.groupBy("band", "key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
+        .filter(size(col("docs")) > 1)
+      val cands = buckets
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+              a("sig").as("sa"), b("sig").as("sb")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
         .distinct()
       cands
         .withColumn("est_jaccard",
@@ -112,12 +117,15 @@ object DedupQueries {
             shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      val buckets = bands.groupBy("band", "key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("docs"))
+        .filter(size(col("docs")) > 1)
+      buckets
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+              a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b"))
         .distinct()
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .filter(col("hamming") <= 6)
@@ -149,24 +157,31 @@ object DedupQueries {
              |SELECT doc_a, doc_b, round(jac, 4) AS jac
              |FROM scored WHERE jac >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin),
-      "Exact n-gram Jaccard via inverted-index join: pairs are generated " +
-        "only for documents sharing ≥1 shingle, then |A∩B| is a count per " +
-        "pair and |A∪B| = |A|+|B|−|A∩B| — no document-pair cross join. At " +
-        "100 TB add prefix filtering (only join on each doc's rarest-k " +
-        "shingles) to cut the candidate volume; the plan shape is unchanged."
+      "Exact n-gram Jaccard via inverted index: one scan computes per-doc " +
+        "shingle counts (window over doc) and buckets docs by shingle; " +
+        "|A∩B| is a count over in-bucket pairs and |A∪B| = |A|+|B|−|A∩B| — " +
+        "no document-pair cross join and no re-scan for sizes. At 100 TB " +
+        "add prefix filtering (join only each doc's rarest-k shingles) and " +
+        "a document-frequency cutoff on ubiquitous shingles; plan shape " +
+        "unchanged."
     ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val buckets = sh.groupBy("shingle")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
+        .filter(size(col("docs")) > 1)
+      val pairs = buckets
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+              a("n").as("na"), b("n").as("nb")))))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
         .agg(count(lit(1)).as("c"))
       pairs
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
         .withColumn("jac",
-          col("c") * lit(1.0) / ((col("sa.n") + col("sb.n")) - col("c")))
+          col("c") * lit(1.0) / ((col("na") + col("nb")) - col("c")))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
         .orderBy("doc_a", "doc_b")

@@ -189,20 +189,24 @@ object JoinQueries {
              |      JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
              |WHERE rn = 1
              |ORDER BY event_id""".stripMargin),
-      "As-of join (event → latest order at or before its timestamp): " +
-        "composed as equi join on the entity key + windowed latest-row " +
-        "selection. Shuffles once on user key; at 100 TB partition both " +
-        "sides by key and time-bucket so a sort-merge within partitions " +
-        "replaces the row-multiplying join."
+      "As-of join (event → latest order at or before its timestamp): equi " +
+        "join on the entity key, then max_by keeps the latest matching " +
+        "order. max_by partial-aggregates — each map task forwards ONE row " +
+        "per event, unlike a row_number window which must sort every " +
+        "joined row after a full shuffle. At 100 TB partition both sides " +
+        "by key and time-bucket so a sort-merge within partitions replaces " +
+        "the row-multiplying join."
     ) { (s, dir) =>
       val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .groupBy("event_id", "user_id")
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          col("best.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     }
   )
