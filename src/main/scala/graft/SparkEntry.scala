@@ -21,7 +21,8 @@ object SparkEntry {
       operators.SimilarityQueries.all ++
       functions.TextQueries.all ++
       operators.AvroQueries.all ++
-      operators.MultimodalQueries.all
+      operators.MultimodalQueries.all ++
+      operators.SqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregation — the engine's bread-and-butter plan shape. */

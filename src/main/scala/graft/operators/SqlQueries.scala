@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface operators: correlated/uncorrelated subqueries, pivot,
+  * ordered string aggregation, exact percentiles and moment statistics
+  * (SURVEY.md §2.2 — the parts of the surface users reach through
+  * `spark.sql` as much as the DataFrame API).
+  */
+object SqlQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q52_exists_subquery",
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 150000)
+             |ORDER BY c_custkey""".stripMargin),
+      "Correlated EXISTS decorrelates to a left-semi join with the " +
+        "predicate pushed below the join — same single-shuffle shape as " +
+        "q17; the subquery never executes per-row."
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""SELECT c_custkey, c_mktsegment
+              |FROM sq_customer c
+              |WHERE EXISTS (SELECT 1 FROM sq_orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 150000)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q53_scalar_subquery",
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |FROM orders
+             |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+      "Uncorrelated scalar subquery: planned as an independent stage whose " +
+        "single-row result is broadcast into the filter — the orders scan " +
+        "runs exactly twice (once for the avg, once filtered), never per-row."
+    ) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("sq2_orders")
+      s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+              |FROM sq2_orders
+              |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM sq2_orders)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q54_in_subquery",
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+             |                      WHERE n_regionkey = 1)
+             |ORDER BY s_suppkey""".stripMargin),
+      "IN subquery → left-semi join against the (tiny, broadcast) nation " +
+        "side; the supplier scan is never shuffled."
+    ) { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("sq3_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("sq3_nation")
+      s.sql("""SELECT s_suppkey, s_name
+              |FROM sq3_supplier
+              |WHERE s_nationkey IN (SELECT n_nationkey FROM sq3_nation
+              |                      WHERE n_regionkey = 1)
+              |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q55_pivot",
+      Some("""SELECT user_id,
+             |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+             |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+             |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             |       count(*) FILTER (WHERE event_type = 'view')     AS view
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      "Pivot with an explicit value list compiles to one conditional " +
+        "aggregation pass — no second job to discover pivot values, one " +
+        "shuffle keyed on user_id. Always pin pivot values at 100 TB."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q56_string_agg",
+      Some("""SELECT o_orderpriority,
+             |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |       count(*) AS n
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "Ordered string aggregation = collect_set → array_sort → array_join: " +
+        "the set dedups map-side, and the deterministic sort happens on the " +
+        "final (small) per-group set, not via a global ordering."
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    GraftQuery(
+      "q57_percentiles",
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             |       round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+             |       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+             |       round(quantile_cont(l_quantity, 0.95), 4) AS p95
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "Exact interpolated percentiles (Spark `percentile` ≡ DuckDB " +
+        "quantile_cont). Exact percentile buffers every value per group — " +
+        "fine per-group here; at 100 TB switch to approx_percentile " +
+        "(KLL/GK sketch, fixed-size mergeable state) and accept ε error."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
+    GraftQuery(
+      "q58_moment_stats",
+      Some("""SELECT l_linestatus,
+             |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |       round(var_samp(l_discount), 6)         AS var_disc,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+             |       round(skewness(l_extendedprice)
+             |             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
+             |       round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
+             |FROM lineitem
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin),
+      "Second/third/fourth-moment statistics: all are single-pass " +
+        "mergeable central-moment aggregates (Welford-style partial " +
+        "state), so they scale exactly like sum/avg — fixed-size state per " +
+        "group, one shuffle."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+          round(skewness(col("l_extendedprice")), 4).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"))
+        .orderBy("l_linestatus")
+    }
+  )
+}
