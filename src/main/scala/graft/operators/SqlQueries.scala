@@ -166,6 +166,32 @@ object SqlQueries {
           round(skewness(col("l_extendedprice")), 4).as("skew_price"),
           round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"))
         .orderBy("l_linestatus")
+    },
+
+    GraftQuery(
+      "q59_salted_agg",
+      Some("""SELECT l_suppkey,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY l_suppkey
+             |ORDER BY l_suppkey""".stripMargin),
+      "Skew-mitigation pattern, oracle-checked to be semantics-preserving: " +
+        "stage 1 aggregates by (key, salt) so a hot key's rows spread over " +
+        "16 reducers; stage 2 combines the 16 partials per key. On uniform " +
+        "data this costs one extra (tiny) shuffle; on a 100 TB skewed key " +
+        "it is the difference between one straggler task and 16 parallel " +
+        "ones. AQE's skew-join handling applies the same idea to joins " +
+        "automatically; this form works for aggregations AQE can't split."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_suppkey", "salt")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+        .groupBy("l_suppkey")
+        .agg(round(sum("rev_part"), 2).as("revenue"), sum("n_part").as("n"))
+        .orderBy("l_suppkey")
     }
   )
 }

@@ -39,4 +39,41 @@ object StatefulOps {
 
   /** Output mode the runner must use for [[runningPerUser]]. */
   val runningOutputMode: OutputMode = OutputMode.Update()
+
+  /** The same running counter on the transformWithState API (Spark 4's
+    * successor to mapGroupsWithState): explicit typed state variables in the
+    * StatefulProcessorHandle, per-key timers available, state evolvable
+    * independently of the output type. */
+  class RunningCounterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(user, 0L, 0.0))
+      var n = prev.n
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      val next = UserRunning(user, n, s)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running (count, sum) via transformWithState. */
+  def runningPerUserTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCounterProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

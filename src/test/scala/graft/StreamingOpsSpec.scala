@@ -95,6 +95,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.length === 2) // (1,view) kept once, (2,view) kept once
   }
 
+  test("transformWithState running counters match mapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    // transformWithState needs a multi-column-family store (RocksDB).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.runningPerUserTws(input.toDS())
+      .writeStream.format("memory").queryName("running_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, "view", ts(1), 1.0), Event(1, "view", ts(2), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "view", ts(3), 4.0), Event(2, "buy", ts(3), 10.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    import org.apache.spark.sql.Row
+    val last = spark.table("running_tws").collect()
+      .map { case Row(u: Long, n: Long, s: Double) => (u, (n, s)) }.toMap
+    assert(last(1L) === ((3L, 7.0)))
+    assert(last(2L) === ((1L, 10.0)))
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
