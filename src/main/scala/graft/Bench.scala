@@ -14,18 +14,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 59 queries × several codegen stages each overflows the default
+      // 100-entry generated-class cache — the warm-up's compilations would
+      // evict each other and the timed pass would recompile everything.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run every query once at the smallest SF. Generated code is
-    // keyed by plan shape, not data volume, so this JIT-compiles all codegen
-    // paths (the cold cost is ~10s for the sketch queries' nested-transform
-    // expressions) while touching minimal data; the timed pass below then
-    // measures steady-state throughput at the bench SF.
-    val warmDir =
-      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
-      else sfDir
+    // Warm-up: one untimed pass of every query at the bench SF. The first
+    // execution of a plan pays janino codegen compilation plus C2 JIT of the
+    // generated classes (~5-10s for the heavier plans); the timed pass below
+    // then measures steady-state throughput, which is what a long-running
+    // cluster job actually sees.
     SparkEntry.catalog.foreach { q =>
-      try q.run(spark, warmDir).count()
+      try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.catalog.map { q =>

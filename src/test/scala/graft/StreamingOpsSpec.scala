@@ -95,6 +95,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.length === 2) // (1,view) kept once, (2,view) kept once
   }
 
+  test("stream-stream inner join with watermarks joins within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+
+    val c = clicks.toDS().withWatermark("ts", "20 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val b = buys.toDS().withWatermark("ts", "20 minutes")
+      .select($"user_id".as("b_user"), $"ts".as("b_ts"))
+
+    // buy within 10 minutes after a click by the same user
+    val joined = c.join(b,
+      $"c_user" === $"b_user" &&
+        $"b_ts" >= $"c_ts" && $"b_ts" <= $"c_ts" + org.apache.spark.sql.functions.expr("interval 10 minutes"))
+
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, "click", ts(0), 0), Event(2, "click", ts(0), 0))
+      buys.addData(Event(1, "buy", ts(5), 9.99))   // within 10 min → joins
+      buys.addData(Event(2, "buy", ts(15), 5.0))   // 15 min later → outside bound
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L)
+  }
+
   test("transformWithState running counters match mapGroupsWithState semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
