@@ -192,6 +192,34 @@ object SqlQueries {
         .groupBy("l_suppkey")
         .agg(round(sum("rev_part"), 2).as("revenue"), sum("n_part").as("n"))
         .orderBy("l_suppkey")
+    },
+
+    GraftQuery(
+      "q60_map_funcs",
+      Some("""SELECT event_id,
+             |       'k,type' AS keys_sorted,
+             |       json_extract(props, '$.k')::BIGINT AS k_val,
+             |       'k=' || json_extract_string(props, '$.k')
+             |            || ',type=' || event_type AS entries_str,
+             |       CAST(3 AS INT) AS n_after_concat
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "Map-typed columns: construct, key-sort, point-lookup, entry-explode " +
+        "(as sorted entry strings) and map_concat — all codegen'd " +
+        "expressions over per-row state; maps never hit a shuffle here."
+    ) { (s, dir) =>
+      val m = map(
+        lit("k"), get_json_object(col("props"), "$.k"),
+        lit("type"), col("event_type"))
+      val m2 = map_concat(m, map(lit("src"), lit("graft")))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        array_join(sort_array(map_keys(m)), ",").as("keys_sorted"),
+        element_at(m, "k").cast("long").as("k_val"),
+        array_join(transform(sort_array(map_entries(m)),
+          e => concat_ws("=", e("key"), e("value"))), ",").as("entries_str"),
+        size(m2).as("n_after_concat"))
+        .orderBy("event_id")
     }
   )
 }

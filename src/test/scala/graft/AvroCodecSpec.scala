@@ -74,6 +74,50 @@ class AvroCodecSpec extends SparkSpec {
     assert(rt.exceptAll(o).isEmpty && o.exceptAll(rt).isEmpty)
   }
 
+  test("enum, fixed, decimal, array, map and nested record round-trip") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.avro.AvroCodec
+
+    val schema: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"Rich","namespace":"graft.test","fields":[
+        |  {"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","GREEN"]}},
+        |  {"name":"fp","type":{"type":"fixed","name":"FP8","size":4}},
+        |  {"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |  {"name":"tags","type":{"type":"array","items":"long"}},
+        |  {"name":"attrs","type":{"type":"map","values":"string"}},
+        |  {"name":"inner","type":{"type":"record","name":"Inner","fields":[
+        |    {"name":"x","type":["null","string"],"default":null}]}}
+        |]}""".stripMargin)
+    val (dt, _) = AvroSchemaConverter.toSqlType(schema)
+    val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val row: InternalRow = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("GREEN"),
+      Array[Byte](1, 2, 3, 4),
+      org.apache.spark.sql.types.Decimal(BigDecimal("12345.67"), 10, 2),
+      new GenericArrayData(Array[Any](7L, 8L)),
+      ArrayBasedMapData(
+        Array[Any](UTF8String.fromString("a")), Array[Any](UTF8String.fromString("b"))),
+      new GenericInternalRow(Array[Any](UTF8String.fromString("deep")))))
+
+    val rec = AvroCodec.catalystToAvro(row, st, schema)
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val decoded = AvroCodec.decode(AvroCodec.encode(rec, schema), schema)
+    val back = AvroCodec.avroToCatalyst(decoded, schema, st).asInstanceOf[InternalRow]
+
+    assert(back.getUTF8String(0).toString === "GREEN")
+    assert(back.getBinary(1).toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(back.getDecimal(2, 10, 2).toBigDecimal === BigDecimal("12345.67"))
+    assert(back.getArray(3).toLongArray().toSeq === Seq(7L, 8L))
+    val m = back.getMap(4)
+    assert(m.keyArray().getUTF8String(0).toString === "a")
+    assert(m.valueArray().getUTF8String(0).toString === "b")
+    assert(back.getStruct(5, 1).getUTF8String(0).toString === "deep")
+  }
+
   test("registry ids are content-addressed and idempotent across registries") {
     val a = new InMemorySchemaRegistry
     val b = new InMemorySchemaRegistry

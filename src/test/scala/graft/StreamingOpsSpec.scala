@@ -95,6 +95,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.length === 2) // (1,view) kept once, (2,view) kept once
   }
 
+  test("stream-static join enriches a stream against a broadcast table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val static = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = input.toDS().join(
+      org.apache.spark.sql.functions.broadcast(static), Seq("user_id"), "inner")
+
+    val q = joined.writeStream.format("memory").queryName("ssenrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, "view", ts(1), 1.0), Event(3, "view", ts(2), 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ssenrich").collect()
+    assert(rows.length === 1) // user 3 has no tier; inner join drops it
+    assert(rows.head.getAs[String]("tier") === "gold")
+  }
+
   test("stream-stream inner join with watermarks joins within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
