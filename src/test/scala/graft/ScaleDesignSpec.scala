@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Plan-level assertions for the 100 TB design claims: bucketed co-located
+  * joins must not shuffle, and partition/filter pruning must reach the scan.
+  * These inspect the physical plan — they fail if a future change silently
+  * reintroduces an exchange or defeats pushdown.
+  */
+class ScaleDesignSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, sf).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // disable broadcast so the join would shuffle if bucketing didn't align
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = physicalPlan(j)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be exchange-free:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("partition pruning: only the selected date partition is scanned") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events_by_type"
+    Tables.events(spark, sf)
+      .write.partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "view")
+    val plan = physicalPlan(pruned)
+    // the scan's partition filters must carry the predicate
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected partition filter in scan:\n$plan")
+    val expected = Tables.events(spark, sf).filter(col("event_type") === "view").count()
+    assert(pruned.count() === expected)
+  }
+
+  test("dimension filters push into the parquet scan of fact queries") {
+    val plan = physicalPlan(
+      Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice"))
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(plan.contains("ReadSchema") &&
+      !plan.replaceAll("(?s).*ReadSchema", "").contains("l_comment"),
+      "projection should prune unused columns")
+  }
+}
