@@ -220,6 +220,34 @@ object SqlQueries {
           e => concat_ws("=", e("key"), e("value"))), ",").as("entries_str"),
         size(m2).as("n_after_concat"))
         .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q61_null_handling",
+      Some("""SELECT o_orderstatus,
+             |       count(*) AS n_rows,
+             |       count(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+             |       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+             |       round(avg(NULLIF(o_totalprice, 0.0)), 2) AS avg_nonzero_price,
+             |       coalesce(min(NULLIF(o_orderstatus, o_orderstatus)), 'all-null') AS coalesced
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin),
+      "Null semantics under aggregation: count(col) skips nulls, avg " +
+        "ignores them, coalesce supplies defaults — synthesized here with " +
+        "nullif since the test tables are null-free. Null-skipping is free " +
+        "in partial aggregation (null rows simply don't update the buffer)."
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(nullif(col("o_orderpriority"), lit("1-URGENT"))).as("n_not_urgent"),
+          sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).cast("long").as("n_big"),
+          round(avg(nullif(col("o_totalprice"), lit(0.0))), 2).as("avg_nonzero_price"),
+          coalesce(min(nullif(col("o_orderstatus"), col("o_orderstatus"))), lit("all-null"))
+            .as("coalesced"))
+        .orderBy("o_orderstatus")
     }
   )
 }
