@@ -185,8 +185,16 @@ object AvroCodec {
   }
 
   /** Decode one Avro binary body with identical writer/reader schema. */
-  def decode(bytes: Array[Byte], schema: Schema): GenericRecord = {
+  def decode(bytes: Array[Byte], schema: Schema): GenericRecord =
+    decode(bytes, schema, schema)
+
+  /** Decode with schema resolution (Avro spec §Schema Resolution): the
+    * registry supplies the writer schema the bytes were produced with; the
+    * consumer reads under its own (possibly newer) reader schema — added
+    * fields take their defaults, removed fields are skipped, and compatible
+    * promotions apply. */
+  def decode(bytes: Array[Byte], writer: Schema, reader: Schema): GenericRecord = {
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-    new GenericDatumReader[GenericRecord](schema).read(null, dec)
+    new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
   }
 }

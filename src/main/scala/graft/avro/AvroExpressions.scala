@@ -21,10 +21,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
   * constructs them per call (expressions are shared across an executor's task
   * threads); the parsed Schema is immutable and safely shared.
   */
-case class AvroToCatalyst(child: Expression, jsonSchema: String)
+/** @param jsonSchema       reader schema — defines the output struct type
+  * @param writerJsonSchema writer schema the bytes were encoded with (from
+  *                         the registry); defaults to the reader schema.
+  *                         When they differ, Avro schema resolution applies
+  *                         (added fields → defaults, removed → skipped). */
+case class AvroToCatalyst(child: Expression, jsonSchema: String,
+                          writerJsonSchema: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val schema: Schema = new Schema.Parser().parse(jsonSchema)
+  @transient private lazy val reader: Schema = new Schema.Parser().parse(jsonSchema)
+  @transient private lazy val writer: Schema =
+    writerJsonSchema.map(new Schema.Parser().parse(_)).getOrElse(reader)
 
   override lazy val dataType: DataType = AvroSchemaConverter.toStructType(
     new Schema.Parser().parse(jsonSchema))
@@ -34,8 +42,8 @@ case class AvroToCatalyst(child: Expression, jsonSchema: String)
   override def prettyName: String = "graft_from_avro"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val rec = AvroCodec.decode(input.asInstanceOf[Array[Byte]], schema)
-    AvroCodec.avroToCatalyst(rec, schema, dataType)
+    val rec = AvroCodec.decode(input.asInstanceOf[Array[Byte]], writer, reader)
+    AvroCodec.avroToCatalyst(rec, reader, dataType)
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroToCatalyst =
@@ -74,6 +82,12 @@ object AvroFunctions {
   /** Decode an Avro-binary column into a struct under `jsonSchema`. */
   def fromAvro(col: Column, jsonSchema: String): Column =
     ColumnBridge.column(AvroToCatalyst(ColumnBridge.expression(col), jsonSchema))
+
+  /** Decode with schema resolution: bytes written under `writerJsonSchema`
+    * (registry-resolved), read under the consumer's `readerJsonSchema`. */
+  def fromAvro(col: Column, readerJsonSchema: String, writerJsonSchema: String): Column =
+    ColumnBridge.column(AvroToCatalyst(
+      ColumnBridge.expression(col), readerJsonSchema, Some(writerJsonSchema)))
 
   /** Encode a struct column to Avro binary (schema derived from the struct). */
   def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =

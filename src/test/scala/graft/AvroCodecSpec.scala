@@ -118,6 +118,38 @@ class AvroCodecSpec extends SparkSpec {
     assert(back.getStruct(5, 1).getUTF8String(0).toString === "deep")
   }
 
+  test("schema evolution: old bytes decode under a newer reader schema") {
+    import graft.avro.AvroCodec
+    val v1: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"id","type":"string"}]}""".stripMargin)
+    val v2: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"id","type":"string"},
+        |  {"name":"score","type":["null","double"],"default":null},
+        |  {"name":"source","type":"string","default":"unknown"}]}""".stripMargin)
+
+    val rec = new GenericData.Record(v1)
+    rec.put("id", "e-1")
+    val bytes = AvroCodec.encode(rec, v1)
+
+    val out = AvroCodec.decode(bytes, v1, v2) // writer=v1, reader=v2
+    assert(out.get("id").toString === "e-1")
+    assert(out.get("score") === null)
+    assert(out.get("source").toString === "unknown")
+
+    // and through the expression layer: dataframe of v1 bytes, v2 reader
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(bytes).toDF("value")
+      .select(AvroFunctions.fromAvro(col("value"), v2.toString, v1.toString).as("r"))
+      .select(col("r.id"), col("r.score"), col("r.source"))
+    val row = df.collect().head
+    assert(row.getString(0) === "e-1")
+    assert(row.isNullAt(1))
+    assert(row.getString(2) === "unknown")
+  }
+
   test("registry ids are content-addressed and idempotent across registries") {
     val a = new InMemorySchemaRegistry
     val b = new InMemorySchemaRegistry

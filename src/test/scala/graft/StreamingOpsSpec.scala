@@ -95,6 +95,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.length === 2) // (1,view) kept once, (2,view) kept once
   }
 
+  test("session window merges gap-bounded runs per user on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val sessions = input.toDS()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("s_start"), $"n")
+
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 10:01, 10:20 (same session), 11:30 (new session)
+      input.addData(Event(1, "view", ts(1), 1.0), Event(1, "view", ts(20), 1.0))
+      input.addData(Event(1, "view", Timestamp.valueOf("2024-01-01 11:30:00"), 1.0))
+      // advance watermark far enough to close both sessions
+      input.addData(Event(2, "view", Timestamp.valueOf("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sessions").as[(Long, Timestamp, Long)].collect()
+      .filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(rows.length === 2)
+    assert(rows(0)._3 === 2L) // 10:01+10:20 merged
+    assert(rows(1)._3 === 1L) // 11:30 alone
+  }
+
   test("stream-static join enriches a stream against a broadcast table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
