@@ -248,6 +248,42 @@ object SqlQueries {
           coalesce(min(nullif(col("o_orderstatus"), col("o_orderstatus"))), lit("all-null"))
             .as("coalesced"))
         .orderBy("o_orderstatus")
+    },
+
+    GraftQuery(
+      "q62_join_right_outer",
+      Some("""SELECT n_name,
+             |       count(s_suppkey) AS n_supps
+             |FROM supplier
+             |RIGHT JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin),
+      "Right outer keeps supplier-less nations (count=0). Catalyst plans " +
+        "it as a left outer with sides swapped and broadcasts the tiny " +
+        "nation side — the supplier scan never shuffles."
+    ) { (s, dir) =>
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supps"))
+        .orderBy("n_name")
+    },
+
+    GraftQuery(
+      "q63_scalar_udf",
+      Some("""SELECT p_partkey,
+             |       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+             |FROM part
+             |ORDER BY p_partkey""".stripMargin),
+      "The plain Scala udf() surface (a black box to Catalyst: no codegen, " +
+        "no pushdown through it — which is why the engine prefers built-ins " +
+        "and native expressions; this query exists to cover the escape " +
+        "hatch). Row-local, shuffle-free."
+    ) { (s, dir) =>
+      val vowels = udf((t: String) => t.count("aeiou".contains(_)).toLong)
+      Tables.part(s, dir)
+        .select(col("p_partkey"), vowels(col("p_name")).as("n_vowels"))
+        .orderBy("p_partkey")
     }
   )
 }

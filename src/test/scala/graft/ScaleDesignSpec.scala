@@ -53,6 +53,22 @@ class ScaleDesignSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("sortWithinPartitions orders every partition without a global shuffle") {
+    val df = Tables.lineitem(spark, sf)
+      .repartition(4, col("l_suppkey"))
+      .sortWithinPartitions("l_extendedprice")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "local sort must not plan a global range exchange")
+    import org.apache.spark.sql.Row
+    val ok = df.select("l_extendedprice").rdd
+      .mapPartitions { it =>
+        val prices = it.map(_.getDouble(0)).toArray
+        Iterator.single(prices.sameElements(prices.sorted))
+      }.collect()
+    assert(ok.forall(identity), "each partition must be internally sorted")
+  }
+
   test("dimension filters push into the parquet scan of fact queries") {
     val plan = physicalPlan(
       Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
