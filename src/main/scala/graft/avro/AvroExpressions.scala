@@ -77,6 +77,47 @@ case class CatalystToAvro(child: Expression, recordName: String)
     copy(child = newChild)
 }
 
+/** Registry-resolved decode of wire-framed values (the reference's actual
+  * R2 mechanism: `KafkaAvroDeserializer` looks the writer schema up by the
+  * id embedded in every record). The reader schema fixes the output struct
+  * at plan time; each record's writer schema is fetched (and cached) from
+  * the file-backed registry on the executor and resolved against the
+  * reader — so a topic containing a mix of schema versions decodes
+  * correctly record by record.
+  *
+  * @param registryRoot root dir of a [[FileSchemaRegistry]], readable from
+  *                     every executor (at 100 TB: a shared store / DFS path)
+  */
+case class WireAvroToCatalyst(child: Expression, readerJsonSchema: String,
+                              registryRoot: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val reader: Schema =
+    new Schema.Parser().parse(readerJsonSchema)
+  @transient private lazy val registry = new FileSchemaRegistry(registryRoot)
+  @transient private lazy val writerCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Schema]
+
+  override lazy val dataType: DataType = AvroSchemaConverter.toStructType(
+    new Schema.Parser().parse(readerJsonSchema))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_from_avro_wire"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (id, body) = WireFormat.unframe(input.asInstanceOf[Array[Byte]])
+    val writer = writerCache.getOrElseUpdate(id,
+      registry.byId(id).getOrElse(
+        throw new IllegalStateException(s"schema id $id not in registry $registryRoot")))
+    val rec = AvroCodec.decode(body, writer, reader)
+    AvroCodec.avroToCatalyst(rec, reader, dataType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WireAvroToCatalyst =
+    copy(child = newChild)
+}
+
 /** Column facade. */
 object AvroFunctions {
   /** Decode an Avro-binary column into a struct under `jsonSchema`. */
@@ -88,6 +129,20 @@ object AvroFunctions {
   def fromAvro(col: Column, readerJsonSchema: String, writerJsonSchema: String): Column =
     ColumnBridge.column(AvroToCatalyst(
       ColumnBridge.expression(col), readerJsonSchema, Some(writerJsonSchema)))
+
+  /** Decode wire-framed values, resolving each record's writer schema by id
+    * from the file-backed registry at `registryRoot`. */
+  def fromAvroWire(col: Column, readerJsonSchema: String, registryRoot: String): Column =
+    ColumnBridge.column(WireAvroToCatalyst(
+      ColumnBridge.expression(col), readerJsonSchema, registryRoot))
+
+  /** Encode a struct column and frame it with the given schema id. */
+  def toAvroWire(col: Column, schemaId: Long, recordName: String = "topLevelRecord"): Column = {
+    import org.apache.spark.sql.functions.udf
+    val framer = udf((body: Array[Byte]) =>
+      if (body == null) null else WireFormat.frame(schemaId, body))
+    framer(toAvro(col, recordName))
+  }
 
   /** Encode a struct column to Avro binary (schema derived from the struct). */
   def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =

@@ -2,55 +2,54 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import graft.avro.{AvroFunctions, SchemaRegistry}
+import graft.avro.{AvroFunctions, FileSchemaRegistry}
 import org.apache.avro.Schema
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** The reference pipeline, Spark-native (SURVEY.md §2.1 R1–R10, §3):
   *
   * {{{
-  *   topic A (Avro-binary files)                       R1  readStream micro-batch
-  *     → decode via source-registry schema             R2  AvroToCatalyst
+  *   topic A (wire-framed Avro values)                 R1  readStream micro-batch
+  *     → per-record registry-resolved decode           R2  WireAvroToCatalyst
   *     → key := value.id                               R3  Project
-  *     → re-encode, register schema in target registry R7  CatalystToAvro
+  *     → re-encode + register schema in target registry R7 CatalystToAvro + frame
   *     → atomically committed batch to topic B         R4-R6, R8  foreachBatch
   * }}}
   *
-  * A "topic" here is a directory of parquet files with a single Avro-binary
-  * `value` column (no Kafka connector in this sandbox; the binding is
-  * source-format-local, everything downstream is identical).
+  * A "topic" is a directory of parquet files with a single binary `value`
+  * column carrying wire-framed Avro ([[graft.avro.WireFormat]]: magic byte +
+  * schema id + body — the Confluent framing shape, R2's actual mechanism).
+  * Registries are file-backed ([[FileSchemaRegistry]]) and addressed by ROOT
+  * PATH so executors resolve writer schemas per record; at 100 TB that root
+  * lives on a shared store and the per-executor schema cache makes lookups
+  * one-time.
   *
   * Delivery semantics — deliberately matching the reference
   * (`ReplicationApplication.java:96-100`, SURVEY.md §2.1 note): the batch
-  * write is atomic (all-or-nothing per micro-batch) and progress is recorded
-  * only after durable output, via two mechanisms:
-  *   - Structured Streaming's checkpoint WAL (≡ R8 manual offset ack), and
-  *   - a per-batch commit marker making redelivered batches idempotent
-  *     (`overwrite` into a batch-keyed directory + marker file), which
-  *     upgrades the reference's "at-least-once with committed duplicates"
-  *     to effective exactly-once — an upgrade SURVEY.md §2.1 calls out as
-  *     free under this design.
-  *
-  * At scale: the pipeline is embarrassingly parallel (row-local codec work,
-  * no exchange); throughput is bounded by source scan + sink write, and the
-  * micro-batch size knob (`maxFilesPerTrigger` ≡ Kafka `max.poll.records`,
-  * README.adoc:34) bounds memory.
+  * write is atomic and progress is recorded only after durable output, via
+  * the checkpoint WAL (≡ R8 manual offset ack) plus a per-batch commit
+  * marker that makes redelivered batches idempotent — upgrading the
+  * reference's "at-least-once with committed duplicates" to effective
+  * exactly-once.
   */
 object Replication {
 
   final case class Topics(sourceDir: String, targetDir: String, checkpointDir: String)
 
-  /** Stage a DataFrame as the source "topic": encode rows to Avro binary and
-    * register the writer schema in the source registry (test/setup path —
-    * what the upstream producer would have done). */
+  /** Stage a DataFrame as the source "topic": register the writer schema in
+    * the source registry and write wire-framed Avro values (what the
+    * upstream producer's serializer would have done — R7 on the produce
+    * side). */
   def stageSource(df: DataFrame, topicDir: String, subject: String,
-                  registry: SchemaRegistry, recordName: String = "Value"): String = {
+                  registryRoot: String, recordName: String = "Value"): String = {
     val schemaJson = AvroFunctions.writerSchemaFor(df.schema, recordName)
-    registry.register(subject, new Schema.Parser().parse(schemaJson))
-    df.select(AvroFunctions.toAvro(struct(df.columns.map(col): _*), recordName).as("value"))
+    val id = new FileSchemaRegistry(registryRoot)
+      .register(subject, new Schema.Parser().parse(schemaJson))
+    df.select(AvroFunctions.toAvroWire(
+      struct(df.columns.map(col): _*), id, recordName).as("value"))
       .write.mode("append").parquet(topicDir)
     schemaJson
   }
@@ -58,30 +57,31 @@ object Replication {
   /** Start the replication stream. Fails fast if the source topic is missing
     * (R9, `setMissingTopicsFatal` ≡ `ReplicationApplication.java:41`). */
   def start(spark: SparkSession, topics: Topics, subject: String,
-            sourceRegistry: SchemaRegistry, targetRegistry: SchemaRegistry,
+            sourceRegistryRoot: String, targetRegistryRoot: String,
             idField: String = "id", maxFilesPerTrigger: Int = 1,
             availableNow: Boolean = true): StreamingQuery = {
     require(Files.exists(Paths.get(topics.sourceDir)),
       s"source topic ${topics.sourceDir} does not exist (missing-topics-fatal)")
-    val (_, schema) = sourceRegistry.latest(subject).getOrElse(
+    val source = new FileSchemaRegistry(sourceRegistryRoot)
+    val (_, readerSchema) = source.latest(subject).getOrElse(
       throw new IllegalStateException(s"no schema for subject $subject in source registry"))
-    val schemaJson = schema.toString
 
-    // R7: the serializer registers the (identical) schema in the target
-    // registry before first produce — content-addressed, hence idempotent.
-    targetRegistry.register(subject, schema)
+    // R7: the serializer registers the value schema in the target registry
+    // before first produce — content-addressed, hence idempotent.
+    val targetId = new FileSchemaRegistry(targetRegistryRoot)
+      .register(subject, readerSchema)
 
     val src = spark.readStream
-      .schema(StructType(Seq(org.apache.spark.sql.types.StructField(
-        "value", org.apache.spark.sql.types.BinaryType))))
+      .schema(StructType(Seq(StructField("value", BinaryType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(topics.sourceDir)
 
     val projected = src
-      .select(AvroFunctions.fromAvro(col("value"), schemaJson).as("r"))     // R2
+      .select(AvroFunctions.fromAvroWire(col("value"),
+        readerSchema.toString, sourceRegistryRoot).as("r"))                  // R2
       .select(col("r").getField(idField).cast("string").as("key"), col("r")) // R3
       .select(col("key"),
-        AvroFunctions.toAvro(col("r"), "Value").as("value"))                 // R7
+        AvroFunctions.toAvroWire(col("r"), targetId, "Value").as("value"))   // R7
 
     val writer = projected.writeStream
       .option("checkpointLocation", topics.checkpointDir)
