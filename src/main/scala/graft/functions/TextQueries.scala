@@ -164,6 +164,39 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"), fp.as("fp"), pmod(fp, lit(1024L)).as("shard"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q64_top_ngrams",
+      Some("""WITH t AS (
+             |  SELECT string_split(lower(text), ' ') w FROM documents
+             |), grams AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+             |                               i -> w[i] || ' ' || w[i+1])) g
+             |  FROM t
+             |)
+             |SELECT g AS bigram, count(*) AS n
+             |FROM grams
+             |GROUP BY g
+             |ORDER BY n DESC, bigram
+             |LIMIT 20""".stripMargin),
+      "Corpus-level n-gram statistics: explode bigrams → count → global " +
+        "top-k. The count is a partial+final hash agg (shuffle carries one " +
+        "row per distinct bigram per partition) and the top-20 is " +
+        "TakeOrderedAndProject — per-task heaps, no global sort. The " +
+        "explode multiplies rows by ~tokens-per-doc, which is why the " +
+        "count must combine map-side."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      Tables.documents(s, dir)
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     }
   )
 }
