@@ -25,9 +25,10 @@ object SparkEntry {
       operators.SqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Star join + aggregation — the engine's bread-and-butter plan shape. */
+    * The reference's own pipeline in batch form — Avro decode(encode(row))
+    * plus the key := value.id projection (SURVEY.md §2.1 R2/R3/R7). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q15_join_inner_star")(spark, "/root/testdata/sf0.001")
+    queries("q50_replication_project")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

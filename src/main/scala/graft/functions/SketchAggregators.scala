@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 
 /** One-pass sketch aggregators for near-duplicate detection.
