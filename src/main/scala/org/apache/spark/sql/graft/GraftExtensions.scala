@@ -25,19 +25,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Rewrites `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` over
   * `array<double>` inputs to [[DotProductD]] — semantics are identical
-  * (left-to-right fold, 0.0 + x == x) and ~10× faster interpreted-HOF-free.
+  * (left-to-right fold, 0.0 + x == x, null on length mismatch / null
+  * element) and ~10× faster interpreted-HOF-free.
+  *
+  * The multiply/add operands must be exactly the variables bound by the
+  * enclosing lambda's own argument list (matched by exprId): a fold body
+  * referencing a captured outer lambda variable — e.g. `(acc, v) => acc + q`
+  * inside a nested HOF — is NOT a dot product and must not rewrite.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                Seq(xArg: NamedLambdaVariable, yArg: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _),
             finish)
           if isDoubleArray(a) && isDoubleArray(b) &&
-            x.exprId != y.exprId && acc.exprId != v.exprId &&
+            boundExactly(Seq(x, y), Seq(xArg, yArg)) &&
+            boundExactly(Seq(acc, v), Seq(accArg, vArg)) &&
             isIdentityFinish(finish) =>
         DotProductD(a, b)
     }
@@ -45,6 +54,15 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
+  }
+
+  /** The operands are exactly the lambda's own two (distinct) arguments, in
+    * either order — multiply and the double-add fold step are commutative in
+    * their operands' values, but a captured outer variable is not allowed. */
+  private def boundExactly(
+      operands: Seq[NamedLambdaVariable], args: Seq[NamedLambdaVariable]): Boolean = {
+    val argIds = args.map(_.exprId).toSet
+    argIds.size == 2 && operands.map(_.exprId).toSet == argIds
   }
 
   /** The third lambda of aggregate() defaults to identity. */

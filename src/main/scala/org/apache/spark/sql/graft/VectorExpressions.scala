@@ -16,9 +16,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `ArrayData` buffers: no allocation, no virtual calls, codegen-fused with
   * the surrounding projection.
   *
-  * Semantics: inputs are `array<double>`; the sum folds left to right —
-  * bit-identical to the `aggregate` form and to the DuckDB oracle's
-  * `list_reduce`. Null array → null; elements assumed non-null (embeddings).
+  * Semantics are exactly those of the HOF form, so [[RewriteDotProduct]] is a
+  * pure physical substitution: the sum folds left to right (bit-identical to
+  * the `aggregate` form and to the DuckDB oracle's `list_reduce`); a null
+  * array, a length mismatch (zip_with pads the shorter side with nulls), or a
+  * null element (null product poisons the fold) all yield null. When both
+  * inputs are `containsNull = false` arrays the generated code skips the
+  * per-element null scan entirely.
   *
   * Lives under `org.apache.spark.sql` because `AbstractDataType` (the
   * `ExpectsInputTypes` contract) is `private[sql]`.
@@ -31,12 +35,30 @@ case class DotProductD(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Nullable even for non-null children: length mismatch yields null.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -47,14 +69,26 @@ case class DotProductD(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val s = ctx.freshName("s")
+      val nullScan = if (elementsMayBeNull) {
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |${ev.isNull} = $n != $b.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -43,4 +43,52 @@ class ExtensionsSpec extends AnyFunSuite {
     val b = native.orderBy("vec_id").collect().map(_.getDouble(1))
     assert(a.toSeq === b.toSeq)
   }
+
+  private def embDf = {
+    val spark = extSpark
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+  }
+
+  test("fold body referencing a captured outer lambda variable is NOT rewritten") {
+    // (acc, x) => acc + q where q is the outer transform's variable: the Add
+    // operands are NamedLambdaVariables but q is not bound by the fold lambda.
+    val df = embDf.select(col("vec_id"),
+      transform(array(lit(2.0)), q =>
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, _) => acc + q)).as("folds"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"captured-variable fold must not rewrite:\n${df.queryExecution.optimizedPlan}")
+    // Result = n * q (every product replaced by the captured q), not the dot.
+    val n = embDf.selectExpr("size(v)").head().getInt(0)
+    val first = df.orderBy("vec_id").head().getSeq[Double](1)
+    assert(first === Seq(n * 2.0))
+  }
+
+  test("rewrite preserves HOF null semantics: length mismatch and null elements") {
+    val spark = extSpark
+    val df = embDf.select(col("vec_id"), col("v"),
+      slice(col("v"), 1, 3).as("v3"),
+      transform(col("v"), x => when(x > 0, x)).as("vn"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val hof = df.select(col("vec_id"),
+      hofDot(col("v"), col("v3")).as("mismatch"),
+      hofDot(col("v"), col("vn")).as("withNulls"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"expected rewrite in:\n${hof.queryExecution.optimizedPlan}")
+    val native = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.dotd(col("v"), col("v3")).as("mismatch"),
+      graft.functions.VectorFunctions.dotd(col("v"), col("vn")).as("withNulls"))
+    val a = hof.orderBy("vec_id").collect().map(r => (r.isNullAt(1), r.isNullAt(2)))
+    // Length mismatch must be null everywhere (embeddings are longer than 3).
+    assert(a.forall(_._1), "zip_with pad-with-null semantics: mismatch column must be null")
+    val b = native.orderBy("vec_id").collect().map(r => (r.isNullAt(1), r.isNullAt(2)))
+    assert(a.toSeq === b.toSeq)
+    // Some rows should have a negative element → null, some all-positive → value;
+    // check values agree where non-null.
+    val hv = hof.orderBy("vec_id").collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val nv = native.orderBy("vec_id").collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(hv.toSeq === nv.toSeq)
+  }
 }
