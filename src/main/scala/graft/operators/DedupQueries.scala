@@ -211,20 +211,42 @@ object DedupQueries {
              |SELECT vec_a, vec_b, round(c, 4) AS cos
              |FROM pairs WHERE c >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin),
-      "Embedding near-dup by cosine threshold. Test scale: broadcast " +
-        "nested-loop pair join (500×500) with the dot product as a codegen'd " +
-        "higher-order fold — no UDF. At 100 TB this form is wrong by design; " +
-        "the engine's scale path is q44's LSH-bucketed variant (hyperplane " +
-        "buckets turn the cross join into an equi-join). Norms are " +
-        "precomputed once per vector, not per pair."
+      "Embedding near-dup by cosine threshold, EXACT, via a tiled block-pair " +
+        "equi-join (the DIMSUM/matrix-tile shape): vectors hash into B " +
+        "blocks, each vector is replicated into its row of B(B+1)/2 tiles " +
+        "(uniform B+1 copies/vector), and tiles meet in a shuffle equi-join " +
+        "on (tile_a, tile_b) — no BroadcastNestedLoopJoin, no driver-side " +
+        "cross product, per-task memory bounded by one tile pair. The O(n²) " +
+        "COMPUTE is inherent to the semantics: this corpus's pair-cosine " +
+        "spectrum is continuous through the threshold (closest pairs at " +
+        "0.34996 vs 0.35004, nothing above 0.52), so no LSH parameterization " +
+        "can be exhaustive at θ=acos(0.35)≈69.5° (per-hyperplane agreement " +
+        "0.614 ⇒ exhaustive banding ≈ all pairs). At 100 TB: scale B with " +
+        "√n to hold tile size constant; for sub-quadratic cost relax to the " +
+        "approximate contract (q44's LSH buckets + multi-probe) — the engine " +
+        "offers both, with the trade-off explicit rather than hidden."
     ) { (s, dir) =>
       import graft.functions.VectorFunctions.dotd
+      val B = 16 // tiles: B(B+1)/2 = 136 join keys; size with √n at scale
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dotd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+        .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(B)).cast("int"))
+      // A vector in block k serves as the left operand of tiles (k, j≥k) and
+      // the right operand of tiles (i≤k, k): exactly B+1 copies per vector.
+      val aSide = e.withColumn("tb", explode(sequence(col("blk"), lit(B - 1))))
+        .select(col("blk").as("ta"), col("tb"),
+          col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val bSide = e.withColumn("ta", explode(sequence(lit(0), col("blk"))))
+        .select(col("ta"), col("blk").as("tb"),
+          col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      aSide.join(bSide, Seq("ta", "tb"))
+        // cross tiles see each unordered pair once; diagonal tiles need the
+        // id ordering to halve their self-product (and drop self-pairs)
+        .filter(col("ta") =!= col("tb") || col("id_a") < col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("vec_a"),
+          greatest(col("id_a"), col("id_b")).as("vec_b"),
+          (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
         .filter(col("c") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
         .orderBy("vec_a", "vec_b")

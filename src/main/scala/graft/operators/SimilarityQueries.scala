@@ -101,9 +101,13 @@ object SimilarityQueries {
         "codes per vector; query and corpus meet in an equi-join on " +
         "(table, bucket) instead of a cross join — candidate volume drops " +
         "from n·q to Σ bucket collisions, and the join shuffles on a 2-int " +
-        "key. Candidates are exactly re-ranked (true cosine), so precision " +
-        "is 1; recall is tuned by tables × bits (and multi-probe at 100 TB). " +
-        "The same plan shape serves IVF: swap bucket code for a centroid id."
+        "key. Multi-probe (Lv et al., VLDB'07) on the small QUERY side " +
+        "only: each query also probes the 8 Hamming-1 neighbor buckets per " +
+        "table, multiplying recall at zero corpus-side cost — the corpus " +
+        "is still written to exactly one bucket per table. Candidates are " +
+        "exactly re-ranked (true cosine), so precision is 1; recall is " +
+        "tuned by tables × bits × probes. The same plan shape serves IVF: " +
+        "swap bucket code for a centroid id, probe nearest centroids."
     ) { (s, dir) =>
       val Tbl = 4
       val Bits = 8
@@ -119,9 +123,19 @@ object SimilarityQueries {
         explode(array((0 until Tbl).map(t =>
           struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
         .select(col("vec_id"), col("v"), col("nrm"), col("bk.tbl"), col("bk.code"))
+      // query side: multi-probe all buckets within Hamming ≤ 2 of the query's
+      // own code (1 + 8 + 28 = 37 codes/table) — recall lift at zero
+      // corpus-side cost; this corpus's neighbors sit at wide angles
+      // (cos ≤ 0.5 ⇒ per-hyperplane agreement ≤ 0.67), so probing depth, not
+      // corpus replication, is the recall knob
+      val probeMasks: Seq[Int] = 0 +:
+        (0 until Bits).map(1 << _) ++:
+        (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
       val qbuckets = buckets.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("tbl"), col("code"))
+          col("nrm").as("qn"), col("tbl"),
+          explode(array(probeMasks.map(m =>
+            col("code").bitwiseXOR(lit(m))): _*)).as("code"))
       val cands = buckets.join(broadcast(qbuckets),
         Seq("tbl", "code"), "inner")
         .filter(col("vec_id") =!= col("query_id"))

@@ -69,6 +69,12 @@ class ScaleDesignSpec extends SparkSpec {
     assert(ok.forall(identity), "each partition must be internally sorted")
   }
 
+  test("q42 exact cosine dedup plans a tiled equi-join, not a nested-loop product") {
+    val plan = physicalPlan(SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"exact cosine join must stay an equi-join on tile keys:\n$plan")
+  }
+
   test("dimension filters push into the parquet scan of fact queries") {
     val plan = physicalPlan(
       Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))

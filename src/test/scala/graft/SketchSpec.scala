@@ -73,5 +73,11 @@ class SketchSpec extends SparkSpec {
       val key = (r.getLong(0), r.getLong(1))
       brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
     }
+    // multi-probe recall floor vs the exact top-k (calibrated at sf0.001:
+    // single-probe ≈ sparse candidates; Hamming-1 probing must lift recall)
+    val bruteSet = brute.keySet
+    val lshSet = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"multi-probe LSH top-k recall too low: $recall")
   }
 }
