@@ -50,7 +50,11 @@ case class AvroToCatalyst(child: Expression, jsonSchema: String,
     copy(child = newChild)
 }
 
-case class CatalystToAvro(child: Expression, recordName: String)
+/** @param frameId when set, the encoded body is wire-framed with this schema
+  *                 id in the same expression — the R7 hot path stays a single
+  *                 Catalyst node with no UDF serialization boundary. */
+case class CatalystToAvro(child: Expression, recordName: String,
+                          frameId: Option[Long] = None)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val schema: Schema = avroSchema
@@ -65,12 +69,17 @@ case class CatalystToAvro(child: Expression, recordName: String)
 
   override def dataType: DataType = BinaryType
 
-  override def prettyName: String = "graft_to_avro"
+  override def prettyName: String =
+    if (frameId.isDefined) "graft_to_avro_wire" else "graft_to_avro"
 
   override protected def nullSafeEval(input: Any): Any = {
     val rec = AvroCodec.catalystToAvro(input, child.dataType, schema)
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
-    AvroCodec.encode(rec, schema)
+    val body = AvroCodec.encode(rec, schema)
+    frameId match {
+      case Some(id) => WireFormat.frame(id, body)
+      case None     => body
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): CatalystToAvro =
@@ -136,13 +145,11 @@ object AvroFunctions {
     ColumnBridge.column(WireAvroToCatalyst(
       ColumnBridge.expression(col), readerJsonSchema, registryRoot))
 
-  /** Encode a struct column and frame it with the given schema id. */
-  def toAvroWire(col: Column, schemaId: Long, recordName: String = "topLevelRecord"): Column = {
-    import org.apache.spark.sql.functions.udf
-    val framer = udf((body: Array[Byte]) =>
-      if (body == null) null else WireFormat.frame(schemaId, body))
-    framer(toAvro(col, recordName))
-  }
+  /** Encode a struct column and frame it with the given schema id — one
+    * Catalyst node, no UDF boundary in the produce hot path. */
+  def toAvroWire(col: Column, schemaId: Long, recordName: String = "topLevelRecord"): Column =
+    ColumnBridge.column(CatalystToAvro(
+      ColumnBridge.expression(col), recordName, Some(schemaId)))
 
   /** Encode a struct column to Avro binary (schema derived from the struct). */
   def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import graft.avro.{AvroFunctions, InMemorySchemaRegistry}
+import graft.avro.{AvroFunctions, FileSchemaRegistry}
 import org.apache.avro.Schema
 import org.apache.spark.sql.functions._
 
@@ -39,22 +39,27 @@ object AvroQueries {
              |       event_id, ts, user_id, event_type, value, props
              |FROM events
              |ORDER BY event_id""".stripMargin),
-      "The whole reference pipeline as one batch plan: decode(encode(row)) " +
-        "+ key := value.id (R2/R3/R7). Source and target registries see the " +
-        "writer schema registered exactly once (content-addressed id), " +
-        "mirroring 'only the necessary Avro schema is registered' " +
-        "(README.adoc:11-12). Row-local; partition-parallel with no exchange."
+      "The whole reference pipeline as one batch plan, INCLUDING the wire " +
+        "format: encode + frame (magic byte + schema id — R7), then decode " +
+        "with per-record registry resolution of the writer schema by the " +
+        "framed id (R2), then key := value.id (R3). The writer schema is " +
+        "registered exactly once (content-addressed id), mirroring 'only " +
+        "the necessary Avro schema is registered' (README.adoc:11-12). " +
+        "Frame + encode is ONE Catalyst expression — no UDF serialization " +
+        "boundary. Row-local; partition-parallel with no exchange."
     ) { (s, dir) =>
       val ev = Tables.events(s, dir)
       val schemaJson = AvroFunctions.writerSchemaFor(ev.schema, "Event")
-      // R7: auto-registration on first produce, against both registries.
-      val source = new InMemorySchemaRegistry
-      val target = new InMemorySchemaRegistry
       val parsed = new Schema.Parser().parse(schemaJson)
-      source.register("events-value", parsed)
-      target.register("events-value", parsed)
-      ev.select(AvroFunctions.toAvro(struct(ev.columns.map(col): _*), "Event").as("avro_value"))
-        .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+      // R7: auto-registration on first produce, against a file registry the
+      // decode side resolves writer schemas from (executor-readable root).
+      val registryRoot = java.nio.file.Files
+        .createTempDirectory("graft-q50-registry").toString
+      val id = new FileSchemaRegistry(registryRoot).register("events-value", parsed)
+      ev.select(AvroFunctions.toAvroWire(
+          struct(ev.columns.map(col): _*), id, "Event").as("avro_value"))
+        .select(AvroFunctions.fromAvroWire(
+          col("avro_value"), schemaJson, registryRoot).as("r"))
         .select(col("r.event_id").cast("string").as("key"), col("r.*"))
         .orderBy("event_id")
     }

@@ -75,6 +75,13 @@ class ScaleDesignSpec extends SparkSpec {
       s"exact cosine join must stay an equi-join on tile keys:\n$plan")
   }
 
+  test("q50 wire-framed replication plan has no UDF serialization boundary") {
+    val plan = physicalPlan(SparkEntry.queries("q50_replication_project")(spark, sf))
+    assert(plan.contains("graft_to_avro_wire") && plan.contains("graft_from_avro_wire"),
+      s"q50 must exercise the wire framing path:\n$plan")
+    assert(!plan.contains("UDF"), s"R7 hot path must be expression-only:\n$plan")
+  }
+
   test("dimension filters push into the parquet scan of fact queries") {
     val plan = physicalPlan(
       Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
