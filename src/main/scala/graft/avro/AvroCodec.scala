@@ -32,11 +32,36 @@ object AvroCodec {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
 
+  /** The non-null branches of a union (a non-union counts as one branch). */
+  def nonNullBranches(s: Schema): Seq[Schema] =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+    else Seq(s)
+
   // ---------------------------------------------------------------- encode
 
   /** Catalyst internal value → Avro generic value under `schema`. */
   def catalystToAvro(value: Any, dt: DataType, schema: Schema): AnyRef = {
     if (value == null) return null
+    val branches = nonNullBranches(schema)
+    if (branches.size > 1) {
+      // general union: value is the tagged struct; _tag picks the branch
+      val st = dt match {
+        case st: StructType
+            if st.fieldNames.headOption.contains(AvroSchemaConverter.UnionTagField) => st
+        case other => throw new UnsupportedOperationException(
+          s"union ${schema} needs a {_tag, member*} struct, got $other")
+      }
+      val row = value.asInstanceOf[InternalRow]
+      val tag = row.getInt(0)
+      require(tag >= 0 && tag < branches.size,
+        s"union _tag $tag out of range for ${branches.size} branches")
+      val memberDt = st.fields(tag + 1).dataType
+      val member = if (row.isNullAt(tag + 1)) null else row.get(tag + 1, memberDt)
+      require(member != null,
+        s"union _tag $tag names member${tag} but it is null")
+      return catalystToAvro(member, memberDt, branches(tag))
+    }
     val s = nonNull(schema)
     (dt, s.getType) match {
       case (BooleanType, _) | (IntegerType, _) | (LongType, _) |
@@ -110,6 +135,20 @@ object AvroCodec {
   /** Avro generic value → Catalyst internal value under `dt`. */
   def avroToCatalyst(value: AnyRef, schema: Schema, dt: DataType): Any = {
     if (value == null) return null
+    val branches = nonNullBranches(schema)
+    if (branches.size > 1) {
+      // general union → tagged struct: resolve which branch produced the
+      // value (same dispatch GenericDatumWriter uses), set _tag + memberI
+      val st = dt.asInstanceOf[StructType]
+      val idx = GenericData.get().resolveUnion(schema, value)
+      val branchSchema = schema.getTypes.get(idx)
+      val tag = branches.indexWhere(_ eq branchSchema)
+      require(tag >= 0, s"resolved union branch $branchSchema is the null branch for non-null value")
+      val out = new GenericInternalRow(st.length)
+      out.update(0, tag)
+      out.update(tag + 1, avroToCatalyst(value, branchSchema, st.fields(tag + 1).dataType))
+      return out
+    }
     val s = nonNull(schema)
     (s.getType, dt) match {
       case (Schema.Type.BOOLEAN, _) | (Schema.Type.FLOAT, _) |

@@ -52,16 +52,25 @@ case class AvroToCatalyst(child: Expression, jsonSchema: String,
 
 /** @param frameId when set, the encoded body is wire-framed with this schema
   *                 id in the same expression — the R7 hot path stays a single
-  *                 Catalyst node with no UDF serialization boundary. */
+  *                 Catalyst node with no UDF serialization boundary.
+  * @param writerJsonSchema when set, encode under this EXPLICIT Avro schema
+  *                 (e.g. a registry subject's schema, possibly containing
+  *                 general unions) instead of deriving one from the struct
+  *                 type; the input struct must follow the converter's mapping
+  *                 for it (unions as tagged structs). */
 case class CatalystToAvro(child: Expression, recordName: String,
-                          frameId: Option[Long] = None)
+                          frameId: Option[Long] = None,
+                          writerJsonSchema: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val schema: Schema = avroSchema
 
-  private def avroSchema: Schema = child.dataType match {
-    case st: StructType => AvroSchemaConverter.toAvroSchema(st, recordName)
-    case dt => throw new IllegalArgumentException(s"to_avro needs a struct, got $dt")
+  private def avroSchema: Schema = writerJsonSchema match {
+    case Some(json) => new Schema.Parser().parse(json)
+    case None => child.dataType match {
+      case st: StructType => AvroSchemaConverter.toAvroSchema(st, recordName)
+      case dt => throw new IllegalArgumentException(s"to_avro needs a struct, got $dt")
+    }
   }
 
   /** The derived writer schema (register it before producing — R7). */
@@ -154,6 +163,17 @@ object AvroFunctions {
   /** Encode a struct column to Avro binary (schema derived from the struct). */
   def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =
     ColumnBridge.column(CatalystToAvro(ColumnBridge.expression(col), recordName))
+
+  /** Encode under an explicit writer schema (which may contain general
+    * unions — the struct column must use the tagged-struct mapping). */
+  def toAvroWithSchema(col: Column, writerJsonSchema: String): Column =
+    ColumnBridge.column(CatalystToAvro(ColumnBridge.expression(col),
+      "topLevelRecord", None, Some(writerJsonSchema)))
+
+  /** Encode under an explicit writer schema and wire-frame with `schemaId`. */
+  def toAvroWireWithSchema(col: Column, schemaId: Long, writerJsonSchema: String): Column =
+    ColumnBridge.column(CatalystToAvro(ColumnBridge.expression(col),
+      "topLevelRecord", Some(schemaId), Some(writerJsonSchema)))
 
   /** The writer schema `toAvro` will use for a struct of this Catalyst type. */
   def writerSchemaFor(st: StructType, recordName: String = "topLevelRecord"): String =

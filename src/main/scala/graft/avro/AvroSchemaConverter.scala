@@ -18,8 +18,11 @@ import scala.jdk.CollectionConverters._
   *  - `enum` → string (symbol name)
   *  - `record` → struct, `array` → array, `map` → map(string, _)
   *  - union `["null", T]` (either order) → nullable T — the exact shape of
-  *    the reference fixture (`com.foo.Foo.avsc:10-17`); general unions are
-  *    rejected with a clear error (SURVEY.md §7 "hard parts" defers them)
+  *    the reference fixture (`com.foo.Foo.avsc:10-17`)
+  *  - general union `[A, B, ...]` → struct `{_tag: int, member0: A?,
+  *    member1: B?, ...}` (nullable iff null ∈ union): exactly one memberI is
+  *    non-null and `_tag` names its branch, so the mapping is lossless in
+  *    both directions even for branches with identical runtime shapes
   *  - logical types: date → date; timestamp-millis/micros → timestamp;
   *    decimal(p,s) → decimal(p,s)
   */
@@ -65,19 +68,30 @@ object AvroSchemaConverter {
       (MapType(StringType, dt, valueContainsNull = nullable), false)
     case Schema.Type.UNION =>
       val branches = schema.getTypes.asScala.toSeq
-      branches.map(_.getType) match {
-        case Seq(Schema.Type.NULL, _) =>
-          val (dt, _) = toSqlType(branches(1)); (dt, true)
-        case Seq(_, Schema.Type.NULL) =>
-          val (dt, _) = toSqlType(branches(0)); (dt, true)
-        case Seq(_) =>
-          toSqlType(branches.head)
-        case other =>
-          throw new UnsupportedOperationException(
-            s"general Avro unions are not supported (got $other); " +
-              "only [\"null\", T] nullability unions")
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      val nullable = nonNull.size < branches.size
+      nonNull match {
+        case Seq() => (NullType, true)
+        case Seq(only) =>
+          val (dt, _) = toSqlType(only); (dt, nullable)
+        case many =>
+          // General union → tagged struct of nullable branches (the
+          // spark-avro memberN convention plus an explicit `_tag` ordinal
+          // into the non-null branches). Exactly one memberI is non-null,
+          // and _tag names it — so branch projections are plain column
+          // references and re-encoding is unambiguous even for branches
+          // whose runtime values look alike.
+          val fields = StructField(UnionTagField, IntegerType, nullable = false) +:
+            many.zipWithIndex.map { case (b, i) =>
+              val (dt, _) = toSqlType(b)
+              StructField(s"member$i", dt, nullable = true)
+            }
+          (StructType(fields), nullable)
       }
   }
+
+  /** Tag field name of the struct a multi-branch union maps to. */
+  val UnionTagField = "_tag"
 
   def toStructType(schema: Schema): StructType =
     toSqlType(schema)._1 match {

@@ -62,6 +62,44 @@ object AvroQueries {
           col("avro_value"), schemaJson, registryRoot).as("r"))
         .select(col("r.event_id").cast("string").as("key"), col("r.*"))
         .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q65_avro_union",
+      Some("""SELECT event_id,
+             |       event_id % 3 AS tag,
+             |       CASE WHEN event_id % 3 = 0 THEN user_id END AS m_long,
+             |       CASE WHEN event_id % 3 = 1 THEN event_type END AS m_str,
+             |       CASE WHEN event_id % 3 = 2 THEN value END AS m_dbl
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "General Avro unions (beyond [\"null\",T]): a payload typed " +
+        "[long,string,double] maps to a tagged struct {_tag, member0..2}, " +
+        "encodes under the EXPLICIT union schema (branch picked by _tag), " +
+        "and decodes back with the branch resolved per record — the data " +
+        "model the reference's GenericRecord listener is implicitly generic " +
+        "over (ReplicationApplication.java:63). Row-local, no shuffle; the " +
+        "branch projection is a plain column reference after decode."
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val unionJson =
+        """{"type":"record","name":"UnionEvent","namespace":"graft","fields":[
+          |  {"name":"event_id","type":"long"},
+          |  {"name":"payload","type":["long","string","double"]}]}""".stripMargin
+      val tag = pmod(col("event_id"), lit(3)).cast("int")
+      val rec = struct(col("event_id"), struct(
+        tag.as("_tag"),
+        when(tag === 0, col("user_id")).as("member0"),
+        when(tag === 1, col("event_type")).as("member1"),
+        when(tag === 2, col("value")).as("member2")).as("payload"))
+      ev.select(AvroFunctions.toAvroWithSchema(rec, unionJson).as("bytes"))
+        .select(AvroFunctions.fromAvro(col("bytes"), unionJson).as("r"))
+        .select(col("r.event_id").as("event_id"),
+          col("r.payload._tag").cast("long").as("tag"),
+          col("r.payload.member0").as("m_long"),
+          col("r.payload.member1").as("m_str"),
+          col("r.payload.member2").as("m_dbl"))
+        .orderBy("event_id")
     }
   )
 }

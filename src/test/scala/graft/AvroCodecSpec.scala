@@ -150,6 +150,72 @@ class AvroCodecSpec extends SparkSpec {
     assert(row.getString(2) === "unknown")
   }
 
+  test("general unions round-trip: randomized multi-branch unions") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.avro.AvroCodec
+
+    // each branch: Avro schema JSON + a Catalyst value generator
+    case class Branch(avro: String, mk: Long => Any)
+    val pool = Seq(
+      Branch("\"long\"", n => n),
+      Branch("\"int\"", n => n.toInt),
+      Branch("\"string\"", n => UTF8String.fromString(s"s$n")),
+      Branch("\"double\"", n => n.toDouble / 3.0),
+      Branch("\"boolean\"", n => n % 2 == 0),
+      Branch("\"bytes\"", n => Array[Byte]((n & 0x7f).toByte, ((n >> 8) & 0x7f).toByte)),
+      Branch("""{"type":"record","name":"Inner","fields":[{"name":"x","type":"long"}]}""",
+        n => new GenericInternalRow(Array[Any](n))))
+
+    val rnd = new scala.util.Random(20260812L)
+    (0 until 300).foreach { iter =>
+      val k = 2 + rnd.nextInt(pool.size - 1)
+      val branches = rnd.shuffle(pool).take(k)
+      val withNull = rnd.nextBoolean()
+      val unionJson = ((if (withNull) Seq("\"null\"") else Nil) ++ branches.map(_.avro))
+        .mkString("[", ",", "]")
+      val schema = new Schema.Parser().parse(
+        s"""{"type":"record","name":"U","fields":[
+           |  {"name":"id","type":"long"},
+           |  {"name":"p","type":$unionJson}]}""".stripMargin)
+      val (dt, _) = AvroSchemaConverter.toSqlType(schema)
+      val st = dt.asInstanceOf[StructType]
+      val pSt = st("p").dataType.asInstanceOf[StructType]
+      assert(pSt.fieldNames.head === "_tag" && pSt.length === k + 1, s"iter $iter: $pSt")
+      assert(st("p").nullable === withNull)
+
+      val tag = rnd.nextInt(k)
+      val value = branches(tag).mk(rnd.nextLong(1L << 20))
+      val pRow = new GenericInternalRow(k + 1)
+      pRow.update(0, tag)
+      pRow.update(tag + 1, value)
+      val isNull = withNull && rnd.nextInt(4) == 0
+      val row = new GenericInternalRow(Array[Any](7L, if (isNull) null else pRow))
+
+      val rec = AvroCodec.catalystToAvro(row, st, schema)
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val back = AvroCodec.avroToCatalyst(
+        AvroCodec.decode(AvroCodec.encode(rec, schema), schema), schema, st)
+        .asInstanceOf[InternalRow]
+
+      assert(back.getLong(0) === 7L)
+      if (isNull) assert(back.isNullAt(1), s"iter $iter: expected null payload")
+      else {
+        val p = back.getStruct(1, k + 1)
+        assert(p.getInt(0) === tag, s"iter $iter: tag mismatch ($unionJson)")
+        val got = p.get(tag + 1, pSt.fields(tag + 1).dataType)
+        (value, got) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.toSeq === b.toSeq)
+          case (a: GenericInternalRow, b: InternalRow) => assert(b.getLong(0) === a.getLong(0))
+          case (a, b) => assert(b === a, s"iter $iter: $unionJson tag $tag")
+        }
+        (0 until k).filter(_ != tag).foreach(i =>
+          assert(p.isNullAt(i + 1), s"iter $iter: member$i should be null"))
+      }
+    }
+  }
+
   test("registry ids are content-addressed and idempotent across registries") {
     val a = new InMemorySchemaRegistry
     val b = new InMemorySchemaRegistry
