@@ -60,7 +60,8 @@ case class AvroToCatalyst(child: Expression, jsonSchema: String,
   *                 for it (unions as tagged structs). */
 case class CatalystToAvro(child: Expression, recordName: String,
                           frameId: Option[Long] = None,
-                          writerJsonSchema: Option[String] = None)
+                          writerJsonSchema: Option[String] = None,
+                          frameMagic: Byte = WireFormat.GraftMagic)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val schema: Schema = avroSchema
@@ -86,7 +87,7 @@ case class CatalystToAvro(child: Expression, recordName: String,
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
     val body = AvroCodec.encode(rec, schema)
     frameId match {
-      case Some(id) => WireFormat.frame(id, body)
+      case Some(id) => WireFormat.frame(id, body, frameMagic)
       case None     => body
     }
   }
@@ -99,20 +100,20 @@ case class CatalystToAvro(child: Expression, recordName: String,
   * R2 mechanism: `KafkaAvroDeserializer` looks the writer schema up by the
   * id embedded in every record). The reader schema fixes the output struct
   * at plan time; each record's writer schema is fetched (and cached) from
-  * the file-backed registry on the executor and resolved against the
-  * reader — so a topic containing a mix of schema versions decodes
-  * correctly record by record.
+  * the registry on the executor and resolved against the reader — so a
+  * topic containing a mix of schema versions decodes correctly record by
+  * record.
   *
-  * @param registryRoot root dir of a [[FileSchemaRegistry]], readable from
-  *                     every executor (at 100 TB: a shared store / DFS path)
+  * @param registry serializable registry pointer, opened lazily per executor
+  *                 (at 100 TB: a shared store / DFS path, or an HTTP client)
   */
 case class WireAvroToCatalyst(child: Expression, readerJsonSchema: String,
-                              registryRoot: String)
+                              registry: RegistryRef)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val reader: Schema =
     new Schema.Parser().parse(readerJsonSchema)
-  @transient private lazy val registry = new FileSchemaRegistry(registryRoot)
+  @transient private lazy val openRegistry = registry.open()
   @transient private lazy val writerCache =
     scala.collection.concurrent.TrieMap.empty[Long, Schema]
 
@@ -126,8 +127,8 @@ case class WireAvroToCatalyst(child: Expression, readerJsonSchema: String,
   override protected def nullSafeEval(input: Any): Any = {
     val (id, body) = WireFormat.unframe(input.asInstanceOf[Array[Byte]])
     val writer = writerCache.getOrElseUpdate(id,
-      registry.byId(id).getOrElse(
-        throw new IllegalStateException(s"schema id $id not in registry $registryRoot")))
+      openRegistry.byId(id).getOrElse(
+        throw new IllegalStateException(s"schema id $id not in registry $registry")))
     val rec = AvroCodec.decode(body, writer, reader)
     AvroCodec.avroToCatalyst(rec, reader, dataType)
   }
@@ -151,14 +152,20 @@ object AvroFunctions {
   /** Decode wire-framed values, resolving each record's writer schema by id
     * from the file-backed registry at `registryRoot`. */
   def fromAvroWire(col: Column, readerJsonSchema: String, registryRoot: String): Column =
+    fromAvroWire(col, readerJsonSchema, FileRegistryRef(registryRoot))
+
+  /** Decode wire-framed values, resolving writer schemas from any registry
+    * impl (fingerprint-id or Confluent-style — framing auto-detected). */
+  def fromAvroWire(col: Column, readerJsonSchema: String, registry: RegistryRef): Column =
     ColumnBridge.column(WireAvroToCatalyst(
-      ColumnBridge.expression(col), readerJsonSchema, registryRoot))
+      ColumnBridge.expression(col), readerJsonSchema, registry))
 
   /** Encode a struct column and frame it with the given schema id — one
     * Catalyst node, no UDF boundary in the produce hot path. */
-  def toAvroWire(col: Column, schemaId: Long, recordName: String = "topLevelRecord"): Column =
+  def toAvroWire(col: Column, schemaId: Long, recordName: String = "topLevelRecord",
+                 magic: Byte = WireFormat.GraftMagic): Column =
     ColumnBridge.column(CatalystToAvro(
-      ColumnBridge.expression(col), recordName, Some(schemaId)))
+      ColumnBridge.expression(col), recordName, Some(schemaId), None, magic))
 
   /** Encode a struct column to Avro binary (schema derived from the struct). */
   def toAvro(col: Column, recordName: String = "topLevelRecord"): Column =

@@ -3,35 +3,55 @@ package graft.avro
 import java.nio.ByteBuffer
 
 /** Registry wire format for Avro-encoded values, modeled on the Confluent
-  * framing the reference's serializers use (`application.yml:11-16`):
-  * a magic byte, the schema id, then the Avro binary body. Confluent uses
-  * `[0x00][int32 id]`; graft ids are 64-bit Rabin fingerprints
-  * ([[SchemaRegistry.fingerprint]]), so the frame is `[0x47][int64 id]` —
-  * one byte of magic ('G') plus 8 id bytes. A consumer resolves the WRITER
-  * schema per record from the id, which is what makes mixed-schema topics
-  * and in-flight schema evolution safe.
+  * framing the reference's serializers use (`application.yml:11-16`): a magic
+  * byte, the schema id, then the Avro binary body. Two framings coexist,
+  * dispatched by the magic byte, so the engine speaks both id schemes and the
+  * fingerprint design is not load-bearing:
+  *
+  *  - `[0x00][int32 id][body]` — Confluent's exact layout: ids are small
+  *    per-registry monotonic ints ([[ConfluentFileRegistry]]), which is what
+  *    makes the reference's "schema replication" a real id-mapping problem
+  *    (`README.adoc:11-12,27`)
+  *  - `[0x47][int64 id][body]` — graft framing ('G'): ids are 64-bit Rabin
+  *    fingerprints ([[SchemaRegistry.fingerprint]]), content-addressed and
+  *    registry-independent
   */
 object WireFormat {
 
-  val Magic: Byte = 0x47 // 'G'
-  val HeaderLen: Int = 1 + 8
+  val GraftMagic: Byte = 0x47 // 'G'
+  val ConfluentMagic: Byte = 0x00
 
-  def frame(schemaId: Long, body: Array[Byte]): Array[Byte] = {
-    val out = ByteBuffer.allocate(HeaderLen + body.length)
-    out.put(Magic).putLong(schemaId).put(body)
-    out.array()
-  }
+  def frame(schemaId: Long, body: Array[Byte], magic: Byte = GraftMagic): Array[Byte] =
+    magic match {
+      case GraftMagic =>
+        val out = ByteBuffer.allocate(9 + body.length)
+        out.put(GraftMagic).putLong(schemaId).put(body)
+        out.array()
+      case ConfluentMagic =>
+        require(schemaId >= 0 && schemaId <= Int.MaxValue,
+          s"Confluent framing carries int32 ids, got $schemaId")
+        val out = ByteBuffer.allocate(5 + body.length)
+        out.put(ConfluentMagic).putInt(schemaId.toInt).put(body)
+        out.array()
+      case other => throw new IllegalArgumentException(s"unknown wire magic $other")
+    }
 
-  /** (schemaId, body). Throws on bad magic — a framing mismatch must fail
-    * loudly, not decode garbage. */
+  /** (schemaId, body), auto-detecting the framing by magic byte. Throws on
+    * unknown magic — a framing mismatch must fail loudly, not decode
+    * garbage. */
   def unframe(bytes: Array[Byte]): (Long, Array[Byte]) = {
-    require(bytes.length >= HeaderLen && bytes(0) == Magic,
-      s"not a graft-framed Avro value (len=${bytes.length}, " +
-        s"magic=${if (bytes.nonEmpty) bytes(0) else -1})")
+    require(bytes.length >= 5,
+      s"not a framed Avro value (len=${bytes.length})")
     val bb = ByteBuffer.wrap(bytes)
-    bb.get()
-    val id = bb.getLong
-    val body = new Array[Byte](bytes.length - HeaderLen)
+    val magic = bb.get()
+    val (id, headerLen) = magic match {
+      case GraftMagic     => (bb.getLong, 9)
+      case ConfluentMagic => (bb.getInt.toLong, 5)
+      case other => throw new IllegalArgumentException(
+        s"not a framed Avro value (magic=$other, len=${bytes.length})")
+    }
+    require(bytes.length >= headerLen, s"truncated frame (len=${bytes.length})")
+    val body = new Array[Byte](bytes.length - headerLen)
     bb.get(body)
     (id, body)
   }

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.avro.ConfluentFileRegistry
+import org.apache.avro.Schema
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Confluent-shaped registry semantics: per-registry monotonic int ids,
+  * linear subject versions, idempotent re-registration, and BACKWARD
+  * compatibility enforcement — the behaviors of the HTTP registries the
+  * reference points at (`application-local.yml:7,13`). */
+class RegistrySpec extends AnyFunSuite {
+
+  private def parse(json: String): Schema = new Schema.Parser().parse(json)
+
+  private val v1 = parse(
+    """{"type":"record","name":"Evo","fields":[
+      |  {"name":"id","type":"string"}]}""".stripMargin)
+  private val v2 = parse( // adds an optional field: backward-compatible
+    """{"type":"record","name":"Evo","fields":[
+      |  {"name":"id","type":"string"},
+      |  {"name":"score","type":["null","double"],"default":null}]}""".stripMargin)
+  // new required field without default: the new reader cannot read old data
+  private val bad = parse(
+    """{"type":"record","name":"Evo","fields":[
+      |  {"name":"id","type":"string"},
+      |  {"name":"must","type":"long"}]}""".stripMargin)
+
+  test("ids are monotonic per registry; re-registration is idempotent") {
+    val reg = new ConfluentFileRegistry(Files.createTempDirectory("creg").toString)
+    assert(reg.register("evo-value", v1) === 1L)
+    assert(reg.register("evo-value", v1) === 1L) // idempotent POST
+    assert(reg.register("evo-value", v2) === 2L) // next version, next id
+    assert(reg.register("other-value", v1) === 3L) // ids are registry-global
+    assert(reg.latest("evo-value").map(_._1) === Some(2L))
+    assert(reg.byId(1L).map(_.getFields.size()) === Some(1))
+    assert(reg.subjects === Seq("evo-value", "other-value"))
+  }
+
+  test("two registries assign independent ids to the same schema") {
+    val a = new ConfluentFileRegistry(Files.createTempDirectory("cregA").toString)
+    val b = new ConfluentFileRegistry(Files.createTempDirectory("cregB").toString)
+    a.register("pad-value", v2) // skew a's counter
+    val idA = a.register("evo-value", v1)
+    val idB = b.register("evo-value", v1)
+    assert(idA === 2L && idB === 1L, "ids are registry-local, not content-addressed")
+  }
+
+  test("backward-incompatible registration is rejected") {
+    val reg = new ConfluentFileRegistry(Files.createTempDirectory("creg2").toString)
+    reg.register("evo-value", v1)
+    val e = intercept[IllegalStateException](reg.register("evo-value", bad))
+    assert(e.getMessage.contains("backward-incompatible"))
+    assert(reg.latest("evo-value").map(_._1) === Some(1L), "failed registration must not advance")
+  }
+}

@@ -2,8 +2,8 @@ package graft
 
 import java.nio.file.Files
 
-import graft.avro.{AvroFunctions, FileSchemaRegistry, WireFormat}
-import graft.streaming.Replication
+import graft.avro.{AvroFunctions, ConfluentRegistryRef, FileRegistryRef, FileSchemaRegistry, RegistryRef, WireFormat}
+import graft.streaming.{CommittedTopicSource, FileTopicSink, FileTopicSource, Replication}
 import graft.streaming.Replication.Topics
 import org.apache.spark.sql.functions._
 
@@ -96,5 +96,90 @@ class ReplicationSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Replication.start(spark, env.topics, "nope", env.sourceReg, env.targetReg)
     }
+  }
+
+  // The registry is a seam: the pipeline must run unchanged over
+  // content-addressed fingerprint ids and Confluent-style per-registry
+  // monotonic ids — in the latter case re-framing values with the TARGET
+  // registry's own id (the reference's schema-replication id mapping).
+  Seq[(String, String => RegistryRef, Byte)](
+    ("fingerprint-file", FileRegistryRef(_), WireFormat.GraftMagic),
+    ("confluent", ConfluentRegistryRef(_), WireFormat.ConfluentMagic)
+  ).foreach { case (kind, mkReg, magic) =>
+    test(s"replication over $kind registries re-frames with the target's id") {
+      val root = Files.createTempDirectory(s"graft-reg-$kind").toString
+      val events = Tables.events(spark, sf).limit(50).cache()
+      val schemaJson = Replication.stageSource(
+        events, s"$root/topicA", "events-value", mkReg(s"$root/regA"), "Event")
+
+      Replication.start(spark,
+        FileTopicSource(s"$root/topicA", 8), FileTopicSink(s"$root/topicB"),
+        s"$root/ck", "events-value", mkReg(s"$root/regA"), mkReg(s"$root/regB"),
+        idField = "event_id", availableNow = true).awaitTermination(120000)
+
+      val tgtReg = mkReg(s"$root/regB").open()
+      val tgtId = tgtReg.latest("events-value").map(_._1)
+      assert(tgtId.isDefined, "schema must be replicated into the target registry")
+      val wire = Replication.readCommitted(spark, s"$root/topicB")
+        .select("value").collect().map(_.getAs[Array[Byte]](0))
+      assert(wire.length === 50)
+      wire.foreach { bytes =>
+        assert(bytes(0) === magic, s"$kind framing magic")
+        val (id, body) = WireFormat.unframe(bytes)
+        assert(id === tgtId.get, "values must carry the TARGET registry's id")
+        assert(body.nonEmpty)
+      }
+      val out = Replication.readCommitted(spark, s"$root/topicB")
+        .select(AvroFunctions.fromAvroWire(
+          col("value"), schemaJson, mkReg(s"$root/regB")).as("r"))
+        .select(col("r.*"))
+      assert(out.exceptAll(events).isEmpty && events.exceptAll(out).isEmpty)
+    }
+  }
+
+  test("two-hop chain A→B→C over read-committed streaming is exact under restart") {
+    val root = Files.createTempDirectory("graft-chain").toString
+    val events = Tables.events(spark, sf).limit(120).cache()
+    val schemaJson = Replication.stageSource(
+      events, s"$root/topicA", "events-value", s"$root/regA", "Event")
+
+    Replication.start(spark,
+      FileTopicSource(s"$root/topicA", 4), FileTopicSink(s"$root/topicB"),
+      s"$root/ckB", "events-value",
+      FileRegistryRef(s"$root/regA"), FileRegistryRef(s"$root/regB"),
+      idField = "event_id", availableNow = true).awaitTermination(120000)
+
+    // hop 2 consumes B with read-committed visibility (atomic rename commits)
+    def startBC() = Replication.start(spark,
+      CommittedTopicSource(s"$root/topicB", maxFilesPerTrigger = 1),
+      FileTopicSink(s"$root/topicC"), s"$root/ckC", "events-value",
+      FileRegistryRef(s"$root/regB"), FileRegistryRef(s"$root/regC"),
+      idField = "event_id", availableNow = true)
+
+    // kill the B→C hop at an arbitrary mid-stream point, then restart:
+    // checkpoint WAL + idempotent rename-commit must land exactly-once
+    val q1 = startBC()
+    q1.awaitTermination(1500)
+    q1.stop()
+    startBC().awaitTermination(120000)
+
+    val out = Replication.readCommitted(spark, s"$root/topicC")
+      .select(AvroFunctions.fromAvroWire(
+        col("value"), schemaJson, s"$root/regC").as("r"))
+      .select(col("r.*"))
+    assert(out.count() === 120)
+    assert(out.exceptAll(events).isEmpty && events.exceptAll(out).isEmpty,
+      "C must see exactly A's records, once")
+
+    // and the chain extends: more data lands in A, both hops restart
+    val more = Tables.events(spark, sf).orderBy(col("event_id").desc).limit(30).cache()
+    Replication.stageSource(more, s"$root/topicA", "events-value", s"$root/regA", "Event")
+    Replication.start(spark,
+      FileTopicSource(s"$root/topicA", 4), FileTopicSink(s"$root/topicB"),
+      s"$root/ckB", "events-value",
+      FileRegistryRef(s"$root/regA"), FileRegistryRef(s"$root/regB"),
+      idField = "event_id", availableNow = true).awaitTermination(120000)
+    startBC().awaitTermination(120000)
+    assert(Replication.readCommitted(spark, s"$root/topicC").count() === 150)
   }
 }
