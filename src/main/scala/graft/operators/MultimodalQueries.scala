@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pipeline (SURVEY.md §2.2 LLM surface): media as opaque
@@ -8,11 +9,13 @@ import org.apache.spark.sql.functions._
   * a typed `mapPartitions` — the Scala analogue of a Pandas-UDF/`mapInPandas`
   * stage: batch-at-a-time, partition-parallel, no driver involvement.
   *
-  * The image decode itself is STUBBED (no image libs in this container):
-  * `MultimodalQueries.decodeStub` derives deterministic pseudo-features from
-  * the payload bytes. The Spark-side plumbing — binary envelope schema, typed
-  * Encoders, partition-wise batch iteration, metadata passthrough — is real
-  * and oracle-checked end to end.
+  * The decode is a REAL pure-JVM image header parser: payloads are
+  * synthesized with genuine PNG (signature + IHDR chunk) and JPEG
+  * (SOI + SOF0 segment) headers, and [[parseImageDims]] recovers format,
+  * width and height from the BYTES — the metadata columns are only used to
+  * build the envelope, never consulted by the decoder. A production
+  * deployment swaps the parser for a full codec (JNI / `mapInPandas`); the
+  * batch shape, schema and partitioning are what carry to 100 TB.
   */
 object MultimodalQueries {
 
@@ -20,55 +23,105 @@ object MultimodalQueries {
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
                             format: String, width: Int, height: Int)
 
-  /** Extracted features (the stub's deterministic output). */
+  /** Extracted features; format/width/height parsed from payload bytes. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
                                  width: Int, height: Int, feat0: Double)
 
-  /** STUB for the real decoder: a production deployment replaces this with
-    * an image/audio codec (e.g. JNI or a Python `mapInPandas` stage). It
-    * must stay deterministic in the payload bytes — the oracle recomputes
-    * `feat0` arithmetically. */
-  def decodeStub(r: MediaRow): MediaFeatures = {
+  /** Width/height/format from real image header bytes: PNG signature + IHDR
+    * (width/height big-endian at offsets 16/20), or JPEG marker scan to the
+    * first SOF segment (height/width big-endian at +5/+7, skipping APPn and
+    * other segments by their length fields). */
+  def parseImageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      Some(("png", be32(16), be32(20)))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        // SOF0..SOF15 carry dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2) // next marker: 2 marker bytes + segment length
+      }
+      None
+    } else None
+  }
+
+  /** The decode stage: parses dims/format out of the bytes, derives the rest
+    * arithmetically (deterministic, so the oracle can recompute it). */
+  def decodeImage(r: MediaRow): MediaFeatures = {
+    val (fmt, w, h) = parseImageDims(r.payload).getOrElse(("unknown", -1, -1))
     val n = r.payload.length.toLong
     // feat0 left unrounded here; the query rounds with Spark's round() so
     // rounding semantics match the DuckDB oracle exactly.
-    MediaFeatures(r.doc_id, n, r.format, r.width, r.height, (n % 256) / 255.0)
+    MediaFeatures(r.doc_id, n, fmt, w, h, (n % 256) / 255.0)
   }
+
+  /** Header sizes of the synthesized payloads (oracle mirrors these). */
+  val PngHeaderLen = 33  // 8 sig + 4 len + 4 "IHDR" + 4 w + 4 h + 5 IHDR body + 4 CRC
+  val JpegHeaderLen = 21 // 2 SOI + 2 SOF0 + 2 len + 1 precision + 2 h + 2 w + 1 ncomp + 9 comps
+
+  /** Big-endian byte packing as a column: int → fixed-width hex → bytes. */
+  private def be(c: Column, hexDigits: Int): Column = unhex(lpad(hex(c), hexDigits, "0"))
 
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "q51_multimodal_features",
-      Some("""SELECT doc_id,
-             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |       CASE WHEN doc_id % 3 = 0 THEN 'png'
-             |            WHEN doc_id % 3 = 1 THEN 'jpeg'
-             |            ELSE 'webp' END AS format,
+      Some(s"""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) +
+             |            CASE WHEN doc_id % 2 = 0 THEN $PngHeaderLen ELSE $JpegHeaderLen END
+             |         AS BIGINT) AS n_bytes,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
              |       CAST(n_chars % 640 AS INT) AS width,
              |       CAST(n_chars % 480 AS INT) AS height,
-             |       round((octet_length(encode(text)) % 256) / 255.0, 4) AS feat0
+             |       round(((octet_length(encode(text)) +
+             |               CASE WHEN doc_id % 2 = 0 THEN $PngHeaderLen ELSE $JpegHeaderLen END)
+             |              % 256) / 255.0, 4) AS feat0
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
-      "Binary media envelope + typed mapPartitions feature extraction. The " +
-        "payload column is opaque bytes; only metadata is columnar, so " +
-        "Parquet scans that don't touch payloads never read them (column " +
-        "pruning). Extraction is batch-at-a-time per partition — the shape " +
-        "that hosts a real codec at 100 TB, where payload bytes dominate " +
-        "I/O and the decode stage is sized by `maxPartitionBytes`."
+      "Binary media envelope + typed mapPartitions feature extraction, with " +
+        "a REAL byte-level decoder: payloads carry genuine PNG IHDR / JPEG " +
+        "SOF0 headers and the decode stage parses format/width/height from " +
+        "the bytes (metadata columns are never consulted). Payloads are " +
+        "opaque bytes to Catalyst, so scans that don't touch them never " +
+        "read them (column pruning). Extraction is batch-at-a-time per " +
+        "partition — the shape that hosts a full codec at 100 TB, where " +
+        "payload bytes dominate I/O and the decode stage is sized by " +
+        "`maxPartitionBytes`."
     ) { (s, dir) =>
       import s.implicits._
-      // Build the envelope: documents.text stands in for media payloads.
+      val width = (col("n_chars") % 640).cast("int")
+      val height = (col("n_chars") % 480).cast("int")
+      // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8, color
+      // type 6, compression/filter/interlace 0, dummy CRC — then the "image
+      // data" (document text standing in for pixels).
+      val pngPayload = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be(width, 8), be(height, 8),
+        unhex(lit("080600000000000000")),
+        encode(col("text"), "utf-8"))
+      // JPEG: SOI, SOF0 with length 17, precision 8, h, w, 3 components.
+      val jpegPayload = concat(
+        unhex(lit("FFD8FFC0001108")),
+        be(height, 4), be(width, 4),
+        unhex(lit("03011100021101031101")),
+        encode(col("text"), "utf-8"))
       val media = Tables.documents(s, dir).select(
         col("doc_id"),
-        encode(col("text"), "utf-8").as("payload"),
-        when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpeg")
-          .otherwise("webp").as("format"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
+        when(col("doc_id") % 2 === 0, pngPayload).otherwise(jpegPayload).as("payload"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        width.as("width"),
+        height.as("height"))
         .as[MediaRow]
       media
-        .mapPartitions(_.map(decodeStub))
+        .mapPartitions(_.map(decodeImage))
         .toDF()
         .withColumn("feat0", round(col("feat0"), 4))
         .orderBy("doc_id")
