@@ -39,6 +39,52 @@ object DedupQueries {
               element_at(col("hw"), i + 2)))))
           .otherwise(array().cast("array<bigint>"))).as("h"))
 
+  /** Skew guard for the candidate generators: a bucket larger than this is
+    * ubiquitous content (boilerplate headers, stopword shingles), which is
+    * near-dup NOISE — its pair expansion is quadratic in the bucket and its
+    * matches are meaningless. Buckets are bounded BEFORE `collect_list`
+    * materializes them (a window count on the same key adds no exchange:
+    * the groupBy reuses the window's hash partitioning), so no agg buffer
+    * ever holds a hot bucket. */
+  val MaxBucket = 64
+
+  /** q39's candidate buckets: (band, key) → ≤[[MaxBucket]] (doc_id, sig). */
+  private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = shingles(s, dir)
+      .groupBy("doc_id")
+      .agg(Sketches.minhash(col("h")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(15)), b => struct(
+        b.as("band"),
+        // Bounded polynomial fold: acc < 2^31 and x < 2^31, so
+        // acc*1000003 + x < 2^52 — no ANSI Long overflow.
+        aggregate(slice(col("sig"), b * 4 + 1, lit(4)), b.cast("long"),
+          (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bsz").between(2, MaxBucket))
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
+  }
+
+  /** q41's inverted-index buckets: shingles with document frequency above
+    * [[MaxBucket]] are dropped (stopword-shingle cutoff) and per-doc sizes
+    * are counted AFTER the cutoff, so |A∩B| and |A|+|B| stay consistent —
+    * Jaccard over informative shingles, mirrored exactly by the oracle. */
+  private[graft] def jaccardBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filtered = shingles(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= MaxBucket)
+    filtered
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
+      .filter(size(col("docs")) > 1)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -66,25 +112,13 @@ object DedupQueries {
         "16 bands × 4 rows hashed to a long band key. Candidates come from " +
         "grouping by (band, key) and expanding pairs inside each bucket — " +
         "the signature aggregation runs ONCE (a self-join would compute it " +
-        "twice) and O(n²) never materializes. Hot buckets are the skew " +
-        "risk; at 100 TB cap bucket size (a bucket of ubiquitous content " +
-        "is near-dup noise) or salt the band key. P[candidate|J=0.8]≈99.98%."
+        "twice) and O(n²) never materializes. Hot buckets (ubiquitous " +
+        "boilerplate) are BOUNDED before collection: a window count on the " +
+        "band key (no extra exchange) drops buckets past MaxBucket=64, so " +
+        "no agg buffer or pair expansion ever sees a degenerate bucket. " +
+        "P[candidate|J=0.8]≈99.98%."
     ) { (s, dir) =>
-      val sigs = shingles(s, dir)
-        .groupBy("doc_id")
-        .agg(Sketches.minhash(col("h")).as("sig"))
-      val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(15)), b => struct(
-          b.as("band"),
-          // Bounded polynomial fold: acc < 2^31 and x < 2^31, so
-          // acc*1000003 + x < 2^52 — no ANSI Long overflow.
-          aggregate(slice(col("sig"), b * 4 + 1, lit(4)), b.cast("long"),
-            (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-      val buckets = bands.groupBy("band", "key")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
-        .filter(size(col("docs")) > 1)
-      val cands = buckets
+      val cands = minhashBuckets(s, dir)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
           transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
             struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
@@ -143,11 +177,14 @@ object DedupQueries {
       "q41_dedup_ngram_jaccard",
       Some("""WITH docs AS (
              |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
-             |), sh AS (
+             |), sh0 AS (
              |  SELECT doc_id, unnest(list_distinct(list_transform(
              |           range(1, greatest(len(w)-1, 1)),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
              |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
              |), sizes AS (
              |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
              |), pairs AS (
@@ -166,18 +203,14 @@ object DedupQueries {
       "Exact n-gram Jaccard via inverted index: one scan computes per-doc " +
         "shingle counts (window over doc) and buckets docs by shingle; " +
         "|A∩B| is a count over in-bucket pairs and |A∪B| = |A|+|B|−|A∩B| — " +
-        "no document-pair cross join and no re-scan for sizes. At 100 TB " +
-        "add prefix filtering (join only each doc's rarest-k shingles) and " +
-        "a document-frequency cutoff on ubiquitous shingles; plan shape " +
-        "unchanged."
+        "no document-pair cross join and no re-scan for sizes. Shingles " +
+        "with document frequency > MaxBucket=64 are dropped before " +
+        "collection (stopword-shingle cutoff, mirrored in the oracle) and " +
+        "sizes count post-cutoff, so degenerate corpora cannot produce a " +
+        "quadratic bucket. At 100 TB add prefix filtering (join only each " +
+        "doc's rarest-k shingles); plan shape unchanged."
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val sh = shingles(s, dir)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val buckets = sh.groupBy("h")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
-        .filter(size(col("docs")) > 1)
-      val pairs = buckets
+      val pairs = jaccardBuckets(s, dir)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
           transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
             struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),

@@ -63,6 +63,34 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall (${exact.size} exact pairs, ${mh.size} candidates)")
   }
 
+  test("ubiquitous-shingle corpus: candidate buckets stay bounded (skew guard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // 400 docs all sharing the same boilerplate (every boilerplate shingle
+    // has df=400), each with a short unique tail — the degenerate corpus
+    // that makes uncapped LSH buckets quadratic.
+    val boiler = "all of these documents share this exact boilerplate " +
+      "sentence which repeats across the whole corpus forever and ever"
+    (0L until 400L).map(i => (i, s"$boiler unique$i token$i tail$i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def maxBucket(df: org.apache.spark.sql.DataFrame): Int =
+      df.select(coalesce(max(size(col("docs"))), lit(0))).head().getInt(0)
+
+    assert(maxBucket(DedupQueries.minhashBuckets(spark, dir)) <= DedupQueries.MaxBucket)
+    assert(maxBucket(DedupQueries.jaccardBuckets(spark, dir)) <= DedupQueries.MaxBucket)
+    // the full queries complete on the degenerate corpus (no quadratic blowup)
+    assert(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, dir).count() >= 0)
+    assert(SparkEntry.queries("q41_dedup_ngram_jaccard")(spark, dir).count() >= 0)
+    // and recall on the NORMAL corpus is unchanged: the sf0.001 coverage
+    // test above ("LSH candidate pairs cover every exact pair") runs with
+    // these guards active.
+  }
+
   test("ANN-LSH results are a correctly-ranked subset of brute force (precision 1)") {
     val brute = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
