@@ -13,6 +13,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // 59 queries × several codegen stages each overflows the default
       // 100-entry generated-class cache — the warm-up's compilations would

@@ -21,13 +21,18 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
   /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read the nanos as raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * exactly the coercion DuckDB applies reading TIMESTAMP_NS into TIMESTAMP,
-    * so oracle comparisons stay bit-identical.
+    * ([PARQUET_TYPE_ILLEGAL]). The session must be BUILT with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all engine session
+    * builders set it — Verify/Bench/RunOne/BenchOne/SparkSpec); the nanos
+    * long is truncated to microseconds — exactly the coercion DuckDB applies
+    * reading TIMESTAMP_NS into TIMESTAMP, so oracle comparisons stay
+    * bit-identical. This loader deliberately does NOT mutate session conf:
+    * a load-time `conf.set` would race concurrent queries in the session.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "to read events.parquet (TIMESTAMP_NANOS)")
     s.read.parquet(p(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -69,13 +69,14 @@ object AvroCodec {
         // identical physical representation; timestamps handled below
         (dt, s.getLogicalType) match {
           case (LongType, _: LogicalTypes.TimestampMillis) =>
-            java.lang.Long.valueOf(value.asInstanceOf[Long] / 1000L)
+            // floorDiv: pre-epoch micros must round toward -∞, not zero
+            java.lang.Long.valueOf(Math.floorDiv(value.asInstanceOf[Long], 1000L))
           case _ => value.asInstanceOf[AnyRef]
         }
       case (TimestampType, Schema.Type.LONG) | (TimestampNTZType, Schema.Type.LONG) =>
         s.getLogicalType match {
           case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis =>
-            java.lang.Long.valueOf(value.asInstanceOf[Long] / 1000L)
+            java.lang.Long.valueOf(Math.floorDiv(value.asInstanceOf[Long], 1000L))
           case _ => java.lang.Long.valueOf(value.asInstanceOf[Long]) // micros
         }
       case (DateType, Schema.Type.INT) => value.asInstanceOf[AnyRef]

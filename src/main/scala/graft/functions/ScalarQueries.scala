@@ -128,12 +128,16 @@ object ScalarQueries {
       "q31_json_funcs",
       Some("""SELECT event_id,
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
+             |       json_transform(props, '{"k": "BIGINT"}').k AS k_map
              |FROM events
              |ORDER BY event_id""".stripMargin),
       "JSON path extraction (get_json_object) and full parse to a typed map " +
         "(from_json) — both codegen-capable; at scale parse once into a " +
-        "struct column rather than per-predicate re-parsing."
+        "struct column rather than per-predicate re-parsing. The oracle " +
+        "derives the two columns through DIFFERENT DuckDB paths (string " +
+        "extraction vs typed json_transform) so the from_json route is " +
+        "checked independently, not merely for agreement with " +
+        "get_json_object."
     ) { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),

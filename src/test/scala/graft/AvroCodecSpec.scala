@@ -216,6 +216,23 @@ class AvroCodecSpec extends SparkSpec {
     }
   }
 
+  test("pre-epoch micros → timestamp-millis floors toward -∞, not zero") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin)
+    val st = StructType(Seq(StructField("ts", TimestampType, nullable = false)))
+    def encodeMicros(us: Long): Long = {
+      val rec = graft.avro.AvroCodec.catalystToAvro(
+        new GenericInternalRow(Array[Any](us)), st, schema)
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      rec.get(0).asInstanceOf[Long]
+    }
+    assert(encodeMicros(-1500L) === -2L)   // -1.5ms → -2ms (floor), not -1ms
+    assert(encodeMicros(1500L) === 1L)
+    assert(encodeMicros(-1000L) === -1L)
+  }
+
   test("registry ids are content-addressed and idempotent across registries") {
     val a = new InMemorySchemaRegistry
     val b = new InMemorySchemaRegistry

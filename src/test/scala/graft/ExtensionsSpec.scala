@@ -19,6 +19,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .appName("graft-ext")
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()

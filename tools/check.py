@@ -18,8 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # exact float compare (repr round-trips doubles): the local gate must be
+    # at least as strict as the driver's, never looser
     if isinstance(v, float):
-        return f"{v:.6f}"
+        return repr(v)
     return str(v)
 
 
