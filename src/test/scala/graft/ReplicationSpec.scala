@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.avro.{AvroFunctions, ConfluentRegistryRef, FileRegistryRef, FileSchemaRegistry, RegistryRef, WireFormat}
-import graft.streaming.{CommittedTopicSource, FileTopicSink, FileTopicSource, Replication}
+import graft.streaming.{CommittedTopicSource, FileTopicSink, FileTopicSource, Replication, ReplicationMetrics}
 import graft.streaming.Replication.Topics
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,27 @@ class ReplicationSpec extends SparkSpec {
     Replication.start(spark, env.topics, "events-value", env.sourceReg, env.targetReg,
       idField = "event_id", maxFilesPerTrigger = 4).awaitTermination(120000)
     assert(Replication.readCommitted(spark, env.topics.targetDir).count() === 150)
+  }
+
+  test("listener metrics account for every replicated record (R4 callbacks)") {
+    val env = freshEnv()
+    val events = Tables.events(spark, sf).limit(100).cache()
+    // 8 source files → at least 2 micro-batches at maxFilesPerTrigger=4
+    Replication.stageSource(events.repartition(8), env.topics.sourceDir,
+      "events-value", env.sourceReg, "Event")
+    val metrics = ReplicationMetrics.attach(spark)
+    try {
+      Replication.start(spark, env.topics, "events-value", env.sourceReg,
+        env.targetReg, idField = "event_id", maxFilesPerTrigger = 4)
+        .awaitTermination(120000)
+      // listener events are delivered asynchronously after termination
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (metrics.totalRows < 100 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(metrics.totalRows === 100,
+        s"every replicated record must be accounted for: ${metrics.snapshot}")
+      assert(metrics.batchCount > 1, "maxFilesPerTrigger=4 should yield multiple batches")
+      assert(metrics.snapshot.forall(_.durationMs >= 0))
+    } finally ReplicationMetrics.remove(spark, metrics)
   }
 
   test("missing source topic is fatal (R9)") {
