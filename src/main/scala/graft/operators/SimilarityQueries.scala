@@ -149,6 +149,51 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
         .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q66_knn_ivf",
+      None, // approximate by design; spec checks exact re-rank + recall floor.
+      "IVF ANN (inverted-file index, the FAISS IVF-Flat shape): a " +
+        "deterministic ~2% centroid sample is broadcast; every corpus " +
+        "vector cross-joins the centroid list and a map-side max_by " +
+        "partial agg collapses the C candidate rows per vector BEFORE the " +
+        "exchange, so the assignment shuffle carries one row per vector, " +
+        "not n×C. Queries probe their 5 nearest centroid cells " +
+        "(multi-probe) and meet the corpus in an equi-join on centroid id; " +
+        "candidates are exactly re-ranked (precision 1). At 100 TB the " +
+        "sample becomes trained k-means centroids and the assignment a " +
+        "periodic index build — the query plan is unchanged. Same plan " +
+        "shape as q44 with centroid id in place of the LSH bucket code."
+    ) { (s, dir) =>
+      val Probes = 5
+      val CentStride = 50 // ~2% of the corpus serves as centroids
+      val n = normed(s, dir)
+      val cents = n.filter(pmod(xxhash64(col("vec_id")), lit(CentStride)) === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+      // index build: nearest centroid per vector, collapsed map-side
+      val assigned = n.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"), centCos).as("cent_id"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      // query routing: probe the nearest `Probes` cells
+      val cw = Window.partitionBy(col("vec_id"))
+        .orderBy(centCos.desc, col("cent_id"))
+      val qprobes = n.filter(col("vec_id") % 50 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("crk", row_number().over(cw)).filter(col("crk") <= Probes)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cent_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      assigned.join(broadcast(qprobes), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+        .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
     }
   )
 }

@@ -108,4 +108,18 @@ class SketchSpec extends SparkSpec {
     val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
     assert(recall >= 0.5, s"multi-probe LSH top-k recall too low: $recall")
   }
+
+  test("IVF ANN: exact re-rank (precision 1) and multi-probe recall floor") {
+    val brute = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = SparkEntry.queries("q66_knn_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    val recall = (brute.keySet & ivf.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF top-k recall too low: $recall")
+  }
 }
