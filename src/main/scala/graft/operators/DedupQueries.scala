@@ -283,6 +283,62 @@ object DedupQueries {
         .filter(col("c") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    GraftQuery(
+      "q67_dedup_embedding_lsh",
+      None, // approximate by design: recall contract spec'd vs exact q42.
+      "Sub-quadratic embedding near-dup: sign-LSH buckets (4 tables × " +
+        "8-bit hyperplane codes, all Hamming≤1 probe codes emitted per " +
+        "vector) generate candidates in an equi-join on (table, code); " +
+        "exact cosine re-checks every candidate, so precision is 1 and " +
+        "only recall is traded. Candidate volume is Σ bucket-pair sizes — " +
+        "never O(n²) — which is THE scale path for q42's semantics when " +
+        "the corpus outgrows tiling. LSH recall concentrates where " +
+        "similarity is high (true near-dups ≥0.9 collide almost surely; " +
+        "this corpus's threshold-straddling pairs at cos≈0.35 are the " +
+        "hard case), so the spec pins recall on comfortably-above-" +
+        "threshold pairs. Bucket-size cap as in q39."
+    ) { (s, dir) =>
+      import graft.functions.VectorFunctions.dotd
+      import org.apache.spark.sql.expressions.Window
+      val Tbl = 4
+      val Bits = 8
+      val Dim = 64
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+      val codeFor: Int => org.apache.spark.sql.Column = t =>
+        (0 until Bits).map { b =>
+          val plane = typedLit(SimilarityQueries.hyperplane(t, b, Dim))
+          when(dotd(col("v"), plane) > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+      // every vector lands in its own bucket AND all Hamming-1 neighbors —
+      // symmetric multi-probe: two codes at Hamming d collide iff some probe
+      // pair meets, effectively widening the collision radius
+      val probed = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until Tbl).map(t => struct(lit(t).as("tbl"),
+          codeFor(t).as("code"))): _*)).as("bk"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("bk.tbl"),
+          explode(array(col("bk.code") +:
+            (0 until Bits).map(b => col("bk.code").bitwiseXOR(lit(1 << b))): _*)).as("code"))
+      val bounded = probed
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "code")))
+        .filter(col("bsz").between(2, MaxBucket))
+        .groupBy("tbl", "code")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("docs"))
+      bounded
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a("vec_id").as("vec_a"), b("vec_id").as("vec_b"),
+              a("v").as("va"), b("v").as("vb"),
+              a("nrm").as("na"), b("nrm").as("nb")))))).as("p"))
+        .select(col("p.*"))
+        .dropDuplicates("vec_a", "vec_b")
+        .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("c") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
     }
   )
 }

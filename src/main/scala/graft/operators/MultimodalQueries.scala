@@ -125,6 +125,68 @@ object MultimodalQueries {
         .toDF()
         .withColumn("feat0", round(col("feat0"), 4))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q68_multimodal_framesample",
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, doc_id % 5 + 2, 2)) AS frame_idx
+             |  FROM documents
+             |)
+             |SELECT doc_id, frame_idx,
+             |       16 * ((doc_id * 31 + frame_idx) % 256) AS digest
+             |FROM f
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+      "Frame sampling over a video-style container: the payload is a real " +
+        "byte structure (4-byte big-endian frame count + fixed 16-byte " +
+        "frames) and the mapPartitions stage parses the header, strides " +
+        "every 2nd frame, and digests the sampled frames' actual bytes — " +
+        "one input row fans out to a variable number of output rows, the " +
+        "batch shape of video decode. Resize/transcode slot into the same " +
+        "stage (payload→payload instead of payload→rows). At 100 TB the " +
+        "frame stride is the knob that cuts decode I/O before anything " +
+        "downstream sees the data; payloads stay column-pruned until this " +
+        "stage touches them."
+    ) { (s, dir) =>
+      import s.implicits._
+      val nf = (col("doc_id") % 5 + 2).cast("int")
+      // frame j: 16 repeated bytes of (doc_id*31 + j) % 256
+      val frames = aggregate(
+        transform(sequence(lit(0), nf - 1), j =>
+          unhex(repeat(lpad(hex(pmod(col("doc_id") * 31 + j, lit(256))), 2, "0"), 16))),
+        lit(Array.empty[Byte]),
+        (acc, f) => concat(acc, f))
+      val videos = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(unhex(lpad(hex(nf), 8, "0")), frames).as("payload"))
+        .as[VideoRow]
+      videos.mapPartitions(_.flatMap(sampleFrames(_, stride = 2)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     }
   )
+
+  final case class VideoRow(doc_id: Long, payload: Array[Byte])
+  final case class FrameSample(doc_id: Long, frame_idx: Long, digest: Long)
+
+  val FrameBytes = 16
+
+  /** Parse the container header, sample every `stride`-th frame, digest the
+    * sampled frames' bytes (sum of unsigned bytes — a stand-in for the
+    * per-frame feature a real pipeline computes after decode). */
+  def sampleFrames(r: VideoRow, stride: Int): Iterator[FrameSample] = {
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    val nf = (u8(0) << 24) | (u8(1) << 16) | (u8(2) << 8) | u8(3)
+    require(b.length == 4 + nf * FrameBytes,
+      s"corrupt container: ${b.length} bytes for $nf frames")
+    Iterator.range(0, nf, stride).map { j =>
+      val off = 4 + j * FrameBytes
+      var digest = 0L
+      var i = off
+      while (i < off + FrameBytes) { digest += u8(i); i += 1 }
+      FrameSample(r.doc_id, j.toLong, digest)
+    }
+  }
 }

@@ -109,6 +109,28 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH top-k recall too low: $recall")
   }
 
+  test("LSH embedding dedup: precision-1 subset of exact q42, recall on high-sim pairs") {
+    val exact = SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // precision 1: every emitted pair is a true above-threshold pair with
+    // the exact cosine (LSH only generates candidates; the filter is exact)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"false positive $key")
+      assert(math.abs(exact(key) - r.getDouble(2)) < 1e-9)
+    }
+    // recall pinned where near-dup detection matters: comfortably-above-
+    // threshold pairs (cos >= 0.45; threshold-straddling pairs at ~0.35 are
+    // information-theoretically hard for any LSH at this angle)
+    val high = exact.filter(_._2 >= 0.45).keySet
+    val got = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (high & got).size.toDouble / high.size
+    assert(high.nonEmpty && recall >= 0.6,
+      s"high-similarity recall too low: $recall over ${high.size} pairs")
+  }
+
   test("IVF ANN: exact re-rank (precision 1) and multi-probe recall floor") {
     val brute = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
