@@ -303,8 +303,13 @@ object DedupQueries {
       import graft.functions.VectorFunctions.dotd
       import org.apache.spark.sql.expressions.Window
       val Tbl = 4
-      val Bits = 8
       val Dim = 64
+      // Index builds know n (a parquet-metadata count): size the code width
+      // so expected probe rows per bucket stay under the cap — more corpus,
+      // more bits, constant bucket load. 2^bits ≳ (1+bits)·n / 32.
+      val nVecs = Tables.embeddings(s, dir).count()
+      val Bits = Iterator.from(8)
+        .dropWhile(b => (1L << b) * 32 < (b + 1L) * nVecs).next().min(24)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
@@ -314,27 +319,31 @@ object DedupQueries {
           when(dotd(col("v"), plane) > 0, lit(1 << b)).otherwise(lit(0))
         }.reduce(_ + _)
       // every vector lands in its own bucket AND all Hamming-1 neighbors —
-      // symmetric multi-probe: two codes at Hamming d collide iff some probe
-      // pair meets, effectively widening the collision radius
-      val probed = e.select(col("vec_id"), col("v"), col("nrm"),
+      // symmetric multi-probe: two codes collide iff their probe balls meet,
+      // widening the collision radius to Hamming ≤ 2. Only IDS flow through
+      // banding, pair expansion and dedupe (16 B/pair, not the vectors);
+      // the embeddings join back for the exact re-check afterwards.
+      val probed = e.select(col("vec_id"),
         explode(array((0 until Tbl).map(t => struct(lit(t).as("tbl"),
           codeFor(t).as("code"))): _*)).as("bk"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("bk.tbl"),
+        .select(col("vec_id"), col("bk.tbl"),
           explode(array(col("bk.code") +:
             (0 until Bits).map(b => col("bk.code").bitwiseXOR(lit(1 << b))): _*)).as("code"))
       val bounded = probed
         .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "code")))
         .filter(col("bsz").between(2, MaxBucket))
         .groupBy("tbl", "code")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("docs"))
-      bounded
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a("vec_id").as("vec_a"), b("vec_id").as("vec_b"),
-              a("v").as("va"), b("v").as("vb"),
-              a("nrm").as("na"), b("nrm").as("nb")))))).as("p"))
-        .select(col("p.*"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      val pairs = bounded
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+        .select(col("p.vec_a"), col("p.vec_b"))
+        .filter(col("vec_a") =!= col("vec_b"))
         .dropDuplicates("vec_a", "vec_b")
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
         .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("c") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
