@@ -118,7 +118,7 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
   * at 100 TB the root is a shared store / DFS path and lookups are cached
   * per-executor). Also names the wire framing the registry's producers use,
   * so encode and id scheme always travel together. */
-sealed trait RegistryRef extends Serializable {
+trait RegistryRef extends Serializable {
   def open(): SchemaRegistry
   /** Wire magic for values produced against this registry. */
   def magic: Byte

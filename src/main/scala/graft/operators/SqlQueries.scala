@@ -140,6 +140,11 @@ object SqlQueries {
 
     GraftQuery(
       "q58_moment_stats",
+      // ORACLE NOTE — do not "simplify" the skew_price expression: Spark's
+      // skewness() is the POPULATION skewness (g1) while DuckDB's skewness()
+      // is SAMPLE-corrected (G1); the (n-2)/sqrt(n(n-1)) factor converts
+      // DuckDB's G1 back to g1. Likewise kurtosis_pop (not kurtosis) matches
+      // Spark's population kurtosis. Removing either breaks the value hash.
       Some("""SELECT l_linestatus,
              |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
              |       round(var_samp(l_discount), 6)         AS var_disc,

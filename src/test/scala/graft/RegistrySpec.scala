@@ -54,4 +54,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("backward-incompatible"))
     assert(reg.latest("evo-value").map(_._1) === Some(1L), "failed registration must not advance")
   }
+
+  test("Confluent REST protocol round-trips through the HTTP client/server pair") {
+    import graft.avro.{ConfluentHttpRegistry, ConfluentHttpServer}
+    val backing = new ConfluentFileRegistry(Files.createTempDirectory("creg3").toString)
+    val (server, baseUrl) = ConfluentHttpServer.serve(backing)
+    try {
+      val http = new ConfluentHttpRegistry(baseUrl)
+      val id1 = http.register("evo-value", v1)
+      assert(id1 === 1L)
+      assert(http.register("evo-value", v1) === 1L) // idempotent over the wire
+      assert(http.register("evo-value", v2) === 2L)
+      assert(http.byId(1L).map(_.getFields.size()) === Some(1))
+      assert(http.byId(99L).isEmpty) // 404 → None
+      assert(http.latest("evo-value").map(_._1) === Some(2L))
+      assert(http.latest("nope-value").isEmpty)
+      assert(http.subjects === Seq("evo-value"))
+      // incompatible registration surfaces as the Confluent 409 error
+      val e = intercept[IllegalStateException](http.register("evo-value", bad))
+      assert(e.getMessage.contains("409"))
+      // HTTP client and file backing agree on everything
+      assert(backing.latest("evo-value").map(_._1) === http.latest("evo-value").map(_._1))
+    } finally server.stop(0)
+  }
 }

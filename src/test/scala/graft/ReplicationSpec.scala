@@ -158,6 +158,33 @@ class ReplicationSpec extends SparkSpec {
     }
   }
 
+  test("replication runs end-to-end over HTTP registries (Confluent REST)") {
+    import graft.avro.{ConfluentFileRegistry, ConfluentHttpRegistryRef, ConfluentHttpServer}
+    val root = Files.createTempDirectory("graft-http").toString
+    val (srcServer, srcUrl) = ConfluentHttpServer.serve(
+      new ConfluentFileRegistry(s"$root/regA"))
+    val (tgtServer, tgtUrl) = ConfluentHttpServer.serve(
+      new ConfluentFileRegistry(s"$root/regB"))
+    try {
+      val events = Tables.events(spark, sf).limit(40).cache()
+      val schemaJson = Replication.stageSource(events, s"$root/topicA",
+        "events-value", ConfluentHttpRegistryRef(srcUrl), "Event")
+      Replication.start(spark,
+        FileTopicSource(s"$root/topicA", 8), FileTopicSink(s"$root/topicB"),
+        s"$root/ck", "events-value",
+        ConfluentHttpRegistryRef(srcUrl), ConfluentHttpRegistryRef(tgtUrl),
+        idField = "event_id", availableNow = true).awaitTermination(120000)
+      val out = Replication.readCommitted(spark, s"$root/topicB")
+        .select(AvroFunctions.fromAvroWire(
+          col("value"), schemaJson, ConfluentHttpRegistryRef(tgtUrl)).as("r"))
+        .select(col("r.*"))
+      assert(out.count() === 40)
+      assert(out.exceptAll(events).isEmpty && events.exceptAll(out).isEmpty)
+      // the schema really was replicated over HTTP into the target registry
+      assert(new ConfluentFileRegistry(s"$root/regB").latest("events-value").isDefined)
+    } finally { srcServer.stop(0); tgtServer.stop(0) }
+  }
+
   test("two-hop chain A→B→C over read-committed streaming is exact under restart") {
     val root = Files.createTempDirectory("graft-chain").toString
     val events = Tables.events(spark, sf).limit(120).cache()
