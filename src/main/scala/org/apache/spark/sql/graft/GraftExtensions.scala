@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // SQL surface: `SELECT graft_dot(a, b)` — same codegen'd kernel the
+    // optimizer rewrites the HOF form to, callable directly.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
+        DotProductD(children.head, children(1))
+      }))
   }
 }
 

@@ -45,6 +45,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("graft_dot is callable from SQL via the injected function") {
+    val spark = extSpark
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+    // HOF-equivalent null semantics from SQL too
+    val m = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D)) AS d").head()
+    assert(m.isNullAt(0), "length mismatch must be null")
+  }
+
   private def embDf = {
     val spark = extSpark
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
