@@ -178,9 +178,10 @@ object AvroFunctions {
       "topLevelRecord", None, Some(writerJsonSchema)))
 
   /** Encode under an explicit writer schema and wire-frame with `schemaId`. */
-  def toAvroWireWithSchema(col: Column, schemaId: Long, writerJsonSchema: String): Column =
+  def toAvroWireWithSchema(col: Column, schemaId: Long, writerJsonSchema: String,
+                           magic: Byte = WireFormat.GraftMagic): Column =
     ColumnBridge.column(CatalystToAvro(ColumnBridge.expression(col),
-      "topLevelRecord", Some(schemaId), Some(writerJsonSchema)))
+      "topLevelRecord", Some(schemaId), Some(writerJsonSchema), magic))
 
   /** The writer schema `toAvro` will use for a struct of this Catalyst type. */
   def writerSchemaFor(st: StructType, recordName: String = "topLevelRecord"): String =

@@ -49,9 +49,13 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
 
   def register(subject: String, schema: Schema): Long = synchronized {
     val versions = versionsOf(subject)
-    val fp = SchemaRegistry.fingerprint(schema)
+    // Idempotence compares the FULL schema text, not the parsing
+    // fingerprint: Avro's canonical form strips logical types and defaults,
+    // so fingerprint equality would silently swallow a version that only
+    // adds e.g. timestamp-millis — real Confluent registers it as new.
+    val text = schema.toString
     versions.find { case (_, id) =>
-      byId(id).exists(SchemaRegistry.fingerprint(_) == fp)
+      byId(id).exists(_.toString == text)
     } match {
       case Some((_, id)) => id // already registered under this subject
       case None =>
@@ -100,6 +104,9 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
     versionsOf(subject).lastOption.flatMap { case (_, id) =>
       byId(id).map(id -> _)
     }
+
+  override def latestVersion(subject: String): Option[Int] =
+    versionsOf(subject).lastOption.map(_._1)
 
   def subjects: Seq[String] = {
     val dir = Paths.get(root, "subjects")

@@ -33,7 +33,12 @@ final class ConfluentHttpRegistry(baseUrl: String) extends SchemaRegistry {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"$baseUrl$path")).GET().build(),
       HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 200) Some(resp.body()) else None
+    resp.statusCode() match {
+      case 200 => Some(resp.body())
+      case 404 => None // not-found is an answer...
+      case code => throw new IllegalStateException( // ...a 5xx/503 is not:
+        s"registry GET $path failed ($code): ${resp.body()}") // retryable, don't mask as absent
+    }
   }
 
   def register(subject: String, schema: Schema): Long = {
@@ -123,9 +128,11 @@ object ConfluentHttpServer {
               mapper.writeValueAsString(s)).mkString("[", ",", "]"))
           case ("GET", Seq("subjects", subject, "versions", "latest")) =>
             reg.latest(subject) match {
-              case Some((id, s)) => respond(ex, 200,
-                s"""{"subject": ${mapper.writeValueAsString(subject)}, "id": $id, """ +
-                  s""""version": 1, "schema": ${mapper.writeValueAsString(s.toString)}}""")
+              case Some((id, s)) =>
+                val version = reg.latestVersion(subject).getOrElse(1)
+                respond(ex, 200,
+                  s"""{"subject": ${mapper.writeValueAsString(subject)}, "id": $id, """ +
+                    s""""version": $version, "schema": ${mapper.writeValueAsString(s.toString)}}""")
               case None => notFound(ex, 40401, "Subject not found")
             }
           case _ => notFound(ex, 40401, "Unknown endpoint")

@@ -26,6 +26,9 @@ trait SchemaRegistry {
   def byId(id: Long): Option[Schema]
   def latest(subject: String): Option[(Long, Schema)]
   def subjects: Seq[String]
+  /** Version number of the subject's latest schema. Registries without a
+    * version history report 1 for any registered subject. */
+  def latestVersion(subject: String): Option[Int] = latest(subject).map(_ => 1)
 }
 
 object SchemaRegistry {

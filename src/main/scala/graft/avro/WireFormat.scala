@@ -44,13 +44,15 @@ object WireFormat {
       s"not a framed Avro value (len=${bytes.length})")
     val bb = ByteBuffer.wrap(bytes)
     val magic = bb.get()
-    val (id, headerLen) = magic match {
-      case GraftMagic     => (bb.getLong, 9)
-      case ConfluentMagic => (bb.getInt.toLong, 5)
+    val headerLen = magic match {
+      case GraftMagic     => 9
+      case ConfluentMagic => 5
       case other => throw new IllegalArgumentException(
         s"not a framed Avro value (magic=$other, len=${bytes.length})")
     }
-    require(bytes.length >= headerLen, s"truncated frame (len=${bytes.length})")
+    require(bytes.length >= headerLen,
+      s"truncated frame (magic=$magic, len=${bytes.length})")
+    val id = if (magic == GraftMagic) bb.getLong else bb.getInt.toLong
     val body = new Array[Byte](bytes.length - headerLen)
     bb.get(body)
     (id, body)

@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object AvroQueries {
 
+  private val registryDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -53,8 +56,10 @@ object AvroQueries {
       val parsed = new Schema.Parser().parse(schemaJson)
       // R7: auto-registration on first produce, against a file registry the
       // decode side resolves writer schemas from (executor-readable root).
-      val registryRoot = java.nio.file.Files
-        .createTempDirectory("graft-q50-registry").toString
+      // One registry dir per schema per JVM — registration is idempotent,
+      // and plan-only callers must not leak a temp dir per construction.
+      val registryRoot = registryDirCache.getOrElseUpdate(schemaJson,
+        java.nio.file.Files.createTempDirectory("graft-q50-registry").toString)
       val id = new FileSchemaRegistry(registryRoot).register("events-value", parsed)
       ev.select(AvroFunctions.toAvroWire(
           struct(ev.columns.map(col): _*), id, "Event").as("avro_value"))

@@ -39,6 +39,9 @@ object DedupQueries {
               element_at(col("hw"), i + 2)))))
           .otherwise(array().cast("array<bigint>"))).as("h"))
 
+  private val vecCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Skew guard for the candidate generators: a bucket larger than this is
     * ubiquitous content (boilerplate headers, stopword shingles), which is
     * near-dup NOISE — its pair expansion is quadratic in the bucket and its
@@ -306,8 +309,10 @@ object DedupQueries {
       val Dim = 64
       // Index builds know n (a parquet-metadata count): size the code width
       // so expected probe rows per bucket stay under the cap — more corpus,
-      // more bits, constant bucket load. 2^bits ≳ (1+bits)·n / 32.
-      val nVecs = Tables.embeddings(s, dir).count()
+      // more bits, constant bucket load. 2^bits ≳ (1+bits)·n / 32. Memoized
+      // per corpus dir so plan-only callers (explain, bench rebuild loops)
+      // don't pay a count job per construction.
+      val nVecs = vecCountCache.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
       val Bits = Iterator.from(8)
         .dropWhile(b => (1L << b) * 32 < (b + 1L) * nVecs).next().min(24)
       val e = Tables.embeddings(s, dir)
@@ -338,8 +343,10 @@ object DedupQueries {
         .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
             struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+        // vec_a < vec_b already holds: ids are sorted in-bucket, a vector
+        // appears at most once per bucket (its probe codes are distinct),
+        // and the slice pattern only pairs strictly-later elements
         .select(col("p.vec_a"), col("p.vec_b"))
-        .filter(col("vec_a") =!= col("vec_b"))
         .dropDuplicates("vec_a", "vec_b")
       pairs
         .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")

@@ -78,9 +78,14 @@ object Replication {
       .select(AvroFunctions.fromAvroWire(col("value"),
         readerSchema.toString, sourceRegistry).as("r"))                      // R2
       .select(col("r").getField(idField).cast("string").as("key"), col("r")) // R3
+      // R7: re-encode under the EXACT schema the target id names — deriving
+      // a schema from the decoded struct would drift whenever the subject
+      // schema is not a fixed point of the StructType→Avro mapping (general
+      // unions, timestamp-millis, enums...), making the framed id lie about
+      // the bytes.
       .select(col("key"),
-        AvroFunctions.toAvroWire(col("r"), targetId, "Value",
-          targetRegistry.magic).as("value"))                                 // R7
+        AvroFunctions.toAvroWireWithSchema(col("r"), targetId,
+          readerSchema.toString, targetRegistry.magic).as("value"))          // R7
 
     val writer = projected.writeStream
       .option("checkpointLocation", checkpointDir)

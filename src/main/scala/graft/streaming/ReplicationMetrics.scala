@@ -20,8 +20,8 @@ import scala.jdk.CollectionConverters._
   */
 final class ReplicationMetrics extends StreamingQueryListener {
 
-  final case class BatchMetric(batchId: Long, inputRows: Long,
-                               durationMs: Long, timestamp: String)
+  final case class BatchMetric(queryId: java.util.UUID, batchId: Long,
+                               inputRows: Long, durationMs: Long, timestamp: String)
 
   private val batches =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
@@ -34,18 +34,27 @@ final class ReplicationMetrics extends StreamingQueryListener {
     // AvailableNow emits trailing zero-row progress heartbeats; keep them
     // out of the batch ledger (they carry no replicated records).
     if (p.numInputRows > 0)
-      batches.add(BatchMetric(p.batchId, p.numInputRows,
+      batches.add(BatchMetric(p.id, p.batchId, p.numInputRows,
         p.durationMs.asScala.values.map(_.toLong).sum, p.timestamp))
   }
 
-  /** All non-empty batches observed so far, in arrival order. */
+  /** All non-empty batches observed so far, in arrival order. Listeners are
+    * session-wide, so entries from every active stream land here — scope
+    * with `queryId` when more than one stream runs (e.g. a chained A→B→C). */
   def snapshot: Seq[BatchMetric] = batches.iterator().asScala.toSeq
 
-  /** Total replicated records across observed batches (≡ the reference's
-    * send-success counter). */
+  def snapshot(queryId: java.util.UUID): Seq[BatchMetric] =
+    snapshot.filter(_.queryId == queryId)
+
+  /** Total replicated records (≡ the reference's send-success counter). */
   def totalRows: Long = snapshot.map(_.inputRows).sum
 
+  def totalRows(queryId: java.util.UUID): Long =
+    snapshot(queryId).map(_.inputRows).sum
+
   def batchCount: Int = snapshot.size
+
+  def batchCount(queryId: java.util.UUID): Int = snapshot(queryId).size
 }
 
 object ReplicationMetrics {

@@ -30,6 +30,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parseImageDims(jpeg) === Some(("jpeg", 640, 480)))
   }
 
+  test("JPEG whose SOF dims end exactly at the buffer end still parses") {
+    // SOI + SOF0 + len + precision + h + w = 11 bytes, nothing after width
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte) ++
+      be16(17) ++ Array[Byte](8) ++ be16(480) ++ be16(640)
+    assert(parseImageDims(jpeg) === Some(("jpeg", 640, 480)))
+    // one byte shorter: dims truncated → None, no exception
+    assert(parseImageDims(jpeg.dropRight(1)) === None)
+  }
+
   test("progressive JPEG (SOF2) is handled; garbage is rejected") {
     val sof2 = Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(17) ++ Array[Byte](8) ++
       be16(32) ++ be16(64) ++ Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)

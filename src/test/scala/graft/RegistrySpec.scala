@@ -55,6 +55,50 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg.latest("evo-value").map(_._1) === Some(1L), "failed registration must not advance")
   }
 
+  test("logical-type-only schema change registers as a NEW version") {
+    // parsing fingerprints strip logical types — dedup must not use them
+    val plain = parse(
+      """{"type":"record","name":"T","fields":[{"name":"ts","type":"long"}]}""")
+    val millis = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin)
+    val reg = new ConfluentFileRegistry(Files.createTempDirectory("creg4").toString)
+    assert(reg.register("t-value", plain) === 1L)
+    assert(reg.register("t-value", millis) === 2L,
+      "a timestamp-millis refinement is a distinct schema, not a duplicate")
+    assert(reg.latestVersion("t-value") === Some(2))
+    assert(reg.byId(2L).exists(_.getFields.get(0).schema().getLogicalType != null))
+  }
+
+  test("HTTP latest reports the real version number") {
+    import graft.avro.{ConfluentHttpRegistry, ConfluentHttpServer}
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val backing = new ConfluentFileRegistry(Files.createTempDirectory("creg5").toString)
+    val (server, baseUrl) = ConfluentHttpServer.serve(backing)
+    try {
+      val http = new ConfluentHttpRegistry(baseUrl)
+      http.register("evo-value", v1)
+      http.register("evo-value", v2)
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$baseUrl/subjects/evo-value/versions/latest")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val node = new ObjectMapper().readTree(resp.body())
+      assert(node.get("version").asInt() === 2)
+      assert(node.get("id").asLong() === 2L)
+    } finally server.stop(0)
+  }
+
+  test("truncated wire frames fail loudly, not with buffer underflow") {
+    import graft.avro.WireFormat
+    val e1 = intercept[IllegalArgumentException](
+      WireFormat.unframe(Array[Byte](0x47, 1, 2, 3, 4, 5))) // graft magic, 6 bytes
+    assert(e1.getMessage.contains("truncated"))
+    val e2 = intercept[IllegalArgumentException](
+      WireFormat.unframe(Array[Byte](9, 9, 9, 9, 9))) // unknown magic
+    assert(e2.getMessage.contains("magic"))
+  }
+
   test("Confluent REST protocol round-trips through the HTTP client/server pair") {
     import graft.avro.{ConfluentHttpRegistry, ConfluentHttpServer}
     val backing = new ConfluentFileRegistry(Files.createTempDirectory("creg3").toString)

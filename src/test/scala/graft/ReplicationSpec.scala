@@ -99,16 +99,17 @@ class ReplicationSpec extends SparkSpec {
       "events-value", env.sourceReg, "Event")
     val metrics = ReplicationMetrics.attach(spark)
     try {
-      Replication.start(spark, env.topics, "events-value", env.sourceReg,
+      val q = Replication.start(spark, env.topics, "events-value", env.sourceReg,
         env.targetReg, idField = "event_id", maxFilesPerTrigger = 4)
-        .awaitTermination(120000)
+      q.awaitTermination(120000)
+      val qid = q.id
       // listener events are delivered asynchronously after termination
       val deadline = System.nanoTime() + 30e9.toLong
-      while (metrics.totalRows < 100 && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(metrics.totalRows === 100,
+      while (metrics.totalRows(qid) < 100 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(metrics.totalRows(qid) === 100,
         s"every replicated record must be accounted for: ${metrics.snapshot}")
-      assert(metrics.batchCount > 1, "maxFilesPerTrigger=4 should yield multiple batches")
-      assert(metrics.snapshot.forall(_.durationMs >= 0))
+      assert(metrics.batchCount(qid) > 1, "maxFilesPerTrigger=4 should yield multiple batches")
+      assert(metrics.snapshot(qid).forall(_.durationMs >= 0))
     } finally ReplicationMetrics.remove(spark, metrics)
   }
 
@@ -183,6 +184,49 @@ class ReplicationSpec extends SparkSpec {
       // the schema really was replicated over HTTP into the target registry
       assert(new ConfluentFileRegistry(s"$root/regB").latest("events-value").isDefined)
     } finally { srcServer.stop(0); tgtServer.stop(0) }
+  }
+
+  test("replication preserves a general-union subject schema end-to-end") {
+    // The subject schema is NOT a fixed point of the StructType→Avro
+    // derivation (general union): the replicator must re-encode under the
+    // registry schema the target id names, not a derived one.
+    import org.apache.avro.Schema
+    val root = Files.createTempDirectory("graft-union-repl").toString
+    val unionJson =
+      """{"type":"record","name":"UEvent","namespace":"graft","fields":[
+        |  {"name":"event_id","type":"long"},
+        |  {"name":"payload","type":["long","string"]}]}""".stripMargin
+    val parsed = new Schema.Parser().parse(unionJson)
+    val srcId = new graft.avro.FileSchemaRegistry(s"$root/regA").register("u-value", parsed)
+
+    val ev = Tables.events(spark, sf).limit(30).cache()
+    val tag = pmod(col("event_id"), lit(2)).cast("int")
+    val rec = struct(col("event_id"), struct(
+      tag.as("_tag"),
+      when(tag === 0, col("user_id")).as("member0"),
+      when(tag === 1, col("event_type")).as("member1")).as("payload"))
+    ev.select(AvroFunctions.toAvroWireWithSchema(rec, srcId, unionJson).as("value"))
+      .write.parquet(s"$root/topicA")
+
+    Replication.start(spark,
+      FileTopicSource(s"$root/topicA", 8), FileTopicSink(s"$root/topicB"),
+      s"$root/ck", "u-value",
+      FileRegistryRef(s"$root/regA"), FileRegistryRef(s"$root/regB"),
+      idField = "event_id", availableNow = true).awaitTermination(120000)
+
+    val out = Replication.readCommitted(spark, s"$root/topicB")
+      .select(AvroFunctions.fromAvroWire(
+        col("value"), unionJson, FileRegistryRef(s"$root/regB")).as("r"))
+      .select(col("r.event_id").as("event_id"),
+        col("r.payload._tag").as("tag"),
+        col("r.payload.member0").as("m_long"),
+        col("r.payload.member1").as("m_str"))
+    val expected = ev.select(col("event_id"), tag.as("tag"),
+      when(tag === 0, col("user_id")).as("m_long"),
+      when(tag === 1, col("event_type")).as("m_str"))
+    assert(out.count() === 30)
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "union branches must survive decode → re-encode → decode")
   }
 
   test("two-hop chain A→B→C over read-committed streaming is exact under restart") {
