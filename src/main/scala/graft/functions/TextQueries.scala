@@ -197,6 +197,67 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q69_pipeline_clean",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text, string_split(lower(text), ' ') w FROM documents
+             |), m AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(w) AS BIGINT) n_tokens,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) bpe_tokens,
+             |    CAST(len(list_filter(w, x -> list_contains(
+             |      ['the','a','and','of','el','la','de','y','der','die','das','und','le','et','les'], x))) AS BIGINT) n_stop,
+             |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) n_punct,
+             |    CAST(len(text) AS BIGINT) n_chars
+             |  FROM t
+             |), good AS (
+             |  SELECT * FROM m
+             |  WHERE n_tokens >= 10 AND n_stop * 10 >= n_tokens AND n_punct * 5 <= n_chars
+             |), dedup AS (
+             |  SELECT * FROM good
+             |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+             |)
+             |SELECT lang, count(*) AS n_docs, sum(bpe_tokens) AS total_tokens,
+             |       round(sum(bpe_tokens) * 1.0 / count(*), 2) AS avg_doc_tokens
+             |FROM dedup
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      "The cleaning pipeline COMPOSED: quality gates → exact dedup → " +
+        "per-language corpus stats, one declarative plan. Quality gates are " +
+        "pure integer arithmetic (stopword/punct ratios as cross-multiplied " +
+        "longs — no float drift between engines, no second scan); dedup is " +
+        "a window over the content digest (first doc_id wins, deterministic " +
+        "keeper); stats aggregate exact longs. Catalyst pipelines the gates " +
+        "into the scan, and the only exchanges are the digest window and " +
+        "the tiny per-lang agg — at 100 TB this whole cleaning pass is one " +
+        "shuffle of the survivors plus map work."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val allMarkers = enM ++ esM ++ deM ++ frM
+      val w = split(lower(col("text")), " ")
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("text"),
+        size(w).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"),
+        markerCount(w, allMarkers).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"))
+      val good = m.filter(col("n_tokens") >= 10 &&
+        col("n_stop") * 10 >= col("n_tokens") &&
+        col("n_punct") * 5 <= col("n_chars"))
+      val dedup = good
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      dedup.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tokens")).as("total_tokens"),
+          round(sum(col("bpe_tokens")) * lit(1.0) / count(lit(1)), 2).as("avg_doc_tokens"))
+        .orderBy("lang")
     }
   )
 }
