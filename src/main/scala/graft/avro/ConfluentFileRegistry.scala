@@ -40,7 +40,10 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
     if (!Files.exists(dir)) Nil
     else {
       val s = Files.list(dir)
+      // ignore non-version files (editor temps, partial writes) rather than
+      // letting one stray name poison every operation on the subject
       try s.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
         .map(p => p.getFileName.toString.toInt -> Files.readString(p).trim.toLong)
         .toSeq.sortBy(_._1)
       finally s.close()
@@ -89,7 +92,9 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
     else {
       val s = Files.list(idsDir)
       try s.iterator().asScala
-        .map(_.getFileName.toString.stripSuffix(".avsc").toLong)
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".avsc") && n.stripSuffix(".avsc").forall(_.isDigit))
+        .map(_.stripSuffix(".avsc").toLong)
         .foldLeft(0L)(math.max) + 1L
       finally s.close()
     }
@@ -107,6 +112,11 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
 
   override def latestVersion(subject: String): Option[Int] =
     versionsOf(subject).lastOption.map(_._1)
+
+  override def latestEntry(subject: String): Option[(Int, Long, Schema)] =
+    versionsOf(subject).lastOption.flatMap { case (v, id) =>
+      byId(id).map((v, id, _)) // one snapshot of the version list
+    }
 
   def subjects: Seq[String] = {
     val dir = Paths.get(root, "subjects")

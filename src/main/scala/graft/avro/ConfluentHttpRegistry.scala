@@ -29,6 +29,9 @@ final class ConfluentHttpRegistry(baseUrl: String) extends SchemaRegistry {
   @transient private lazy val client = HttpClient.newHttpClient()
   @transient private lazy val mapper = new ObjectMapper()
 
+  private def enc(subject: String): String =
+    java.net.URLEncoder.encode(subject, StandardCharsets.UTF_8)
+
   private def get(path: String): Option[String] = {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"$baseUrl$path")).GET().build(),
@@ -45,7 +48,7 @@ final class ConfluentHttpRegistry(baseUrl: String) extends SchemaRegistry {
     val body = mapper.createObjectNode()
     body.put("schema", schema.toString)
     val resp = client.send(
-      HttpRequest.newBuilder(URI.create(s"$baseUrl/subjects/$subject/versions"))
+      HttpRequest.newBuilder(URI.create(s"$baseUrl/subjects/${enc(subject)}/versions"))
         .header("Content-Type", "application/vnd.schemaregistry.v1+json")
         .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
         .build(),
@@ -61,11 +64,15 @@ final class ConfluentHttpRegistry(baseUrl: String) extends SchemaRegistry {
       new Schema.Parser().parse(mapper.readTree(b).get("schema").asText()))
 
   def latest(subject: String): Option[(Long, Schema)] =
-    get(s"/subjects/$subject/versions/latest").map { b =>
+    get(s"/subjects/${enc(subject)}/versions/latest").map { b =>
       val node = mapper.readTree(b)
       node.get("id").asLong() ->
         new Schema.Parser().parse(node.get("schema").asText())
     }
+
+  override def latestVersion(subject: String): Option[Int] =
+    get(s"/subjects/${enc(subject)}/versions/latest")
+      .map(b => mapper.readTree(b).get("version").asInt())
 
   def subjects: Seq[String] =
     get("/subjects").toSeq.flatMap { b =>
@@ -106,6 +113,7 @@ object ConfluentHttpServer {
       try {
         val path = ex.getRequestURI.getPath.stripSuffix("/")
         val parts = path.split("/").filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, StandardCharsets.UTF_8))
         (ex.getRequestMethod, parts.toSeq) match {
           case ("POST", Seq("subjects", subject, "versions")) =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -127,9 +135,8 @@ object ConfluentHttpServer {
             respond(ex, 200, reg.subjects.map(s =>
               mapper.writeValueAsString(s)).mkString("[", ",", "]"))
           case ("GET", Seq("subjects", subject, "versions", "latest")) =>
-            reg.latest(subject) match {
-              case Some((id, s)) =>
-                val version = reg.latestVersion(subject).getOrElse(1)
+            reg.latestEntry(subject) match {
+              case Some((version, id, s)) =>
                 respond(ex, 200,
                   s"""{"subject": ${mapper.writeValueAsString(subject)}, "id": $id, """ +
                     s""""version": $version, "schema": ${mapper.writeValueAsString(s.toString)}}""")

@@ -29,6 +29,10 @@ trait SchemaRegistry {
   /** Version number of the subject's latest schema. Registries without a
     * version history report 1 for any registered subject. */
   def latestVersion(subject: String): Option[Int] = latest(subject).map(_ => 1)
+  /** (version, id, schema) of the latest entry as ONE consistent snapshot —
+    * override where latest/latestVersion would otherwise be two reads. */
+  def latestEntry(subject: String): Option[(Int, Long, Schema)] =
+    for { (id, s) <- latest(subject); v <- latestVersion(subject) } yield (v, id, s)
 }
 
 object SchemaRegistry {

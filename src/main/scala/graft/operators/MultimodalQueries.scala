@@ -41,14 +41,19 @@ object MultimodalQueries {
       Some(("png", be32(16), be32(20)))
     } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 3 < b.length && u8(i) == 0xff) {
+      while (i + 1 < b.length && u8(i) == 0xff) {
         val marker = u8(i + 1)
         // SOF0..SOF15 carry dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           return if (i + 8 < b.length) Some(("jpeg", be16(i + 7), be16(i + 5)))
             else None // SOF present but dims truncated
-        i += 2 + be16(i + 2) // next marker: 2 marker bytes + segment length
+        if (marker == 0xff) i += 1 // fill byte: 0xFF padding before a marker
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9))
+          i += 2 // standalone markers (TEM, RSTn, SOI, EOI) carry no length
+        else if (i + 3 < b.length)
+          i += 2 + be16(i + 2) // next marker: 2 marker bytes + segment length
+        else return None // length field truncated
       }
       None
     } else None

@@ -102,9 +102,10 @@ object SimilarityQueries {
         "(table, bucket) instead of a cross join — candidate volume drops " +
         "from n·q to Σ bucket collisions, and the join shuffles on a 2-int " +
         "key. Multi-probe (Lv et al., VLDB'07) on the small QUERY side " +
-        "only: each query also probes the 8 Hamming-1 neighbor buckets per " +
-        "table, multiplying recall at zero corpus-side cost — the corpus " +
-        "is still written to exactly one bucket per table. Candidates are " +
+        "only: each query probes every bucket within Hamming ≤ 2 of its " +
+        "own code (1+8+28 = 37 codes/table), multiplying recall at zero " +
+        "corpus-side cost — the corpus is still written to exactly one " +
+        "bucket per table. Candidates are " +
         "exactly re-ranked (true cosine), so precision is 1; recall is " +
         "tuned by tables × bits × probes. The same plan shape serves IVF: " +
         "swap bucket code for a centroid id, probe nearest centroids."
@@ -175,7 +176,9 @@ object SimilarityQueries {
       // index build: nearest centroid per vector, collapsed map-side
       val assigned = n.crossJoin(broadcast(cents))
         .groupBy("vec_id")
-        .agg(max_by(col("cent_id"), centCos).as("cent_id"),
+        // tie-break equidistant centroids by cent_id (struct ordering) so
+        // cell assignment — and therefore q66's output — is deterministic
+        .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       // query routing: probe the nearest `Probes` cells
       val cw = Window.partitionBy(col("vec_id"))

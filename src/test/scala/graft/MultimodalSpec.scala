@@ -30,6 +30,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parseImageDims(jpeg) === Some(("jpeg", 640, 480)))
   }
 
+  test("JPEG fill bytes and standalone markers before SOF are skipped") {
+    // FF padding (fill bytes) before a marker is legal, as are standalone
+    // RSTn/TEM markers that carry no length field
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(100) ++ be16(200) ++ Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val withFill = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ sof0
+    assert(parseImageDims(withFill) === Some(("jpeg", 200, 100)))
+    val withRst = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x01) ++ sof0
+    assert(parseImageDims(withRst) === Some(("jpeg", 200, 100)))
+  }
+
   test("JPEG whose SOF dims end exactly at the buffer end still parses") {
     // SOI + SOF0 + len + precision + h + w = 11 bytes, nothing after width
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte) ++

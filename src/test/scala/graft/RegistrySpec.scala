@@ -89,6 +89,29 @@ class RegistrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("stray files in registry directories are ignored, not fatal") {
+    val root = Files.createTempDirectory("creg6").toString
+    val reg = new ConfluentFileRegistry(root)
+    reg.register("evo-value", v1)
+    Files.writeString(java.nio.file.Paths.get(root, "subjects", "evo-value", "versions.bak"), "junk")
+    Files.writeString(java.nio.file.Paths.get(root, "ids", ".DS_Store"), "junk")
+    assert(reg.latest("evo-value").map(_._1) === Some(1L))
+    assert(reg.register("evo-value", v2) === 2L)
+  }
+
+  test("HTTP client reports the real latest version, not the trait default") {
+    import graft.avro.{ConfluentHttpRegistry, ConfluentHttpServer}
+    val backing = new ConfluentFileRegistry(Files.createTempDirectory("creg7").toString)
+    val (server, baseUrl) = ConfluentHttpServer.serve(backing)
+    try {
+      val http = new ConfluentHttpRegistry(baseUrl)
+      http.register("evo-value", v1)
+      http.register("evo-value", v2)
+      assert(http.latestVersion("evo-value") === Some(2))
+      assert(http.latestEntry("evo-value").map(e => (e._1, e._2)) === Some((2, 2L)))
+    } finally server.stop(0)
+  }
+
   test("truncated wire frames fail loudly, not with buffer underflow") {
     import graft.avro.WireFormat
     val e1 = intercept[IllegalArgumentException](
