@@ -225,4 +225,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last(1L) === ((3L, 7.0)))
     assert(last(2L) === ((1L, 10.0)))
   }
+
+  test("cleaning pipeline runs incrementally: quality gates + digest dedup on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+
+    // q69's gates, streaming: the same declarative filters pipeline into the
+    // micro-batch scan; dedup is stateful dropDuplicates on the content digest
+    val markers = Seq("the", "a", "and", "of")
+    val docs = input.toDS().toDF("doc_id", "text")
+    val w = split(lower(col("text")), " ")
+    val cleaned = docs
+      .withColumn("n_tokens", size(w).cast("long"))
+      .withColumn("n_stop", size(filter(w, x => x.isInCollection(markers))).cast("long"))
+      .filter(col("n_tokens") >= 4 && col("n_stop") * 10 >= col("n_tokens"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .dropDuplicates("digest")
+
+    val q = cleaned.select("doc_id", "text").writeStream
+      .format("memory").queryName("clean_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val keeper = "the quick brown fox jumps over the lazy dog"
+      input.addData((1L, keeper), (2L, "no stopwords here whatsoever today"))
+      q.processAllAvailable()
+      // second batch: an exact duplicate of a kept doc and a too-short doc
+      input.addData((3L, keeper), (4L, "too short"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("clean_stream").select("doc_id").collect().map(_.getLong(0)).sorted
+    // doc 2 fails the stopword gate, doc 3 is a cross-batch duplicate,
+    // doc 4 fails the length gate — only doc 1 survives
+    assert(kept.toSeq === Seq(1L))
+  }
 }
