@@ -289,6 +289,56 @@ object SqlQueries {
       Tables.part(s, dir)
         .select(col("p_partkey"), vowels(col("p_name")).as("n_vowels"))
         .orderBy("p_partkey")
+    },
+
+    GraftQuery(
+      "q70_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, metric, value
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |             l_quantity, l_extendedprice, l_discount, l_tax
+             |      FROM lineitem WHERE l_orderkey < 100)
+             |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+      "Unpivot (wide → long): each row fans out to one row per measure " +
+        "column — a pure per-row Generate, no shuffle except the " +
+        "presentation sort. The inverse of q55's pivot; together they " +
+        "round-trip the layout. At 100 TB prefer storing long-form and " +
+        "pivoting late: unpivot multiplies rows but the generator is " +
+        "pipelined inside the scan stage."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    GraftQuery(
+      "q71_lateral_topn",
+      Some("""SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+             |FROM nation n, LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+             |ORDER BY n_name, bal DESC, c_custkey""".stripMargin),
+      "Correlated LATERAL subquery (top-2 customers per nation): Catalyst " +
+        "decorrelates the per-row subquery into a join + windowed group " +
+        "limit — the subquery never executes once per outer row. Same " +
+        "result as q26's window form, reached through the SQL surface a " +
+        "migrating user would actually write."
+    ) { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      s.sql("""SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+              |FROM lat_nation n, LATERAL (
+              |  SELECT c_custkey, c_acctbal FROM lat_customer
+              |  WHERE c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+              |ORDER BY n_name, bal DESC, c_custkey""".stripMargin)
     }
   )
 }
