@@ -258,6 +258,35 @@ object TextQueries {
           sum(col("bpe_tokens")).as("total_tokens"),
           round(sum(col("bpe_tokens")) * lit(1.0) / count(lit(1)), 2).as("avg_doc_tokens"))
         .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q72_hash_sample",
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang,
+             |         substr(sha256(text), 1, 2) AS bucket
+             |  FROM documents
+             |  WHERE substr(sha256(text), 1, 2) < '20'
+             |)
+             |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+             |FROM s
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      "Deterministic content-hash sampling — THE reproducible sampling for " +
+        "training-data pipelines: membership depends only on the document " +
+        "bytes (sha256 prefix < '20' ≈ 1/8), so re-runs, different " +
+        "partitionings and different engines select the same documents, " +
+        "and the filter pipelines into the scan with no RNG state. " +
+        "Rate-tuning is just the threshold; stratified rates are a CASE on " +
+        "the stratum. Contrast df.sample(): partition-order-dependent RNG, " +
+        "irreproducible across engines or repartitioning."
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", substring(sha2(col("text"), 256), 1, 2))
+        .filter(col("bucket") < "20")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
     }
   )
 }

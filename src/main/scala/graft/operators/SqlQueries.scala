@@ -339,6 +339,28 @@ object SqlQueries {
               |  WHERE c_nationkey = n.n_nationkey
               |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
               |ORDER BY n_name, bal DESC, c_custkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q73_approx_percentiles",
+      None, // sketch-based by design; ApproxSpec bounds error vs exact q57.
+      "Approximate percentiles (approx_percentile with accuracy 10000): a " +
+        "mergeable quantile sketch per group — fixed-size partial state " +
+        "through the shuffle like any sum, where the exact form (q57) must " +
+        "materialize and sort each group's values. At 100 TB this is the " +
+        "only viable per-group quantile; accuracy trades directly against " +
+        "state size."
+    ) { (s, dir) =>
+      // same grouping/column/quantiles as exact q57 so the spec can bound
+      // the sketch error directly against the oracle-checked values
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.25), lit(10000)).as("p25"),
+          percentile_approx(col("l_quantity"), lit(0.50), lit(10000)).as("p50"),
+          percentile_approx(col("l_quantity"), lit(0.75), lit(10000)).as("p75"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -15,4 +15,18 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.02,
       s"approx=$approxParts exact=$exactParts")
   }
+
+  test("approx_percentile tracks the exact percentiles within 5%") {
+    val exact = SparkEntry.queries("q57_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+    val approx = SparkEntry.queries("q73_approx_percentiles")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq(1, 2, 3, 4).map(r.getDouble).zip(e).foreach { case (a, x) =>
+        assert(math.abs(a - x) <= math.max(1.0, 0.05 * x),
+          s"flag=${r.getString(0)} approx=$a exact=$x")
+      }
+    }
+  }
 }
