@@ -226,6 +226,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last(2L) === ((1L, 10.0)))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows after watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+
+    val left = clicks.toDS().withWatermark("ts", "5 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val right = buys.toDS().withWatermark("ts", "5 minutes")
+      .select($"user_id".as("b_user"), $"ts".as("b_ts"))
+    val joined = left.join(right,
+      $"c_user" === $"b_user" &&
+        $"b_ts" >= $"c_ts" && $"b_ts" <= $"c_ts" + expr("interval 5 minutes"),
+      "leftOuter")
+
+    val q = joined.writeStream.format("memory").queryName("ss_louter")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 clicks then buys (match); user 2 clicks, never buys
+      clicks.addData(Event(1, "click", ts(1), 0), Event(2, "click", ts(1), 0))
+      buys.addData(Event(1, "buy", ts(3), 9.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the join window so the unmatched
+      // click can be finalized and emitted with nulls
+      clicks.addData(Event(9, "click", ts(45), 0))
+      buys.addData(Event(9, "buy", ts(45), 0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ss_louter")
+      .select($"c_user", $"b_user").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 1L)), "matched pair must join")
+    assert(rows.contains((2L, -1L)),
+      "unmatched left row must emit with nulls once the watermark passes")
+  }
+
   test("cleaning pipeline runs incrementally: quality gates + digest dedup on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
