@@ -171,6 +171,28 @@ object ScalarQueries {
           coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
           col("c_acctbal").eqNullSafe(lit(0.0)).cast("long").as("zero_bal"))
         .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q74_posexplode",
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) w
+             |  FROM documents WHERE doc_id < 100
+             |)
+             |SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok
+             |FROM t
+             |ORDER BY doc_id, pos""".stripMargin),
+      "Ordinal-preserving generator (posexplode ≡ zipped unnest): one row " +
+        "per element WITH its position, the fan-out primitive for " +
+        "order-sensitive token processing. A pipelined Generate inside the " +
+        "scan stage — row multiplication, zero shuffle."
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")
     }
   )
 }
