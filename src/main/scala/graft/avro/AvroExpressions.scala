@@ -5,7 +5,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StructField, StructType}
 
 /** `from_avro` / `to_avro` equivalents as Catalyst expressions (the engine's
   * R2/R7: `application.yml:11-16` — KafkaAvroDeserializer/Serializer — minus
@@ -124,7 +124,9 @@ case class WireAvroToCatalyst(child: Expression, readerJsonSchema: String,
 
   override def prettyName: String = "graft_from_avro_wire"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = nullSafeDecode(input)
+
+  private[avro] def nullSafeDecode(input: Any): Any = {
     val (id, body) = WireFormat.unframe(input.asInstanceOf[Array[Byte]])
     val writer = writerCache.getOrElseUpdate(id,
       openRegistry.byId(id).getOrElse(
@@ -134,6 +136,47 @@ case class WireAvroToCatalyst(child: Expression, readerJsonSchema: String,
   }
 
   override protected def withNewChildInternal(newChild: Expression): WireAvroToCatalyst =
+    copy(child = newChild)
+}
+
+/** Fallible variant of [[WireAvroToCatalyst]] for dead-letter routing:
+  * instead of failing the task on a poison record (bad magic, unknown
+  * schema id, corrupt body), yields `struct(r, err)` — `r` is the decoded
+  * record and `err` null on success; on failure `r` is null and `err`
+  * carries the reason. The stream splits on `err` and routes failures to a
+  * dead-letter topic without losing the batch. */
+case class TryWireAvroToCatalyst(child: Expression, readerJsonSchema: String,
+                                 registry: RegistryRef)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val inner =
+    WireAvroToCatalyst(child, readerJsonSchema, registry)
+
+  override lazy val dataType: StructType = StructType(Seq(
+    StructField("r", inner.dataType, nullable = true),
+    StructField("err", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "graft_try_from_avro_wire"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bytes = child.eval(input)
+    val out = new Array[Any](2)
+    if (bytes == null) {
+      out(1) = org.apache.spark.unsafe.types.UTF8String.fromString("null value")
+    } else {
+      try out(0) = inner.nullSafeDecode(bytes)
+      catch {
+        case e: Exception =>
+          out(1) = org.apache.spark.unsafe.types.UTF8String.fromString(
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TryWireAvroToCatalyst =
     copy(child = newChild)
 }
 
@@ -158,6 +201,11 @@ object AvroFunctions {
     * impl (fingerprint-id or Confluent-style — framing auto-detected). */
   def fromAvroWire(col: Column, readerJsonSchema: String, registry: RegistryRef): Column =
     ColumnBridge.column(WireAvroToCatalyst(
+      ColumnBridge.expression(col), readerJsonSchema, registry))
+
+  /** Fallible decode for dead-letter routing: `struct(r, err)`. */
+  def tryFromAvroWire(col: Column, readerJsonSchema: String, registry: RegistryRef): Column =
+    ColumnBridge.column(TryWireAvroToCatalyst(
       ColumnBridge.expression(col), readerJsonSchema, registry))
 
   /** Encode a struct column and frame it with the given schema id — one

@@ -59,11 +59,25 @@ object Replication {
 
   /** Start the replication stream over explicit transport + registry seams.
     * Fails fast if the source topic is missing (R9, `setMissingTopicsFatal`
-    * ≡ `ReplicationApplication.java:41`). */
+    * ≡ `ReplicationApplication.java:41`).
+    *
+    * @param deadLetter when set, poison records (bad framing, unknown schema
+    *                   id, corrupt body) are routed to this sink as
+    *                   `(value, err)` instead of failing the stream; both
+    *                   sinks commit idempotently under the same batch id, so
+    *                   exactly-once holds for good and bad records alike. */
   def start(spark: SparkSession, source: TopicSource, sink: TopicSink,
             checkpointDir: String, subject: String,
             sourceRegistry: RegistryRef, targetRegistry: RegistryRef,
-            idField: String, availableNow: Boolean): StreamingQuery = {
+            idField: String, availableNow: Boolean): StreamingQuery =
+    start(spark, source, sink, checkpointDir, subject,
+      sourceRegistry, targetRegistry, idField, availableNow, None)
+
+  def start(spark: SparkSession, source: TopicSource, sink: TopicSink,
+            checkpointDir: String, subject: String,
+            sourceRegistry: RegistryRef, targetRegistry: RegistryRef,
+            idField: String, availableNow: Boolean,
+            deadLetter: Option[TopicSink]): StreamingQuery = {
     require(source.exists,
       s"source topic $source does not exist (missing-topics-fatal)")
     val (_, readerSchema) = sourceRegistry.open().latest(subject).getOrElse(
@@ -74,24 +88,49 @@ object Replication {
     // (not the source's) goes on the wire.
     val targetId = targetRegistry.open().register(subject, readerSchema)
 
-    val projected = source.stream(spark)
-      .select(AvroFunctions.fromAvroWire(col("value"),
-        readerSchema.toString, sourceRegistry).as("r"))                      // R2
-      .select(col("r").getField(idField).cast("string").as("key"), col("r")) // R3
-      // R7: re-encode under the EXACT schema the target id names — deriving
-      // a schema from the decoded struct would drift whenever the subject
-      // schema is not a fixed point of the StructType→Avro mapping (general
-      // unions, timestamp-millis, enums...), making the framed id lie about
-      // the bytes.
-      .select(col("key"),
-        AvroFunctions.toAvroWireWithSchema(col("r"), targetId,
-          readerSchema.toString, targetRegistry.magic).as("value"))          // R7
+    // R7 re-encode happens under the EXACT schema the target id names —
+    // deriving a schema from the decoded struct would drift whenever the
+    // subject schema is not a fixed point of the StructType→Avro mapping
+    // (general unions, timestamp-millis, enums...), making the framed id
+    // lie about the bytes.
+    def reEncode(r: org.apache.spark.sql.Column) =
+      AvroFunctions.toAvroWireWithSchema(r, targetId,
+        readerSchema.toString, targetRegistry.magic)
 
-    val writer = projected.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>                   // R4-R6, R8
-        sink.commitBatch(batch, batchId)
-      }
+    val writer = deadLetter match {
+      case None =>
+        val projected = source.stream(spark)
+          .select(AvroFunctions.fromAvroWire(col("value"),
+            readerSchema.toString, sourceRegistry).as("r"))                    // R2
+          .select(col("r").getField(idField).cast("string").as("key"), col("r")) // R3
+          .select(col("key"), reEncode(col("r")).as("value"))                  // R7
+        projected.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>                 // R4-R6, R8
+            sink.commitBatch(batch, batchId)
+          }
+      case Some(dlq) =>
+        val routed = source.stream(spark)
+          .select(col("value").as("raw"),
+            AvroFunctions.tryFromAvroWire(col("value"),
+              readerSchema.toString, sourceRegistry).as("t"))                  // R2 (fallible)
+          .select(col("raw"), col("t.r").as("r"), col("t.err").as("err"))
+          .select(col("raw"), col("err"),
+            col("r").getField(idField).cast("string").as("key"),               // R3
+            when(col("err").isNull, reEncode(col("r"))).as("value"))           // R7
+        routed.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>                 // R4-R6, R8
+            val cached = batch.persist()
+            try {
+              sink.commitBatch(
+                cached.filter(col("err").isNull).select("key", "value"), batchId)
+              dlq.commitBatch(
+                cached.filter(col("err").isNotNull)
+                  .select(col("raw").as("value"), col("err")), batchId)
+            } finally cached.unpersist()
+          }
+    }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 

@@ -229,6 +229,40 @@ class ReplicationSpec extends SparkSpec {
       "union branches must survive decode → re-encode → decode")
   }
 
+  test("poison records route to the dead-letter topic without failing the stream") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val events = Tables.events(spark, sf).limit(20).cache()
+    Replication.stageSource(events, s"$root/topicA", "events-value",
+      s"$root/regA", "Event")
+    // two poison records: bad magic, and a valid-magic frame with an
+    // unknown schema id
+    Seq(Array[Byte](99, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+        graft.avro.WireFormat.frame(424242L, Array[Byte](1, 2, 3)))
+      .toDF("value").write.mode("append").parquet(s"$root/topicA")
+
+    def run() = Replication.start(spark,
+      FileTopicSource(s"$root/topicA", 8), FileTopicSink(s"$root/topicB"),
+      s"$root/ck", "events-value",
+      FileRegistryRef(s"$root/regA"), FileRegistryRef(s"$root/regB"),
+      idField = "event_id", availableNow = true,
+      deadLetter = Some(FileTopicSink(s"$root/dlq"))).awaitTermination(120000)
+    run()
+
+    val good = Replication.readCommitted(spark, s"$root/topicB")
+    assert(good.count() === 20, "all valid records replicate")
+    val dead = Replication.readCommitted(spark, s"$root/dlq")
+    assert(dead.count() === 2, "both poison records land in the DLQ")
+    val errs = dead.select("err").collect().map(_.getString(0))
+    assert(errs.exists(_.contains("magic")), s"framing error captured: ${errs.toSeq}")
+    assert(errs.exists(_.contains("424242")), s"unknown-id error captured: ${errs.toSeq}")
+
+    // restart: exactly-once holds for both sinks
+    run()
+    assert(Replication.readCommitted(spark, s"$root/topicB").count() === 20)
+    assert(Replication.readCommitted(spark, s"$root/dlq").count() === 2)
+  }
+
   test("two-hop chain A→B→C over read-committed streaming is exact under restart") {
     val root = Files.createTempDirectory("graft-chain").toString
     val events = Tables.events(spark, sf).limit(120).cache()
