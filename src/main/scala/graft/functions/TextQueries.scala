@@ -287,6 +287,101 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
         .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q75_redact",
+      Some("""SELECT doc_id,
+             |       regexp_replace(text, '\b(customer|key)\b', '<REDACTED>', 'g') AS redacted,
+             |       CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS BIGINT) AS n_redacted
+             |FROM documents
+             |WHERE doc_id < 200
+             |ORDER BY doc_id""".stripMargin),
+      "PII/sensitive-term redaction: a word-boundary regexp_replace over a " +
+        "term list (in production: compiled pattern sets for emails, phone " +
+        "numbers, ids), plus the per-doc redaction count for audit. Pure " +
+        "codegen map work — the scrub runs inside the scan stage, no " +
+        "shuffle, and composes with the cleaning pipeline's other gates."
+    ) { (s, dir) =>
+      val pat = "\\b(customer|key)\\b"
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), pat, "<REDACTED>").as("redacted"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_redacted"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q76_decontaminate",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-2, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) s
+             |  FROM t WHERE len(w) >= 4
+             |), eval_sh AS (
+             |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+             |)
+             |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+             |FROM sh JOIN eval_sh USING (s)
+             |WHERE sh.doc_id % 97 <> 0
+             |GROUP BY sh.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Eval-set decontamination (GPT-3/Pile style): training docs sharing " +
+        "any 4-gram with the held-out eval set are flagged with their " +
+        "overlap count. The eval side is tiny — its distinct shingles " +
+        "BROADCAST to a semi/inner join against the corpus shingle stream, " +
+        "so the corpus never shuffles on n-gram strings; at 100 TB hash " +
+        "the shingles (q41's trick) and the broadcast is a long set."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      val sh = Tables.documents(s, dir)
+        .filter(size(w) >= 4)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(1), size(w) - 3),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2), element_at(w, i + 3))))).as("s"))
+      val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSh), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q77_repetition",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |)
+             |SELECT doc_id,
+             |       CAST(len(w) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             |       round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr,
+             |       CAST(list_max(list_transform(list_distinct(w),
+             |              t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS top_tok_n
+             |FROM t
+             |ORDER BY doc_id""".stripMargin),
+      "Repetition / diversity scoring: type-token ratio and the dominant " +
+        "token's count — the classic filters for degenerate repetitive " +
+        "generations in training corpora. All array HOFs inside one " +
+        "projection; per-doc cost is O(distinct·n) on short docs, with the " +
+        "hashed-counter variant (aggregate into a map) the swap-in for " +
+        "long documents."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          round(size(array_distinct(col("w"))) * lit(1.0) / size(col("w")), 4).as("ttr"),
+          array_max(transform(array_distinct(col("w")),
+            t => size(filter(col("w"), x => x === t)))).cast("long").as("top_tok_n"))
+        .orderBy("doc_id")
     }
   )
 }
