@@ -332,18 +332,24 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       "Eval-set decontamination (GPT-3/Pile style): training docs sharing " +
         "any 4-gram with the held-out eval set are flagged with their " +
-        "overlap count. The eval side is tiny — its distinct shingles " +
-        "BROADCAST to a semi/inner join against the corpus shingle stream, " +
-        "so the corpus never shuffles on n-gram strings; at 100 TB hash " +
-        "the shingles (q41's trick) and the broadcast is a long set."
+        "overlap count. 4-grams are HASHED (xxhash64 of the four token " +
+        "hashes — the strings never materialize, q41's trick), the tiny " +
+        "eval side's distinct hashes BROADCAST to an inner join against " +
+        "the corpus shingle stream, and the corpus never shuffles at all: " +
+        "only flagged (doc, hash) survivors reach the count. The oracle " +
+        "counts the same overlaps on the actual strings — hash-green means " +
+        "zero 64-bit collisions on this corpus, checked every round."
     ) { (s, dir) =>
       val w = split(lower(col("text")), " ")
+      // materialize the token-hash array BEFORE indexing into it — inlining
+      // it would re-evaluate the whole transform at every element_at site
       val sh = Tables.documents(s, dir)
         .filter(size(w) >= 4)
+        .select(col("doc_id"), transform(w, t => xxhash64(t)).as("hw"))
         .select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), size(w) - 3),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-              element_at(w, i + 2), element_at(w, i + 3))))).as("s"))
+          explode(array_distinct(transform(sequence(lit(1), size(col("hw")) - 3),
+            i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
+              element_at(col("hw"), i + 2), element_at(col("hw"), i + 3))))).as("s"))
       val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
       sh.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalSh), "s")
