@@ -187,11 +187,13 @@ object TextQueries {
         "explode multiplies rows by ~tokens-per-doc, which is why the " +
         "count must combine map-side."
     ) { (s, dir) =>
-      val w = split(lower(col("text")), " ")
+      // stage the split as a column: inlined, it would re-tokenize the text
+      // at every element_at site (O(tokens²) per doc)
       Tables.documents(s, dir)
-        .select(explode(when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .select(split(lower(col("text")), " ").as("w"))
+        .select(explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
