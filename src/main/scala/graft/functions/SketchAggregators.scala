@@ -121,4 +121,17 @@ object Sketches {
     import org.apache.spark.sql.graft.{ColumnBridge, SimHashSketch}
     ColumnBridge.column(SimHashSketch(ColumnBridge.expression(col)).toAggregateExpression())
   }
+
+  /** Row-local MinHash of an `array<long>` column — no explode, no shuffle;
+    * identical signatures to the aggregate form. */
+  def minhashArray(col: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, MinHashOfArray}
+    ColumnBridge.column(MinHashOfArray(ColumnBridge.expression(col)))
+  }
+
+  /** Row-local SimHash of an `array<long>` column. */
+  def simhashArray(col: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, SimHashOfArray}
+    ColumnBridge.column(SimHashOfArray(ColumnBridge.expression(col)))
+  }
 }

@@ -26,18 +26,28 @@ object DedupQueries {
     * the dedup family. Equality of hash-triples stands in for equality of
     * shingles (64-bit collision odds ~1e-10 at 10^5 distinct shingles;
     * for exact-match guarantees group on the string instead). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, sh: array<bigint>) — each document's distinct shingle hashes
+    * as ONE row. Row-local consumers (the array sketches) build signatures
+    * with no explode and no shuffle; set-oriented consumers explode it.
+    * Docs with <3 tokens are filtered out HERE, on `text` directly: a
+    * downstream `size(sh) > 0` filter would be pushed below the staged
+    * projections with every alias substituted — re-splitting the text at
+    * each element_at site inside the filter condition (observed 3.5× on
+    * q39). Predicates must reference scan columns, not staged arrays. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .filter(size(split(lower(col("text")), " ")) >= 3)
       .select(col("doc_id"),
         transform(split(lower(col("text")), " "), t => xxhash64(t)).as("hw"))
       .select(col("doc_id"),
-        explode(when(size(col("hw")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),
-            i => xxhash64(
-              element_at(col("hw"), i),
-              element_at(col("hw"), i + 1),
-              element_at(col("hw"), i + 2)))))
-          .otherwise(array().cast("array<bigint>"))).as("h"))
+        array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),
+          i => xxhash64(
+            element_at(col("hw"), i),
+            element_at(col("hw"), i + 1),
+            element_at(col("hw"), i + 2)))).as("sh"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
   private val vecCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -51,12 +61,16 @@ object DedupQueries {
     * ever holds a hot bucket. */
   val MaxBucket = 64
 
-  /** q39's candidate buckets: (band, key) → ≤[[MaxBucket]] (doc_id, sig). */
+  /** q39's candidate buckets: (band, key) → ≤[[MaxBucket]] (doc_id, sig).
+    * Signatures are built ROW-LOCALLY from each doc's shingle array (the
+    * scalar MinHash expression — no explode, no aggregation shuffle; the
+    * first exchange in the whole plan is the band-bucket groupBy). Docs
+    * with no shingles are excluded, matching the aggregate form where they
+    * contribute no rows. */
   private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = shingles(s, dir)
-      .groupBy("doc_id")
-      .agg(Sketches.minhash(col("h")).as("sig"))
+    val sigs = shingleArrays(s, dir)
+      .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(15)), b => struct(
         b.as("band"),
@@ -110,9 +124,11 @@ object DedupQueries {
     GraftQuery(
       "q39_dedup_minhash_lsh",
       None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
-      "MinHash+LSH: one-pass Aggregator folds xxhash64(shingle) into a " +
-        "64-minimum signature (shuffle = 512 B/doc, not the shingles); " +
-        "16 bands × 4 rows hashed to a long band key. Candidates come from " +
+      "MinHash+LSH: the 64-minimum signature is computed ROW-LOCALLY from " +
+        "each doc's shingle array (scalar sketch expression — no explode, " +
+        "no aggregation shuffle; the aggregate form remains for docs too " +
+        "large to hold shingles per-row); 16 bands × 4 rows hashed to a " +
+        "long band key. Candidates come from " +
         "grouping by (band, key) and expanding pairs inside each bucket — " +
         "the signature aggregation runs ONCE (a self-join would compute it " +
         "twice) and O(n²) never materializes. Hot buckets (ubiquitous " +
@@ -141,15 +157,15 @@ object DedupQueries {
     GraftQuery(
       "q40_dedup_simhash",
       None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
-      "SimHash: 8 bytes per doc total state. Pigeonhole banding (Manku et " +
+      "SimHash: 8 bytes per doc total state, computed row-locally from the " +
+        "shingle array (no explode, no agg shuffle). Pigeonhole banding (Manku et " +
         "al., WWW'07): 7 blocks over 64 bits, so any pair at Hamming ≤ 6 " +
         "agrees on ≥1 whole block — the band equi-join is an EXHAUSTIVE " +
         "candidate generator for the ≤6 threshold, then exact distance is " +
         "re-checked with bit_count(xor). Joins on (int, int) keys only."
     ) { (s, dir) =>
-      val sigs = shingles(s, dir)
-        .groupBy("doc_id")
-        .agg(Sketches.simhash(col("h")).as("sim"))
+      val sigs = shingleArrays(s, dir)
+        .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
       // 7 blocks of widths 10,9,9,9,9,9,9 — any Hamming-≤6 pair leaves ≥1
       // block untouched (pigeonhole), so banding misses nothing.
       val bandDefs = Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),

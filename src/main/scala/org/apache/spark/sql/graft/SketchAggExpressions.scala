@@ -71,6 +71,58 @@ case class MinHashSketch(
     copy(child = newChild)
 }
 
+/** Row-local MinHash over an `array<long>` of element hashes: when the
+  * elements already sit in one row (a per-document shingle array), the
+  * signature needs NO explode and NO aggregation shuffle — it is a scalar
+  * projection inside the scan stage. The aggregate form remains for inputs
+  * too large to hold per-row (the exploded stream bounds memory). Shares
+  * the per-element math with [[graft.functions.Sketches]], so both forms
+  * produce identical signatures. */
+case class MinHashOfArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "graft_minhash_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(Sketches.NumMinHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) Sketches.minhashReduce(buf, arr.getLong(i))
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashOfArray =
+    copy(child = newChild)
+}
+
+/** Row-local SimHash over an `array<long>` of element hashes. */
+case class SimHashOfArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "graft_simhash_array"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = new Array[Long](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) Sketches.simhashReduce(buf, arr.getLong(i))
+      i += 1
+    }
+    Sketches.simhashFinish(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashOfArray =
+    copy(child = newChild)
+}
+
 case class SimHashSketch(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

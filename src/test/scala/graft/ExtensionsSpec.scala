@@ -20,6 +20,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()

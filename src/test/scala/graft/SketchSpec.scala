@@ -54,6 +54,26 @@ class SketchSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("row-local array sketches equal the aggregate forms exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0L until 200L).map(i => i * 0x9e3779b97f4a7c15L).toArray),
+      (2L, (50L until 120L).map(i => i * 6364136223846793005L).toArray),
+      (3L, Array(42L))).toDF("doc_id", "sh")
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val aggMin = exploded.groupBy("doc_id").agg(Sketches.minhash(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val arrMin = docs.select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(arrMin === aggMin)
+    val aggSim = exploded.groupBy("doc_id").agg(Sketches.simhash(col("h")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arrSim = docs.select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arrSim === aggSim)
+  }
+
   test("LSH candidate pairs cover every exact-Jaccard>=0.8 pair (sf0.001)") {
     val mh = SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
