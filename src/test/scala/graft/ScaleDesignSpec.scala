@@ -82,6 +82,21 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"R7 hot path must be expression-only:\n$plan")
   }
 
+  test("shingle pipelines build the token-hash array exactly once (no inlined re-splits)") {
+    // Regression guard for the two plan poisons found in round 2: alias
+    // inlining across element_at sites, and InferFiltersFromGenerate
+    // pushing generator-derived predicates below staged projections — both
+    // show up as the tokenizer appearing multiple times in the plan.
+    Seq("q39_dedup_minhash_lsh", "q41_dedup_ngram_jaccard").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      val n = "transform\\(split".r.findAllIn(plan).size
+      assert(n <= 1, s"$q tokenizes ${n}x — a filter or alias is re-inlining the build:\n$plan")
+    }
+    val p39 = physicalPlan(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf))
+    assert(p39.contains("graft_minhash_array"),
+      "q39 signatures must be row-local (scalar sketch, no explode+agg)")
+  }
+
   test("dimension filters push into the parquet scan of fact queries") {
     val plan = physicalPlan(
       Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
