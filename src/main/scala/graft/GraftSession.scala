@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place the engine-mandatory session configuration lives. Every
+  * entry point (Verify/Bench/RunOne/BenchOne and the test sessions) builds
+  * through here — a builder that forgets one of these lines compiles fine
+  * and fails subtly at runtime:
+  *
+  *  - `nanosAsLong`: events.parquet is TIMESTAMP(NANOS); must be set at
+  *    session build (Tables.events enforces it with a require)
+  *  - `InferFiltersFromGenerate` exclusion: the rule pushes
+  *    generator-inferred predicates below staged projections with aliases
+  *    substituted, re-evaluating quadratic tokenizer expressions per row
+  *    (3-4× on the shingle pipelines); it only ever ADDS row-pruning
+  *    filters, so excluding it cannot change results
+  *  - codegen cache: ~77 plans × several stages overflow the default
+  *    100-entry generated-class cache and thrash recompilation
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+}

@@ -166,9 +166,12 @@ case class TryWireAvroToCatalyst(child: Expression, readerJsonSchema: String,
     if (bytes == null) {
       out(1) = org.apache.spark.unsafe.types.UTF8String.fromString("null value")
     } else {
+      // NonFatal + OOM: a corrupt array block-count varint makes the Avro
+      // reader preallocate a huge array — that OutOfMemoryError is caused
+      // by the poison record, and the DLQ exists precisely to survive it
       try out(0) = inner.nullSafeDecode(bytes)
       catch {
-        case e: Exception =>
+        case e@(scala.util.control.NonFatal(_) | _: OutOfMemoryError) =>
           out(1) = org.apache.spark.unsafe.types.UTF8String.fromString(
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }

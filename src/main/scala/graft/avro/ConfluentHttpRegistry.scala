@@ -74,6 +74,15 @@ final class ConfluentHttpRegistry(baseUrl: String) extends SchemaRegistry {
     get(s"/subjects/${enc(subject)}/versions/latest")
       .map(b => mapper.readTree(b).get("version").asInt())
 
+  // one request, one consistent snapshot — two separate GETs could pair a
+  // new version number with the previous id/schema under concurrent writes
+  override def latestEntry(subject: String): Option[(Int, Long, Schema)] =
+    get(s"/subjects/${enc(subject)}/versions/latest").map { b =>
+      val node = mapper.readTree(b)
+      (node.get("version").asInt(), node.get("id").asLong(),
+        new Schema.Parser().parse(node.get("schema").asText()))
+    }
+
   def subjects: Seq[String] =
     get("/subjects").toSeq.flatMap { b =>
       val arr = mapper.readTree(b)

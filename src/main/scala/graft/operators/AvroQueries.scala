@@ -55,11 +55,14 @@ object AvroQueries {
       val schemaJson = AvroFunctions.writerSchemaFor(ev.schema, "Event")
       val parsed = new Schema.Parser().parse(schemaJson)
       // R7: auto-registration on first produce, against a file registry the
-      // decode side resolves writer schemas from (executor-readable root).
+      // decode side resolves writer schemas from. The root must be readable
+      // from every executor: local masters get a driver temp dir; cluster
+      // deployments point graft.registry.root at a shared/DFS path.
       // One registry dir per schema per JVM — registration is idempotent,
       // and plan-only callers must not leak a temp dir per construction.
-      val registryRoot = registryDirCache.getOrElseUpdate(schemaJson,
-        java.nio.file.Files.createTempDirectory("graft-q50-registry").toString)
+      val registryRoot = s.conf.getOption("graft.registry.root").getOrElse(
+        registryDirCache.getOrElseUpdate(schemaJson,
+          java.nio.file.Files.createTempDirectory("graft-q50-registry").toString))
       val id = new FileSchemaRegistry(registryRoot).register("events-value", parsed)
       ev.select(AvroFunctions.toAvroWire(
           struct(ev.columns.map(col): _*), id, "Event").as("avro_value"))

@@ -14,15 +14,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // the default so a fresh session (sharing the SparkContext) is built.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[2]")
+    val s = GraftSession.builder("local[2]", 2)
       .appName("graft-ext")
-      .config("spark.sql.shuffle.partitions", 2)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
