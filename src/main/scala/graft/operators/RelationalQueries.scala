@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scans, projections, filters, hash aggregations, rollup/cube/grouping sets,
@@ -255,6 +256,63 @@ object RelationalQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(100)
-    }
+    },
+
+    GraftQuery(
+      "q78_json_roundtrip",
+      Some("""SELECT event_id, user_id, event_type, value, props
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "JSON source/sink fidelity: events are written as JSON lines and read " +
+        "back with an EXPLICIT schema (schema inference over a large corpus " +
+        "is a full extra scan — never at 100 TB), then compared against the " +
+        "parquet truth by the oracle. Doubles (17 significant digits), " +
+        "nested JSON-in-a-string escaping and longs all survive. JSON " +
+        "lines split by newline, so the format parallelizes like any " +
+        "splittable source."
+    ) { (s, dir) => jsonRoundTrip(s, dir) },
+
+    GraftQuery(
+      "q79_csv_roundtrip",
+      Some("""SELECT event_id, user_id, event_type, value, props
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "CSV source/sink fidelity: same contract as q78 over the lowest-" +
+        "common-denominator format — explicit schema, explicit quoting " +
+        "(props contains commas and quotes), header off. CSV splits by " +
+        "line, so scans parallelize; the schema is the engine's, never " +
+        "inferred."
+    ) { (s, dir) => csvRoundTrip(s, dir) }
   )
+
+  private val fmtDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def stage(s: SparkSession, dir: String, fmt: String)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): String =
+    fmtDirCache.getOrElseUpdate((dir, fmt), {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString
+      write(Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "props"), out)
+      out
+    })
+
+  private def jsonRoundTrip(s: SparkSession, dir: String) = {
+    val staged = stage(s, dir, "json")((df, out) =>
+      df.write.mode("overwrite").json(out))
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .json(staged)
+      .orderBy("event_id")
+  }
+
+  private def csvRoundTrip(s: SparkSession, dir: String) = {
+    val staged = stage(s, dir, "csv")((df, out) =>
+      df.write.mode("overwrite").option("header", "false").csv(out))
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("header", "false")
+      .csv(staged)
+      .orderBy("event_id")
+  }
 }
