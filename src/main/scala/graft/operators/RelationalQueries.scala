@@ -288,10 +288,14 @@ object RelationalQueries {
   private val fmtDirCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  // staging root must be cluster-visible on non-local masters; local runs
+  // use a driver temp dir (same contract as graft.registry.root)
   private def stage(s: SparkSession, dir: String, fmt: String)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): String =
     fmtDirCache.getOrElseUpdate((dir, fmt), {
-      val out = java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString
+      val out = s.conf.getOption("graft.staging.root")
+        .map(r => s"$r/graft-$fmt-stage")
+        .getOrElse(java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString)
       write(Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "props"), out)
       out

@@ -229,6 +229,54 @@ class ReplicationSpec extends SparkSpec {
       "union branches must survive decode → re-encode → decode")
   }
 
+  test("mixed-schema-version topic replicates with per-record writer resolution") {
+    // The reference's core value prop: a topic whose records were produced
+    // under DIFFERENT schema versions replicates correctly because each
+    // record's writer schema is resolved from its framed id, then read
+    // under the subject's latest schema (v1 records get v2's defaults).
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-mixed").toString
+    val v1 = new Schema.Parser().parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"id","type":"long"}]}""".stripMargin)
+    val v2 = new Schema.Parser().parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"source","type":"string","default":"legacy"}]}""".stripMargin)
+    val reg = new graft.avro.FileSchemaRegistry(s"$root/regA")
+    val id1 = reg.register("evo-value", v1)
+    val id2 = reg.register("evo-value", v2) // latest
+
+    def enc(schema: Schema, id: Long, fill: GenericData.Record => Unit): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      fill(rec)
+      graft.avro.WireFormat.frame(id, graft.avro.AvroCodec.encode(rec, schema))
+    }
+    val wire = (0L until 10L).map(i => enc(v1, id1, _.put("id", i))) ++
+      (10L until 20L).map(i => enc(v2, id2, r => { r.put("id", i); r.put("source", s"s$i") }))
+    wire.toDF("value").write.parquet(s"$root/topicA")
+
+    Replication.start(spark,
+      FileTopicSource(s"$root/topicA", 4), FileTopicSink(s"$root/topicB"),
+      s"$root/ck", "evo-value",
+      FileRegistryRef(s"$root/regA"), FileRegistryRef(s"$root/regB"),
+      idField = "id", availableNow = true).awaitTermination(120000)
+
+    val out = Replication.readCommitted(spark, s"$root/topicB")
+      .select(col("key"), AvroFunctions.fromAvroWire(
+        col("value"), v2.toString, FileRegistryRef(s"$root/regB")).as("r"))
+      .select(col("key"), col("r.id"), col("r.source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+    assert(out.length === 20)
+    // v1 records carry v2's default; v2 records keep their value; key==id
+    out.foreach { case (k, id, src) =>
+      assert(k === id.toString)
+      if (id < 10) assert(src === "legacy") else assert(src === s"s$id")
+    }
+  }
+
   test("poison records route to the dead-letter topic without failing the stream") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-dlq").toString
