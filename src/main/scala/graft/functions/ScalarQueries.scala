@@ -193,6 +193,33 @@ object ScalarQueries {
           posexplode(slice(split(col("text"), " "), 1, 5)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
         .orderBy("doc_id", "pos")
+    },
+
+    GraftQuery(
+      "q80_binary_funcs",
+      Some("""SELECT event_id,
+             |       to_base64(encode(event_type)) AS b64,
+             |       hex(user_id) AS hx,
+             |       user_id & 255 AS and_lo,
+             |       xor(user_id, event_id) AS xor_ids,
+             |       user_id << 3 AS shl3,
+             |       event_id >> 2 AS shr2
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "Binary/bitwise surface: base64, hex, AND/XOR masks and shifts — the " +
+        "primitives for packed flags, content addressing and binary " +
+        "payload handling. All codegen'd row-local expressions; hex/base64 " +
+        "byte-for-byte compatible with the oracle engine's."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          base64(encode(col("event_type"), "utf-8")).as("b64"),
+          hex(col("user_id")).as("hx"),
+          col("user_id").bitwiseAND(lit(255L)).as("and_lo"),
+          col("user_id").bitwiseXOR(col("event_id")).as("xor_ids"),
+          shiftleft(col("user_id"), 3).as("shl3"),
+          shiftright(col("event_id"), 2).as("shr2"))
+        .orderBy("event_id")
     }
   )
 }
