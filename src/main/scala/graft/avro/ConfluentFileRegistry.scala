@@ -30,7 +30,12 @@ import scala.jdk.CollectionConverters._
   * (file body = id). Single-writer (the driver); a production deployment
   * swaps in the HTTP client behind the same trait.
   */
-final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
+final class ConfluentFileRegistry(root: String,
+                                  compatibility: String = "BACKWARD")
+    extends SchemaRegistry {
+
+  require(Set("NONE", "BACKWARD", "FORWARD", "FULL")(compatibility),
+    s"unknown compatibility mode $compatibility")
 
   private def idsDir: Path = Paths.get(root, "ids")
   private def subjectDir(s: String): Path = Paths.get(root, "subjects", s)
@@ -64,14 +69,24 @@ final class ConfluentFileRegistry(root: String) extends SchemaRegistry {
       case None =>
         versions.lastOption.map(_._2).flatMap(byId).foreach { latest =>
           // BACKWARD (Confluent default): the new schema must read data
-          // written under the subject's current latest schema
-          val result = SchemaCompatibility
-            .checkReaderWriterCompatibility(schema, latest).getResult
-          if (result.getCompatibility != SchemaCompatibilityType.COMPATIBLE)
-            throw new IllegalStateException(
-              s"schema for subject $subject is backward-incompatible with " +
-                s"latest version: ${result.getIncompatibilities.asScala
-                  .map(_.getMessage).mkString("; ")}")
+          // written under the subject's current latest schema; FORWARD:
+          // the latest must read data written under the new; FULL: both.
+          def check(reader: Schema, writer: Schema, direction: String): Unit = {
+            val result = SchemaCompatibility
+              .checkReaderWriterCompatibility(reader, writer).getResult
+            if (result.getCompatibility != SchemaCompatibilityType.COMPATIBLE)
+              throw new IllegalStateException(
+                s"schema for subject $subject is $direction-incompatible with " +
+                  s"latest version: ${result.getIncompatibilities.asScala
+                    .map(_.getMessage).mkString("; ")}")
+          }
+          compatibility match {
+            case "NONE"     => ()
+            case "BACKWARD" => check(schema, latest, "backward")
+            case "FORWARD"  => check(latest, schema, "forward")
+            case "FULL"     => check(schema, latest, "backward")
+                               check(latest, schema, "forward")
+          }
         }
         val id = nextId()
         Files.createDirectories(idsDir)

@@ -89,6 +89,35 @@ class RegistrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("compatibility modes: NONE accepts anything, FORWARD/FULL reject field removal") {
+    // removing a field WITHOUT default: backward-OK (new reader skips it),
+    // forward-INCOMPATIBLE (old reader can't find it in new data)
+    val removed = parse(
+      """{"type":"record","name":"Evo","fields":[]}""")
+    def fresh(mode: String) =
+      new ConfluentFileRegistry(Files.createTempDirectory(s"creg-$mode").toString, mode)
+
+    val none = fresh("NONE")
+    none.register("evo-value", v1)
+    assert(none.register("evo-value", bad) === 2L, "NONE must accept anything")
+
+    val backward = fresh("BACKWARD")
+    backward.register("evo-value", v1)
+    assert(backward.register("evo-value", removed) === 2L,
+      "field removal is backward-compatible")
+
+    val forward = fresh("FORWARD")
+    forward.register("evo-value", v1)
+    val e = intercept[IllegalStateException](forward.register("evo-value", removed))
+    assert(e.getMessage.contains("forward-incompatible"))
+
+    val full = fresh("FULL")
+    full.register("evo-value", v1)
+    assert(full.register("evo-value", v2) === 2L, "optional-field add passes FULL")
+    assert(intercept[IllegalStateException](full.register("evo-value", removed))
+      .getMessage.contains("forward-incompatible"))
+  }
+
   test("stray files in registry directories are ignored, not fatal") {
     val root = Files.createTempDirectory("creg6").toString
     val reg = new ConfluentFileRegistry(root)
