@@ -67,17 +67,27 @@ object DedupQueries {
     * first exchange in the whole plan is the band-bucket groupBy). Docs
     * with no shingles are excluded, matching the aggregate form where they
     * contribute no rows. */
+  /** 16 LSH band keys of a MinHash signature column, as array<struct<band,
+    * key>> — shared by the batch bucket path and incremental index joins.
+    * Bounded polynomial fold: acc < 2^31 and x < 2^31, so acc*1000003 + x
+    * < 2^52 — no ANSI Long overflow. */
+  private[graft] def bandKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(15)), b => struct(
+      b.as("band"),
+      aggregate(slice(sig, b * 4 + 1, lit(4)), b.cast("long"),
+        (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))
+
+  /** (doc_id, sig) — the per-document MinHash signature table: THE artifact
+    * an incremental pipeline persists and joins new batches against. */
+  private[graft] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir)
+      .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
+
   private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = shingleArrays(s, dir)
-      .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
+    val sigs = minhashSignatures(s, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(15)), b => struct(
-        b.as("band"),
-        // Bounded polynomial fold: acc < 2^31 and x < 2^31, so
-        // acc*1000003 + x < 2^52 — no ANSI Long overflow.
-        aggregate(slice(col("sig"), b * 4 + 1, lit(4)), b.cast("long"),
-          (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))).as("bk"))
+      explode(bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))

@@ -111,6 +111,54 @@ class SketchSpec extends SparkSpec {
     // these guards active.
   }
 
+  test("incremental dedup: new docs join a PERSISTED signature index, no corpus re-scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // 1. Index build (the once-per-corpus artifact): signatures -> parquet
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    DedupQueries.minhashSignatures(spark, sf).write.mode("overwrite").parquet(indexDir)
+
+    // 2. A new batch arrives: one near-dup of an existing doc (its text with
+    //    one word changed) and one fresh doc
+    val victim = Tables.documents(spark, sf).orderBy("doc_id").head()
+    val victimText = victim.getAs[String]("text")
+    val nearDup = victimText.split(" ").toSeq.updated(3, "MUTATED").mkString(" ")
+    val fresh = (1 to 60).map(i => s"zz$i qq$i ww$i").mkString(" ")
+    val newDocs = Seq((100001L, nearDup), (100002L, fresh)).toDF("doc_id", "text")
+
+    // 3. New batch: row-local signatures + band keys, equi-join against the
+    //    index's band keys — the corpus is touched only through the
+    //    (small, bucketed) signature table, never re-scanned or re-shingled
+    def withBands(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("sig"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val newSigs = newDocs
+      .select(col("doc_id"),
+        transform(split(lower(col("text")), " "), t => xxhash64(t)).as("hw"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),
+          i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
+            element_at(col("hw"), i + 2)))).as("sh"))
+      .select(col("doc_id"), graft.functions.Sketches.minhashArray(col("sh")).as("sig"))
+    val index = spark.read.parquet(indexDir)
+    val flagged = withBands(newSigs).as("n")
+      .join(withBands(index).as("x"), Seq("band", "key"))
+      .select(col("n.doc_id").as("new_doc"), col("x.doc_id").as("dup_of"),
+        (aggregate(zip_with(col("n.sig"), col("x.sig"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          / lit(graft.functions.Sketches.NumMinHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("new_doc", "dup_of")
+      .collect()
+
+    assert(flagged.exists(r => r.getLong(0) == 100001L &&
+      r.getLong(1) == victim.getAs[Long]("doc_id")),
+      s"the near-dup must be flagged against its source: ${flagged.toSeq}")
+    assert(!flagged.exists(_.getLong(0) == 100002L),
+      s"the fresh doc must not be flagged: ${flagged.toSeq}")
+  }
+
   test("ANN-LSH results are a correctly-ranked subset of brute force (precision 1)") {
     val brute = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
