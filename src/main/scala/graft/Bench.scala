@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line verbatim: the driver captures only a tail of
+    // stdout and sbt noise has twice truncated the JSON (BENCH_r01/r02
+    // "parsed": null). The file is the durable record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -222,7 +222,8 @@ object TextQueries {
              |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
              |)
              |SELECT lang, count(*) AS n_docs, sum(bpe_tokens) AS total_tokens,
-             |       round(sum(bpe_tokens) * 1.0 / count(*), 2) AS avg_doc_tokens
+             |       CAST((sum(bpe_tokens) * 100 + count(*) // 2) // count(*) AS BIGINT)
+             |         AS avg_token_hundredths
              |FROM dedup
              |GROUP BY lang
              |ORDER BY lang""".stripMargin),
@@ -231,7 +232,9 @@ object TextQueries {
         "pure integer arithmetic (stopword/punct ratios as cross-multiplied " +
         "longs — no float drift between engines, no second scan); dedup is " +
         "a window over the content digest (first doc_id wins, deterministic " +
-        "keeper); stats aggregate exact longs. Catalyst pipelines the gates " +
+        "keeper); stats aggregate exact longs — the mean is emitted as " +
+        "integer hundredths (half-up long division) so the oracle compare " +
+        "never touches a cross-engine double. Catalyst pipelines the gates " +
         "into the scan, and the only exchanges are the digest window and " +
         "the tiny per-lang agg — at 100 TB this whole cleaning pass is one " +
         "shuffle of the survivors plus map work."
@@ -257,8 +260,11 @@ object TextQueries {
         .filter(col("rn") === 1)
       dedup.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("bpe_tokens")).as("total_tokens"),
-          round(sum(col("bpe_tokens")) * lit(1.0) / count(lit(1)), 2).as("avg_doc_tokens"))
+          sum(col("bpe_tokens")).as("total_tokens"))
+        // Half-up integer mean in hundredths: pure long arithmetic on both
+        // engines, so the driver's hash compare never sees a double.
+        .withColumn("avg_token_hundredths",
+          expr("(total_tokens * 100 + n_docs div 2) div n_docs"))
         .orderBy("lang")
     },
 
