@@ -29,6 +29,35 @@ object Tables {
     * bit-identical. This loader deliberately does NOT mutate session conf:
     * a load-time `conf.set` would race concurrent queries in the session.
     */
+  /** Total row count from parquet footers — metadata only, NO Spark job.
+    * Index-sizing inputs (q42's tile count, q67's LSH code width) are
+    * resolved during PLAN CONSTRUCTION, where launching a count job would
+    * be a scale bug (and breaks explain-only callers). Footers already
+    * carry the exact row count; at 100 TB this is the same listing the
+    * scan itself performs. Cached by (path, mtime, size) per file so a
+    * rewritten corpus at the same path re-reads its footers.
+    */
+  def parquetRowCount(s: SparkSession, dir: String, table: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(p(dir, table))
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(st)
+    val key = files.map(f => s"${f.getPath}@${f.getModificationTime}:${f.getLen}")
+      .sorted.mkString("|")
+    rowCountCache.getOrElseUpdate(key, files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum)
+  }
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def events(s: SparkSession, dir: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +

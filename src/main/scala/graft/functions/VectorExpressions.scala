@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, SignCodeD}
 
 /** Column facade over the engine's native Catalyst vector expressions
   * (org.apache.spark.sql.graft.VectorExpressions). */
@@ -9,4 +9,9 @@ object VectorFunctions {
   /** Dot product of two `array<double>` columns — codegen'd, zero-alloc. */
   def dotd(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sign-LSH bucket code of an `array<double>` vector against `bits`
+    * hyperplanes (row-major `bits × dim`) — one fused pass, codegen'd. */
+  def signCode(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
+    ColumnBridge.column(SignCodeD(ColumnBridge.expression(v), planes, bits, dim))
 }

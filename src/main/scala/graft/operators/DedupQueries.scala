@@ -49,9 +49,6 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
-  private val vecCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-
   /** Skew guard for the candidate generators: a bucket larger than this is
     * ubiquitous content (boilerplate headers, stopword shingles), which is
     * near-dup NOISE — its pair expansion is quadratic in the bucket and its
@@ -283,13 +280,22 @@ object DedupQueries {
         "spectrum is continuous through the threshold (closest pairs at " +
         "0.34996 vs 0.35004, nothing above 0.52), so no LSH parameterization " +
         "can be exhaustive at θ=acos(0.35)≈69.5° (per-hyperplane agreement " +
-        "0.614 ⇒ exhaustive banding ≈ all pairs). At 100 TB: scale B with " +
-        "√n to hold tile size constant; for sub-quadratic cost relax to the " +
-        "approximate contract (q44's LSH buckets + multi-probe) — the engine " +
-        "offers both, with the trade-off explicit rather than hidden."
+        "0.614 ⇒ exhaustive banding ≈ all pairs). B scales linearly with n " +
+        "(constant ~256-vector blocks, sized from parquet footers — no " +
+        "count job) so tile-pair input and per-task memory stay bounded at " +
+        "any corpus size; for sub-quadratic cost relax to the approximate " +
+        "contract (q44's LSH buckets + multi-probe) — the engine offers " +
+        "both, with the trade-off explicit rather than hidden."
     ) { (s, dir) =>
       import graft.functions.VectorFunctions.dotd
-      val B = 16 // tiles: B(B+1)/2 = 136 join keys; size with √n at scale
+      // Constant-size blocks (~256 vectors) ⇒ B ∝ n: tile-pair input is
+      // ≤512 vectors (~256 KB at 64 dims) no matter the corpus, and the
+      // B(B+1)/2 join keys grow with the O(n²) work so AQE always has
+      // grain to balance. Row count comes from parquet footers — plan
+      // construction must never launch a job.
+      val BlockRows = 256L
+      val nVecs = Tables.parquetRowCount(s, dir, "embeddings")
+      val B = math.min(1024L, math.max(1L, (nVecs + BlockRows - 1) / BlockRows)).toInt
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
@@ -333,22 +339,17 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val Tbl = 4
       val Dim = 64
-      // Index builds know n (a parquet-metadata count): size the code width
-      // so expected probe rows per bucket stay under the cap — more corpus,
-      // more bits, constant bucket load. 2^bits ≳ (1+bits)·n / 32. Memoized
-      // per corpus dir so plan-only callers (explain, bench rebuild loops)
-      // don't pay a count job per construction.
-      val nVecs = vecCountCache.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
-      val Bits = Iterator.from(8)
-        .dropWhile(b => (1L << b) * 32 < (b + 1L) * nVecs).next().min(24)
+      // Code width sized from parquet footers (metadata only — no job
+      // during plan construction): constant bucket load as the corpus
+      // grows. Same codeBits rule as q44.
+      val Bits = SimilarityQueries.codeBits(Tables.parquetRowCount(s, dir, "embeddings"))
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
       val codeFor: Int => org.apache.spark.sql.Column = t =>
-        (0 until Bits).map { b =>
-          val plane = typedLit(SimilarityQueries.hyperplane(t, b, Dim))
-          when(dotd(col("v"), plane) > 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
+        graft.functions.VectorFunctions.signCode(col("v"),
+          (0 until Bits).flatMap(b => SimilarityQueries.hyperplane(t, b, Dim)).toArray,
+          Bits, Dim)
       // every vector lands in its own bucket AND all Hamming-1 neighbors —
       // symmetric multi-probe: two codes collide iff their probe balls meet,
       // widening the collision radius to Hamming ≤ 2. Only IDS flow through

@@ -41,6 +41,14 @@ object SimilarityQueries {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
+  /** Sign-LSH code width for an n-vector corpus: smallest b in [8,24] with
+    * 2^b · 32 ≥ (b+1) · n, i.e. expected probe rows per bucket stay under
+    * the bucket cap as the corpus grows — more vectors, more bits, constant
+    * bucket load. Shared by q44 (ANN) and q67 (near-dup); n comes from
+    * parquet footers so index sizing never launches a job. */
+  private[graft] def codeBits(nVecs: Long): Int =
+    Iterator.from(8).dropWhile(b => (1L << b) * 32 < (b + 1L) * nVecs).next().min(24)
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -97,55 +105,67 @@ object SimilarityQueries {
     GraftQuery(
       "q44_knn_lsh",
       None, // approximate by design; spec checks candidates are exactly re-ranked.
-      "Sign-LSH ANN (Charikar hyperplane LSH): 4 tables × 8-bit bucket " +
-        "codes per vector; query and corpus meet in an equi-join on " +
-        "(table, bucket) instead of a cross join — candidate volume drops " +
-        "from n·q to Σ bucket collisions, and the join shuffles on a 2-int " +
-        "key. Multi-probe (Lv et al., VLDB'07) on the small QUERY side " +
-        "only: each query probes every bucket within Hamming ≤ 2 of its " +
-        "own code (1+8+28 = 37 codes/table), multiplying recall at zero " +
-        "corpus-side cost — the corpus is still written to exactly one " +
-        "bucket per table. Candidates are " +
-        "exactly re-ranked (true cosine), so precision is 1; recall is " +
-        "tuned by tables × bits × probes. The same plan shape serves IVF: " +
+      "Sign-LSH ANN (Charikar hyperplane LSH): 4 tables × adaptive-width " +
+        "bucket codes per vector (codeBits: 2^bits ∝ n from parquet " +
+        "footers — constant bucket load at any corpus size); query and " +
+        "corpus meet in an equi-join on (table, bucket) instead of a cross " +
+        "join — candidate volume drops from n·q to Σ bucket collisions, " +
+        "and the join shuffles on a 2-int key. Multi-probe (Lv et al., " +
+        "VLDB'07) on the small QUERY side only: each query probes every " +
+        "bucket within Hamming ≤ 2 of its own code, multiplying recall at " +
+        "zero corpus-side cost — the corpus is still written to exactly " +
+        "one bucket per table. Only (query_id, neighbor_id) pairs flow " +
+        "through the join and dedup (16 B/row); vectors join back for the " +
+        "exact re-rank afterwards, so precision is 1 and no shuffle ever " +
+        "carries a duplicated embedding. The same plan shape serves IVF: " +
         "swap bucket code for a centroid id, probe nearest centroids."
     ) { (s, dir) =>
       val Tbl = 4
-      val Bits = 8
       val Dim = 64
+      val Bits = codeBits(Tables.parquetRowCount(s, dir, "embeddings"))
       val n = normed(s, dir)
-      // bucket code per (vector, table): sign bits against fixed hyperplanes
-      val codeFor: Int => Column = t =>
-        (0 until Bits).map { b =>
-          val plane = typedLit(hyperplane(t, b, Dim))
-          when(dotd(col("v"), plane) > 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val buckets = n.select(col("vec_id"), col("v"), col("nrm"),
+      // bucket code per (vector, table): one fused native pass over all
+      // hyperplanes (SignCodeD) — the unrolled when(dot>0)-chain form costs
+      // seconds of codegen warm-up and re-reads the vector per bit
+      val codeFor: Int => Column = t => graft.functions.VectorFunctions.signCode(
+        col("v"), (0 until Bits).flatMap(b => hyperplane(t, b, Dim)).toArray, Bits, Dim)
+      // corpus side: IDS ONLY past this point — the join, dedup and
+      // candidate shuffle move (vec_id, tbl, code), never the vectors
+      val cbuckets = n.select(col("vec_id"),
         explode(array((0 until Tbl).map(t =>
           struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("bk.tbl"), col("bk.code"))
-      // query side: multi-probe all buckets within Hamming ≤ 2 of the query's
-      // own code (1 + 8 + 28 = 37 codes/table) — recall lift at zero
-      // corpus-side cost; this corpus's neighbors sit at wide angles
-      // (cos ≤ 0.5 ⇒ per-hyperplane agreement ≤ 0.67), so probing depth, not
-      // corpus replication, is the recall knob
+        .select(col("vec_id"), col("bk.tbl"), col("bk.code"))
+      // query side: multi-probe all buckets within Hamming ≤ 2 of the
+      // query's own code (1 + Bits + C(Bits,2) codes/table) — recall lift
+      // at zero corpus-side cost; this corpus's neighbors sit at wide
+      // angles (cos ≤ 0.5 ⇒ per-hyperplane agreement ≤ 0.67), so probing
+      // depth, not corpus replication, is the recall knob
       val probeMasks: Seq[Int] = 0 +:
         (0 until Bits).map(1 << _) ++:
         (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
-      val qbuckets = buckets.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("tbl"),
+      val qprobes = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          explode(array((0 until Tbl).map(t =>
+            struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
+        .select(col("query_id"), col("bk.tbl"),
           explode(array(probeMasks.map(m =>
-            col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-      val cands = buckets.join(broadcast(qbuckets),
-        Seq("tbl", "code"), "inner")
+            col("bk.code").bitwiseXOR(lit(m))): _*)).as("code"))
+      val candIds = cbuckets.join(broadcast(qprobes), Seq("tbl", "code"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("qv"), col("v"), col("qn"), col("nrm"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .dropDuplicates("query_id", "neighbor_id")
+      // vectors re-enter AFTER dedup: corpus side by equi-join on
+      // neighbor_id (a broadcast of tiny candIds at any corpus size the
+      // optimizer chooses; a shuffle join degrades gracefully), query side
+      // as an explicit broadcast
+      val qvecs = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))
-      cands
+      candIds
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
         .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
         .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
         .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))

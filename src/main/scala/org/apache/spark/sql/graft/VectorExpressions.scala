@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -95,4 +95,96 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductD =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-LSH bucket code of a `dim`-element `array<double>` vector against
+  * `bits` fixed hyperplanes: bit b is set iff `v · planes[b] > 0`.
+  *
+  * The declarative form — `bits` separate `when(DotProductD(v, typedLit(
+  * plane)) > 0, 1<<b)` terms summed — is semantically identical but embeds
+  * every plane as a `Literal(ArrayData)` unrolled into the generated
+  * projection: at 4 tables × 10 bits × 64 dims that is ~2,560 literal
+  * doubles per operator, which blows generated-method size, takes seconds
+  * of janino+C2 warm-up, and re-reads the vector `bits` times. Here the
+  * planes live in the codegen `references` as one flat `double[]` and a
+  * two-level loop computes the whole code in a single pass over the vector
+  * — compact bytecode, fused into whole-stage codegen.
+  *
+  * Null semantics: null vector, wrong length, or (for `containsNull`
+  * arrays) any null element → null — exactly the HOF form's behavior.
+  *
+  * `planes` is row-major `bits × dim`; instances are compared by the
+  * deterministic (table-seed, bits, dim) identity the caller bakes into
+  * `planes`, so the Array field's reference equality only costs CSE, never
+  * correctness.
+  */
+case class SignCodeD(child: Expression, planes: Array[Double], bits: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.length == bits * dim, s"planes must be bits*dim = ${bits * dim}")
+  require(bits > 0 && bits <= 31, "code must fit an Int")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign_code"
+
+  private def elementsMayBeNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
+    }
+    var code = 0
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var d = 0
+      val off = b * dim
+      while (d < dim) { s += x.getDouble(d) * planes(off + d); d += 1 }
+      if (s > 0) code |= 1 << b
+      b += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      val nullScan = if (elementsMayBeNull) {
+        s"""
+           |for (int $j = 0; $j < $dim && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |${ev.isNull} = $a.numElements() != $dim;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  int $code = 0;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $s += $a.getDouble($d) * $p[$b * $dim + $d];
+         |    }
+         |    if ($s > 0) $code |= 1 << $b;
+         |  }
+         |  ${ev.value} = $code;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignCodeD =
+    copy(child = newChild)
 }
