@@ -10,15 +10,50 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
-  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
-  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
-  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
-  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
-  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
-  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
-  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+  /** Read with a cached, explicit schema: parquet schema inference launches
+    * a (tiny but real) Spark job per `spark.read.parquet` call, so every
+    * plan construction — explain, bench rebuild loops, Verify — paid one
+    * job per table referenced. The schema is inferred ONCE per (path,
+    * mtime/size) and passed explicitly afterwards; a rewritten table at the
+    * same path re-infers. Inference runs under the caller's session conf,
+    * so conf-sensitive schemas (events' nanosAsLong) cache correctly per
+    * the required session setup. */
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = p(dir, name)
+    val schema = schemaCache.getOrElseUpdate(s"$path@${fingerprint(s, path)}",
+      s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
+  }
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def parquetFiles(s: SparkSession, path: String) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(root)
+    if (st.isDirectory)
+      fs.listStatus(root).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    else Seq(st)
+  }
+
+  /** (mtime, length) of every file under `path` — the invalidation key for
+    * the schema and row-count caches. */
+  private def fingerprint(s: SparkSession, path: String): String =
+    parquetFiles(s, path)
+      .map(f => s"${f.getPath}@${f.getModificationTime}:${f.getLen}")
+      .sorted.mkString("|")
+
+  def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = read(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = read(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame  = read(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
   /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]). The session must be BUILT with
@@ -38,23 +73,14 @@ object Tables {
     * rewritten corpus at the same path re-reads its footers.
     */
   def parquetRowCount(s: SparkSession, dir: String, table: String): Long = {
-    import org.apache.hadoop.fs.Path
     val conf = s.sessionState.newHadoopConf()
-    val root = new Path(p(dir, table))
-    val fs = root.getFileSystem(conf)
-    val st = fs.getFileStatus(root)
-    val files =
-      if (st.isDirectory)
-        fs.listStatus(root).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      else Seq(st)
-    val key = files.map(f => s"${f.getPath}@${f.getModificationTime}:${f.getLen}")
-      .sorted.mkString("|")
-    rowCountCache.getOrElseUpdate(key, files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum)
+    val path = p(dir, table)
+    rowCountCache.getOrElseUpdate(s"$path@${fingerprint(s, path)}",
+      parquetFiles(s, path).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
   }
   private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -62,7 +88,7 @@ object Tables {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
         "to read events.parquet (TIMESTAMP_NANOS)")
-    s.read.parquet(p(dir, "events"))
+    read(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
