@@ -34,7 +34,8 @@ final class ConfluentFileRegistry(root: String,
                                   compatibility: String = "BACKWARD")
     extends SchemaRegistry {
 
-  require(Set("NONE", "BACKWARD", "FORWARD", "FULL")(compatibility),
+  require(Set("NONE", "BACKWARD", "FORWARD", "FULL",
+    "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE")(compatibility),
     s"unknown compatibility mode $compatibility")
 
   private def idsDir: Path = Paths.get(root, "ids")
@@ -67,25 +68,35 @@ final class ConfluentFileRegistry(root: String,
     } match {
       case Some((_, id)) => id // already registered under this subject
       case None =>
-        versions.lastOption.map(_._2).flatMap(byId).foreach { latest =>
-          // BACKWARD (Confluent default): the new schema must read data
-          // written under the subject's current latest schema; FORWARD:
-          // the latest must read data written under the new; FULL: both.
+        // BACKWARD (Confluent default): the new schema must read data
+        // written under the subject's current latest schema; FORWARD: the
+        // latest must read data written under the new; FULL: both. The
+        // *_TRANSITIVE forms run the same check against EVERY registered
+        // version, not just the latest — on a mixed-version topic (which
+        // this engine replicates per-record) latest-only BACKWARD admits a
+        // schema that cannot read the older versions still on the wire;
+        // transitive is what actually guarantees decodability there.
+        val against: Seq[(Int, Schema)] = {
+          val history = versions.flatMap { case (v, id) => byId(id).map(v -> _) }
+          if (compatibility.endsWith("_TRANSITIVE")) history
+          else history.takeRight(1)
+        }
+        against.foreach { case (version, prior) =>
           def check(reader: Schema, writer: Schema, direction: String): Unit = {
             val result = SchemaCompatibility
               .checkReaderWriterCompatibility(reader, writer).getResult
             if (result.getCompatibility != SchemaCompatibilityType.COMPATIBLE)
               throw new IllegalStateException(
                 s"schema for subject $subject is $direction-incompatible with " +
-                  s"latest version: ${result.getIncompatibilities.asScala
+                  s"version $version: ${result.getIncompatibilities.asScala
                     .map(_.getMessage).mkString("; ")}")
           }
-          compatibility match {
+          compatibility.stripSuffix("_TRANSITIVE") match {
             case "NONE"     => ()
-            case "BACKWARD" => check(schema, latest, "backward")
-            case "FORWARD"  => check(latest, schema, "forward")
-            case "FULL"     => check(schema, latest, "backward")
-                               check(latest, schema, "forward")
+            case "BACKWARD" => check(schema, prior, "backward")
+            case "FORWARD"  => check(prior, schema, "forward")
+            case "FULL"     => check(schema, prior, "backward")
+                               check(prior, schema, "forward")
           }
         }
         val id = nextId()

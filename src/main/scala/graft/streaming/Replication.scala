@@ -40,6 +40,19 @@ object Replication {
 
   final case class Topics(sourceDir: String, targetDir: String, checkpointDir: String)
 
+  /** Confluent subject naming: the key schema of a topic lives under the
+    * `-key` subject sibling of the value subject. */
+  private[streaming] def keySubject(valueSubject: String): String =
+    valueSubject.stripSuffix("-value") + "-key"
+
+  /** The reference's producer serializes KEYS with KafkaAvroSerializer too
+    * (`application.yml:15`), so its first produce registers the String key
+    * schema under `<topic>-key` — a registry-inspection tool pointed at the
+    * target must see BOTH subjects. Idempotent, like the value path. */
+  private def registerKeySchema(registry: RegistryRef, valueSubject: String): Unit =
+    registry.open().register(keySubject(valueSubject),
+      Schema.create(Schema.Type.STRING))
+
   /** Stage a DataFrame as a source "topic": register the writer schema and
     * write wire-framed Avro values (what the upstream producer's serializer
     * would have done — R7 on the produce side). */
@@ -51,6 +64,7 @@ object Replication {
                   registry: RegistryRef, recordName: String): String = {
     val schemaJson = AvroFunctions.writerSchemaFor(df.schema, recordName)
     val id = registry.open().register(subject, new Schema.Parser().parse(schemaJson))
+    registerKeySchema(registry, subject) // what the producer's key serializer did
     df.select(AvroFunctions.toAvroWire(
       struct(df.columns.map(col): _*), id, recordName, registry.magic).as("value"))
       .write.mode("append").parquet(topicDir)
@@ -85,8 +99,10 @@ object Replication {
 
     // R7: the serializer registers the value schema in the target registry
     // before first produce — idempotent re-registration, and the TARGET's id
-    // (not the source's) goes on the wire.
+    // (not the source's) goes on the wire. The key serializer likewise
+    // registers the String key schema under the -key subject.
     val targetId = targetRegistry.open().register(subject, readerSchema)
+    registerKeySchema(targetRegistry, subject)
 
     // R7 re-encode happens under the EXACT schema the target id names —
     // deriving a schema from the decoded struct would drift whenever the

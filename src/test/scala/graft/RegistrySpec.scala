@@ -118,6 +118,53 @@ class RegistrySpec extends AnyFunSuite {
       .getMessage.contains("forward-incompatible"))
   }
 
+  test("transitive compatibility checks the full history, not just latest") {
+    def fresh(mode: String) =
+      new ConfluentFileRegistry(Files.createTempDirectory(s"creg-$mode").toString, mode)
+    // BACKWARD vs BACKWARD_TRANSITIVE: v3 reads v2 (field present) but not
+    // v1 (field absent, no default in v3) — latest-only admits it, the
+    // transitive mode must reject exactly because v1-era records are still
+    // on a mixed-version topic.
+    val e1 = parse("""{"type":"record","name":"Evo","fields":[]}""")
+    val e2 = parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"x","type":"string","default":"d"}]}""".stripMargin)
+    val e3 = parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"x","type":"string"}]}""".stripMargin)
+    val latestOnly = fresh("BACKWARD")
+    latestOnly.register("evo-value", e1)
+    latestOnly.register("evo-value", e2)
+    assert(latestOnly.register("evo-value", e3) === 3L,
+      "latest-only BACKWARD admits a schema that cannot read v1")
+    val transitive = fresh("BACKWARD_TRANSITIVE")
+    transitive.register("evo-value", e1)
+    transitive.register("evo-value", e2)
+    val eb = intercept[IllegalStateException](transitive.register("evo-value", e3))
+    assert(eb.getMessage.contains("version 1"),
+      s"rejection must name the incompatible historical version: ${eb.getMessage}")
+
+    // FORWARD vs FORWARD_TRANSITIVE: dropping x is fine for the v2 reader
+    // (it has a default) but not for the v1 reader (it doesn't).
+    val f1 = e3 // x required, no default
+    val f2 = e2 // x with default
+    val f3 = e1 // x removed
+    val fLatest = fresh("FORWARD")
+    fLatest.register("evo-value", f1)
+    fLatest.register("evo-value", f2)
+    assert(fLatest.register("evo-value", f3) === 3L)
+    val fTrans = fresh("FORWARD_TRANSITIVE")
+    fTrans.register("evo-value", f1)
+    fTrans.register("evo-value", f2)
+    assert(intercept[IllegalStateException](fTrans.register("evo-value", f3))
+      .getMessage.contains("forward-incompatible"))
+
+    // FULL_TRANSITIVE still accepts genuinely two-way-safe evolution
+    val full = fresh("FULL_TRANSITIVE")
+    full.register("evo-value", v1)
+    assert(full.register("evo-value", v2) === 2L)
+  }
+
   test("stray files in registry directories are ignored, not fatal") {
     val root = Files.createTempDirectory("creg6").toString
     val reg = new ConfluentFileRegistry(root)

@@ -38,6 +38,13 @@ class ReplicationSpec extends SparkSpec {
     val srcReg = new FileSchemaRegistry(env.sourceReg)
     val tgtReg = new FileSchemaRegistry(env.targetReg)
     assert(tgtReg.latest("events-value").map(_._1) === srcReg.latest("events-value").map(_._1))
+    // the key serializer's schema is registered too (application.yml:15 —
+    // KafkaAvroSerializer for keys): BOTH subjects must exist in the target
+    for (reg <- Seq(srcReg, tgtReg)) {
+      val key = reg.latest("events-key")
+      assert(key.isDefined, "key subject must be registered")
+      assert(key.get._2.getType === org.apache.avro.Schema.Type.STRING)
+    }
 
     val out = Replication.readCommitted(spark, env.topics.targetDir)
       .select(col("key"),
