@@ -18,6 +18,7 @@ object SparkEntry {
       functions.ScalarQueries.all ++
       operators.EventQueries.all ++
       operators.DedupQueries.all ++
+      operators.ClusterQueries.all ++
       operators.SimilarityQueries.all ++
       functions.TextQueries.all ++
       operators.AvroQueries.all ++

@@ -396,6 +396,89 @@ object TextQueries {
           array_max(transform(array_distinct(col("w")),
             t => size(filter(col("w"), x => x === t)))).cast("long").as("top_tok_n"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q82_char_terms",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
+             |  FROM tf
+             |), cut AS (
+             |  SELECT * FROM scored
+             |  WHERE df * 10 <= (SELECT count(*) FROM documents)
+             |), ranked AS (
+             |  SELECT doc_id, term, tf, df,
+             |         row_number() OVER (PARTITION BY doc_id
+             |                            ORDER BY tf DESC, df ASC, term) rk
+             |  FROM cut
+             |)
+             |SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, tf, df
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin),
+      "Characteristic terms per document — the TF-IDF-shaped fingerprint of " +
+        "what makes each doc distinct, kept INTEGER-EXACT: terms rank by " +
+        "(tf DESC, df ASC, term) with a df·10 ≤ N ubiquity cutoff, which is " +
+        "rank-equivalent to tf·idf for fixed tf but cross-engine " +
+        "hash-stable (a log() in the score would drift by libm ulps). N " +
+        "comes from parquet footers, not a count job. Three shuffles, all " +
+        "of the (doc, term, count) aggregate — never raw text: the (doc, " +
+        "term) partial agg collapses tokens map-side, the df window " +
+        "partitions by term, the rank window by doc. At 100 TB the df side " +
+        "is the classic stopword skew — the cutoff drops those terms " +
+        "before the rank window ever sees them."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = Tables.parquetRowCount(s, dir, "documents")
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .filter(col("df") * 10 <= lit(nDocs))
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "rk", "tf", "df")
+        .orderBy("doc_id", "rk")
+    },
+
+    GraftQuery(
+      "q83_dataset_split",
+      Some("""WITH assigned AS (
+             |  SELECT doc_id, lang,
+             |         CASE WHEN substr(sha256(text), 1, 2) < 'cc' THEN 'train'
+             |              WHEN substr(sha256(text), 1, 2) < 'e6' THEN 'val'
+             |              ELSE 'test' END AS split
+             |  FROM documents
+             |)
+             |SELECT split, lang, count(*) AS n_docs,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM assigned
+             |GROUP BY split, lang
+             |ORDER BY split, lang""".stripMargin),
+      "Deterministic train/val/test split (~80/10/10 by content hash): " +
+        "membership depends only on the document bytes, so the split is " +
+        "reproducible across engines, re-runs and repartitionings, and a " +
+        "document that appears twice lands in the SAME split — the " +
+        "property that prevents train/test leakage through duplicates, " +
+        "which row-number or random splits do not have. Pure map work " +
+        "fused into the scan; the only exchange is the tiny per-(split, " +
+        "lang) report. The audit report is the operator: at 100 TB the " +
+        "same CASE is a partition column on write."
+    ) { (s, dir) =>
+      val h = substring(sha2(col("text"), 256), 1, 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("split", "lang")
     }
   )
 }

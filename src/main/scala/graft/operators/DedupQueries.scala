@@ -109,6 +109,24 @@ object DedupQueries {
       .filter(size(col("docs")) > 1)
   }
 
+  /** q41's near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.8) without the
+    * presentation sort — the edge list q81's cluster operator consumes. */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardBuckets(s, dir)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("n").as("na"), b("n").as("nb")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .withColumn("jac",
+        col("c") * lit(1.0) / ((col("na") + col("nb")) - col("c")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -235,22 +253,7 @@ object DedupQueries {
         "sizes count post-cutoff, so degenerate corpora cannot produce a " +
         "quadratic bucket. At 100 TB add prefix filtering (join only each " +
         "doc's rarest-k shingles); plan shape unchanged."
-    ) { (s, dir) =>
-      val pairs = jaccardBuckets(s, dir)
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-              a("n").as("na"), b("n").as("nb")))))).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-          col("p.na").as("na"), col("p.nb").as("nb"))
-        .agg(count(lit(1)).as("c"))
-      pairs
-        .withColumn("jac",
-          col("c") * lit(1.0) / ((col("na") + col("nb")) - col("c")))
-        .filter(col("jac") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, dir) => jaccardPairs(s, dir).orderBy("doc_a", "doc_b") },
 
     GraftQuery(
       "q42_dedup_embedding_cosine",

@@ -217,6 +217,58 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
         .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q84_embedding_quantize",
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+             |), d AS (
+             |  SELECT unnest(v) x, generate_subscripts(v, 1) AS dim FROM e
+             |), st AS (
+             |  SELECT dim, min(x) mn, max(x) mx FROM d GROUP BY dim
+             |), arrs AS (
+             |  SELECT list(mn ORDER BY dim) mns, list(mx ORDER BY dim) mxs FROM st
+             |)
+             |SELECT vec_id,
+             |       list_transform(range(1, len(v) + 1), i ->
+             |         CASE WHEN mxs[i] = mns[i] THEN 0
+             |              ELSE CAST(floor((v[i] - mns[i]) * 255.0
+             |                               / (mxs[i] - mns[i])) AS BIGINT) END) AS codes
+             |FROM e, arrs
+             |ORDER BY vec_id""".stripMargin),
+      "Per-dimension min-max int8 quantization — the 8×-smaller index scale " +
+        "path every production ANN system runs (scan 1 byte/dim, re-rank " +
+        "survivors at full precision). Corpus stats are one 64-key partial " +
+        "agg over posexploded dims (map-side combine collapses each " +
+        "partition to 64 rows before the exchange), collected into two " +
+        "64-element arrays and broadcast as a single row — the " +
+        "one-row-broadcast nested loop is the sanctioned q66 shape, NOT a " +
+        "pair product. Codes are exact integers on both engines because " +
+        "(x−mn)·255/(mx−mn) is the identical IEEE expression tree and " +
+        "floor() of the same double is the same long — no rounding-mode " +
+        "drift, no transcendentals. Constant dims quantize to 0 by " +
+        "explicit guard rather than 0/0."
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val stats = e
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+        .groupBy()
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
+               p => p("mn")).as("mns"),
+             transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
+               p => p("mx")).as("mxs"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          transform(col("v"), (x, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            when(mx === mn, lit(0L))
+              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
+          }).as("codes"))
+        .orderBy("vec_id")
     }
   )
 }

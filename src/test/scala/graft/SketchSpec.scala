@@ -177,6 +177,20 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH top-k recall too low: $recall")
   }
 
+  test("connected components closes transitive chains, not just star clusters") {
+    import spark.implicits._
+    // a 9-node path (diameter 8 — forces multiple pointer-jump rounds),
+    // an isolated pair, and a triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (8L, 9L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("a", "b")
+    val comp = operators.ClusterQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(comp(_) == 1L), s"chain must collapse to min label: $comp")
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
+  }
+
   test("LSH embedding dedup: precision-1 subset of exact q42, recall on high-sim pairs") {
     val exact = SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
