@@ -28,9 +28,14 @@ object ClusterQueries {
     * star-shaped); `maxIter` only guards degenerate inputs.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: it re-enters every round's join, and
+    // without this the whole upstream pair-generation pipeline (shingling,
+    // inverted index, ...) would re-execute per round.
+    // (no distinct: the groupBy-min absorbs duplicate edges for free, and
+    // deduplicating them would cost an extra shuffle of the edge list)
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
