@@ -134,4 +134,13 @@ object Sketches {
     import org.apache.spark.sql.graft.{ColumnBridge, SimHashOfArray}
     ColumnBridge.column(SimHashOfArray(ColumnBridge.expression(col)))
   }
+
+  /** Mergeable Misra-Gries heavy-hitters summary of a string column:
+    * ≤ k (term, cnt) entries, every true count > n/(k+1) guaranteed
+    * present, estimates within n/(k+1) of truth. */
+  def heavyHitters(col: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, HeavyHitters}
+    ColumnBridge.column(
+      HeavyHitters(ColumnBridge.expression(col), k).toAggregateExpression())
+  }
 }

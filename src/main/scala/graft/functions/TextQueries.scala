@@ -399,6 +399,32 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q85_heavy_hitters",
+      None, // approximate by design: Misra-Gries bound spec'd vs exact q64.
+      "Approximate top-k bigrams via a native mergeable Misra-Gries " +
+        "summary (k=256 counters): each task folds its rows into a " +
+        "FIXED-SIZE sketch and the shuffle moves ≤256 (term, cnt) pairs " +
+        "per partition, where the exact form (q64) shuffles one row per " +
+        "distinct bigram per partition — unbounded vocabulary, bounded " +
+        "sketch. The MG guarantee (every term with true count > n/257 " +
+        "present; estimates low by ≤ n/257) is spec-checked against q64's " +
+        "exact counts. THE shape for 'top URLs / templates / boilerplate " +
+        "lines over 100 TB' where the distinct space itself doesn't fit."
+    ) { (s, dir) =>
+      val sketch = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+        .select(explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .agg(Sketches.heavyHitters(col("bigram"), 256).as("hh"))
+      sketch.select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("bigram"), col("e.cnt").as("est_n"))
+        .orderBy(col("est_n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q82_char_terms",
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(lower(text), ' ')) term

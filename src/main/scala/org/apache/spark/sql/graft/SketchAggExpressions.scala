@@ -123,6 +123,111 @@ case class SimHashOfArray(child: Expression)
     copy(child = newChild)
 }
 
+/** Mergeable Misra-Gries heavy-hitters summary over a string column
+  * (Agarwal et al., "Mergeable Summaries", PODS'12): at most `k` counters;
+  * an untracked item with all counters busy decrements every counter
+  * (amortized O(1)/row — each decrement round retires k+1 units of total
+  * count); merging sums counters pairwise, then subtracts the (k+1)-th
+  * largest count and drops non-positives, which preserves the MG bound.
+  *
+  * Contract: every reported count ≤ true count, every item with true count
+  * > n/(k+1) is present, and reported ≥ true − n/(k+1). Fixed-size partial
+  * state through the shuffle — the only viable exact-top-k alternative at
+  * 100 TB is a full (term, count) aggregation whose distinct-term
+  * cardinality is unbounded.
+  */
+case class HeavyHitters(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+    with UnaryLike[Expression] {
+
+  require(k > 0, "heavy-hitters capacity must be positive")
+
+  override def prettyName: String = "graft_heavy_hitters"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(
+      buf: scala.collection.mutable.HashMap[String, Long],
+      input: InternalRow): scala.collection.mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString // copies out of the reused UTF8String buffer
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1)
+        case None if buf.size < k => buf.update(s, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          buf.foreachEntry((t, c) => if (c == 1) dead += t else buf.update(t, c - 1))
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      x: scala.collection.mutable.HashMap[String, Long],
+      y: scala.collection.mutable.HashMap[String, Long]): scala.collection.mutable.HashMap[String, Long] = {
+    y.foreachEntry((t, c) => x.update(t, x.getOrElse(t, 0L) + c))
+    if (x.size > k) {
+      val cut = x.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = List.newBuilder[String]
+      x.foreachEntry((t, c) => if (c - cut <= 0) dead += t else x.update(t, c - cut))
+      dead.result().foreach(x.remove)
+    }
+    x
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(buf.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), c) }
+      .toArray[Any])
+
+  override def serialize(buf: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreachEntry { (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HeavyHitters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): HeavyHitters =
+    copy(child = newChild)
+}
+
 case class SimHashSketch(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

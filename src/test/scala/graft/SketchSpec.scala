@@ -177,6 +177,41 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH top-k recall too low: $recall")
   }
 
+  test("heavy-hitters sketch honors the Misra-Gries bound against exact counts") {
+    import org.apache.spark.sql.functions._
+    // corpus bigrams (916 distinct at sf0.001 — more than the 256 counters,
+    // so the decrement path runs) plus one injected genuinely-heavy term
+    // (the corpus itself is near-uniform: max count 51 of n≈27k)
+    val bigrams = Tables.documents(spark, sf)
+      .select(split(lower(col("text")), " ").as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .union(spark.range(2000).select(lit("boilerplate header").as("bigram")))
+    val exact = bigrams.groupBy("bigram").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 256
+    val err = n / (k + 1)
+    val sketch = bigrams
+      .agg(graft.functions.Sketches.heavyHitters(col("bigram"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.nonEmpty && sketch.size <= k)
+    // estimates never overcount and are low by at most n/(k+1)
+    sketch.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' overcounted: $est > $truth")
+      assert(est >= truth - err, s"'$t' undercounted past the bound: $est < $truth - $err")
+    }
+    // every true heavy hitter (count > n/(k+1)) must be present
+    val heavy = exact.filter(_._2 > err).keySet
+    assert(heavy.nonEmpty, "test corpus must contain at least one heavy hitter")
+    heavy.foreach(t => assert(sketch.contains(t), s"missing heavy hitter '$t'"))
+  }
+
   test("connected components closes transitive chains, not just star clusters") {
     import spark.implicits._
     // a 9-node path (diameter 8 — forces multiple pointer-jump rounds),
