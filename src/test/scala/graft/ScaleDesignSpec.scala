@@ -108,8 +108,9 @@ class ScaleDesignSpec extends SparkSpec {
     // shuffles); q66 cross-joins a broadcast ~2% centroid sample and
     // collapses to one row per vector map-side before any exchange; q84
     // cross-joins a single broadcast row of per-dimension corpus stats.
+    // q86's final audit joins the broadcast trained-centroid list the same way.
     val bnljOk = Set("q21_join_theta_band", "q43_knn_bruteforce", "q66_knn_ivf",
-      "q84_embedding_quantize")
+      "q84_embedding_quantize", "q86_kmeans_train")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
@@ -134,7 +135,7 @@ class ScaleDesignSpec extends SparkSpec {
       // q81 is the one iterative fixed-point operator: its rounds and
       // convergence probes are actions by design (label propagation cannot
       // be a single declarative plan); everything else must be job-free.
-      val iterativeOk = Set("q81_dedup_clusters")
+      val iterativeOk = Set("q81_dedup_clusters", "q86_kmeans_train")
       SparkEntry.catalog.foreach { q =>
         val before = { Thread.sleep(20); jobs.get() }
         val df = q.run(spark, sf)

@@ -226,6 +226,23 @@ class SketchSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
   }
 
+  test("k-means: cost monotone non-increasing, k centroids survive, assignment total") {
+    import org.apache.spark.sql.functions._
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val (cents, costs) = operators.ClusterQueries.kmeans(vectors, k = 8, maxIter = 10)
+    assert(cents.count() === 8L, "every cluster must survive (empty ones keep their centroid)")
+    assert(costs.size >= 2, "must run at least two rounds before converging")
+    costs.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a * (1 + 1e-9), s"cost increased: $costs")
+      case _ =>
+    }
+    // the catalog audit assigns every vector to exactly one cluster
+    val audit = SparkEntry.queries("q86_kmeans_train")(spark, sf).collect()
+    assert(audit.map(_.getLong(1)).sum === vectors.count())
+  }
+
   test("LSH embedding dedup: precision-1 subset of exact q42, recall on high-sim pairs") {
     val exact = SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
