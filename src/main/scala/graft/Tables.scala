@@ -27,15 +27,23 @@ object Tables {
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
+  /** Every data file under `path`, recursively (Spark-written tables nest
+    * part files and don't always use a .parquet suffix); hidden/metadata
+    * entries (`_SUCCESS`, dot-files) are skipped the way Spark's own file
+    * listing skips them. Fails loudly on an empty table rather than letting
+    * a silent 0 mis-size every footer-driven index parameter. */
   private def parquetFiles(s: SparkSession, path: String) = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val st = fs.getFileStatus(root)
-    if (st.isDirectory)
-      fs.listStatus(root).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    else Seq(st)
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+    def walk(st: FileStatus): Seq[FileStatus] = {
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Nil
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    }
+    val files = walk(fs.getFileStatus(new Path(path)))
+    require(files.nonEmpty, s"no data files under $path")
+    files
   }
 
   /** (mtime, length) of every file under `path` — the invalidation key for

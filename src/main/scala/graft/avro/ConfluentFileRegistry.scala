@@ -76,11 +76,14 @@ final class ConfluentFileRegistry(root: String,
         // this engine replicates per-record) latest-only BACKWARD admits a
         // schema that cannot read the older versions still on the wire;
         // transitive is what actually guarantees decodability there.
-        val against: Seq[(Int, Schema)] = {
-          val history = versions.flatMap { case (v, id) => byId(id).map(v -> _) }
-          if (compatibility.endsWith("_TRANSITIVE")) history
-          else history.takeRight(1)
-        }
+        val against: Seq[(Int, Schema)] =
+          if (compatibility.endsWith("_TRANSITIVE"))
+            versions.flatMap { case (v, id) => byId(id).map(v -> _) }
+          else
+            // latest version only — and if ITS schema file is unreadable
+            // (stray-file tolerance), skip the check rather than silently
+            // falling back to an older version the mode never promised
+            versions.lastOption.toSeq.flatMap { case (v, id) => byId(id).map(v -> _) }
         against.foreach { case (version, prior) =>
           def check(reader: Schema, writer: Schema, direction: String): Unit = {
             val result = SchemaCompatibility

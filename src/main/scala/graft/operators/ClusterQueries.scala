@@ -64,6 +64,9 @@ object ClusterQueries {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
+    // labels is independently checkpointed — releasing the edge list here
+    // doesn't touch the returned lineage
+    sym.unpersist()
     labels
   }
 
@@ -118,11 +121,17 @@ object ClusterQueries {
           p => p("m")).as("c"))
       // clusters that lost every member keep their previous centroid
       val kept = cents.join(next.select(col("cid")), Seq("cid"), "left_anti")
+      val prevCents = cents
       cents = next.union(kept).localCheckpoint(true)
+      // the new checkpoint is materialized: release the round's scratch
+      // blocks so repeated builds don't accumulate storage pressure
+      assigned.unpersist()
+      prevCents.unpersist()
       done = costs.lastOption.exists(prev => prev - cost <= tol * math.abs(prev))
       costs += cost
       iter += 1
     }
+    vs.unpersist()
     (cents, costs.toSeq)
   }
 

@@ -143,7 +143,10 @@ object SimilarityQueries {
       val probeMasks: Seq[Int] = 0 +:
         (0 until Bits).map(1 << _) ++:
         (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
-      val qprobes = n.filter(col("vec_id") % 50 === 0)
+      // single definition of the query set — qprobes and qvecs MUST agree
+      // or the final join silently drops candidates
+      val queries = n.filter(col("vec_id") % 50 === 0)
+      val qprobes = queries
         .select(col("vec_id").as("query_id"),
           explode(array((0 until Tbl).map(t =>
             struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
@@ -158,7 +161,7 @@ object SimilarityQueries {
       // neighbor_id (a broadcast of tiny candIds at any corpus size the
       // optimizer chooses; a shuffle join degrades gracefully), query side
       // as an explicit broadcast
-      val qvecs = n.filter(col("vec_id") % 50 === 0)
+      val qvecs = queries
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))

@@ -111,7 +111,12 @@ case class DotProductD(left: Expression, right: Expression)
   * — compact bytecode, fused into whole-stage codegen.
   *
   * Null semantics: null vector, wrong length, or (for `containsNull`
-  * arrays) any null element → null — exactly the HOF form's behavior.
+  * arrays) any null element → null, and a null code drops the row from
+  * any (table, code) equi-join. NOTE this is deliberately STRICTER than
+  * the when-chain it replaced, which evaluated `null > 0` as false and
+  * bucketed a null-element vector at code 0: a vector with undefined
+  * dimensions has no meaningful LSH bucket, and pinning all of them to
+  * one bucket would manufacture a hot bucket of garbage candidates.
   *
   * `planes` is row-major `bits × dim`; instances are compared by the
   * deterministic (table-seed, bits, dim) identity the caller bakes into

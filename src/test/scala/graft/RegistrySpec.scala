@@ -159,7 +159,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(intercept[IllegalStateException](fTrans.register("evo-value", f3))
       .getMessage.contains("forward-incompatible"))
 
-    // FULL_TRANSITIVE still accepts genuinely two-way-safe evolution
+    // FULL vs FULL_TRANSITIVE: each consecutive pair is two-way safe
+    // (defaulted field removed, then re-added with a DIFFERENT type), but
+    // g3 cannot read g1-era data — only the transitive mode catches it.
+    val g1 = parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"x","type":"string","default":"a"}]}""".stripMargin)
+    val g2 = parse("""{"type":"record","name":"Evo","fields":[]}""")
+    val g3 = parse(
+      """{"type":"record","name":"Evo","fields":[
+        |  {"name":"x","type":"int","default":0}]}""".stripMargin)
+    val fullLatest = fresh("FULL")
+    fullLatest.register("evo-value", g1)
+    fullLatest.register("evo-value", g2)
+    assert(fullLatest.register("evo-value", g3) === 3L,
+      "latest-only FULL admits the type flip hidden behind the removal")
+    val fullTrans = fresh("FULL_TRANSITIVE")
+    fullTrans.register("evo-value", g1)
+    fullTrans.register("evo-value", g2)
+    assert(intercept[IllegalStateException](fullTrans.register("evo-value", g3))
+      .getMessage.contains("version 1"))
+
+    // and FULL_TRANSITIVE still accepts genuinely two-way-safe evolution
     val full = fresh("FULL_TRANSITIVE")
     full.register("evo-value", v1)
     assert(full.register("evo-value", v2) === 2L)
