@@ -129,6 +129,72 @@ object EventQueries {
           countDistinct(col("c_custkey")).as("n_users"),
           round(avg("value"), 4).as("avg_value"))
         .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q87_funnel",
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, ts FROM events
+             |), u AS (
+             |  SELECT DISTINCT user_id FROM ev
+             |), s1 AS (
+             |  SELECT user_id, min(ts) t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, min(e.ts) t2 FROM ev e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 12 HOUR GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, min(e.ts) t3 FROM ev e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 12 HOUR GROUP BY 1
+             |)
+             |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+             |                 WHEN t2 IS NOT NULL THEN 2
+             |                 WHEN t1 IS NOT NULL THEN 1
+             |                 ELSE 0 END AS BIGINT) AS funnel_depth,
+             |       count(*) AS n_users, min(user_id) AS first_user
+             |FROM u
+             |LEFT JOIN s1 USING (user_id)
+             |LEFT JOIN s2 USING (user_id)
+             |LEFT JOIN s3 USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "Ordered-sequence funnel (view → click → purchase, strictly " +
+        "increasing timestamps, 12 h conversion window per stage): each " +
+        "stage is 'first qualifying event AFTER the previous stage's " +
+        "first, within the window' — the match_recognize shape, " +
+        "expressed as chained min-aggregations so it stays declarative. " +
+        "Every stage keys on user_id: each event subset shuffles once for " +
+        "its own aggregation, and because join and groupBy share the key, " +
+        "a stage's output partitioning satisfies the next stage's " +
+        "requirement — no re-partitioning between stages (locally the " +
+        "tiny stage outputs broadcast instead, which is also right). " +
+        "Event-type filters prune at the scan. At 100 TB, deeper funnels " +
+        "add stages over ever-smaller survivor sets, not extra corpus scans."
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val users = ev.select("user_id").distinct()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val win = expr("INTERVAL 12 HOURS")
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"), min("user_id").as("first_user"))
+        .orderBy("funnel_depth")
     }
   )
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table-layout maintenance: the operators a 100 TB pipeline runs BETWEEN
+  * queries so the queries stay fast.
+  *
+  * Streaming ingest and fine-grained batch jobs leave thousands of small
+  * files per partition; scan cost then goes to task scheduling and footer
+  * reads instead of IO, and nothing is sorted so min/max row-group pruning
+  * never fires. Compaction rewrites a directory into size-targeted,
+  * SORT-CLUSTERED files: `repartitionByRange` on the cluster key gives
+  * disjoint key ranges per file (range exchange with a sampled boundary
+  * pass), `sortWithinPartitions` orders rows inside each file, and the
+  * parquet writer then emits tight min/max stats — so a later filter on the
+  * key prunes whole files/row-groups by footer alone.
+  */
+object Layout {
+
+  final case class CompactionStats(
+      inputFiles: Long, outputFiles: Long, rows: Long, bytes: Long)
+
+  /** Rewrite `inDir` (parquet) into `outDir` as ~`targetBytes`-sized files
+    * range-clustered and sorted by `sortCol`. Returns before/after stats.
+    * File count derives from the INPUT's on-disk size (compressed) — the
+    * honest predictor of output size for a rewrite, read from the file
+    * listing, no Spark job. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+              sortCol: String, targetBytes: Long = 128L << 20): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inDir).getFileSystem(s.sessionState.newHadoopConf())
+    val inFiles = fs.listStatus(new Path(inDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = inFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = s.read.parquet(inDir)
+    df.repartitionByRange(nOut, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new Path(outDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactionStats(inFiles.length.toLong, outFiles.length.toLong,
+      s.read.parquet(outDir).count(), totalBytes)
+  }
+}

@@ -182,6 +182,35 @@ class ScaleDesignSpec extends SparkSpec {
     assert(problems.isEmpty, s"scale-killers in catalog plans:\n${problems.mkString("\n")}")
   }
 
+  test("compaction merges small files into sorted, range-disjoint files") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    // simulate streaming ingest debris: 40 tiny files
+    Tables.orders(spark, sf).repartition(40)
+      .write.parquet(s"$root/in")
+    val stats = operators.Layout.compact(spark, s"$root/in", s"$root/out",
+      sortCol = "o_orderkey", targetBytes = 64L << 10)
+    assert(stats.inputFiles >= 40, s"ingest debris expected: $stats")
+    assert(stats.outputFiles < stats.inputFiles / 4,
+      s"compaction must collapse the file count: $stats")
+    assert(stats.rows === Tables.orders(spark, sf).count(), "no rows lost")
+    // range clustering: per-file key ranges must be pairwise disjoint, so
+    // a key filter can prune whole files from parquet footers alone
+    val fs = new org.apache.hadoop.fs.Path(s"$root/out")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ranges = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/out"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath.toString)
+          .agg(min("o_orderkey"), max("o_orderkey")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("dimension filters push into the parquet scan of fact queries") {
     val plan = physicalPlan(
       Tables.lineitem(spark, sf).filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
