@@ -451,21 +451,22 @@ object TextQueries {
         "(tf DESC, df ASC, term) with a df·10 ≤ N ubiquity cutoff, which is " +
         "rank-equivalent to tf·idf for fixed tf but cross-engine " +
         "hash-stable (a log() in the score would drift by libm ulps). N " +
-        "comes from parquet footers, not a count job. Three shuffles, all " +
-        "of the (doc, term, count) aggregate — never raw text: the (doc, " +
-        "term) partial agg collapses tokens map-side, the df window " +
-        "partitions by term, the rank window by doc. At 100 TB the df side " +
-        "is the classic stopword skew — the cutoff drops those terms " +
-        "before the rank window ever sees them."
+        "comes from parquet footers, not a count job. Document frequency is " +
+        "a groupBy (partial agg absorbs stopword skew map-side — a window " +
+        "over term would funnel every 'the' row through one partition), " +
+        "the cutoff drops ubiquitous terms from the tiny df side BEFORE " +
+        "the equi-join back, so the join build side holds informative " +
+        "terms only and the rank window partitions by doc. Nothing heavier " +
+        "than (doc, term, count) ever shuffles."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val nDocs = Tables.parquetRowCount(s, dir, "documents")
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      val informative = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df") * 10 <= lit(nDocs))
+      tf.join(informative, "term")
         .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("term"))).cast("long"))
         .filter(col("rk") <= 3)

@@ -40,6 +40,55 @@ object StatefulOps {
   /** Output mode the runner must use for [[runningPerUser]]. */
   val runningOutputMode: OutputMode = OutputMode.Update()
 
+  final case class OpenSession(start: Timestamp, last: Timestamp, n: Long)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the API for
+    * operators that emit ZERO OR MANY records per key per batch (a closed
+    * session mid-batch, none while a session stays open), which
+    * mapGroupsWithState's exactly-one-output contract cannot express.
+    * Event-time timeout closes idle sessions when the WATERMARK (set by
+    * the caller on `ts`) passes last+gap — so emission is driven by
+    * event-time progress, replayable and deterministic, not wall-clock.
+    * State per key is one (start, last, n) triple; the state store holds
+    * O(open sessions), bounded by the watermark. */
+  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption
+              .map(o => Session(user, o.start, o.last, o.n)).iterator
+            state.remove()
+            closed
+          } else {
+            // micro-batch iterators are not time-ordered; session logic is
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.ts.getTime - o.last.getTime <= gapMs =>
+                  open = Some(o.copy(last = e.ts, n = o.n + 1))
+                case Some(o) =>
+                  closed += Session(user, o.start, o.last, o.n)
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** The same running counter on the transformWithState API (Spark 4's
     * successor to mapGroupsWithState): explicit typed state variables in the
     * StatefulProcessorHandle, per-key timers available, state evolvable

@@ -226,6 +226,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last(2L) === ((1L, 10.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StatefulOps.sessions(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, "v", ts(1), 1.0), Event(1, "v", ts(2), 1.0))
+      q.processAllAvailable()
+      // 10:20 is past the 5-min gap → closes (10:01..10:02) mid-batch
+      input.addData(Event(1, "v", ts(20), 1.0))
+      q.processAllAvailable()
+      // another user's event pushes the watermark past 10:25, so user 1's
+      // open session times out and is emitted with NO further user-1 input
+      input.addData(Event(2, "v", ts(40), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(rows.contains((1L, ts(1), ts(2), 2L)), s"gap-closed session missing: $rows")
+    assert(rows.contains((1L, ts(20), ts(20), 1L)), s"timeout-closed session missing: $rows")
+    assert(!rows.exists(_._1 == 2L), "user 2's session must still be open")
+  }
+
   test("stream-stream LEFT OUTER join emits null-padded rows after watermark expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
