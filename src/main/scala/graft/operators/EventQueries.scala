@@ -195,6 +195,58 @@ object EventQueries {
         .groupBy("funnel_depth")
         .agg(count(lit(1)).as("n_users"), min("user_id").as("first_user"))
         .orderBy("funnel_depth")
+    },
+
+    GraftQuery(
+      "q90_gap_fill",
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id % 53 = 3
+             |  GROUP BY 1
+             |), bounds AS (
+             |  SELECT min(d) lo, max(d) hi FROM daily
+             |), days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+             |  FROM bounds
+             |), filled AS (
+             |  SELECT days.d, daily.n,
+             |         last_value(daily.n IGNORE NULLS)
+             |           OVER (ORDER BY days.d
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+             |  FROM days LEFT JOIN daily USING (d)
+             |)
+             |SELECT d, CAST(coalesce(n, 0) AS BIGINT) AS n_actual,
+             |       CAST(ff AS BIGINT) AS n_filled,
+             |       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+             |FROM filled
+             |ORDER BY d""".stripMargin),
+      "Time-series regularization: a sparse daily aggregate is joined " +
+        "against the full calendar (sequence() between the data's own " +
+        "min/max — no literals) and gaps forward-fill from the last " +
+        "observation (last(n, ignoreNulls) over an unbounded-preceding " +
+        "frame) — the resample/ffill every metrics and feature pipeline " +
+        "needs before windowed models. The heavy work (the daily agg) " +
+        "partial-aggregates at event volume; the calendar join and fill " +
+        "run over O(days) rows, so the single-partition fill window is " +
+        "bounded by the time horizon, not the data (36,500 rows per " +
+        "century). was_gap makes imputation auditable downstream."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(53)) === 3)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val days = daily.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("d"), "left")
+        .select(col("d"),
+          coalesce(col("n"), lit(0L)).as("n_actual"),
+          last(col("n"), ignoreNulls = true).over(w).as("n_filled"),
+          when(col("n").isNull, 1L).otherwise(0L).as("was_gap"))
+        .orderBy("d")
     }
   )
 }

@@ -244,6 +244,40 @@ object RelationalQueries {
     },
 
     GraftQuery(
+      "q89_bag_setops",
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |     b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+             |     ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+             |     ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+             |SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+             |FROM ia GROUP BY 2
+             |UNION ALL
+             |SELECT 'except_all' AS op, o_custkey, count(*) AS n
+             |FROM ea GROUP BY 2
+             |ORDER BY op, o_custkey""".stripMargin),
+      "Bag (multiset) set operations — INTERSECT ALL keeps min(countA, " +
+        "countB) copies per key, EXCEPT ALL keeps countA−countB: the " +
+        "correct semantics when rows are occurrences (events, order " +
+        "lines), where the distinct forms (q12/q13) silently collapse " +
+        "multiplicity. Catalyst plans both as a single aggregation " +
+        "computing per-key counts on each side then replaying the " +
+        "difference — one shuffle per input, no join, multiplicities " +
+        "never materialize as rows until the replay."
+    ) { (s, dir) =>
+      val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      val b = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select("o_custkey")
+      val ia = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.union(ea)
+        .select("op", "o_custkey", "n")
+        .orderBy("op", "o_custkey")
+    },
+
+    GraftQuery(
       "q14_sort_limit",
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
              |FROM lineitem

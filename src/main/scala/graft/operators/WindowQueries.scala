@@ -105,6 +105,36 @@ object WindowQueries {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
         .orderBy("o_custkey", "rn")
+    },
+
+    GraftQuery(
+      "q88_window_distribution",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(ntile(8) OVER w AS BIGINT) AS bucket8,
+             |       percent_rank() OVER w AS pr,
+             |       cume_dist() OVER w AS cd
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Distribution window functions — ntile (equi-depth bucketing for " +
+        "stratification), percent_rank and cume_dist (per-group quantile " +
+        "position, the building block of percentile-based quality gates). " +
+        "One exchange on the partition key, one in-partition sort; the " +
+        "three functions share the same window frame so they compute in a " +
+        "single Window operator pass. The ratios are exact IEEE divisions " +
+        "of row counts (no transcendentals), so they hash-match the oracle " +
+        "bit-for-bit. Total tie-break ordering makes every rank " +
+        "deterministic."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ntile(8).over(w).cast("long").as("bucket8"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }
