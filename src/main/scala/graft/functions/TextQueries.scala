@@ -425,6 +425,56 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q91_median_gate",
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT lang, n_tokens,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) rn,
+             |         count(*) OVER (PARTITION BY lang) cnt
+             |  FROM m
+             |), med AS (
+             |  SELECT lang, n_tokens AS med FROM ranked WHERE rn = (cnt + 1) // 2
+             |)
+             |SELECT m.lang, count(*) AS n_above, min(m.doc_id) AS first_doc,
+             |       max(med.med) AS med
+             |FROM m JOIN med USING (lang)
+             |WHERE m.n_tokens > med.med
+             |GROUP BY m.lang
+             |ORDER BY m.lang""".stripMargin),
+      "Per-group distribution gate: keep documents above their OWN " +
+        "language's median length — absolute thresholds misfire across " +
+        "languages with different tokenization densities. The median is " +
+        "rank-selected explicitly (row at ⌊(n+1)/2⌋ of a total order), so " +
+        "both engines agree by construction instead of by matching " +
+        "quantile-interpolation conventions; the tiny per-lang median " +
+        "table then joins back (broadcast at any scale — one row per " +
+        "lang). The rank window funnels each language through one " +
+        "partition: exact and fine to ~10^8 rows per group; past that, " +
+        "swap in the mergeable approx_percentile sketch (q73) — same " +
+        "plan, sketch instead of sort."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      val med = m
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("n_tokens", "doc_id")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") === expr("(cnt + 1) div 2")) // integer div, as the oracle's //
+        .select(col("lang"), col("n_tokens").as("med"))
+      m.join(broadcast(med), "lang")
+        .filter(col("n_tokens") > col("med"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_above"), min("doc_id").as("first_doc"),
+          max("med").as("med"))
+        .orderBy("lang")
+    },
+
+    GraftQuery(
       "q82_char_terms",
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(lower(text), ' ')) term
