@@ -32,7 +32,7 @@ object Tables {
     * entries (`_SUCCESS`, dot-files) are skipped the way Spark's own file
     * listing skips them. Fails loudly on an empty table rather than letting
     * a silent 0 mis-size every footer-driven index parameter. */
-  private def parquetFiles(s: SparkSession, path: String) = {
+  private[graft] def parquetFiles(s: SparkSession, path: String) = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
     def walk(st: FileStatus): Seq[FileStatus] = {
@@ -80,9 +80,11 @@ object Tables {
     * scan itself performs. Cached by (path, mtime, size) per file so a
     * rewritten corpus at the same path re-reads its footers.
     */
-  def parquetRowCount(s: SparkSession, dir: String, table: String): Long = {
+  def parquetRowCount(s: SparkSession, dir: String, table: String): Long =
+    parquetRowCountAt(s, p(dir, table))
+
+  private[graft] def parquetRowCountAt(s: SparkSession, path: String): Long = {
     val conf = s.sessionState.newHadoopConf()
-    val path = p(dir, table)
     rowCountCache.getOrElseUpdate(s"$path@${fingerprint(s, path)}",
       parquetFiles(s, path).map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)

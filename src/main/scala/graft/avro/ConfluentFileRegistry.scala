@@ -76,14 +76,18 @@ final class ConfluentFileRegistry(root: String,
         // this engine replicates per-record) latest-only BACKWARD admits a
         // schema that cannot read the older versions still on the wire;
         // transitive is what actually guarantees decodability there.
+        // A registered version whose schema file is unreadable is registry
+        // corruption: fail the registration loudly — silently skipping the
+        // check (or falling back to an older version) would admit schemas
+        // no current consumer can be validated against.
+        def resolve(v: Int, id: Long): (Int, Schema) =
+          v -> byId(id).getOrElse(throw new IllegalStateException(
+            s"schema id $id (subject $subject v$v) is unreadable; cannot check compatibility"))
         val against: Seq[(Int, Schema)] =
           if (compatibility.endsWith("_TRANSITIVE"))
-            versions.flatMap { case (v, id) => byId(id).map(v -> _) }
+            versions.map { case (v, id) => resolve(v, id) }
           else
-            // latest version only — and if ITS schema file is unreadable
-            // (stray-file tolerance), skip the check rather than silently
-            // falling back to an older version the mode never promised
-            versions.lastOption.toSeq.flatMap { case (v, id) => byId(id).map(v -> _) }
+            versions.lastOption.toSeq.map { case (v, id) => resolve(v, id) }
         against.foreach { case (version, prior) =>
           def check(reader: Schema, writer: Schema, direction: String): Unit = {
             val result = SchemaCompatibility

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family for the LLM-data-pipeline surface (SURVEY.md §2.2):
@@ -24,6 +24,20 @@ object TextQueries {
   private val esM = Seq("el", "la", "de", "y")
   private val deM = Seq("der", "die", "das", "und")
   private val frM = Seq("le", "la", "et", "les")
+
+  /** Bigram stream of `documents.text` — ONE definition shared by q64
+    * (exact counts), q85 (Misra-Gries sketch) and the MG-bound spec that
+    * compares them: a tokenization tweak applied to one copy would
+    * silently invalidate the sketch-vs-exact contract. The split is
+    * staged as a column first — inlined, it would re-tokenize the text at
+    * every element_at site (O(tokens²) per doc). */
+  private[graft] def bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -187,14 +201,7 @@ object TextQueries {
         "explode multiplies rows by ~tokens-per-doc, which is why the " +
         "count must combine map-side."
     ) { (s, dir) =>
-      // stage the split as a column: inlined, it would re-tokenize the text
-      // at every element_at site (O(tokens²) per doc)
-      Tables.documents(s, dir)
-        .select(split(lower(col("text")), " ").as("w"))
-        .select(explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      bigrams(s, dir)
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
@@ -411,12 +418,7 @@ object TextQueries {
         "exact counts. THE shape for 'top URLs / templates / boilerplate " +
         "lines over 100 TB' where the distinct space itself doesn't fit."
     ) { (s, dir) =>
-      val sketch = Tables.documents(s, dir)
-        .select(split(lower(col("text")), " ").as("w"))
-        .select(explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      val sketch = bigrams(s, dir)
         .agg(Sketches.heavyHitters(col("bigram"), 256).as("hh"))
       sketch.select(explode(col("hh")).as("e"))
         .select(col("e.term").as("bigram"), col("e.cnt").as("est_n"))

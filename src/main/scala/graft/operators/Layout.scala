@@ -28,19 +28,19 @@ object Layout {
     * listing, no Spark job. */
   def compact(s: SparkSession, inDir: String, outDir: String,
               sortCol: String, targetBytes: Long = 128L << 20): CompactionStats = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(inDir).getFileSystem(s.sessionState.newHadoopConf())
-    val inFiles = fs.listStatus(new Path(inDir))
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    // same hardened walk the table loaders use (recursive, skips
+    // _SUCCESS/dot entries) — not a second, weaker listing
+    val inFiles = graft.Tables.parquetFiles(s, inDir)
     val totalBytes = inFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = s.read.parquet(inDir)
-    df.repartitionByRange(nOut, col(sortCol))
+    s.read.parquet(inDir)
+      .repartitionByRange(nOut, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(outDir)
-    val outFiles = fs.listStatus(new Path(outDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    CompactionStats(inFiles.length.toLong, outFiles.length.toLong,
-      s.read.parquet(outDir).count(), totalBytes)
+    // row fidelity from the output FOOTERS — a count() here would re-read
+    // the whole rewritten table as a second job
+    CompactionStats(inFiles.length.toLong,
+      graft.Tables.parquetFiles(s, outDir).length.toLong,
+      graft.Tables.parquetRowCountAt(s, outDir), totalBytes)
   }
 }

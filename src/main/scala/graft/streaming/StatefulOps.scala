@@ -65,14 +65,20 @@ object StatefulOps {
             state.remove()
             closed
           } else {
-            // micro-batch iterators are not time-ordered; session logic is
+            // micro-batch iterators are not time-ordered; session logic is.
+            // A late event (older than the open session's `last` but within
+            // the gap) must MERGE without rewinding the bounds — min/max
+            // keeps start ≤ end and never shortens the timeout.
             val sorted = batch.toArray.sortBy(_.ts.getTime)
             var open = state.getOption
             val closed = List.newBuilder[Session]
             sorted.foreach { e =>
               open match {
                 case Some(o) if e.ts.getTime - o.last.getTime <= gapMs =>
-                  open = Some(o.copy(last = e.ts, n = o.n + 1))
+                  open = Some(OpenSession(
+                    new Timestamp(math.min(o.start.getTime, e.ts.getTime)),
+                    new Timestamp(math.max(o.last.getTime, e.ts.getTime)),
+                    o.n + 1))
                 case Some(o) =>
                   closed += Session(user, o.start, o.last, o.n)
                   open = Some(OpenSession(e.ts, e.ts, 1L))
@@ -82,7 +88,11 @@ object StatefulOps {
             }
             open.foreach { o =>
               state.update(o)
-              state.setTimeoutTimestamp(o.last.getTime + gapMs)
+              // a timeout at-or-below the watermark is illegal (all-late
+              // batches can produce one); clamp just past it so the close
+              // fires on the next watermark advance
+              state.setTimeoutTimestamp(
+                math.max(o.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -171,11 +171,16 @@ class ScaleDesignSpec extends SparkSpec {
     // second pass, listener detached: the iterative operators still get the
     // plan-shape checks on their final (post-fixed-point) DataFrames
     iterative.foreach { q =>
-      val physical = q.run(spark, sf).queryExecution.sparkPlan
+      val df = q.run(spark, sf)
+      val physical = df.queryExecution.sparkPlan
       val planStr = physical.toString
       if (!bnljOk(q.name) && (planStr.contains("BroadcastNestedLoopJoin") ||
           planStr.contains("CartesianProduct")))
         problems += s"${q.name}: nested-loop or cartesian join"
+      if (df.queryExecution.optimizedPlan.collect {
+            case p if p.expressions.exists(_.collect { case u: ScalaUDF => u }.nonEmpty) => p
+          }.nonEmpty)
+        problems += s"${q.name}: ScalaUDF outside the sanctioned escape hatch"
       if (physical.collect { case s: SortExec if s.global => s }.size > 1)
         problems += s"${q.name}: interior global sort"
     }

@@ -181,13 +181,9 @@ class SketchSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // corpus bigrams (916 distinct at sf0.001 — more than the 256 counters,
     // so the decrement path runs) plus one injected genuinely-heavy term
-    // (the corpus itself is near-uniform: max count 51 of n≈27k)
-    val bigrams = Tables.documents(spark, sf)
-      .select(split(lower(col("text")), " ").as("w"))
-      .select(explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
+    // (the corpus itself is near-uniform: max count 51 of n≈27k); SAME
+    // bigram definition as q64/q85 so the exact-vs-sketch compare is real
+    val bigrams = graft.functions.TextQueries.bigrams(spark, sf)
       .union(spark.range(2000).select(lit("boilerplate header").as("bigram")))
     val exact = bigrams.groupBy("bigram").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
