@@ -252,6 +252,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 2L), "user 2's session must still be open")
   }
 
+  test("sessionizer merges late in-gap events without rewinding session bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 10-minute watermark delay so a 10:03 event still flows in a batch
+    // AFTER the session's last has advanced to 10:04
+    val q = StatefulOps.sessions(
+      input.toDS().withWatermark("ts", "10 minutes"), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, "v", ts(1), 1.0), Event(1, "v", ts(4), 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "v", ts(3), 1.0)) // late, within gap → merge
+      q.processAllAvailable()
+      // 10:08 is 4 min past last=10:04: had the late event rewound last to
+      // 10:03, the 5-min gap would still hold — but a rewind bug would
+      // have emitted end(10:03) < start is impossible here, so instead we
+      // assert the whole run closes as ONE 4-event session
+      input.addData(Event(1, "v", ts(8), 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "v", ts(45), 1.0)) // far past gap → closes prior
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, ts(1), ts(8), 4L)),
+      s"late event must merge without splitting or rewinding: ${rows.toSeq}")
+  }
+
   test("stream-stream LEFT OUTER join emits null-padded rows after watermark expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
