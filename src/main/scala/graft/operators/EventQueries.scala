@@ -198,6 +198,29 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q92_hll_rollup",
+      None, // approximate by design: ±5% contract spec'd vs exact distinct.
+      "Sketch-as-a-column re-aggregation — THE production distinct-count " +
+        "pattern: each day aggregates its users into a mergeable HLL " +
+        "sketch (Datasketches hll_sketch_agg, fixed-size partial state), " +
+        "and coarser grains (weeks here) UNION the stored daily sketches " +
+        "instead of re-scanning raw events — a 100 TB event history rolls " +
+        "up from kilobytes of sketches. Estimates carry the standard HLL " +
+        "error (~1.6% at lgK=12, spec-pinned at ±5% vs exact); the same " +
+        "daily sketch table serves any calendar grain, which no exact " +
+        "count-distinct materialization can do without a full re-scan."
+    ) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily
+        .groupBy(weekofyear(col("d")).cast("long").as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("week")
+    },
+
+    GraftQuery(
       "q90_gap_fill",
       Some("""WITH daily AS (
              |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n

@@ -29,4 +29,20 @@ class ApproxSpec extends SparkSpec {
       }
     }
   }
+
+  test("HLL sketch rollup: weekly union of daily sketches within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(spark, sf)
+      .groupBy(weekofyear(date_trunc("day", col("ts")).cast("date")).cast("long").as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q92_hll_rollup")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (week, est) = (r.getLong(0), r.getLong(1))
+      val truth = exact(week)
+      assert(math.abs(est - truth) <= truth * 0.05 + 1,
+        s"week $week: estimate $est vs exact $truth exceeds 5%")
+    }
+  }
 }
