@@ -558,6 +558,90 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("split", "lang")
+    },
+
+    GraftQuery(
+      "q94_pack_sequences",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, lang, tok,
+             |         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING
+             |                        AND CURRENT ROW) AS cum
+             |  FROM t
+             |)
+             |SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
+             |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c
+             |GROUP BY lang, seq_id
+             |ORDER BY lang, seq_id""".stripMargin),
+      "Sequence packing (GPT-style concatenate-and-cut): documents are laid " +
+        "end to end in deterministic (lang, doc_id) order and cut into " +
+        "fixed 512-token training blocks; each doc is assigned the block " +
+        "its first token falls in via a running-sum window — no RNG, no " +
+        "driver state, reproducible across re-runs and engines. The window " +
+        "and the block aggregation share one hash partitioning on lang, so " +
+        "packing a 100 TB corpus is a single shuffle of (doc, tokens) " +
+        "pairs; at that scale lang would be the write-time partition " +
+        "column and each partition packs independently — exactly this " +
+        "plan, executor-parallel per language shard."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("seq_id", expr("(cum - tok) div 512"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "seq_id")
+    },
+
+    GraftQuery(
+      "q95_chunk_overlap",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |       cs // 96 AS chunk_idx,
+             |       cs AS chunk_start,
+             |       least(128, tok - cs) AS chunk_len
+             |FROM (
+             |  SELECT doc_id, tok,
+             |         unnest(generate_series(0, tok - 1, 96)) AS cs
+             |  FROM t
+             |)
+             |ORDER BY doc_id, chunk_start""".stripMargin),
+      "Overlapping chunk windows (RAG / long-doc preprocessing): each " +
+        "document fans out to stride-96 windows of up to 128 tokens (32 " +
+        "overlap), so every token appears in at least one chunk and " +
+        "context survives the cut. The start offsets come from a Generate " +
+        "over sequence(0, tok-1, 96) fused into the scan — per-row fan-out " +
+        "with zero shuffle; chunk boundaries are pure arithmetic on the " +
+        "token count, so the (usually much larger) text column is never " +
+        "re-scanned per chunk. At 100 TB the chunk rows land partitioned " +
+        "by the same doc-hash layout as the input — the fan-out is " +
+        "embarrassingly parallel map work."
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(0L), col("tok") - 1L, lit(96L))).as("cs"))
+        .select(col("doc_id"),
+          expr("cs div 96").as("chunk_idx"),
+          col("cs").as("chunk_start"),
+          least(lit(128L), col("tok") - col("cs")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_start")
     }
   )
 }

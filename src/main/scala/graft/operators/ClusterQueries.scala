@@ -234,6 +234,78 @@ object ClusterQueries {
         .agg(count(lit(1)).as("n_members"))
         .withColumn("rounds", lit(costs.size.toLong))
         .orderBy("cid")
+    },
+
+    GraftQuery(
+      "q97_cluster_canonical",
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_a, doc_b, c*1.0/((sa.n + sb.n) - c) jac
+             |  FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM scored WHERE jac >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM scored WHERE jac >= 0.8
+             |), nodes AS (
+             |  SELECT DISTINCT a AS doc_id FROM edges
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+             |), comp AS (
+             |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+             |)
+             |SELECT cluster_id,
+             |       doc_id AS canonical_doc,
+             |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             |         AS n_members,
+             |       CAST(sum(n_chars) OVER (PARTITION BY cluster_id) AS BIGINT)
+             |         AS total_chars
+             |FROM comp JOIN documents USING (doc_id)
+             |QUALIFY row_number() OVER (PARTITION BY cluster_id
+             |                           ORDER BY n_chars DESC, doc_id ASC) = 1
+             |ORDER BY cluster_id""".stripMargin),
+      "Canonical-document selection — the step that turns q81's clusters " +
+        "into an actual dedup decision: per near-dup cluster, keep the " +
+        "richest member (max n_chars, doc_id as the total-order tiebreak) " +
+        "and record how much the cluster collapses (n_members, " +
+        "total_chars). One groupBy over the (doc, cluster) labels joined " +
+        "to per-doc metadata: max_by carries the winner through partial " +
+        "aggregation, so the shuffle moves one candidate row per cluster " +
+        "per partition — never the cluster's documents. Downstream, " +
+        "anti-joining the corpus against (cluster members minus " +
+        "canonicals) IS the dedup delete; the quality column is " +
+        "swappable (model scores, recency) without touching the plan."
+    ) { (s, dir) =>
+      val edges = DedupQueries.jaccardPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val members = connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .join(graft.Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      members
+        .groupBy("cluster_id")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("canonical_doc"),
+          count(lit(1)).as("n_members"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("cluster_id")
     }
   )
 }

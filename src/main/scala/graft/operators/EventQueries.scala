@@ -270,6 +270,62 @@ object EventQueries {
           last(col("n"), ignoreNulls = true).over(w).as("n_filled"),
           when(col("n").isNull, 1L).otherwise(0L).as("was_gap"))
         .orderBy("d")
+    },
+
+    GraftQuery(
+      "q93_cdc_upsert",
+      Some("""WITH latest AS (
+             |  SELECT user_id, event_id, event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS val_cents
+             |  FROM events
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |                             ORDER BY ts DESC, event_id DESC) = 1
+             |)
+             |SELECT coalesce(c.c_custkey, l.user_id) AS key,
+             |       CASE WHEN l.user_id IS NULL THEN 'kept'
+             |            WHEN c.c_custkey IS NULL THEN 'inserted'
+             |            ELSE 'updated' END AS status,
+             |       CASE WHEN l.user_id IS NULL
+             |            THEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+             |            ELSE l.val_cents END AS bal_cents,
+             |       l.event_id AS last_event_id
+             |FROM customer c
+             |FULL JOIN latest l ON c.c_custkey = l.user_id
+             |WHERE l.event_type IS NULL OR l.event_type <> 'error'
+             |ORDER BY key""".stripMargin),
+      "CDC merge (MERGE INTO / upsert-apply): a changelog keyed by user is " +
+        "collapsed to latest-write-wins (one window pass, ties broken by " +
+        "event_id so the winner is total-ordered), then FULL OUTER joined " +
+        "onto the snapshot — unmatched snapshot rows are kept, unmatched " +
+        "changes insert, matches update, and an 'error'-type tombstone " +
+        "deletes (suppressing both the snapshot row and the insert). The " +
+        "window and the join hash-partition on the same key, so applying a " +
+        "day's changelog to a 100 TB snapshot is one co-partitioned " +
+        "shuffle each side — and with both tables bucketed by key on " +
+        "write (the engine's bucketed-join path), zero shuffle: each " +
+        "bucket merges independently, which is how log-structured engines " +
+        "compact. Money lands as integer cents — the exactness rule for " +
+        "cross-engine currency."
+    ) { (s, dir) =>
+      val latest = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("val_cents"))
+      Tables.customer(s, dir).alias("c")
+        .join(latest.alias("l"), col("c.c_custkey") === col("l.user_id"), "full_outer")
+        .filter(col("l.event_type").isNull || col("l.event_type") =!= "error")
+        .select(
+          coalesce(col("c.c_custkey"), col("l.user_id")).as("key"),
+          when(col("l.user_id").isNull, "kept")
+            .when(col("c.c_custkey").isNull, "inserted")
+            .otherwise("updated").as("status"),
+          when(col("l.user_id").isNull,
+            round(col("c.c_acctbal") * 100).cast("long"))
+            .otherwise(col("l.val_cents")).as("bal_cents"),
+          col("l.event_id").as("last_event_id"))
+        .orderBy("key")
     }
   )
 }

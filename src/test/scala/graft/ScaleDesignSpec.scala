@@ -136,7 +136,8 @@ class ScaleDesignSpec extends SparkSpec {
     // AFTER the listener detaches — listener events arrive on an async bus,
     // so counting around them per-query would mis-attribute late events to
     // neighboring queries and flake.
-    val iterativeOk = Set("q81_dedup_clusters", "q86_kmeans_train")
+    val iterativeOk =
+      Set("q81_dedup_clusters", "q86_kmeans_train", "q97_cluster_canonical")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
