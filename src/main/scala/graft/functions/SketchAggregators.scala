@@ -143,4 +143,33 @@ object Sketches {
     ColumnBridge.column(
       HeavyHitters(ColumnBridge.expression(col), k).toAggregateExpression())
   }
+
+  /** Mergeable Bloom filter over a column of 64-bit key hashes: fixed
+    * `numBits`-wide binary state through the shuffle, bitwise-OR merge.
+    * Size with m ≈ −n·ln(p)/(ln 2)² for target false-positive rate p. */
+  def bloom(col: Column, numBits: Int): Column = {
+    import org.apache.spark.sql.graft.{BloomSketch, ColumnBridge}
+    ColumnBridge.column(
+      BloomSketch(ColumnBridge.expression(col), numBits).toAggregateExpression())
+  }
+
+  /** Build a Bloom filter over `keys`' `keyHash` column as an uncorrelated
+    * scalar subquery: the filter aggregation runs ONCE per query and its
+    * serialized bytes become a query-constant every [[bloomContains]] probe
+    * shares — never a per-row binary column read, which would memcpy the
+    * whole filter for each probed row. */
+  def bloomOf(keys: org.apache.spark.sql.DataFrame, keyHash: Column,
+      numBits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.scalarSubquery(keys.agg(bloom(keyHash, numBits).as("bf")))
+  }
+
+  /** Membership probe against a [[bloomOf]] filter (or a literal filter) —
+    * codegen'd, probes the serialized bytes in place through a reference
+    * object materialized once per query. No false negatives. */
+  def bloomContains(filter: Column, keyHash: Column): Column = {
+    import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge}
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(filter), ColumnBridge.expression(keyHash)))
+  }
 }

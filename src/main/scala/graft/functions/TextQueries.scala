@@ -31,6 +31,24 @@ object TextQueries {
     * silently invalidate the sketch-vs-exact contract. The split is
     * staged as a column first — inlined, it would re-tokenize the text at
     * every element_at site (O(tokens²) per doc). */
+  /** Hashed 4-gram stream `(doc_id, s)` of `documents.text` — ONE
+    * definition shared by q76 (broadcast-join decontamination) and q96
+    * (its Bloom-prefiltered scale form), so both flag exactly the same
+    * overlaps. 4-grams are hashed (xxhash64 of the four token hashes —
+    * the strings never materialize); the token-hash array is staged as a
+    * column before indexing (inlined it would re-hash all tokens at every
+    * element_at site). */
+  private[graft] def fourGramHashes(s: SparkSession, dir: String): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    Tables.documents(s, dir)
+      .filter(size(w) >= 4)
+      .select(col("doc_id"), transform(w, t => xxhash64(t)).as("hw"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("hw")) - 3),
+          i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
+            element_at(col("hw"), i + 2), element_at(col("hw"), i + 3))))).as("s"))
+  }
+
   private[graft] def bigrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(split(lower(col("text")), " ").as("w"))
@@ -355,16 +373,7 @@ object TextQueries {
         "counts the same overlaps on the actual strings — hash-green means " +
         "zero 64-bit collisions on this corpus, checked every round."
     ) { (s, dir) =>
-      val w = split(lower(col("text")), " ")
-      // materialize the token-hash array BEFORE indexing into it — inlining
-      // it would re-evaluate the whole transform at every element_at site
-      val sh = Tables.documents(s, dir)
-        .filter(size(w) >= 4)
-        .select(col("doc_id"), transform(w, t => xxhash64(t)).as("hw"))
-        .select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), size(col("hw")) - 3),
-            i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
-              element_at(col("hw"), i + 2), element_at(col("hw"), i + 3))))).as("s"))
+      val sh = fourGramHashes(s, dir)
       val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
       sh.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalSh), "s")
@@ -642,6 +651,54 @@ object TextQueries {
           col("cs").as("chunk_start"),
           least(lit(128L), col("tok") - col("cs")).as("chunk_len"))
         .orderBy("doc_id", "chunk_start")
+    },
+
+    GraftQuery(
+      "q96_bloom_decontaminate",
+      // Same contract as q76 — the Bloom prefilter is an exactness-
+      // preserving optimization, so the oracle is identical.
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-2, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) s
+             |  FROM t WHERE len(w) >= 4
+             |), eval_sh AS (
+             |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+             |)
+             |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+             |FROM sh JOIN eval_sh USING (s)
+             |WHERE sh.doc_id % 97 <> 0
+             |GROUP BY sh.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "q76's decontamination at the scale where the eval set can no longer " +
+        "broadcast as a JOIN side: the eval 4-gram hashes collapse into a " +
+        "mergeable Bloom filter (native TypedImperativeAggregate, " +
+        "bitwise-OR merge — a billion eval n-grams at 1% fp is ~1.4 GB of " +
+        "bits, vs tens of GB of raw hashes), which ships once per executor " +
+        "as a single broadcast row; the corpus shingle stream probes it " +
+        "INSIDE whole-stage codegen (native contains expression over the " +
+        "serialized bytes, materialized once per query as a scalar-subquery " +
+        "constant — the same shape as Spark's runtime-filter might_contain; " +
+        "a per-row binary column read would memcpy the filter per shingle) " +
+        "and only the ~fp-rate survivors reach the exact confirm join — " +
+        "which makes the final answer EXACT, not approximate: Bloom " +
+        "filters have no false negatives, and the confirm join (AQE picks " +
+        "its strategy; at this fp rate the candidate side is tiny) removes " +
+        "the false positives. The corpus never shuffles; the one " +
+        "data-sized exchange of q76 is gone."
+    ) { (s, dir) =>
+      import Sketches.{bloomContains, bloomOf}
+      val sh = fourGramHashes(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+      val filter = bloomOf(evalSh, col("s"), numBits = 1 << 20)
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .filter(bloomContains(filter, col("s")))
+        .join(evalSh, "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, TrueLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
 
 /** Shared bit math for the engine's Bloom filter: the builder aggregate sets
@@ -108,24 +110,69 @@ case class BloomSketch(
     copy(child = newChild)
 }
 
-/** `contains(filter, keyHash)` — probes the serialized filter in place.
-  * Codegen'd so the probe stays inside whole-stage codegen in the scan
-  * stage: the hot path at 100 TB is this filter over every corpus shingle,
-  * and falling back to interpreted eval there would dominate the scan.
+/** `contains(filter, keyHash)` — probes the serialized filter for a key.
+  *
+  * The filter side must be a CONSTANT per query — a literal or an
+  * uncorrelated scalar subquery (the `Sketches.bloomOf` builder) — and is
+  * materialized ONCE, driver-side, after subquery evaluation; per-row
+  * codegen touches it only through a reference object. This mirrors how
+  * Spark's own runtime-filter `might_contain` works, and it matters: a
+  * binary column read per row out of a joined/broadcast row copies the
+  * whole serialized filter (hundreds of KB) for every probed row, which
+  * turns an O(1) bit probe into a memcpy storm. The hot path at 100 TB is
+  * this probe over every corpus shingle inside whole-stage codegen.
   * No false negatives; false positives at the filter's designed rate. */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "graft_bloom_contains"
   override def dataType: DataType = BooleanType
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, org.apache.spark.sql.types.LongType)
 
-  override protected def nullSafeEval(bits: Any, v: Any): Any =
-    BloomMath.contains(bits.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.LongType) =>
+        left match {
+          case e if e.foldable => TypeCheckResult.TypeCheckSuccess
+          case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"the filter input to $prettyName must be a constant or an " +
+              "uncorrelated scalar subquery, so it can be materialized once " +
+              "per query instead of once per row")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, BIGINT), got ($l, $r)")
+    }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (bits, v) =>
-      s"${ev.value} = org.apache.spark.sql.graft.BloomMath.contains($bits, $v);")
+  /** Materialized once per query execution (after subquery evaluation);
+    * shared by every row this expression instance probes. */
+  @transient private lazy val filterBytes: Array[Byte] =
+    left.eval(null).asInstanceOf[Array[Byte]]
+
+  override def eval(input: InternalRow): Any = {
+    if (filterBytes == null) null
+    else {
+      val v = right.eval(input)
+      if (v == null) null
+      else BloomMath.contains(filterBytes, v.asInstanceOf[Long])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (filterBytes == null) {
+      ev.copy(isNull = TrueLiteral, value = FalseLiteral)
+    } else {
+      val bits = ctx.addReferenceObj("graftBloomBits", filterBytes, "byte[]")
+      val rightEval = right.genCode(ctx)
+      ev.copy(code = code"""
+        ${rightEval.code}
+        boolean ${ev.isNull} = ${rightEval.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = org.apache.spark.sql.graft.BloomMath.contains(
+            $bits, ${rightEval.value});
+        }""")
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
