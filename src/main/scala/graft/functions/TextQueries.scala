@@ -699,6 +699,114 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(countDistinct(col("s")).as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q99_bigram_novelty",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 2
+             |), st AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |           i -> w[i] || ' ' || w[i+1])) s
+             |  FROM t
+             |), cnt AS (
+             |  SELECT s, count(*) c FROM st GROUP BY s
+             |)
+             |SELECT st.doc_id,
+             |       count(*) AS n_bigrams,
+             |       count(*) FILTER (WHERE cnt.c <= 2) AS n_rare,
+             |       (10000 * count(*) FILTER (WHERE cnt.c <= 2)) // count(*)
+             |         AS novelty_bp
+             |FROM st JOIN cnt USING (s)
+             |GROUP BY st.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Corpus-LM novelty scoring (the integer-exact core of an n-gram " +
+        "language-model quality filter): every document is scored by the " +
+        "fraction of its bigram tokens that are RARE in the whole corpus " +
+        "(count ≤ 2) — high novelty flags gibberish/noise for the " +
+        "cleaning gate, near-zero novelty flags boilerplate, exactly how " +
+        "perplexity-based filters are used, but with no cross-engine " +
+        "transcendental (a log-prob would drift; a count ratio in basis " +
+        "points cannot). Spark side streams hashed bigrams (the q41 " +
+        "narrow-shuffle trick — strings never shuffle, and hash-green " +
+        "every round proves zero collisions); the count table and the " +
+        "scoring join hash-partition on the same bigram key, so Catalyst " +
+        "reuses one exchange for both, then one doc_id shuffle " +
+        "aggregates. At 100 TB the bigram stream materializes once " +
+        "(columnar staging table) and the same two co-partitioned passes " +
+        "run over it — nothing here is corpus-quadratic."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      // stage the token-hash array BEFORE indexing (the q64 lesson:
+      // inlined, element_at re-evaluates the transform per site)
+      val st = Tables.documents(s, dir)
+        .filter(size(w) >= 2)
+        .select(col("doc_id"), transform(w, t => xxhash64(t)).as("hw"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("hw")) - 1),
+            i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
+            .as("s"))
+      val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
+      st.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("c") <= 2, 1)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          expr("(10000 * n_rare) div n_bigrams").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q100_stratified_sample",
+      Some("""WITH ranked AS (
+             |  SELECT lang, source, doc_id,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY sha256(text), doc_id) AS rk
+             |  FROM documents
+             |)
+             |SELECT lang, CAST(rk AS BIGINT) AS pick_rank, doc_id, source
+             |FROM ranked
+             |WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+             |                      WHEN 'fr' THEN 20 WHEN 'es' THEN 15
+             |                      ELSE 10 END
+             |ORDER BY lang, pick_rank""".stripMargin),
+      "Stratified exact-n sampling / dataset mixing: each language stratum " +
+        "contributes exactly its target quota (the mixture recipe every " +
+        "training run pins down), selected in content-hash order — " +
+        "membership depends only on the bytes, so the sample is " +
+        "reproducible across engines, re-runs and repartitionings, and " +
+        "the quota is EXACT, which Bernoulli/rand() sampling cannot " +
+        "give. The Spark plan is the skew-safe two-phase rank (q43's " +
+        "salted top-k shape): rank within (stratum, doc_id%32 salt) and " +
+        "keep quota per salt — any global top-q doc is top-q in its salt " +
+        "bucket, so the prune is lossless — then re-rank the ≤32·quota " +
+        "survivors per stratum. No task ever sorts a whole stratum: at " +
+        "100 TB an 'en' stratum is billions of rows, and the single-" +
+        "window form would funnel them into one task; the salted form " +
+        "bounds every sort at stratum/32 and the final rank at 32·quota " +
+        "rows. The oracle ranks each stratum whole — same answer, which " +
+        "is the point: the salt is an execution detail, not a semantic."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quota = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 20).when(col("lang") === "fr", 20)
+        .when(col("lang") === "es", 15).otherwise(10)
+      val base = Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"),
+          sha2(col("text"), 256).as("hk"))
+      val salted = base
+        .withColumn("rk1", row_number().over(
+          Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(32)))
+            .orderBy("hk", "doc_id")))
+        .filter(col("rk1") <= quota)
+      salted
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("hk", "doc_id")))
+        .filter(col("rk") <= quota)
+        .select(col("lang"), col("rk").cast("long").as("pick_rank"),
+          col("doc_id"), col("source"))
+        .orderBy("lang", "pick_rank")
     }
   )
 }

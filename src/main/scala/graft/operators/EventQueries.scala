@@ -326,6 +326,59 @@ object EventQueries {
             .otherwise(col("l.val_cents")).as("bal_cents"),
           col("l.event_id").as("last_event_id"))
         .orderBy("key")
+    },
+
+    GraftQuery(
+      "q98_scd2_build",
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS val_cents,
+             |         lag(CAST(round(value * 100) AS BIGINT))
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |), scd AS (
+             |  SELECT user_id, event_id, ts AS valid_from, val_cents,
+             |         lead(ts) OVER (PARTITION BY user_id
+             |                        ORDER BY ts, event_id) AS valid_to
+             |  FROM ch
+             |  WHERE prev IS NULL OR prev <> val_cents
+             |)
+             |SELECT user_id,
+             |       CAST(row_number() OVER (PARTITION BY user_id
+             |                               ORDER BY valid_from, event_id)
+             |            AS BIGINT) AS version,
+             |       valid_from, valid_to,
+             |       valid_to IS NULL AS is_current,
+             |       val_cents
+             |FROM scd
+             |ORDER BY user_id, version""".stripMargin),
+      "SCD Type 2 dimension build: the raw changelog becomes a versioned " +
+        "interval table — consecutive no-change rows collapse (lag pass), " +
+        "survivors get [valid_from, valid_to) ranges (lead pass) and a " +
+        "current-row flag, the point-in-time lookup shape every warehouse " +
+        "keeps under its AS OF joins (q20/q22 consume exactly such " +
+        "tables). All three window passes share ONE hash partitioning on " +
+        "user_id — Catalyst plans a single exchange and chains the sorts, " +
+        "so building the dimension over a 100 TB changelog is one shuffle " +
+        "of (key, ts, value) triples, and with the changelog bucketed by " +
+        "key on write, zero. Money lands as integer cents (cross-engine " +
+        "exactness); ties in ts break on event_id so versions are " +
+        "total-ordered and reproducible."
+    ) { (s, dir) =>
+      val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val scd = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("val_cents"))
+        .withColumn("prev", lag("val_cents", 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("val_cents"))
+        .withColumn("valid_to", lead("ts", 1).over(byKey))
+      scd
+        .select(col("user_id"),
+          row_number().over(byKey).cast("long").as("version"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"),
+          col("val_cents"))
+        .orderBy("user_id", "version")
     }
   )
 }
