@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,91 @@ object ClusterQueries {
           count(lit(1)).as("n_members"),
           sum("n_chars").as("total_chars"))
         .orderBy("cluster_id")
+    },
+
+    GraftQuery(
+      "q102_pagerank",
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT -l.l_suppkey AS s, o.o_custkey AS c
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |), edges AS (
+             |  SELECT s AS src, c AS dst FROM e0
+             |  UNION ALL
+             |  SELECT c AS src, s AS dst FROM e0
+             |), deg AS (
+             |  SELECT src, count(*) AS d FROM edges GROUP BY src
+             |), r0 AS (
+             |  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+             |), r1 AS (
+             |  SELECT e.dst AS node, 150000 + sum((r.r * 85) // (100 * g.d)) AS r
+             |  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+             |  GROUP BY e.dst
+             |), r2 AS (
+             |  SELECT e.dst AS node, 150000 + sum((r.r * 85) // (100 * g.d)) AS r
+             |  FROM edges e JOIN r1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+             |  GROUP BY e.dst
+             |), r3 AS (
+             |  SELECT e.dst AS node, 150000 + sum((r.r * 85) // (100 * g.d)) AS r
+             |  FROM edges e JOIN r2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+             |  GROUP BY e.dst
+             |)
+             |SELECT node, CAST(r AS BIGINT) AS rank_micros FROM r3
+             |ORDER BY node""".stripMargin),
+      "PageRank (3 power iterations, damping 0.85) over the bipartite " +
+        "supplier↔customer graph extracted from order lines — the " +
+        "importance-propagation shape used to weight training sources by " +
+        "link structure. All arithmetic is INTEGER micros with per-edge " +
+        "truncating division, so every contribution is order-independent " +
+        "and the fixed point is bit-identical across engines, partition " +
+        "counts and re-runs — a float PageRank cannot promise that " +
+        "(summation order drifts the low bits). Suppliers get negative " +
+        "node ids, so one BIGINT key spans both vertex families with no " +
+        "tagging column. Each round is ONE co-partitioned join of the " +
+        "checkpointed edge list against the rank table plus a map-side-" +
+        "combined sum — the canonical message-passing round (same " +
+        "execution skeleton as q81's components); the oracle unrolls the " +
+        "three rounds as chained CTEs, no recursion needed for a fixed " +
+        "iteration count."
+    ) { (s, dir) =>
+      val e0 = Tables
+        .lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((-col("l_suppkey")).as("src0"), col("o_custkey").as("dst0"))
+        .distinct()
+      val edges = e0.select(col("src0").as("src"), col("dst0").as("dst"))
+        .union(e0.select(col("dst0").as("src"), col("src0").as("dst")))
+      pageRankMicros(edges, iters = 3)
+        .select(col("node"), col("r").as("rank_micros"))
+        .orderBy("node")
     }
   )
+
+  /** Integer-micros PageRank: ranks start at 1 000 000, each round every
+    * node keeps 150 000 (the 0.15 teleport share) plus the sum of
+    * `(r·85) div (100·outdeg)` over its in-edges. Truncating integer
+    * division per edge makes each round a sum of exact integers —
+    * order-independent, so the result is reproducible bit-for-bit at any
+    * parallelism, which a floating-point PageRank cannot guarantee.
+    * The edge list and degree table are materialized once
+    * (`localCheckpoint`, as [[connectedComponents]] — at 100 TB swap in
+    * `checkpoint`); each round shuffles only (node, rank). */
+  def pageRankMicros(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    var i = 0
+    while (i < iters) {
+      val prev = ranks
+      ranks = edges.join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("node"), (lit(150000L) + col("sc")).as("r"))
+        .localCheckpoint(true)
+      if (i > 0) prev.unpersist()
+      i += 1
+    }
+    ranks
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-layout maintenance: the operators a 100 TB pipeline runs BETWEEN
@@ -27,15 +27,25 @@ object Layout {
     * honest predictor of output size for a rewrite, read from the file
     * listing, no Spark job. */
   def compact(s: SparkSession, inDir: String, outDir: String,
-              sortCol: String, targetBytes: Long = 128L << 20): CompactionStats = {
+              sortCol: String, targetBytes: Long = 128L << 20): CompactionStats =
+    compactBy(s, inDir, outDir, col(sortCol), targetBytes)
+
+  /** [[compact]] on an arbitrary cluster-key EXPRESSION — e.g.
+    * `VectorFunctions.zorder(x, y)` for a two-dimensional Morton layout,
+    * where every output file's footer is tight on BOTH dimensions and a
+    * filter on either one prunes files (lakehouse OPTIMIZE ZORDER). The
+    * key is computed inside the write's scan stage and not persisted. */
+  def compactBy(s: SparkSession, inDir: String, outDir: String,
+                sortExpr: Column, targetBytes: Long = 128L << 20): CompactionStats = {
     // same hardened walk the table loaders use (recursive, skips
     // _SUCCESS/dot entries) — not a second, weaker listing
     val inFiles = graft.Tables.parquetFiles(s, inDir)
     val totalBytes = inFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    s.read.parquet(inDir)
-      .repartitionByRange(nOut, col(sortCol))
-      .sortWithinPartitions(sortCol)
+    val keyed = s.read.parquet(inDir).withColumn("__graft_cluster_key", sortExpr)
+    keyed.repartitionByRange(nOut, col("__graft_cluster_key"))
+      .sortWithinPartitions("__graft_cluster_key")
+      .drop("__graft_cluster_key")
       .write.mode("overwrite").parquet(outDir)
     // row fidelity from the output FOOTERS — a count() here would re-read
     // the whole rewritten table as a second job

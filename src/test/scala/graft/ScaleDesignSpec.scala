@@ -137,7 +137,8 @@ class ScaleDesignSpec extends SparkSpec {
     // so counting around them per-query would mis-attribute late events to
     // neighboring queries and flake.
     val iterativeOk =
-      Set("q81_dedup_clusters", "q86_kmeans_train", "q97_cluster_canonical")
+      Set("q81_dedup_clusters", "q86_kmeans_train", "q97_cluster_canonical",
+        "q102_pagerank")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
@@ -186,6 +187,49 @@ class ScaleDesignSpec extends SparkSpec {
         problems += s"${q.name}: interior global sort"
     }
     assert(problems.isEmpty, s"scale-killers in catalog plans:\n${problems.mkString("\n")}")
+  }
+
+  test("z-order compaction bounds BOTH dimensions per output file") {
+    val root = Files.createTempDirectory("graft-zorder").toString
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, sf01).select(col("user_id"),
+      expr("(cast(ts as long) - cast(timestamp'2024-01-01 00:00:00' as long)) div 60")
+        .as("minute"))
+    ev.repartition(20).write.parquet(s"$root/in")
+    val Array(uMax, mMax) = ev.agg(max("user_id"), max("minute")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // equal-width 8-bit codes per dimension: rank/range normalization is
+    // what makes z-order genuinely two-dimensional — raw unequal bit
+    // widths degenerate to a single-column sort on the wider dimension
+    val zKey = functions.VectorFunctions.zorder(
+      expr(s"(user_id * 256) div ${uMax + 1}"),
+      expr(s"(minute * 256) div ${mMax + 1}"))
+    operators.Layout.compactBy(spark, s"$root/in", s"$root/zout", zKey,
+      targetBytes = 4L << 10)
+    // baseline: single-column sort on minute leaves user unbounded per file
+    operators.Layout.compact(spark, s"$root/in", s"$root/mout", "minute",
+      targetBytes = 4L << 10)
+    def avgRanges(dir: String): (Double, Double) = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val spans = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min("user_id"), max("user_id"), min("minute"), max("minute")).head
+          ((r.getLong(1) - r.getLong(0)).toDouble / uMax,
+            (r.getLong(3) - r.getLong(2)).toDouble / mMax)
+        }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zU, zM) = avgRanges(s"$root/zout")
+    val (bU, _) = avgRanges(s"$root/mout")
+    assert(zU <= 0.55, s"z-order files must bound user_id: avg span $zU")
+    assert(zM <= 0.55, s"z-order files must bound minute: avg span $zM")
+    assert(bU >= 0.8, s"baseline minute-sort should NOT bound user_id ($bU) " +
+      "— if it does, this dataset can no longer distinguish the layouts")
+    assert(zU < bU / 2, s"z-order must beat single-column sort on the " +
+      s"second dimension: z=$zU baseline=$bU")
   }
 
   test("compaction merges small files into sorted, range-disjoint files") {
