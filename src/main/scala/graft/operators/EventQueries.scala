@@ -383,6 +383,67 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q104_histogram_quantiles",
+      Some("""WITH h AS (
+             |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) // 50000 AS bucket,
+             |         count(*) AS c
+             |  FROM orders
+             |  GROUP BY wk, bucket
+             |), cum AS (
+             |  SELECT wk, bucket, c,
+             |         sum(c) OVER (PARTITION BY wk ORDER BY bucket) AS cum,
+             |         sum(c) OVER (PARTITION BY wk) AS n
+             |  FROM h
+             |)
+             |SELECT wk, CAST(n AS BIGINT) AS n_orders,
+             |       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) * 500
+             |            AS BIGINT) AS p50_lo
+             |     , CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bucket END) * 500
+             |            AS BIGINT) AS p95_lo
+             |     , CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bucket END) * 500
+             |            AS BIGINT) AS p99_lo
+             |FROM cum
+             |GROUP BY wk, n
+             |ORDER BY wk""".stripMargin),
+      "Mergeable histogram-sketch quantiles: each week's order values " +
+        "collapse into fixed-width bucket counts (the histogram IS the " +
+        "sketch; Spark's partial aggregation IS the merge — no custom " +
+        "state needed, which is the 'compose existing ops first' rule), " +
+        "then p50/p95/p99 read off the cumulative counts as the first " +
+        "bucket whose running sum crosses the rank threshold. Unlike " +
+        "t-digest/KLL the answer is DETERMINISTIC — bucket resolution " +
+        "(500 currency units) is the only error — so the oracle checks " +
+        "it EXACTLY, integer arithmetic end to end; q73's " +
+        "approx_percentile gets only a rows-only check for the same " +
+        "job. At 100 TB the weekly (bucket, count) rows are kilobytes: " +
+        "coarser grains (month, year) re-aggregate stored histograms " +
+        "without touching raw data, the q92 rollup pattern with an " +
+        "exact contract."
+    ) { (s, dir) =>
+      val hist = Tables.orders(s, dir)
+        .select(date_trunc("week", col("o_orderdate")).cast("date").as("wk"),
+          expr("cast(round(o_totalprice * 100) as bigint) div 50000").as("bucket"))
+        .groupBy("wk", "bucket").agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy("wk").orderBy("bucket")
+      val wAll = Window.partitionBy("wk")
+      hist
+        .withColumn("cum", sum("c").over(wOrd))
+        .withColumn("n", sum("c").over(wAll))
+        .groupBy("wk", "n")
+        .agg(
+          (min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket"))) * 500)
+            .cast("long").as("p50_lo"),
+          (min(when(col("cum") * 100 >= col("n") * 95, col("bucket"))) * 500)
+            .cast("long").as("p95_lo"),
+          (min(when(col("cum") * 100 >= col("n") * 99, col("bucket"))) * 500)
+            .cast("long").as("p99_lo"))
+        .select(col("wk"), col("n").as("n_orders"),
+          col("p50_lo"), col("p95_lo"), col("p99_lo"))
+        .orderBy("wk")
+    },
+
+    GraftQuery(
       "q101_zorder_tiles",
       Some("""WITH pts AS (
              |  SELECT user_id AS x,

@@ -208,6 +208,56 @@ object JoinQueries {
           col("best.o_orderkey").as("o_orderkey"),
           col("best.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q103_tpch_q5",
+      Some("""SELECT n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |              AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin),
+      "TPC-H Q5 (local-supplier revenue): the six-table shape whose " +
+        "interesting edge is the CORRELATED predicate c_nationkey = " +
+        "s_nationkey — it cannot be pushed into any single scan, so join " +
+        "ORDER decides cost. The plan keeps one fact-sized shuffle " +
+        "(lineitem⋈orders on orderkey); customer, supplier, nation and " +
+        "region all broadcast, the region filter prunes nation keys " +
+        "before the build sides ship, and the nationkey correlation is " +
+        "evaluated as a residual on the already-joined row — never as a " +
+        "join that re-partitions the fact. The double revenue sum is " +
+        "hash-safe: 4-decimal fixed-point products stay under 2^53, so " +
+        "every partial sum is exact and order-independent (the q15 " +
+        "argument). At 100 TB, o_orderdate is the partition column and " +
+        "the year predicate prunes partitions before any IO."
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
     }
   )
 }
