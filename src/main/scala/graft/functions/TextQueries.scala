@@ -692,7 +692,15 @@ object TextQueries {
       import Sketches.{bloomContains, bloomOf}
       val sh = fourGramHashes(s, dir)
       val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
-      val filter = bloomOf(evalSh, col("s"), numBits = 1 << 20)
+      // size from footer stats, zero jobs (the q42/q67 sizing convention):
+      // eval docs ≈ corpus/97, ≲512 distinct 4-grams each, ~10 bits/key for
+      // ~1% fp. Clamped to 2^30 bits (128 MB, the single-buffer practical
+      // ceiling) — beyond that the scale path is striping the key space
+      // over several filters, not one larger buffer.
+      val targetBits = (Tables.parquetRowCount(s, dir, "documents") / 97 + 1) * 512 * 10
+      val numBits = math.max(1L << 20,
+        java.lang.Long.highestOneBit(math.min(targetBits, 1L << 30) - 1) << 1).toInt
+      val filter = bloomOf(evalSh, col("s"), numBits)
       sh.filter(col("doc_id") % 97 =!= 0)
         .filter(bloomContains(filter, col("s")))
         .join(evalSh, "s")
@@ -730,12 +738,14 @@ object TextQueries {
         "transcendental (a log-prob would drift; a count ratio in basis " +
         "points cannot). Spark side streams hashed bigrams (the q41 " +
         "narrow-shuffle trick — strings never shuffle, and hash-green " +
-        "every round proves zero collisions); the count table and the " +
-        "scoring join hash-partition on the same bigram key, so Catalyst " +
-        "reuses one exchange for both, then one doc_id shuffle " +
-        "aggregates. At 100 TB the bigram stream materializes once " +
-        "(columnar staging table) and the same two co-partitioned passes " +
-        "run over it — nothing here is corpus-quadratic."
+        "every round proves zero collisions). The bigram stream is " +
+        "derived twice in this single-plan form (count side and scoring " +
+        "side — their exchange subtrees differ, so ReuseExchange cannot " +
+        "fire); at 100 TB you materialize it once as a columnar staging " +
+        "table and both passes — the count aggregation and the scoring " +
+        "join, co-partitioned on the bigram key — read the staged " +
+        "stream. One doc_id shuffle then aggregates; nothing here is " +
+        "corpus-quadratic."
     ) { (s, dir) =>
       val w = split(lower(col("text")), " ")
       // stage the token-hash array BEFORE indexing (the q64 lesson:

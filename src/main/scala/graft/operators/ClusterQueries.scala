@@ -391,6 +391,9 @@ object ClusterQueries {
       if (i > 0) prev.unpersist()
       i += 1
     }
+    // the returned ranks is independently checkpointed (iters ≥ 1), so the
+    // inputs can be released now — same discipline as connectedComponents
+    if (iters > 0) { edges.unpersist(); deg.unpersist() }
     ranks
   }
 }

@@ -449,6 +449,11 @@ object EventQueries {
              |  SELECT user_id AS x,
              |         date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS y
              |  FROM events
+             |  -- layout-epoch precondition, enforced rather than assumed:
+             |  -- below the anchor, floor (date_diff) and truncating (div)
+             |  -- minute arithmetic disagree and the sign bit would leak
+             |  -- into the interleave
+             |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
              |), z AS (
              |  SELECT x, y,
              |         -- 31 bits per dim: 1<<63 overflows DuckDB's BIGINT shift,
@@ -482,6 +487,7 @@ object EventQueries {
         "clustered table — spec-checked for two-dimensional file bounds."
     ) { (s, dir) =>
       val z = Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
         .select(col("user_id").as("x"),
           expr(s"(cast(ts as long) - cast(timestamp'2024-01-01 00:00:00' as long)) div 60").as("y"))
         .select(col("x"), col("y"), VectorFunctions.zorder(col("x"), col("y")).as("zval"))

@@ -42,7 +42,12 @@ object Layout {
     val inFiles = graft.Tables.parquetFiles(s, inDir)
     val totalBytes = inFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val keyed = s.read.parquet(inDir).withColumn("__graft_cluster_key", sortExpr)
+    val in = s.read.parquet(inDir)
+    // withColumn would silently REPLACE a same-named input column and the
+    // drop below would then delete the user's data from the rewrite
+    require(!in.columns.contains("__graft_cluster_key"),
+      "input already has a __graft_cluster_key column")
+    val keyed = in.withColumn("__graft_cluster_key", sortExpr)
     keyed.repartitionByRange(nOut, col("__graft_cluster_key"))
       .sortWithinPartitions("__graft_cluster_key")
       .drop("__graft_cluster_key")

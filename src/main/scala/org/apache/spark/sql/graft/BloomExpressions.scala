@@ -133,7 +133,11 @@ case class BloomMightContain(left: Expression, right: Expression)
       case (BinaryType, org.apache.spark.sql.types.LongType) =>
         left match {
           case e if e.foldable => TypeCheckResult.TypeCheckSuccess
-          case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
+          // correlated subqueries would make the filter row-dependent,
+          // which the once-per-query materialization cannot honor
+          case p: PlanExpression[_]
+              if !p.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.OUTER_REFERENCE) =>
+            TypeCheckResult.TypeCheckSuccess
           case _ => TypeCheckResult.TypeCheckFailure(
             s"the filter input to $prettyName must be a constant or an " +
               "uncorrelated scalar subquery, so it can be materialized once " +

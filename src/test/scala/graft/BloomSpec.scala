@@ -29,10 +29,12 @@ class BloomSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8)
     bb.asLongBuffer().put(words)
     val bytes = bb.array()
-    // k=5, n/m=0.061 → (1 − e^(−kn/m))^5 ≈ 0.9% theoretical
+    // k=5, n/m=0.061 → (1 − e^(−kn/m))^5 = (1 − e^−0.305)^5 ≈ 0.13%
+    // theoretical; assert at 1% (~8× margin) so probe-schedule regressions
+    // that correlate the k probes (doubling+ the rate) still fail
     val trials = 20000
     val fp = (1 to trials).count(i => BloomMath.contains(bytes, -i * 0xC2B2AE3D27D4EB4FL))
-    assert(fp.toDouble / trials < 0.03, s"fp rate ${fp.toDouble / trials}")
+    assert(fp.toDouble / trials < 0.01, s"fp rate ${fp.toDouble / trials}")
   }
 
   test("DataFrame build + probe: no false negatives, merge across partitions") {
