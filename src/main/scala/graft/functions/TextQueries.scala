@@ -817,6 +817,75 @@ object TextQueries {
         .select(col("lang"), col("rk").cast("long").as("pick_rank"),
           col("doc_id"), col("source"))
         .orderBy("lang", "pick_rank")
+    },
+
+    GraftQuery(
+      "q107_bpe_train",
+      None, // iterative trainer with a driver-side argmax per round: merge
+      // sequence is spec-checked against a local reference BPE (BpeSpec).
+      "Distributed BPE merge training — the tokenizer-building step of a " +
+        "training-data pipeline, not just token counting: words become " +
+        "codepoint arrays, each round counts adjacent symbol pairs " +
+        "corpus-wide (explode + map-side-combined groupBy — the only " +
+        "shuffle, carrying (pair, count) not text), the argmax pair " +
+        "(ties broken lexicographically, so the merge sequence is " +
+        "deterministic) comes to the driver as ONE aggregated row (the " +
+        "q86 pattern: an O(1) action per round is the sanctioned shape " +
+        "for iterative trainers), and the merge applies corpus-wide as " +
+        "a greedy left-to-right fold INSIDE codegen (higher-order " +
+        "aggregate over each word's symbol array — no UDF). Symbol " +
+        "arrays localCheckpoint between rounds exactly like q81/q86 " +
+        "(at 100 TB: checkpoint). Each round is one scan of the " +
+        "CURRENT symbol stream: cost is rounds × corpus, never " +
+        "corpus², and the merged-id space (1e6 + round) is disjoint " +
+        "from codepoints by construction."
+    ) { (s, dir) =>
+      bpeMerges(s, dir, rounds = 3)
     }
   )
+
+  /** Run `rounds` BPE merge rounds over the lowercase-ASCII words of
+    * `documents.text`; returns the learned merge table
+    * (round, sym_a, sym_b, pair_count). Greedy leftmost application, ties
+    * on count broken by (sym_a, sym_b) — the reference semantics BpeSpec
+    * mirrors with a sequential implementation. */
+  private[graft] def bpeMerges(s: SparkSession, dir: String, rounds: Int) = {
+    import s.implicits._
+    var syms = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint))")
+        .as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var r = 0
+    while (r < rounds) {
+      val top = syms.filter(size(col("sym")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(element_at(sym, i) AS pa, element_at(sym, i + 1) AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb"))
+        .head
+      val (pa, pb, c) = (top.getLong(0), top.getLong(1), top.getLong(2))
+      val m = 1000000L + r
+      merges += ((r.toLong + 1L, pa, pb, c))
+      val next = syms.select(expr(
+        s"""aggregate(sym, cast(array() as array<bigint>), (acc, x) ->
+           |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${pa}L AND x = ${pb}L
+           |THEN concat(slice(acc, 1, size(acc) - 1), array(${m}L))
+           |ELSE concat(acc, array(x)) END)""".stripMargin.replace('\n', ' '))
+        .as("sym"))
+        .localCheckpoint(true)
+      syms.unpersist()
+      syms = next
+      r += 1
+    }
+    syms.unpersist()
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy("round")
+  }
 }

@@ -258,6 +258,62 @@ object JoinQueries {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
+    },
+
+    GraftQuery(
+      "q105_interval_overlap_join",
+      Some("""WITH iv AS (
+             |  SELECT user_id, min(ts) AS lo,
+             |         min(ts) + INTERVAL 30 MINUTE AS hi
+             |  FROM events WHERE event_type = 'error'
+             |  GROUP BY user_id, date_trunc('hour', ts)
+             |), p AS (
+             |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'
+             |)
+             |SELECT iv.user_id, iv.lo AS window_start,
+             |       count(*) AS n_other_purchases,
+             |       CAST(sum(p.cents) AS BIGINT) AS cents_by_others
+             |FROM iv JOIN p ON p.ts >= iv.lo AND p.ts <= iv.hi
+             |                AND p.user_id <> iv.user_id
+             |GROUP BY iv.user_id, iv.lo
+             |ORDER BY iv.user_id, window_start""".stripMargin),
+      "Global interval-overlap join with NO shared key — what purchases by " +
+        "OTHER users landed inside each user's error window (blast-radius " +
+        "attribution). The sides share no equi-key, both are event-sized, " +
+        "and a theta join would be a cartesian product; the scale shape is " +
+        "time-bucket fan-out: each 30-minute interval explodes to the ≤2 " +
+        "hour buckets it touches, each point maps to exactly ONE bucket, " +
+        "and the join becomes an equi-join on bucket with the overlap " +
+        "test as a residual. Because the point side has a unique bucket, " +
+        "every qualifying (interval, point) pair matches exactly once — " +
+        "no post-join dedup shuffle, the subtle half of the pattern. " +
+        "Fan-out is ceil(len/bucket)+1 rows per interval, chosen ~ the " +
+        "interval length; the oracle is the brute theta join, feasible " +
+        "only at test scale — which is exactly the point."
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("i_user"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(min("ts").as("lo"))
+        .select(col("i_user"), col("lo"),
+          (col("lo") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val ivB = iv.withColumn("b", explode(sequence(
+        date_trunc("hour", col("lo")), date_trunc("hour", col("hi")),
+        expr("INTERVAL 1 HOUR"))))
+      val pB = p.withColumn("b2", date_trunc("hour", col("ts")))
+      ivB.join(pB, col("b") === col("b2") &&
+          col("ts") >= col("lo") && col("ts") <= col("hi") &&
+          col("p_user") =!= col("i_user"))
+        .groupBy("i_user", "lo")
+        .agg(count(lit(1)).as("n_other_purchases"),
+          sum("cents").as("cents_by_others"))
+        .select(col("i_user").as("user_id"), col("lo").as("window_start"),
+          col("n_other_purchases"), col("cents_by_others"))
+        .orderBy("user_id", "window_start")
     }
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import scala.collection.mutable
+
+/** q107 contract: the distributed BPE trainer must learn EXACTLY the merge
+  * sequence a sequential reference implementation learns — same pair
+  * counts, same argmax tie-break (count desc, then sym_a, sym_b), same
+  * greedy leftmost application. Any drift in the fold (overlap handling,
+  * merged-token adjacency) or in the count shuffle shows up as a different
+  * merge table.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("distributed BPE merge sequence equals the sequential reference") {
+    val got = functions.TextQueries.bpeMerges(spark, sf, rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    var words: Seq[Array[Long]] = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.length >= 2)
+      .map(_.map(_.toLong).toArray)
+      .toSeq
+    val expected = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 0 until 3) {
+      val counts = mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      words.foreach { w =>
+        var i = 0
+        while (i < w.length - 1) { counts((w(i), w(i + 1))) += 1; i += 1 }
+      }
+      val ((pa, pb), c) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      expected += ((r + 1L, pa, pb, c))
+      val m = 1000000L + r
+      words = words.map { w =>
+        val buf = mutable.ArrayBuffer.empty[Long]
+        w.foreach { x =>
+          if (buf.nonEmpty && buf.last == pa && x == pb) {
+            buf.remove(buf.length - 1); buf += m
+          } else buf += x
+        }
+        buf.toArray
+      }
+    }
+    assert(got == expected.toSeq,
+      s"merge tables differ:\n got=$got\n exp=$expected")
+    assert(got.map(_._4).forall(_ > 0) && got.size == 3)
+  }
+}
