@@ -873,11 +873,16 @@ object TextQueries {
       val (pa, pb, c) = (top.getLong(0), top.getLong(1), top.getLong(2))
       val m = 1000000L + r
       merges += ((r.toLong + 1L, pa, pb, c))
+      // words that cannot contain the pair pass through untouched — the
+      // quadratic-ish fold (concat per element) only runs where a merge
+      // can actually fire, which for most pairs is a small corpus slice
       val next = syms.select(expr(
-        s"""aggregate(sym, cast(array() as array<bigint>), (acc, x) ->
+        s"""CASE WHEN array_contains(sym, ${pa}L) AND array_contains(sym, ${pb}L)
+           |THEN aggregate(sym, cast(array() as array<bigint>), (acc, x) ->
            |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${pa}L AND x = ${pb}L
            |THEN concat(slice(acc, 1, size(acc) - 1), array(${m}L))
-           |ELSE concat(acc, array(x)) END)""".stripMargin.replace('\n', ' '))
+           |ELSE concat(acc, array(x)) END)
+           |ELSE sym END""".stripMargin.replace('\n', ' '))
         .as("sym"))
         .localCheckpoint(true)
       syms.unpersist()
