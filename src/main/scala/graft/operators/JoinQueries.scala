@@ -314,6 +314,50 @@ object JoinQueries {
         .select(col("i_user").as("user_id"), col("lo").as("window_start"),
           col("n_other_purchases"), col("cents_by_others"))
         .orderBy("user_id", "window_start")
+    },
+
+    GraftQuery(
+      "q108_bloom_join_reduction",
+      Some("""SELECT l.l_orderkey, count(*) AS n_lines,
+             |       CAST(round(sum(l.l_extendedprice * 100)) AS BIGINT)
+             |         AS cents
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+             |GROUP BY l.l_orderkey
+             |ORDER BY l_orderkey""".stripMargin),
+      "Runtime-filter join reduction, made explicit with the engine's own " +
+        "sketch: the selective side's join keys collapse into a Bloom " +
+        "filter (BloomSketch via scalar subquery — the q96 machinery) and " +
+        "the fact scan probes it BEFORE the shuffle, so only ~matching + " +
+        "fp-rate rows are hashed, exchanged and sorted; the join itself " +
+        "then removes the false positives, so the result is EXACTLY the " +
+        "plain join the oracle runs. This is what Spark's own " +
+        "InjectRuntimeFilter does implicitly when statistics cooperate — " +
+        "here it is an explicit, statistics-independent operator: at " +
+        "100 TB the difference between shuffling the full fact table and " +
+        "shuffling the 2% that can match is the job's cost, and a date " +
+        "predicate on the dimension side cannot otherwise reach the " +
+        "fact scan at all."
+    ) { (s, dir) =>
+      import graft.functions.Sketches.{bloomContains, bloomOf}
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      // ~10 bits/key at the footer row count (an upper bound on the
+      // filtered keys — fp only improves), zero jobs; 2^30 ceiling as q96
+      val targetBits = Tables.parquetRowCount(s, dir, "orders") * 10
+      val numBits = math.max(1L << 20,
+        java.lang.Long.highestOneBit(math.min(targetBits, 1L << 30) - 1) << 1).toInt
+      val filter = bloomOf(o, xxhash64(col("o_orderkey")), numBits)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .filter(bloomContains(filter, xxhash64(col("l_orderkey"))))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .orderBy("l_orderkey")
     }
   )
 }
