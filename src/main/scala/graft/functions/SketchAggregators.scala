@@ -153,6 +153,16 @@ object Sketches {
       BloomSketch(ColumnBridge.expression(col), numBits).toAggregateExpression())
   }
 
+  /** Next-power-of-two Bloom width for ~`targetBits` (≈10 bits/key at 1%
+    * fp), clamped to [2^20, 2^30] — 2^30 bits (128 MB) is the practical
+    * single-buffer ceiling; beyond it, stripe the key space over several
+    * filters rather than growing one buffer. One definition so every
+    * Bloom consumer (q96, q108) sizes identically. */
+  def bloomBits(targetBits: Long): Int =
+    math.max(1L << 20,
+      java.lang.Long.highestOneBit(
+        math.min(math.max(targetBits, 2L), 1L << 30) - 1) << 1).toInt
+
   /** Build a Bloom filter over `keys`' `keyHash` column as an uncorrelated
     * scalar subquery: the filter aggregation runs ONCE per query and its
     * serialized bytes become a query-constant every [[bloomContains]] probe

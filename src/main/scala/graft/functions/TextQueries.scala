@@ -693,14 +693,9 @@ object TextQueries {
       val sh = fourGramHashes(s, dir)
       val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
       // size from footer stats, zero jobs (the q42/q67 sizing convention):
-      // eval docs ≈ corpus/97, ≲512 distinct 4-grams each, ~10 bits/key for
-      // ~1% fp. Clamped to 2^30 bits (128 MB, the single-buffer practical
-      // ceiling) — beyond that the scale path is striping the key space
-      // over several filters, not one larger buffer.
-      val targetBits = (Tables.parquetRowCount(s, dir, "documents") / 97 + 1) * 512 * 10
-      val numBits = math.max(1L << 20,
-        java.lang.Long.highestOneBit(math.min(targetBits, 1L << 30) - 1) << 1).toInt
-      val filter = bloomOf(evalSh, col("s"), numBits)
+      // eval docs ≈ corpus/97, ≲512 distinct 4-grams each, ~10 bits/key
+      val filter = bloomOf(evalSh, col("s"), Sketches.bloomBits(
+        (Tables.parquetRowCount(s, dir, "documents") / 97 + 1) * 512 * 10))
       sh.filter(col("doc_id") % 97 =!= 0)
         .filter(bloomContains(filter, col("s")))
         .join(evalSh, "s")
@@ -860,8 +855,9 @@ object TextQueries {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var r = 0
-    while (r < rounds) {
-      val top = syms.filter(size(col("sym")) >= 2)
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val topOpt = syms.filter(size(col("sym")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(sym) - 1), " +
             "i -> struct(element_at(sym, i) AS pa, element_at(sym, i + 1) AS pb))"))
@@ -869,25 +865,32 @@ object TextQueries {
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pa"), col("pb"))
-        .head
-      val (pa, pb, c) = (top.getLong(0), top.getLong(1), top.getLong(2))
-      val m = 1000000L + r
-      merges += ((r.toLong + 1L, pa, pb, c))
-      // words that cannot contain the pair pass through untouched — the
-      // quadratic-ish fold (concat per element) only runs where a merge
-      // can actually fire, which for most pairs is a small corpus slice
-      val next = syms.select(expr(
-        s"""CASE WHEN array_contains(sym, ${pa}L) AND array_contains(sym, ${pb}L)
-           |THEN aggregate(sym, cast(array() as array<bigint>), (acc, x) ->
-           |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${pa}L AND x = ${pb}L
-           |THEN concat(slice(acc, 1, size(acc) - 1), array(${m}L))
-           |ELSE concat(acc, array(x)) END)
-           |ELSE sym END""".stripMargin.replace('\n', ' '))
-        .as("sym"))
-        .localCheckpoint(true)
-      syms.unpersist()
-      syms = next
-      r += 1
+        .limit(1).collect().headOption
+      topOpt match {
+        case None =>
+          // degenerate corpus or rounds > available merges: every word is
+          // down to one symbol — stop with the rounds learned so far
+          exhausted = true
+        case Some(top) =>
+          val (pa, pb, c) = (top.getLong(0), top.getLong(1), top.getLong(2))
+          val m = 1000000L + r
+          merges += ((r.toLong + 1L, pa, pb, c))
+          // words that cannot contain the pair pass through untouched — the
+          // quadratic-ish fold (concat per element) only runs where a merge
+          // can actually fire, which for most pairs is a small corpus slice
+          val next = syms.select(expr(
+            s"""CASE WHEN array_contains(sym, ${pa}L) AND array_contains(sym, ${pb}L)
+               |THEN aggregate(sym, cast(array() as array<bigint>), (acc, x) ->
+               |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${pa}L AND x = ${pb}L
+               |THEN concat(slice(acc, 1, size(acc) - 1), array(${m}L))
+               |ELSE concat(acc, array(x)) END)
+               |ELSE sym END""".stripMargin.replace('\n', ' '))
+            .as("sym"))
+            .localCheckpoint(true)
+          syms.unpersist()
+          syms = next
+          r += 1
+      }
     }
     syms.unpersist()
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")

@@ -345,11 +345,10 @@ object JoinQueries {
         .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
         .select(col("o_orderkey"))
       // ~10 bits/key at the footer row count (an upper bound on the
-      // filtered keys — fp only improves), zero jobs; 2^30 ceiling as q96
-      val targetBits = Tables.parquetRowCount(s, dir, "orders") * 10
-      val numBits = math.max(1L << 20,
-        java.lang.Long.highestOneBit(math.min(targetBits, 1L << 30) - 1) << 1).toInt
-      val filter = bloomOf(o, xxhash64(col("o_orderkey")), numBits)
+      // filtered keys — fp only improves), zero jobs; shared sizing helper
+      val filter = bloomOf(o, xxhash64(col("o_orderkey")),
+        graft.functions.Sketches.bloomBits(
+          Tables.parquetRowCount(s, dir, "orders") * 10))
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"))
         .filter(bloomContains(filter, xxhash64(col("l_orderkey"))))

@@ -19,7 +19,7 @@ class BpeSpec extends SparkSpec {
 
     var words: Seq[Array[Long]] = Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0))
-      .flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+"))
       .filter(_.length >= 2)
       .map(_.map(_.toLong).toArray)
       .toSeq
