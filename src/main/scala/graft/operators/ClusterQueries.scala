@@ -309,6 +309,70 @@ object ClusterQueries {
     },
 
     GraftQuery(
+      "q109_triangle_count",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |  WHERE c*1.0/((sa.n + sb.n) - c) >= 0.8
+             |), tri AS (
+             |  SELECT e1.a, e1.b, e2.b AS c3
+             |  FROM edges e1
+             |  JOIN edges e2 ON e2.a = e1.b
+             |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+             |), m AS (
+             |  SELECT a AS doc_id FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c3 FROM tri
+             |)
+             |SELECT doc_id, count(*) AS n_triangles
+             |FROM m GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Triangle counting on the near-dup graph — the local-clustering " +
+        "signal that separates tight duplicate CLIQUES (template families, " +
+        "mirror sites: every member pairwise-similar) from star-shaped " +
+        "chains around one hub document, which q81's components cannot " +
+        "distinguish. Edges are oriented low-id→high-id, so each triangle " +
+        "is enumerated exactly once as (a<b<c) — the compact-forward " +
+        "pattern that makes distributed triangle counting feasible: the " +
+        "candidate join extends a<b by b<c and closes with an (a,c) " +
+        "hash-probe, two equi-joins on id, never a cross product; at " +
+        "100 TB you orient by DEGREE instead of id (same plan, provably " +
+        "O(m^1.5) candidates) and the edge list is the q81 " +
+        "materialization, built once. The three identical edge-list " +
+        "subtrees canonicalize to the same exchange, so the shuffle " +
+        "under the pair aggregation executes once and is reused."
+    ) { (s, dir) =>
+      val e = DedupQueries.jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val ab = e.toDF("a", "b")
+      val bc = e.toDF("b2", "c3")
+      val ac = e.toDF("a3", "c4")
+      ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c3") === col("c4"))
+        .select(explode(array(col("a"), col("b"), col("c3"))).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q102_pagerank",
       Some("""WITH e0 AS (
              |  SELECT DISTINCT -l.l_suppkey AS s, o.o_custkey AS c
