@@ -354,13 +354,16 @@ object ClusterQueries {
         "candidate join extends a<b by b<c and closes with an (a,c) " +
         "hash-probe, two equi-joins on id, never a cross product; at " +
         "100 TB you orient by DEGREE instead of id (same plan, provably " +
-        "O(m^1.5) candidates) and the edge list is the q81 " +
-        "materialization, built once. The three identical edge-list " +
-        "subtrees canonicalize to the same exchange, so the shuffle " +
-        "under the pair aggregation executes once and is reused."
+        "O(m^1.5) candidates). The edge list is MATERIALIZED once " +
+        "(localCheckpoint — q81's discipline; checkpoint at scale) " +
+        "before the three-way self-join: left in one plan, the whole " +
+        "shingle→pair pipeline would execute three times, since the " +
+        "three branch subtrees differ post-aggregation and ReuseExchange " +
+        "cannot collapse them."
     ) { (s, dir) =>
       val e = DedupQueries.jaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val ab = e.toDF("a", "b")
       val bc = e.toDF("b2", "c3")
       val ac = e.toDF("a3", "c4")

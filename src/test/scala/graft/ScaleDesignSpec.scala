@@ -138,7 +138,7 @@ class ScaleDesignSpec extends SparkSpec {
     // neighboring queries and flake.
     val iterativeOk =
       Set("q81_dedup_clusters", "q86_kmeans_train", "q97_cluster_canonical",
-        "q102_pagerank", "q107_bpe_train")
+        "q102_pagerank", "q107_bpe_train", "q109_triangle_count")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
