@@ -43,9 +43,17 @@ object MaterializedAgg {
       .start()
 
   /** Merge one micro-batch into the keyed state. Idempotent per `batchId`;
-    * atomic via staging-dir rename. */
+    * atomic via staging-dir rename. `valueCol` must be an integral type:
+    * integer partial sums merge order-independently, which is what makes
+    * the state provably equal a batch recompute — double totals drift by
+    * summation order and decimal sums widen their precision every merge
+    * round (store money as cents, the engine-wide convention). */
   def applyBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, keyCol: String, valueCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val vt = batch.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"valueCol '$valueCol' must be integral for order-independent merges, got $vt")
     val root = Paths.get(stateDir)
     Files.createDirectories(root)
     val target = root.resolve(s"v=$batchId")
@@ -79,15 +87,27 @@ object MaterializedAgg {
 
   private def versions(root: Path): Seq[Long] =
     if (!Files.exists(root)) Seq.empty
-    else Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v="))
-      .map(_.getFileName.toString.stripPrefix("v=").toLong)
-      .toSeq
+    else {
+      val st = Files.list(root)
+      // all-digit filter so one stray `v=backup` dir can't poison every
+      // subsequent operation; close the stream — a long-running query
+      // calls this every batch and unclosed listings leak descriptors
+      try st.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v=") && n.drop(2).nonEmpty &&
+          n.drop(2).forall(_.isDigit))
+        .map(_.stripPrefix("v=").toLong)
+        .toSeq
+      finally st.close()
+    }
 
   private def latest(root: Path): Option[Long] = versions(root).maxOption
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
     }
 }

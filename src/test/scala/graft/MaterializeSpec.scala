@@ -27,11 +27,15 @@ class MaterializeSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData((2L, 10L), (3L, 7L))
       q.processAllAvailable()
+      // third batch makes pruning REAL: with Retain=2, v=0 must actually
+      // be deleted (and never the newest) for the assertion below to pass
+      input.addData((1L, 1L))
+      q.processAllAvailable()
     } finally q.stop()
 
     val got = MaterializedAgg.read(spark, state)
       .orderBy("user").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq === Seq((1L, 2L, 125L), (2L, 2L, 60L), (3L, 1L, 7L)),
+    assert(got.toSeq === Seq((1L, 3L, 126L), (2L, 2L, 60L), (3L, 1L, 7L)),
       s"state diverged from batch recompute: ${got.toSeq}")
 
     // checkpoint replay: re-applying an already-committed batchId must not
@@ -42,8 +46,20 @@ class MaterializeSpec extends SparkSpec {
       .orderBy("user").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(replayed.toSeq === got.toSeq, "replayed batch changed the state")
 
-    // version pruning keeps the newest Retain snapshots only
-    val versions = new java.io.File(state).list().count(_.startsWith("v="))
-    assert(versions <= MaterializedAgg.Retain, s"$versions versions retained")
+    // version pruning dropped v=0 and kept exactly the newest Retain
+    val kept = new java.io.File(state).list().filter(_.startsWith("v=")).sorted
+    assert(kept.toSeq === Seq("v=1", "v=2"),
+      s"pruning must drop the oldest version only: ${kept.toSeq}")
+
+    // a stray non-numeric version dir must not poison reads or merges
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(state, "v=backup"))
+    assert(MaterializedAgg.read(spark, state).count() == 3)
+
+    // non-integral value columns are rejected up front (order-dependent
+    // double sums would break the equals-batch-recompute contract)
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.applyBatch(spark,
+        Seq((1L, 1.5)).toDF("user", "cents"), 99L, state, "user", "cents")
+    }
   }
 }
