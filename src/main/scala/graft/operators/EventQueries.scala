@@ -383,6 +383,67 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q110_scd2_lookup",
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS val_cents,
+             |         lag(CAST(round(value * 100) AS BIGINT))
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |), scd AS (
+             |  SELECT user_id, ts AS valid_from, val_cents,
+             |         lead(ts) OVER (PARTITION BY user_id
+             |                        ORDER BY ts, event_id) AS valid_to
+             |  FROM ch
+             |  WHERE prev IS NULL OR prev <> val_cents
+             |)
+             |SELECT p.event_id, p.user_id,
+             |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+             |       d.val_cents AS dim_cents_asof
+             |FROM events p
+             |JOIN scd d ON d.user_id = p.user_id
+             |           AND p.ts >= d.valid_from
+             |           AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+             |WHERE p.event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin),
+      "Point-in-time dimension lookup AS OF each fact row — the query " +
+        "shape q98's SCD2 table exists to serve, and the leakage-free " +
+        "way to attach slowly-changing attributes to training facts " +
+        "(joining today's dimension value onto last year's events is the " +
+        "classic label-leakage bug). Equi-join on the entity key with " +
+        "the interval containment as a residual: both sides hash-" +
+        "partition on user_id — the dimension build's window passes and " +
+        "this join share that one partitioning, and each fact matches " +
+        "EXACTLY one version (intervals partition the timeline by " +
+        "construction: half-open, gap-free, NULL-capped), so the join " +
+        "neither drops nor multiplies facts — an invariant the row " +
+        "count itself verifies against the purchase count. At 100 TB " +
+        "this beats the sort-merge as-of (q22) when the dimension is " +
+        "compact after no-change collapse; bucketed by user_id on " +
+        "write, zero shuffle."
+    ) { (s, dir) =>
+      val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("val_cents"))
+        .withColumn("prev", lag("val_cents", 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("val_cents"))
+        .withColumn("valid_to", lead("ts", 1).over(byKey))
+        .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+          col("valid_to"), col("val_cents"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+        .join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"),
+          col("val_cents").as("dim_cents_asof"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q104_histogram_quantiles",
       Some("""WITH h AS (
              |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
