@@ -815,6 +815,49 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q111_token_budget_sample",
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             |         sha256(text) AS hk
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, doc_id, tok,
+             |         CAST(sum(tok) OVER (PARTITION BY source
+             |                             ORDER BY hk, doc_id) AS BIGINT) AS cum
+             |  FROM t
+             |)
+             |SELECT source, doc_id, tok AS n_tokens, cum AS cum_tokens
+             |FROM c WHERE cum - tok < 600
+             |ORDER BY source, cum_tokens""".stripMargin),
+      "Per-source TOKEN-budget selection — the other half of dataset " +
+        "mixing: q100 pins document COUNTS, this pins each source's token " +
+        "contribution (what the training run actually consumes), keeping " +
+        "every document whose first token falls inside the budget (the " +
+        "q94 cut rule, so the boundary document is kept whole and " +
+        "membership is unambiguous). Selection order is the content " +
+        "hash — reproducible across engines and re-runs, immune to " +
+        "doc_id assignment. One running-sum window per source, one " +
+        "exchange; at 100 TB a huge source first takes a cheap hash-" +
+        "threshold Bernoulli cut at ~2× budget/total (no ordering " +
+        "needed, footer row counts size it), and only the surviving " +
+        "sliver pays the exact prefix-sum — the q100 prune-then-rank " +
+        "discipline applied to budgets."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          sha2(col("text"), 256).as("hk"))
+        .withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") - col("tok") < 600)
+        .select(col("source"), col("doc_id"), col("tok").as("n_tokens"),
+          col("cum").as("cum_tokens"))
+        .orderBy("source", "cum_tokens")
+    },
+
+    GraftQuery(
       "q107_bpe_train",
       None, // iterative trainer with a driver-side argmax per round: merge
       // sequence is spec-checked against a local reference BPE (BpeSpec).
