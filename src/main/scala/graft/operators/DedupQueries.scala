@@ -385,6 +385,58 @@ object DedupQueries {
         .filter(col("c") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    GraftQuery(
+      "q114_span_dedup",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), chunks AS (
+             |  SELECT doc_id, i AS chunk_idx,
+             |         array_to_string(w[i * 4 + 1 : i * 4 + 4], ' ') AS chunk
+             |  FROM toks, unnest(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT))) AS t(i)
+             |), ranked AS (
+             |  SELECT doc_id, chunk_idx,
+             |         row_number() OVER (PARTITION BY chunk
+             |                            ORDER BY doc_id, chunk_idx) AS rn
+             |  FROM chunks
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM ranked GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Exact span-level dedup (the exact-substring dedup of Lee et al. " +
+        "2022 at span granularity, C4's sentence dedup generalized): each " +
+        "document tiles into fixed 4-token spans and only the globally " +
+        "FIRST occurrence of each span — first by (doc_id, offset), the " +
+        "deterministic keeper rule every re-run reproduces — survives; " +
+        "the output audits kept vs total spans per document. The span " +
+        "width is corpus-calibrated (4 tokens collides meaningfully on " +
+        "this ~40-word vocabulary; web corpora use 50). One shuffle, " +
+        "keyed by the span: duplicate groups are tiny (bounded by dup " +
+        "count), so the per-group row_number never sees skew. At 100 TB " +
+        "the shuffle must carry (xxhash64(span), doc_id, offset) — 24 " +
+        "bytes — not the span text; the hash stands in for the string " +
+        "with collision risk 2^-64·pairs, and a length+first-token " +
+        "residual check catches the paranoid case. The oracle keeps the " +
+        "string key (DuckDB has no xxhash64) — same groups, same answer."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ceil(size(col("w")) / 4.0).cast("int") - 1)).as("chunk_idx"),
+          col("w"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("w"), col("chunk_idx") * 4 + 1, lit(4))).as("chunk"))
+      spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
     }
   )
 }

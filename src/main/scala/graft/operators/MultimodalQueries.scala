@@ -170,8 +170,117 @@ object MultimodalQueries {
       videos.mapPartitions(_.flatMap(sampleFrames(_, stride = 2)))
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+
+    GraftQuery(
+      "q116_audio_envelope",
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS data_size,
+             |         CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+             |                         ELSE 44100 END AS sample_rate,
+             |         1 + doc_id % 2 AS channels
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+             |       CAST(channels AS BIGINT) AS channels,
+             |       CAST(data_size // (channels * 2) AS BIGINT) AS n_frames,
+             |       CAST((data_size // (channels * 2)) * 1000000 // sample_rate
+             |         AS BIGINT) AS duration_micros
+             |FROM a
+             |ORDER BY doc_id""".stripMargin),
+      "Audio envelope — the third media modality next to q51's images and " +
+        "q68's video: payloads are genuine RIFF/WAVE files (RIFF size, " +
+        "fmt chunk with PCM format/channels/sample-rate/byte-rate/block-" +
+        "align, an optional LIST chunk, then data) and the decode stage " +
+        "is a real chunk WALKER — it skips unknown chunks by their " +
+        "declared little-endian sizes (every fifth payload carries a " +
+        "LIST chunk between fmt and data to keep the walker honest) and " +
+        "recovers sample rate, channel count, frame count and duration " +
+        "from the BYTES; metadata columns only build the envelope. " +
+        "Duration is integer micros (frames·1e6 div rate) — exact cross-" +
+        "engine, the q115 encoding rule. Same 100 TB shape as q51: " +
+        "payloads stay column-pruned until this one typed mapPartitions " +
+        "stage touches them, and a real resampler/feature extractor " +
+        "(fbank, VAD) slots into the same batch-per-partition seam."
+    ) { (s, dir) =>
+      import s.implicits._
+      val sr = when(col("doc_id") % 3 === 0, 16000)
+        .when(col("doc_id") % 3 === 1, 22050).otherwise(44100).cast("int")
+      val ch = (lit(1) + col("doc_id") % 2).cast("int")
+      val dataSize = octet_length(encode(col("text"), "utf-8")).cast("int")
+      val blockAlign = ch * 2
+      val byteRate = sr * blockAlign
+      // optional junk chunk ("LIST" + size 6 + 6 bytes) exercises the walker
+      val junk = when(col("doc_id") % 5 === 0,
+        concat(lit("LIST".getBytes("US-ASCII")), le(lit(6), 8),
+          unhex(lit("494E464F0000")))).otherwise(lit(Array.empty[Byte]))
+      val fmtChunk = concat(
+        lit("fmt ".getBytes("US-ASCII")), le(lit(16), 8),
+        le(lit(1), 4), le(ch, 4), le(sr, 8), le(byteRate, 8),
+        le(blockAlign, 4), le(lit(16), 4))
+      val dataChunk = concat(
+        lit("data".getBytes("US-ASCII")), le(dataSize, 8),
+        encode(col("text"), "utf-8"))
+      val riffSize = lit(4) + (lit(8) + lit(16)) +
+        when(col("doc_id") % 5 === 0, 14).otherwise(0) + lit(8) + dataSize
+      val payload = concat(
+        lit("RIFF".getBytes("US-ASCII")), le(riffSize, 8),
+        lit("WAVE".getBytes("US-ASCII")), fmtChunk, junk, dataChunk)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), payload.as("payload")).as[AudioRow]
+        .mapPartitions(_.map(parseWav))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
+
+  final case class AudioRow(doc_id: Long, payload: Array[Byte])
+  final case class AudioFeatures(doc_id: Long, sample_rate: Long,
+                                 channels: Long, n_frames: Long,
+                                 duration_micros: Long)
+
+  /** Little-endian byte packing as a column: fixed-width hex, then the byte
+    * pairs reversed (the RIFF convention; [[be]] is the network-order dual). */
+  private def le(c: Column, hexDigits: Int): Column = {
+    val h = lpad(hex(c), hexDigits, "0")
+    unhex(concat((hexDigits / 2 to 1 by -1).map(i => substring(h, i * 2 - 1, 2)): _*))
+  }
+
+  /** Chunk-walking WAV parser: validates RIFF/WAVE, reads fmt (PCM layout),
+    * skips unknown chunks by their declared size (word-aligned), and derives
+    * frame count + integer-micros duration from the data chunk's size. */
+  def parseWav(r: AudioRow): AudioFeatures = {
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload (${b.length} bytes)")
+    var sampleRate = -1L; var channels = -1; var blockAlign = -1
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length && dataSize < 0) {
+      val id = tag(i); val sz = le32(i + 4)
+      if (id == "fmt ") {
+        require(le16(i + 8) == 1, "not PCM")
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12)
+        blockAlign = le16(i + 20)
+      } else if (id == "data") {
+        dataSize = sz
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    require(sampleRate > 0 && channels > 0 && dataSize >= 0,
+      "missing fmt or data chunk")
+    val frames = dataSize / blockAlign
+    AudioFeatures(r.doc_id, sampleRate, channels, frames,
+      frames * 1000000L / sampleRate)
+  }
 
   final case class VideoRow(doc_id: Long, payload: Array[Byte])
   final case class FrameSample(doc_id: Long, frame_idx: Long, digest: Long)

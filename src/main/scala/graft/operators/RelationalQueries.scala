@@ -316,7 +316,124 @@ object RelationalQueries {
         "(props contains commas and quotes), header off. CSV splits by " +
         "line, so scans parallelize; the schema is the engine's, never " +
         "inferred."
-    ) { (s, dir) => csvRoundTrip(s, dir) }
+    ) { (s, dir) => csvRoundTrip(s, dir) },
+
+    GraftQuery(
+      "q112_partitioned_prune",
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE lang IN ('de', 'fr')
+             |GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin),
+      "Hive-style partitioned layout + partition pruning: documents are " +
+        "written once with write.partitionBy(lang) — the partition column " +
+        "becomes directory structure, not data — and the filtered read " +
+        "back resolves lang IN ('de','fr') against the DIRECTORY LISTING, " +
+        "never opening a non-matching file (PartitionFilters in the scan; " +
+        "PartitionLayoutSpec asserts the pruned scan's input files all " +
+        "live under the two matching dirs). This is the coarsest and " +
+        "cheapest pruning tier — above footer min/max (Layout.compact) " +
+        "and z-order tiles (q101): at 100 TB a lang/date-partitioned " +
+        "corpus turns a two-language query into a listing of 2 of ~200 " +
+        "directories before any I/O is scheduled. Partition count stays " +
+        "bounded (cardinality of lang), so the metadata path never " +
+        "explodes; the oracle computes the same aggregate from the " +
+        "unpartitioned truth."
+    ) { (s, dir) =>
+      val staged = partitionedDocs(s, dir)
+      s.read
+        .schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING")
+        .parquet(staged)
+        .filter(col("lang").isin("de", "fr"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+
+    GraftQuery(
+      "q115_column_profile",
+      Some("""WITH s AS (SELECT * FROM lineitem)
+             |SELECT 'l_orderkey' AS col_name,
+             |       CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |       CAST(min(l_orderkey) AS BIGINT) AS min_enc,
+             |       CAST(max(l_orderkey) AS BIGINT) AS max_enc
+             |FROM s
+             |UNION ALL
+             |SELECT 'l_quantity',
+             |       CAST(count(*) - count(l_quantity) AS BIGINT),
+             |       CAST(count(DISTINCT l_quantity) AS BIGINT),
+             |       CAST(round(min(l_quantity) * 100) AS BIGINT),
+             |       CAST(round(max(l_quantity) * 100) AS BIGINT)
+             |FROM s
+             |UNION ALL
+             |SELECT 'l_returnflag',
+             |       CAST(count(*) - count(l_returnflag) AS BIGINT),
+             |       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |       CAST(ord(min(l_returnflag)) AS BIGINT),
+             |       CAST(ord(max(l_returnflag)) AS BIGINT)
+             |FROM s
+             |UNION ALL
+             |SELECT 'l_shipdate',
+             |       CAST(count(*) - count(l_shipdate) AS BIGINT),
+             |       CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             |       CAST(epoch_us(min(l_shipdate)) AS BIGINT),
+             |       CAST(epoch_us(max(l_shipdate)) AS BIGINT)
+             |FROM s
+             |ORDER BY col_name""".stripMargin),
+      "Single-pass column profiling (the ANALYZE TABLE / data-quality " +
+        "audit shape): null count, exact distinct count and min/max for a " +
+        "heterogeneous column set — integer, decimal-valued double, char, " +
+        "timestamp — in ONE scan of the table. All four distinct " +
+        "aggregates ride a single Expand (4× row multiply, still one " +
+        "pass, map-side partials); min/max/count are plain partials. " +
+        "Every statistic is emitted INTEGER-ENCODED (cents for doubles, " +
+        "codepoint for chars, epoch micros for timestamps) so the " +
+        "cross-engine compare is exact — no float or string-formatting " +
+        "drift, the q69 lesson as a design rule. The long-form output " +
+        "(one row per column) is the layout a profile store wants. At " +
+        "100 TB the same plan holds with approx_count_distinct swapped " +
+        "in per column (the Expand disappears), because exact NDV is a " +
+        "full shuffle per column while HLL partials merge in the map " +
+        "side — q05's tradeoff applied column-wise; the oracle profiles " +
+        "the unpartitioned truth with per-column UNION ALL passes."
+    ) { (s, dir) =>
+      // one aggregate over the whole table (the 4 countDistincts share a
+      // single Expand), THEN fan the 1-row result out to long form — the
+      // stack generator runs over one row, so the "4 scans" shape of a
+      // per-column UNION ALL never materializes
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_orderkey")).as("c_ok"),
+          countDistinct(col("l_orderkey")).as("d_ok"),
+          min(col("l_orderkey")).as("mn_ok"),
+          max(col("l_orderkey")).as("mx_ok"),
+          count(col("l_quantity")).as("c_qt"),
+          countDistinct(col("l_quantity")).as("d_qt"),
+          round(min(col("l_quantity")) * 100).as("mn_qt"),
+          round(max(col("l_quantity")) * 100).as("mx_qt"),
+          count(col("l_returnflag")).as("c_rf"),
+          countDistinct(col("l_returnflag")).as("d_rf"),
+          ascii(min(col("l_returnflag"))).as("mn_rf"),
+          ascii(max(col("l_returnflag"))).as("mx_rf"),
+          count(col("l_shipdate")).as("c_sd"),
+          countDistinct(col("l_shipdate")).as("d_sd"),
+          // l_shipdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+          // NTZ->LTZ cast is the identity on the wall clock and unix_micros
+          // matches DuckDB's epoch_us over the naive value
+          unix_micros(min(col("l_shipdate")).cast("timestamp")).as("mn_sd"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp")).as("mx_sd"))
+        .select(expr(
+          """stack(4,
+            |  'l_orderkey',  n - c_ok, d_ok, cast(mn_ok as bigint), cast(mx_ok as bigint),
+            |  'l_quantity',  n - c_qt, d_qt, cast(mn_qt as bigint), cast(mx_qt as bigint),
+            |  'l_returnflag',n - c_rf, d_rf, cast(mn_rf as bigint), cast(mx_rf as bigint),
+            |  'l_shipdate',  n - c_sd, d_sd, cast(mn_sd as bigint), cast(mx_sd as bigint)
+            |) as (col_name, n_nulls, n_distinct, min_enc, max_enc)""".stripMargin))
+        .orderBy("col_name")
+    }
   )
 
   private val fmtDirCache =
@@ -343,6 +460,18 @@ object RelationalQueries {
       .json(staged)
       .orderBy("event_id")
   }
+
+  /** documents written once per (dir) with Hive-style lang partitions;
+    * reused across q112 invocations exactly like the json/csv stages. */
+  private[graft] def partitionedDocs(s: SparkSession, dir: String): String =
+    fmtDirCache.getOrElseUpdate((dir, "part-parquet"), {
+      val out = s.conf.getOption("graft.staging.root")
+        .map(r => s"$r/graft-part-parquet-stage")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-part").toString)
+      Tables.documents(s, dir).write.mode("overwrite")
+        .partitionBy("lang").parquet(out)
+      out
+    })
 
   private def csvRoundTrip(s: SparkSession, dir: String) = {
     val staged = stage(s, dir, "csv")((df, out) =>

@@ -48,4 +48,46 @@ class BpeSpec extends SparkSpec {
       s"merge tables differ:\n got=$got\n exp=$expected")
     assert(got.map(_._4).forall(_ > 0) && got.size == 3)
   }
+
+  test("q117 encode: per-doc token counts equal a sequential reference encode") {
+    val merges = functions.TextQueries.learnedMerges(spark, sf, rounds = 3)
+      .map { case (_, pa, pb, _) => (pa, pb) }
+
+    def encode(w: String): Int = {
+      var syms: mutable.ArrayBuffer[Long] =
+        mutable.ArrayBuffer.from(w.map(_.toLong))
+      merges.zipWithIndex.foreach { case ((pa, pb), i) =>
+        val m = 1000000L + i
+        val out = mutable.ArrayBuffer.empty[Long]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == pa && x == pb) {
+            out.remove(out.length - 1); out += m
+          } else out += x
+        }
+        syms = out
+      }
+      syms.length
+    }
+
+    val expected = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (r.getLong(0),
+          (words.length.toLong, words.map(_.length.toLong).sum,
+            words.map(encode(_).toLong).sum))
+      }.toMap
+
+    val got = SparkEntry.queries("q117_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: got $v expected ${expected(id)}")
+    }
+    // compression must actually happen somewhere (merges fire)
+    assert(got.exists { case (_, (_, chars, toks)) => toks < chars })
+  }
 }
