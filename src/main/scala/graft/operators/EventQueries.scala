@@ -557,6 +557,102 @@ object EventQueries {
           min("x").as("min_user"), max("x").as("max_user"),
           min("y").as("min_minute"), max("y").as("max_minute"))
         .orderBy("tile")
+    },
+
+    GraftQuery(
+      "q119_snapshot_diff",
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS key, c_name,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer
+             |), b AS (
+             |  SELECT key, c_name,
+             |         CASE WHEN key % 13 = 0 THEN cents + 1000 ELSE cents END AS cents
+             |  FROM a WHERE key % 97 <> 0
+             |  UNION ALL
+             |  SELECT key + 1000000, c_name, cents + 5 FROM a WHERE key % 101 = 0
+             |)
+             |SELECT coalesce(a.key, b.key) AS key,
+             |       CASE WHEN a.key IS NULL THEN 'I'
+             |            WHEN b.key IS NULL THEN 'D'
+             |            ELSE 'U' END AS op,
+             |       a.cents AS old_cents, b.cents AS new_cents
+             |FROM a FULL JOIN b ON a.key = b.key
+             |WHERE a.key IS NULL OR b.key IS NULL
+             |   OR a.cents IS DISTINCT FROM b.cents
+             |   OR a.c_name IS DISTINCT FROM b.c_name
+             |ORDER BY key""".stripMargin),
+      "Snapshot diff — the inverse of q93's CDC apply: two versions of a " +
+        "keyed table produce the minimal I/U/D changelog that turns one " +
+        "into the other (the lakehouse 'change data feed' / table-diff " +
+        "operator; version B is derived deterministically from A here — " +
+        "deletes at key%97, in-place updates at key%13, inserts past the " +
+        "key range — so the oracle rebuilds both sides bit-identically). " +
+        "One FULL OUTER join co-partitioned on the key, change detection " +
+        "by null-safe column compare: with both snapshots bucketed by " +
+        "key at rest this diffs 100 TB with ZERO shuffle (each bucket " +
+        "diffs independently), and the compare width shrinks to " +
+        "(key, row-fingerprint) by hashing the non-key columns at scan " +
+        "time — only changed rows ever carry full values. Money stays " +
+        "integer cents, the cross-engine exactness rule."
+    ) { (s, dir) =>
+      val a = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val b = a.filter(col("key") % 97 =!= 0)
+        .select(col("key"), col("c_name"),
+          when(col("key") % 13 === 0, col("cents") + 1000)
+            .otherwise(col("cents")).as("cents"))
+        .unionAll(a.filter(col("key") % 101 === 0)
+          .select((col("key") + 1000000).as("key"), col("c_name"),
+            (col("cents") + 5).as("cents")))
+      a.alias("a").join(b.alias("b"), col("a.key") === col("b.key"), "full_outer")
+        .filter(col("a.key").isNull || col("b.key").isNull ||
+          !(col("a.cents") <=> col("b.cents")) ||
+          !(col("a.c_name") <=> col("b.c_name")))
+        .select(
+          coalesce(col("a.key"), col("b.key")).as("key"),
+          when(col("a.key").isNull, "I")
+            .when(col("b.key").isNull, "D").otherwise("U").as("op"),
+          col("a.cents").as("old_cents"), col("b.cents").as("new_cents"))
+        .orderBy("key")
+    },
+
+    GraftQuery(
+      "q120_ohlc_downsample",
+      Some("""SELECT event_type,
+             |       date_trunc('hour', ts) AS hr,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(round(arg_min(value, ts) * 100) AS BIGINT) AS open_cents,
+             |       CAST(round(max(value) * 100) AS BIGINT) AS high_cents,
+             |       CAST(round(min(value) * 100) AS BIGINT) AS low_cents,
+             |       CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS close_cents
+             |FROM events
+             |GROUP BY event_type, hr
+             |ORDER BY event_type, hr""".stripMargin),
+      "Time-series OHLC downsampling (bar aggregation): per (series, " +
+        "hour) the opening and closing values are ORDER-DEPENDENT " +
+        "aggregates — min_by/max_by on the timestamp — computed inside " +
+        "the same partial+final hash aggregate as max/min/count, so the " +
+        "whole bar build is ONE map-side-combined shuffle of 4-field " +
+        "partial states, never a sort or a window: the resample path " +
+        "that turns a 100 TB tick archive into per-hour bars with " +
+        "shuffle volume proportional to bars, not ticks. Timestamps are " +
+        "unique in this stream (micros truncation preserves that), so " +
+        "min_by/max_by are total-ordered and the oracle's arg_min/" +
+        "arg_max agree exactly; coarser grains (day/week) re-aggregate " +
+        "bars without touching ticks — open = min_by carries through " +
+        "the merge, the q92/q104 mergeable-sketch discipline with exact " +
+        "semantics."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(min_by(col("value"), col("ts")) * 100).cast("long").as("open_cents"),
+          round(max(col("value")) * 100).cast("long").as("high_cents"),
+          round(min(col("value")) * 100).cast("long").as("low_cents"),
+          round(max_by(col("value"), col("ts")) * 100).cast("long").as("close_cents"))
+        .orderBy("event_type", "hr")
     }
   )
 }

@@ -357,6 +357,70 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice") * 100)).cast("long").as("cents"))
         .orderBy("l_orderkey")
+    },
+
+    GraftQuery(
+      "q118_fuzzy_join",
+      Some("""WITH n AS (
+             |  SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM part GROUP BY p_name
+             |)
+             |SELECT a.nm AS name_a, b.nm AS name_b,
+             |       CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+             |FROM n a JOIN n b
+             |  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) = 1
+             |ORDER BY name_a, name_b""".stripMargin),
+      "String-similarity self-join (edit distance 1) — the fuzzy entity-" +
+        "matching operator, via the Pass-Join segment scheme made of two " +
+        "plain equi-joins: dedupe to DISTINCT names first (blocking on " +
+        "the value domain — candidate generation cost is bound by " +
+        "distinct values, not rows, the decisive prune when 2000 parts " +
+        "share 64 names and 100 TB shares a few million), then each name " +
+        "splits into halves a1+a2, and the theorem 'lev(a,b)<=1 implies " +
+        "b starts with a1 OR b ends with a2' (one edit touches one half; " +
+        "the other survives verbatim, position-shifted at most past the " +
+        "end) turns the similarity predicate into segment EQUALITY keys: " +
+        "the index side emits its two halves, the probe side its " +
+        "prefixes/suffixes at the three plausible source lengths, and " +
+        "candidates meet in an equi-join bucketed by (role, seg-length, " +
+        "segment) — never a cartesian product. An exact levenshtein " +
+        "recheck keeps precision 1, so the result IS the oracle's brute " +
+        "theta join. Bucket sizes are bounded by shared-prefix/suffix " +
+        "counts in the name domain; k=2 generalizes to 3 segments."
+    ) { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("nm")).agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("nm")))
+      // index side: the two halves of each name, tagged by role + length
+      val idx = names
+        .withColumn("a1len", expr("(len + 1) div 2").cast("int"))
+        .select(col("nm").as("a"), col("cnt").as("cnt_a"),
+          explode(array(
+            struct(lit("p").as("role"), col("a1len").as("slen"),
+              col("nm").substr(lit(1), col("a1len")).as("seg")),
+            struct(lit("s").as("role"), (col("len") - col("a1len")).as("slen"),
+              col("nm").substr(col("a1len") + 1, col("len") - col("a1len")).as("seg"))
+          )).as("k"))
+        .select(col("a"), col("cnt_a"), col("k.role"), col("k.slen"), col("k.seg"))
+      // probe side: prefixes/suffixes at each plausible index-name length
+      val probe = names
+        .select(col("nm").as("b"), col("cnt").as("cnt_b"), col("len"),
+          explode(array_distinct(flatten(transform(
+            sequence(col("len") - 1, col("len") + 1), l =>
+              array(
+                struct(lit("p").as("role"), ((l + 1) / 2).cast("int").as("slen"),
+                  col("nm").substr(lit(1), ((l + 1) / 2).cast("int")).as("seg")),
+                struct(lit("s").as("role"), (l / 2).cast("int").as("slen"),
+                  col("nm").substr(col("len") - (l / 2).cast("int") + 1,
+                    (l / 2).cast("int")).as("seg"))))))).as("k"))
+        .select(col("b"), col("cnt_b"), col("k.role"), col("k.slen"), col("k.seg"))
+      idx.join(probe, Seq("role", "slen", "seg"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("cnt_a"), col("cnt_b")).distinct()
+        .filter(levenshtein(col("a"), col("b")) === 1)
+        .select(col("a").as("name_a"), col("b").as("name_b"),
+          (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+        .orderBy("name_a", "name_b")
     }
   )
 }
