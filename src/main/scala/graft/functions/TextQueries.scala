@@ -931,6 +931,112 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q122_phrase_search",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), p AS (
+             |  SELECT doc_id, i AS pos, w[i] AS term
+             |  FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+             |  WHERE w[i] IN ('data', 'column')
+             |)
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |WHERE a.term = 'data' AND b.term = 'column'
+             |GROUP BY a.doc_id
+             |ORDER BY a.doc_id""".stripMargin),
+      "Positional phrase search — the adjacency half of the IR surface " +
+        "q113's BM25 scores: a POSITIONAL posting list (doc, position, " +
+        "term) is built by ordinal fan-out (posexplode) and filtered to " +
+        "the phrase's terms BEFORE any exchange — only the two terms' " +
+        "postings ever shuffle, the q113 discipline with positions " +
+        "attached — and the phrase match is a self-equi-join on " +
+        "(doc, pos+1): adjacency as a JOIN KEY, not a string scan, which " +
+        "is how phrase queries stay index-shaped instead of re-reading " +
+        "text. Generalizes to n-term phrases by chaining +k offsets and " +
+        "to windowed proximity by banding the position. At 100 TB the " +
+        "posting build is the once-per-corpus indexing pass; per-query " +
+        "cost is proportional to the queried terms' postings only. " +
+        "Positions are 1-based ordinals — identical integer keys in both " +
+        "engines."
+    ) { (s, dir) =>
+      val postings = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+        .filter(col("term").isin("data", "column"))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+      postings.alias("a").filter(col("term") === "data")
+        .join(postings.alias("b").filter(col("term") === "column"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q123_temperature_mixture",
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+             |), wt AS (
+             |  SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+             |  FROM c
+             |), q AS (
+             |  SELECT lang,
+             |         (100 * w) // CAST((SELECT sum(w) FROM wt) AS BIGINT) AS quota
+             |  FROM wt
+             |), r AS (
+             |  SELECT lang, doc_id, source,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY sha256(text), doc_id) AS rk
+             |  FROM documents
+             |)
+             |SELECT r.lang AS lang, CAST(q.quota AS BIGINT) AS quota,
+             |       CAST(rk AS BIGINT) AS pick_rank, doc_id, source
+             |FROM r JOIN q ON r.lang = q.lang
+             |WHERE rk <= quota
+             |ORDER BY r.lang, pick_rank""".stripMargin),
+      "Temperature-scaled mixture sampling (the multilingual-pretraining " +
+        "recipe: sample language l proportional to n_l^alpha, alpha=0.5, " +
+        "so low-resource languages are UP-weighted relative to their " +
+        "share): quotas are DERIVED from the corpus itself — weight = " +
+        "floor(sqrt(n)) per stratum, quota = budget*w div sum(w) — " +
+        "where q100 took the recipe as given. sqrt is a correctly-" +
+        "rounded IEEE op (not libm), floor makes it an integer, and the " +
+        "integer quota arithmetic is order-independent — exact in any " +
+        "engine, the q113 determinism rule applied to the mixture " +
+        "design. Selection within a stratum is content-hash order (q100: " +
+        "reproducible, engine-independent membership). The stratum-count " +
+        "aggregate is rows-per-lang tiny, broadcast back onto the rank " +
+        "filter; at 100 TB the rank runs salted two-phase exactly as " +
+        "q100 — the quota derivation adds one metadata-scale aggregate, " +
+        "nothing corpus-scale."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quotas = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+        .withColumn("quota",
+          expr("(100 * w) div sum(w) over ()").cast("long"))
+        .select(col("lang"), col("quota"))
+      val base = Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"),
+          sha2(col("text"), 256).as("hk"))
+        .join(broadcast(quotas), "lang")
+      // q100's lossless salted prune: any global top-q doc is top-q in its
+      // salt bucket, so no task ever ranks a whole stratum
+      val salted = base
+        .withColumn("rk1", row_number().over(
+          Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(32)))
+            .orderBy("hk", "doc_id")))
+        .filter(col("rk1") <= col("quota"))
+      salted
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("hk", "doc_id")))
+        .filter(col("rk") <= col("quota"))
+        .select(col("lang"), col("quota"), col("rk").cast("long").as("pick_rank"),
+          col("doc_id"), col("source"))
+        .orderBy("lang", "pick_rank")
+    },
+
+    GraftQuery(
       "q107_bpe_train",
       None, // iterative trainer with a driver-side argmax per round: merge
       // sequence is spec-checked against a local reference BPE (BpeSpec).

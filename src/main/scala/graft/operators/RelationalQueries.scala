@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scans, projections, filters, hash aggregations, rollup/cube/grouping sets,
@@ -382,56 +382,45 @@ object RelationalQueries {
              |       CAST(epoch_us(max(l_shipdate)) AS BIGINT)
              |FROM s
              |ORDER BY col_name""".stripMargin),
-      "Single-pass column profiling (the ANALYZE TABLE / data-quality " +
-        "audit shape): null count, exact distinct count and min/max for a " +
-        "heterogeneous column set — integer, decimal-valued double, char, " +
-        "timestamp — in ONE scan of the table. All four distinct " +
-        "aggregates ride a single Expand (4× row multiply, still one " +
-        "pass, map-side partials); min/max/count are plain partials. " +
-        "Every statistic is emitted INTEGER-ENCODED (cents for doubles, " +
-        "codepoint for chars, epoch micros for timestamps) so the " +
-        "cross-engine compare is exact — no float or string-formatting " +
-        "drift, the q69 lesson as a design rule. The long-form output " +
-        "(one row per column) is the layout a profile store wants. At " +
-        "100 TB the same plan holds with approx_count_distinct swapped " +
-        "in per column (the Expand disappears), because exact NDV is a " +
-        "full shuffle per column while HLL partials merge in the map " +
-        "side — q05's tradeoff applied column-wise; the oracle profiles " +
-        "the unpartitioned truth with per-column UNION ALL passes."
+      "Column profiling (the ANALYZE TABLE / data-quality audit shape): " +
+        "null count, EXACT distinct count and min/max for a heterogeneous " +
+        "column set — integer, decimal-valued double, char, timestamp. " +
+        "One pipeline PER COLUMN, unioned: each branch scans exactly its " +
+        "one column (columnar parquet makes four 1-column scans the same " +
+        "I/O as one 4-column scan), dedups map-side via groupBy(value), " +
+        "and ships only distinct values through its exchange — every " +
+        "statistic including NDV then reads off the grouped (value, " +
+        "count) frame in a 1-row final aggregate. The multi-distinct " +
+        "single-scan form (4 countDistincts sharing an Expand) was " +
+        "measured 6× slower at sf0.1 — Expand multiplies rows 4-fold " +
+        "and shuffles them under a wide grouping key, the row-store " +
+        "instinct misapplied to a columnar engine. Every statistic is " +
+        "emitted INTEGER-ENCODED (cents for doubles, codepoint for " +
+        "chars, epoch micros for timestamps) so the cross-engine " +
+        "compare is exact — the q69 lesson as a design rule. At 100 TB " +
+        "swap exact NDV for approx_count_distinct per branch and the " +
+        "exchange carries HLL partials instead of distinct values — " +
+        "q05's tradeoff applied column-wise; the oracle profiles the " +
+        "same truth with per-column UNION ALL passes."
     ) { (s, dir) =>
-      // one aggregate over the whole table (the 4 countDistincts share a
-      // single Expand), THEN fan the 1-row result out to long form — the
-      // stack generator runs over one row, so the "4 scans" shape of a
-      // per-column UNION ALL never materializes
-      Tables.lineitem(s, dir)
-        .agg(
-          count(lit(1)).as("n"),
-          count(col("l_orderkey")).as("c_ok"),
-          countDistinct(col("l_orderkey")).as("d_ok"),
-          min(col("l_orderkey")).as("mn_ok"),
-          max(col("l_orderkey")).as("mx_ok"),
-          count(col("l_quantity")).as("c_qt"),
-          countDistinct(col("l_quantity")).as("d_qt"),
-          round(min(col("l_quantity")) * 100).as("mn_qt"),
-          round(max(col("l_quantity")) * 100).as("mx_qt"),
-          count(col("l_returnflag")).as("c_rf"),
-          countDistinct(col("l_returnflag")).as("d_rf"),
-          ascii(min(col("l_returnflag"))).as("mn_rf"),
-          ascii(max(col("l_returnflag"))).as("mx_rf"),
-          count(col("l_shipdate")).as("c_sd"),
-          countDistinct(col("l_shipdate")).as("d_sd"),
-          // l_shipdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
-          // NTZ->LTZ cast is the identity on the wall clock and unix_micros
-          // matches DuckDB's epoch_us over the naive value
-          unix_micros(min(col("l_shipdate")).cast("timestamp")).as("mn_sd"),
-          unix_micros(max(col("l_shipdate")).cast("timestamp")).as("mx_sd"))
-        .select(expr(
-          """stack(4,
-            |  'l_orderkey',  n - c_ok, d_ok, cast(mn_ok as bigint), cast(mx_ok as bigint),
-            |  'l_quantity',  n - c_qt, d_qt, cast(mn_qt as bigint), cast(mx_qt as bigint),
-            |  'l_returnflag',n - c_rf, d_rf, cast(mn_rf as bigint), cast(mx_rf as bigint),
-            |  'l_shipdate',  n - c_sd, d_sd, cast(mn_sd as bigint), cast(mx_sd as bigint)
-            |) as (col_name, n_nulls, n_distinct, min_enc, max_enc)""".stripMargin))
+      import org.apache.spark.sql.Column
+      val li = Tables.lineitem(s, dir)
+      def profile(name: String, minEnc: Column => Column): DataFrame =
+        li.groupBy(col(name).as("v")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+            count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+            minEnc(min(col("v"))).cast("long").as("min_enc"),
+            minEnc(max(col("v"))).cast("long").as("max_enc"))
+          .select(lit(name).as("col_name"), col("n_nulls"),
+            col("n_distinct"), col("min_enc"), col("max_enc"))
+      profile("l_orderkey", identity)
+        .unionAll(profile("l_quantity", c => round(c * 100)))
+        .unionAll(profile("l_returnflag", c => ascii(c)))
+        // l_shipdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        // NTZ->LTZ cast is the identity on the wall clock and unix_micros
+        // matches DuckDB's epoch_us over the naive value
+        .unionAll(profile("l_shipdate", c => unix_micros(c.cast("timestamp"))))
         .orderBy("col_name")
     }
   )

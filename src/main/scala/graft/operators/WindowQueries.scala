@@ -183,6 +183,58 @@ object WindowQueries {
           sum("cents").over(w7).as("cents_7d"),
           count(lit(1)).over(w1).as("n_1h"))
         .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q121_activity_streaks",
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         date_diff('day', DATE '2024-01-01',
+             |                   CAST(date_trunc('day', ts) AS DATE)) AS d
+             |  FROM events
+             |), grouped AS (
+             |  SELECT user_id, d,
+             |         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+             |  FROM days
+             |), streaks AS (
+             |  SELECT user_id, isl, count(*) AS len
+             |  FROM grouped GROUP BY user_id, isl
+             |)
+             |SELECT user_id,
+             |       CAST(sum(len) AS BIGINT) AS n_active_days,
+             |       CAST(count(*) AS BIGINT) AS n_streaks,
+             |       CAST(max(len) AS BIGINT) AS longest_streak
+             |FROM streaks GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      "Gaps-and-islands streak detection (the canonical consecutive-runs " +
+        "SQL shape): distinct active days per user, then the island id is " +
+        "day_number MINUS row_number — constant exactly while days are " +
+        "consecutive, so each streak collapses under one grouping with NO " +
+        "self-join and NO iteration; per-user streak stats follow from a " +
+        "second tiny aggregate. Everything partitions by user: one " +
+        "exchange feeds the dedup, the window and both aggregations " +
+        "(Catalyst reuses the partitioning), and the window's sort is " +
+        "per-user-days, never global. The self-join alternative (day d " +
+        "joined to d+1, transitively closed) is quadratic-ish and " +
+        "iterative; this is the 100 TB retention-analytics path. Day " +
+        "numbers are integer day-diffs from a fixed anchor — identical " +
+        "integer arithmetic in both engines, no date-format drift."
+    ) { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")), lit("2024-01-01").cast("timestamp"))
+            .cast("long").as("d"))
+        .distinct()
+      val grouped = days.withColumn("isl",
+        col("d") - row_number().over(
+          Window.partitionBy("user_id").orderBy("d")))
+      grouped
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"))
+        .orderBy("user_id")
     }
   )
 }
