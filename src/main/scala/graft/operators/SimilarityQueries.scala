@@ -272,6 +272,100 @@ object SimilarityQueries {
               .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
           }).as("codes"))
         .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q124_embedding_pool",
+      Some("""WITH cell AS (
+             |  SELECT label, dim,
+             |         -- CAST first: FLOAT * 1000000.0 (a DECIMAL literal) stays
+             |         -- float-precision in DuckDB, drifting vs Spark's double math
+             |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT label, i AS dim, embedding[i] AS x
+             |        FROM embeddings,
+             |             unnest(range(1, len(embedding) + 1)) AS r(i))
+             |  GROUP BY label, dim
+             |)
+             |SELECT label, CAST(dim AS BIGINT) AS dim, n, sum_micros,
+             |       CAST(floor(CAST(sum_micros AS DOUBLE) / n) AS BIGINT) AS mean_micros
+             |FROM cell
+             |ORDER BY label, dim""".stripMargin),
+      "Grouped embedding mean-pooling (chunk→document / class-centroid " +
+        "pooling, the aggregation every embedding pipeline runs after " +
+        "chunked encoding): element-wise mean per (label, dim). Each " +
+        "element QUANTIZES to integer micros BEFORE aggregation — " +
+        "floor of an exactly-representable float×1e6 product — so the " +
+        "sum is integer and ORDER-INDEPENDENT: the one aggregation " +
+        "whose float form (sum of doubles across partitions) is " +
+        "inherently non-reproducible becomes bit-exact in any engine " +
+        "at any parallelism, the engine-wide integer-exactness rule " +
+        "applied to vector math (q102 PageRank made the same move). " +
+        "The ordinal fan-out is pipelined inside the scan; map-side " +
+        "partials mean the shuffle carries (label, dim) cells per " +
+        "partition — groups×dims rows, never vectors. The mean divides " +
+        "AFTER aggregation as floor(double-div) — one deterministic " +
+        "IEEE op on identical operands (div truncates toward zero in " +
+        "Spark but floors in DuckDB, so integer division is the one " +
+        "operator NOT shared cross-engine on negatives — floor(a/b) " +
+        "is)."
+    ) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .groupBy(col("label"), (col("dim0") + 1).cast("long").as("dim"))
+        .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sum_micros"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("n"), col("sum_micros"),
+          floor(col("sum_micros").cast("double") / col("n")).cast("long")
+            .as("mean_micros"))
+        .orderBy("label", "dim")
+    },
+
+    GraftQuery(
+      "q125_matryoshka",
+      Some("""WITH t AS (
+             |  SELECT vec_id, embedding[1:16] AS h
+             |  FROM embeddings
+             |), n AS (
+             |  SELECT vec_id, h,
+             |         sqrt(list_reduce(list_transform(h, x -> CAST(x AS DOUBLE) * x),
+             |                          (a, b) -> a + b)) AS nrm
+             |  FROM t
+             |)
+             |SELECT vec_id,
+             |       CAST(floor(nrm * 1000000.0) AS BIGINT) AS norm_micros,
+             |       CAST(floor(h[1] / nrm * 1000000.0) AS BIGINT) AS d1_micros,
+             |       CAST(floor(h[2] / nrm * 1000000.0) AS BIGINT) AS d2_micros,
+             |       CAST(floor(h[3] / nrm * 1000000.0) AS BIGINT) AS d3_micros
+             |FROM n
+             |ORDER BY vec_id""".stripMargin),
+      "Matryoshka truncation (MRL embeddings): keep the first 16 of 64 " +
+        "dimensions and re-normalize to unit length — the " +
+        "dimensionality/quality dial modern embedding models expose, " +
+        "run as a pipeline stage so the 4× cheaper index (q44/q66/q67 " +
+        "all scale with dim) builds from the same stored vectors. Pure " +
+        "row-local map work: slice, a LEFT-TO-RIGHT fold for the " +
+        "squared norm (both engines fold in the same order, and sqrt " +
+        "and divide are correctly-rounded IEEE ops — the q113 rule: " +
+        "transcendental-free, order-pinned float math is bit-portable), " +
+        "floor into integer micros at the boundary. No shuffle but the " +
+        "presentation sort; at 100 TB this is a scan-speed rewrite " +
+        "whose output co-partitions with its source."
+    ) { (s, dir) =>
+      val h = slice(col("embedding"), 1, 16)
+      val nrm = sqrt(aggregate(h, lit(0.0),
+        (a, x) => a + x.cast("double") * x))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), h.as("h"), nrm.as("nrm"))
+        .select(col("vec_id"),
+          floor(col("nrm") * lit(1000000.0)).cast("long").as("norm_micros"),
+          floor(element_at(col("h"), 1) / col("nrm") * lit(1000000.0))
+            .cast("long").as("d1_micros"),
+          floor(element_at(col("h"), 2) / col("nrm") * lit(1000000.0))
+            .cast("long").as("d2_micros"),
+          floor(element_at(col("h"), 3) / col("nrm") * lit(1000000.0))
+            .cast("long").as("d3_micros"))
+        .orderBy("vec_id")
     }
   )
 }
