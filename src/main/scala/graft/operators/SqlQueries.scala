@@ -361,6 +361,47 @@ object SqlQueries {
           percentile_approx(col("l_quantity"), lit(0.75), lit(10000)).as("p75"),
           percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95"))
         .orderBy("l_returnflag")
+    },
+
+    GraftQuery(
+      "q126_correlated_agg",
+      Some("""SELECT l.l_partkey,
+             |       CAST(count(*) AS BIGINT) AS n_small,
+             |       CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+             |         AS small_cents
+             |FROM lineitem l
+             |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+             |                            FROM lineitem l2
+             |                            WHERE l2.l_partkey = l.l_partkey)
+             |GROUP BY l.l_partkey
+             |ORDER BY l.l_partkey""".stripMargin),
+      "Correlated aggregate subquery (the TPC-H Q17 shape): each row " +
+        "compares against ITS OWN group's average — the query a migrating " +
+        "SQL user writes with a per-row subquery, which executed naively " +
+        "is one aggregation per outer row. Catalyst DECORRELATES it: the " +
+        "subquery becomes one grouped aggregate over lineitem joined " +
+        "back on the correlation key, so the plan is two scans + one " +
+        "co-partitioned join — both sides hash on l_partkey, one " +
+        "exchange each, never a per-row loop (q71's LATERAL is the same " +
+        "machinery surfaced explicitly; a window AVG OVER (PARTITION " +
+        "BY) form trades the join for one sort). The 0.5× threshold " +
+        "multiplies an integer-derived average — IEEE basic ops both " +
+        "engines — and money lands as integer cents. At 100 TB " +
+        "decorrelation is the difference between a day and a " +
+        "non-termination; the plan sweep asserts no nested-loop shape " +
+        "survives."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("ca_lineitem")
+      s.sql("""SELECT l.l_partkey,
+              |       CAST(count(*) AS BIGINT) AS n_small,
+              |       CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+              |         AS small_cents
+              |FROM ca_lineitem l
+              |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+              |                            FROM ca_lineitem l2
+              |                            WHERE l2.l_partkey = l.l_partkey)
+              |GROUP BY l.l_partkey
+              |ORDER BY l.l_partkey""".stripMargin)
     }
   )
 }

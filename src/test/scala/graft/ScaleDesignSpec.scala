@@ -70,6 +70,55 @@ class ScaleDesignSpec extends SparkSpec {
       s"non-matching partition scanned:\n${files.mkString("\n")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salt needed)") {
+    // one key carries ~half the fact rows — the classic skew that stalls a
+    // sort-merge join on a single straggler task. With AQE skew handling on
+    // (thresholds lowered to trip at test scale), the FINAL adaptive plan
+    // must mark the skewed side as split: salting (q59) is the engine's
+    // static answer, this pins the runtime one.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // sf0.01: the skewed partition must clear the (lowered) byte
+      // thresholds with margin — at sf0.001 all partitions are noise-sized
+      val sfSkew = "/root/testdata/sf0.01"
+      // LESSON (pinned by this test): AQE splits a skewed reduce partition
+      // at MAP-OUTPUT granularity. A small table scanned as ONE map task
+      // makes the skewed partition one atomic block — unsplittable, and
+      // the rule silently declines. The upstream repartition(16) gives the
+      // join shuffle 16 map segments per reduce partition; at 100 TB map
+      // tasks are plentiful and this precondition holds by construction.
+      val skewed = Tables.lineitem(spark, sfSkew)
+        .repartition(16)
+        .select(when(col("l_orderkey") % 2 === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      val dim = Tables.orders(spark, sfSkew)
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val joined = skewed.join(dim, "k")
+      // collect() drives THIS frame's queryExecution (count() would plan a
+      // separate aggregate query and leave this one un-executed)
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("sortWithinPartitions orders every partition without a global shuffle") {
     val df = Tables.lineitem(spark, sf)
       .repartition(4, col("l_suppkey"))
