@@ -1037,6 +1037,54 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q128_nested_manifest",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+             |), chunks AS (
+             |  SELECT doc_id, lang, i AS chunk_idx,
+             |         CAST(least(16, len(w) - i * 16) AS BIGINT) AS n_tokens
+             |  FROM toks, unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS t(i)
+             |)
+             |SELECT doc_id, lang,
+             |       CAST(count(*) AS BIGINT) AS n_chunks,
+             |       list({'chunk_idx': chunk_idx, 'n_tokens': n_tokens}
+             |            ORDER BY chunk_idx) AS chunks
+             |FROM chunks
+             |GROUP BY doc_id, lang
+             |ORDER BY doc_id""".stripMargin),
+      "Nested-type result surface: the per-document CHUNK MANIFEST — an " +
+        "ordered array<struct<chunk_idx,n_tokens>> column — is the shape " +
+        "a training-data catalog actually stores (one row per doc, its " +
+        "chunk layout nested inside), and this query pins that the " +
+        "engine's nested types survive the full loop: Spark builds the " +
+        "array of structs with collect_list(struct(..)) + sort_array " +
+        "(struct ordering is lexicographic by field position, so the " +
+        "sort is total), writes it to parquet as a repeated group, and " +
+        "the DuckDB oracle reconstructs the identical nested value with " +
+        "list(struct ORDER BY) — field names, element order and values " +
+        "all hash-compared. One shuffle keyed by doc; the struct rows " +
+        "ride map-side collect partials. At 100 TB nested manifests cut " +
+        "the row count 10-100× vs the exploded long form (q95) while " +
+        "column pruning still skips the nested column when untouched — " +
+        "the q51 payload rule applied to structured metadata."
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      toks
+        .select(col("doc_id"), col("lang"), size(col("w")).as("n"),
+          explode(sequence(lit(0),
+            ceil(size(col("w")) / 16.0).cast("int") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("lang"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(16), col("n") - col("chunk_idx") * 16).cast("long").as("n_tokens"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sort_array(collect_list(struct(col("chunk_idx"), col("n_tokens"))))
+            .as("chunks"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q107_bpe_train",
       None, // iterative trainer with a driver-side argmax per round: merge
       // sequence is spec-checked against a local reference BPE (BpeSpec).

@@ -422,6 +422,46 @@ object RelationalQueries {
         // matches DuckDB's epoch_us over the naive value
         .unionAll(profile("l_shipdate", c => unix_micros(c.cast("timestamp"))))
         .orderBy("col_name")
+    },
+
+    GraftQuery(
+      "q127_decimal_exact",
+      Some("""SELECT l_returnflag,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             |         AS DECIMAL(18,2)) AS sum_price,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |                * CAST(l_quantity AS DECIMAL(12,2)))
+             |         AS DECIMAL(18,4)) AS sum_ext,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "Exact DECIMAL aggregation — the data-model answer to float drift " +
+        "that every money pipeline actually uses (the integer-cents trick " +
+        "elsewhere in this catalog is the manual encoding of the same " +
+        "idea): doubles land in DECIMAL(12,2) at the scan boundary, and " +
+        "from there every sum and product is EXACT base-10 arithmetic " +
+        "with deterministic scale rules — sum keeps scale 2, the price×" +
+        "quantity product carries scale 4, and both engines agree " +
+        "digit-for-digit with no rounding step at all. Spark computes " +
+        "unlimited-precision decimal partials in the map side and merges " +
+        "them through the shuffle exactly like longs (Tungsten stores " +
+        "small decimals as scaled longs — same codegen speed class); " +
+        "overflow at 100 TB is governed by the declared precision, " +
+        "checked, not silently wrapped. The explicit output casts pin " +
+        "the cross-engine result type (Spark widens sums to (22,2), " +
+        "DuckDB to (38,2) — same value, different declared precision)."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("p")).cast("decimal(18,2)").as("sum_price"),
+          sum(col("p") * col("q")).cast("decimal(18,4)").as("sum_ext"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 
