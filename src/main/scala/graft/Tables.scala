@@ -48,7 +48,7 @@ object Tables {
 
   /** (mtime, length) of every file under `path` — the invalidation key for
     * the schema and row-count caches. */
-  private def fingerprint(s: SparkSession, path: String): String =
+  private[graft] def fingerprint(s: SparkSession, path: String): String =
     parquetFiles(s, path)
       .map(f => s"${f.getPath}@${f.getModificationTime}:${f.getLen}")
       .sorted.mkString("|")

@@ -876,9 +876,13 @@ object TextQueries {
              |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
              |  FROM tf GROUP BY term
              |), scored AS (
+             |  -- CASTs force DOUBLE math: a bare BIGINT op DECIMAL-literal
+             |  -- expression (tf * 2.2, df + 0.5) is EXACT DECIMAL in DuckDB
+             |  -- and floor() of it can differ by 1 from IEEE double by a ulp
              |  SELECT doc_id,
-             |         CAST(floor((n_docs - df + 0.5) / (df + 0.5)
-             |              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+             |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+             |              * (CAST(tf AS DOUBLE) * 2.2)
+             |              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
              |              * 1000000.0) AS BIGINT) AS sc
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
              |)
@@ -1172,9 +1176,7 @@ object TextQueries {
 
   private[graft] def learnedMerges(
       s: SparkSession, dir: String, rounds: Int): Seq[(Long, Long, Long, Long)] = {
-    val key = Tables.parquetFiles(s, s"$dir/documents.parquet")
-      .map(f => s"${f.getPath}@${f.getModificationTime}:${f.getLen}")
-      .sorted.mkString("|") + s"#$rounds"
+    val key = Tables.fingerprint(s, s"$dir/documents.parquet") + s"#$rounds"
     mergeCache.getOrElseUpdate(key, trainMerges(s, dir, rounds))
   }
 

@@ -570,7 +570,10 @@ object EventQueries {
              |         CASE WHEN key % 13 = 0 THEN cents + 1000 ELSE cents END AS cents
              |  FROM a WHERE key % 97 <> 0
              |  UNION ALL
-             |  SELECT key + 1000000, c_name, cents + 5 FROM a WHERE key % 101 = 0
+             |  -- inserts live in the NEGATIVE mirror keyspace: disjoint from
+             |  -- natural keys at ANY scale (a fixed offset collides once the
+             |  -- key range outgrows it)
+             |  SELECT -(key + 1), c_name, cents + 5 FROM a WHERE key % 101 = 0
              |)
              |SELECT coalesce(a.key, b.key) AS key,
              |       CASE WHEN a.key IS NULL THEN 'I'
@@ -586,8 +589,8 @@ object EventQueries {
         "keyed table produce the minimal I/U/D changelog that turns one " +
         "into the other (the lakehouse 'change data feed' / table-diff " +
         "operator; version B is derived deterministically from A here — " +
-        "deletes at key%97, in-place updates at key%13, inserts past the " +
-        "key range — so the oracle rebuilds both sides bit-identically). " +
+        "deletes at key%97, in-place updates at key%13, inserts in the " +
+        "negative mirror keyspace — disjoint at any scale — so the oracle rebuilds both sides bit-identically). " +
         "One FULL OUTER join co-partitioned on the key, change detection " +
         "by null-safe column compare: with both snapshots bucketed by " +
         "key at rest this diffs 100 TB with ZERO shuffle (each bucket " +
@@ -604,7 +607,7 @@ object EventQueries {
           when(col("key") % 13 === 0, col("cents") + 1000)
             .otherwise(col("cents")).as("cents"))
         .unionAll(a.filter(col("key") % 101 === 0)
-          .select((col("key") + 1000000).as("key"), col("c_name"),
+          .select((-(col("key") + 1)).as("key"), col("c_name"),
             (col("cents") + 5).as("cents")))
       a.alias("a").join(b.alias("b"), col("a.key") === col("b.key"), "full_outer")
         .filter(col("a.key").isNull || col("b.key").isNull ||

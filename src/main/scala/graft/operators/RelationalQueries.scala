@@ -465,6 +465,9 @@ object RelationalQueries {
     }
   )
 
+  // keyed by SOURCE-FILE FINGERPRINT, not path: a corpus rewritten at the
+  // same dir must re-stage (the q67 cache lesson — a path-keyed entry would
+  // serve the stale staged copy while the oracle reads fresh truth)
   private val fmtDirCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
@@ -472,7 +475,8 @@ object RelationalQueries {
   // use a driver temp dir (same contract as graft.registry.root)
   private def stage(s: SparkSession, dir: String, fmt: String)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): String =
-    fmtDirCache.getOrElseUpdate((dir, fmt), {
+    fmtDirCache.getOrElseUpdate(
+      (graft.Tables.fingerprint(s, s"$dir/events.parquet"), fmt), {
       val out = s.conf.getOption("graft.staging.root")
         .map(r => s"$r/graft-$fmt-stage")
         .getOrElse(java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString)
@@ -490,10 +494,12 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
-  /** documents written once per (dir) with Hive-style lang partitions;
-    * reused across q112 invocations exactly like the json/csv stages. */
+  /** documents written once per corpus fingerprint with Hive-style lang
+    * partitions; reused across q112 invocations exactly like the json/csv
+    * stages, re-staged if the corpus is rewritten. */
   private[graft] def partitionedDocs(s: SparkSession, dir: String): String =
-    fmtDirCache.getOrElseUpdate((dir, "part-parquet"), {
+    fmtDirCache.getOrElseUpdate(
+      (graft.Tables.fingerprint(s, s"$dir/documents.parquet"), "part-parquet"), {
       val out = s.conf.getOption("graft.staging.root")
         .map(r => s"$r/graft-part-parquet-stage")
         .getOrElse(java.nio.file.Files.createTempDirectory("graft-part").toString)
