@@ -402,6 +402,80 @@ object ClusterQueries {
     },
 
     GraftQuery(
+      "q129_khop_neighborhood",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |  WHERE c*1.0/((sa.n + sb.n) - c) >= 0.8
+             |), sym AS (
+             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+             |), n1 AS (
+             |  SELECT a, CAST(count(DISTINCT b) AS BIGINT) AS n_1hop
+             |  FROM sym GROUP BY a
+             |), two AS (
+             |  SELECT DISTINCT e1.a, e2.b AS c
+             |  FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+             |  WHERE e1.a <> e2.b
+             |    AND NOT EXISTS (SELECT 1 FROM sym s
+             |                    WHERE s.a = e1.a AND s.b = e2.b)
+             |), n2 AS (
+             |  SELECT a, CAST(count(*) AS BIGINT) AS n_2hop_new FROM two GROUP BY a
+             |)
+             |SELECT n1.a AS doc_id, n_1hop,
+             |       COALESCE(n_2hop_new, 0) AS n_2hop_new
+             |FROM n1 LEFT JOIN n2 USING (a)
+             |ORDER BY doc_id""".stripMargin),
+      "K-hop neighborhood expansion (k=2) on the near-dup graph — the " +
+        "contamination-blast-radius question ('if this doc is bad, what " +
+        "does it touch transitively within 2 steps?') that components " +
+        "(everything, eventually) and triangles (k=1 density) don't " +
+        "answer. One edge-join per hop — BFS frontier expansion as " +
+        "relational algebra: hop-2 candidates come from a single " +
+        "self-equi-join of the symmetrized edge list, dedup'd, minus " +
+        "self and minus the 1-hop set via LEFT ANTI (the NOT EXISTS a " +
+        "SQL user writes, executed as a hash anti-join, never per-row). " +
+        "The edge list materializes ONCE (q109's discipline) and every " +
+        "join keys on node id. At 100 TB k stays small because frontier " +
+        "size is the product of average degree — each additional hop is " +
+        "one more join stage, the same plan shape GraphFrames' BFS " +
+        "emits, and degree-capped sampling bounds the hub blowup."
+    ) { (s, dir) =>
+      val e = DedupQueries.jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      val n1 = sym.groupBy("a").agg(countDistinct(col("b")).as("n_1hop"))
+      val twoHop = sym.alias("e1")
+        .join(sym.alias("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e2.b").as("c"))
+        .filter(col("a") =!= col("c"))
+        .distinct()
+        .join(sym.toDF("a", "c"), Seq("a", "c"), "left_anti")
+      n1.join(twoHop.groupBy("a").agg(count(lit(1)).as("n_2hop_new")), Seq("a"), "left")
+        .select(col("a").as("doc_id"), col("n_1hop"),
+          coalesce(col("n_2hop_new"), lit(0L)).as("n_2hop_new"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q102_pagerank",
       Some("""WITH e0 AS (
              |  SELECT DISTINCT -l.l_suppkey AS s, o.o_custkey AS c

@@ -275,6 +275,114 @@ object SimilarityQueries {
     },
 
     GraftQuery(
+      "q130_quantized_ann",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), d AS (
+              |  SELECT unnest(v) x, generate_subscripts(v, 1) AS dim FROM e
+              |), st AS (
+              |  SELECT dim, min(x) mn, max(x) mx FROM d GROUP BY dim
+              |), arrs AS (
+              |  SELECT list(mn ORDER BY dim) mns, list(mx ORDER BY dim) mxs FROM st
+              |), codes AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm,
+              |         list_transform(range(1, len(v) + 1), i ->
+              |           CASE WHEN mxs[i] = mns[i] THEN 0
+              |                ELSE CAST(floor((v[i] - mns[i]) * 255.0
+              |                                 / (mxs[i] - mns[i])) AS BIGINT) END) cd
+              |  FROM e, arrs
+              |), q AS (
+              |  SELECT * FROM codes WHERE vec_id % 50 = 0
+              |), cand AS (
+              |  SELECT q.vec_id query_id, a.vec_id neighbor_id,
+              |         CAST(list_reduce(list_transform(range(1, len(q.cd) + 1),
+              |                                         i -> q.cd[i] * a.cd[i]),
+              |                          (x, y) -> x + y) AS BIGINT) isc,
+              |         list_reduce(list_transform(range(1, len(q.v) + 1),
+              |                                    i -> q.v[i] * a.v[i]),
+              |                     (x, y) -> x + y) / (q.nrm * a.nrm) c
+              |  FROM q JOIN codes a ON a.vec_id <> q.vec_id
+              |), pruned AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY isc DESC, neighbor_id) prk
+              |  FROM cand
+              |), reranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM pruned WHERE prk <= 32
+              |)
+              |SELECT query_id, neighbor_id, rk, round(c, 4) AS cos
+              |FROM reranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
+      "Quantized retrieval — q84's int8 codes doing their actual job: " +
+        "candidates are scored with an INTEGER dot product over 1-byte " +
+        "codes (8× less memory bandwidth than q43's float scan, and " +
+        "EXACT cross-engine arithmetic — the candidate set is " +
+        "bit-deterministic where a float candidate score would be a " +
+        "tie-break hazard), pruned to 32 per query with the salted " +
+        "two-phase top-k, and only the 32 survivors' ids flow to the " +
+        "float re-rank — both sides re-join the corpus BY ID for exact " +
+        "cosine (q67's id-only candidate discipline: vectors never ride " +
+        "the prune shuffle). This is the production scan-cheap/re-rank-" +
+        "exact ANN layout (SQ8 + refine in FAISS terms); recall loss " +
+        "lives only between int8 ranks 32 and k, and the oracle replays " +
+        "the identical two-phase pipeline, so the check is hash-exact, " +
+        "not recall-tolerant. At 100 TB the code table is the thing " +
+        "that fits in memory: 64 B/vector instead of 512."
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val stats = e
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+        .groupBy()
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
+               p => p("mn")).as("mns"),
+             transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
+               p => p("mx")).as("mxs"))
+      val base = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"),
+          transform(col("v"), (x, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            when(mx === mn, lit(0L))
+              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
+          }).as("cd"))
+      val q = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("cd").as("qcd"))
+      // integer candidate scores; only (query_id, neighbor_id, isc) ride on
+      val isc = aggregate(zip_with(col("cd"), col("qcd"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+        .orderBy(col("isc").desc, col("neighbor_id"))
+      val finalPrune = Window.partitionBy(col("query_id"))
+        .orderBy(col("isc").desc, col("neighbor_id"))
+      val survivors = base.select(col("vec_id"), col("cd"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), isc.as("isc"))
+        .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
+        .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact re-rank: survivors re-join vectors by id (query side is tiny
+      // and broadcast; neighbor side is 32·|Q| rows against the corpus)
+      val qv = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val rerank = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      survivors
+        .join(base.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rk", row_number().over(rerank).cast("long")).filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
       "q124_embedding_pool",
       Some("""WITH cell AS (
              |  SELECT label, dim,

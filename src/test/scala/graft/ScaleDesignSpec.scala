@@ -178,7 +178,9 @@ class ScaleDesignSpec extends SparkSpec {
     val bnljOk = Set("q21_join_theta_band", "q43_knn_bruteforce", "q66_knn_ivf",
       "q84_embedding_quantize", "q86_kmeans_train",
       // 1-row corpus-stats broadcast (N, total tokens) into the scorer
-      "q113_bm25_search")
+      "q113_bm25_search",
+      // q43's broadcast-query-side shape + q84's 1-row stats broadcast
+      "q130_quantized_ann")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
@@ -208,7 +210,9 @@ class ScaleDesignSpec extends SparkSpec {
       Set("q81_dedup_clusters", "q86_kmeans_train", "q97_cluster_canonical",
         "q102_pagerank", "q107_bpe_train", "q109_triangle_count",
         // encode shares q107's memoized training run (actions if cold)
-        "q117_bpe_encode")
+        "q117_bpe_encode",
+        // materializes the edge list once before the hop joins (q109's rule)
+        "q129_khop_neighborhood")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
