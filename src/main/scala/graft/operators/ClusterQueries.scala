@@ -91,11 +91,17 @@ object ClusterQueries {
         Tables.fingerprint(s, s"$dir/documents.parquet"))
       labelSlot match {
         case Some((k, df)) if k == key => df
-        case _ =>
+        case prev =>
           val edges = DedupQueries.jaccardPairs(s, dir)
             .select(col("doc_a").as("a"), col("doc_b").as("b"))
           val labels = connectedComponents(edges)
           labelSlot = Some((key, labels))
+          // free the superseded labels' checkpoint blocks deterministically
+          // (same live session only — a stopped session's blocks are gone)
+          prev.foreach { case ((h, _), old) =>
+            if (h == System.identityHashCode(s) && !s.sparkContext.isStopped)
+              try old.unpersist() catch { case _: Exception => () }
+          }
           labels
       }
     }

@@ -465,25 +465,55 @@ object RelationalQueries {
     }
   )
 
-  // keyed by SOURCE-FILE FINGERPRINT, not path: a corpus rewritten at the
-  // same dir must re-stage (the q67 cache lesson — a path-keyed entry would
-  // serve the stale staged copy while the oracle reads fresh truth)
-  private val fmtDirCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  // Staged-copy cache: SINGLE SLOT per format, keyed inside the slot by
+  // source-file fingerprint (the q67 cache lesson — a path-keyed entry
+  // would serve a stale staged copy after a corpus rewrite), with the
+  // fingerprint hashed into the OUTPUT path so two corpora can never share
+  // a staging directory. Replacing a slot deletes the superseded copy when
+  // it lives under the JVM temp root (driver-owned) — a map would leak one
+  // full staged corpus per rewrite for process lifetime.
+  private val fmtSlots =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  // staging root must be cluster-visible on non-local masters; local runs
-  // use a driver temp dir (same contract as graft.registry.root)
+  private def stagedPath(s: SparkSession, fmt: String, key: String): String = {
+    val suffix = f"${key.hashCode}%08x"
+    // staging root must be cluster-visible on non-local masters; local runs
+    // use a driver temp dir (same contract as graft.registry.root)
+    s.conf.getOption("graft.staging.root")
+      .map(r => s"$r/graft-$fmt-stage-$suffix")
+      .getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft-$fmt-$suffix").toString)
+  }
+
+  private def dropStaged(path: String): Unit = {
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    if (tmpRoot != null && path.startsWith(tmpRoot)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  private def staged(s: SparkSession, fmt: String, key: String)(
+      build: String => Unit): String = fmtSlots.synchronized {
+    fmtSlots.get(fmt) match {
+      case Some((k, path)) if k == key => path
+      case prev =>
+        val out = stagedPath(s, fmt, key)
+        build(out)
+        fmtSlots.put(fmt, (key, out))
+        prev.foreach { case (_, old) => dropStaged(old) }
+        out
+    }
+  }
+
   private def stage(s: SparkSession, dir: String, fmt: String)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): String =
-    fmtDirCache.getOrElseUpdate(
-      (graft.Tables.fingerprint(s, s"$dir/events.parquet"), fmt), {
-      val out = s.conf.getOption("graft.staging.root")
-        .map(r => s"$r/graft-$fmt-stage")
-        .getOrElse(java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString)
+    staged(s, fmt, graft.Tables.fingerprint(s, s"$dir/events.parquet")) { out =>
       write(Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "props"), out)
-      out
-    })
+    }
 
   private def jsonRoundTrip(s: SparkSession, dir: String) = {
     val staged = stage(s, dir, "json")((df, out) =>
@@ -498,15 +528,11 @@ object RelationalQueries {
     * partitions; reused across q112 invocations exactly like the json/csv
     * stages, re-staged if the corpus is rewritten. */
   private[graft] def partitionedDocs(s: SparkSession, dir: String): String =
-    fmtDirCache.getOrElseUpdate(
-      (graft.Tables.fingerprint(s, s"$dir/documents.parquet"), "part-parquet"), {
-      val out = s.conf.getOption("graft.staging.root")
-        .map(r => s"$r/graft-part-parquet-stage")
-        .getOrElse(java.nio.file.Files.createTempDirectory("graft-part").toString)
+    staged(s, "part-parquet",
+      graft.Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
       Tables.documents(s, dir).write.mode("overwrite")
         .partitionBy("lang").parquet(out)
-      out
-    })
+    }
 
   private def csvRoundTrip(s: SparkSession, dir: String) = {
     val staged = stage(s, dir, "csv")((df, out) =>

@@ -29,6 +29,30 @@ object SimilarityQueries {
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dotd(va, vb) / (na * nb)
 
+  /** (vec_id, v, nrm, cd): [[normed]] plus q84's per-dimension min-max int8
+    * codes — ONE copy of the quantization expression tree, because both
+    * q84's and q130's oracle agreement depends on it staying bit-identical
+    * (corpus stats are a 1-row broadcast; the sanctioned q66 shape). */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val stats = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
+             p => p("mn")).as("mns"),
+           transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
+             p => p("mx")).as("mxs"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        transform(col("v"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
+        }).as("cd"))
+  }
+
   /** Deterministic ±1 sign hyperplanes: `tables` tables × `bits` planes each,
     * derived from xxhash-style mixing of (table, bit, dim) — reproducible
     * across JVMs with no RNG state. */
@@ -253,24 +277,8 @@ object SimilarityQueries {
         "drift, no transcendentals. Constant dims quantize to 0 by " +
         "explicit guard rather than 0/0."
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      val stats = e
-        .select(posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-        .groupBy()
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
-               p => p("mn")).as("mns"),
-             transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
-               p => p("mx")).as("mxs"))
-      e.crossJoin(broadcast(stats))
-        .select(col("vec_id"),
-          transform(col("v"), (x, i) => {
-            val mn = element_at(col("mns"), i + 1)
-            val mx = element_at(col("mxs"), i + 1)
-            when(mx === mn, lit(0L))
-              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
-          }).as("codes"))
+      quantized(s, dir)
+        .select(col("vec_id"), col("cd").as("codes"))
         .orderBy("vec_id")
     },
 
@@ -333,25 +341,7 @@ object SimilarityQueries {
         "not recall-tolerant. At 100 TB the code table is the thing " +
         "that fits in memory: 64 B/vector instead of 512."
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      val stats = e
-        .select(posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-        .groupBy()
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
-               p => p("mn")).as("mns"),
-             transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
-               p => p("mx")).as("mxs"))
-      val base = e.crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("v"),
-          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"),
-          transform(col("v"), (x, i) => {
-            val mn = element_at(col("mns"), i + 1)
-            val mx = element_at(col("mxs"), i + 1)
-            when(mx === mn, lit(0L))
-              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)))
-          }).as("cd"))
+      val base = quantized(s, dir)
       val q = base.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("cd").as("qcd"))
       // integer candidate scores; only (query_id, neighbor_id, isc) ride on
