@@ -622,6 +622,50 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q131_bitmap_overlap",
+      Some("""WITH u AS (
+             |  SELECT DISTINCT event_type, user_id FROM events
+             |)
+             |SELECT a.event_type AS et_a, b.event_type AS et_b,
+             |       CAST(count(*) AS BIGINT) AS n_common
+             |FROM u a JOIN u b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2
+             |ORDER BY et_a, et_b""".stripMargin),
+      "Bitmap-index audience overlap (the roaring-bitmap analytics shape): " +
+        "each event type's user SET compresses into 64-bit words — word = " +
+        "id div 64, one bit_or aggregate per (type, word), 64 users per " +
+        "row — and pairwise overlap is a JOIN ON WORD INDEX + popcount of " +
+        "the bitwise AND, summed. Everything after the bitmap build is " +
+        "integer bit arithmetic on 16-byte rows: for k types over n " +
+        "users, overlap costs k²·n/64 word operations instead of a " +
+        "distinct-pair self-join shuffling n·k id rows — this is how " +
+        "audience/segment-overlap engines (Druid, ClickHouse bitmap " +
+        "functions) answer k² intersections from one index. The bitmaps " +
+        "build in ONE pass with map-side bit_or partials; dense id " +
+        "spaces fit words directly, sparse ones dictionary-encode first. " +
+        "The ORACLE computes the same intersections as plain distinct-" +
+        "pair counting — the check proves the bitmap algebra EQUALS set " +
+        "intersection, not just that it reproduces itself."
+    ) { (s, dir) =>
+      val bm = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("user_id div 64").as("w"),
+          expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+        .groupBy("event_type", "w")
+        .agg(expr("bit_or(bit)").as("bits"))
+      bm.alias("a")
+        .join(bm.alias("b"),
+          col("a.w") === col("b.w") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"))
+        .agg(sum(expr("bit_count(a.bits & b.bits)")).as("n_common"))
+        // the oracle's INNER join emits a pair only when >=1 user is shared;
+        // word collisions with disjoint bits must not produce a 0 row
+        .filter(col("n_common") > 0)
+        .orderBy("et_a", "et_b")
+    },
+
+    GraftQuery(
       "q120_ohlc_downsample",
       Some("""SELECT event_type,
              |       date_trunc('hour', ts) AS hr,
