@@ -92,7 +92,7 @@ object ClusterQueries {
       labelSlot match {
         case Some((k, df)) if k == key => df
         case prev =>
-          val edges = DedupQueries.jaccardPairs(s, dir)
+          val edges = DedupQueries.jaccardEdges(s, dir)
             .select(col("doc_a").as("a"), col("doc_b").as("b"))
           val labels = connectedComponents(edges)
           labelSlot = Some((key, labels))
@@ -393,9 +393,7 @@ object ClusterQueries {
         "three branch subtrees differ post-aggregation and ReuseExchange " +
         "cannot collapse them."
     ) { (s, dir) =>
-      val e = DedupQueries.jaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+      val e = DedupQueries.jaccardEdges(s, dir)
       val ab = e.toDF("a", "b")
       val bc = e.toDF("b2", "c3")
       val ac = e.toDF("a3", "c4")
@@ -463,9 +461,7 @@ object ClusterQueries {
         "one more join stage, the same plan shape GraphFrames' BFS " +
         "emits, and degree-capped sampling bounds the hub blowup."
     ) { (s, dir) =>
-      val e = DedupQueries.jaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+      val e = DedupQueries.jaccardEdges(s, dir)
       val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
       val n1 = sym.groupBy("a").agg(countDistinct(col("b")).as("n_1hop"))

@@ -425,6 +425,95 @@ object RelationalQueries {
     },
 
     GraftQuery(
+      "q133_union_by_name",
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), v2 AS (
+             |  SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 3 = 0
+             |), unioned AS (
+             |  SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+             |)
+             |SELECT lang,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(source) AS BIGINT) AS n_with_source,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM unioned GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      "Schema-evolution union (UNION BY NAME): two snapshot generations of " +
+        "the same table — v2 grew a `source` column — combine by COLUMN " +
+        "NAME with missing fields null-filled, not by position (a " +
+        "positional union would silently misalign or refuse). This is " +
+        "the read path every long-lived dataset needs the day its schema " +
+        "evolves: old partitions keep their narrow schema, new ones the " +
+        "wide one, and the engine reconciles at scan time — the " +
+        "relational face of the Avro writer/reader resolution the " +
+        "codec layer already does (AvroCodec schema-evolution spec). " +
+        "unionByName(allowMissingColumns) is pure plan surgery: no " +
+        "shuffle, each branch scans its own files, the null-fill is a " +
+        "projection; the downstream aggregate sees one unified schema. " +
+        "count(source) counts only rows that HAVE the new column — the " +
+        "migration-progress metric."
+    ) { (s, dir) =>
+      val v1 = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val v2 = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          col("source"), col("n_chars"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("source")).as("n_with_source"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q134_try_parse",
+      Some("""WITH raw AS (
+             |  SELECT event_id, event_type,
+             |         CAST(user_id AS VARCHAR) ||
+             |           CASE WHEN event_id % 7 = 0 THEN 'x' ELSE '' END AS raw_id,
+             |         CASE WHEN event_id % 11 = 0 THEN '99999999999999999999'
+             |              ELSE CAST(event_id AS VARCHAR) END AS raw_big
+             |  FROM events
+             |)
+             |SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(TRY_CAST(raw_id AS BIGINT)) AS BIGINT) AS n_id_ok,
+             |       CAST(count(*) - count(TRY_CAST(raw_big AS BIGINT)) AS BIGINT)
+             |         AS n_overflow,
+             |       CAST(sum(TRY_CAST(raw_id AS BIGINT)) AS BIGINT) AS sum_parsed
+             |FROM raw GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      "Error-safe ingestion (TRY_CAST semantics): dirty fields — malformed " +
+        "digits (a trailing letter on every 7th id) and out-of-range " +
+        "values (a 20-digit number that overflows BIGINT on every 11th) " +
+        "— parse to NULL instead of failing the job, and the per-type " +
+        "audit counts parse failures and overflows explicitly. This is " +
+        "the ingestion-edge contract for 100 TB of scraped data: one bad " +
+        "cell must cost one NULL, never a task retry storm or a dead " +
+        "executor (the relational analogue of the dead-letter route the " +
+        "replication layer gives poison Avro records). try_cast stays " +
+        "inside codegen — no exception control flow on the hot path, " +
+        "unlike a UDF try/catch — and the dirt here is synthesized " +
+        "deterministically (q51's envelope rule) so the oracle rebuilds " +
+        "the identical corruption and the counts compare exactly."
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          concat(col("user_id").cast("string"),
+            when(col("event_id") % 7 === 0, "x").otherwise("")).as("raw_id"),
+          when(col("event_id") % 11 === 0, "99999999999999999999")
+            .otherwise(col("event_id").cast("string")).as("raw_big"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(expr("try_cast(raw_id AS BIGINT)")).as("n_id_ok"),
+          (count(lit(1)) - count(expr("try_cast(raw_big AS BIGINT)"))).as("n_overflow"),
+          sum(expr("try_cast(raw_id AS BIGINT)")).as("sum_parsed"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
       "q127_decimal_exact",
       Some("""SELECT l_returnflag,
              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
