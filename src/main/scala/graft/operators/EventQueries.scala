@@ -648,10 +648,12 @@ object EventQueries {
         "pair counting — the check proves the bitmap algebra EQUALS set " +
         "intersection, not just that it reproduces itself."
     ) { (s, dir) =>
+      // shiftright/& are FLOOR semantics for any sign — `div`/`%` truncate
+      // toward zero and would collide negative ids onto positive bits
       val bm = Tables.events(s, dir)
         .select(col("event_type"),
-          expr("user_id div 64").as("w"),
-          expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+          expr("shiftright(user_id, 6)").as("w"),
+          expr("shiftleft(1L, cast(user_id & 63 as int))").as("bit"))
         .groupBy("event_type", "w")
         .agg(expr("bit_or(bit)").as("bits"))
       bm.alias("a")

@@ -462,13 +462,20 @@ object JoinQueries {
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
       val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val viewStruct = when(col("event_type") === "view",
-        struct(col("us"), col("event_id")))
       val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
       val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+      // candidate selection must MATCH THE ORACLE'S TIE ORDER (abs gap,
+      // then view us, then view event_id): among equal-us views, max of
+      // (us, -event_id) picks the SMALLEST id on the before side — last()
+      // over the frame would pick the largest — and min of (us, event_id)
+      // picks the smallest on the after side
+      val prevStruct = when(col("event_type") === "view",
+        struct(col("us"), (-col("event_id")).as("nev")))
+      val nextStruct = when(col("event_type") === "view",
+        struct(col("us"), col("event_id")))
       val cand = e
-        .withColumn("pv", last(viewStruct, ignoreNulls = true).over(prevW))
-        .withColumn("nv", first(viewStruct, ignoreNulls = true).over(nextW))
+        .withColumn("pv", max(prevStruct).over(prevW))
+        .withColumn("nv", min(nextStruct).over(nextW))
         .filter(col("event_type") === "purchase")
         .filter(col("pv").isNotNull || col("nv").isNotNull)
       val pickPrev = col("nv").isNull ||
@@ -476,7 +483,7 @@ object JoinQueries {
           (col("us") - col("pv.us")) <= (col("nv.us") - col("us")))
       cand
         .select(col("event_id").as("purchase_id"),
-          when(pickPrev, col("pv.event_id")).otherwise(col("nv.event_id")).as("view_id"),
+          when(pickPrev, -col("pv.nev")).otherwise(col("nv.event_id")).as("view_id"),
           (when(pickPrev, col("pv.us")).otherwise(col("nv.us")) - col("us"))
             .as("gap_micros"))
         .orderBy("purchase_id")
