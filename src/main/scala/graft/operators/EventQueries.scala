@@ -560,6 +560,48 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q135_wow_report",
+      Some("""WITH wk AS (
+             |  SELECT date_trunc('week', o_orderdate) AS wk,
+             |         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents,
+             |         CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT wk, rev_cents, n_orders,
+             |       lag(rev_cents) OVER (ORDER BY wk) AS prev_cents,
+             |       CASE WHEN lag(rev_cents) OVER (ORDER BY wk) > 0
+             |            THEN ((rev_cents - lag(rev_cents) OVER (ORDER BY wk)) * 10000)
+             |                 // lag(rev_cents) OVER (ORDER BY wk)
+             |       END AS delta_bp
+             |FROM wk ORDER BY wk""".stripMargin),
+      "Week-over-week trend report — the period-comparison shape every BI " +
+        "layer emits: aggregate to the period grain FIRST (partial+final " +
+        "hash agg, shuffle carries one row per week), THEN lag() over the " +
+        "tiny aggregated series for the prior-period compare. The window " +
+        "is a single unpartitioned sort, which is CORRECT here precisely " +
+        "because aggregation already collapsed the data — hundreds of " +
+        "weeks, not rows; per-entity trend variants partition the same " +
+        "window by the entity key (q24's shape) and stay parallel. The " +
+        "delta is integer basis points via integer division on cents — " +
+        "the quotient is integer `div` against DuckDB's `//` — both " +
+        "truncate toward zero, exact for either delta sign."
+    ) { (s, dir) =>
+      val wk = Tables.orders(s, dir)
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+        .agg(round(sum("o_totalprice") * 100).cast("long").as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("wk")
+      wk
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_bp",
+          // DuckDB's // and Spark's div both TRUNCATE toward zero on
+          // integers — exact and identical for either delta sign
+          when(col("prev_cents") > 0,
+            expr("((rev_cents - prev_cents) * 10000) div prev_cents")))
+        .orderBy("wk")
+    },
+
+    GraftQuery(
       "q119_snapshot_diff",
       Some("""WITH a AS (
              |  SELECT c_custkey AS key, c_name,
