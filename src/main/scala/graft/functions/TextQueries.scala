@@ -1089,6 +1089,59 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q136_pps_sample",
+      Some("""WITH b AS (
+             |  SELECT doc_id, n_chars AS w, sha256(text) AS hk FROM documents
+             |), c AS (
+             |  SELECT doc_id, w, sum(w) OVER (ORDER BY hk, doc_id) AS cum FROM b
+             |), t AS (
+             |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM b
+             |)
+             |SELECT * FROM (
+             |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
+             |         CAST((cum - (tw // 25) // 2) // (tw // 25)
+             |            - (cum - w - (tw // 25) // 2) // (tw // 25) AS BIGINT)
+             |           AS n_hits
+             |  FROM c, t
+             |)
+             |WHERE n_hits > 0
+             |ORDER BY cum""".stripMargin),
+      "Systematic PPS sampling (probability proportional to size, the " +
+        "survey-sampling workhorse): items line up in CONTENT-HASH order " +
+        "(the engine's reproducible stand-in for random order — " +
+        "membership depends only on bytes), weights accumulate, and a " +
+        "fixed stride tw/25 with midpoint offset picks every item whose " +
+        "weight interval contains a stride multiple — exactly n " +
+        "expected picks, inclusion probability ∝ weight, heavy items " +
+        "legitimately hit multiple times (n_hits). ALL integer " +
+        "arithmetic: interval-contains-multiple is a difference of two " +
+        "truncating divisions, exact in both engines — where the " +
+        "classic exponential-keys weighted sample (hash^(1/w)) needs " +
+        "libm pow and could never oracle-check. The prefix sum is one " +
+        "running-sum window; at 100 TB it becomes the standard " +
+        "two-phase distributed scan (per-partition totals, then offset " +
+        "broadcast — q100's prune discipline for cumulative state); " +
+        "corpus total and stride ride a 1-row broadcast."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          sha2(col("text"), 256).as("hk"))
+      val tot = base.agg(sum("w").as("tw"))
+      base
+        .withColumn("cum", sum("w").over(Window.orderBy("hk", "doc_id")))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_hits",
+          expr("""(cum - (tw div 25) div 2) div (tw div 25)
+                 | - (cum - w - (tw div 25) div 2) div (tw div 25)""".stripMargin
+            .replace('\n', ' ')))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("w").cast("long").as("w"),
+          col("cum").cast("long").as("cum"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy("cum")
+    },
+
+    GraftQuery(
       "q107_bpe_train",
       None, // iterative trainer with a driver-side argmax per round: merge
       // sequence is spec-checked against a local reference BPE (BpeSpec).

@@ -478,6 +478,103 @@ object ClusterQueries {
     },
 
     GraftQuery(
+      "q137_cluster_terms",
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_a, doc_b, c*1.0/((sa.n + sb.n) - c) jac
+             |  FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM scored WHERE jac >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM scored WHERE jac >= 0.8
+             |), nodes AS (
+             |  SELECT DISTINCT a AS doc_id FROM edges
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+             |), comp AS (
+             |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+             |), toks AS (
+             |  SELECT c.cluster_id, unnest(string_split(lower(d.text), ' ')) AS term
+             |  FROM comp c JOIN documents d USING (doc_id)
+             |), tf AS (
+             |  SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY 1, 2
+             |), nc AS (
+             |  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n FROM tf
+             |), dfreq AS (
+             |  SELECT term, CAST(count(DISTINCT cluster_id) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), sc AS (
+             |  SELECT cluster_id, term,
+             |         CAST(floor(tf * (CAST(n - df AS DOUBLE) + 0.5)
+             |                       / (CAST(df AS DOUBLE) + 0.5)
+             |                    * 1000000.0) AS BIGINT) AS score_micros
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN nc
+             |)
+             |SELECT cluster_id, CAST(rk AS BIGINT) AS rk, term, score_micros
+             |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+             |                ORDER BY score_micros DESC, term) AS rk FROM sc)
+             |WHERE rk <= 3
+             |ORDER BY cluster_id, rk""".stripMargin),
+      "Cluster characterization (c-TF-IDF, the BERTopic labeling step): " +
+        "each near-dup cluster's member documents pool into one virtual " +
+        "document, term frequency weighs against how many OTHER clusters " +
+        "use the term — q113's rational idf shape over clusters instead " +
+        "of documents, floored to integer micros so the ranking compares " +
+        "exactly — and the top-3 terms become the cluster's label, the " +
+        "human-auditable answer to 'what IS this duplicate family'. " +
+        "Cluster labels come from the memoized connected-components " +
+        "fixed point (one run serves q81/q97/q137); tokens explode only " +
+        "for CLUSTER MEMBERS (the corpus at large never tokenizes — " +
+        "inner join prunes first), tf aggregates map-side, cluster " +
+        "count and per-term df are metadata-scale broadcasts. The " +
+        "oracle recomputes the closure recursively and replays the " +
+        "identical integer scoring."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels = nearDupLabels(s, dir)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val tf = Tables.documents(s, dir)
+        .join(broadcast(labels), "doc_id")
+        .select(col("cluster_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("cluster_id", "term").agg(count(lit(1)).as("tf"))
+      val nc = tf.agg(countDistinct(col("cluster_id")).as("n"))
+      val dfreq = tf.groupBy("term").agg(countDistinct(col("cluster_id")).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nc))
+        .select(col("cluster_id"), col("term"),
+          floor(col("tf") * ((col("n") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))
+            * lit(1000000.0)).as("score_micros"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("score_micros").desc, col("term"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cluster_id"), col("rk"), col("term"), col("score_micros"))
+        .orderBy("cluster_id", "rk")
+    },
+
+    GraftQuery(
       "q102_pagerank",
       Some("""WITH e0 AS (
              |  SELECT DISTINCT -l.l_suppkey AS s, o.o_custkey AS c

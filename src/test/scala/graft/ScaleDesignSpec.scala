@@ -180,7 +180,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row corpus-stats broadcast (N, total tokens) into the scorer
       "q113_bm25_search",
       // q43's broadcast-query-side shape + q84's 1-row stats broadcast
-      "q130_quantized_ann")
+      "q130_quantized_ann",
+      // 1-row corpus-total / cluster-count broadcasts
+      "q136_pps_sample", "q137_cluster_terms")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
@@ -212,7 +214,9 @@ class ScaleDesignSpec extends SparkSpec {
         // encode shares q107's memoized training run (actions if cold)
         "q117_bpe_encode",
         // materializes the edge list once before the hop joins (q109's rule)
-        "q129_khop_neighborhood")
+        "q129_khop_neighborhood",
+        // consumes the memoized connected-components labels (actions if cold)
+        "q137_cluster_terms")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
