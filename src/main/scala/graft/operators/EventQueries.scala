@@ -560,6 +560,48 @@ object EventQueries {
     },
 
     GraftQuery(
+      "q139_dwell_time",
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us,
+             |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                                  ORDER BY ts, event_id) AS next_us
+             |  FROM events
+             |)
+             |SELECT user_id, event_type AS state,
+             |       CAST(count(next_us) AS BIGINT) AS n_dwells,
+             |       CAST(sum(next_us - us) AS BIGINT) AS total_dwell_micros,
+             |       CAST(max(next_us - us) AS BIGINT) AS max_dwell_micros
+             |FROM seq
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, state""".stripMargin),
+      "Time-in-state / dwell-time analysis (the telemetry question 'how " +
+        "long does each entity sit in each state'): each event opens a " +
+        "dwell that the SAME user's next event closes — one lead() over " +
+        "the per-user time-sorted stream turns the event log into " +
+        "intervals with no self-join (the q106/q132 discipline: " +
+        "consecutive-row semantics are a window, never a join), then a " +
+        "plain aggregate rolls intervals up per (user, state). The final " +
+        "open dwell has no close and is EXCLUDED by count/sum ignoring " +
+        "the null lead — the unbiased choice, since its true duration " +
+        "is censored at observation end. One exchange on user feeds " +
+        "both the window and (via partial aggs) the rollup; durations " +
+        "are integer micros end to end. At 100 TB this is the session-" +
+        "quality / funnel-latency primitive: state here is the event " +
+        "type, but any SCD2-style status column (q98) slots in."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .groupBy(col("user_id"), col("event_type").as("state"))
+        .agg(count(col("next_us")).as("n_dwells"),
+          sum(col("next_us") - col("us")).as("total_dwell_micros"),
+          max(col("next_us") - col("us")).as("max_dwell_micros"))
+        .orderBy("user_id", "state")
+    },
+
+    GraftQuery(
       "q135_wow_report",
       Some("""WITH wk AS (
              |  SELECT date_trunc('week', o_orderdate) AS wk,

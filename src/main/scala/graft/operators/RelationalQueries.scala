@@ -514,6 +514,61 @@ object RelationalQueries {
     },
 
     GraftQuery(
+      "q138_fk_audit",
+      Some("""SELECT 'customer.nation' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT) AS n_orphans
+             |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |UNION ALL
+             |SELECT 'lineitem.orders', CAST(count(*) AS BIGINT),
+             |       CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |UNION ALL
+             |SELECT 'lineitem.part', CAST(count(*) AS BIGINT),
+             |       CAST(count(*) FILTER (p.p_partkey IS NULL) AS BIGINT)
+             |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             |UNION ALL
+             |SELECT 'orders.customer', CAST(count(*) AS BIGINT),
+             |       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |UNION ALL
+             |SELECT 'events.user', CAST(count(*) AS BIGINT),
+             |       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY fk""".stripMargin),
+      "Referential-integrity audit across the whole star schema — the " +
+        "data-quality suite a warehouse runs after every load: each FK " +
+        "edge becomes a LEFT join against its dimension with a null-probe " +
+        "orphan count (the aggregate form of q18's anti-join — one number " +
+        "per relationship instead of the orphan rows). Every dimension " +
+        "side broadcasts (nation/part/customer/orders are the small side " +
+        "of their edge or hash-partition once), each branch aggregates to " +
+        "ONE row before the union, and the fact tables are scanned with " +
+        "only their key column (ReadSchema prunes to 1 column per " +
+        "branch). At 100 TB this query IS the post-ingest gate: per-edge " +
+        "orphan counts catch a bad partition or late dimension the day " +
+        "it lands, and the audit cost is one key-column scan per edge."
+    ) { (s, dir) =>
+      def audit(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame =
+        fact.select(col(fk))
+          .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(pk))).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      audit("customer.nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey")
+        .unionAll(audit("lineitem.orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"))
+        .unionAll(audit("lineitem.part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionAll(audit("orders.customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .unionAll(audit("events.user", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy("fk")
+    },
+
+    GraftQuery(
       "q127_decimal_exact",
       Some("""SELECT l_returnflag,
              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
