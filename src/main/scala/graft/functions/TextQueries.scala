@@ -1098,9 +1098,13 @@ object TextQueries {
              |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM b
              |)
              |SELECT * FROM (
+             |  -- + stride on BOTH dividends: shifts each quotient by the same
+             |  -- +1 (so the difference is unchanged) while making the operands
+             |  -- non-negative, where truncating // would drop the first
+             |  -- stride point (floor vs truncate disagree below zero)
              |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
-             |         CAST((cum - (tw // 25) // 2) // (tw // 25)
-             |            - (cum - w - (tw // 25) // 2) // (tw // 25) AS BIGINT)
+             |         CAST((cum - (tw // 25) // 2 + (tw // 25)) // (tw // 25)
+             |            - (cum - w - (tw // 25) // 2 + (tw // 25)) // (tw // 25) AS BIGINT)
              |           AS n_hits
              |  FROM c, t
              |)
@@ -1132,8 +1136,11 @@ object TextQueries {
         .withColumn("cum", sum("w").over(Window.orderBy("hk", "doc_id")))
         .crossJoin(broadcast(tot))
         .withColumn("n_hits",
-          expr("""(cum - (tw div 25) div 2) div (tw div 25)
-                 | - (cum - w - (tw div 25) div 2) div (tw div 25)""".stripMargin
+          // + stride on both dividends: quotients shift identically (the
+          // difference is invariant) and operands stay non-negative, where
+          // truncating div would drop the first stride point
+          expr("""(cum - (tw div 25) div 2 + (tw div 25)) div (tw div 25)
+                 | - (cum - w - (tw div 25) div 2 + (tw div 25)) div (tw div 25)""".stripMargin
             .replace('\n', ' ')))
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("w").cast("long").as("w"),

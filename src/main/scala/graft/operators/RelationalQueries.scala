@@ -539,32 +539,40 @@ object RelationalQueries {
         "data-quality suite a warehouse runs after every load: each FK " +
         "edge becomes a LEFT join against its dimension with a null-probe " +
         "orphan count (the aggregate form of q18's anti-join — one number " +
-        "per relationship instead of the orphan rows). Every dimension " +
-        "side broadcasts (nation/part/customer/orders are the small side " +
-        "of their edge or hash-partition once), each branch aggregates to " +
-        "ONE row before the union, and the fact tables are scanned with " +
+        "per relationship instead of the orphan rows). True dimensions " +
+        "(nation, part) broadcast; fact-sized key sides (orders, " +
+        "customer) hash-partition once — never a forced broadcast that " +
+        "would collect a fact key set to the driver at scale. Each " +
+        "branch aggregates to ONE row before the union, and the fact " +
+        "tables are scanned with " +
         "only their key column (ReadSchema prunes to 1 column per " +
         "branch). At 100 TB this query IS the post-ingest gate: per-edge " +
         "orphan counts catch a bad partition or late dimension the day " +
         "it lands, and the audit cost is one key-column scan per edge."
     ) { (s, dir) =>
+      // broadcast only the TRUE dimensions (nation, part); orders and
+      // customer are fact-sized or near it — a forced broadcast hint there
+      // would collect the full key set to the driver at scale. Left to the
+      // planner they hash-partition once (or broadcast when small enough).
       def audit(name: String, fact: DataFrame, fk: String,
-          dim: DataFrame, pk: String): DataFrame =
+          dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val keys = dim.select(col(pk))
         fact.select(col(fk))
-          .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left")
+          .join(if (bcast) broadcast(keys) else keys, col(fk) === col(pk), "left")
           .agg(count(lit(1)).as("n_rows"),
             (count(lit(1)) - count(col(pk))).as("n_orphans"))
           .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
       audit("customer.nation", Tables.customer(s, dir), "c_nationkey",
-        Tables.nation(s, dir), "n_nationkey")
+        Tables.nation(s, dir), "n_nationkey", bcast = true)
         .unionAll(audit("lineitem.orders", Tables.lineitem(s, dir), "l_orderkey",
-          Tables.orders(s, dir), "o_orderkey"))
+          Tables.orders(s, dir), "o_orderkey", bcast = false))
         .unionAll(audit("lineitem.part", Tables.lineitem(s, dir), "l_partkey",
-          Tables.part(s, dir), "p_partkey"))
+          Tables.part(s, dir), "p_partkey", bcast = true))
         .unionAll(audit("orders.customer", Tables.orders(s, dir), "o_custkey",
-          Tables.customer(s, dir), "c_custkey"))
+          Tables.customer(s, dir), "c_custkey", bcast = false))
         .unionAll(audit("events.user", Tables.events(s, dir), "user_id",
-          Tables.customer(s, dir), "c_custkey"))
+          Tables.customer(s, dir), "c_custkey", bcast = false))
         .orderBy("fk")
     },
 
