@@ -319,6 +319,37 @@ object RelationalQueries {
     ) { (s, dir) => csvRoundTrip(s, dir) },
 
     GraftQuery(
+      "q140_text_roundtrip",
+      Some("""SELECT CAST(length(text) AS BIGINT) AS n_chars_line,
+             |       CAST(count(*) AS BIGINT) AS n_lines
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY n_chars_line""".stripMargin),
+      "Line-text source/sink — the rawest format in the matrix (parquet, " +
+        "JSON, CSV, Avro, partitioned parquet, text): document bodies " +
+        "write as one line each and read back as a single `value` string " +
+        "column, the shape every scraped-corpus ingest starts from " +
+        "before any schema exists. Text splits by newline, so scans " +
+        "parallelize like any splittable source; there is no schema to " +
+        "infer or mis-infer, and the engine imposes structure downstream " +
+        "(here a length histogram — the first profiling pass a raw " +
+        "corpus gets). The write stages once per corpus fingerprint " +
+        "like q78/q79; the oracle aggregates the parquet truth, so the " +
+        "compare proves the text round-trip preserved every byte of " +
+        "every line."
+    ) { (s, dir) =>
+      val textDir = staged(s, "text",
+        graft.Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        Tables.documents(s, dir).select(col("text")).write
+          .mode("overwrite").text(out)
+      }
+      s.read.text(textDir)
+        .groupBy(length(col("value")).cast("long").as("n_chars_line"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy("n_chars_line")
+    },
+
+    GraftQuery(
       "q112_partitioned_prune",
       Some("""SELECT lang, source, count(*) AS n_docs,
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
