@@ -364,6 +364,69 @@ object SqlQueries {
     },
 
     GraftQuery(
+      "q141_robust_outliers",
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem
+             |), med AS (
+             |  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+             |  FROM c GROUP BY l_returnflag
+             |), dev AS (
+             |  SELECT c.l_returnflag, c.cents, m.med,
+             |         abs(c.cents - m.med) AS adev
+             |  FROM c JOIN med m ON c.l_returnflag = m.l_returnflag
+             |), mad AS (
+             |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+             |  FROM dev GROUP BY l_returnflag
+             |)
+             |SELECT d.l_returnflag, d.med, mad.mad,
+             |       -- CASTs: bare decimal literals would multiply as EXACT
+             |       -- DECIMAL (4.4478) vs Spark's double 3.0*1.4826 — 1 ulp off
+             |       CAST(count(*) FILTER (d.adev > CAST(3.0 AS DOUBLE)
+             |                             * CAST(1.4826 AS DOUBLE) * mad.mad)
+             |         AS BIGINT) AS n_outliers,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
+             |GROUP BY d.l_returnflag, d.med, mad.mad
+             |ORDER BY d.l_returnflag""".stripMargin),
+      "Robust outlier detection via median absolute deviation — the " +
+        "heavy-tail-safe alternative to q58's moment statistics (one " +
+        "extreme value drags a mean/stddev gate arbitrarily; the " +
+        "median/MAD pair has a 50% breakdown point, which is why data-" +
+        "quality gates on scraped corpora use it): per group, the median " +
+        "lands first, absolute deviations re-aggregate to THEIR median, " +
+        "and the classic 3·1.4826·MAD fence counts outliers. Two exact-" +
+        "percentile passes with the tiny per-group medians broadcast " +
+        "back between them — money enters as integer cents so the " +
+        "interpolated medians are exact half-integers, bit-identical in " +
+        "both engines (quantile_cont ≡ Spark percentile, the q57 " +
+        "parity), and the fence compare is the same IEEE product on " +
+        "both sides. At 100 TB the exact percentile swaps for " +
+        "approx_percentile per q73 and the second pass rides the same " +
+        "partial-aggregation shape — MAD is two medians, so the sketch " +
+        "path is just the quantile path twice."
+    ) { (s, dir) =>
+      val c = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val med = c.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = c.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"),
+          lit(1))).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("med"), col("mad"),
+          col("n_outliers"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    GraftQuery(
       "q126_correlated_agg",
       Some("""SELECT l.l_partkey,
              |       CAST(count(*) AS BIGINT) AS n_small,
