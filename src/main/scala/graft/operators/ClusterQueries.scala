@@ -575,6 +575,93 @@ object ClusterQueries {
     },
 
     GraftQuery(
+      "q142_leakage_safe_split",
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_a, doc_b, c*1.0/((sa.n + sb.n) - c) jac
+             |  FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM scored WHERE jac >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM scored WHERE jac >= 0.8
+             |), nodes AS (
+             |  SELECT DISTINCT a AS doc_id FROM edges
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+             |), comp AS (
+             |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+             |), grouped AS (
+             |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp,
+             |         c.cluster_id IS NOT NULL AS clustered
+             |  FROM documents d LEFT JOIN comp c USING (doc_id)
+             |), assigned AS (
+             |  SELECT g.doc_id, g.grp, g.clustered,
+             |         CASE WHEN substr(sha256(cd.text), 1, 2) < 'cc' THEN 'train'
+             |              WHEN substr(sha256(cd.text), 1, 2) < 'e6' THEN 'val'
+             |              ELSE 'test' END AS split
+             |  FROM grouped g JOIN documents cd ON cd.doc_id = g.grp
+             |)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(*) FILTER (clustered) AS BIGINT) AS n_clustered_docs,
+             |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+             |FROM assigned GROUP BY split
+             |ORDER BY split""".stripMargin),
+      "LEAKAGE-SAFE dataset split — q83's content-hash split upgraded " +
+        "with the guarantee q83 cannot give: near-DUPLICATES (not just " +
+        "exact copies) land in the same split, because the split key is " +
+        "the CANONICAL member's content hash for every near-dup cluster " +
+        "(memoized connected-components labels; singletons hash their " +
+        "own text). Without this, a test document's 0.9-Jaccard twin " +
+        "sits in train and the eval is contaminated — the known failure " +
+        "mode of per-document splits on undeduplicated corpora, and the " +
+        "reason dedup must precede splitting in a real pipeline. One " +
+        "broadcast of the tiny label set, one join to fetch canonical " +
+        "text (group-count scale, not corpus scale), then q83's pure-" +
+        "map CASE; the audit reports how many documents moved under a " +
+        "cluster's canonical key. The oracle recomputes the closure " +
+        "recursively and replays the identical assignment."
+    ) { (s, dir) =>
+      val labels = nearDupLabels(s, dir)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val grouped = Tables.documents(s, dir).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"),
+          col("cluster_id").isNotNull.as("clustered"))
+      val canonHash = Tables.documents(s, dir)
+        .select(col("doc_id").as("grp"),
+          substring(sha2(col("text"), 256), 1, 2).as("h"))
+      grouped.join(canonHash, "grp")
+        .select(col("doc_id"), col("grp"), col("clustered"),
+          when(col("h") < "cc", "train")
+            .when(col("h") < "e6", "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("clustered"), lit(1))).as("n_clustered_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .orderBy("split")
+    },
+
+    GraftQuery(
       "q102_pagerank",
       Some("""WITH e0 AS (
              |  SELECT DISTINCT -l.l_suppkey AS s, o.o_custkey AS c

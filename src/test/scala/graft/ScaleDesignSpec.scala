@@ -216,8 +216,8 @@ class ScaleDesignSpec extends SparkSpec {
         "q117_bpe_encode",
         // materializes the edge list once before the hop joins (q109's rule)
         "q129_khop_neighborhood",
-        // consumes the memoized connected-components labels (actions if cold)
-        "q137_cluster_terms")
+        // consume the memoized connected-components labels (actions if cold)
+        "q137_cluster_terms", "q142_leakage_safe_split")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
