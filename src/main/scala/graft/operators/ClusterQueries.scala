@@ -642,15 +642,25 @@ object ClusterQueries {
     ) { (s, dir) =>
       val labels = nearDupLabels(s, dir)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      val grouped = Tables.documents(s, dir).select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
+      // canonical members' hashes: corpus scan probed by the BROADCAST
+      // tiny canonical-id set — the result is group-count scale
+      val canonHash = Tables.documents(s, dir)
+        .join(broadcast(labels.select(col("cluster_id").as("doc_id")).distinct()),
+          "doc_id")
+        .select(col("doc_id").as("cluster_id"),
+          substring(sha2(col("text"), 256), 1, 2).as("ch"))
+      // (member doc -> canonical hash) override, still tiny; every other
+      // document hashes ITSELF map-side — the corpus never joins the corpus
+      val overrides = labels.join(canonHash, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("ch"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(sha2(col("text"), 256), 1, 2).as("own_h"))
+        .join(broadcast(overrides), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("grp"),
-          col("cluster_id").isNotNull.as("clustered"))
-      val canonHash = Tables.documents(s, dir)
-        .select(col("doc_id").as("grp"),
-          substring(sha2(col("text"), 256), 1, 2).as("h"))
-      grouped.join(canonHash, "grp")
+          col("cluster_id").isNotNull.as("clustered"),
+          coalesce(col("ch"), col("own_h")).as("h"))
         .select(col("doc_id"), col("grp"), col("clustered"),
           when(col("h") < "cc", "train")
             .when(col("h") < "e6", "val").otherwise("test").as("split"))

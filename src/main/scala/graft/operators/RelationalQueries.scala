@@ -340,8 +340,16 @@ object RelationalQueries {
     ) { (s, dir) =>
       val textDir = staged(s, "text",
         graft.Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
-        Tables.documents(s, dir).select(col("text")).write
-          .mode("overwrite").text(out)
+        val docs = Tables.documents(s, dir).select(col("text"))
+        // the format's one precondition, ASSERTED not assumed: a line sink
+        // splits embedded CR/LF into extra rows and NPEs on null — fail the
+        // stage loudly instead of silently corrupting the round-trip
+        // (one pass over the single column; a real ingest gate would route
+        // offenders to the dead-letter path instead)
+        require(docs.filter(col("text").isNull ||
+            col("text").rlike("[\\r\\n]")).limit(1).count() == 0L,
+          "text sink requires newline-free, non-null lines")
+        docs.write.mode("overwrite").text(out)
       }
       s.read.text(textDir)
         .groupBy(length(col("value")).cast("long").as("n_chars_line"))

@@ -386,6 +386,8 @@ object SqlQueries {
              |       CAST(count(*) FILTER (d.adev > CAST(3.0 AS DOUBLE)
              |                             * CAST(1.4826 AS DOUBLE) * mad.mad)
              |         AS BIGINT) AS n_outliers,
+             |       CAST(count(*) FILTER (d.adev > CAST(1.4826 AS DOUBLE) * mad.mad)
+             |         AS BIGINT) AS n_mild,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
              |GROUP BY d.l_returnflag, d.med, mad.mad
@@ -420,9 +422,14 @@ object SqlQueries {
         .groupBy("l_returnflag", "med", "mad")
         .agg(count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"),
           lit(1))).as("n_outliers"),
+          // the 1-sigma-equivalent mild fence is NONZERO on this uniform
+          // corpus, so the fence machinery is live under the oracle
+          // compare even when the 3-sigma count is legitimately 0
+          count(when(col("adev") > lit(1.4826) * col("mad"), lit(1)))
+            .as("n_mild"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("med"), col("mad"),
-          col("n_outliers"), col("n"))
+          col("n_outliers"), col("n_mild"), col("n"))
         .orderBy("l_returnflag")
     },
 
