@@ -20,16 +20,39 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
-    // SQL surface: `SELECT graft_dot(a, b)` — same codegen'd kernel the
-    // optimizer rewrites the HOF form to, callable directly.
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProductD].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
-        DotProductD(children.head, children(1))
-      }))
+
+    def fn(name: String, cls: Class[_], arity: Int)(
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == arity,
+            s"$name takes exactly $arity arguments")
+          build(children)
+        }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    // The engine's full native-kernel surface, SQL-callable — a user of
+    // spark.sql gets the same codegen'd/mergeable kernels the DataFrame
+    // paths use. (SignCodeD is API-only: its hyperplane-array parameter
+    // has no SQL literal form.)
+    fn("graft_dot", classOf[DotProductD], 2)(c => DotProductD(c.head, c(1)))
+    fn("graft_zorder", classOf[ZOrderCode], 2)(c => ZOrderCode(c.head, c(1)))
+    fn("graft_bloom_contains", classOf[BloomMightContain], 2)(c =>
+      BloomMightContain(c.head, c(1)))
+    fn("graft_bloom", classOf[BloomSketch], 2)(c =>
+      BloomSketch(c.head, intLit(c(1), "graft_bloom numBits")))
+    fn("graft_minhash", classOf[MinHashSketch], 1)(c => MinHashSketch(c.head))
+    fn("graft_simhash", classOf[SimHashSketch], 1)(c => SimHashSketch(c.head))
+    fn("graft_heavy_hitters", classOf[HeavyHitters], 2)(c =>
+      HeavyHitters(c.head, intLit(c(1), "graft_heavy_hitters capacity")))
   }
 }
 

@@ -51,6 +51,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(m.isNullAt(0), "length mismatch must be null")
   }
 
+  test("the full native-kernel surface is SQL-callable") {
+    val spark = extSpark
+    // zorder: interleave bits of (3, 5) = 0b011, 0b101 -> x bits at even
+    // positions, y at odd: 0b100111 = 39
+    assert(spark.sql("SELECT graft_zorder(3L, 5L) AS z").head().getLong(0) === 39L)
+    // bloom build + probe round-trip entirely in SQL
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom(xxhash64(id), 1024) FROM range(0, 100)),
+        |  xxhash64(42L)) AS hit""".stripMargin).head().getBoolean(0)
+    assert(hit, "present key must probe true")
+    // minhash/simhash aggregates from SQL: shape checks
+    val mh = spark.sql(
+      "SELECT graft_minhash(xxhash64(id)) AS sig FROM range(0, 50)")
+      .head().getSeq[Long](0)
+    assert(mh.length === 64)
+    spark.sql("SELECT graft_simhash(xxhash64(id)) FROM range(0, 50)").head()
+    // heavy hitters: the dominant key must surface
+    val hh = spark.sql(
+      """SELECT graft_heavy_hitters(CASE WHEN id % 2 = 0 THEN 'a'
+        |                                ELSE concat('k', id) END, 8) AS hh
+        |FROM range(0, 100)""".stripMargin).head()
+    assert(hh.getSeq[org.apache.spark.sql.Row](0).exists(_.getString(0) == "a"))
+    // non-literal capacity is rejected loudly
+    intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters(cast(id AS STRING), cast(id AS INT)) FROM range(0, 2)")
+        .head()
+    }
+  }
+
   private def embDf = {
     val spark = extSpark
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
