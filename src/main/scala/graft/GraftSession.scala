@@ -21,6 +21,9 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // the engine's own extensions ship ON: the dot-product rewrite rule
+      // and the graft_* SQL kernel registry are part of the product surface
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
