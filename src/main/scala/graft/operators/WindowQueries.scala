@@ -235,6 +235,88 @@ object WindowQueries {
           count(lit(1)).as("n_streaks"),
           max("len").as("longest_streak"))
         .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q143_ratio_to_report",
+      Some("""WITH rev AS (
+             |  SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+             |         CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2
+             |)
+             |SELECT nationkey, custkey, cents,
+             |       CAST((cents * 10000)
+             |            // CAST(sum(cents) OVER (PARTITION BY nationkey) AS BIGINT)
+             |         AS BIGINT) AS share_bp
+             |FROM rev
+             |ORDER BY nationkey, custkey""".stripMargin),
+      "Contribution analysis (RATIO_TO_REPORT): each customer's share of " +
+        "their nation's revenue in integer basis points — the " +
+        "part-of-whole question every BI drill-down asks. Revenue first " +
+        "collapses to one row per (nation, customer) in a partial+final " +
+        "hash aggregate, THEN the windowed partition total divides it — " +
+        "the window runs over the AGGREGATED frame (customers per " +
+        "nation), never the fact table, and reuses the aggregation's " +
+        "hash partitioning on nationkey: one fact shuffle total. Share " +
+        "is truncating integer division of cents — exact both engines " +
+        "(q135's rule); shares per nation sum to ≤10000 with the " +
+        "truncation remainder, which is the auditable invariant. At " +
+        "100 TB the denominator is a per-partition window over group-" +
+        "count rows — the two-phase total the q136 prefix-sum note " +
+        "describes, already materialized by the aggregate."
+    ) { (s, dir) =>
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), col("o_custkey").as("custkey"))
+        .agg(round(sum("o_totalprice") * 100).cast("long").as("cents"))
+      rev
+        .withColumn("share_bp",
+          expr("(cents * 10000) div sum(cents) over (partition by nationkey)"))
+        .orderBy("nationkey", "custkey")
+    },
+
+    GraftQuery(
+      "q144_sequence_gaps",
+      Some("""WITH ids AS (
+             |  -- synthesized loss (q134's deterministic-dirt rule): this
+             |  -- stream's ids are dense, so every 97th record "goes missing"
+             |  SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0
+             |), marked AS (
+             |  SELECT event_id,
+             |         lead(event_id) OVER (ORDER BY event_id) AS next_id
+             |  FROM ids
+             |)
+             |SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+             |       CAST(next_id - event_id - 1 AS BIGINT) AS n_missing
+             |FROM marked
+             |WHERE next_id - event_id > 1
+             |ORDER BY gap_start""".stripMargin),
+      "Sequence-gap detection — the lost-data audit for any monotonically " +
+        "assigned id or offset stream (Kafka offsets, CDC LSNs, invoice " +
+        "numbers): consecutive distinct ids compare via one lead() and " +
+        "every jump > 1 reports its missing range. The window is a single " +
+        "global ordering, which is correct at the AUDIT grain — at 100 TB " +
+        "run it per partition key first (each Kafka partition's offsets " +
+        "are independently dense; a global id space range-partitions and " +
+        "checks boundaries between ranges with one extra pass over " +
+        "per-range min/max — the q136 two-phase shape). Pure integer " +
+        "arithmetic; an empty result IS the invariant 'no data lost', " +
+        "and the loss here is synthesized deterministically (every 97th " +
+        "id) because the fixture stream is dense — the q134 dirt rule, " +
+        "reproduced identically by the oracle."
+    ) { (s, dir) =>
+      val w = Window.orderBy("event_id")
+      Tables.events(s, dir)
+        .filter(col("event_id") % 97 =!= 0) // synthesized loss, oracle-mirrored
+        .select(col("event_id")).distinct()
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .filter(col("next_id") - col("event_id") > 1)
+        .select((col("event_id") + 1).as("gap_start"),
+          (col("next_id") - 1).as("gap_end"),
+          (col("next_id") - col("event_id") - 1).as("n_missing"))
+        .orderBy("gap_start")
     }
   )
 }
