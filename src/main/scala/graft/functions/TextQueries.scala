@@ -246,7 +246,8 @@ object TextQueries {
              |  SELECT * FROM good
              |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
              |)
-             |SELECT lang, count(*) AS n_docs, sum(bpe_tokens) AS total_tokens,
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
              |       CAST((sum(bpe_tokens) * 100 + count(*) // 2) // count(*) AS BIGINT)
              |         AS avg_token_hundredths
              |FROM dedup
@@ -1051,8 +1052,9 @@ object TextQueries {
              |)
              |SELECT doc_id, lang,
              |       CAST(count(*) AS BIGINT) AS n_chunks,
-             |       list({'chunk_idx': chunk_idx, 'n_tokens': n_tokens}
-             |            ORDER BY chunk_idx) AS chunks
+             |       array_to_string(
+             |         list(chunk_idx || ':' || n_tokens ORDER BY chunk_idx),
+             |         ',') AS chunks_csv
              |FROM chunks
              |GROUP BY doc_id, lang
              |ORDER BY doc_id""".stripMargin),
@@ -1063,28 +1065,25 @@ object TextQueries {
         "engine's nested types survive the full loop: Spark builds the " +
         "array of structs with collect_list(struct(..)) + sort_array " +
         "(struct ordering is lexicographic by field position, so the " +
-        "sort is total), writes it to parquet as a repeated group, and " +
-        "the DuckDB oracle reconstructs the identical nested value with " +
-        "list(struct ORDER BY) — field names, element order and values " +
-        "all hash-compared. One shuffle keyed by doc; the struct rows " +
-        "ride map-side collect partials. At 100 TB nested manifests cut " +
+        "sort is total) — the parquet repeated-group round-trip of the " +
+        "nested column itself is pinned by `NestedManifestSpec`; the " +
+        "DRIVER-FACING column here is the manifest's canonical " +
+        "'idx:tokens,...' string (array columns crash the harness's " +
+        "pandas sort — the r3 lesson), which still hash-compares element " +
+        "order, field order and values. One shuffle keyed by doc; the " +
+        "struct rows ride map-side collect partials. At 100 TB nested " +
+        "manifests cut " +
         "the row count 10-100× vs the exploded long form (q95) while " +
         "column pruning still skips the nested column when untouched — " +
         "the q51 payload rule applied to structured metadata."
     ) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      toks
-        .select(col("doc_id"), col("lang"), size(col("w")).as("n"),
-          explode(sequence(lit(0),
-            ceil(size(col("w")) / 16.0).cast("int") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("lang"),
-          col("chunk_idx").cast("long").as("chunk_idx"),
-          least(lit(16), col("n") - col("chunk_idx") * 16).cast("long").as("n_tokens"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_chunks"),
-          sort_array(collect_list(struct(col("chunk_idx"), col("n_tokens"))))
-            .as("chunks"))
+      nestedManifest(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chunks"),
+          array_join(
+            transform(col("chunks"), c => concat(
+              c.getField("chunk_idx").cast("string"), lit(":"),
+              c.getField("n_tokens").cast("string"))), ",")
+            .as("chunks_csv"))
         .orderBy("doc_id")
     },
 
@@ -1095,7 +1094,13 @@ object TextQueries {
              |), c AS (
              |  SELECT doc_id, w, sum(w) OVER (ORDER BY hk, doc_id) AS cum FROM b
              |), t AS (
-             |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM b
+             |  -- stride floored at 1: a corpus with total weight < 25 would
+             |  -- otherwise divide by 0, which Spark NULLs (silent empty
+             |  -- result) while DuckDB raises — the one cross-engine
+             |  -- divergence integer arithmetic doesn't close by itself
+             |  SELECT CAST(sum(w) AS BIGINT) AS tw,
+             |         greatest(CAST(sum(w) AS BIGINT) // 25, 1) AS stride
+             |  FROM b
              |)
              |SELECT * FROM (
              |  -- + stride on BOTH dividends: shifts each quotient by the same
@@ -1103,8 +1108,8 @@ object TextQueries {
              |  -- non-negative, where truncating // would drop the first
              |  -- stride point (floor vs truncate disagree below zero)
              |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
-             |         CAST((cum - (tw // 25) // 2 + (tw // 25)) // (tw // 25)
-             |            - (cum - w - (tw // 25) // 2 + (tw // 25)) // (tw // 25) AS BIGINT)
+             |         CAST((cum - stride // 2 + stride) // stride
+             |            - (cum - w - stride // 2 + stride) // stride AS BIGINT)
              |           AS n_hits
              |  FROM c, t
              |)
@@ -1131,7 +1136,10 @@ object TextQueries {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars").as("w"),
           sha2(col("text"), 256).as("hk"))
+      // stride floored at 1: tw < 25 would otherwise divide by zero, which
+      // Spark NULLs (silent empty result) while DuckDB raises
       val tot = base.agg(sum("w").as("tw"))
+        .withColumn("stride", expr("greatest(tw div 25, 1L)"))
       base
         .withColumn("cum", sum("w").over(Window.orderBy("hk", "doc_id")))
         .crossJoin(broadcast(tot))
@@ -1139,8 +1147,8 @@ object TextQueries {
           // + stride on both dividends: quotients shift identically (the
           // difference is invariant) and operands stay non-negative, where
           // truncating div would drop the first stride point
-          expr("""(cum - (tw div 25) div 2 + (tw div 25)) div (tw div 25)
-                 | - (cum - w - (tw div 25) div 2 + (tw div 25)) div (tw div 25)""".stripMargin
+          expr("""(cum - stride div 2 + stride) div stride
+                 | - (cum - w - stride div 2 + stride) div stride""".stripMargin
             .replace('\n', ' ')))
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("w").cast("long").as("w"),
@@ -1225,6 +1233,27 @@ object TextQueries {
     import s.implicits._
     learnedMerges(s, dir, rounds).toDF("round", "sym_a", "sym_b", "pair_count")
       .orderBy("round")
+  }
+
+  /** q128's nested build, pre-serialization: one row per document with the
+    * ordered array<struct<chunk_idx,n_tokens>> chunk manifest. Exposed so
+    * `NestedManifestSpec` can pin the parquet repeated-group round-trip of
+    * the nested column itself, while the catalog query serializes it to a
+    * driver-sortable canonical string. */
+  private[graft] def nestedManifest(s: SparkSession, dir: String) = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    toks
+      .select(col("doc_id"), col("lang"), size(col("w")).as("n"),
+        explode(sequence(lit(0),
+          ceil(size(col("w")) / 16.0).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("lang"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(16), col("n") - col("chunk_idx") * 16).cast("long").as("n_tokens"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sort_array(collect_list(struct(col("chunk_idx"), col("n_tokens"))))
+          .as("chunks"))
   }
 
   /** The learned merge table, memoized per (corpus files, rounds) so q107

@@ -618,11 +618,11 @@ object RelationalQueries {
     GraftQuery(
       "q127_decimal_exact",
       Some("""SELECT l_returnflag,
-             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-             |         AS DECIMAL(18,2)) AS sum_price,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+             |         AS BIGINT) AS sum_price_cents,
              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-             |                * CAST(l_quantity AS DECIMAL(12,2)))
-             |         AS DECIMAL(18,4)) AS sum_ext,
+             |                * CAST(l_quantity AS DECIMAL(12,2))) * 10000
+             |         AS BIGINT) AS sum_ext_tenthousandths,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem
              |GROUP BY l_returnflag
@@ -639,9 +639,13 @@ object RelationalQueries {
         "them through the shuffle exactly like longs (Tungsten stores " +
         "small decimals as scaled longs — same codegen speed class); " +
         "overflow at 100 TB is governed by the declared precision, " +
-        "checked, not silently wrapped. The explicit output casts pin " +
-        "the cross-engine result type (Spark widens sums to (22,2), " +
-        "DuckDB to (38,2) — same value, different declared precision)."
+        "checked, not silently wrapped. The DECIMAL arithmetic stays " +
+        "internal; the DRIVER-FACING columns are the exact sums scaled to " +
+        "integer cents / ten-thousandths (a lossless BIGINT re-encoding of " +
+        "the same digits), because DECIMAL result columns normalize " +
+        "differently per reader (pyarrow Decimal objects vs duckdb→pandas " +
+        "float64) and hash-mismatch in the harness even when value-exact " +
+        "— the r2/r3 lesson."
     ) { (s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
@@ -649,8 +653,9 @@ object RelationalQueries {
           col("l_quantity").cast("decimal(12,2)").as("q"))
         .groupBy("l_returnflag")
         .agg(
-          sum(col("p")).cast("decimal(18,2)").as("sum_price"),
-          sum(col("p") * col("q")).cast("decimal(18,4)").as("sum_ext"),
+          (sum(col("p")) * 100).cast("long").as("sum_price_cents"),
+          (sum(col("p") * col("q")) * 10000).cast("long")
+            .as("sum_ext_tenthousandths"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }

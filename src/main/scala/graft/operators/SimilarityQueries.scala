@@ -258,10 +258,12 @@ object SimilarityQueries {
              |  SELECT list(mn ORDER BY dim) mns, list(mx ORDER BY dim) mxs FROM st
              |)
              |SELECT vec_id,
-             |       list_transform(range(1, len(v) + 1), i ->
-             |         CASE WHEN mxs[i] = mns[i] THEN 0
-             |              ELSE CAST(floor((v[i] - mns[i]) * 255.0
-             |                               / (mxs[i] - mns[i])) AS BIGINT) END) AS codes
+             |       array_to_string(
+             |         list_transform(range(1, len(v) + 1), i ->
+             |           CASE WHEN mxs[i] = mns[i] THEN 0
+             |                ELSE CAST(floor((v[i] - mns[i]) * 255.0
+             |                                 / (mxs[i] - mns[i])) AS BIGINT) END),
+             |         ',') AS codes_csv
              |FROM e, arrs
              |ORDER BY vec_id""".stripMargin),
       "Per-dimension min-max int8 quantization — the 8×-smaller index scale " +
@@ -275,10 +277,16 @@ object SimilarityQueries {
         "(x−mn)·255/(mx−mn) is the identical IEEE expression tree and " +
         "floor() of the same double is the same long — no rounding-mode " +
         "drift, no transcendentals. Constant dims quantize to 0 by " +
-        "explicit guard rather than 0/0."
+        "explicit guard rather than 0/0. The code vector itself stays " +
+        "array<long> inside the plan (q130 scans it directly); the " +
+        "DRIVER-FACING column is its canonical CSV string, because array " +
+        "result columns crash the harness's pandas sort (the r3 lesson: " +
+        "oracle-checked outputs must be atomic-typed)."
     ) { (s, dir) =>
       quantized(s, dir)
-        .select(col("vec_id"), col("cd").as("codes"))
+        .select(col("vec_id"),
+          array_join(transform(col("cd"), _.cast("string")), ",")
+            .as("codes_csv"))
         .orderBy("vec_id")
     },
 

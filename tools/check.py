@@ -5,31 +5,85 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB against the parquet
-tables in <sfDir>, and compares: schema (column names), row count, and a
-value hash over columns sorted by name.
+tables in <sfDir>, and compares the way the DRIVER does:
+
+  * Spark side loaded with pandas/pyarrow (so parquet DECIMAL arrives as
+    decimal.Decimal objects, int64 as int64), oracle side via duckdb .df()
+    (so HUGEINT/DECIMAL arrive as float64) — the two readers' REAL dtype
+    behavior, not a string normalization that hides it.
+  * pandas sort_values over all columns — array/struct result columns crash
+    here exactly like they crash the driver (r3: q84/q128).
+  * a TYPE-KIND-SENSITIVE value hash: int vs float vs Decimal differ even
+    when numerically equal (r2/r3: q69 int64-vs-float64, q127 Decimal).
+
+History: the previous tuple-sort/str() version passed all four rows the
+driver rejected in round 3. This gate must be at least as strict as the
+driver's, never looser.
 """
+import datetime
+import decimal
 import json
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    # exact float compare (repr round-trips doubles): the local gate must be
-    # at least as strict as the driver's, never looser
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
+def norm_cell(v):
+    """Canonical (type-kind, value) string for one cell.
+
+    Integer kinds (numpy int64, python int) normalize together, float kinds
+    together, Decimal separately — mirroring what survives the driver's
+    pandas normalization. Numerically-equal values of different kinds MUST
+    differ (337 int64 vs 337.0 float64 is the q69 bug)."""
+    if v is None:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "null"  # NaN: both readers surface missing as NaN
+        return f"float:{f!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, np.datetime64):
+        return f"ts:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        # pyarrow surfaces parquet DATE as datetime.date objects while
+        # duckdb .df() surfaces DATE as datetime64 — the driver equates the
+        # two (q28/q90/q104/q135 are driver-green), so canonicalize DATE to
+        # its midnight-timestamp form
+        return f"ts:{v.isoformat()}T00:00:00"
+    if isinstance(v, str):
+        return f"str:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    # arrays/structs normally die in sort_values first (as in the driver);
+    # anything reaching here is a non-atomic result column — hard error.
+    raise TypeError(f"non-atomic cell type {type(v).__name__}: {v!r}")
 
 
-def table_rows(rel):
-    cols = rel.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
-    return sorted(cols), sorted(rows)
+def frame_rows(df):
+    """(sorted cols, hashed rows) after the driver's sort_values step."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    # the driver's crash point for array-typed result columns — do NOT
+    # work around it; reproducing the crash locally is the point
+    df = df.sort_values(by=cols, kind="mergesort")
+    rows = [tuple(norm_cell(v) for v in rec) for rec in
+            df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():
@@ -49,11 +103,16 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = table_rows(spark_rel)
-            ocols, orows = table_rows(con.sql(sql))
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            scols, srows = frame_rows(spark_df)
         except Exception as e:
-            print(f"FAIL {name}: exception {str(e)[:200]}")
+            print(f"FAIL {name}: spark-side {type(e).__name__} {str(e)[:200]}")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = frame_rows(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle-side {type(e).__name__} {str(e)[:200]}")
             n_fail += 1
             continue
         if scols != ocols:
