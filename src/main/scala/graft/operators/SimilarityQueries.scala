@@ -73,6 +73,90 @@ object SimilarityQueries {
   private[graft] def codeBits(nVecs: Long): Int =
     Iterator.from(8).dropWhile(b => (1L << b) * 32 < (b + 1L) * nVecs).next().min(24)
 
+  /** q44's DuckDB oracle: a full deterministic REPLAY of the LSH index —
+    * the same plan the engine runs, re-expressed in SQL (the q130 pattern
+    * that turned a spec-only approximate operator into an oracle row).
+    *
+    * The hyperplane signs come from splitmix64, which DuckDB cannot
+    * compute (BIGINT multiply raises on overflow instead of wrapping), but
+    * the planes are DATA-INDEPENDENT constants — so the generator bakes
+    * the full 4-table × 24-bit × 64-dim sign matrix into the SQL as 96
+    * rows of two 32-bit halves (sign(d) = bit d of lo/hi), and the query
+    * slices the first `bits` planes after deriving the same codeBits rule
+    * from count(*). Everything downstream — per-bit ascending-index dot
+    * products, strict >0 sign, Hamming≤2 probe masks, candidate dedup,
+    * exact re-rank — mirrors the engine expression-for-expression, so the
+    * float arithmetic is bit-identical. */
+  private def lshOracleSql: String = {
+    val Tbl = 4
+    val Dim = 64
+    val MaxBits = 24
+    val planeRows = (for { t <- 0 until Tbl; b <- 0 until MaxBits } yield {
+      val signs = hyperplane(t, b, Dim)
+      val lo = (0 until 32).map(d => if (signs(d) > 0) 1L << d else 0L).sum
+      val hi = (32 until 64).map(d => if (signs(d) > 0) 1L << (d - 32) else 0L).sum
+      s"($t,$b,$lo,$hi)"
+    }).mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+       |  FROM e
+       |), params AS (
+       |  SELECT min(b) AS bits
+       |  FROM range(8, 25) t(b), (SELECT count(*) AS cnt FROM e) c
+       |  WHERE (1::BIGINT << b) * 32 >= (b + 1) * c.cnt
+       |), planes(tbl, bit, lo, hi) AS (
+       |  VALUES $planeRows
+       |), signs AS (
+       |  SELECT tbl, bit,
+       |         list_transform(range(0, $Dim), d ->
+       |           CASE WHEN (CASE WHEN d < 32 THEN (lo >> d) & 1
+       |                           ELSE (hi >> (d - 32)) & 1 END) = 1
+       |                THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM planes, params WHERE bit < bits
+       |), codes AS (
+       |  SELECT n.vec_id, sg.tbl,
+       |         CAST(sum(CASE WHEN list_reduce(
+       |                 list_transform(range(1, ${Dim + 1}), i -> n.v[i] * sg.s[i]),
+       |                 (x,y) -> x+y) > 0
+       |               THEN (1::BIGINT << sg.bit) ELSE 0 END) AS BIGINT) AS code
+       |  FROM n, signs sg
+       |  GROUP BY n.vec_id, sg.tbl
+       |), idx AS (
+       |  SELECT i FROM range(0, $MaxBits) t(i), params WHERE i < bits
+       |), masks AS (
+       |  SELECT 0::BIGINT AS m
+       |  UNION ALL SELECT (1::BIGINT << i) FROM idx
+       |  UNION ALL SELECT (1::BIGINT << a.i) | (1::BIGINT << b.i)
+       |            FROM idx a, idx b WHERE b.i > a.i
+       |), qprobes AS (
+       |  SELECT vec_id AS query_id, tbl, xor(code, m) AS code
+       |  FROM codes, masks WHERE vec_id % 50 = 0
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM codes c JOIN qprobes q USING (tbl, code)
+       |  WHERE c.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                                    i -> q.v[i] * a.v[i]),
+       |                     (x,y) -> x+y) / (q.nrm * a.nrm) AS c
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n a ON a.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, c,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY c DESC, neighbor_id) rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(c, 4) AS cos
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -128,7 +212,9 @@ object SimilarityQueries {
 
     GraftQuery(
       "q44_knn_lsh",
-      None, // approximate by design; spec checks candidates are exactly re-ranked.
+      // approximate by design but fully DETERMINISTIC — the oracle replays
+      // the index build + probe + re-rank in SQL (see lshOracleSql)
+      Some(lshOracleSql),
       "Sign-LSH ANN (Charikar hyperplane LSH): 4 tables × adaptive-width " +
         "bucket codes per vector (codeBits: 2^bits ∝ n from parquet " +
         "footers — constant bucket load at any corpus size); query and " +
@@ -201,7 +287,53 @@ object SimilarityQueries {
 
     GraftQuery(
       "q66_knn_ivf",
-      None, // approximate by design; spec checks exact re-rank + recall floor.
+      // deterministic replay oracle (the q44/q130 pattern): same centroid
+      // rule, same argmax assignment, same probes, same re-rank in SQL
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), cents AS (
+              |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+              |          % 2147483647 % 50 = 0
+              |), ac AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              |         list_reduce(list_transform(range(1, len(n.v) + 1),
+              |                                    i -> n.v[i] * c.cv[i]),
+              |                     (x,y) -> x+y) / (n.nrm * c.cn) AS cc
+              |  FROM n, cents c
+              |), assigned AS (
+              |  SELECT vec_id, v, nrm, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id DESC) rn
+              |    FROM ac
+              |  ) WHERE rn = 1
+              |), qpr AS (
+              |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id) crk
+              |    FROM ac WHERE vec_id % 50 = 0
+              |  ) WHERE crk <= 5
+              |), scored AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+              |                                    i -> q.qv[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+              |  FROM assigned a JOIN qpr q USING (cent_id)
+              |  WHERE a.vec_id <> q.query_id
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM scored
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+              |       round(c, 4) AS cos
+              |FROM ranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
       "IVF ANN (inverted-file index, the FAISS IVF-Flat shape): a " +
         "deterministic ~2% centroid sample is broadcast; every corpus " +
         "vector cross-joins the centroid list and a map-side max_by " +
@@ -217,7 +349,14 @@ object SimilarityQueries {
       val Probes = 5
       val CentStride = 50 // ~2% of the corpus serves as centroids
       val n = normed(s, dir)
-      val cents = n.filter(pmod(xxhash64(col("vec_id")), lit(CentStride)) === 0)
+      // deterministic ~2% centroid pick via 31-bit LCG on vec_id — chosen
+      // over xxhash64 because the identical arithmetic replays in the
+      // DuckDB oracle (no 64-bit wraparound multiply there); vec_id is
+      // reduced mod 2^31-1 first so the product never overflows a long on
+      // either engine at any id scale
+      val cents = n.filter(
+        ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
+          % 2147483647L % CentStride === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
       val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
       // index build: nearest centroid per vector, collapsed map-side
