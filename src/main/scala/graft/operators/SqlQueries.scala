@@ -434,6 +434,44 @@ object SqlQueries {
     },
 
     GraftQuery(
+      "q141b_robust_outliers_approx",
+      None, // sketch-based by design; ApproxSpec bounds it against exact q141.
+      "q141's own 100 TB path, shipped as a first-class sibling instead of " +
+        "a design note: the same median/MAD/fence pipeline with both " +
+        "percentile passes swapped for approx_percentile (accuracy 10000) " +
+        "— mergeable fixed-size sketch partials through each shuffle where " +
+        "the exact form's ObjectHashAggregate must hold every group's " +
+        "values (the bench ceiling of round 3). The fence arithmetic, " +
+        "broadcast join-backs and group shapes are IDENTICAL to q141, so " +
+        "the sketch swap is provably drop-in: ApproxSpec pins med/mad " +
+        "within sketch tolerance of the exact values and the outlier " +
+        "counts within the mass the quantile error can move. MAD is two " +
+        "medians, so the sketch path is just the quantile path twice."
+    ) { (s, dir) =>
+      val c = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val med = c.groupBy("l_returnflag")
+        .agg(percentile_approx(col("cents"), lit(0.5), lit(10000))
+          .cast("double").as("med"))
+      val dev = c.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(percentile_approx(col("adev"), lit(0.5), lit(10000))
+          .cast("double").as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"),
+          lit(1))).as("n_outliers"),
+          count(when(col("adev") > lit(1.4826) * col("mad"), lit(1)))
+            .as("n_mild"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("med"), col("mad"),
+          col("n_outliers"), col("n_mild"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    GraftQuery(
       "q126_correlated_agg",
       Some("""SELECT l.l_partkey,
              |       CAST(count(*) AS BIGINT) AS n_small,

@@ -30,6 +30,32 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q141b sketch MAD gate tracks the exact q141 fences") {
+    // the q73-vs-q57 treatment for the MAD pipeline: med/mad inside sketch
+    // tolerance, and fence counts moved by no more than the row mass a
+    // quantile shift of that size can re-classify
+    val exact = SparkEntry.queries("q141_robust_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx =
+      SparkEntry.queries("q141b_robust_outliers_approx")(spark, sf).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq("med", "mad").foreach { c =>
+        val (a, x) = (r.getDouble(r.fieldIndex(c)), e.getDouble(e.fieldIndex(c)))
+        assert(math.abs(a - x) <= math.max(1.0, 0.05 * math.abs(x)),
+          s"flag=${r.getString(0)} $c approx=$a exact=$x")
+      }
+      val n = e.getLong(e.fieldIndex("n"))
+      assert(r.getLong(r.fieldIndex("n")) == n)
+      Seq("n_outliers", "n_mild").foreach { c =>
+        val (a, x) = (r.getLong(r.fieldIndex(c)), e.getLong(e.fieldIndex(c)))
+        assert(math.abs(a - x) <= math.max(2L, n / 20),
+          s"flag=${r.getString(0)} $c approx=$a exact=$x n=$n")
+      }
+    }
+  }
+
   test("HLL sketch rollup: weekly union of daily sketches within 5% of exact") {
     import org.apache.spark.sql.functions._
     val exact = Tables.events(spark, sf)
