@@ -354,7 +354,40 @@ object DedupQueries {
 
     GraftQuery(
       "q67_dedup_embedding_lsh",
-      None, // approximate by design: recall contract spec'd vs exact q42.
+      // approximate by design but fully deterministic — the oracle replays
+      // the whole index (codes from the embedded sign matrix, Hamming≤1
+      // probes, bucket-size guard, in-bucket pairing, exact re-check) in
+      // SQL, sharing q44's replay prologue
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, probed AS (
+              |  SELECT c.vec_id, c.tbl, xor(c.code, m.m) AS code
+              |  FROM codes c, (
+              |    SELECT 0::BIGINT AS m
+              |    UNION ALL
+              |    SELECT (1::BIGINT << i) FROM range(0, 24) t(i), params
+              |    WHERE i < bits
+              |  ) m
+              |), bounded AS (
+              |  SELECT vec_id, tbl, code FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY tbl, code) AS bsz
+              |    FROM probed
+              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+              |), pairs AS (
+              |  SELECT DISTINCT p1.vec_id AS vec_a, p2.vec_id AS vec_b
+              |  FROM bounded p1 JOIN bounded p2 USING (tbl, code)
+              |  WHERE p1.vec_id < p2.vec_id
+              |)
+              |SELECT p.vec_a, p.vec_b,
+              |       round(list_reduce(list_transform(range(1, 65),
+              |                                        i -> a.v[i] * b.v[i]),
+              |                         (x,y) -> x+y) / (a.nrm * b.nrm), 4) AS cos
+              |FROM pairs p
+              |JOIN n a ON a.vec_id = p.vec_a
+              |JOIN n b ON b.vec_id = p.vec_b
+              |WHERE list_reduce(list_transform(range(1, 65),
+              |                                 i -> a.v[i] * b.v[i]),
+              |                  (x,y) -> x+y) / (a.nrm * b.nrm)
+              |        >= CAST(0.35 AS DOUBLE)
+              |ORDER BY vec_a, vec_b""".stripMargin),
       "Sub-quadratic embedding near-dup: sign-LSH buckets (4 tables × " +
         "8-bit hyperplane codes, all Hamming≤1 probe codes emitted per " +
         "vector) generate candidates in an equi-join on (table, code); " +

@@ -87,16 +87,20 @@ object SimilarityQueries {
     * products, strict >0 sign, Hamming≤2 probe masks, candidate dedup,
     * exact re-rank — mirrors the engine expression-for-expression, so the
     * float arithmetic is bit-identical. */
-  private def lshOracleSql: String = {
-    val Tbl = 4
-    val Dim = 64
-    val MaxBits = 24
-    val planeRows = (for { t <- 0 until Tbl; b <- 0 until MaxBits } yield {
-      val signs = hyperplane(t, b, Dim)
+  /** The 4-table × 24-bit × 64-dim hyperplane sign matrix as SQL VALUES
+    * rows of two 32-bit bitmask halves (sign(d) = bit d of lo/hi) — shared
+    * by the q44 and q67 replay oracles. */
+  private[operators] def planeValuesSql: String =
+    (for { t <- 0 until 4; b <- 0 until 24 } yield {
+      val signs = hyperplane(t, b, 64)
       val lo = (0 until 32).map(d => if (signs(d) > 0) 1L << d else 0L).sum
       val hi = (32 until 64).map(d => if (signs(d) > 0) 1L << (d - 32) else 0L).sum
       s"($t,$b,$lo,$hi)"
     }).mkString(",\n    ")
+
+  /** Shared replay prologue for the sign-LSH oracles: normed vectors,
+    * codeBits from count(*), sign matrix, per-(vector, table) codes. */
+  private[operators] def lshReplayPrologue: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
        |), n AS (
@@ -108,10 +112,10 @@ object SimilarityQueries {
        |  FROM range(8, 25) t(b), (SELECT count(*) AS cnt FROM e) c
        |  WHERE (1::BIGINT << b) * 32 >= (b + 1) * c.cnt
        |), planes(tbl, bit, lo, hi) AS (
-       |  VALUES $planeRows
+       |  VALUES $planeValuesSql
        |), signs AS (
        |  SELECT tbl, bit,
-       |         list_transform(range(0, $Dim), d ->
+       |         list_transform(range(0, 64), d ->
        |           CASE WHEN (CASE WHEN d < 32 THEN (lo >> d) & 1
        |                           ELSE (hi >> (d - 32)) & 1 END) = 1
        |                THEN 1.0 ELSE -1.0 END) AS s
@@ -119,12 +123,17 @@ object SimilarityQueries {
        |), codes AS (
        |  SELECT n.vec_id, sg.tbl,
        |         CAST(sum(CASE WHEN list_reduce(
-       |                 list_transform(range(1, ${Dim + 1}), i -> n.v[i] * sg.s[i]),
+       |                 list_transform(range(1, 65), i -> n.v[i] * sg.s[i]),
        |                 (x,y) -> x+y) > 0
        |               THEN (1::BIGINT << sg.bit) ELSE 0 END) AS BIGINT) AS code
        |  FROM n, signs sg
        |  GROUP BY n.vec_id, sg.tbl
-       |), idx AS (
+       |)""".stripMargin
+
+  private def lshOracleSql: String = {
+    val MaxBits = 24
+    val Dim = 64
+    s"""$lshReplayPrologue, idx AS (
        |  SELECT i FROM range(0, $MaxBits) t(i), params WHERE i < bits
        |), masks AS (
        |  SELECT 0::BIGINT AS m
