@@ -173,6 +173,56 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q145_vocab_oov_gate",
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), toks AS (
+             |  SELECT unnest(w) AS tok FROM d
+             |), vocab AS (
+             |  SELECT list(tok) AS vl FROM (
+             |    SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+             |    ORDER BY n DESC, tok LIMIT 16)
+             |), per AS (
+             |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+             |         CAST(len(list_filter(w, t -> NOT list_contains(vl, t)))
+             |           AS BIGINT) AS n_oov
+             |  FROM d, vocab
+             |)
+             |SELECT doc_id, lang, n_tokens, n_oov,
+             |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm,
+             |       n_oov * 4 <= n_tokens AS keep
+             |FROM per ORDER BY doc_id""".stripMargin),
+      "Vocabulary OOV-rate gate — the 'does this document look like the " +
+        "target distribution' filter every pretraining pipeline runs " +
+        "(CCNet's LM filter reduced to its integer core): the corpus " +
+        "top-K vocabulary lands via one map-side-combined token count + " +
+        "distributed partial top-K (TakeOrdered — no global sort of the " +
+        "vocabulary), is collapsed to a single array row and broadcast; " +
+        "each document's OOV count is then ROW-LOCAL array work " +
+        "(filter + array_contains inside codegen) — no explode shuffle, " +
+        "no per-token join. Gate and ppm are cross-multiplied integers, " +
+        "exact on both engines. At 100 TB the only shuffle is the tiny " +
+        "vocab aggregation; the scan does everything else in one pass. " +
+        "The 1-row vocab crossJoin is the sanctioned q84 broadcast shape."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+      val vocab = docs.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(16)
+        .groupBy().agg(collect_list(col("tok")).as("vl"))
+      docs.crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("lang"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(filter(col("w"), t => !array_contains(col("vl"), t)))
+            .cast("long").as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .withColumn("keep", col("n_oov") * 4 <= col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q48_fingerprint",
       Some("""SELECT doc_id,
              |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),

@@ -220,6 +220,64 @@ object SimilarityQueries {
     },
 
     GraftQuery(
+      "q146_hard_negatives",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), scored AS (
+              |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.v)+1),
+              |                                    i -> q.v[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.nrm * a.nrm) AS c
+              |  FROM n q JOIN n a ON a.vec_id <> q.vec_id
+              |  WHERE q.vec_id % 50 = 0
+              |), banded AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM scored
+              |  WHERE c >= CAST(0.10 AS DOUBLE) AND c < CAST(0.30 AS DOUBLE)
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+              |       round(c, 4) AS cos
+              |FROM banded WHERE rk <= 5
+              |ORDER BY query_id, rk""".stripMargin),
+      "HARD-NEGATIVE MINING — the contrastive-training counterpart of ANN " +
+        "(q43 finds positives; a retrieval/embedding trainer also needs " +
+        "the top negatives that are similar-but-not-near-dup, which is " +
+        "what makes the loss informative): per anchor, candidates in the " +
+        "cosine band [0.10, 0.30) — above random, below the near-dup " +
+        "radius — ranked and cut to the 5 hardest. Same broadcast-anchor " +
+        "scan shape as q43 with the band filter applied BEFORE the " +
+        "two-phase salted top-k, so the rank windows only ever see " +
+        "in-band rows. Band edges are explicit DOUBLE compares on the " +
+        "bit-identical dot/norm expression tree — no cross-engine edge " +
+        "flicker. At 100 TB the band filter composes with the q44/q66 " +
+        "bucketed candidate generators exactly like the top-k does " +
+        "(mine negatives from probed buckets, re-rank exactly)."
+    ) { (s, dir) =>
+      val n = normed(s, dir)
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+        .filter(col("c") >= lit(0.10) && col("c") < lit(0.30))
+      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      val finalW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      scored
+        .withColumn("prk", row_number().over(salted)).filter(col("prk") <= 5)
+        .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
       "q44_knn_lsh",
       // approximate by design but fully DETERMINISTIC — the oracle replays
       // the index build + probe + re-rank in SQL (see lshOracleSql)

@@ -177,6 +177,10 @@ class ScaleDesignSpec extends SparkSpec {
     // q86's final audit joins the broadcast trained-centroid list the same way.
     val bnljOk = Set("q21_join_theta_band", "q43_knn_bruteforce", "q66_knn_ivf",
       "q84_embedding_quantize", "q86_kmeans_train",
+      // q43's broadcast-anchor scan with a band filter before the top-k
+      "q146_hard_negatives",
+      // 1-row broadcast vocabulary array (the q84 stats shape)
+      "q145_vocab_oov_gate",
       // 1-row corpus-stats broadcast (N, total tokens) into the scorer
       "q113_bm25_search",
       // q43's broadcast-query-side shape + q84's 1-row stats broadcast
