@@ -223,6 +223,104 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q147_span_corruption",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents
+             |), k AS (
+             |  -- T5 schedule: 15% noise density / mean span 3 => n/20 spans
+             |  SELECT doc_id, w, n, n // 20 AS n_spans FROM d WHERE n >= 20
+             |), spans AS (
+             |  -- midpoint-stride starts (the q136 systematic-sampling rule):
+             |  -- span i covers [(2i+1)n / (2k), +3) — even coverage, exact ints
+             |  SELECT doc_id, n, CAST(i AS BIGINT) AS span_id,
+             |         least(((2 * i + 1) * n) // (2 * n_spans), n - 3) AS start
+             |  FROM k, unnest(range(0, n_spans)) AS t(i)
+             |)
+             |SELECT s.doc_id, s.span_id, CAST(s.start AS BIGINT) AS start,
+             |       CAST(3 AS BIGINT) AS span_len,
+             |       array_to_string(d.w[s.start + 1 : s.start + 3], ' ')
+             |         AS masked_text
+             |FROM spans s JOIN d USING (doc_id)
+             |ORDER BY doc_id, span_id""".stripMargin),
+      "Span-corruption schedule generation — the T5/UL2 denoising " +
+        "objective's data-side half, run as a corpus pass: each document " +
+        "gets ⌊n/20⌋ mask spans (15% noise density at mean span 3) whose " +
+        "starts follow the q136 midpoint-stride rule, so coverage is even, " +
+        "deterministic and pure integer arithmetic — no RNG state to " +
+        "reproduce across engines or executors, which is exactly what " +
+        "makes a masking schedule auditable (same doc bytes → same spans, " +
+        "any cluster size). Span extraction is a row-local array slice; " +
+        "the explode produces one row per span (the training-example " +
+        "grain) with no shuffle before the presentation sort. At 100 TB " +
+        "this is scan-shaped map work; schedules for other objectives " +
+        "(prefix-LM split points, PrefixSpan windows) swap the stride " +
+        "formula only."
+    ) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .filter(col("n") >= 20)
+        .withColumn("n_spans", expr("n div 20"))
+      d.select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_id"))
+        .withColumn("start",
+          least(expr("((2 * span_id + 1) * n) div (2 * (n div 20))"),
+            col("n") - 3))
+        .select(col("doc_id"), col("span_id"), col("start"),
+          lit(3L).as("span_len"),
+          array_join(slice(col("w"), (col("start") + 1).cast("int"), lit(3)), " ")
+            .as("masked_text"))
+        .orderBy("doc_id", "span_id")
+    },
+
+    GraftQuery(
+      "q148_domain_reweight",
+      Some("""WITH per AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY lang
+             |), tot AS (
+             |  SELECT sum(tokens) AS tt, count(*) AS n_langs FROM per
+             |)
+             |SELECT lang, n_docs, tokens,
+             |       CAST(tokens * 1000000 // tt AS BIGINT) AS actual_ppm,
+             |       CAST(1000000 // n_langs AS BIGINT) AS target_ppm,
+             |       -- resampling weight = target/actual in ppm, capped 10x
+             |       CAST(least((1000000 // n_langs) * 1000000
+             |                    // (tokens * 1000000 // tt),
+             |                  10000000) AS BIGINT) AS weight_ppm
+             |FROM per, tot
+             |ORDER BY lang""".stripMargin),
+      "Domain reweighting — the DoReMi/data-mixing step that turns a " +
+        "measured corpus composition into per-domain resampling weights: " +
+        "actual token share per language (exact integer ppm of one tiny " +
+        "map-side-combined aggregate), a target distribution (uniform " +
+        "here; any broadcast table slots in), and weight = target/actual " +
+        "capped at 10× — all cross-multiplied BIGINT arithmetic, so both " +
+        "engines agree to the last ppm. Applying the weights downstream " +
+        "is a broadcast join + one multiply per row (q136's PPS sampler " +
+        "or q123's temperature mixture consume exactly this shape). At " +
+        "100 TB the aggregate shuffles |domains| rows; everything else " +
+        "rides the scan."
+    ) { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      val tot = per.agg(sum("tokens").as("tt"),
+        count(lit(1)).as("n_langs"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          expr("tokens * 1000000 div tt").as("actual_ppm"),
+          expr("1000000 div n_langs").as("target_ppm"),
+          least(expr("(1000000 div n_langs) * 1000000" +
+            " div (tokens * 1000000 div tt)"), lit(10000000L)).as("weight_ppm"))
+        .orderBy("lang")
+    },
+
+    GraftQuery(
       "q48_fingerprint",
       Some("""SELECT doc_id,
              |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),

@@ -278,6 +278,55 @@ object SimilarityQueries {
     },
 
     GraftQuery(
+      "q149_random_projection",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), planes(tbl, bit, lo, hi) AS (
+              |  VALUES $planeValuesSql
+              |), signs AS (
+              |  SELECT bit,
+              |         list_transform(range(0, 64), d ->
+              |           CASE WHEN (CASE WHEN d < 32 THEN (lo >> d) & 1
+              |                           ELSE (hi >> (d - 32)) & 1 END) = 1
+              |                THEN 1.0 ELSE -1.0 END) AS s
+              |  FROM planes WHERE tbl = 0 AND bit < 16
+              |), pls AS (
+              |  SELECT list(s ORDER BY bit) AS pls FROM signs
+              |)
+              |SELECT vec_id,
+              |       array_to_string(list_transform(pls, pl ->
+              |         CAST(floor(list_reduce(
+              |                list_transform(range(1, 65), i -> v[i] * pl[i]),
+              |                (x,y) -> x+y) * CAST(1000000 AS DOUBLE))
+              |           AS BIGINT)), ',') AS proj_micros_csv
+              |FROM e, pls
+              |ORDER BY vec_id""".stripMargin),
+      "Random-projection dimensionality reduction (Johnson–Lindenstrauss " +
+        "with ±1 Achlioptas entries): 64-dim embeddings project to 16 " +
+        "dims through the SAME deterministic hyperplane sign matrix the " +
+        "LSH family uses — the projection is the continuous form of " +
+        "q44's codes (keep the dot product, don't threshold it), and at " +
+        "scale it's what shrinks an ANN index 4× before quantization " +
+        "(q84) shrinks it further. Entirely ROW-LOCAL codegen'd map work " +
+        "— the plane matrix rides the plan as one literal, there is no " +
+        "join and no shuffle before the presentation sort. Components " +
+        "are emitted as floor-to-micros integers in a canonical CSV " +
+        "(atomic driver-facing type; the float sum is the same " +
+        "ascending-index IEEE tree on both engines)."
+    ) { (s, dir) =>
+      val planes: Seq[Seq[Double]] = (0 until 16).map(j => hyperplane(0, j, 64))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"),
+          array_join(transform(typedlit(planes), pl =>
+            floor(aggregate(zip_with(col("v"), pl, (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) * lit(1000000.0))
+              .cast("long").cast("string")), ",").as("proj_micros_csv"))
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
       "q44_knn_lsh",
       // approximate by design but fully DETERMINISTIC — the oracle replays
       // the index build + probe + re-rank in SQL (see lshOracleSql)

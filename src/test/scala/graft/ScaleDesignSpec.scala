@@ -186,7 +186,9 @@ class ScaleDesignSpec extends SparkSpec {
       // q43's broadcast-query-side shape + q84's 1-row stats broadcast
       "q130_quantized_ann",
       // 1-row corpus-total / cluster-count broadcasts
-      "q136_pps_sample", "q137_cluster_terms")
+      "q136_pps_sample", "q137_cluster_terms",
+      // 1-row totals broadcast into the per-domain weight projection
+      "q148_domain_reweight")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
