@@ -321,6 +321,171 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q150_length_bucket_batching",
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents
+             |), b AS (
+             |  SELECT n,
+             |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |              WHEN n <= 64 THEN 64 ELSE 128 END AS bucket_cap
+             |  FROM d
+             |)
+             |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS tokens,
+             |       CAST(count(*) * bucket_cap AS BIGINT) AS padded_tokens,
+             |       CAST((count(*) * bucket_cap - sum(n)) * 1000000
+             |              // (count(*) * bucket_cap) AS BIGINT) AS waste_ppm
+             |FROM b GROUP BY bucket_cap
+             |ORDER BY bucket_cap""".stripMargin),
+      "Length-bucketed batching audit — the padding-efficiency report " +
+        "behind every dynamic-batching trainer (docs padded to a fixed " +
+        "per-bucket sequence length; waste = padding share): documents " +
+        "land in fixed power-of-two capacity buckets via a branch-free-" +
+        "friendly CASE (fixed bucket lists are what production uses — " +
+        "512/1024/2048/...; an integer CASE also sidesteps the log2 " +
+        "float-ulp trap at exact powers of two that would flicker " +
+        "between engines), then one map-side-combined aggregate emits " +
+        "docs, real tokens, padded tokens and waste in exact ppm per " +
+        "bucket. At 100 TB this is one scan and a |buckets|-row shuffle " +
+        "— the report that decides whether to re-cut bucket boundaries " +
+        "before a training run."
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("bucket_cap",
+          when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+            .when(col("n") <= 64, 64L).otherwise(128L))
+        .groupBy("bucket_cap")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+        .select(col("bucket_cap"), col("n_docs"), col("tokens"),
+          (col("n_docs") * col("bucket_cap")).as("padded_tokens"),
+          expr("(n_docs * bucket_cap - tokens) * 1000000" +
+            " div (n_docs * bucket_cap)").as("waste_ppm"))
+        .orderBy("bucket_cap")
+    },
+
+    GraftQuery(
+      "q151_nsp_pairs",
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         string_split(text, ' ') AS w,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents
+             |), seg AS (
+             |  SELECT doc_id,
+             |         array_to_string(w[1 : CAST(n // 2 AS INT)], ' ') AS a_text,
+             |         array_to_string(w[CAST(n // 2 + 1 AS INT) : CAST(n AS INT)], ' ')
+             |           AS b_text
+             |  FROM d
+             |), cnt AS (
+             |  SELECT count(*) AS nd FROM d
+             |)
+             |SELECT s.doc_id, s.a_text, s.b_text AS pos_text,
+             |       CAST((s.doc_id + 1 + s.doc_id % 13) % cnt.nd AS BIGINT)
+             |         AS neg_doc_id,
+             |       neg.b_text AS neg_text
+             |FROM seg s CROSS JOIN cnt
+             |JOIN seg neg ON neg.doc_id = (s.doc_id + 1 + s.doc_id % 13) % cnt.nd
+             |ORDER BY s.doc_id""".stripMargin),
+      "Next-segment-prediction pair construction (the BERT NSP / " +
+        "contrastive-document objective's data side): each document " +
+        "splits into segment A (first half) and segment B (second half) " +
+        "row-locally; the POSITIVE example is the document's own B, the " +
+        "NEGATIVE is the B of a deterministically displaced partner " +
+        "(doc_id + 1 + doc_id mod 13, mod corpus size — never self, no " +
+        "RNG, reproducible at any parallelism; the corpus count is a " +
+        "1-row broadcast). The only real join is the equi self-join " +
+        "fetching the partner's segment — one shuffle on the partner " +
+        "id, carrying ids and one segment string. At 100 TB the " +
+        "displacement rule keeps negatives uniformly spread without a " +
+        "global shuffle-and-pair pass."
+    ) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+      val seg = d.select(col("doc_id"),
+        expr("array_join(slice(w, 1, cast(n div 2 as int)), ' ')").as("a_text"),
+        expr("array_join(slice(w, cast(n div 2 + 1 as int)," +
+          " cast(n - n div 2 as int)), ' ')").as("b_text"))
+      val cnt = d.agg(count(lit(1)).as("nd"))
+      val withNeg = seg.crossJoin(broadcast(cnt))
+        .withColumn("neg_doc_id",
+          (col("doc_id") + 1 + col("doc_id") % 13) % col("nd"))
+      withNeg
+        .join(seg.select(col("doc_id").as("neg_doc_id"),
+          col("b_text").as("neg_text")), "neg_doc_id")
+        .select(col("doc_id"), col("a_text"), col("b_text").as("pos_text"),
+          col("neg_doc_id"), col("neg_text"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q152_dataset_card",
+      Some("""WITH base AS (
+             |  SELECT source, lang, sha256(text) AS h,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents
+             |), dupd AS (
+             |  SELECT *, count(*) OVER (PARTITION BY h) > 1 AS is_dup FROM base
+             |), per AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(nt) AS BIGINT) AS tokens,
+             |         CAST(count(*) FILTER (is_dup) AS BIGINT) AS dup_docs,
+             |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |  FROM dupd GROUP BY source
+             |), toplang AS (
+             |  SELECT source, lang AS top_lang, nl FROM (
+             |    SELECT source, lang, CAST(count(*) AS BIGINT) AS nl,
+             |           row_number() OVER (PARTITION BY source
+             |                              ORDER BY count(*) DESC, lang) AS rk
+             |    FROM base GROUP BY source, lang
+             |  ) WHERE rk = 1
+             |)
+             |SELECT p.source, p.n_docs, p.tokens, p.dup_docs, p.n_langs,
+             |       t.top_lang,
+             |       CAST(t.nl * 1000000 // p.n_docs AS BIGINT) AS top_lang_ppm
+             |FROM per p JOIN toplang t USING (source)
+             |ORDER BY p.source""".stripMargin),
+      "Dataset-card generation — the per-source audit row a corpus ships " +
+        "with (docs, tokens, duplicate share, language composition): " +
+        "exact-dup membership comes from a window count over the content " +
+        "digest (corpus-wide, so cross-source copies count in BOTH " +
+        "sources — the honest number for provenance review), language " +
+        "majority via the per-(source,lang) count + deterministic " +
+        "rank-1 pick, shares in exact ppm. Three shuffles total (digest " +
+        "window, source agg, source×lang agg), each map-side combined; " +
+        "the digests never leave the window stage. At 100 TB this is " +
+        "the report that runs after every ingest batch — and each piece " +
+        "is the first stage of an existing operator (q38's digest, " +
+        "q123's composition), so the card stays consistent with the " +
+        "pipeline it describes."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      val dupd = base.withColumn("is_dup",
+        count(lit(1)).over(Window.partitionBy("h")) > 1)
+      val per = dupd.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+          countDistinct("lang").as("n_langs"))
+      val toplang = base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("nl"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("nl").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("nl"))
+      per.join(toplang, "source")
+        .select(col("source"), col("n_docs"), col("tokens"), col("dup_docs"),
+          col("n_langs"), col("top_lang"),
+          expr("nl * 1000000 div n_docs").as("top_lang_ppm"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q48_fingerprint",
       Some("""SELECT doc_id,
              |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),

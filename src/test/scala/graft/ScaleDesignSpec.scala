@@ -188,7 +188,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row corpus-total / cluster-count broadcasts
       "q136_pps_sample", "q137_cluster_terms",
       // 1-row totals broadcast into the per-domain weight projection
-      "q148_domain_reweight")
+      "q148_domain_reweight",
+      // 1-row corpus-count broadcast for the negative displacement rule
+      "q151_nsp_pairs")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
