@@ -486,6 +486,72 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q153_gate_sensitivity",
+      Some("""WITH d AS (
+             |  SELECT string_split(lower(text), ' ') AS w FROM documents
+             |), toks AS (
+             |  SELECT unnest(w) AS tok FROM d
+             |), vocab AS (
+             |  SELECT list(tok) AS vl FROM (
+             |    SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+             |    ORDER BY n DESC, tok LIMIT 16)
+             |), per AS (
+             |  SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+             |         CAST(len(list_filter(w, t -> NOT list_contains(vl, t)))
+             |           AS BIGINT) AS n_oov
+             |  FROM d, vocab
+             |), th(pct) AS (
+             |  VALUES (5), (10), (20), (30), (50)
+             |)
+             |SELECT CAST(pct AS BIGINT) AS threshold_pct,
+             |       CAST(count(*) FILTER (n_oov * 100 <= n_tokens * pct)
+             |         AS BIGINT) AS kept_docs,
+             |       CAST(coalesce(sum(n_tokens)
+             |              FILTER (n_oov * 100 <= n_tokens * pct), 0)
+             |         AS BIGINT) AS kept_tokens,
+             |       CAST(count(*) AS BIGINT) AS total_docs
+             |FROM per, th
+             |GROUP BY pct
+             |ORDER BY threshold_pct""".stripMargin),
+      "Gate-sensitivity sweep — the calibration report a pipeline runs " +
+        "BEFORE freezing a quality threshold (how much data does each " +
+        "candidate cutoff keep?): q145's OOV rate evaluated against five " +
+        "thresholds in ONE corpus scan, by crossing each document's " +
+        "(n_tokens, n_oov) pair with a 5-row threshold list and " +
+        "conditionally aggregating — the broadcast fan-out costs 5 tiny " +
+        "rows per doc ONLY inside the agg's map side (partials collapse " +
+        "to 5 groups before the exchange), never a materialized 5× " +
+        "corpus. Gates are cross-multiplied integers, exact everywhere. " +
+        "At 100 TB sweeping thresholds this way is 5× cheaper than five " +
+        "gate runs, and the same shape sweeps any scalar gate (length, " +
+        "punct ratio, quality score)."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+      val vocab = docs.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(16)
+        .groupBy().agg(collect_list(col("tok")).as("vl"))
+      val per = docs.crossJoin(broadcast(vocab))
+        .select(size(col("w")).cast("long").as("n_tokens"),
+          size(filter(col("w"), t => !array_contains(col("vl"), t)))
+            .cast("long").as("n_oov"))
+      val th = s.range(0, 5).select(
+        element_at(typedlit(Seq(5L, 10L, 20L, 30L, 50L)), (col("id") + 1).cast("int"))
+          .as("threshold_pct"))
+      per.crossJoin(broadcast(th))
+        .groupBy("threshold_pct")
+        .agg(
+          sum(when(col("n_oov") * 100 <= col("n_tokens") * col("threshold_pct"),
+            1L).otherwise(0L)).as("kept_docs"),
+          coalesce(sum(when(
+            col("n_oov") * 100 <= col("n_tokens") * col("threshold_pct"),
+            col("n_tokens"))), lit(0L)).as("kept_tokens"),
+          count(lit(1)).as("total_docs"))
+        .orderBy("threshold_pct")
+    },
+
+    GraftQuery(
       "q48_fingerprint",
       Some("""SELECT doc_id,
              |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),

@@ -135,6 +135,31 @@ class ScaleDesignSpec extends SparkSpec {
     assert(ok.forall(identity), "each partition must be internally sorted")
   }
 
+  test("q145 vocab lands via partial top-K, not a global token sort") {
+    val plan = physicalPlan(SparkEntry.queries("q145_vocab_oov_gate")(spark, sf))
+    // TakeOrdered = per-partition top-K partials + single small reduce; a
+    // Sort + GlobalLimit pair here would mean a full token-count sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-K must be TakeOrdered (per-partition partials):\n$plan")
+    assert(!plan.contains("GlobalLimit"),
+      s"no global sort+limit may feed the vocabulary:\n$plan")
+  }
+
+  test("q149 projection is row-local: no exchange before the presentation sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q149_random_projection")(spark, sf)
+    val shuffles = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    // at most the one range exchange of the final orderBy — the projection
+    // itself must be pure map work (the plane matrix is a plan literal)
+    assert(shuffles.size <= 1,
+      s"projection must not shuffle beyond the presentation sort:\n" +
+        df.queryExecution.sparkPlan)
+    assert(!df.queryExecution.sparkPlan.toString.contains("Join"),
+      "projection must not join")
+  }
+
   test("q42 exact cosine dedup plans a tiled equi-join, not a nested-loop product") {
     val plan = physicalPlan(SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -181,6 +206,8 @@ class ScaleDesignSpec extends SparkSpec {
       "q146_hard_negatives",
       // 1-row broadcast vocabulary array (the q84 stats shape)
       "q145_vocab_oov_gate",
+      // vocab 1-row + 5-row threshold-list broadcasts
+      "q153_gate_sensitivity",
       // 1-row corpus-stats broadcast (N, total tokens) into the scorer
       "q113_bm25_search",
       // q43's broadcast-query-side shape + q84's 1-row stats broadcast
