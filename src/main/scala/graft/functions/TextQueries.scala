@@ -287,9 +287,12 @@ object TextQueries {
              |SELECT lang, n_docs, tokens,
              |       CAST(tokens * 1000000 // tt AS BIGINT) AS actual_ppm,
              |       CAST(1000000 // n_langs AS BIGINT) AS target_ppm,
-             |       -- resampling weight = target/actual in ppm, capped 10x
+             |       -- weight = target/actual in ppm, capped 10x; actual is
+             |       -- floored at 1 ppm so a <1ppm domain hits the cap
+             |       -- instead of dividing by zero (the q136 guard: Spark
+             |       -- NULLs a zero divisor, DuckDB raises)
              |       CAST(least((1000000 // n_langs) * 1000000
-             |                    // (tokens * 1000000 // tt),
+             |                    // greatest(tokens * 1000000 // tt, 1),
              |                  10000000) AS BIGINT) AS weight_ppm
              |FROM per, tot
              |ORDER BY lang""".stripMargin),
@@ -316,7 +319,8 @@ object TextQueries {
           expr("tokens * 1000000 div tt").as("actual_ppm"),
           expr("1000000 div n_langs").as("target_ppm"),
           least(expr("(1000000 div n_langs) * 1000000" +
-            " div (tokens * 1000000 div tt)"), lit(10000000L)).as("weight_ppm"))
+            " div greatest(tokens * 1000000 div tt, 1L)"), lit(10000000L))
+            .as("weight_ppm"))
         .orderBy("lang")
     },
 

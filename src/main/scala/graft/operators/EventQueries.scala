@@ -786,6 +786,65 @@ object EventQueries {
           round(min(col("value")) * 100).cast("long").as("low_cents"),
           round(max_by(col("value"), col("ts")) * 100).cast("long").as("close_cents"))
         .orderBy("event_type", "hr")
+    },
+
+    GraftQuery(
+      "q154_seasonality",
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY event_type, d
+             |), lagged AS (
+             |  SELECT event_type, c,
+             |         lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1,
+             |         lag(c, 7) OVER (PARTITION BY event_type ORDER BY d) AS c7
+             |  FROM daily
+             |)
+             |SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n_days,
+             |       CAST(count(c1) AS BIGINT) AS n1,
+             |       CAST(count(c1) * sum(c * c1) FILTER (c1 IS NOT NULL)
+             |            - sum(c) FILTER (c1 IS NOT NULL) * sum(c1)
+             |         AS BIGINT) AS cov1_num,
+             |       CAST(count(c7) AS BIGINT) AS n7,
+             |       CAST(count(c7) * sum(c * c7) FILTER (c7 IS NOT NULL)
+             |            - sum(c) FILTER (c7 IS NOT NULL) * sum(c7)
+             |         AS BIGINT) AS cov7_num
+             |FROM lagged
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      "Seasonality detection over the event stream — lag-1 and lag-7 " +
+        "autocovariance of daily activity per event type, the signal a " +
+        "pipeline checks before trusting day-of-week-sensitive sampling " +
+        "windows: daily counts from one map-side-combined aggregate, lag " +
+        "pairs from a per-type ordered window, and the covariance as the " +
+        "CROSS-MULTIPLIED integer numerator n·Σxy − Σx·Σy — no mean, no " +
+        "division, no float: both engines agree to the last unit, where " +
+        "the textbook (x−x̄)(y−ȳ) form would drift. Consumers normalize " +
+        "against the matching variance numerators when they need r; the " +
+        "gate only needs the sign and relative magnitude. Rows shrink to " +
+        "|types|×|days| at the first aggregate, so the window and final " +
+        "agg are tiny at any scale; lag is over OBSERVED days (compose " +
+        "q90's gap-fill first when calendar alignment matters)."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val lagged = daily
+        .withColumn("c1", lag("c", 1).over(w))
+        .withColumn("c7", lag("c", 7).over(w))
+      def covNum(lagCol: String) =
+        count(col(lagCol)) * sum(when(col(lagCol).isNotNull,
+          col("c") * col(lagCol))) -
+          sum(when(col(lagCol).isNotNull, col("c"))) * sum(col(lagCol))
+      lagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          count(col("c1")).as("n1"), covNum("c1").as("cov1_num"),
+          count(col("c7")).as("n7"), covNum("c7").as("cov7_num"))
+        .orderBy("event_type")
     }
   )
 }
