@@ -556,6 +556,107 @@ object TextQueries {
     },
 
     GraftQuery(
+      "q155_cdc_chunking",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+             |), t AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+             |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)
+             |), h AS (
+             |  SELECT doc_id, pos,
+             |         list_reduce(list_transform(string_split(tok, ''),
+             |                                    c -> CAST(ascii(c) AS BIGINT)),
+             |                     (a, b) -> (a * 31 + b) % 1000000007) AS th
+             |  FROM t
+             |), c AS (
+             |  SELECT doc_id, pos, th,
+             |         sum(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+             |  FROM h
+             |)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |       CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(list_reduce(list(th ORDER BY pos),
+             |                        (a, b) -> (a * 31 + b) % 1000000007)
+             |         AS BIGINT) AS chunk_hash
+             |FROM c GROUP BY doc_id, chunk_id
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      "Content-defined chunking — variable-size chunk boundaries cut " +
+        "where the CONTENT says so (token-hash ≡ 0 mod 16, the memoryless " +
+        "gear-hash rule), not at fixed offsets: an insertion early in a " +
+        "document shifts every q95/q128-style fixed chunk but leaves all " +
+        "CDC chunks after the next boundary byte-identical — the property " +
+        "storage dedup and incremental-ingest pipelines buy with this " +
+        "operator (only changed chunks re-process). Token hashes are the " +
+        "q48 base-31 fold (init-0 fold ≡ DuckDB's init-free fold, since " +
+        "0·31+c₁ = c₁), chunk membership is one running-sum window keyed " +
+        "by doc, and each chunk's address is the ordered fold of its " +
+        "token hashes. One shuffle on doc_id at any scale; expected " +
+        "chunk length is the modulus (16), tunable per corpus."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tokHash = (tok: Column) => aggregate(
+        transform(split(tok, ""), c => ascii(c).cast("long")),
+        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          tokHash(col("tok")).as("th"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      toks
+        .withColumn("chunk_id",
+          sum(when(pmod(col("th"), lit(16L)) === 0, 1L).otherwise(0L)).over(w))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("th")))).as("seq"))
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          aggregate(transform(col("seq"), p => p.getField("th")),
+            lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    GraftQuery(
+      "q156_corpus_digest",
+      Some("""WITH f AS (
+             |  SELECT source,
+             |         list_reduce(list_transform(
+             |             string_split(substr(lower(text), 1, 64), ''),
+             |             c -> CAST(ascii(c) AS BIGINT)),
+             |           (a, b) -> (a * 31 + b) % 1000000007) AS fp
+             |  FROM documents
+             |)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(bit_xor(fp) AS BIGINT) AS xor_digest
+             |FROM f GROUP BY source
+             |ORDER BY source""".stripMargin),
+      "Corpus integrity digest — the checksum a pipeline compares across " +
+        "stage boundaries (post-ingest vs post-clean vs post-shuffle) to " +
+        "prove no partition was dropped or doubled: per-document content " +
+        "fingerprints (q48's fold) XOR-reduced per source. XOR is " +
+        "associative, commutative and self-inverse, so the aggregate is " +
+        "ORDER- AND PARTITIONING-INDEPENDENT — every executor folds its " +
+        "split locally into 8 bytes and the merge is one XOR per " +
+        "partition (bit_xor is a codegen'd Spark aggregate, matching " +
+        "DuckDB's bit_xor exactly on BIGINT); re-partitioning, AQE " +
+        "re-plans or speculative re-runs cannot change it, while any " +
+        "lost/duplicated document flips it. The 100 TB form of 'did the " +
+        "copy lose anything' that never sorts, samples or collects."
+    ) { (s, dir) =>
+      val fp = aggregate(
+        transform(split(substring(lower(col("text")), 1, 64), ""),
+          c => ascii(c).cast("long")),
+        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+      Tables.documents(s, dir)
+        .select(col("source"), fp.as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(fp)").as("xor_digest"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q48_fingerprint",
       Some("""SELECT doc_id,
              |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),
