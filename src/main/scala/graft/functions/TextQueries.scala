@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** Count of tokens of `w` that appear in the marker list. */
+  /** Base-31 polynomial fold mod 1e9+7 over a string's characters — the
+    * repo's shared content fingerprint (q48/q155/q156). Init-0 fold is
+    * identical to DuckDB's init-free `list_reduce` (0·31+c₁ = c₁); acc
+    * stays < 2^30 so acc·31+c never overflows a long. */
+  private def base31Fold(str: Column): Column =
+    aggregate(
+      transform(split(str, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+
   private def markerCount(w: Column, markers: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(markers))).cast("long")
 
@@ -558,7 +567,10 @@ object TextQueries {
     GraftQuery(
       "q155_cdc_chunking",
       Some("""WITH d AS (
-             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+             |  -- empty-text guard mirrored from the Spark side (split of
+             |  -- '' is [] there, [''] here)
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE len(text) > 0
              |), t AS (
              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
              |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)
@@ -595,14 +607,15 @@ object TextQueries {
         "chunk length is the modulus (16), tunable per corpus."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tokHash = (tok: Column) => aggregate(
-        transform(split(tok, ""), c => ascii(c).cast("long")),
-        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+      // empty-text guard on BOTH sides: Spark split('', ' ') is [] (zero
+      // rows) while DuckDB string_split('', ' ') is [''] (one row) — the
+      // symmetric predicate removes the divergence class outright
       val toks = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          tokHash(col("tok")).as("th"))
+          base31Fold(col("tok")).as("th"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       toks
         .withColumn("chunk_id",
@@ -644,12 +657,9 @@ object TextQueries {
         "lost/duplicated document flips it. The 100 TB form of 'did the " +
         "copy lose anything' that never sorts, samples or collects."
     ) { (s, dir) =>
-      val fp = aggregate(
-        transform(split(substring(lower(col("text")), 1, 64), ""),
-          c => ascii(c).cast("long")),
-        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
       Tables.documents(s, dir)
-        .select(col("source"), fp.as("fp"))
+        .select(col("source"),
+          base31Fold(substring(lower(col("text")), 1, 64)).as("fp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           expr("bit_xor(fp)").as("xor_digest"))
@@ -673,10 +683,7 @@ object TextQueries {
         "overflow under ANSI arithmetic. `shard` shows fingerprint-based " +
         "partition assignment (1024-way)."
     ) { (s, dir) =>
-      val fp = aggregate(
-        transform(split(substring(lower(col("text")), 1, 64), ""),
-          c => ascii(c).cast("long")),
-        lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
+      val fp = base31Fold(substring(lower(col("text")), 1, 64))
       Tables.documents(s, dir).select(
         col("doc_id"), fp.as("fp"), pmod(fp, lit(1024L)).as("shard"))
         .orderBy("doc_id")
