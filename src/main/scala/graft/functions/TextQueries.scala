@@ -1712,6 +1712,128 @@ object TextQueries {
         .withColumn("compression_bp",
           expr("(10000 * n_tokens) div n_sym_chars"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q157_pmi_collocations",
+      Some("""WITH t AS (
+             |  SELECT string_split(lower(text), ' ') AS w FROM documents
+             |), uni AS (
+             |  SELECT unnest(w) AS u FROM t
+             |), ucnt AS (
+             |  SELECT u, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY u
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n FROM uni
+             |), pairs AS (
+             |  SELECT w[i] AS x, w[i + 1] AS y
+             |  FROM t, unnest(range(1, len(w))) AS r(i)
+             |), pcnt AS (
+             |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+             |  FROM pairs GROUP BY x, y HAVING count(*) >= 5
+             |)
+             |SELECT p.x || ' ' || p.y AS bigram, p.n_xy,
+             |       cx.c AS n_x, cy.c AS n_y,
+             |       CAST((p.n_xy * 1000000 // cx.c) * t.n // cy.c AS BIGINT)
+             |         AS lift_ppm
+             |FROM pcnt p
+             |JOIN ucnt cx ON p.x = cx.u
+             |JOIN ucnt cy ON p.y = cy.u, tot t
+             |ORDER BY lift_ppm DESC, bigram
+             |LIMIT 25""".stripMargin),
+      "Collocation mining by association lift — the statistic behind " +
+        "multi-word-expression vocab entries and tokenizer merge " +
+        "candidates. lift = P(x,y)/(P(x)P(y)) = n_xy*N/(n_x*n_y) is " +
+        "monotone with PMI (log of it), so ranking by integer lift_ppm " +
+        "gives the PMI order with zero libm in the oracle path. The " +
+        "HAVING n_xy >= 5 support floor prunes the pair table BEFORE " +
+        "the two unigram joins — at 100 TB that filter drops the " +
+        "hapax-pair tail (the vast majority) so the join input is " +
+        "~frequent-vocab², and the unigram side (~vocab rows) is " +
+        "broadcastable. Truncating div is applied in the same order on " +
+        "both engines (trunc-div == DuckDB //), keeping the ranking " +
+        "bit-identical; top-25 is TakeOrderedAndProject, no global sort."
+    ) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+      val uni = t.select(explode(col("w")).as("u"))
+      val ucnt = uni.groupBy("u").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+      val pairs = t.select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("x"),
+            element_at(col("w"), i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      pairs.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .join(ucnt.select(col("u").as("x"), col("c").as("n_x")), "x")
+        .join(ucnt.select(col("u").as("y"), col("c").as("n_y")), "y")
+        .crossJoin(broadcast(tot))
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("n_xy"), col("n_x"), col("n_y"),
+          expr("(n_xy * 1000000 div n_x) * n div n_y").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("bigram"))
+        .limit(25)
+    },
+
+    GraftQuery(
+      "q158_token_allocation",
+      Some("""WITH per AS (
+             |  SELECT source,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source
+             |), tot AS (
+             |  SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM per
+             |), q AS (
+             |  SELECT source, tokens,
+             |         1000000 * tokens // tt AS fl,
+             |         (1000000 * tokens) % tt AS rem
+             |  FROM per, tot
+             |), lo AS (
+             |  SELECT CAST(1000000 - sum(fl) AS BIGINT) AS leftover FROM q
+             |), r AS (
+             |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |  FROM q
+             |)
+             |SELECT r.source, r.tokens,
+             |       CAST(r.fl AS BIGINT) AS floor_alloc,
+             |       CAST(r.rem AS BIGINT) AS remainder,
+             |       CAST(r.fl + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+             |            AS BIGINT) AS alloc
+             |FROM r, lo
+             |ORDER BY source""".stripMargin),
+      "Token-budget apportionment — divide a 1M-token training budget " +
+        "across sources proportionally to their measured token mass using " +
+        "the largest-remainder (Hamilton) method, so the allocations are " +
+        "integers that sum EXACTLY to the budget (floor the quotas, hand " +
+        "the shortfall to the largest remainders, ties by source name). " +
+        "This is the 'how many tokens do I draw from each domain' step " +
+        "that feeds q136's PPS sampler / q123's mixture. All " +
+        "cross-multiplied BIGINT arithmetic — both engines agree to the " +
+        "last token. At 100 TB the per-source agg is one map-side-" +
+        "combined shuffle of |sources| rows; the apportionment window " +
+        "runs on that |sources|-row frame on one task, which is exactly " +
+        "where a driver-side decision this small belongs."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      val tot = per.agg(sum("tokens").as("tt"))
+      val q = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("tokens"),
+          expr("1000000 * tokens div tt").as("fl"),
+          expr("(1000000 * tokens) % tt").as("rem"))
+      val lo = q.agg((lit(1000000L) - sum("fl")).as("leftover"))
+      q.withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source")))
+          .cast("long"))
+        .crossJoin(broadcast(lo))
+        .select(col("source"), col("tokens"),
+          col("fl").as("floor_alloc"), col("rem").as("remainder"),
+          (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
     }
   )
 

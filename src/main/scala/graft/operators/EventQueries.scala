@@ -845,6 +845,56 @@ object EventQueries {
           count(col("c1")).as("n1"), covNum("c1").as("cov1_num"),
           count(col("c7")).as("n7"), covNum("c7").as("cov7_num"))
         .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q159_temporal_embargo_split",
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |), b AS (
+             |  SELECT min(us) AS lo, max(us) AS hi FROM ev
+             |), tagged AS (
+             |  SELECT ev.*,
+             |         CASE WHEN us < lo + (hi - lo) * 70 // 100 THEN 'train'
+             |              WHEN us < lo + (hi - lo) * 75 // 100 THEN 'embargo'
+             |              ELSE 'test' END AS split
+             |  FROM ev, b
+             |)
+             |SELECT split,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(min(us) AS BIGINT) AS min_us,
+             |       CAST(max(us) AS BIGINT) AS max_us
+             |FROM tagged GROUP BY split
+             |ORDER BY split""".stripMargin),
+      "Temporal train/test split with an embargo gap — the leakage guard " +
+        "for forecasting / recommendation training sets: events before " +
+        "the 70% mark train, the 70–75% band is QUARANTINED (neither " +
+        "split sees it), the rest tests, so near-boundary label leakage " +
+        "through lagged features can't straddle the cut. Bounds come " +
+        "from one min/max scan broadcast as a 1-row frame (on a real " +
+        "lake this is parquet footer metadata — zero data read); the " +
+        "split tag is a map-side projection in integer epoch-micros " +
+        "(cross-engine safe: trunc-div on positive spans), and the " +
+        "audit agg shuffles 3 rows. Exact count(DISTINCT user_id) " +
+        "two-level-aggs the per-split user sets; at 100 TB swap it for " +
+        "approx_count_distinct (q05/q92's HLL path) — the split tag " +
+        "itself never shuffles anything."
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val b = ev.agg(min("us").as("lo"), max("us").as("hi"))
+      ev.crossJoin(broadcast(b))
+        .withColumn("split",
+          when(col("us") < expr("lo + (hi - lo) * 70 div 100"), "train")
+            .when(col("us") < expr("lo + (hi - lo) * 75 div 100"), "embargo")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          min("us").as("min_us"), max("us").as("max_us"))
+        .orderBy("split")
     }
   )
 }

@@ -217,7 +217,13 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row totals broadcast into the per-domain weight projection
       "q148_domain_reweight",
       // 1-row corpus-count broadcast for the negative displacement rule
-      "q151_nsp_pairs")
+      "q151_nsp_pairs",
+      // 1-row total-token-count broadcast into the lift projection
+      "q157_pmi_collocations",
+      // 1-row corpus-total + 1-row leftover broadcasts on a |sources| frame
+      "q158_token_allocation",
+      // 1-row min/max-epoch bounds broadcast into the split tag
+      "q159_temporal_embargo_split")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
