@@ -1834,6 +1834,65 @@ object TextQueries {
           (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
             .as("alloc"))
         .orderBy("source")
+    },
+
+    GraftQuery(
+      "q162_distribution_drift",
+      Some("""WITH d AS (
+             |  -- snapshot A/B = doc_id parity (stand-in for two crawl dates)
+             |  SELECT doc_id % 2 AS snap, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents
+             |), per AS (
+             |  SELECT snap, lang, CAST(sum(tok) AS BIGINT) AS t
+             |  FROM d GROUP BY snap, lang
+             |), tot AS (
+             |  SELECT snap, CAST(sum(t) AS BIGINT) AS tt FROM per GROUP BY snap
+             |), sh AS (
+             |  SELECT per.snap, lang, t * 1000000 // tt AS ppm
+             |  FROM per JOIN tot ON per.snap = tot.snap
+             |), w AS (
+             |  SELECT lang,
+             |         CAST(sum(CASE WHEN snap = 0 THEN ppm ELSE 0 END) AS BIGINT)
+             |           AS ppm_a,
+             |         CAST(sum(CASE WHEN snap = 1 THEN ppm ELSE 0 END) AS BIGINT)
+             |           AS ppm_b
+             |  FROM sh GROUP BY lang
+             |)
+             |SELECT lang, ppm_a, ppm_b,
+             |       CAST(ppm_a - ppm_b AS BIGINT) AS delta_ppm,
+             |       CAST((ppm_a - ppm_b) * (ppm_a - ppm_b)
+             |              // (ppm_a + ppm_b + 1) AS BIGINT) AS chi2_contrib
+             |FROM w ORDER BY lang""".stripMargin),
+      "Corpus-composition drift monitor — compare the language mix of two " +
+        "snapshots (doc_id parity stands in for crawl dates; any snapshot " +
+        "column slots into `snap`) as token shares in exact integer ppm, " +
+        "plus a chi-square-style per-language contribution " +
+        "(delta²/(a+b+1), the +1 Laplace floor guards div-by-zero for a " +
+        "language absent from both) whose sum is the drift alarm a " +
+        "mixture re-fit (q148) is triggered by. Everything after the one " +
+        "map-side-combined (snap, lang) agg runs on a |snaps|×|langs| " +
+        "frame — at 100 TB this query's cost IS the scan, and the " +
+        "arithmetic is cross-multiplied BIGINT, bit-identical on both " +
+        "engines. The pivot-by-snap uses conditional sums, not a join, " +
+        "so adding snapshots never adds shuffles."
+    ) { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .select((col("doc_id") % 2).as("snap"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("snap", "lang").agg(sum("tok").as("t"))
+      val tot = per.groupBy("snap").agg(sum("t").as("tt"))
+      per.join(tot, "snap")
+        .select(col("snap"), col("lang"),
+          expr("t * 1000000 div tt").as("ppm"))
+        .groupBy("lang")
+        .agg(sum(when(col("snap") === 0, col("ppm")).otherwise(0L)).as("ppm_a"),
+          sum(when(col("snap") === 1, col("ppm")).otherwise(0L)).as("ppm_b"))
+        .select(col("lang"), col("ppm_a"), col("ppm_b"),
+          (col("ppm_a") - col("ppm_b")).as("delta_ppm"),
+          expr("(ppm_a - ppm_b) * (ppm_a - ppm_b) div (ppm_a + ppm_b + 1)")
+            .as("chi2_contrib"))
+        .orderBy("lang")
     }
   )
 

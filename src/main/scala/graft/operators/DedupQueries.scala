@@ -499,6 +499,136 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q160_incremental_dedup",
+      Some("""WITH d AS (
+             |  -- canonical content address: digest of the first 8 lowercased
+             |  -- words (lead fingerprint), so re-crawls that differ only in
+             |  -- tails/boilerplate still collide — the corpus has no
+             |  -- byte-identical cross-doc texts, exactly like a real crawl
+             |  -- after trafilatura; full-digest incremental dedup is q38+q96
+             |  SELECT doc_id, source,
+             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
+             |                               'string_agg', ' ')) AS h
+             |  FROM documents
+             |), idx AS (
+             |  SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8
+             |), batch AS (
+             |  SELECT doc_id, source, h,
+             |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+             |  FROM d WHERE doc_id % 10 >= 8
+             |), tagged AS (
+             |  SELECT b.source, b.rn,
+             |         CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM batch b LEFT JOIN idx i ON b.h = i.h
+             |)
+             |SELECT source,
+             |       CAST(count(*) AS BIGINT) AS n_batch,
+             |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_batch_dupes,
+             |       CAST(sum(CASE WHEN rn = 1 AND hit = 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_index_dupes,
+             |       CAST(sum(CASE WHEN rn = 1 AND hit = 0 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_admitted
+             |FROM tagged GROUP BY source
+             |ORDER BY source""".stripMargin),
+      "Incremental dedup — the production shape of q38: a NEW batch of " +
+        "arrivals (doc_id%10>=8 here) dedups against ITSELF (first-id " +
+        "wins inside the batch) and then against the EXISTING corpus " +
+        "index (distinct digests of the other 80%), without ever " +
+        "re-scanning old document bodies. Both sides of the check are " +
+        "32-byte digests, so the anti-join exchange moves digests, " +
+        "never text. At 100 TB the index is a digest-only table kept " +
+        "sorted/bucketed by digest; a bloom filter built from it " +
+        "(q96/q108's pattern) map-side-drops the ~all-novel majority " +
+        "so the equi-join only sees probable hits, and the in-batch " +
+        "window partitions by digest — per-key, no global sort. The " +
+        "per-source admit/reject audit is the report a crawl ingest " +
+        "pipeline emits every cycle."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lead = sha2(
+        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), lead.as("h"))
+      val idx = d.filter(col("doc_id") % 10 < 8).select("h").distinct()
+      val batch = d.filter(col("doc_id") % 10 >= 8)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      batch.join(idx.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .select(col("source"), col("rn"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_batch_dupes"),
+          sum(when(col("rn") === 1 && col("hit") === 1L, 1L).otherwise(0L))
+            .as("n_index_dupes"),
+          sum(when(col("rn") === 1 && col("hit") === 0L, 1L).otherwise(0L))
+            .as("n_admitted"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
+      "q161_source_overlap",
+      Some("""WITH ds AS (
+             |  -- same canonical lead fingerprint as q160: overlap between
+             |  -- sources is near-dup republication, not byte-identity
+             |  SELECT DISTINCT
+             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
+             |                               'string_agg', ' ')) AS h,
+             |         source
+             |  FROM documents
+             |), per AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source
+             |), pairs AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |         CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY a.source, b.source
+             |)
+             |SELECT p.source_a, p.source_b, p.n_shared,
+             |       pa.n AS n_a, pb.n AS n_b,
+             |       CAST(p.n_shared * 1000000
+             |              // (pa.n + pb.n - p.n_shared) AS BIGINT)
+             |         AS jaccard_ppm
+             |FROM pairs p
+             |JOIN per pa ON p.source_a = pa.source
+             |JOIN per pb ON p.source_b = pb.source
+             |ORDER BY source_a, source_b""".stripMargin),
+      "Cross-source duplication matrix — which crawl sources republish " +
+        "the same content (mirror detection, licensing audits, and the " +
+        "'is this new dump just a re-crawl' question): distinct " +
+        "(digest, source) pairs self-join on digest with source_a < " +
+        "source_b, yielding shared-content counts and exact Jaccard " +
+        "overlap in ppm per source pair. The join key is the 32-byte " +
+        "digest; per-digest fan-out is bounded by the source count " +
+        "(not corpus size), so the pair explosion is |digests " +
+        "shared| × O(|sources|²) worst case — with thousands of " +
+        "sources, pre-aggregate to per-digest source bitmaps (q131's " +
+        "bitmap pattern) and intersect those instead. One digest " +
+        "dedup shuffle + one equi-join; document bodies never move."
+    ) { (s, dir) =>
+      val lead = sha2(
+        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
+      val ds = Tables.documents(s, dir)
+        .select(lead.as("h"), col("source")).distinct()
+      val per = ds.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = ds.as("a")
+        .join(ds.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(per.select(col("source").as("source_a"), col("n").as("n_a")),
+          "source_a")
+        .join(per.select(col("source").as("source_b"), col("n").as("n_b")),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy("source_a", "source_b")
     }
   )
 }
