@@ -1893,6 +1893,186 @@ object TextQueries {
           expr("(ppm_a - ppm_b) * (ppm_a - ppm_b) div (ppm_a + ppm_b + 1)")
             .as("chi2_contrib"))
         .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q163_vocab_coverage",
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents
+             |), c AS (
+             |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY u
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
+             |), r AS (
+             |  SELECT u, n,
+             |         sum(n) OVER (ORDER BY n DESC, u
+             |                      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM c
+             |), th AS (
+             |  SELECT * FROM (VALUES (50), (80), (90), (95), (99)) t(pct)
+             |)
+             |SELECT CAST(th.pct AS BIGINT) AS pct,
+             |       CAST(sum(CASE WHEN r.cum * 100 < th.pct * tot.t
+             |                     THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             |         AS vocab_size,
+             |       CAST(min(CASE WHEN r.cum * 100 >= th.pct * tot.t
+             |                     THEN r.cum END) AS BIGINT)
+             |         AS covered_tokens
+             |FROM r, th, tot
+             |GROUP BY th.pct
+             |ORDER BY pct""".stripMargin),
+      "Vocabulary coverage curve — the tokenizer-sizing question 'how " +
+        "many types cover X% of tokens': rank types by frequency " +
+        "(ties alphabetically), running-sum the counts, and for each " +
+        "coverage target report the smallest vocab size reaching it — " +
+        "counting ranks strictly below the threshold instead of " +
+        "joining back to the crossing row, so one conditional agg " +
+        "answers all five targets. The integer compare cum*100 >= " +
+        "pct*total never touches a ratio. The frequency table is one " +
+        "map-side-combined agg (|vocab| rows, 5–6 orders below corpus " +
+        "size); the running sum is a single-task window over that " +
+        "frame, which is exactly where a vocab-sized decision belongs " +
+        "— at a 1e8-type extreme, swap in the two-pass prefix sum " +
+        "(per-range subtotals broadcast as offsets, q104's cut-point " +
+        "pattern)."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum("n").as("t"))
+      val r = c.withColumn("cum",
+        sum("n").over(Window.orderBy(col("n").desc, col("u"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val th = s.range(0, 5).select(
+        element_at(typedlit(Seq(50L, 80L, 90L, 95L, 99L)),
+          (col("id") + 1).cast("int")).as("pct"))
+      r.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+        .groupBy("pct")
+        .agg((sum(when(col("cum") * 100 < col("pct") * col("t"), 1L)
+          .otherwise(0L)) + 1).as("vocab_size"),
+          min(when(col("cum") * 100 >= col("pct") * col("t"), col("cum")))
+            .as("covered_tokens"))
+        .orderBy("pct")
+    },
+
+    GraftQuery(
+      "q164_prefix_cache",
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, source,
+             |         list_aggregate(w[1:8], 'string_agg', ' ') AS pre,
+             |         CAST(len(w) AS BIGINT) AS n
+             |  FROM d
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY pre
+             |                               ORDER BY doc_id) AS rn
+             |  FROM p
+             |)
+             |SELECT source,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS total_tokens,
+             |       CAST(sum(CASE WHEN rn > 1 THEN least(n, 8) ELSE 0 END)
+             |            AS BIGINT) AS cacheable_tokens,
+             |       CAST(sum(CASE WHEN rn > 1 THEN least(n, 8) ELSE 0 END)
+             |              * 1000000 // sum(n) AS BIGINT) AS saving_ppm
+             |FROM r GROUP BY source
+             |ORDER BY source""".stripMargin),
+      "Prefix-cache sharing audit — how much prefill compute a shared " +
+        "KV-cache saves on this corpus: documents sharing their first " +
+        "8 tokens form a cache line (the group key is the literal " +
+        "prefix; swap in q48's fingerprint to move digests instead of " +
+        "strings at scale), the group's first document pays the " +
+        "prefill, every later one reuses min(n, 8) cached tokens. " +
+        "Per-source totals and exact integer-ppm savings fall out of " +
+        "one window over the prefix hash partition (per-key, no " +
+        "global sort) plus one map-side-combined agg. The same shape " +
+        "prices system-prompt dedup in serving logs — at 100 TB the " +
+        "only exchange is the prefix-partition shuffle, and AQE's " +
+        "skew split handles the one mega-prefix (empty/boilerplate " +
+        "lead) this query would otherwise hot-spot on."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(col("w"), 1, 8)).as("pre"),
+          size(col("w")).cast("long").as("n"))
+      p.withColumn("rn",
+        row_number().over(Window.partitionBy("pre").orderBy("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("total_tokens"),
+          sum(when(col("rn") > 1, least(col("n"), lit(8L))).otherwise(0L))
+            .as("cacheable_tokens"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("cacheable_tokens"),
+          expr("cacheable_tokens * 1000000 div total_tokens")
+            .as("saving_ppm"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
+      "q165_curriculum_order",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+             |), b AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+             |         CAST(len(list_distinct(list_transform(
+             |                range(1, len(w)), i -> w[i] || ' ' || w[i + 1])))
+             |              AS BIGINT) AS db
+             |  FROM d
+             |), sc AS (
+             |  SELECT doc_id, n,
+             |         db * 1000000 // greatest(n - 1, 1) AS difficulty_ppm
+             |  FROM b
+             |), t AS (
+             |  SELECT *, ntile(4) OVER (ORDER BY difficulty_ppm, doc_id) AS stage
+             |  FROM sc
+             |)
+             |SELECT CAST(stage AS BIGINT) AS stage,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS tokens,
+             |       CAST(min(difficulty_ppm) AS BIGINT) AS min_difficulty_ppm,
+             |       CAST(max(difficulty_ppm) AS BIGINT) AS max_difficulty_ppm
+             |FROM t GROUP BY stage
+             |ORDER BY stage""".stripMargin),
+      "Curriculum staging — order training data easy-to-hard and cut it " +
+        "into four stages: difficulty is the distinct-bigram ratio " +
+        "(lexical diversity) in exact integer ppm, a row-local score " +
+        "(no corpus joins — deliberately, so the score scales as pure " +
+        "map work), and ntile(4) over (difficulty, doc_id) assigns " +
+        "stages deterministically — both engines define ntile by " +
+        "equal buckets with the remainder on early buckets over the " +
+        "same total order. The global ntile is the one single-task " +
+        "step; at 100 TB replace it with broadcast approx-quantile " +
+        "cut points (q104's histogram pattern) and a map-side CASE — " +
+        "the audit agg and the score don't change. Per-stage token " +
+        "mass is what the training scheduler actually consumes."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n"),
+          size(array_distinct(when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1))))
+            .otherwise(array().cast("array<string>"))))
+            .cast("long").as("db"))
+      b.select(col("doc_id"), col("n"),
+        expr("db * 1000000 div greatest(n - 1, 1L)").as("difficulty_ppm"))
+        .withColumn("stage",
+          ntile(4).over(Window.orderBy("difficulty_ppm", "doc_id"))
+            .cast("long"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"),
+          min("difficulty_ppm").as("min_difficulty_ppm"),
+          max("difficulty_ppm").as("max_difficulty_ppm"))
+        .orderBy("stage")
     }
   )
 
