@@ -2073,6 +2073,48 @@ object TextQueries {
           min("difficulty_ppm").as("min_difficulty_ppm"),
           max("difficulty_ppm").as("max_difficulty_ppm"))
         .orderBy("stage")
+    },
+
+    GraftQuery(
+      "q168_shard_balance",
+      Some("""WITH f AS (
+             |  SELECT list_reduce(list_transform(
+             |           string_split(substr(lower(text), 1, 64), ''),
+             |           c -> CAST(ascii(c) AS BIGINT)),
+             |           (a, b) -> (a * 31 + b) % 1000000007) % 64 AS shard
+             |  FROM documents WHERE len(text) > 0
+             |), per AS (
+             |  SELECT shard, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY shard
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+             |       CAST(sum(n) AS BIGINT) AS n_docs,
+             |       CAST(min(n) AS BIGINT) AS min_docs,
+             |       CAST(max(n) AS BIGINT) AS max_docs,
+             |       CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+             |         AS skew_ppm
+             |FROM per""".stripMargin),
+      "Shard-balance audit — will q48's fingerprint-routed 64-way layout " +
+        "straggle? Per-shard counts from one map-side-combined agg over " +
+        "the content fingerprint (the q48/q155/q156 base-31 fold), then " +
+        "a 64-row reduction to the skew factor max/avg in exact ppm — " +
+        "1e6 = perfectly balanced; the number a partitioner review " +
+        "reads before committing a bucketing scheme. The same two-level " +
+        "agg shape audits any key: swap the fold for xxhash64(join_key) " +
+        "and this is the pre-shuffle skew probe that decides salting " +
+        "(q59) vs AQE. Single-row output, no sort anywhere; at 100 TB " +
+        "the fingerprint rides the scan and the exchange carries 64 " +
+        "rows per partition."
+    ) { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(pmod(base31Fold(substring(lower(col("text")), 1, 64)), lit(64L))
+          .as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_shards"), sum("n").as("n_docs"),
+        min("n").as("min_docs"), max("n").as("max_docs"))
+        .select(col("n_shards"), col("n_docs"), col("min_docs"),
+          col("max_docs"),
+          expr("max_docs * n_shards * 1000000 div n_docs").as("skew_ppm"))
     }
   )
 

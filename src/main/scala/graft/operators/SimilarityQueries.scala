@@ -727,6 +727,109 @@ object SimilarityQueries {
           floor(element_at(col("h"), 3) / col("nrm") * lit(1000000.0))
             .cast("long").as("d3_micros"))
         .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q166_class_weights",
+      Some("""WITH per AS (
+             |  SELECT label, CAST(count(*) AS BIGINT) AS n
+             |  FROM embeddings GROUP BY label
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS t,
+             |         CAST(count(*) AS BIGINT) AS k
+             |  FROM per
+             |)
+             |SELECT CAST(label AS BIGINT) AS label, n,
+             |       CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+             |       CAST(t * 1000000 // (k * n) AS BIGINT) AS weight_ppm,
+             |       CAST(least(t * 1000000 // (k * n), 5000000) AS BIGINT)
+             |         AS capped_weight_ppm
+             |FROM per, tot
+             |ORDER BY label""".stripMargin),
+      "Inverse-frequency class weights — the loss-balancing table every " +
+        "classifier fine-tune starts from: per-label counts, share of " +
+        "corpus, and weight = total/(k·n) normalized so a uniform " +
+        "distribution weighs 1.0 (1e6 ppm), capped at 5× so one " +
+        "vanishing class can't dominate the gradient. One map-side-" +
+        "combined agg to |labels| rows, a 1-row totals broadcast, all " +
+        "cross-multiplied BIGINT — the output is exactly the broadcast " +
+        "side a weighted sampler (q136) or a loss function consumes. " +
+        "At 100 TB: unchanged, this is the cheapest query in the " +
+        "catalog at any scale."
+    ) { (s, dir) =>
+      val per = Tables.embeddings(s, dir)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum("n").as("t"), count(lit(1)).as("k"))
+      per.crossJoin(broadcast(tot))
+        .select(col("label").cast("long").as("label"), col("n"),
+          expr("n * 1000000 div t").as("share_ppm"),
+          expr("t * 1000000 div (k * n)").as("weight_ppm"),
+          least(expr("t * 1000000 div (k * n)"), lit(5000000L))
+            .as("capped_weight_ppm"))
+        .orderBy("label")
+    },
+
+    GraftQuery(
+      "q167_embedding_norm_qa",
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |), n2 AS (
+             |  -- exact integer squared norm in milli-units: floor each
+             |  -- coordinate to thousandths, square-sum as BIGINT (identical
+             |  -- IEEE double->floor on both engines; q84's idiom)
+             |  SELECT vec_id, label,
+             |         CAST(list_sum(list_transform(v, x ->
+             |                CAST(floor(x * 1000) AS BIGINT)
+             |                  * CAST(floor(x * 1000) AS BIGINT)))
+             |              AS BIGINT) AS nn
+             |  FROM e
+             |), agg AS (
+             |  SELECT label, CAST(sum(nn) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM n2 GROUP BY label
+             |)
+             |SELECT CAST(n2.label AS BIGINT) AS label,
+             |       a.n AS n_vecs,
+             |       CAST(a.s * 1000 // a.n AS BIGINT) AS mean_norm2_milli,
+             |       CAST(sum(CASE WHEN n2.nn * a.n * 2 < a.s
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |       CAST(sum(CASE WHEN n2.nn * a.n > a.s * 2
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM n2 JOIN agg a ON n2.label = a.label
+             |GROUP BY n2.label, a.n, a.s
+             |ORDER BY label""".stripMargin),
+      "Embedding QA gate — catch collapsed (near-zero norm) and exploded " +
+        "vectors before they poison retrieval or training: squared norms " +
+        "as exact integer milli-units (floor-to-thousandths then square-" +
+        "sum — the q84 cross-engine float discipline), per-label mean by " +
+        "one agg, and outlier flags (norm < mean/2 or > 2·mean) via " +
+        "cross-multiplied integer compares against the broadcast " +
+        "|labels|-row stats frame — no ratio, no second-pass percentile " +
+        "(q141's exact-median variant slots in when the gate needs " +
+        "robustness to the outliers it hunts). Two scans of the " +
+        "embeddings; the only exchanges are |labels|-row aggs. At " +
+        "100 TB the norm is map work fused into the scan."
+    ) { (s, dir) =>
+      val n2 = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          aggregate(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long")
+                * floor(x.cast("double") * 1000).cast("long")),
+            lit(0L), (a, b) => a + b).as("nn"))
+      val agg = n2.groupBy("label")
+        .agg(sum("nn").as("s"), count(lit(1)).as("n"))
+      n2.join(broadcast(agg), "label")
+        .groupBy(col("label").cast("long").as("label"), col("n"), col("s"))
+        .agg(
+          sum(when(col("nn") * col("n") * 2 < col("s"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("nn") * col("n") > col("s") * 2, 1L).otherwise(0L))
+            .as("n_high"))
+        .select(col("label"), col("n").as("n_vecs"),
+          expr("s * 1000 div n").as("mean_norm2_milli"),
+          col("n_low"), col("n_high"))
+        .orderBy("label")
     }
   )
 }

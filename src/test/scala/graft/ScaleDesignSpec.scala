@@ -225,7 +225,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row min/max-epoch bounds broadcast into the split tag
       "q159_temporal_embargo_split",
       // 5-row coverage-target + 1-row total broadcasts on a |vocab| frame
-      "q163_vocab_coverage")
+      "q163_vocab_coverage",
+      // 1-row totals broadcast on a |labels| frame
+      "q166_class_weights")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
