@@ -2115,6 +2115,83 @@ object TextQueries {
         .select(col("n_shards"), col("n_docs"), col("min_docs"),
           col("max_docs"),
           expr("max_docs * n_shards * 1000000 div n_docs").as("skew_ppm"))
+    },
+
+    GraftQuery(
+      "q170_weighted_resample",
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY lang
+             |), tot AS (
+             |  SELECT sum(tokens) AS tt, count(*) AS n_langs FROM per
+             |), w AS (
+             |  -- q148's capped target/actual weight, verbatim
+             |  SELECT lang,
+             |         CAST(least((1000000 // n_langs) * 1000000
+             |                      // greatest(tokens * 1000000 // tt, 1),
+             |                    10000000) AS BIGINT) AS weight_ppm
+             |  FROM per, tot
+             |), d AS (
+             |  -- Lehmer hash of doc_id: deterministic uniform-ish draw in
+             |  -- [0, 1e6) with no 64-bit wraparound (the q66 lesson: DuckDB
+             |  -- raises on BIGINT overflow instead of wrapping)
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             |         (doc_id * 48271) % 2147483647 % 1000000 AS u
+             |  FROM documents
+             |), k AS (
+             |  SELECT d.lang, d.tok, w.weight_ppm,
+             |         CASE WHEN d.u < least(w.weight_ppm, 1000000)
+             |              THEN 1 ELSE 0 END AS keep
+             |  FROM d JOIN w ON d.lang = w.lang
+             |)
+             |SELECT lang,
+             |       CAST(max(weight_ppm) AS BIGINT) AS weight_ppm,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(keep) AS BIGINT) AS n_kept,
+             |       CAST(sum(CASE WHEN keep = 1 THEN tok ELSE 0 END) AS BIGINT)
+             |         AS kept_tokens
+             |FROM k GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      "Weighted resampling — APPLY q148's domain weights instead of just " +
+        "reporting them: each document draws a deterministic Lehmer-hash " +
+        "uniform from its id (reproducible across runs, engines and " +
+        "partitionings — no RNG state, no 64-bit wraparound) and " +
+        "survives when the draw lands under its language's capped " +
+        "sampling probability. The weight table is a |langs|-row " +
+        "broadcast join; the draw and keep-test are map work fused into " +
+        "the scan, so the 100 TB cost is the scan itself — this is the " +
+        "missing half of every mixture pipeline: q148/q158 decide the " +
+        "mix, this operator materializes it, and the per-lang audit " +
+        "(kept docs and token mass) is the evidence the mix landed. " +
+        "Upsampling (weight > 1e6) falls out of the same draw by " +
+        "emitting floor(w) copies plus one Bernoulli residual " +
+        "(q151's repeat pattern)."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val per = docs.groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("n_langs"))
+      val w = per.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(expr("(1000000 div n_langs) * 1000000" +
+            " div greatest(tokens * 1000000 div tt, 1L)"), lit(10000000L))
+            .as("weight_ppm"))
+      docs
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          expr("(doc_id * 48271) % 2147483647 % 1000000").as("u"))
+        .join(broadcast(w), "lang")
+        .withColumn("keep",
+          when(col("u") < least(col("weight_ppm"), lit(1000000L)), 1L)
+            .otherwise(0L))
+        .groupBy("lang")
+        .agg(max("weight_ppm").as("weight_ppm"),
+          count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+          sum(when(col("keep") === 1, col("tok")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("lang")
     }
   )
 

@@ -629,6 +629,57 @@ object DedupQueries {
           expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
             .as("jaccard_ppm"))
         .orderBy("source_a", "source_b")
+    },
+
+    GraftQuery(
+      "q169_dedup_keep_best",
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
+             |                               'string_agg', ' ')) AS h,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY h
+             |              ORDER BY tok DESC, doc_id) AS rn,
+             |         CAST(count(*) OVER (PARTITION BY h) AS BIGINT)
+             |           AS n_members,
+             |         CAST(sum(tok) OVER (PARTITION BY h) AS BIGINT) AS grp_tok
+             |  FROM d
+             |)
+             |SELECT h, n_members,
+             |       doc_id AS kept_doc_id,
+             |       tok AS kept_tokens,
+             |       CAST(grp_tok - tok AS BIGINT) AS dropped_tokens
+             |FROM r WHERE rn = 1 AND n_members > 1
+             |ORDER BY h""".stripMargin),
+      "Keep-best dedup — q38/q160 keep the FIRST duplicate; production " +
+        "keeps the BEST one (near-dup groups usually contain one full " +
+        "article and several truncated mirrors): group by the canonical " +
+        "lead fingerprint, rank members by token count (richest copy " +
+        "first, doc_id tie-break), keep rank 1 and account the dropped " +
+        "mass. One window over the digest partition — per-key sort, " +
+        "never global, and the digest (32 bytes) is the only wide thing " +
+        "shuffled. Swap `tok` for any quality score (q46's gates, model " +
+        "perplexity) without touching the plan shape. At 100 TB this is " +
+        "the same single exchange as q38 with a richer keeper rule."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lead = sha2(
+        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), lead.as("h"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val byH = Window.partitionBy("h")
+      d.withColumn("rn",
+        row_number().over(byH.orderBy(col("tok").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byH))
+        .withColumn("grp_tok", sum("tok").over(byH))
+        .filter(col("rn") === 1 && col("n_members") > 1)
+        .select(col("h"), col("n_members"),
+          col("doc_id").as("kept_doc_id"), col("tok").as("kept_tokens"),
+          (col("grp_tok") - col("tok")).as("dropped_tokens"))
+        .orderBy("h")
     }
   )
 }

@@ -227,7 +227,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 5-row coverage-target + 1-row total broadcasts on a |vocab| frame
       "q163_vocab_coverage",
       // 1-row totals broadcast on a |labels| frame
-      "q166_class_weights")
+      "q166_class_weights",
+      // 1-row totals broadcast building the |langs| weight table
+      "q170_weighted_resample")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
