@@ -2192,6 +2192,67 @@ object TextQueries {
           sum(when(col("keep") === 1, col("tok")).otherwise(0L))
             .as("kept_tokens"))
         .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q171_failure_reasons",
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), m AS (
+             |  SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+             |         CAST(len(list_filter(w, x -> list_contains(
+             |           ['the','a','and','of','el','la','de','y','der','die',
+             |            'das','und','le','et','les'], x))) AS BIGINT) AS n_stop,
+             |         CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+             |              AS BIGINT) AS n_punct,
+             |         CAST(len(text) AS BIGINT) AS n_chars
+             |  FROM t
+             |), f AS (
+             |  SELECT CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+             |       + CASE WHEN n_stop * 10 < n_tokens THEN 2 ELSE 0 END
+             |       + CASE WHEN n_punct * 5 > n_chars THEN 4 ELSE 0 END
+             |         AS reason_mask
+             |  FROM m
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS t FROM f
+             |)
+             |SELECT CAST(reason_mask AS BIGINT) AS reason_mask,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(*) * 1000000 // t AS BIGINT) AS share_ppm
+             |FROM f, tot GROUP BY reason_mask, t
+             |ORDER BY reason_mask""".stripMargin),
+      "Gate-failure attribution — q69 runs the cleaning gates and keeps " +
+        "the survivors; this operator answers the operator's follow-up " +
+        "question, WHY documents die: each gate failure sets a bit " +
+        "(1=too-short, 2=low-stopword, 4=punct-heavy), and the histogram " +
+        "over reason bitmasks shows every failure COMBINATION (mask 0 = " +
+        "clean, mask 6 = died twice over) with its corpus share in exact " +
+        "ppm. Reason codes compose with no row explosion — 3 gates or 30, " +
+        "it's one integer per doc, one map-side-combined agg, and a " +
+        "2^gates-row result. The same gate arithmetic as q69 " +
+        "(cross-multiplied longs), so the attribution provably matches " +
+        "what the pipeline actually dropped. At 100 TB: cost is the scan."
+    ) { (s, dir) =>
+      val allMarkers = enM ++ esM ++ deM ++ frM
+      val w = split(lower(col("text")), " ")
+      val m = Tables.documents(s, dir).select(
+        size(w).cast("long").as("n_tokens"),
+        markerCount(w, allMarkers).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"))
+      val f = m.select(
+        (when(col("n_tokens") < 10, 1L).otherwise(0L)
+          + when(col("n_stop") * 10 < col("n_tokens"), 2L).otherwise(0L)
+          + when(col("n_punct") * 5 > col("n_chars"), 4L).otherwise(0L))
+          .as("reason_mask"))
+      val tot = f.agg(count(lit(1)).as("t"))
+      f.groupBy("reason_mask").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("reason_mask"), col("n_docs"),
+          expr("n_docs * 1000000 div t").as("share_ppm"))
+        .orderBy("reason_mask")
     }
   )
 

@@ -895,6 +895,52 @@ object EventQueries {
           countDistinct(col("user_id")).cast("long").as("n_users"),
           min("us").as("min_us"), max("us").as("max_us"))
         .orderBy("split")
+    },
+
+    GraftQuery(
+      "q172_event_next_pairs",
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS nxt
+             |  FROM events
+             |), per AS (
+             |  SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS n
+             |  FROM s WHERE nxt IS NOT NULL
+             |  GROUP BY event_type, nxt
+             |), tot AS (
+             |  SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+             |  FROM per GROUP BY event_type
+             |)
+             |SELECT per.event_type, per.nxt AS next_type, per.n,
+             |       CAST(per.n * 1000000 // tot.t AS BIGINT) AS p_ppm
+             |FROM per JOIN tot ON per.event_type = tot.event_type
+             |ORDER BY per.event_type, next_type""".stripMargin),
+      "Next-event training pairs — the behavioral-sequence analogue of " +
+        "q151's NSP: per-user event streams become (event, next-event) " +
+        "supervision pairs via one lead() over the (user, time, id) " +
+        "order — the same per-key window as sessionization, no global " +
+        "sort — and the aggregated pair counts ARE the first-order " +
+        "Markov transition matrix with exact integer-ppm transition " +
+        "probabilities (the sanity table every sequence-model dataset " +
+        "ships with: is the corpus dominated by self-loops?). Tie-break " +
+        "by event_id makes the order — and thus every pair — " +
+        "deterministic across engines and partitionings. At 100 TB: " +
+        "one hash-partition-by-user exchange, then |types|² rows."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nxt = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("nxt"))
+        .filter(col("nxt").isNotNull)
+      val per = nxt.groupBy("event_type", "nxt")
+        .agg(count(lit(1)).as("n"))
+      val tot = per.groupBy("event_type").agg(sum("n").as("t"))
+      per.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("nxt").as("next_type"), col("n"),
+          expr("n * 1000000 div t").as("p_ppm"))
+        .orderBy("event_type", "next_type")
     }
   )
 }

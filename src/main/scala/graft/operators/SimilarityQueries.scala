@@ -830,6 +830,84 @@ object SimilarityQueries {
           expr("s * 1000 div n").as("mean_norm2_milli"),
           col("n_low"), col("n_high"))
         .orderBy("label")
+    },
+
+    GraftQuery(
+      "q173_contrastive_pairs",
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |), n AS (
+             |  SELECT vec_id, label, v,
+             |         sqrt(list_reduce(list_transform(v, x -> x*x),
+             |                          (a,b) -> a+b)) AS nrm
+             |  FROM e
+             |), q AS (
+             |  SELECT * FROM n WHERE vec_id % 50 = 0
+             |), scored AS (
+             |  SELECT q.vec_id AS anchor_id, q.label AS qlabel,
+             |         a.vec_id AS cand_id, a.label AS clabel,
+             |         list_reduce(list_transform(range(1, len(q.v) + 1),
+             |                                    i -> q.v[i] * a.v[i]),
+             |                     (x,y) -> x+y) / (q.nrm * a.nrm) AS c
+             |  FROM q JOIN n a ON a.vec_id <> q.vec_id
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (
+             |           PARTITION BY anchor_id, (qlabel = clabel)
+             |           ORDER BY c DESC, cand_id) AS rk
+             |  FROM scored
+             |)
+             |SELECT anchor_id,
+             |       CAST(max(CASE WHEN qlabel = clabel THEN cand_id END)
+             |            AS BIGINT) AS pos_id,
+             |       round(max(CASE WHEN qlabel = clabel THEN c END), 4)
+             |         AS pos_cos,
+             |       CAST(max(CASE WHEN qlabel <> clabel THEN cand_id END)
+             |            AS BIGINT) AS neg_id,
+             |       round(max(CASE WHEN qlabel <> clabel THEN c END), 4)
+             |         AS neg_cos
+             |FROM ranked WHERE rk = 1
+             |GROUP BY anchor_id
+             |ORDER BY anchor_id""".stripMargin),
+      "Contrastive pair mining — build (anchor, positive, negative) " +
+        "triplets for embedding fine-tuning: per anchor, the most-" +
+        "similar SAME-label vector (hardest positive to beat) and the " +
+        "most-similar OTHER-label vector (the hard negative, q146's " +
+        "rule) from one scored pass, split by a label-match window " +
+        "partition. The anchor set broadcasts against the corpus scan " +
+        "(q43's shape — corpus never shuffles) and the per-anchor-per-" +
+        "branch top-1 is a bounded window, not a global sort. Cosines " +
+        "ride the shared native dot-product kernel and surface rounded " +
+        "to 4dp exactly like q43, so both engines agree bit-for-bit. " +
+        "At 1e9 vectors, swap the scored pass for q44's LSH or q130's " +
+        "quantized candidate generator — the triplet assembly is " +
+        "unchanged."
+    ) { (s, dir) =>
+      val n = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("anchor_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("qlabel"),
+          col("vec_id").as("cand_id"), col("label").as("clabel"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      val w = Window
+        .partitionBy(col("anchor_id"), col("qlabel") === col("clabel"))
+        .orderBy(col("c").desc, col("cand_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy("anchor_id")
+        .agg(
+          max(when(col("qlabel") === col("clabel"), col("cand_id")))
+            .as("pos_id"),
+          round(max(when(col("qlabel") === col("clabel"), col("c"))), 4)
+            .as("pos_cos"),
+          max(when(col("qlabel") =!= col("clabel"), col("cand_id")))
+            .as("neg_id"),
+          round(max(when(col("qlabel") =!= col("clabel"), col("c"))), 4)
+            .as("neg_cos"))
+        .orderBy("anchor_id")
     }
   )
 }

@@ -229,7 +229,11 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row totals broadcast on a |labels| frame
       "q166_class_weights",
       // 1-row totals broadcast building the |langs| weight table
-      "q170_weighted_resample")
+      "q170_weighted_resample",
+      // 1-row corpus-total broadcast into the mask-share projection
+      "q171_failure_reasons",
+      // q43's broadcast-anchor-set scan shape
+      "q173_contrastive_pairs")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
