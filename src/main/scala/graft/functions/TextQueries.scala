@@ -2253,6 +2253,73 @@ object TextQueries {
         .select(col("reason_mask"), col("n_docs"),
           expr("n_docs * 1000000 div t").as("share_ppm"))
         .orderBy("reason_mask")
+    },
+
+    GraftQuery(
+      "q174_vocab_prune_impact",
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents
+             |), c AS (
+             |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY u
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
+             |), r AS (
+             |  SELECT u, n,
+             |         row_number() OVER (ORDER BY n DESC, u) AS rn,
+             |         sum(n) OVER (ORDER BY n DESC, u
+             |                      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM c
+             |), cuts AS (
+             |  SELECT * FROM (VALUES (8), (16), (24), (32)) t(cut)
+             |)
+             |SELECT CAST(cuts.cut AS BIGINT) AS cut_size,
+             |       CAST(sum(CASE WHEN r.rn <= cuts.cut THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS vocab_kept,
+             |       CAST(tot.t - coalesce(max(CASE WHEN r.rn <= cuts.cut
+             |                                      THEN r.cum END), 0)
+             |            AS BIGINT) AS oov_tokens,
+             |       CAST((tot.t - coalesce(max(CASE WHEN r.rn <= cuts.cut
+             |                                       THEN r.cum END), 0))
+             |              * 1000000 // tot.t AS BIGINT) AS oov_ppm
+             |FROM r, cuts, tot
+             |GROUP BY cuts.cut, tot.t
+             |ORDER BY cut_size""".stripMargin),
+      "Vocabulary pruning impact — q163 asks 'how many types for X% " +
+        "coverage'; this is the decision table for the inverse question: " +
+        "for each candidate vocab CUT, how many tokens fall out-of-" +
+        "vocabulary (the mass that becomes <unk> or byte-fallback). Same " +
+        "frequency-ranked running sum as q163, evaluated at every cut by " +
+        "one conditional agg over the vocab×cuts broadcast product — the " +
+        "OOV mass at cut k is total − cumulative(k), so the whole sweep " +
+        "costs one |vocab|-frame pass regardless of how many cuts are " +
+        "probed. Exact integer ppm; the corpus is scanned once for the " +
+        "counts and never again."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum("n").as("t"))
+      val r = c
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n").desc, col("u"))).cast("long"))
+        .withColumn("cum",
+          sum("n").over(Window.orderBy(col("n").desc, col("u"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cuts = s.range(0, 4).select(
+        element_at(typedlit(Seq(8L, 16L, 24L, 32L)),
+          (col("id") + 1).cast("int")).as("cut"))
+      r.crossJoin(broadcast(cuts)).crossJoin(broadcast(tot))
+        .groupBy(col("cut").as("cut_size"), col("t"))
+        .agg(
+          sum(when(col("rn") <= col("cut"), 1L).otherwise(0L))
+            .as("vocab_kept"),
+          coalesce(max(when(col("rn") <= col("cut"), col("cum"))), lit(0L))
+            .as("covered"))
+        .select(col("cut_size"), col("vocab_kept"),
+          (col("t") - col("covered")).as("oov_tokens"),
+          expr("(t - covered) * 1000000 div t").as("oov_ppm"))
+        .orderBy("cut_size")
     }
   )
 

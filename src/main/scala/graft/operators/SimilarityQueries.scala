@@ -908,6 +908,57 @@ object SimilarityQueries {
           round(max(when(col("qlabel") =!= col("clabel"), col("c"))), 4)
             .as("neg_cos"))
         .orderBy("anchor_id")
+    },
+
+    GraftQuery(
+      "q175_dead_dimensions",
+      Some("""WITH e AS (
+             |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+             |), d AS (
+             |  SELECT generate_subscripts(v, 1) AS dim,
+             |         CAST(floor(unnest(v) * 1000) AS BIGINT) AS x
+             |  FROM e
+             |)
+             |SELECT CAST(dim AS BIGINT) AS dim,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(x) AS BIGINT) AS sum_milli,
+             |       -- n·Σx² − (Σx)²  =  n² · variance, exact in integers
+             |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             |         AS var_num,
+             |       CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x)
+             |                      < 1000 * count(*) * count(*)
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS dead
+             |FROM d GROUP BY dim
+             |ORDER BY dim""".stripMargin),
+      "Dead-dimension detection — the embedding-health counterpart of " +
+        "q167: per-dimension variance as the exact integer numerator " +
+        "n·Σx²−(Σx)² over milli-unit coordinates (one pass, no mean " +
+        "subtraction, no float cancellation — the numerically-stablest " +
+        "form AND the cross-engine-exact one), flagging dimensions " +
+        "whose variance collapses below 1e-3 (var_num < 1000·n², " +
+        "cross-multiplied — a dimension carrying no signal wastes " +
+        "index bytes and ANN distance budget; it's what you prune " +
+        "before q84 quantization or q125 matryoshka truncation). The " +
+        "posexplode fans out ×64 but combines map-side to 64 rows per " +
+        "partition before the exchange — at 100 TB the shuffle carries " +
+        "64 × parallelism tiny rows. Overflow headroom: |x|≤2¹⁰ ⇒ " +
+        "Σx² ≤ n·2²⁰, so n·Σx² needs n²·2²⁰ < 2⁶³ — safe past 2e9 " +
+        "vectors; beyond that, per-partition partials re-center first."
+    ) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select((col("dim0") + 1).cast("long").as("dim"),
+          floor(col("xf").cast("double") * 1000).cast("long").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_milli"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("dim"), col("n"), col("sum_milli"),
+          (col("n") * col("sxx") - col("sum_milli") * col("sum_milli"))
+            .as("var_num"),
+          when(col("n") * col("sxx") - col("sum_milli") * col("sum_milli")
+            < lit(1000L) * col("n") * col("n"), 1L).otherwise(0L)
+            .cast("long").as("dead"))
+        .orderBy("dim")
     }
   )
 }

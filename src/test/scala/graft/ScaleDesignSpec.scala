@@ -233,7 +233,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row corpus-total broadcast into the mask-share projection
       "q171_failure_reasons",
       // q43's broadcast-anchor-set scan shape
-      "q173_contrastive_pairs")
+      "q173_contrastive_pairs",
+      // 4-row cut-list + 1-row total broadcasts on a |vocab| frame
+      "q174_vocab_prune_impact")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
