@@ -16,9 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Count of tokens of `w` that appear in the marker list. */
   /** Base-31 polynomial fold mod 1e9+7 over a string's characters — the
-    * repo's shared content fingerprint (q48/q155/q156). Init-0 fold is
+    * repo's shared content fingerprint (q48/q155/q156/q168). Init-0 fold is
     * identical to DuckDB's init-free `list_reduce` (0·31+c₁ = c₁); acc
     * stays < 2^30 so acc·31+c never overflows a long. */
   private def base31Fold(str: Column): Column =
@@ -26,6 +25,56 @@ object TextQueries {
       transform(split(str, ""), c => ascii(c).cast("long")),
       lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
 
+  /** q148's capped mixture weight — target/actual in ppm, actual floored
+    * at 1 ppm (the q136 div-zero guard), capped at 10× — over a frame with
+    * `tokens`, `tt` (corpus total) and `n_langs` in scope. ONE definition
+    * consumed by q148 (reports the weights) and q170 (applies them): a cap
+    * or floor tweak must move both ends of the pipeline together.
+    * [[cappedWeightSql]] is the identical DuckDB form. */
+  private def cappedWeight: Column =
+    least(expr("(1000000 div n_langs) * 1000000" +
+      " div greatest(tokens * 1000000 div tt, 1L)"), lit(10000000L))
+
+  private val cappedWeightSql: String =
+    "least((1000000 // n_langs) * 1000000" +
+      " // greatest(tokens * 1000000 // tt, 1), 10000000)"
+
+  /** Frequency-ranked vocabulary — (u, n, rn, cum) plus the 1-row token
+    * total — ONE definition shared by q163 (coverage curve) and q174
+    * (pruning impact), so both answer questions about the SAME
+    * vocabulary under the same tokenization and tie-break (count desc,
+    * type asc). [[rankedVocabSql]] is the identical oracle CTE chain. */
+  private def rankedVocab(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("t"))
+    val ord = Window.orderBy(col("n").desc, col("u"))
+    val r = c
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("n").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    (r, tot)
+  }
+
+  private val rankedVocabSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents
+      |), c AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY u
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
+      |), r AS (
+      |  SELECT u, n,
+      |         row_number() OVER (ORDER BY n DESC, u) AS rn,
+      |         sum(n) OVER (ORDER BY n DESC, u
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c
+      |)""".stripMargin
+
+  /** Count of tokens of `w` that appear in the marker list. */
   private def markerCount(w: Column, markers: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(markers))).cast("long")
 
@@ -286,7 +335,7 @@ object TextQueries {
 
     GraftQuery(
       "q148_domain_reweight",
-      Some("""WITH per AS (
+      Some(s"""WITH per AS (
              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
              |  FROM documents GROUP BY lang
@@ -300,9 +349,7 @@ object TextQueries {
              |       -- floored at 1 ppm so a <1ppm domain hits the cap
              |       -- instead of dividing by zero (the q136 guard: Spark
              |       -- NULLs a zero divisor, DuckDB raises)
-             |       CAST(least((1000000 // n_langs) * 1000000
-             |                    // greatest(tokens * 1000000 // tt, 1),
-             |                  10000000) AS BIGINT) AS weight_ppm
+             |       CAST($cappedWeightSql AS BIGINT) AS weight_ppm
              |FROM per, tot
              |ORDER BY lang""".stripMargin),
       "Domain reweighting — the DoReMi/data-mixing step that turns a " +
@@ -327,9 +374,7 @@ object TextQueries {
         .select(col("lang"), col("n_docs"), col("tokens"),
           expr("tokens * 1000000 div tt").as("actual_ppm"),
           expr("1000000 div n_langs").as("target_ppm"),
-          least(expr("(1000000 div n_langs) * 1000000" +
-            " div greatest(tokens * 1000000 div tt, 1L)"), lit(10000000L))
-            .as("weight_ppm"))
+          cappedWeight.as("weight_ppm"))
         .orderBy("lang")
     },
 
@@ -1897,18 +1942,7 @@ object TextQueries {
 
     GraftQuery(
       "q163_vocab_coverage",
-      Some("""WITH w AS (
-             |  SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents
-             |), c AS (
-             |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY u
-             |), tot AS (
-             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
-             |), r AS (
-             |  SELECT u, n,
-             |         sum(n) OVER (ORDER BY n DESC, u
-             |                      ROWS UNBOUNDED PRECEDING) AS cum
-             |  FROM c
-             |), th AS (
+      Some(s"""$rankedVocabSql, th AS (
              |  SELECT * FROM (VALUES (50), (80), (90), (95), (99)) t(pct)
              |)
              |SELECT CAST(th.pct AS BIGINT) AS pct,
@@ -1936,14 +1970,7 @@ object TextQueries {
         "(per-range subtotals broadcast as offsets, q104's cut-point " +
         "pattern)."
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val c = Tables.documents(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("u"))
-        .groupBy("u").agg(count(lit(1)).as("n"))
-      val tot = c.agg(sum("n").as("t"))
-      val r = c.withColumn("cum",
-        sum("n").over(Window.orderBy(col("n").desc, col("u"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val (r, tot) = rankedVocab(s, dir)
       val th = s.range(0, 5).select(
         element_at(typedlit(Seq(50L, 80L, 90L, 95L, 99L)),
           (col("id") + 1).cast("int")).as("pct"))
@@ -2119,7 +2146,7 @@ object TextQueries {
 
     GraftQuery(
       "q170_weighted_resample",
-      Some("""WITH per AS (
+      Some(s"""WITH per AS (
              |  SELECT lang,
              |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
              |  FROM documents GROUP BY lang
@@ -2127,10 +2154,7 @@ object TextQueries {
              |  SELECT sum(tokens) AS tt, count(*) AS n_langs FROM per
              |), w AS (
              |  -- q148's capped target/actual weight, verbatim
-             |  SELECT lang,
-             |         CAST(least((1000000 // n_langs) * 1000000
-             |                      // greatest(tokens * 1000000 // tt, 1),
-             |                    10000000) AS BIGINT) AS weight_ppm
+             |  SELECT lang, CAST($cappedWeightSql AS BIGINT) AS weight_ppm
              |  FROM per, tot
              |), d AS (
              |  -- Lehmer hash of doc_id: deterministic uniform-ish draw in
@@ -2174,10 +2198,7 @@ object TextQueries {
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
       val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("n_langs"))
       val w = per.crossJoin(broadcast(tot))
-        .select(col("lang"),
-          least(expr("(1000000 div n_langs) * 1000000" +
-            " div greatest(tokens * 1000000 div tt, 1L)"), lit(10000000L))
-            .as("weight_ppm"))
+        .select(col("lang"), cappedWeight.as("weight_ppm"))
       docs
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("tok"),
@@ -2257,19 +2278,7 @@ object TextQueries {
 
     GraftQuery(
       "q174_vocab_prune_impact",
-      Some("""WITH w AS (
-             |  SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents
-             |), c AS (
-             |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY u
-             |), tot AS (
-             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
-             |), r AS (
-             |  SELECT u, n,
-             |         row_number() OVER (ORDER BY n DESC, u) AS rn,
-             |         sum(n) OVER (ORDER BY n DESC, u
-             |                      ROWS UNBOUNDED PRECEDING) AS cum
-             |  FROM c
-             |), cuts AS (
+      Some(s"""$rankedVocabSql, cuts AS (
              |  SELECT * FROM (VALUES (8), (16), (24), (32)) t(cut)
              |)
              |SELECT CAST(cuts.cut AS BIGINT) AS cut_size,
@@ -2295,17 +2304,7 @@ object TextQueries {
         "probed. Exact integer ppm; the corpus is scanned once for the " +
         "counts and never again."
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val c = Tables.documents(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("u"))
-        .groupBy("u").agg(count(lit(1)).as("n"))
-      val tot = c.agg(sum("n").as("t"))
-      val r = c
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("n").desc, col("u"))).cast("long"))
-        .withColumn("cum",
-          sum("n").over(Window.orderBy(col("n").desc, col("u"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val (r, tot) = rankedVocab(s, dir)
       val cuts = s.range(0, 4).select(
         element_at(typedlit(Seq(8L, 16L, 24L, 32L)),
           (col("id") + 1).cast("int")).as("cut"))

@@ -49,6 +49,19 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
+  /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
+    * ONE definition shared by q160 (incremental dedup), q161 (source
+    * overlap) and q169 (keep-best), plus `PipelineInvariantSpec`. A
+    * canonicalization tweak applied to one copy would silently decouple
+    * the three dedup operators from each other and from the invariant
+    * test, so all four sites reference this pair. [[leadFingerprintSql]]
+    * is the same expression in the oracles' DuckDB dialect. */
+  private[graft] def leadFingerprint: org.apache.spark.sql.Column =
+    sha2(concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
+
+  private[graft] val leadFingerprintSql: String =
+    "sha256(list_aggregate(string_split(lower(text), ' ')[1:8], 'string_agg', ' '))"
+
   /** Skew guard for the candidate generators: a bucket larger than this is
     * ubiquitous content (boilerplate headers, stopword shingles), which is
     * near-dup NOISE — its pair expansion is quadratic in the bucket and its
@@ -503,15 +516,13 @@ object DedupQueries {
 
     GraftQuery(
       "q160_incremental_dedup",
-      Some("""WITH d AS (
+      Some(s"""WITH d AS (
              |  -- canonical content address: digest of the first 8 lowercased
              |  -- words (lead fingerprint), so re-crawls that differ only in
              |  -- tails/boilerplate still collide — the corpus has no
              |  -- byte-identical cross-doc texts, exactly like a real crawl
              |  -- after trafilatura; full-digest incremental dedup is q38+q96
-             |  SELECT doc_id, source,
-             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
-             |                               'string_agg', ' ')) AS h
+             |  SELECT doc_id, source, $leadFingerprintSql AS h
              |  FROM documents
              |), idx AS (
              |  SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8
@@ -549,10 +560,8 @@ object DedupQueries {
         "pipeline emits every cycle."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val lead = sha2(
-        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), lead.as("h"))
+        .select(col("doc_id"), col("source"), leadFingerprint.as("h"))
       val idx = d.filter(col("doc_id") % 10 < 8).select("h").distinct()
       val batch = d.filter(col("doc_id") % 10 >= 8)
         .withColumn("rn",
@@ -571,13 +580,10 @@ object DedupQueries {
 
     GraftQuery(
       "q161_source_overlap",
-      Some("""WITH ds AS (
+      Some(s"""WITH ds AS (
              |  -- same canonical lead fingerprint as q160: overlap between
              |  -- sources is near-dup republication, not byte-identity
-             |  SELECT DISTINCT
-             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
-             |                               'string_agg', ' ')) AS h,
-             |         source
+             |  SELECT DISTINCT $leadFingerprintSql AS h, source
              |  FROM documents
              |), per AS (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source
@@ -609,10 +615,8 @@ object DedupQueries {
         "bitmap pattern) and intersect those instead. One digest " +
         "dedup shuffle + one equi-join; document bodies never move."
     ) { (s, dir) =>
-      val lead = sha2(
-        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
       val ds = Tables.documents(s, dir)
-        .select(lead.as("h"), col("source")).distinct()
+        .select(leadFingerprint.as("h"), col("source")).distinct()
       val per = ds.groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = ds.as("a")
         .join(ds.as("b"),
@@ -633,10 +637,8 @@ object DedupQueries {
 
     GraftQuery(
       "q169_dedup_keep_best",
-      Some("""WITH d AS (
-             |  SELECT doc_id,
-             |         sha256(list_aggregate(string_split(lower(text), ' ')[1:8],
-             |                               'string_agg', ' ')) AS h,
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, $leadFingerprintSql AS h,
              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
              |  FROM documents
              |), r AS (
@@ -665,10 +667,8 @@ object DedupQueries {
         "the same single exchange as q38 with a richer keeper rule."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val lead = sha2(
-        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8)), 256)
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), lead.as("h"),
+        .select(col("doc_id"), leadFingerprint.as("h"),
           size(split(col("text"), " ")).cast("long").as("tok"))
       val byH = Window.partitionBy("h")
       d.withColumn("rn",

@@ -77,10 +77,9 @@ class PipelineInvariantSpec extends SparkSpec {
 
   test("q169 keeps the token-richest member of every duplicate group") {
     val kept = SparkEntry.queries("q169_dedup_keep_best")(spark, sf).collect()
-    val lead = sha2(concat_ws(" ",
-      slice(split(lower(col("text")), " "), 1, 8)), 256)
     val groups = Tables.documents(spark, sf)
-      .select(lead.as("h"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .select(operators.DedupQueries.leadFingerprint.as("h"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
       .groupBy("h").agg(max("tok").as("best"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
