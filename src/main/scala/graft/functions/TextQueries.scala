@@ -2319,6 +2319,64 @@ object TextQueries {
           (col("t") - col("covered")).as("oov_tokens"),
           expr("(t - covered) * 1000000 div t").as("oov_ppm"))
         .orderBy("cut_size")
+    },
+
+    GraftQuery(
+      "q178_k_anonymity",
+      Some("""WITH q AS (
+             |  SELECT lang, source,
+             |         CAST(len(string_split(text, ' ')) // 32 AS BIGINT)
+             |           AS len_bucket
+             |  FROM documents
+             |), g AS (
+             |  SELECT lang, source, len_bucket,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM q GROUP BY lang, source, len_bucket
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM g
+             |), ks AS (
+             |  SELECT * FROM (VALUES (2), (5), (10)) t(k)
+             |)
+             |SELECT CAST(ks.k AS BIGINT) AS k,
+             |       CAST(sum(CASE WHEN g.n < ks.k THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS small_groups,
+             |       CAST(sum(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END)
+             |            AS BIGINT) AS docs_at_risk,
+             |       CAST(sum(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END)
+             |              * 1000000 // tot.t AS BIGINT) AS risk_ppm
+             |FROM g, ks, tot
+             |GROUP BY ks.k, tot.t
+             |ORDER BY k""".stripMargin),
+      "k-anonymity audit — the release-governance gate for metadata: " +
+        "group documents by their quasi-identifier tuple (lang, source, " +
+        "length bucket) and count how many land in equivalence classes " +
+        "smaller than k — those rows are re-identifiable from metadata " +
+        "alone, the thing a dataset card (q152) must disclose and a " +
+        "release either suppresses or generalizes. One map-side-combined " +
+        "agg to |classes| rows, then the k-sweep reuses q153's pattern " +
+        "(3-row broadcast, one conditional agg answers every k). All " +
+        "integer; at 100 TB the cost is the scan — and the same " +
+        "two-level shape generalizes the bucket (coarser quasi-ids) " +
+        "until risk_ppm clears policy."
+    ) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          expr("size(split(text, ' ')) div 32").cast("long").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum("n").as("t"))
+      val ks = s.range(0, 3).select(
+        element_at(typedlit(Seq(2L, 5L, 10L)), (col("id") + 1).cast("int"))
+          .as("k"))
+      g.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+        .groupBy(col("k"), col("t"))
+        .agg(sum(when(col("n") < col("k"), 1L).otherwise(0L))
+          .as("small_groups"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .as("docs_at_risk"))
+        .select(col("k"), col("small_groups"), col("docs_at_risk"),
+          expr("docs_at_risk * 1000000 div t").as("risk_ppm"))
+        .orderBy("k")
     }
   )
 

@@ -487,6 +487,81 @@ object JoinQueries {
           (when(pickPrev, col("pv.us")).otherwise(col("nv.us")) - col("us"))
             .as("gap_micros"))
         .orderBy("purchase_id")
+    },
+
+    GraftQuery(
+      "q176_tpch_q3",
+      Some("""SELECT l_orderkey,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       o_orderdate
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate  > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin),
+      "TPC-H Q3 (shipping priority, adapted to this schema): the classic " +
+        "selective-dimension star — the BUILDING segment filter prunes " +
+        "customer BEFORE it broadcasts, orders carries its date predicate " +
+        "into the scan (partition-prunable at 100 TB), and the only " +
+        "fact-sized exchange is lineitem⋈orders on orderkey. Revenue " +
+        "reuses q103's hash-safe fixed-point argument, and the top-10 is " +
+        "TakeOrderedAndProject over the group-by output — per-task " +
+        "heaps, no global sort of the aggregate."
+    ) { (s, dir) =>
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+      Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    GraftQuery(
+      "q177_tpch_q10",
+      Some("""SELECT c_custkey, c_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin),
+      "TPC-H Q10 (returned-item revenue, adapted): who returned the most " +
+        "value this year — returnflag filters the fact in the scan, the " +
+        "year window prunes orders partitions, customer+nation broadcast, " +
+        "and the per-customer agg shuffles only the surviving groups. " +
+        "The shape every churn/return dashboard runs; at 100 TB the " +
+        "decisive choice is that neither dimension ever re-partitions " +
+        "the fact — one orderkey exchange, then broadcast hash joins."
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 }

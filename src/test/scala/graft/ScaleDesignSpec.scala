@@ -235,7 +235,9 @@ class ScaleDesignSpec extends SparkSpec {
       // q43's broadcast-anchor-set scan shape
       "q173_contrastive_pairs",
       // 4-row cut-list + 1-row total broadcasts on a |vocab| frame
-      "q174_vocab_prune_impact")
+      "q174_vocab_prune_impact",
+      // 3-row k-list + 1-row total broadcasts on a |classes| frame
+      "q178_k_anonymity")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
