@@ -941,6 +941,60 @@ object EventQueries {
         .select(col("event_type"), col("nxt").as("next_type"), col("n"),
           expr("n * 1000000 div t").as("p_ppm"))
         .orderBy("event_type", "next_type")
+    },
+
+    GraftQuery(
+      "q179_retention_cohorts",
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |         CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort
+             |  FROM events GROUP BY user_id
+             |), a AS (
+             |  SELECT DISTINCT e.user_id, f.cohort,
+             |         (epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+             |            - epoch_us(f.cohort)) // 604800000000 AS week_offset
+             |  FROM events e JOIN f ON e.user_id = f.user_id
+             |), c AS (
+             |  SELECT cohort, CAST(count(*) AS BIGINT) AS n0
+             |  FROM f GROUP BY cohort
+             |)
+             |SELECT CAST(a.cohort AS DATE) AS cohort_week,
+             |       CAST(week_offset AS BIGINT) AS week_offset,
+             |       CAST(count(*) AS BIGINT) AS active_users,
+             |       CAST(count(*) * 1000000 // c.n0 AS BIGINT) AS retention_ppm
+             |FROM a JOIN c ON a.cohort = c.cohort
+             |GROUP BY a.cohort, week_offset, c.n0
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      "Retention cohort matrix — the canonical activation dashboard: each " +
+        "user's first active week is their cohort, each later active week " +
+        "marks them retained at that offset, and the (cohort, offset) " +
+        "grid reports survivors in exact integer ppm of the cohort size. " +
+        "Week arithmetic happens in epoch-micros integers (date_trunc " +
+        "DATE-vs-TIMESTAMP dialect gap bridged by explicit casts — the " +
+        "documented q28 trap), offsets by trunc-div on a constant, so " +
+        "both engines agree on every cell. Plan: one user-keyed agg for " +
+        "cohorts, a co-partitioned join back (same user key — no extra " +
+        "exchange under bucketing), a per-(user, week) dedup, then a " +
+        "grid-sized agg. At 100 TB the cohort table is users-sized; " +
+        "everything heavier combines map-side."
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(date_trunc("week", col("ts"))).as("wk"))
+      val f = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      val c = f.groupBy("cohort").agg(count(lit(1)).as("n0"))
+      ev.join(f, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("(wk - cohort) div 604800000000").as("week_offset"))
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(c), "cohort")
+        .select(
+          to_date(timestamp_micros(col("cohort"))).as("cohort_week"),
+          col("week_offset"), col("active_users"),
+          expr("active_users * 1000000 div n0").as("retention_ppm"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }

@@ -658,6 +658,72 @@ object RelationalQueries {
             .as("sum_ext_tenthousandths"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    GraftQuery(
+      "q180_rfm_segments",
+      Some("""WITH m AS (
+             |  SELECT CAST(max(o_orderdate) AS TIMESTAMP) AS mx FROM orders
+             |), per AS (
+             |  SELECT o_custkey AS c,
+             |         CAST((epoch_us(m.mx)
+             |                 - epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)))
+             |                // 86400000000 AS BIGINT) AS recency_days,
+             |         CAST(count(*) AS BIGINT) AS freq,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS monetary_cents
+             |  FROM orders, m GROUP BY o_custkey, m.mx
+             |), t AS (
+             |  SELECT c,
+             |         ntile(4) OVER (ORDER BY recency_days, c) AS r,
+             |         ntile(4) OVER (ORDER BY freq DESC, c) AS f,
+             |         ntile(4) OVER (ORDER BY monetary_cents DESC, c) AS mo
+             |  FROM per
+             |)
+             |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+             |       CAST(mo AS BIGINT) AS m,
+             |       CAST(count(*) AS BIGINT) AS n_customers
+             |FROM t GROUP BY r, f, mo
+             |ORDER BY r, f, m""".stripMargin),
+      "RFM customer segmentation — the classic lifecycle grid: per " +
+        "customer, recency (days since last order against the corpus " +
+        "max date, integer epoch-micros arithmetic), frequency (order " +
+        "count) and monetary value (exact integer cents, rounded " +
+        "per-row BEFORE summing so no float total ever crosses the " +
+        "engine boundary), each quartiled by a deterministic ntile " +
+        "(metric + custkey tie-break), then the 4×4×4 segment census. " +
+        "The per-customer agg is one map-side-combined shuffle; the " +
+        "three global ntiles run on the |customers| frame — at 100 TB " +
+        "swap them for broadcast approx-quantile cut points (q104's " +
+        "pattern, same as q165's note) and the census never changes " +
+        "shape. The 1-row max-date broadcast is metadata-free on a " +
+        "real lake (parquet footer max)."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.orders(s, dir)
+        // NTZ->LTZ cast is wall-clock identity (q28 note); unix_micros needs LTZ
+        .agg(unix_micros(max(col("o_orderdate")).cast("timestamp")).as("mx"))
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+        .crossJoin(broadcast(m))
+        .select(col("c"),
+          expr("(mx - last_us) div 86400000000").as("recency_days"),
+          col("freq"), col("monetary_cents"))
+      per
+        .withColumn("r", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("c"))).cast("long"))
+        .withColumn("f", ntile(4).over(
+          Window.orderBy(col("freq").desc, col("c"))).cast("long"))
+        .withColumn("mo", ntile(4).over(
+          Window.orderBy(col("monetary_cents").desc, col("c"))).cast("long"))
+        .groupBy("r", "f", "mo")
+        .agg(count(lit(1)).as("n_customers"))
+        .select(col("r"), col("f"), col("mo").as("m"), col("n_customers"))
+        .orderBy("r", "f", "m")
     }
   )
 

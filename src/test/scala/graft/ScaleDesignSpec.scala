@@ -237,7 +237,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 4-row cut-list + 1-row total broadcasts on a |vocab| frame
       "q174_vocab_prune_impact",
       // 3-row k-list + 1-row total broadcasts on a |classes| frame
-      "q178_k_anonymity")
+      "q178_k_anonymity",
+      // 1-row max-date broadcast on the |customers| frame
+      "q180_rfm_segments")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
