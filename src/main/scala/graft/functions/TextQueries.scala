@@ -2377,6 +2377,132 @@ object TextQueries {
         .select(col("k"), col("small_groups"), col("docs_at_risk"),
           expr("docs_at_risk * 1000000 div t").as("risk_ppm"))
         .orderBy("k")
+    },
+
+    GraftQuery(
+      "q181_langid_margin",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+             |), scored AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) n_en,
+             |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','y'], x))) AS BIGINT)   n_es,
+             |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) n_de,
+             |    CAST(len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) AS BIGINT) n_fr
+             |  FROM t
+             |), m AS (
+             |  SELECT doc_id, n_en, n_es, n_de, n_fr,
+             |    greatest(n_en, n_es, n_de, n_fr) AS top1,
+             |    -- 2nd-largest of four = greatest of all pairwise leasts
+             |    greatest(least(n_en, n_es), least(n_en, n_de),
+             |             least(n_en, n_fr), least(n_es, n_de),
+             |             least(n_es, n_fr), least(n_de, n_fr)) AS top2,
+             |    CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+             |         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+             |         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+             |         WHEN n_fr > 0 THEN 'fr'
+             |         ELSE 'und' END AS pred_lang
+             |  FROM scored
+             |)
+             |SELECT pred_lang,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN top1 = 0 OR (top1 - top2) * 5 < top1
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+             |       CAST(sum(top1 - top2) AS BIGINT) AS margin_sum
+             |FROM m GROUP BY pred_lang
+             |ORDER BY pred_lang""".stripMargin),
+      "Language-ID confidence gating — q45 assigns the argmax; production " +
+        "also needs to know WHEN NOT TO TRUST IT: the margin between the " +
+        "best and second-best marker scores (2nd-largest of four computed " +
+        "branch-free as the greatest of pairwise leasts — a codegen-" +
+        "friendly identity, no sort, no explode), with a doc flagged " +
+        "ambiguous when the margin is under 20% of the top score (or " +
+        "nothing matched at all). Ambiguous docs are what you route to " +
+        "the expensive model or drop (q69's gates consume exactly this " +
+        "flag). Pure row-local integer arithmetic fused into the scan, " +
+        "then a |langs|-row agg — at 100 TB this costs nothing beyond " +
+        "the q45 pass it extends."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        markerCount(w, enM).as("n_en"), markerCount(w, esM).as("n_es"),
+        markerCount(w, deM).as("n_de"), markerCount(w, frM).as("n_fr"))
+      val m = scored
+        .withColumn("top1",
+          greatest(col("n_en"), col("n_es"), col("n_de"), col("n_fr")))
+        .withColumn("top2", greatest(
+          least(col("n_en"), col("n_es")), least(col("n_en"), col("n_de")),
+          least(col("n_en"), col("n_fr")), least(col("n_es"), col("n_de")),
+          least(col("n_es"), col("n_fr")), least(col("n_de"), col("n_fr"))))
+        .withColumn("pred_lang",
+          when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de") &&
+            col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+            .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_fr") &&
+              col("n_es") > 0, "es")
+            .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+            .when(col("n_fr") > 0, "fr")
+            .otherwise("und"))
+      m.groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("top1") === 0 ||
+            (col("top1") - col("top2")) * 5 < col("top1"), 1L).otherwise(0L))
+            .as("n_ambiguous"),
+          sum(col("top1") - col("top2")).as("margin_sum"))
+        .orderBy("pred_lang")
+    },
+
+    GraftQuery(
+      "q182_source_signatures",
+      Some("""WITH t AS (
+             |  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+             |), grams AS (
+             |  SELECT source, w[i] || ' ' || w[i + 1] AS g
+             |  FROM t, unnest(range(1, len(w))) AS r(i)
+             |), per AS (
+             |  SELECT source, g, CAST(count(*) AS BIGINT) AS n
+             |  FROM grams GROUP BY source, g
+             |), tot AS (
+             |  SELECT source, CAST(sum(n) AS BIGINT) AS t FROM per GROUP BY source
+             |), top AS (
+             |  SELECT source, g, n,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY n DESC, g) AS rk
+             |  FROM per
+             |)
+             |SELECT top.source, top.g AS signature_bigram, top.n,
+             |       CAST(top.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+             |FROM top JOIN tot ON top.source = tot.source
+             |WHERE top.rk = 1
+             |ORDER BY top.source""".stripMargin),
+      "Source signature detection — each source's single most frequent " +
+        "bigram and its share of the source's bigram mass: a share far " +
+        "above the corpus norm means injected boilerplate (nav text, " +
+        "cookie banners, template headers) that q155's chunking or a " +
+        "targeted strip rule should remove before training. Per-source " +
+        "top-1 is a window over the (source, bigram) counts — partition-" +
+        "local, never global — and the share denominator joins back from " +
+        "a |sources|-row agg. At 100 TB the bigram count combines " +
+        "map-side and the signature table is |sources| rows — the " +
+        "input a boilerplate-strip rule engine actually takes."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, dir)
+        .select(col("source"), split(lower(col("text")), " ").as("w"))
+        .select(col("source"), explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val per = grams.groupBy("source", "g").agg(count(lit(1)).as("n"))
+      val tot = per.groupBy("source").agg(sum("n").as("t"))
+      per.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("g"))))
+        .filter(col("rk") === 1)
+        .join(broadcast(tot), "source")
+        .select(col("source"), col("g").as("signature_bigram"), col("n"),
+          expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy("source")
     }
   )
 

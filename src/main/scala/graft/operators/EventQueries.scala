@@ -995,6 +995,68 @@ object EventQueries {
           col("week_offset"), col("active_users"),
           expr("active_users * 1000000 div n0").as("retention_ppm"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    GraftQuery(
+      "q183_churn_labels",
+      Some("""WITH b AS (
+             |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+             |  FROM events
+             |), per AS (
+             |  -- observation window = first 97% of the span; label window =
+             |  -- the tail (q159's cut arithmetic; the tail is sized so
+             |  -- silence is a signal, not the base rate)
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN epoch_us(ts)
+             |                            < lo + (hi - lo) * 97 // 100
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+             |         CAST(sum(CASE WHEN epoch_us(ts)
+             |                            >= lo + (hi - lo) * 97 // 100
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_label
+             |  FROM events, b GROUP BY user_id
+             |)
+             |SELECT CAST(CASE WHEN n_label = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |         AS churned,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(n_obs) AS BIGINT) AS obs_events,
+             |       CAST((sum(n_obs) * 100 + count(*) // 2) // count(*)
+             |            AS BIGINT) AS avg_obs_hundredths
+             |FROM per WHERE n_obs > 0
+             |GROUP BY churned
+             |ORDER BY churned""".stripMargin),
+      "Churn label builder — the supervised-training-set shape: activity " +
+        "in the observation window (first 97% of the corpus span) is the " +
+        "feature, silence in the label window is the label, users unseen " +
+        "in observation are excluded (nothing to predict from). The " +
+        "window cut reuses q159's integer epoch-micros arithmetic; " +
+        "labels and features come out of ONE conditional aggregation " +
+        "per user — no second scan, no join between windows — and the " +
+        "class-balance audit (user counts and half-up mean activity per " +
+        "class, q69's integer-hundredths idiom) is what decides whether " +
+        "q166's class weights are needed downstream. At 100 TB: one " +
+        "user-keyed map-side-combined agg plus a 2-row census."
+    ) { (s, dir) =>
+      val b = Tables.events(s, dir)
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+      val per = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .crossJoin(broadcast(b))
+        .groupBy("user_id")
+        .agg(
+          sum(when(expr("us < lo + (hi - lo) * 97 div 100"), 1L)
+            .otherwise(0L)).as("n_obs"),
+          sum(when(expr("us >= lo + (hi - lo) * 97 div 100"), 1L)
+            .otherwise(0L)).as("n_label"))
+      per.filter(col("n_obs") > 0)
+        .select(when(col("n_label") === 0, 1L).otherwise(0L).as("churned"),
+          col("n_obs"))
+        .groupBy("churned")
+        .agg(count(lit(1)).as("n_users"), sum("n_obs").as("obs_events"))
+        .select(col("churned"), col("n_users"), col("obs_events"),
+          expr("(obs_events * 100 + n_users div 2) div n_users")
+            .as("avg_obs_hundredths"))
+        .orderBy("churned")
     }
   )
 }

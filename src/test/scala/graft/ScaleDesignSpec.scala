@@ -239,7 +239,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 3-row k-list + 1-row total broadcasts on a |classes| frame
       "q178_k_anonymity",
       // 1-row max-date broadcast on the |customers| frame
-      "q180_rfm_segments")
+      "q180_rfm_segments",
+      // 1-row span-bounds broadcast into the window-cut conditional agg
+      "q183_churn_labels")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
