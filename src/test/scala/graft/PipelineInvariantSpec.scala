@@ -88,4 +88,64 @@ class PipelineInvariantSpec extends SparkSpec {
       assert(r.getLong(3) === groups(r.getString(0)),
         "the keeper carries the group's maximum token count")
   }
+
+  test("q172 transition rows sum to ~1e6 ppm within each source type") {
+    val rows = SparkEntry.queries("q172_event_next_pairs")(spark, sf)
+      .collect().groupBy(_.getString(0))
+    for ((tpe, rs) <- rows) {
+      val total = rs.map(_.getLong(3)).sum
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"floor-rounded transition ppm for '$tpe' must fill the simplex")
+    }
+  }
+
+  test("q178 docs at risk can only grow as k grows") {
+    val rows = SparkEntry.queries("q178_k_anonymity")(spark, sf)
+      .orderBy("k").collect().map(_.getLong(2))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+      "a stricter k can never lower re-identification risk")
+  }
+
+  test("q179 every cohort is fully retained at offset zero") {
+    val rows = SparkEntry.queries("q179_retention_cohorts")(spark, sf)
+      .filter(col("week_offset") === 0).collect()
+    assert(rows.nonEmpty, "offset-0 rows must exist")
+    assert(rows.forall(_.getLong(3) === 1000000L),
+      "by definition the whole cohort is active in its first week")
+  }
+
+  test("q180 segments partition the customers and quartiles balance") {
+    val rows = SparkEntry.queries("q180_rfm_segments")(spark, sf).collect()
+    val total = rows.map(_.getLong(3)).sum
+    val buyers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(total === buyers, "every ordering customer lands in one segment")
+    for (dim <- 0 to 2) {
+      val per = rows.groupBy(_.getLong(dim)).view.mapValues(_.map(_.getLong(3)).sum)
+      assert(per.values.max - per.values.min <= 1,
+        s"ntile quartiles of dim $dim differ by at most one customer")
+    }
+  }
+
+  test("q183 churn classes partition the observed users") {
+    val rows = SparkEntry.queries("q183_churn_labels")(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val bounds = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    val cut = bounds.getLong(0) +
+      (bounds.getLong(1) - bounds.getLong(0)) * 97 / 100
+    val observed = Tables.events(spark, sf)
+      .filter(unix_micros(col("ts")) < cut)
+      .select("user_id").distinct().count()
+    assert(total === observed,
+      "every user with observation-window activity gets exactly one label")
+  }
+
+  test("q174 OOV mass shrinks (weakly) as the vocabulary cut grows") {
+    val rows = SparkEntry.queries("q174_vocab_prune_impact")(spark, sf)
+      .orderBy("cut_size").collect().map(_.getLong(2))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b },
+      "a larger vocabulary can never create more OOV tokens")
+  }
 }
