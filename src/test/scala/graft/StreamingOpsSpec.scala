@@ -353,4 +353,43 @@ class StreamingOpsSpec extends SparkSpec {
     // doc 4 fails the length gate — only doc 1 survives
     assert(kept.toSeq === Seq(1L))
   }
+
+  test("incremental dedup streams: anti-join vs static index + keyed admit-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+
+    // q160's shape run as a STREAM: arrivals dedup against a static
+    // digest-only index (stream-static LEFT ANTI join — the index side
+    // broadcasts, the stream never shuffles for it) and then against
+    // themselves across micro-batches (stateful dropDuplicates on the
+    // same canonical lead fingerprint).
+    val indexed = Seq("alpha beta gamma delta", "epsilon zeta eta theta")
+      .toDF("text")
+      .select(operators.DedupQueries.leadFingerprint.as("h"))
+    val arrivals = input.toDS().toDF("doc_id", "text")
+      .withColumn("h", operators.DedupQueries.leadFingerprint)
+    val admitted = arrivals
+      .join(broadcast(indexed), Seq("h"), "left_anti")
+      .dropDuplicates("h")
+
+    val q = admitted.select("doc_id").writeStream
+      .format("memory").queryName("incr_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 10 collides with the index (rejected), doc 11 is novel
+      input.addData((10L, "alpha beta gamma delta"),
+        (11L, "iota kappa lambda mu nu xi omicron pi rho"))
+      q.processAllAvailable()
+      // batch 2: doc 12 shares doc 11's first 8 words (cross-batch
+      // near-duplicate under the lead fingerprint), doc 13 is novel
+      input.addData((12L, "iota kappa lambda mu nu xi omicron pi sigma tau"),
+        (13L, "upsilon phi chi psi"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("incr_dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(11L, 13L),
+      "index hits are rejected, cross-batch same-key arrivals admit once")
+  }
 }
