@@ -25,6 +25,14 @@ object TextQueries {
       transform(split(str, ""), c => ascii(c).cast("long")),
       lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
 
+  /** [[base31Fold]] in the oracles' DuckDB dialect, over any string
+    * expression — q48/q155/q156/q168 interpolate this so a fold tweak
+    * moves every oracle together with the engine (the leadFingerprintSql
+    * discipline). */
+  private def base31FoldSql(inner: String): String =
+    s"list_reduce(list_transform(string_split($inner, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+
   /** q148's capped mixture weight — target/actual in ppm, actual floored
     * at 1 ppm (the q136 div-zero guard), capped at 10× — over a frame with
     * `tokens`, `tt` (corpus total) and `n_langs` in scope. ONE definition
@@ -107,13 +115,21 @@ object TextQueries {
             element_at(col("hw"), i + 2), element_at(col("hw"), i + 3))))).as("s"))
   }
 
+  /** Space-joined word bigrams of a token-array column — THE definition of
+    * "bigram" for the whole file (q64/q85 via [[bigrams]], q99, q157, q165,
+    * q182): a tokenization tweak applied to one copy would silently
+    * decouple the collocation, diversity and signature operators from the
+    * corpus n-gram statistics they claim to extend. */
+  private[graft] def bigramArray(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   private[graft] def bigrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(split(lower(col("text")), " ").as("w"))
-      .select(explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .select(explode(bigramArray(col("w"))).as("bigram"))
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -611,19 +627,14 @@ object TextQueries {
 
     GraftQuery(
       "q155_cdc_chunking",
-      Some("""WITH d AS (
-             |  -- empty-text guard mirrored from the Spark side (split of
-             |  -- '' is [] there, [''] here)
+      Some(s"""WITH d AS (
              |  SELECT doc_id, string_split(lower(text), ' ') AS w
-             |  FROM documents WHERE len(text) > 0
+             |  FROM documents
              |), t AS (
              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
              |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)
              |), h AS (
-             |  SELECT doc_id, pos,
-             |         list_reduce(list_transform(string_split(tok, ''),
-             |                                    c -> CAST(ascii(c) AS BIGINT)),
-             |                     (a, b) -> (a * 31 + b) % 1000000007) AS th
+             |  SELECT doc_id, pos, ${base31FoldSql("tok")} AS th
              |  FROM t
              |), c AS (
              |  SELECT doc_id, pos, th,
@@ -652,11 +663,10 @@ object TextQueries {
         "chunk length is the modulus (16), tunable per corpus."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      // empty-text guard on BOTH sides: Spark split('', ' ') is [] (zero
-      // rows) while DuckDB string_split('', ' ') is [''] (one row) — the
-      // symmetric predicate removes the divergence class outright
+      // NOTE: split('', ' ') is [''] on BOTH engines (one empty token) —
+      // verified empirically; show() renders [''] as [], which once made
+      // this look like a divergence. Empty texts tile as one ''-chunk.
       val toks = Tables.documents(s, dir)
-        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -677,12 +687,9 @@ object TextQueries {
 
     GraftQuery(
       "q156_corpus_digest",
-      Some("""WITH f AS (
+      Some(s"""WITH f AS (
              |  SELECT source,
-             |         list_reduce(list_transform(
-             |             string_split(substr(lower(text), 1, 64), ''),
-             |             c -> CAST(ascii(c) AS BIGINT)),
-             |           (a, b) -> (a * 31 + b) % 1000000007) AS fp
+             |         ${base31FoldSql("substr(lower(text), 1, 64)")} AS fp
              |  FROM documents
              |)
              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -713,13 +720,9 @@ object TextQueries {
 
     GraftQuery(
       "q48_fingerprint",
-      Some("""SELECT doc_id,
-             |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),
-             |                             c -> CAST(ascii(c) AS BIGINT)),
-             |              (a, b) -> (a * 31 + b) % 1000000007) AS fp,
-             |  list_reduce(list_transform(string_split(substr(lower(text), 1, 64), ''),
-             |                             c -> CAST(ascii(c) AS BIGINT)),
-             |              (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS shard
+      Some(s"""SELECT doc_id,
+             |  ${base31FoldSql("substr(lower(text), 1, 64)")} AS fp,
+             |  ${base31FoldSql("substr(lower(text), 1, 64)")} % 1024 AS shard
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
       "Rolling polynomial fingerprint (base-31 mod 1e9+7) over the head of " +
@@ -1803,12 +1806,11 @@ object TextQueries {
       val uni = t.select(explode(col("w")).as("u"))
       val ucnt = uni.groupBy("u").agg(count(lit(1)).as("c"))
       val tot = uni.agg(count(lit(1)).as("n"))
-      val pairs = t.select(explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("x"),
-            element_at(col("w"), i + 1).as("y"))))
-        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
+      // tokens cannot contain ' ' (space-split), so the shared bigram
+      // string splits back into its parts losslessly
+      val pairs = t.select(explode(bigramArray(col("w"))).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("x"),
+          substring_index(col("g"), " ", -1).as("y"))
       pairs.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
         .filter(col("n_xy") >= 5)
         .join(ucnt.select(col("u").as("x"), col("c").as("n_x")), "x")
@@ -2084,12 +2086,7 @@ object TextQueries {
       val b = Tables.documents(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .select(col("doc_id"), size(col("w")).cast("long").as("n"),
-          size(array_distinct(when(size(col("w")) >= 2,
-            transform(sequence(lit(1), size(col("w")) - 1),
-              i => concat_ws(" ", element_at(col("w"), i),
-                element_at(col("w"), i + 1))))
-            .otherwise(array().cast("array<string>"))))
-            .cast("long").as("db"))
+          size(array_distinct(bigramArray(col("w")))).cast("long").as("db"))
       b.select(col("doc_id"), col("n"),
         expr("db * 1000000 div greatest(n - 1, 1L)").as("difficulty_ppm"))
         .withColumn("stage",
@@ -2104,12 +2101,9 @@ object TextQueries {
 
     GraftQuery(
       "q168_shard_balance",
-      Some("""WITH f AS (
-             |  SELECT list_reduce(list_transform(
-             |           string_split(substr(lower(text), 1, 64), ''),
-             |           c -> CAST(ascii(c) AS BIGINT)),
-             |           (a, b) -> (a * 31 + b) % 1000000007) % 64 AS shard
-             |  FROM documents WHERE len(text) > 0
+      Some(s"""WITH f AS (
+             |  SELECT ${base31FoldSql("substr(lower(text), 1, 64)")} % 64 AS shard
+             |  FROM documents
              |), per AS (
              |  SELECT shard, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY shard
              |)
@@ -2133,7 +2127,6 @@ object TextQueries {
         "rows per partition."
     ) { (s, dir) =>
       val per = Tables.documents(s, dir)
-        .filter(length(col("text")) > 0)
         .select(pmod(base31Fold(substring(lower(col("text")), 1, 64)), lit(64L))
           .as("shard"))
         .groupBy("shard").agg(count(lit(1)).as("n"))
@@ -2489,11 +2482,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val grams = Tables.documents(s, dir)
         .select(col("source"), split(lower(col("text")), " ").as("w"))
-        .select(col("source"), explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i),
-              element_at(col("w"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("source"), explode(bigramArray(col("w"))).as("g"))
       val per = grams.groupBy("source", "g").agg(count(lit(1)).as("n"))
       val tot = per.groupBy("source").agg(sum("n").as("t"))
       per.withColumn("rk", row_number().over(

@@ -17,11 +17,7 @@ class CdcChunkingSpec extends SparkSpec {
       .agg(sum("n_tokens").as("tiled"),
         min("chunk_id").as("minc"), max("chunk_id").as("maxc"),
         count(lit(1)).as("nchunks"))
-    // q155 excludes empty texts by contract (Spark split('') is [], DuckDB
-    // [''] — the query guards the divergence symmetrically), so the tiling
-    // universe is the non-empty documents
     val docs = Tables.documents(spark, sf)
-      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         size(split(lower(col("text")), " ")).cast("long").as("n"))
     // the running-sum id starts at 1 when the very first token is itself a
