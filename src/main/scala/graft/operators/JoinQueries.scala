@@ -562,6 +562,117 @@ object JoinQueries {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q184_basket_affinity",
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |), n AS (
+             |  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob
+             |), per AS (
+             |  SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY b
+             |), pairs AS (
+             |  SELECT x.b AS brand_a, y.b AS brand_b,
+             |         CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+             |  GROUP BY x.b, y.b HAVING count(*) >= 20
+             |)
+             |SELECT p.brand_a, p.brand_b, p.n_ab, pa.nb AS n_a, pb.nb AS n_b,
+             |       CAST((p.n_ab * 1000000 // pa.nb) * n.n_orders // pb.nb
+             |            AS BIGINT) AS lift_ppm
+             |FROM pairs p
+             |JOIN per pa ON p.brand_a = pa.b
+             |JOIN per pb ON p.brand_b = pb.b, n
+             |ORDER BY lift_ppm DESC, brand_a, brand_b
+             |LIMIT 25""".stripMargin),
+      "Market-basket affinity — which part brands sell together: distinct " +
+        "(order, brand) pairs self-join WITHIN the order key (fan-out " +
+        "bounded by basket size, ~13 here — never a corpus cross join), " +
+        "support-floored before the dimension joins, lift computed with " +
+        "q157's two-step truncating division so both engines rank " +
+        "identically. This is q157's collocation algebra transplanted " +
+        "from token streams to transactions — same skeleton, same skew " +
+        "discipline (a mega-order would be capped the q39 MaxBucket way " +
+        "at scale). At 100 TB the orderkey self-join co-partitions with " +
+        "the scan and the HAVING prunes the pair tail before anything " +
+        "wide moves."
+    ) { (s, dir) =>
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val n = ob.select(countDistinct("o").as("n_orders"))
+      val per = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val pairs = ob.as("x")
+        .join(ob.as("y"), col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 20)
+      pairs
+        .join(per.select(col("b").as("brand_a"), col("nb").as("n_a")), "brand_a")
+        .join(per.select(col("b").as("brand_b"), col("nb").as("n_b")), "brand_b")
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("(n_ab * 1000000 div n_a) * n_orders div n_b").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
+        .limit(25)
+    },
+
+    GraftQuery(
+      "q185_supplier_hhi",
+      Some("""WITH q AS (
+             |  SELECT s_nationkey, l_suppkey,
+             |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY s_nationkey, l_suppkey
+             |), tot AS (
+             |  SELECT s_nationkey, CAST(sum(qty) AS BIGINT) AS t,
+             |         CAST(count(*) AS BIGINT) AS n_supp
+             |  FROM q GROUP BY s_nationkey
+             |)
+             |SELECT n.n_name,
+             |       tot.n_supp AS n_suppliers,
+             |       tot.t AS total_qty,
+             |       CAST(sum((q.qty * 1000000 // tot.t)
+             |                  * (q.qty * 1000000 // tot.t)) // 1000000
+             |            AS BIGINT) AS hhi_ppm
+             |FROM q
+             |JOIN tot ON q.s_nationkey = tot.s_nationkey
+             |JOIN nation n ON q.s_nationkey = n.n_nationkey
+             |GROUP BY n.n_name, tot.n_supp, tot.t
+             |ORDER BY n.n_name""".stripMargin),
+      "Supply concentration (Herfindahl index) — the single-point-of-" +
+        "failure audit: per nation, each supplier's share of shipped " +
+        "quantity in exact integer ppm, squared and summed into " +
+        "HHI (1e6 = monopoly, ~1e6/n = perfectly split). The shares " +
+        "truncate identically on both engines, so the index matches to " +
+        "the last ppm. Two stacked map-side-combined aggs (supplier " +
+        "totals, then nation rollup) plus a broadcast nation join; the " +
+        "same shape audits corpus-source concentration (swap supplier " +
+        "for q148's domains) — at 100 TB nothing here exceeds " +
+        "|suppliers| rows after the first agg."
+    ) { (s, dir) =>
+      val q = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val tot = q.groupBy("s_nationkey")
+        .agg(sum("qty").as("t"), count(lit(1)).as("n_supp"))
+      q.join(tot, "s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "n_supp", "t")
+        .agg(sum(expr("(qty * 1000000 div t) * (qty * 1000000 div t)"))
+          .as("hhi_raw"))
+        .select(col("n_name"), col("n_supp").as("n_suppliers"),
+          col("t").as("total_qty"),
+          expr("hhi_raw div 1000000").as("hhi_ppm"))
+        .orderBy("n_name")
     }
   )
 }

@@ -241,7 +241,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row max-date broadcast on the |customers| frame
       "q180_rfm_segments",
       // 1-row span-bounds broadcast into the window-cut conditional agg
-      "q183_churn_labels")
+      "q183_churn_labels",
+      // 1-row order-count broadcast into the lift projection
+      "q184_basket_affinity")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
