@@ -23,7 +23,8 @@ object SparkEntry {
       functions.TextQueries.all ++
       operators.AvroQueries.all ++
       operators.MultimodalQueries.all ++
-      operators.SqlQueries.all
+      operators.SqlQueries.all ++
+      operators.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own pipeline in batch form — Avro decode(encode(row))

@@ -1,0 +1,371 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classic warehouse-analytics shapes the TPC-H benchmark standardized —
+  * distribution-of-counts, conditional mix, share-of-total, decile/ABC
+  * classification, trend fitting, forensic digit audits and experiment
+  * readouts (SURVEY.md §2.2 "analytics shapes").
+  *
+  * Scale design: every query aggregates the fact table FIRST (map-side
+  * partial aggregation shrinks the wide move to |groups| rows) and runs its
+  * second-phase statistics — histograms, cumulative shares, regression
+  * algebra, chi-square contributions — on the tiny aggregate, where an
+  * unpartitioned window or a broadcast join is free. All derived ratios are
+  * integer ppm/milli via truncating division so DuckDB and Spark rank
+  * identically (the q157 discipline).
+  */
+object AnalyticsQueries {
+
+  /** Exact-cents revenue term shared by q188/q190: floor to integer cents
+    * BEFORE summing so the aggregate is order-independent (q103's rule). */
+  private val revCentsSql = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+  private def revCents = expr(revCentsSql)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q186_tpch_q13",
+      Some("""WITH pc AS (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey
+             |)
+             |SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+             |FROM pc GROUP BY c_count
+             |ORDER BY n_custs DESC, c_count DESC""".stripMargin),
+      "TPC-H Q13 (customer order-count distribution): the " +
+        "distribution-of-counts double aggregate. The left join keeps " +
+        "never-ordered customers (c_count=0 bucket — the point of Q13); " +
+        "the priority predicate filters the orders side BEFORE the join " +
+        "so Catalyst pushes it into the scan. One shuffle on custkey for " +
+        "the per-customer count, then the histogram groups |customers| " +
+        "rows down to ~max-orders-per-customer buckets — at 100 TB " +
+        "pre-aggregating orders per custkey before the join (q16's note) " +
+        "replaces the join shuffle with a co-partitioned merge."
+    ) { (s, dir) =>
+      val pc = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      pc.groupBy("c_count").agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("c_count").desc)
+    },
+
+    GraftQuery(
+      "q187_tpch_q12",
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "TPC-H Q12 shape (priority mix per ship month): CASE-inside-SUM " +
+        "conditional aggregation over the fact-fact join — the SLA audit " +
+        "('are urgent orders shipping on time?') every ops dashboard " +
+        "runs. lineitem⋈orders hashes on orderkey (both fact-sized, the " +
+        "one unavoidable wide move), the month truncation and both " +
+        "conditional counts fold in the map-side partial agg, so the " +
+        "final exchange carries |months|×3 values. The branch pair is " +
+        "complementary (high + low = count) — one pass, no second scan."
+    ) { (s, dir) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).as("high_cnt"),
+          sum(when(isHigh, 0).otherwise(1)).as("low_cnt"))
+        .orderBy("ship_month")
+    },
+
+    GraftQuery(
+      "q188_tpch_q14",
+      Some(s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+              |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revCentsSql
+              |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+              |       CAST(sum($revCentsSql) AS BIGINT) AS total_cents,
+              |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revCentsSql
+              |                     ELSE 0 END) * 1000000
+              |            // sum($revCentsSql) AS BIGINT) AS promo_ppm
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "TPC-H Q14 (promo revenue share): share-of-total with the " +
+        "numerator selected by a dimension attribute. part broadcasts so " +
+        "the fact never re-partitions for the brand lookup; revenue is " +
+        "floored to integer cents per row BEFORE the sum (order-" +
+        "independent — q103's rule), and the share is integer ppm by " +
+        "truncating division, identical on both engines. Numerator and " +
+        "denominator come out of the SAME single-pass aggregate — the " +
+        "naive two-query form scans the fact twice."
+    ) { (s, dir) =>
+      val promo = when(col("p_type").like("PROMO%"), revCents).otherwise(0L)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+        .agg(sum(promo).as("promo_cents"), sum(revCents).as("total_cents"))
+        .withColumn("promo_ppm", expr("promo_cents * 1000000 div total_cents"))
+        .orderBy("ship_month")
+    },
+
+    GraftQuery(
+      "q189_tpch_q22",
+      Some("""WITH bal AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             |         CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_pos
+             |  FROM customer WHERE c_acctbal > 0.0
+             |)
+             |SELECT c_nationkey AS nation_key,
+             |       CAST(count(*) AS BIGINT) AS n_custs,
+             |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM customer, bal
+             |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) * bal.n_pos > bal.s_pos
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin),
+      "TPC-H Q22 shape (wealthy lapsed customers): global-average " +
+        "threshold + anti join. The above-average test is exact integer " +
+        "algebra — cents·n > Σcents cross-multiplies away the division, " +
+        "so no float average ever exists to drift between engines. The " +
+        "1-row (n, Σ) frame broadcasts into the filter (never an " +
+        "unpartitioned window over the fact — that would single-" +
+        "partition it); 'lapsed' = no order in the final observed years, " +
+        "a LEFT ANTI hash join against the date-filtered orders (the " +
+        "recency predicate pushes into the orders scan — partition-" +
+        "prunable at 100 TB). Two scans of customer (one 1-row agg, one " +
+        "filtered pass) and one anti-join shuffle, all dimension-sized; " +
+        "the orders side prunes to (o_custkey, o_orderdate)."
+    ) { (s, dir) =>
+      val cents = expr("CAST(floor(c_acctbal * 100) AS BIGINT)")
+      val bal = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"), sum(cents).as("s_pos"))
+      Tables.customer(s, dir)
+        .crossJoin(broadcast(bal))
+        .filter(cents * col("n_pos") > col("s_pos"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("n_custs"), sum(cents).as("total_cents"))
+        .orderBy("nation_key")
+    },
+
+    GraftQuery(
+      "q190_pareto_abc",
+      Some(s"""WITH b AS (
+              |  SELECT p_brand, CAST(sum($revCentsSql) AS BIGINT) AS rev_cents
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  GROUP BY p_brand
+              |), c AS (
+              |  SELECT p_brand, rev_cents,
+              |         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |              AS BIGINT) AS cum_cents,
+              |         CAST(sum(rev_cents) OVER () AS BIGINT) AS tot_cents
+              |  FROM b
+              |)
+              |SELECT p_brand, rev_cents,
+              |       CAST(cum_cents * 1000000 // tot_cents AS BIGINT) AS cum_ppm,
+              |       CASE WHEN cum_cents * 1000000 // tot_cents <= 700000 THEN 'A'
+              |            WHEN cum_cents * 1000000 // tot_cents <= 900000 THEN 'B'
+              |            ELSE 'C' END AS abc_class
+              |FROM c ORDER BY cum_ppm, p_brand""".stripMargin),
+      "Pareto / ABC inventory classification: running-share-of-total " +
+        "banding (A = first 70% of revenue, B to 90%, C the tail). The " +
+        "fact collapses to |brands| rows in one map-side-combined " +
+        "aggregate FIRST; the cumulative window and the global total run " +
+        "unpartitioned over that post-agg frame — single-partition by " +
+        "construction and FINE, because |brands| is dimension-sized " +
+        "(bounded by the catalog, not the data). Cum share is integer " +
+        "ppm; the running sum is strictly increasing (cents > 0) so the " +
+        "(cum_ppm, brand) presentation order is total."
+    ) { (s, dir) =>
+      val b = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(revCents).as("rev_cents"))
+      val cum = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = b
+        .withColumn("cum_cents", sum("rev_cents").over(cum))
+        .withColumn("tot_cents",
+          sum("rev_cents").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cum_ppm", expr("cum_cents * 1000000 div tot_cents"))
+      c.select(col("p_brand"), col("rev_cents"), col("cum_ppm"),
+          when(col("cum_ppm") <= 700000, "A")
+            .when(col("cum_ppm") <= 900000, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy("cum_ppm", "p_brand")
+    },
+
+    GraftQuery(
+      "q191_trend_fit",
+      Some("""WITH pts AS (
+             |  SELECT c_mktsegment AS segment,
+             |         CAST(date_diff('day', DATE '1995-01-01',
+             |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             |         CAST(floor(o_totalprice) AS BIGINT) AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |), m AS (
+             |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM pts GROUP BY segment
+             |)
+             |SELECT segment, n,
+             |       CAST(sx // n AS BIGINT) AS mean_x_days,
+             |       CAST(sy // n AS BIGINT) AS mean_y_dollars,
+             |       CAST((n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000)
+             |            AS BIGINT) AS slope_milli
+             |FROM m ORDER BY segment""".stripMargin),
+      "Per-segment OLS trend fit (is order value drifting over time?): " +
+        "the regression reduces to five distributive sums (n, Σx, Σy, " +
+        "Σx², Σxy) — ONE map-side-combined aggregate over the fact, then " +
+        "the closed-form slope on |segments| rows. All integer: x is " +
+        "days since epoch-anchor (small, keeps Σxy in BIGINT range), y " +
+        "is floored dollars, and the slope divides cross-multiplied " +
+        "integer moments with the denominator pre-scaled (÷1000 → " +
+        "milli-dollars/day) so no product exceeds 2^63. Truncating " +
+        "division matches engines bit-for-bit, negative slopes truncate " +
+        "toward zero on both. The moments are exactly what q58 exposes " +
+        "as covar/var — this is the integer-exact, drift-free form."
+    ) { (s, dir) =>
+      val pts = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("y"))
+      pts.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("segment"), col("n"),
+          expr("sx div n").as("mean_x_days"),
+          expr("sy div n").as("mean_y_dollars"),
+          expr("(n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000)")
+            .as("slope_milli"))
+        .orderBy("segment")
+    },
+
+    GraftQuery(
+      "q192_benford_audit",
+      Some("""WITH o AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+             |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1
+             |), w AS (
+             |  SELECT digit, n,
+             |         CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS obs_ppm
+             |  FROM o
+             |), e AS (
+             |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             |                        (4, 96910), (5, 79181), (6, 66947),
+             |                        (7, 57992), (8, 51153), (9, 45757))
+             |         AS v(digit, exp_ppm)
+             |)
+             |SELECT w.digit, w.n, w.obs_ppm,
+             |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             |       CAST((w.obs_ppm - e.exp_ppm) * (w.obs_ppm - e.exp_ppm)
+             |            // e.exp_ppm AS BIGINT) AS chi2_ppm
+             |FROM w JOIN e ON w.digit = e.digit
+             |ORDER BY w.digit""".stripMargin),
+      "Benford first-digit audit (fraud/forensic data-quality check): " +
+        "leading digit via integer→string — no logarithms touch the " +
+        "data path; the nine Benford expectations are data-independent " +
+        "constants baked as a literal table (q44's precedent), summing " +
+        "to exactly 1000000 ppm. The fact collapses to ≤9 rows in one " +
+        "map-side-combined count; share and per-digit chi-square " +
+        "contribution are integer ppm over that post-agg frame (the " +
+        "unpartitioned window is 9 rows — dimension-sized, fine). The " +
+        "same shape audits token-frequency plausibility per corpus " +
+        "source at 100 TB: nothing wide moves but the digit histogram."
+    ) { (s, dir) =>
+      import s.implicits._
+      val benford = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+        5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+        .toDF("digit", "exp_ppm")
+        .select(col("digit").cast("long").as("digit"),
+          col("exp_ppm").cast("long").as("exp_ppm"))
+      val o = Tables.lineitem(s, dir)
+        .groupBy(expr("CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .agg(count(lit(1)).as("n"))
+      o.withColumn("tot",
+          sum("n").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("obs_ppm", expr("n * 1000000 div tot"))
+        .join(broadcast(benford), "digit")
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm")
+            .as("chi2_ppm"))
+        .orderBy("digit")
+    },
+
+    GraftQuery(
+      "q193_ab_readout",
+      Some("""WITH u AS (
+             |  SELECT user_id % 2 AS variant,
+             |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |         CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+             |                                  THEN user_id END) AS BIGINT) AS n_buyers,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 1000000) AS BIGINT)
+             |                       ELSE 0 END) AS BIGINT) AS purchase_micros,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_purchases
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT variant, n_users, n_buyers,
+             |       CAST(n_buyers * 1000000 // n_users AS BIGINT) AS conv_ppm,
+             |       n_purchases,
+             |       CAST(purchase_micros // greatest(n_purchases, 1) AS BIGINT)
+             |         AS avg_purchase_micros
+             |FROM u ORDER BY variant""".stripMargin),
+      "A/B experiment readout: deterministic variant assignment by user-id " +
+        "parity (in production: a salted hash — same row-local shape), " +
+        "then per-variant funnel stats in ONE aggregate — distinct users, " +
+        "distinct converters (the conditional count-distinct NULLs out " +
+        "non-purchases, both engines skip NULLs), purchase value in " +
+        "integer micros. Conversion is integer ppm; the average guards " +
+        "its divisor with greatest(n,1) (the q136 div-by-zero lesson — " +
+        "Spark NULLs, DuckDB raises). Two count-distincts expand the " +
+        "rows 2× before the shuffle, still one pass over events; at " +
+        "100 TB the expand carries (variant, user) pairs — bounded by " +
+        "|users|·2, and variant has no skew by construction."
+    ) { (s, dir) =>
+      val isPurchase = col("event_type") === "purchase"
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 2).as("variant"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(isPurchase, col("user_id"))).as("n_buyers"),
+          sum(when(isPurchase, expr("CAST(floor(value * 1000000) AS BIGINT)"))
+            .otherwise(0L)).as("purchase_micros"),
+          sum(when(isPurchase, 1L).otherwise(0L)).as("n_purchases"))
+        .select(col("variant"), col("n_users"), col("n_buyers"),
+          expr("n_buyers * 1000000 div n_users").as("conv_ppm"),
+          col("n_purchases"),
+          expr("purchase_micros div greatest(n_purchases, 1)")
+            .as("avg_purchase_micros"))
+        .orderBy("variant")
+    }
+  )
+}

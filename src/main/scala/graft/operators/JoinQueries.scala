@@ -587,33 +587,49 @@ object JoinQueries {
              |JOIN per pb ON p.brand_b = pb.b, n
              |ORDER BY lift_ppm DESC, brand_a, brand_b
              |LIMIT 25""".stripMargin),
-      "Market-basket affinity — which part brands sell together: distinct " +
-        "(order, brand) pairs self-join WITHIN the order key (fan-out " +
-        "bounded by basket size, ~13 here — never a corpus cross join), " +
-        "support-floored before the dimension joins, lift computed with " +
-        "q157's two-step truncating division so both engines rank " +
-        "identically. This is q157's collocation algebra transplanted " +
-        "from token streams to transactions — same skeleton, same skew " +
-        "discipline (a mega-order would be capped the q39 MaxBucket way " +
-        "at scale). At 100 TB the orderkey self-join co-partitions with " +
-        "the scan and the HAVING prunes the pair tail before anything " +
-        "wide moves."
+      "Market-basket affinity — which part brands sell together: ONE " +
+        "fact-side aggregation collects each order's sorted brand set " +
+        "(collect_set dedups in the partial agg, so the only wide move " +
+        "is lineitem⋈part hashing on orderkey once), then ordered pairs, " +
+        "per-brand supports and the order denominator all explode " +
+        "row-locally out of that basket column — fan-out bounded by " +
+        "basket²/2 (≤11 distinct brands per order here), never a corpus " +
+        "cross join, and the three statistics read the SAME aggregate so " +
+        "Spark's ReuseExchange materializes the fact scan once where the " +
+        "naive formulation (the oracle's pair self-join) scans it four " +
+        "times. Lift uses q157's two-step truncating division so both " +
+        "engines rank identically; a mega-basket would be capped the q39 " +
+        "MaxBucket way at scale before the quadratic explode."
     ) { (s, dir) =>
-      val ob = Tables.lineitem(s, dir)
+      val baskets = Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
-      val n = ob.select(countDistinct("o").as("n_orders"))
-      val per = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
-      val pairs = ob.as("x")
-        .join(ob.as("y"), col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 20)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      // one row per ordered brand pair (a<b via the sorted set), one per
+      // brand occurrence (b NULL), one per order (both NULL) — a single
+      // count aggregate then serves all three statistics
+      val stats = baskets
+        .select(explode(concat(
+          expr("flatten(transform(bs, (x, i) -> transform(" +
+            "slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"),
+          expr("transform(bs, x -> struct(x AS a, CAST(NULL AS STRING) AS b))"),
+          expr("array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b))")
+        )).as("t"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val pairs = stats
+        .filter(col("a").isNotNull && col("b").isNotNull && col("cnt") >= 20)
+        .select(col("a").as("brand_a"), col("b").as("brand_b"),
+          col("cnt").as("n_ab"))
+      val per = stats.filter(col("a").isNotNull && col("b").isNull)
+      val n = stats.filter(col("a").isNull)
+        .select(col("cnt").as("n_orders"))
       pairs
-        .join(per.select(col("b").as("brand_a"), col("nb").as("n_a")), "brand_a")
-        .join(per.select(col("b").as("brand_b"), col("nb").as("n_b")), "brand_b")
+        .join(broadcast(per.select(col("a").as("brand_a"), col("cnt").as("n_a"))),
+          "brand_a")
+        .join(broadcast(per.select(col("a").as("brand_b"), col("cnt").as("n_b"))),
+          "brand_b")
         .crossJoin(broadcast(n))
         .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
           col("n_b"),

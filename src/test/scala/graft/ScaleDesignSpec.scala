@@ -243,7 +243,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row span-bounds broadcast into the window-cut conditional agg
       "q183_churn_labels",
       // 1-row order-count broadcast into the lift projection
-      "q184_basket_affinity")
+      "q184_basket_affinity",
+      // 1-row (n_pos, s_pos) balance-average broadcast into the filter
+      "q189_tpch_q22")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
