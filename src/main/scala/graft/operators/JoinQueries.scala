@@ -587,50 +587,59 @@ object JoinQueries {
              |JOIN per pb ON p.brand_b = pb.b, n
              |ORDER BY lift_ppm DESC, brand_a, brand_b
              |LIMIT 25""".stripMargin),
-      "Market-basket affinity — which part brands sell together: ONE " +
-        "fact-side aggregation collects each order's sorted brand set " +
-        "(collect_set dedups in the partial agg, so the only wide move " +
-        "is lineitem⋈part hashing on orderkey once), then ordered pairs, " +
-        "per-brand supports and the order denominator all explode " +
-        "row-locally out of that basket column — fan-out bounded by " +
-        "basket²/2 (≤11 distinct brands per order here), never a corpus " +
-        "cross join, and the three statistics read the SAME aggregate so " +
-        "Spark's ReuseExchange materializes the fact scan once where the " +
-        "naive formulation (the oracle's pair self-join) scans it four " +
-        "times. Lift uses q157's two-step truncating division so both " +
-        "engines rank identically; a mega-basket would be capped the q39 " +
-        "MaxBucket way at scale before the quadratic explode."
+      "Market-basket affinity — which part brands sell together, in ONE " +
+        "pass over the fact: collect_set builds each order's sorted " +
+        "brand set (the only fact-sized exchange, hashing on orderkey), " +
+        "then two codegen Generates fan each element out against " +
+        "array_remove(bs, x) — every co-brand in BOTH directions — plus " +
+        "a 'SELF' support token and one 'ORDER' marker per basket " +
+        "(sentinels can't collide with 'Brand#…' values). No " +
+        "higher-order lambdas anywhere: an earlier transform/struct " +
+        "formulation spent 20× longer allocating per-element closures " +
+        "outside whole-stage codegen. One count aggregate over the " +
+        "token stream, then two windows on the |brands|²-sized result " +
+        "attach each direction's support (partition by first key — the " +
+        "a<b row carries n_a, the a>b row n_b) and the global order " +
+        "count; a final least/greatest regroup folds the directions " +
+        "together. The naive pair self-join (the oracle's formulation) " +
+        "scans the fact four times — filter pushdown below each " +
+        "branch's exchange defeats ReuseExchange, so the fix is " +
+        "structural, not a hint. Fan-out is basket²-bounded (≤11 " +
+        "distinct brands per order; a mega-basket would be capped the " +
+        "q39 MaxBucket way). Lift uses q157's two-step truncating " +
+        "division so both engines rank identically."
     ) { (s, dir) =>
       val baskets = Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-      // one row per ordered brand pair (a<b via the sorted set), one per
-      // brand occurrence (b NULL), one per order (both NULL) — a single
-      // count aggregate then serves all three statistics
-      val stats = baskets
-        .select(explode(concat(
-          expr("flatten(transform(bs, (x, i) -> transform(" +
-            "slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"),
-          expr("transform(bs, x -> struct(x AS a, CAST(NULL AS STRING) AS b))"),
-          expr("array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b))")
-        )).as("t"))
-        .groupBy(col("t.a").as("a"), col("t.b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val pairs = stats
-        .filter(col("a").isNotNull && col("b").isNotNull && col("cnt") >= 20)
-        .select(col("a").as("brand_a"), col("b").as("brand_b"),
-          col("cnt").as("n_ab"))
-      val per = stats.filter(col("a").isNotNull && col("b").isNull)
-      val n = stats.filter(col("a").isNull)
-        .select(col("cnt").as("n_orders"))
-      pairs
-        .join(broadcast(per.select(col("a").as("brand_a"), col("cnt").as("n_a"))),
-          "brand_a")
-        .join(broadcast(per.select(col("a").as("brand_b"), col("cnt").as("n_b"))),
-          "brand_b")
-        .crossJoin(broadcast(n))
+      val tokens = baskets
+        .select(col("bs"), posexplode(col("bs")))
+        .select(col("col").as("k1"), explode(concat(
+          expr("array_remove(bs, col)"),
+          array(lit("SELF")),
+          when(col("pos") === 0, array(lit("ORDER")))
+            .otherwise(array().cast("array<string>"))
+        )).as("k2"))
+      val counts = tokens.groupBy("k1", "k2").agg(count(lit(1)).as("cnt"))
+      val byFirst = Window.partitionBy(col("k1"))
+      val global = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      counts
+        .withColumn("n_first",
+          max(when(col("k2") === "SELF", col("cnt"))).over(byFirst))
+        .withColumn("n_all",
+          sum(when(col("k2") === "ORDER", col("cnt"))).over(global))
+        .filter(!col("k2").isin("SELF", "ORDER"))
+        .groupBy(least(col("k1"), col("k2")).as("brand_a"),
+          greatest(col("k1"), col("k2")).as("brand_b"))
+        .agg(
+          max(when(col("k1") < col("k2"), col("cnt"))).as("n_ab"),
+          max(when(col("k1") < col("k2"), col("n_first"))).as("n_a"),
+          max(when(col("k1") > col("k2"), col("n_first"))).as("n_b"),
+          max(col("n_all")).as("n_orders"))
+        .filter(col("n_ab") >= 20)
         .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
           col("n_b"),
           expr("(n_ab * 1000000 div n_a) * n_orders div n_b").as("lift_ppm"))

@@ -242,8 +242,6 @@ class ScaleDesignSpec extends SparkSpec {
       "q180_rfm_segments",
       // 1-row span-bounds broadcast into the window-cut conditional agg
       "q183_churn_labels",
-      // 1-row order-count broadcast into the lift projection
-      "q184_basket_affinity",
       // 1-row (n_pos, s_pos) balance-average broadcast into the filter
       "q189_tpch_q22")
     val udfOk = Set("q63_scalar_udf")
