@@ -24,7 +24,8 @@ object SparkEntry {
       operators.AvroQueries.all ++
       operators.MultimodalQueries.all ++
       operators.SqlQueries.all ++
-      operators.AnalyticsQueries.all
+      operators.AnalyticsQueries.all ++
+      operators.StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own pipeline in batch form — Avro decode(encode(row))

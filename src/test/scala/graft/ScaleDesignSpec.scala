@@ -243,7 +243,11 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row span-bounds broadcast into the window-cut conditional agg
       "q183_churn_labels",
       // 1-row (n_pos, s_pos) balance-average broadcast into the filter
-      "q189_tpch_q22")
+      "q189_tpch_q22",
+      // 1-row (n, total) broadcast into the CUSUM closed form
+      "q195_cusum_changepoint",
+      // 1-row doubled-median broadcast into the deviation projection
+      "q197_zipf_check")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
