@@ -83,13 +83,13 @@ object TextQueries {
       |)""".stripMargin
 
   /** Count of tokens of `w` that appear in the marker list. */
-  private def markerCount(w: Column, markers: Seq[String]): Column =
+  private[graft] def markerCount(w: Column, markers: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(markers))).cast("long")
 
-  private val enM = Seq("the", "a", "and", "of")
-  private val esM = Seq("el", "la", "de", "y")
-  private val deM = Seq("der", "die", "das", "und")
-  private val frM = Seq("le", "la", "et", "les")
+  private[graft] val enM = Seq("the", "a", "and", "of")
+  private[graft] val esM = Seq("el", "la", "de", "y")
+  private[graft] val deM = Seq("der", "die", "das", "und")
+  private[graft] val frM = Seq("le", "la", "et", "les")
 
   /** Bigram stream of `documents.text` — ONE definition shared by q64
     * (exact counts), q85 (Misra-Gries sketch) and the MG-bound spec that

@@ -312,6 +312,278 @@ object StatQueries {
           min("pos_ppm").as("min_pos_ppm"), max("pos_ppm").as("max_pos_ppm"))
         .orderBy(col("n_occ").desc, col("token"))
         .limit(15)
+    },
+
+    GraftQuery(
+      "q201_langid_eval",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
+             |), scored AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) n_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','y'], x)))   n_es,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) n_de,
+             |    len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) n_fr
+             |  FROM t
+             |), pred AS (
+             |  SELECT lang AS true_lang,
+             |    CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+             |         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+             |         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+             |         WHEN n_fr > 0 THEN 'fr'
+             |         ELSE 'und' END AS pred_lang
+             |  FROM scored
+             |), cell AS (
+             |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM pred GROUP BY 1, 2
+             |)
+             |SELECT true_lang, pred_lang, n,
+             |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY true_lang)
+             |            AS BIGINT) AS recall_ppm,
+             |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY pred_lang)
+             |            AS BIGINT) AS precision_ppm
+             |FROM cell
+             |ORDER BY true_lang, pred_lang""".stripMargin),
+      "Classifier evaluation as an operator: the q45 language-ID " +
+        "predictor scored against the corpus's ground-truth label in " +
+        "one pass — confusion cells plus row-normalized (recall) and " +
+        "column-normalized (precision) ppm, so the diagonal reads both " +
+        "metrics directly and off-diagonal cells name the confusion " +
+        "pairs. The fact-sized work is exactly q45's row-local marker " +
+        "fold; the matrix is |langs|² rows, where the two marginal " +
+        "windows cost nothing. Every ML-data pipeline needs this loop " +
+        "— predict, cross-tabulate, normalize — and it is all " +
+        "declarative: no collect, no driver-side sklearn."
+    ) { (s, dir) =>
+      import graft.functions.TextQueries.{markerCount, enM, esM, deM, frM}
+      val w = split(lower(col("text")), " ")
+      val scored = Tables.documents(s, dir).select(
+        col("lang"),
+        markerCount(w, enM).as("n_en"), markerCount(w, esM).as("n_es"),
+        markerCount(w, deM).as("n_de"), markerCount(w, frM).as("n_fr"))
+      val pred = scored.select(col("lang").as("true_lang"),
+        when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de") &&
+          col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_fr") &&
+            col("n_es") > 0, "es")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+      pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("n_true", sum("n").over(Window.partitionBy("true_lang")))
+        .withColumn("n_pred", sum("n").over(Window.partitionBy("pred_lang")))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 div n_true").as("recall_ppm"),
+          expr("n * 1000000 div n_pred").as("precision_ppm"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    GraftQuery(
+      "q202_join_fanout_profile",
+      Some("""WITH f AS (
+             |  SELECT 'lineitem->orders' AS rel, l_orderkey AS k FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem->part', l_partkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders->customer', o_custkey FROM orders
+             |), per AS (
+             |  SELECT rel, k, CAST(count(*) AS BIGINT) AS fanout
+             |  FROM f GROUP BY rel, k
+             |)
+             |SELECT rel, CAST(length(bin(fanout)) AS BIGINT) AS width,
+             |       CAST(count(*) AS BIGINT) AS n_keys,
+             |       CAST(sum(fanout) AS BIGINT) AS rows_covered,
+             |       CAST(max(fanout) AS BIGINT) AS max_fanout
+             |FROM per GROUP BY rel, width
+             |ORDER BY rel, width""".stripMargin),
+      "Join-fanout profiling — the statistic that DECIDES broadcast vs " +
+        "shuffle vs salting for every join in this catalog: per foreign " +
+        "key, the per-key row count, bucketed by power-of-two width " +
+        "(floor(log2)+1 via the bit length of the binary string — no " +
+        "logarithms), with keys/rows/max per bucket. A relationship " +
+        "whose top bucket holds most rows is a skew-salting candidate " +
+        "(q59); one whose key count is tiny is a broadcast candidate. " +
+        "Each branch scans ONE key column (column-pruned), the per-key " +
+        "count combines map-side, and the bucket rollup is " +
+        "|keys|-sized. The union of three profiles shares one plan — " +
+        "at 100 TB this runs as the nightly stats job feeding the " +
+        "optimizer's own decisions."
+    ) { (s, dir) =>
+      val f = Tables.lineitem(s, dir)
+        .select(lit("lineitem->orders").as("rel"), col("l_orderkey").as("k"))
+        .unionAll(Tables.lineitem(s, dir)
+          .select(lit("lineitem->part").as("rel"), col("l_partkey").as("k")))
+        .unionAll(Tables.orders(s, dir)
+          .select(lit("orders->customer").as("rel"), col("o_custkey").as("k")))
+      f.groupBy("rel", "k").agg(count(lit(1)).as("fanout"))
+        .groupBy(col("rel"), length(bin(col("fanout"))).cast("long").as("width"))
+        .agg(count(lit(1)).as("n_keys"), sum("fanout").as("rows_covered"),
+          max("fanout").as("max_fanout"))
+        .orderBy("rel", "width")
+    },
+
+    GraftQuery(
+      "q203_hierarchy_share",
+      Some("""WITH rn AS (
+             |  SELECT r_name, n_name,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                       AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem
+             |  JOIN orders   ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation   ON c_nationkey = n_nationkey
+             |  JOIN region   ON n_regionkey = r_regionkey
+             |  GROUP BY r_name, n_name
+             |)
+             |SELECT r_name, n_name, rev_cents,
+             |       CAST(rev_cents * 1000000 // sum(rev_cents) OVER (PARTITION BY r_name)
+             |            AS BIGINT) AS share_of_region_ppm,
+             |       CAST(sum(rev_cents) OVER (PARTITION BY r_name) * 1000000
+             |            // sum(rev_cents) OVER () AS BIGINT) AS region_share_ppm
+             |FROM rn ORDER BY r_name, n_name""".stripMargin),
+      "Hierarchical percent-of-parent rollup (nation share of region, " +
+        "region share of world) — the drill-down tree every revenue " +
+        "dashboard renders. One star-join aggregate collapses the fact " +
+        "to |nations| rows (dims broadcast, q15's plan); both share " +
+        "levels are windows OVER THAT 25-row frame — the region " +
+        "partition and the global frame cost nothing post-agg, and " +
+        "integer-cents revenue with ppm truncating division keeps " +
+        "every level cross-engine exact. Contrast q143 (one-level " +
+        "ratio-to-report): the two-level form needs no self-join " +
+        "either — shares at every level of a hierarchy are stacked " +
+        "windows, not joins."
+    ) { (s, dir) =>
+      val rn = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("rev_cents"))
+      val byRegion = Window.partitionBy("r_name")
+      val global = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      rn.withColumn("region_cents", sum("rev_cents").over(byRegion))
+        .withColumn("total_cents", sum("rev_cents").over(global))
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          expr("rev_cents * 1000000 div region_cents").as("share_of_region_ppm"),
+          expr("region_cents * 1000000 div total_cents").as("region_share_ppm"))
+        .orderBy("r_name", "n_name")
+    },
+
+    GraftQuery(
+      "q204_regression_eval",
+      Some("""WITH pts AS (
+             |  SELECT c_mktsegment AS segment,
+             |         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |), m AS (
+             |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(y) AS BIGINT) AS s
+             |  FROM pts GROUP BY segment
+             |)
+             |SELECT pts.segment, max(m.n) AS n,
+             |       CAST(max(m.s) // max(m.n) AS BIGINT) AS mean_cents,
+             |       CAST(sum(abs(m.n * pts.y - m.s)) // (max(m.n) * max(m.n))
+             |            AS BIGINT) AS mae_cents,
+             |       CAST(max(abs(m.n * pts.y - m.s)) // max(m.n) AS BIGINT)
+             |         AS max_abs_resid_cents
+             |FROM pts JOIN m ON pts.segment = m.segment
+             |GROUP BY pts.segment
+             |ORDER BY pts.segment""".stripMargin),
+      "Regression-model evaluation (MAE / worst residual) for the " +
+        "simplest model — predict every order at its segment mean — " +
+        "the baseline any learned model must beat and the same metric " +
+        "plumbing that scores it. Exactness trick: the residual " +
+        "y − S/n is kept as the integer n·y − S (q189's cross-" +
+        "multiplication), so MAE = Σ|n·y − S| / n² needs no float " +
+        "mean and truncates identically on both engines. Two passes " +
+        "by necessity (a mean-relative metric cannot be one " +
+        "distributive aggregate): pass 1 is |segments| rows broadcast " +
+        "back into pass 2's map side — the fact shuffles once per " +
+        "pass on the segment key, nothing else moves. At 100 TB the " +
+        "pass-1 result would persist as the model table."
+    ) { (s, dir) =>
+      val pts = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+      val m = pts.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"))
+      pts.join(broadcast(m), "segment")
+        .groupBy("segment")
+        .agg(max("n").as("n"),
+          expr("CAST(max(s) div max(n) AS BIGINT)").as("mean_cents"),
+          expr("CAST(sum(abs(n * y - s)) div (max(n) * max(n)) AS BIGINT)")
+            .as("mae_cents"),
+          expr("CAST(max(abs(n * y - s)) div max(n) AS BIGINT)")
+            .as("max_abs_resid_cents"))
+        .orderBy("segment")
+    },
+
+    GraftQuery(
+      "q205_ltv_curve",
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             |         CAST(floor(value * 1000000) AS BIGINT) AS micros
+             |  FROM events WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT user_id, wk, micros,
+             |         min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+             |  FROM p
+             |), a AS (
+             |  SELECT cohort_wk,
+             |         CAST(date_diff('day', cohort_wk, wk) AS BIGINT) // 7 AS age_wk,
+             |         CAST(sum(micros) AS BIGINT) AS week_micros
+             |  FROM c GROUP BY 1, 2
+             |), u AS (
+             |  SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM c GROUP BY 1
+             |)
+             |SELECT a.cohort_wk, a.age_wk, u.n_users, a.week_micros,
+             |       CAST(sum(a.week_micros) OVER (PARTITION BY a.cohort_wk
+             |            ORDER BY a.age_wk ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND CURRENT ROW) // u.n_users AS BIGINT)
+             |         AS cum_micros_per_user
+             |FROM a JOIN u ON a.cohort_wk = u.cohort_wk
+             |ORDER BY a.cohort_wk, a.age_wk""".stripMargin),
+      "Cohort LTV curve — the money complement to q179's retention " +
+        "matrix: users cohorted by first-purchase week, revenue " +
+        "accumulated per cohort-age and normalized per cohort user in " +
+        "integer micros. The cohort key is a window min over the " +
+        "user partitioning (one exchange on user_id), then the curve " +
+        "lives entirely on the |cohorts|×|ages| aggregate, where the " +
+        "running sum is a per-cohort window. The cohort-size branch " +
+        "re-reads the purchase slice (count distinct needs its own " +
+        "grain — Spark windows can't COUNT DISTINCT); at 100 TB the " +
+        "cohorted slice would be materialized once and both " +
+        "aggregates read it — the q81-labels discipline, noted here " +
+        "rather than hidden."
+    ) { (s, dir) =>
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("micros"))
+      val c = p.withColumn("cohort_wk",
+        min("wk").over(Window.partitionBy("user_id")))
+      val a = c.groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")).cast("long") / 7)
+            .cast("long").as("age_wk"))
+        .agg(sum("micros").as("week_micros"))
+      val u = c.groupBy("cohort_wk")
+        .agg(countDistinct("user_id").as("n_users"))
+      val curve = Window.partitionBy("cohort_wk").orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.join(broadcast(u), "cohort_wk")
+        .withColumn("cum_micros", sum("week_micros").over(curve))
+        .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+          col("week_micros"),
+          expr("cum_micros div n_users").as("cum_micros_per_user"))
+        .orderBy("cohort_wk", "age_wk")
     }
   )
 }
