@@ -21,12 +21,12 @@ object SimilarityQueries {
 
   /** (vec_id, v: array<double>, nrm) — norm computed once per vector via the
     * codegen'd native dot-product expression (VectorExpressions.scala). */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private[operators] def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
 
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[operators] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dotd(va, vb) / (na * nb)
 
   /** (vec_id, v, nrm, cd): [[normed]] plus q84's per-dimension min-max int8
@@ -959,6 +959,132 @@ object SimilarityQueries {
             < lit(1000L) * col("n") * col("n"), 1L).otherwise(0L)
             .cast("long").as("dead"))
         .orderBy("dim")
+    },
+
+    GraftQuery(
+      "q209_hybrid_rrf",
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+             |), nn AS (
+             |  SELECT vec_id, v,
+             |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+             |  FROM e
+             |), q AS (
+             |  SELECT * FROM nn WHERE vec_id = 0
+             |), sc AS (
+             |  SELECT a.vec_id doc_id,
+             |         list_reduce(list_transform(range(1, len(q.v)+1),
+             |                                    i -> q.v[i] * a.v[i]),
+             |                     (x,y) -> x+y) / (q.nrm * a.nrm) c
+             |  FROM nn a, q WHERE a.vec_id <> 0
+             |), cr AS (
+             |  SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT) cos_rank
+             |  FROM sc QUALIFY cos_rank <= 30
+             |), docs AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             |         string_split(text, ' ') AS w
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(dl) AS BIGINT) AS tot
+             |  FROM docs
+             |), tf AS (
+             |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM docs, unnest(w) AS t(term)
+             |  WHERE term IN ('spark', 'vector', 'stream')
+             |  GROUP BY doc_id, dl, term
+             |), dfreq AS (
+             |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), scored AS (
+             |  SELECT doc_id,
+             |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+             |              * (CAST(tf AS DOUBLE) * 2.2)
+             |              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+             |              * 1000000.0) AS BIGINT) AS sc
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+             |), bm AS (
+             |  SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score_micros
+             |  FROM scored GROUP BY doc_id
+             |), br AS (
+             |  SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+             |              AS BIGINT) bm25_rank
+             |  FROM bm QUALIFY bm25_rank <= 30
+             |)
+             |SELECT coalesce(cr.doc_id, br.doc_id) AS doc_id,
+             |       CAST(coalesce(br.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+             |       CAST(coalesce(cr.cos_rank, 0) AS BIGINT) AS cos_rank,
+             |       CAST(coalesce(1000000 // (60 + br.bm25_rank), 0)
+             |            + coalesce(1000000 // (60 + cr.cos_rank), 0) AS BIGINT)
+             |         AS rrf_ppm
+             |FROM cr FULL OUTER JOIN br ON cr.doc_id = br.doc_id
+             |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin),
+      "Hybrid retrieval via reciprocal-rank fusion — the RAG-stack " +
+        "staple: q113's lexical BM25 ranking and q43's dense cosine " +
+        "ranking (query = doc 0's embedding, aligned vec_id↔doc_id) " +
+        "fused by RRF(60) entirely in integers — 1e6//(60+rank) needs " +
+        "no score normalization across incomparable scales, which is " +
+        "the whole reason RRF won in production. Each arm keeps its " +
+        "own scale shape: the BM25 arm moves only the 3 query terms' " +
+        "postings, the dense arm broadcasts the 1-row query vector " +
+        "and takes top-30 via the q43 salted two-phase heap (never a " +
+        "global per-query sort of the corpus); the fusion is a " +
+        "FULL OUTER join of two ≤30-row frames — absence in one arm " +
+        "is rank 0, contributing nothing. Both arms' rank orders are " +
+        "already oracle-proven deterministic (q113 integer micros, " +
+        "q43 IEEE-identical cosine), so the fused list replays " +
+        "exactly in SQL."
+    ) { (s, dir) =>
+      val nf = normed(s, dir)
+      val q0 = nf.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val sc = nf.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      val salted = Window.partitionBy(pmod(col("doc_id"), lit(64)))
+        .orderBy(col("c").desc, col("doc_id"))
+      val cr = sc.withColumn("rk1", row_number().over(salted))
+        .filter(col("rk1") <= 30)
+        .withColumn("cos_rank",
+          row_number().over(Window.orderBy(col("c").desc, col("doc_id"))).cast("long"))
+        .filter(col("cos_rank") <= 30)
+        .select(col("doc_id"), col("cos_rank"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          split(col("text"), " ").as("w"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin("spark", "vector", "stream"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val bm = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          floor((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+                / (col("tot").cast("double") / col("n_docs"))))
+            * lit(1000000.0)).as("sc"))
+        .groupBy("doc_id")
+        .agg(sum("sc").as("score_micros"))
+      val br = bm.withColumn("bm25_rank",
+          row_number().over(Window.orderBy(col("score_micros").desc,
+            col("doc_id"))).cast("long"))
+        .filter(col("bm25_rank") <= 30)
+        .select(col("doc_id").as("b_doc_id"), col("bm25_rank"))
+      cr.join(br, col("doc_id") === col("b_doc_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("b_doc_id")).as("doc_id"),
+          coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+          coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+          (coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + cos_rank)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+        .limit(15)
     }
   )
 }

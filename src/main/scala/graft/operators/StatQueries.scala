@@ -584,6 +584,178 @@ object StatQueries {
           col("week_micros"),
           expr("cum_micros div n_users").as("cum_micros_per_user"))
         .orderBy("cohort_wk", "age_wk")
+    },
+
+    GraftQuery(
+      "q206_winsorized_stats",
+      Some("""WITH x AS (
+             |  SELECT l_returnflag AS flag,
+             |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             |         l_orderkey, l_linenumber
+             |  FROM lineitem
+             |), r AS (
+             |  SELECT flag, cents,
+             |         CAST(row_number() OVER (PARTITION BY flag
+             |              ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS rk,
+             |         CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM x
+             |), capped AS (
+             |  SELECT flag, cents, n,
+             |         max(CASE WHEN rk = (n * 5 + 99) // 100 THEN cents END)
+             |           OVER (PARTITION BY flag) AS lo_cap,
+             |         max(CASE WHEN rk = (n * 95 + 99) // 100 THEN cents END)
+             |           OVER (PARTITION BY flag) AS hi_cap
+             |  FROM r
+             |)
+             |SELECT flag, max(n) AS n, max(lo_cap) AS lo_cap_cents,
+             |       max(hi_cap) AS hi_cap_cents,
+             |       CAST(sum(least(greatest(cents, lo_cap), hi_cap)) // max(n)
+             |            AS BIGINT) AS winsor_mean_cents,
+             |       CAST(sum(CASE WHEN cents < lo_cap OR cents > hi_cap
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+             |FROM capped GROUP BY flag ORDER BY flag""".stripMargin),
+      "Winsorized robust statistics (clip at p05/p95, then aggregate) — " +
+        "the outlier treatment q141 detects, applied: the caps are " +
+        "ORDER STATISTICS, not interpolated quantiles — rank " +
+        "ceil(0.05·n)/ceil(0.95·n) under a total order (cents, " +
+        "orderkey, linenumber), so both engines pick the identical cap " +
+        "row with zero float interpolation to drift. One sort per " +
+        "group serves the rank window, the group count, and both " +
+        "conditional cap broadcasts (windows over the same partition " +
+        "reuse the exchange); clamp and clipped-count are then " +
+        "row-local into a final map-side agg. This exact form holds " +
+        "each group's partition in one task — the honest 100 TB path " +
+        "swaps the rank caps for q73's approx_percentile exactly as " +
+        "q141b does for q141; same plan otherwise."
+    ) { (s, dir) =>
+      val byFlag = Window.partitionBy("flag")
+      val r = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rk", row_number().over(
+          byFlag.orderBy("cents", "l_orderkey", "l_linenumber")).cast("long"))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      val capped = r
+        .withColumn("lo_cap",
+          max(when(col("rk") === expr("(n * 5 + 99) div 100"), col("cents")))
+            .over(byFlag))
+        .withColumn("hi_cap",
+          max(when(col("rk") === expr("(n * 95 + 99) div 100"), col("cents")))
+            .over(byFlag))
+      capped.groupBy("flag")
+        .agg(max("n").as("n"), max("lo_cap").as("lo_cap_cents"),
+          max("hi_cap").as("hi_cap_cents"),
+          expr("CAST(sum(least(greatest(cents, lo_cap), hi_cap)) div max(n) AS BIGINT)")
+            .as("winsor_mean_cents"),
+          sum(when(col("cents") < col("lo_cap") ||
+            col("cents") > col("hi_cap"), 1L).otherwise(0L)).as("n_clipped"))
+        .orderBy("flag")
+    },
+
+    GraftQuery(
+      "q207_fulfillment_latency",
+      Some("""WITH l AS (
+             |  SELECT o_orderpriority AS priority,
+             |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |)
+             |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(lag_days) // count(*) AS BIGINT) AS mean_days,
+             |       CAST(max(lag_days) AS BIGINT) AS max_days,
+             |       CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END)
+             |            * 1000000 // count(*) AS BIGINT) AS within_week_ppm,
+             |       CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+             |            * 1000000 // count(*) AS BIGINT) AS over_month_ppm
+             |FROM l GROUP BY priority ORDER BY priority""".stripMargin),
+      "Order-to-ship latency SLA report per priority class: the lag is " +
+        "integer days (both engines' date_diff agrees exactly — no " +
+        "timestamp arithmetic), and mean plus both SLA-bucket shares " +
+        "fold into ONE map-side-combined aggregate over the " +
+        "lineitem⋈orders join — the orderkey exchange is the only wide " +
+        "move, the output is |priorities| rows. The operational " +
+        "question ('do urgent orders actually ship faster?') joins " +
+        "q187's mix audit; at 100 TB the date predicate columns prune " +
+        "to two fields and the agg state is five longs per class."
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(lag_days) div count(1) AS BIGINT)").as("mean_days"),
+          max("lag_days").as("max_days"),
+          expr("CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END) * 1000000" +
+            " div count(1) AS BIGINT)").as("within_week_ppm"),
+          expr("CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END) * 1000000" +
+            " div count(1) AS BIGINT)").as("over_month_ppm"))
+        .orderBy("priority")
+    },
+
+    GraftQuery(
+      "q208_fd_discovery",
+      Some("""WITH cand AS (
+             |  SELECT 'part.brand->type' AS fd,
+             |         CAST(count(DISTINCT p_brand) AS BIGINT) AS n_lhs,
+             |         CAST(count(DISTINCT (p_brand, p_type)) AS BIGINT) AS n_pairs
+             |  FROM part
+             |  UNION ALL
+             |  SELECT 'part.type->brand',
+             |         CAST(count(DISTINCT p_type) AS BIGINT),
+             |         CAST(count(DISTINCT (p_type, p_brand)) AS BIGINT)
+             |  FROM part
+             |  UNION ALL
+             |  SELECT 'supplier.suppkey->nationkey',
+             |         CAST(count(DISTINCT s_suppkey) AS BIGINT),
+             |         CAST(count(DISTINCT (s_suppkey, s_nationkey)) AS BIGINT)
+             |  FROM supplier
+             |  UNION ALL
+             |  SELECT 'orders.custkey->priority',
+             |         CAST(count(DISTINCT o_custkey) AS BIGINT),
+             |         CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'customer.nationkey->mktsegment',
+             |         CAST(count(DISTINCT c_nationkey) AS BIGINT),
+             |         CAST(count(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT)
+             |  FROM customer
+             |)
+             |SELECT fd, n_lhs, n_pairs,
+             |       CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS holds,
+             |       CAST((n_pairs - n_lhs) * 1000000 // n_lhs AS BIGINT)
+             |         AS violation_ppm
+             |FROM cand ORDER BY fd""".stripMargin),
+      "Functional-dependency discovery (TANE's core test, declarative): " +
+        "A→B holds iff |distinct A| = |distinct (A,B)| — two " +
+        "count-distincts per candidate, violation strength in ppm of " +
+        "extra right-hand values. This is how a profiler finds real " +
+        "keys, denormalization opportunities and dirty dimension " +
+        "columns without any pairwise comparison. Each candidate scans " +
+        "only its two columns (pruned scan, distinct aggregates expand " +
+        "map-side); candidates union into one plan and never join. At " +
+        "100 TB exact NDV swaps for the q05 HLL sketch per the q115 " +
+        "note — the identity test becomes a sketch-equality test with " +
+        "stated error."
+    ) { (s, dir) =>
+      def cand(fd: String, df: org.apache.spark.sql.DataFrame,
+               a: String, b: String) =
+        df.agg(countDistinct(col(a)).as("n_lhs"),
+            countDistinct(col(a), col(b)).as("n_pairs"))
+          .select(lit(fd).as("fd"), col("n_lhs"), col("n_pairs"))
+      cand("part.brand->type", Tables.part(s, dir), "p_brand", "p_type")
+        .unionAll(cand("part.type->brand", Tables.part(s, dir), "p_type", "p_brand"))
+        .unionAll(cand("supplier.suppkey->nationkey", Tables.supplier(s, dir),
+          "s_suppkey", "s_nationkey"))
+        .unionAll(cand("orders.custkey->priority", Tables.orders(s, dir),
+          "o_custkey", "o_orderpriority"))
+        .unionAll(cand("customer.nationkey->mktsegment", Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"))
+        .select(col("fd"), col("n_lhs"), col("n_pairs"),
+          when(col("n_pairs") === col("n_lhs"), 1).otherwise(0).as("holds"),
+          expr("(n_pairs - n_lhs) * 1000000 div n_lhs").as("violation_ppm"))
+        .orderBy("fd")
     }
   )
 }

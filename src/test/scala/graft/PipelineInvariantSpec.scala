@@ -148,4 +148,123 @@ class PipelineInvariantSpec extends SparkSpec {
     assert(rows.zip(rows.tail).forall { case (a, b) => a >= b },
       "a larger vocabulary can never create more OOV tokens")
   }
+
+  test("q184 pair support never exceeds either brand support or the universe") {
+    val rows = SparkEntry.queries("q184_basket_affinity")(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nAb, nA, nB, nOrd) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, "pairs are emitted in canonical brand order")
+      assert(nAb <= math.min(nA, nB),
+        "co-occurrence cannot exceed either marginal support")
+      assert(math.max(nA, nB) <= nOrd,
+        "no brand appears in more orders than exist")
+    }
+  }
+
+  test("q190 cumulative share is monotone, ends at exactly 1e6, classes ordered") {
+    val rows = SparkEntry.queries("q190_pareto_abc")(spark, sf)
+      .orderBy("cum_ppm", "p_brand").collect()
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y })
+    assert(cums.last === 1000000L,
+      "the final running share is the whole, exactly (cum = tot)")
+    val classes = rows.map(_.getString(3))
+    assert(classes.mkString.matches("A+B*C*"),
+      "ABC bands appear in order along the cumulative curve")
+  }
+
+  test("q194 EWMA is a convex combination of the user's event values") {
+    val bounds = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("lo"),
+        max(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    SparkEntry.queries("q194_ewma_dyadic")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      val e = r.getLong(3)
+      // truncating division can land 1 micro under the true convex value
+      assert(e >= lo - 1 && e <= hi,
+        s"EWMA $e outside the user's value range [$lo, $hi]")
+    }
+  }
+
+  test("q196 Gini stays inside [0, 1e6) for every nation") {
+    SparkEntry.queries("q196_gini_supplier")(spark, sf).collect().foreach { r =>
+      val g = r.getLong(3)
+      assert(g >= 0L && g < 1000000L, s"Gini ppm $g out of range")
+    }
+  }
+
+  test("q201 confusion cells partition the corpus; marginals bound at 1e6") {
+    val rows = SparkEntry.queries("q201_langid_eval")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, sf).count(),
+      "every document lands in exactly one confusion cell")
+    // row-normalized shares per true lang sum to 1e6 within truncation slack
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val s = cells.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - cells.length,
+        s"recall shares for $lang sum to $s")
+    }
+  }
+
+  test("q203 shares sum to the whole at every hierarchy level") {
+    val rows = SparkEntry.queries("q203_hierarchy_share")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (region, nations) =>
+      val s = nations.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - nations.length,
+        s"nation shares of $region sum to $s")
+    }
+    val regions = rows.map(r => r.getString(0) -> r.getLong(4)).distinct
+    val s = regions.map(_._2).sum
+    assert(s <= 1000000L && s > 1000000L - regions.length,
+      s"region shares sum to $s")
+  }
+
+  test("q205 cumulative LTV per user never decreases within a cohort") {
+    SparkEntry.queries("q205_ltv_curve")(spark, sf).collect()
+      .groupBy(_.getDate(0)).foreach { case (_, rows) =>
+        val curve = rows.sortBy(_.getLong(1)).map(_.getLong(4))
+        assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+          "purchase micros are non-negative, so the running sum is monotone")
+      }
+  }
+
+  test("q206 winsorized mean lies within the caps and clipping is bounded") {
+    SparkEntry.queries("q206_winsorized_stats")(spark, sf).collect().foreach { r =>
+      val (n, lo, hi, mean, clipped) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= hi, "cap order")
+      assert(mean >= lo && mean <= hi,
+        "a mean of values clamped into [lo, hi] stays inside it")
+      // at most ~5% below p05 and ~5% above p95 (ties can only reduce it)
+      assert(clipped <= n / 10 + 2, s"clipped $clipped of $n exceeds the band")
+    }
+  }
+
+  test("q208 verdicts match ground truth: keys hold, non-keys are violated") {
+    val m = SparkEntry.queries("q208_fd_discovery")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(3), r.getLong(4))).toMap
+    assert(m("supplier.suppkey->nationkey") === ((1, 0L)),
+      "a primary key determines every column")
+    assert(m("orders.custkey->priority")._1 === 0,
+      "a repeat customer orders at more than one priority")
+    m.values.foreach { case (h, v) =>
+      assert(if (h == 1) v == 0L else v > 0L,
+        "holds flag must agree with the violation mass")
+    }
+  }
+
+  test("q209 RRF scores recompute exactly from the two rank columns") {
+    SparkEntry.queries("q209_hybrid_rrf")(spark, sf).collect().foreach { r =>
+      val (bm, cos, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = (if (bm > 0) 1000000L / (60 + bm) else 0L) +
+        (if (cos > 0) 1000000L / (60 + cos) else 0L)
+      assert(rrf === expect, s"RRF mismatch for doc ${r.getLong(0)}")
+      assert(bm >= 0 && bm <= 30 && cos >= 0 && cos <= 30)
+      assert(bm > 0 || cos > 0, "a fused row must come from at least one arm")
+    }
+  }
 }

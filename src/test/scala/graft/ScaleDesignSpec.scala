@@ -247,7 +247,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row (n, total) broadcast into the CUSUM closed form
       "q195_cusum_changepoint",
       // 1-row doubled-median broadcast into the deviation projection
-      "q197_zipf_check")
+      "q197_zipf_check",
+      // 1-row query-vector + 1-row corpus-stats broadcasts (q43/q113 shapes)
+      "q209_hybrid_rrf")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
