@@ -366,6 +366,189 @@ object AnalyticsQueries {
           expr("purchase_micros div greatest(n_purchases, 1)")
             .as("avg_purchase_micros"))
         .orderBy("variant")
+    },
+
+    GraftQuery(
+      "q210_tpch_q7",
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin),
+      "TPC-H Q7 (bilateral trade volume): the ROLE-PLAYING dimension " +
+        "pattern — nation joins twice under different roles (supplier's " +
+        "vs customer's), and the disjunctive nation-pair predicate " +
+        "cannot collapse into either single join. Both nation copies " +
+        "and both entity dims broadcast; the only fact-sized exchange " +
+        "is lineitem⋈orders on orderkey, and the shipdate band prunes " +
+        "the fact scan (partition-prunable at 100 TB). The supplier-" +
+        "side nation filter applies BEFORE the orders join (Catalyst " +
+        "pushes it through the broadcast), so most of the fact drops " +
+        "in the scan stage — the join-order stress Q7 was designed to " +
+        "test, resolved by dimension pre-filtering rather than search."
+    ) { (s, dir) =>
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    GraftQuery(
+      "q211_tpch_q8",
+      Some("""SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+             |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                               AS BIGINT) ELSE 0 END) AS BIGINT)
+             |         AS nation_cents,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS market_cents,
+             |       CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+             |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                               AS BIGINT) ELSE 0 END) * 1000000
+             |            // sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                       AS BIGINT)) AS BIGINT) AS share_ppm
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |JOIN region   ON n2.n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "TPC-H Q8 (national market share): what share of the ASIA " +
+        "customer market does NATION_3's supply base win, per year. " +
+        "Same role-playing double-nation topology as q210 plus the " +
+        "region rollup on the CUSTOMER role only; numerator selection " +
+        "rides a CASE inside the sum so share needs ONE pass (the " +
+        "naive form runs the market query twice). The region filter " +
+        "prunes via broadcast before the fact-fact join; share is " +
+        "integer ppm of exact cents, q188's discipline. Group count = " +
+        "|years| — the aggregate is microscopic next to the scan, " +
+        "which is the point: market-share dashboards are scan-bound, " +
+        "so everything else must broadcast."
+    ) { (s, dir) =>
+      val cents = expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("c_rk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", cents).otherwise(0L))
+            .as("nation_cents"),
+          sum(cents).as("market_cents"))
+        .withColumn("share_ppm", expr("nation_cents * 1000000 div market_cents"))
+        .orderBy("o_year")
+    },
+
+    GraftQuery(
+      "q214_dq_rules",
+      Some("""WITH r1 AS (
+             |  SELECT 'lineitem.ship_after_order' AS rule,
+             |         CAST(count(*) AS BIGINT) AS n_checked,
+             |         CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_violations
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |), r2 AS (
+             |  SELECT 'lineitem.discount_in_unit_range',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |), r3 AS (
+             |  SELECT 'lineitem.positive_quantity',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |), r4 AS (
+             |  SELECT 'orders.positive_totalprice',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders
+             |), r5 AS (
+             |  SELECT 'customer.acctbal_not_null',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM customer
+             |)
+             |SELECT rule, n_checked, n_violations,
+             |       CAST(n_violations * 1000000 // n_checked AS BIGINT) AS violation_ppm
+             |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+             |      SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL
+             |      SELECT * FROM r5)
+             |ORDER BY rule""".stripMargin),
+      "Declarative data-quality rule engine: each rule is a conditional " +
+        "count folded into its table's scan — single-column (range, " +
+        "null, sign) rules read exactly the checked column, the one " +
+        "cross-table rule (ship-after-order) pays the orderkey join " +
+        "it genuinely needs — and the report unions |rules| rows. On " +
+        "this synthetic corpus the temporal rule actually FIRES " +
+        "(~5% of lineitems ship before their order date), which is " +
+        "the operator's value: a DQ report whose violations are real " +
+        "rows you can drill into, not a schema assertion. At 100 TB " +
+        "rules over the same table share one scan via the CASE sums; " +
+        "new rules are new columns of the same aggregate, not new " +
+        "passes."
+    ) { (s, dir) =>
+      def rule(name: String, df: org.apache.spark.sql.DataFrame,
+               bad: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+      val joined = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      rule("lineitem.ship_after_order", joined,
+          col("l_shipdate") < col("o_orderdate"))
+        .unionAll(rule("lineitem.discount_in_unit_range", Tables.lineitem(s, dir),
+          col("l_discount") < 0.0 || col("l_discount") > 1.0))
+        .unionAll(rule("lineitem.positive_quantity", Tables.lineitem(s, dir),
+          col("l_quantity") <= 0.0))
+        .unionAll(rule("orders.positive_totalprice", Tables.orders(s, dir),
+          col("o_totalprice") <= 0.0))
+        .unionAll(rule("customer.acctbal_not_null", Tables.customer(s, dir),
+          col("c_acctbal").isNull))
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          expr("n_violations * 1000000 div n_checked").as("violation_ppm"))
+        .orderBy("rule")
     }
   )
 }

@@ -756,6 +756,107 @@ object StatQueries {
           when(col("n_pairs") === col("n_lhs"), 1).otherwise(0).as("holds"),
           expr("(n_pairs - n_lhs) * 1000000 div n_lhs").as("violation_ppm"))
         .orderBy("fd")
+    },
+
+    GraftQuery(
+      "q212_auc_ranking",
+      Some("""WITH sc AS (
+             |  SELECT CAST(floor(sqrt(list_reduce(list_transform(
+             |                 embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))
+             |               * 1000) AS BIGINT) AS score,
+             |         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+             |  FROM embeddings
+             |), g AS (
+             |  SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             |         CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+             |  FROM sc GROUP BY score
+             |), c AS (
+             |  SELECT pos_s, neg_s,
+             |         CAST(coalesce(sum(neg_s) OVER (ORDER BY score
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |              AS BIGINT) AS neg_below
+             |  FROM g
+             |)
+             |SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             |       CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             |       CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS u2,
+             |       CAST(sum(pos_s * (2 * neg_below + neg_s)) * 1000000
+             |            // (2 * sum(pos_s) * sum(neg_s)) AS BIGINT) AS auc_ppm
+             |FROM c""".stripMargin),
+      "Exact tie-adjusted AUC (Mann-Whitney U) without any sort of the " +
+        "raw data: scoring each embedding by its integer-milli norm " +
+        "against a binary label, the doubled statistic is " +
+        "U·2 = Σ_scores pos_s·(2·negatives_below + neg_s) — ties " +
+        "contribute their half-credit exactly, in integers, no " +
+        "midrank halves. The corpus collapses to |distinct scores| " +
+        "rows in one map-side-combined aggregate; the running " +
+        "negatives-below is a window over that post-agg frame, and " +
+        "the final AUC is one more aggregate — ppm by truncating " +
+        "division. Ranking-model evaluation at 100 TB is exactly " +
+        "this shape: never rank 10^11 rows globally; bucket by score " +
+        "and count pair credit from the bucket marginals."
+    ) { (s, dir) =>
+      import graft.functions.VectorFunctions.dotd
+      val sc = Tables.embeddings(s, dir)
+        .select(transform(col("embedding"), _.cast("double")).as("v"), col("label"))
+        .select(floor(sqrt(dotd(col("v"), col("v"))) * 1000).cast("long").as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+      val g = sc.groupBy("score")
+        .agg(sum("pos").as("pos_s"), (count(lit(1)) - sum("pos")).as("neg_s"))
+      val c = g.withColumn("neg_below",
+        coalesce(sum("neg_s").over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      c.agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
+          sum(col("pos_s") * (lit(2L) * col("neg_below") + col("neg_s"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+    },
+
+    GraftQuery(
+      "q213_calibration_curve",
+      Some("""WITH sc AS (
+             |  SELECT vec_id,
+             |         CAST(floor(sqrt(list_reduce(list_transform(
+             |                 embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))
+             |               * 1000) AS BIGINT) AS score,
+             |         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+             |  FROM embeddings
+             |), b AS (
+             |  SELECT ntile(10) OVER (ORDER BY score, vec_id) AS decile,
+             |         score, pos
+             |  FROM sc
+             |)
+             |SELECT CAST(decile AS BIGINT) AS decile,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(score) // count(*) AS BIGINT) AS mean_score_milli,
+             |       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+             |FROM b GROUP BY decile ORDER BY decile""".stripMargin),
+      "Calibration curve for the q212 ranking score: decile buckets " +
+        "over the (score, vec_id) total order — ntile is deterministic " +
+        "under a total order, the q165 lesson — then per-decile mean " +
+        "score and observed positive rate in integer ppm. Reading " +
+        "q212 and q213 together is the standard eval loop: AUC says " +
+        "the score RANKS, calibration says whether its magnitude " +
+        "MEANS anything. The global ntile sort is over the scored " +
+        "corpus — at 100 TB swap it for fixed score-range buckets " +
+        "(q104's histogram discipline) and the rest of the plan is " +
+        "unchanged; here the single-partition window is the honest " +
+        "small-data form, stated rather than hidden."
+    ) { (s, dir) =>
+      import graft.functions.VectorFunctions.dotd
+      val sc = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"), col("label"))
+        .select(col("vec_id"),
+          floor(sqrt(dotd(col("v"), col("v"))) * 1000).cast("long").as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+      sc.withColumn("decile",
+          ntile(10).over(Window.orderBy("score", "vec_id")).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(score) div count(1) AS BIGINT)").as("mean_score_milli"),
+          expr("CAST(sum(pos) * 1000000 div count(1) AS BIGINT)").as("pos_rate_ppm"))
+        .orderBy("decile")
     }
   )
 }
