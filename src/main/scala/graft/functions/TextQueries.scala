@@ -2492,6 +2492,82 @@ object TextQueries {
         .select(col("source"), col("g").as("signature_bigram"), col("n"),
           expr("n * 1000000 div t").as("share_ppm"))
         .orderBy("source")
+    },
+
+    GraftQuery(
+      "q215_countmin_estimate",
+      Some {
+        val fp = base31FoldSql("token")
+        val rows = Seq((0, 40503L, 12289L), (1, 48271L, 25601L),
+          (2, 16807L, 7919L), (3, 69621L, 104729L))
+        val cellsSql = rows.map { case (i, a, b) =>
+          s"SELECT $i AS row_i, (($fp * $a + $b) % 1000003) % 256 AS bucket FROM toks"
+        }.mkString("\n  UNION ALL ")
+        val probesSql = rows.map { case (i, a, b) =>
+          s"SELECT token, n, $i AS row_i," +
+            s" (($fp * $a + $b) % 1000003) % 256 AS bucket FROM exact"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents
+           |), cells AS (
+           |  $cellsSql
+           |), sketch AS (
+           |  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS c
+           |  FROM cells GROUP BY row_i, bucket
+           |), exact AS (
+           |  SELECT token, CAST(count(*) AS BIGINT) AS n
+           |  FROM toks GROUP BY token
+           |), probes AS (
+           |  $probesSql
+           |)
+           |SELECT p.token, max(p.n) AS exact_n,
+           |       CAST(min(s.c) AS BIGINT) AS cms_est,
+           |       CAST(min(s.c) - max(p.n) AS BIGINT) AS overestimate
+           |FROM probes p JOIN sketch s
+           |  ON p.row_i = s.row_i AND p.bucket = s.bucket
+           |GROUP BY p.token
+           |ORDER BY exact_n DESC, token
+           |LIMIT 15""".stripMargin
+      },
+      "Count-Min sketch, fully declarative and exactly replayable: " +
+        "4 hash rows × 256 buckets, each occurrence fans out to its 4 " +
+        "cells row-locally (hashes are affine maps of the shared " +
+        "base-31 fingerprint — the same fold every fingerprint oracle " +
+        "uses, so both engines bucket identically), the sketch is one " +
+        "map-side-combined count to ≤1024 cells, and a point query is " +
+        "min over a token's 4 cells. The output pairs every estimate " +
+        "with its exact count — CMS's one-sided guarantee (est ≥ " +
+        "exact, overestimate ≥ 0) is visible per row, which is the " +
+        "whole point of shipping the sketch next to its ground truth " +
+        "on test data. At 100 TB the sketch IS the wide state: 1024 " +
+        "mergeable longs regardless of corpus size, the q85/q92 " +
+        "mergeable-partial discipline with an even smaller footprint."
+    ) { (s, dir) =>
+      val params = Seq((0, 40503L, 12289L), (1, 48271L, 25601L),
+        (2, 16807L, 7919L), (3, 69621L, 104729L))
+      // the fold runs ONCE per occurrence; the 4 bucket maps are affine in fp
+      def buckets(fpCol: Column) = explode(array(params.map { case (i, a, b) =>
+        struct(lit(i).as("row_i"),
+          pmod(pmod(fpCol * lit(a) + lit(b), lit(1000003L)), lit(256L)).as("bucket"))
+      }: _*))
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val cells = toks.withColumn("fp", base31Fold(col("token")))
+        .select(buckets(col("fp")).as("t"))
+        .select(col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
+      val sketch = cells.groupBy("row_i", "bucket").agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val probes = exact.withColumn("fp", base31Fold(col("token")))
+        .select(col("token"), col("n"), buckets(col("fp")).as("t"))
+        .select(col("token"), col("n"),
+          col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
+      probes.join(broadcast(sketch), Seq("row_i", "bucket"))
+        .groupBy("token")
+        .agg(max("n").as("exact_n"), min("c").as("cms_est"),
+          (min("c") - max("n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("token"))
+        .limit(15)
     }
   )
 

@@ -1085,6 +1085,86 @@ object SimilarityQueries {
             coalesce(expr("1000000 div (60 + cos_rank)"), lit(0L))).as("rrf_ppm"))
         .orderBy(col("rrf_ppm").desc, col("doc_id"))
         .limit(15)
+    },
+
+    GraftQuery(
+      "q216_correlated_dims",
+      Some("""WITH m AS (
+             |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+             |                                x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings
+             |), pairs AS (
+             |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(v[i] * v[j]) AS BIGINT) AS sxy
+             |  FROM m, unnest(range(1, len(v) + 1)) r(i),
+             |          unnest(range(1, len(v) + 1)) r2(j)
+             |  WHERE i < j
+             |  GROUP BY 1, 2
+             |), dims AS (
+             |  SELECT CAST(i - 1 AS BIGINT) AS d,
+             |         CAST(sum(v[i]) AS BIGINT) AS sx,
+             |         CAST(sum(v[i] * v[i]) AS BIGINT) AS sxx
+             |  FROM m, unnest(range(1, len(v) + 1)) r(i)
+             |  GROUP BY 1
+             |)
+             |SELECT p.di, p.dj,
+             |       CAST(p.n * p.sxy - a.sx * b.sx AS BIGINT) AS cov_num,
+             |       CAST(((p.n * p.sxy - a.sx * b.sx) // 10000)
+             |            * ((p.n * p.sxy - a.sx * b.sx) // 10000)
+             |            // greatest((p.n * a.sxx - a.sx * a.sx) // 10000, 1)
+             |            * 1000000
+             |            // greatest((p.n * b.sxx - b.sx * b.sx) // 10000, 1)
+             |            AS BIGINT) AS r2_ppm
+             |FROM pairs p
+             |JOIN dims a ON p.di = a.d
+             |JOIN dims b ON p.dj = b.d
+             |ORDER BY r2_ppm DESC, p.di, p.dj
+             |LIMIT 10""".stripMargin),
+      "Most-correlated embedding dimension pairs — the redundancy scan " +
+        "that motivates q149's projection and q175's dead-dim pruning: " +
+        "the Gram matrix is computed as ROW-LOCAL outer products (each " +
+        "vector fans out its d(d−1)/2 upper-triangle pairs — the q184 " +
+        "token discipline applied to matrix algebra), so one map-side-" +
+        "combined aggregate yields all pairwise Σxy and the shuffle " +
+        "carries d²/2 cells, never the corpus. r² is exact integer " +
+        "algebra on milli-scaled values: numerator and both variance " +
+        "terms pre-scaled by the SAME //10000 before the two-step " +
+        "division (q157's trick, documented truncation) so every " +
+        "product stays under 2^63 and both engines agree to the last " +
+        "ppm. At 4096 dims the per-row fan-out is ~8M — there you " +
+        "block the Gram into tiles or sample rows; the aggregation " +
+        "shape is unchanged."
+    ) { (s, dir) =>
+      val m = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+      val pairs = m
+        .select(col("v"), posexplode(col("v")))
+        .select(col("pos").as("i0"), col("col").as("xi"),
+          posexplode(expr("slice(v, pos + 2, size(v))")).as(Seq("p2", "xj")))
+        .groupBy(col("i0").cast("long").as("di"),
+          (col("i0") + 1 + col("p2")).cast("long").as("dj"))
+        .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"))
+      val dims = m
+        .select(posexplode(col("v")).as(Seq("d0", "x")))
+        .groupBy(col("d0").cast("long").as("d"))
+        .agg(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      pairs
+        .join(broadcast(dims.select(col("d").as("di"), col("sx").as("sx_a"),
+          col("sxx").as("sxx_a"))), "di")
+        .join(broadcast(dims.select(col("d").as("dj"), col("sx").as("sx_b"),
+          col("sxx").as("sxx_b"))), "dj")
+        .select(col("di"), col("dj"),
+          (col("n") * col("sxy") - col("sx_a") * col("sx_b")).as("cov_num"),
+          expr("((n * sxy - sx_a * sx_b) div 10000)" +
+            " * ((n * sxy - sx_a * sx_b) div 10000)" +
+            " div greatest((n * sxx_a - sx_a * sx_a) div 10000, 1)" +
+            " * 1000000" +
+            " div greatest((n * sxx_b - sx_b * sx_b) div 10000, 1)").as("r2_ppm"))
+        .orderBy(col("r2_ppm").desc, col("di"), col("dj"))
+        .limit(10)
     }
   )
 }

@@ -857,6 +857,57 @@ object StatQueries {
           expr("CAST(sum(score) div count(1) AS BIGINT)").as("mean_score_milli"),
           expr("CAST(sum(pos) * 1000000 div count(1) AS BIGINT)").as("pos_rate_ppm"))
         .orderBy("decile")
+    },
+
+    GraftQuery(
+      "q217_l_diversity",
+      Some("""WITH t AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |         CASE WHEN c_acctbal < 0.0 THEN 'NEG'
+             |              WHEN c_acctbal < 2500.0 THEN 'LOW'
+             |              WHEN c_acctbal < 7500.0 THEN 'MID'
+             |              ELSE 'HIGH' END AS bal_band
+             |  FROM customer
+             |), cls AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(count(DISTINCT bal_band) AS BIGINT) AS l
+             |  FROM t GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS t FROM cls
+             |)
+             |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+             |       CAST(sum(n) AS BIGINT) AS n_customers,
+             |       CAST(sum(n) * 1000000 // tot.t AS BIGINT) AS coverage_ppm
+             |FROM cls, tot
+             |GROUP BY l, tot.t
+             |ORDER BY l""".stripMargin),
+      "l-diversity audit — k-anonymity's (q178) stronger sibling: a " +
+        "quasi-id class that is large (k-safe) but HOMOGENEOUS in the " +
+        "sensitive attribute still leaks it (every member of the class " +
+        "shares the balance band). Classes = (nationkey, segment), " +
+        "sensitive = 4-band balance; the report is the distribution of " +
+        "per-class distinct-sensitive counts l, with customer coverage " +
+        "ppm — l=1 rows are the homogeneity-attack surface a release " +
+        "must generalize away. One map-side grouping to |classes| " +
+        "rows (the count-distinct expands to class×band grain first — " +
+        "bounded by 4 bands), then the l histogram is dimension-sized; " +
+        "the 1-row total broadcasts into the share."
+    ) { (s, dir) =>
+      val t = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0.0, "NEG")
+            .when(col("c_acctbal") < 2500.0, "LOW")
+            .when(col("c_acctbal") < 7500.0, "MID")
+            .otherwise("HIGH").as("bal_band"))
+      val cls = t.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), countDistinct("bal_band").as("l"))
+      val tot = cls.agg(sum("n").as("t"))
+      cls.crossJoin(broadcast(tot))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_classes"), sum("n").as("n_customers"),
+          expr("CAST(sum(n) * 1000000 div max(t) AS BIGINT)").as("coverage_ppm"))
+        .orderBy("l")
     }
   )
 }

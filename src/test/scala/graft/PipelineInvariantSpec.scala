@@ -257,6 +257,34 @@ class PipelineInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q215 Count-Min never underestimates (one-sided error bound)") {
+    SparkEntry.queries("q215_countmin_estimate")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS estimate below exact count for '${r.getString(0)}'")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("q216 r-squared stays within [0, 1] up to pre-scaling truncation") {
+    SparkEntry.queries("q216_correlated_dims")(spark, sf).collect().foreach { r =>
+      val r2 = r.getLong(3)
+      assert(r2 >= 0L && r2 <= 1050000L,
+        s"r2_ppm $r2 outside the unit interval for pair " +
+          s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("q217 l stays within the band count and coverage sums to ~1e6") {
+    val rows = SparkEntry.queries("q217_l_diversity")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 4L,
+        "distinct sensitive values per class bounded by the 4 bands")
+    }
+    val s = rows.map(_.getLong(3)).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length,
+      s"class coverage shares sum to $s")
+  }
+
   test("q209 RRF scores recompute exactly from the two rank columns") {
     SparkEntry.queries("q209_hybrid_rrf")(spark, sf).collect().foreach { r =>
       val (bm, cos, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))

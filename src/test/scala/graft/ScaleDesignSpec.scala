@@ -249,7 +249,9 @@ class ScaleDesignSpec extends SparkSpec {
       // 1-row doubled-median broadcast into the deviation projection
       "q197_zipf_check",
       // 1-row query-vector + 1-row corpus-stats broadcasts (q43/q113 shapes)
-      "q209_hybrid_rrf")
+      "q209_hybrid_rrf",
+      // 1-row class-total broadcast into the coverage share
+      "q217_l_diversity")
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
