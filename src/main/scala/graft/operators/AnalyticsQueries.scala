@@ -549,6 +549,80 @@ object AnalyticsQueries {
         .select(col("rule"), col("n_checked"), col("n_violations"),
           expr("n_violations * 1000000 div n_checked").as("violation_ppm"))
         .orderBy("rule")
+    },
+
+    GraftQuery(
+      "q219_last_touch_attribution",
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+             |  FROM events
+             |), w AS (
+             |  SELECT user_id, tus, event_type,
+             |         max(CASE WHEN event_type IN ('click', 'view')
+             |                  THEN tus * 4 + (CASE event_type WHEN 'click'
+             |                                  THEN 1 ELSE 2 END) END)
+             |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS touch_code
+             |  FROM e
+             |), p AS (
+             |  SELECT CASE WHEN touch_code IS NULL THEN 'none'
+             |              WHEN tus - touch_code // 4 > 604800000000 THEN 'none'
+             |              WHEN touch_code % 4 = 1 THEN 'click'
+             |              ELSE 'view' END AS channel,
+             |         CASE WHEN touch_code IS NOT NULL
+             |                   AND tus - touch_code // 4 <= 604800000000
+             |              THEN tus - touch_code // 4 END AS lag_us
+             |  FROM w WHERE event_type = 'purchase'
+             |)
+             |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+             |       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+             |         AS share_ppm,
+             |       CAST(coalesce(sum(lag_us) // greatest(count(lag_us), 1)
+             |                     // 60000000, 0) AS BIGINT) AS avg_minutes
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin),
+      "Last-touch marketing attribution: each purchase credits the " +
+        "user's most recent click or view within a 7-day lookback. The " +
+        "'latest prior touch' is a running MAX over an integer code " +
+        "(micros·4 + channel tag) — monotone in time, so max = most " +
+        "recent, and the skill-documented last()/first() frame-order " +
+        "trap never arises; equal-timestamp ties resolve by the code's " +
+        "channel tag, identically on both engines. One exchange on " +
+        "user_id (the same per-user sort every journey query pays), " +
+        "purchases filter AFTER the window (the frame needs the full " +
+        "event stream), then a 3-row channel rollup with window share. " +
+        "The 7-day cutoff is integer micros arithmetic — no interval " +
+        "types, no timezone drift."
+    ) { (s, dir) =>
+      val touch = when(col("event_type").isin("click", "view"),
+        col("tus") * 4 + when(col("event_type") === "click", 1L).otherwise(2L))
+      val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val week = 604800000000L
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+        .withColumn("touch_code", max(touch).over(uw))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("touch_code").isNull, "none")
+            .when(col("tus") - expr("touch_code div 4") > week, "none")
+            .when(expr("touch_code % 4") === 1, "click")
+            .otherwise("view").as("channel"),
+          when(col("touch_code").isNotNull &&
+            col("tus") - expr("touch_code div 4") <= week,
+            col("tus") - expr("touch_code div 4")).as("lag_us"))
+      val global = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      p.groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(coalesce(sum(lag_us) div greatest(count(lag_us), 1)" +
+            " div 60000000, 0) AS BIGINT)").as("avg_minutes"))
+        .withColumn("tot", sum("n_purchases").over(global))
+        .select(col("channel"), col("n_purchases"),
+          expr("n_purchases * 1000000 div tot").as("share_ppm"),
+          col("avg_minutes"))
+        .orderBy("channel")
     }
   )
 }

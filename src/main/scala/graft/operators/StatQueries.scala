@@ -908,6 +908,81 @@ object StatQueries {
         .agg(count(lit(1)).as("n_classes"), sum("n").as("n_customers"),
           expr("CAST(sum(n) * 1000000 div max(t) AS BIGINT)").as("coverage_ppm"))
         .orderBy("l")
+    },
+
+    GraftQuery(
+      "q218_worst_slice_eval",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
+             |), scored AS (
+             |  SELECT lang,
+             |    len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) n_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','y'], x)))   n_es,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) n_de,
+             |    len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) n_fr
+             |  FROM t
+             |), pred AS (
+             |  SELECT lang,
+             |    CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+             |         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+             |         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+             |         WHEN n_fr > 0 THEN 'fr'
+             |         ELSE 'und' END AS pred_lang
+             |  FROM scored
+             |), s AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_correct
+             |  FROM pred GROUP BY lang
+             |)
+             |SELECT lang, n, n_correct,
+             |       CAST(n_correct * 1000000 // n AS BIGINT) AS acc_ppm,
+             |       CAST(n_correct * 1000000 // n
+             |            - min(n_correct * 1000000 // n) OVER () AS BIGINT)
+             |         AS gap_to_worst_ppm,
+             |       CASE WHEN n_correct * 1000000 // n
+             |                 = min(n_correct * 1000000 // n) OVER ()
+             |            THEN 1 ELSE 0 END AS is_worst
+             |FROM s ORDER BY lang""".stripMargin),
+      "Worst-slice evaluation — the fairness/robustness counterpart to " +
+        "q201's aggregate metrics: per-language accuracy of the q45 " +
+        "predictor plus each slice's gap to the WORST slice, because a " +
+        "model (or a cleaning gate) that is 95% accurate on average " +
+        "and 40% on one language fails exactly where averages hide " +
+        "it. The fact-sized work is q45's row-local marker fold; the " +
+        "slice table is |langs| rows, where the min-over-slices window " +
+        "is free. The same shape audits any per-slice metric — gate " +
+        "pass rates (q153), dedup rates per source (q152) — worst-" +
+        "group reporting is a projection over a grouped aggregate, " +
+        "never a second scan."
+    ) { (s, dir) =>
+      import graft.functions.TextQueries.{markerCount, enM, esM, deM, frM}
+      val w = split(lower(col("text")), " ")
+      val scored = Tables.documents(s, dir).select(
+        col("lang"),
+        markerCount(w, enM).as("n_en"), markerCount(w, esM).as("n_es"),
+        markerCount(w, deM).as("n_de"), markerCount(w, frM).as("n_fr"))
+      val pred = scored.select(col("lang"),
+        when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de") &&
+          col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_fr") &&
+            col("n_es") > 0, "es")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+      val slice = pred.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+      val global = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      slice
+        .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+        .withColumn("worst_ppm", min("acc_ppm").over(global))
+        .select(col("lang"), col("n"), col("n_correct"), col("acc_ppm"),
+          (col("acc_ppm") - col("worst_ppm")).as("gap_to_worst_ppm"),
+          when(col("acc_ppm") === col("worst_ppm"), 1).otherwise(0).as("is_worst"))
+        .orderBy("lang")
     }
   )
 }
