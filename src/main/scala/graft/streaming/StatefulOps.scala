@@ -135,4 +135,60 @@ object StatefulOps {
       .transformWithState(new RunningCounterProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class EwmaWindow(n: Long, newestFirst: Seq[Long])
+  final case class EwmaOut(user_id: Long, n_events: Long,
+                           last_micros: Long, ewma_micros: Long)
+
+  /** Streaming form of the batch q194 closed-form EWMA: state per user is
+    * the 8 newest value-micros (dyadic weights 2^(7-k) truncate below micro
+    * resolution past depth 8 — the identical argument the batch operator
+    * makes), so the state store holds EIGHT longs per active user no matter
+    * how long the stream runs — the O(active keys) discipline of this file,
+    * with a constant per-key footprint. Each batch's rows are time-sorted
+    * INSIDE the handler, so arrival interleaving within a micro-batch
+    * cannot perturb the window (cross-batch order is the caller's
+    * watermarking contract, as everywhere in this file). Emission mirrors
+    * q194's columns exactly; the StreamingOpsSpec pins streaming == batch
+    * on the same data. */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EwmaOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[EwmaWindow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaWindow](
+        "ewma", Encoders.product[EwmaWindow], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[EwmaOut] = {
+      val prev = Option(state.get()).getOrElse(EwmaWindow(0L, Nil))
+      val incoming = rows.toSeq.sortBy(_.ts.getTime)
+        .map(e => math.floor(e.value * 1000000).toLong)
+      val window = (incoming.reverse ++ prev.newestFirst).take(8)
+      val next = EwmaWindow(prev.n + incoming.size, window)
+      state.update(next)
+      if (window.isEmpty) Iterator.empty
+      else {
+        val weights = window.indices.map(k => 1L << (7 - k))
+        val num = window.zip(weights).map { case (v, w) => v * w }.sum
+        val den = weights.sum
+        Iterator.single(EwmaOut(user, next.n, window.head, num / den))
+      }
+    }
+  }
+
+  /** Per-user streaming EWMA (dyadic weights, depth 8) via
+    * transformWithState; emits the updated smoother once per key per
+    * micro-batch (OutputMode.Update). */
+  def ewmaPerUserTws(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

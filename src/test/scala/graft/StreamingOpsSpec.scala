@@ -203,6 +203,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last(2L) === ((1L, 10.0)))
   }
 
+  test("streaming EWMA equals the batch closed form on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    // the whole sf0.001 event log, in time order, split into three batches
+    val all = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"value")
+      .orderBy("ts", "event_id")
+      .as[Event].collect()
+    val chunks = all.grouped(math.max(all.length / 3, 1)).toSeq
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.ewmaPerUserTws(input.toDS())
+      .writeStream.format("memory").queryName("ewma_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // final state per user = the row with the highest n_events
+    val streamed = spark.table("ewma_tws").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    val batch = SparkEntry.queries("q194_ewma_dyadic")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, s) =>
+      assert(s === batch(u),
+        s"user $u: streaming $s != batch ${batch(u)} — the smoother must " +
+          "not depend on micro-batch boundaries")
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
