@@ -20,7 +20,14 @@ object TextQueries {
     * repo's shared content fingerprint (q48/q155/q156/q168). Init-0 fold is
     * identical to DuckDB's init-free `list_reduce` (0·31+c₁ = c₁); acc
     * stays < 2^30 so acc·31+c never overflows a long. */
-  private def base31Fold(str: Column): Column =
+  /** The Count-Min hash family shared by q215, the streaming CMS operator
+    * and their specs: (row, multiplier, offset) of four affine maps over the
+    * [[base31Fold]] fingerprint, mod 1000003 mod 256. ONE definition so the
+    * batch sketch, the streaming sketch and every probe bucket identically. */
+  private[graft] val cmsParams = Seq((0, 40503L, 12289L), (1, 48271L, 25601L),
+    (2, 16807L, 7919L), (3, 69621L, 104729L))
+
+  private[graft] def base31Fold(str: Column): Column =
     aggregate(
       transform(split(str, ""), c => ascii(c).cast("long")),
       lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
@@ -2544,8 +2551,7 @@ object TextQueries {
         "mergeable longs regardless of corpus size, the q85/q92 " +
         "mergeable-partial discipline with an even smaller footprint."
     ) { (s, dir) =>
-      val params = Seq((0, 40503L, 12289L), (1, 48271L, 25601L),
-        (2, 16807L, 7919L), (3, 69621L, 104729L))
+      val params = TextQueries.cmsParams
       // the fold runs ONCE per occurrence; the 4 bucket maps are affine in fp
       def buckets(fpCol: Column) = explode(array(params.map { case (i, a, b) =>
         struct(lit(i).as("row_i"),

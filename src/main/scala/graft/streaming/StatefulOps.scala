@@ -191,4 +191,51 @@ object StatefulOps {
       .transformWithState(new EwmaProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class CmsCell(row_i: Int, bucket: Long)
+  final case class CmsRow(row_i: Int, cells: Seq[Long])
+
+  /** Streaming Count-Min accumulation — the incremental form of q215's
+    * batch sketch: state per hash row is the full 256-counter array (the
+    * sketch IS the bounded state — 4×256 longs for the whole stream, the
+    * textbook reason CMS exists), each micro-batch folds its cell hits in,
+    * and the updated row is emitted for downstream point queries. Keying by
+    * hash row gives only 4 keys — deliberately: the sketch's parallelism
+    * comes from the map-side pre-aggregation of cell hits upstream
+    * (groupBy(row, bucket).count before the shuffle at scale), not from
+    * sharding the tiny state. Counter arrays merge by element-wise sum, so
+    * a repartitioned or replayed stream converges to the identical sketch
+    * — the q92/q85 mergeable-partial discipline, live. */
+  class CmsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, CmsCell, CmsRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[CmsRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CmsRow](
+        "cms", Encoders.product[CmsRow], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(row: Int, rows: Iterator[CmsCell],
+                                 timers: TimerValues): Iterator[CmsRow] = {
+      val cells = Option(state.get()).map(_.cells.toArray)
+        .getOrElse(Array.fill(256)(0L))
+      rows.foreach(c => cells(c.bucket.toInt) += 1L)
+      val next = CmsRow(row, cells.toSeq)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Streaming CMS over pre-hashed cell hits (see q215 for the hash
+    * family); emits each hash row's updated counters per micro-batch. */
+  def cmsTws(cells: Dataset[CmsCell]): Dataset[CmsRow] = {
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    cells
+      .groupByKey(_.row_i)
+      .transformWithState(new CmsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -241,6 +241,64 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming Count-Min converges to the batch sketch and never underestimates") {
+    import spark.implicits._
+    import graft.functions.TextQueries
+    import graft.streaming.StatefulOps.{CmsCell, CmsRow}
+    implicit val sqlCtx = spark.sqlContext
+
+    def bucketed = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .withColumn("fp", TextQueries.base31Fold(col("token")))
+    val cellCols = TextQueries.cmsParams.map { case (i, a, b) =>
+      struct(lit(i).as("row_i"),
+        pmod(pmod(col("fp") * lit(a) + lit(b), lit(1000003L)), lit(256L))
+          .as("bucket"))
+    }
+    val allCells = bucketed
+      .select(explode(array(cellCols: _*)).as("t"))
+      .select(col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
+      .as[CmsCell].collect()
+
+    val input = MemoryStream[CmsCell]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.cmsTws(input.toDS())
+      .writeStream.format("memory").queryName("cms_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      allCells.grouped(math.max(allCells.length / 3, 1))
+        .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // final sketch per hash row = the update with the largest total
+    val streamed = spark.table("cms_tws").as[CmsRow].collect()
+      .groupBy(_.row_i).map { case (r, rs) => r -> rs.map(_.cells).maxBy(_.sum) }
+    val batch = allCells.groupBy(c => (c.row_i, c.bucket))
+      .map { case ((r, b), hits) => (r, b) -> hits.length.toLong }
+    streamed.foreach { case (r, cells) =>
+      cells.zipWithIndex.foreach { case (c, b) =>
+        assert(c === batch.getOrElse((r, b.toLong), 0L),
+          s"cell ($r, $b) diverged from the batch sketch")
+      }
+    }
+    // CMS point estimates (min over the 4 rows) never undercount any token
+    val exact = bucketed.groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("fp", TextQueries.base31Fold(col("token")))
+      .select(col("token"), col("n"), col("fp")).collect()
+    exact.foreach { row =>
+      val fp = row.getLong(2)
+      val est = TextQueries.cmsParams.map { case (i, a, b) =>
+        streamed(i)((((fp * a + b) % 1000003L) % 256L).toInt)
+      }.min
+      assert(est >= row.getLong(1),
+        s"CMS underestimated '${row.getString(0)}'")
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
