@@ -2507,9 +2507,6 @@ object TextQueries {
         val fp = base31FoldSql("token")
         val rows = Seq((0, 40503L, 12289L), (1, 48271L, 25601L),
           (2, 16807L, 7919L), (3, 69621L, 104729L))
-        val cellsSql = rows.map { case (i, a, b) =>
-          s"SELECT $i AS row_i, (($fp * $a + $b) % 1000003) % 256 AS bucket FROM toks"
-        }.mkString("\n  UNION ALL ")
         val probesSql = rows.map { case (i, a, b) =>
           s"SELECT token, n, $i AS row_i," +
             s" (($fp * $a + $b) % 1000003) % 256 AS bucket FROM exact"
@@ -2517,16 +2514,14 @@ object TextQueries {
         s"""WITH toks AS (
            |  SELECT unnest(string_split(lower(text), ' ')) AS token
            |  FROM documents
-           |), cells AS (
-           |  $cellsSql
-           |), sketch AS (
-           |  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS c
-           |  FROM cells GROUP BY row_i, bucket
            |), exact AS (
            |  SELECT token, CAST(count(*) AS BIGINT) AS n
            |  FROM toks GROUP BY token
            |), probes AS (
            |  $probesSql
+           |), sketch AS (
+           |  SELECT row_i, bucket, CAST(sum(n) AS BIGINT) AS c
+           |  FROM probes GROUP BY row_i, bucket
            |)
            |SELECT p.token, max(p.n) AS exact_n,
            |       CAST(min(s.c) AS BIGINT) AS cms_est,
@@ -2538,11 +2533,13 @@ object TextQueries {
            |LIMIT 15""".stripMargin
       },
       "Count-Min sketch, fully declarative and exactly replayable: " +
-        "4 hash rows × 256 buckets, each occurrence fans out to its 4 " +
-        "cells row-locally (hashes are affine maps of the shared " +
-        "base-31 fingerprint — the same fold every fingerprint oracle " +
-        "uses, so both engines bucket identically), the sketch is one " +
-        "map-side-combined count to ≤1024 cells, and a point query is " +
+        "4 hash rows × 256 buckets, hashes are affine maps of the " +
+        "shared base-31 fingerprint (the fold every fingerprint oracle " +
+        "uses, so both engines bucket identically), and the sketch is " +
+        "built COMBINE-BEFORE-HASH: occurrences first collapse to " +
+        "(token, count) — the map-side-combined agg the count needs " +
+        "anyway — and only the |vocab| distinct tokens are folded and " +
+        "fanned out, their counts summed per cell; a point query is " +
         "min over a token's 4 cells. The output pairs every estimate " +
         "with its exact count — CMS's one-sided guarantee (est ≥ " +
         "exact, overestimate ≥ 0) is visible per row, which is the " +
@@ -2559,15 +2556,14 @@ object TextQueries {
       }: _*))
       val toks = Tables.documents(s, dir)
         .select(explode(split(lower(col("text")), " ")).as("token"))
-      val cells = toks.withColumn("fp", base31Fold(col("token")))
-        .select(buckets(col("fp")).as("t"))
-        .select(col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
-      val sketch = cells.groupBy("row_i", "bucket").agg(count(lit(1)).as("c"))
       val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      // combine-before-hash: fold and fan out the |vocab| distinct tokens,
+      // never the occurrence stream — the sketch cells are WEIGHTED sums
       val probes = exact.withColumn("fp", base31Fold(col("token")))
         .select(col("token"), col("n"), buckets(col("fp")).as("t"))
         .select(col("token"), col("n"),
           col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
+      val sketch = probes.groupBy("row_i", "bucket").agg(sum("n").as("c"))
       probes.join(broadcast(sketch), Seq("row_i", "bucket"))
         .groupBy("token")
         .agg(max("n").as("exact_n"), min("c").as("cms_est"),
