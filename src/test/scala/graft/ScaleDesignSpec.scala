@@ -160,6 +160,41 @@ class ScaleDesignSpec extends SparkSpec {
       "projection must not join")
   }
 
+  test("q184 basket affinity reads the fact exactly once (single-scan token stream)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q184_basket_affinity")(spark, sf)
+    val lineitemScans = df.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => sc
+    }
+    // the round-4 lesson: the pair self-join formulation scanned lineitem
+    // FOUR times (group-key filter pushdown below each branch's exchange
+    // defeats ReuseExchange); the token-stream rewrite must keep it at one
+    assert(lineitemScans.size === 1,
+      s"basket affinity re-reads the fact ${lineitemScans.size}x:\n" +
+        df.queryExecution.sparkPlan)
+    // and pair generation must be codegen Generates, not HOF lambdas
+    assert(!df.queryExecution.optimizedPlan.toString.contains("lambdafunction"),
+      "pair fan-out regressed to higher-order-function lambdas (20x slower)")
+  }
+
+  test("q215 Count-Min hashes distinct tokens, never the occurrence stream") {
+    val df = SparkEntry.queries("q215_countmin_estimate")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // combine-before-hash: the base-31 fold (an aggregate HOF over the
+    // token characters) must sit ABOVE a count aggregate in every branch —
+    // i.e. no Generate(explode of the 4 hash structs) directly over the
+    // raw token explode without an intervening Aggregate
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.child.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+        }.isEmpty && g.toString.contains("row_i") => g
+    }
+    assert(gens.isEmpty,
+      s"CMS cell fan-out runs below the token-count aggregate:\n$plan")
+  }
+
   test("q42 exact cosine dedup plans a tiled equi-join, not a nested-loop product") {
     val plan = physicalPlan(SparkEntry.queries("q42_dedup_embedding_cosine")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
