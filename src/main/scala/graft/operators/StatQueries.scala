@@ -983,6 +983,57 @@ object StatQueries {
           (col("acc_ppm") - col("worst_ppm")).as("gap_to_worst_ppm"),
           when(col("acc_ppm") === col("worst_ppm"), 1).otherwise(0).as("is_worst"))
         .orderBy("lang")
+    },
+
+    GraftQuery(
+      "q220_seasonal_anomaly",
+      Some("""WITH d AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |         CAST((date_diff('day', DATE '1995-01-02',
+             |                         CAST(o_orderdate AS DATE)) % 7 + 7) % 7
+             |              AS BIGINT) AS dow,
+             |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |           AS cents
+             |  FROM orders GROUP BY 1, 2
+             |), base AS (
+             |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             |         CAST(sum(cents) AS BIGINT) AS s
+             |  FROM d GROUP BY dow
+             |)
+             |SELECT d.day, d.dow, d.cents,
+             |       CAST(base.s // base.n_days AS BIGINT) AS baseline_cents,
+             |       CAST((base.n_days * d.cents - base.s) // base.n_days AS BIGINT)
+             |         AS resid_cents
+             |FROM d JOIN base ON d.dow = base.dow
+             |ORDER BY abs((base.n_days * d.cents - base.s) // base.n_days) DESC,
+             |         d.day
+             |LIMIT 10""".stripMargin),
+      "Seasonally-adjusted anomaly detection: q195's CUSUM finds level " +
+        "SHIFTS, this finds individual outlier DAYS after removing the " +
+        "day-of-week cycle (Sundays are always low — compare Sundays to " +
+        "Sundays). The weekday baseline is |7| rows broadcast back onto " +
+        "the daily aggregate, and the residual keeps q204's cross-" +
+        "multiplied exactness: n·x − S is the integer day-minus-mean " +
+        "with no float mean materialized; the weekday index is modular " +
+        "day arithmetic from an anchor Monday — Spark and DuckDB " +
+        "disagree on dayofweek() numbering, integer math cannot. Two stacked map-side aggregates (daily, " +
+        "then weekday), a broadcast join, a top-10 heap — the fact " +
+        "never moves twice. The same shape de-seasonalizes ingest " +
+        "volumes or token counts per weekday before alerting at 100 TB."
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"),
+          pmod(datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-02").cast("date")), lit(7)).cast("long").as("dow"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val base = d.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum("cents").as("s"))
+      d.join(broadcast(base), "dow")
+        .select(col("day"), col("dow"), col("cents"),
+          expr("s div n_days").as("baseline_cents"),
+          expr("(n_days * cents - s) div n_days").as("resid_cents"))
+        .orderBy(abs(col("resid_cents")).desc, col("day"))
+        .limit(10)
     }
   )
 }
