@@ -623,6 +623,164 @@ object AnalyticsQueries {
           expr("n_purchases * 1000000 div tot").as("share_ppm"),
           col("avg_minutes"))
         .orderBy("channel")
+    },
+
+    GraftQuery(
+      "q221_converting_paths",
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |         lead(event_type, 1) OVER w AS e2,
+             |         lead(event_type, 2) OVER w AS e3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), p AS (
+             |  SELECT event_type AS step1, e2 AS step2,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM s WHERE e3 = 'purchase' GROUP BY 1, 2
+             |)
+             |SELECT step1, step2, n,
+             |       CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+             |FROM p
+             |ORDER BY n DESC, step1, step2
+             |LIMIT 10""".stripMargin),
+      "Converting-path mining — which two-step journeys precede a " +
+        "purchase: lead()×2 over the per-user time order turns each " +
+        "event into the head of a 3-step path, the purchase filter " +
+        "drops non-converting paths BEFORE the count shuffles, and the " +
+        "result is a |event_types|²-sized frame where the share window " +
+        "is free. q172's Markov matrix answers 'what follows X'; this " +
+        "answers the funnel designer's question 'what sequence ENDS in " +
+        "the conversion'. One exchange on user_id (shared with every " +
+        "journey query), one tiny count exchange — path mining at " +
+        "100 TB dies only when paths explode combinatorially, which " +
+        "the terminal-event filter prevents by construction."
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gw = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3") === "purchase")
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(gw))
+        .select(col("step1"), col("step2"), col("n"),
+          expr("n * 1000000 div tot").as("share_ppm"))
+        .orderBy(col("n").desc, col("step1"), col("step2"))
+        .limit(10)
+    },
+
+    GraftQuery(
+      "q222_diff_in_diff",
+      Some("""WITH x AS (
+             |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+             |         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+             |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |), cell AS (
+             |  SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(cents) AS BIGINT) AS s,
+             |         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+             |  FROM x GROUP BY 1, 2
+             |)
+             |SELECT treated, post, n, mean_cents,
+             |       CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN mean_cents
+             |                     WHEN treated = 1 AND post = 0 THEN -mean_cents
+             |                     WHEN treated = 0 AND post = 1 THEN -mean_cents
+             |                     ELSE mean_cents END) OVER () AS BIGINT) AS did_cents
+             |FROM cell
+             |ORDER BY treated, post""".stripMargin),
+      "Difference-in-differences event study — did the BUILDING " +
+        "segment's order value move differently after the 1998 cutoff " +
+        "than everyone else's? The four (treated × post) cell means " +
+        "come out of ONE map-side-combined aggregate over the " +
+        "orders⋈customer join (segment broadcast), and the DiD " +
+        "estimate is the signed sum of the four means — computed as a " +
+        "window over the 4-row cell frame so every row carries the " +
+        "headline number next to its own cell. Means are truncated " +
+        "integer cents (stated, identical truncation on both engines); " +
+        "the causal-inference caveats are the analyst's, the plumbing " +
+        "is the engine's: a 100 TB event study is exactly this " +
+        "4-cell aggregate, however many rows feed it."
+    ) { (s, dir) =>
+      val gw = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("treated"),
+          when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"), 1)
+            .otherwise(0).as("post"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("treated", "post")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .withColumn("mean_cents", expr("s div n"))
+        .withColumn("did_cents",
+          sum(when(col("treated") === 1 && col("post") === 1, col("mean_cents"))
+            .when(col("treated") === 0 && col("post") === 0, col("mean_cents"))
+            .otherwise(-col("mean_cents"))).over(gw))
+        .select(col("treated"), col("post"), col("n"), col("mean_cents"),
+          col("did_cents"))
+        .orderBy("treated", "post")
+    },
+
+    GraftQuery(
+      "q223_rank_movers",
+      Some("""WITH q AS (
+             |  SELECT p_brand,
+             |         CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+             |                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             |              AS BIGINT) AS qty_before,
+             |         CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+             |                       THEN 0 ELSE CAST(l_quantity AS BIGINT) END)
+             |              AS BIGINT) AS qty_after
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1
+             |), r AS (
+             |  SELECT p_brand, qty_before, qty_after,
+             |         CAST(row_number() OVER (ORDER BY qty_before DESC, p_brand)
+             |              AS BIGINT) AS rank_before,
+             |         CAST(row_number() OVER (ORDER BY qty_after DESC, p_brand)
+             |              AS BIGINT) AS rank_after
+             |  FROM q
+             |)
+             |SELECT p_brand, qty_before, qty_after, rank_before, rank_after,
+             |       CAST(rank_before - rank_after AS BIGINT) AS rank_gain
+             |FROM r
+             |ORDER BY abs(rank_before - rank_after) DESC, p_brand
+             |LIMIT 10""".stripMargin),
+      "Period-over-period rank movers — which brands climbed or fell " +
+        "the sales leaderboard between eras, in ONE fact pass: the " +
+        "period split is a CASE inside two conditional sums of the " +
+        "same aggregate (never two scans, never a self-join — the " +
+        "q223 cousin of q184's structural lesson), and both period " +
+        "rankings are windows over the resulting |brands| frame where " +
+        "sorting is free. q135 reports value deltas; rank deltas are " +
+        "the report executives actually read, and they need the full-" +
+        "period ranking — which is why the rank must come after the " +
+        "aggregate, never via a fact-sized sort."
+    ) { (s, dir) =>
+      val pre = col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      val qty = col("l_quantity").cast("long")
+      val q = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(pre, qty).otherwise(0L)).as("qty_before"),
+          sum(when(pre, 0L).otherwise(qty)).as("qty_after"))
+      q.withColumn("rank_before", row_number().over(
+          Window.orderBy(col("qty_before").desc, col("p_brand"))).cast("long"))
+        .withColumn("rank_after", row_number().over(
+          Window.orderBy(col("qty_after").desc, col("p_brand"))).cast("long"))
+        .select(col("p_brand"), col("qty_before"), col("qty_after"),
+          col("rank_before"), col("rank_after"),
+          (col("rank_before") - col("rank_after")).as("rank_gain"))
+        .orderBy(abs(col("rank_gain")).desc, col("p_brand"))
+        .limit(10)
     }
   )
 }
