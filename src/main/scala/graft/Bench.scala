@@ -42,5 +42,13 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // The driver keeps only the last ~2 KB of stdout, which decapitates the
+    // full per-query line above (BENCH_r04 "parsed": null). Emit a compact
+    // summary — same schema, 5 slowest queries only — as the FINAL stdout
+    // line (after spark.stop(), so no shutdown logging lands behind it);
+    // any tail capture then carries a complete parseable record.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
   }
 }

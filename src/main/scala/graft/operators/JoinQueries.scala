@@ -20,7 +20,8 @@ object JoinQueries {
     GraftQuery(
       "q15_join_inner_star",
       Some("""SELECT r_name, n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       count(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -42,7 +43,8 @@ object JoinQueries {
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+            .cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
@@ -213,7 +215,8 @@ object JoinQueries {
     GraftQuery(
       "q103_tpch_q5",
       Some("""SELECT n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       count(*) AS n_items
              |FROM customer
              |JOIN orders   ON c_custkey = o_custkey
@@ -235,10 +238,12 @@ object JoinQueries {
         "region all broadcast, the region filter prunes nation keys " +
         "before the build sides ship, and the nationkey correlation is " +
         "evaluated as a residual on the already-joined row — never as a " +
-        "join that re-partitions the fact. The double revenue sum is " +
-        "hash-safe: 4-decimal fixed-point products stay under 2^53, so " +
-        "every partial sum is exact and order-independent (the q15 " +
-        "argument). At 100 TB, o_orderdate is the partition column and " +
+        "join that re-partitions the fact. Revenue is floored to integer " +
+        "cents PER ROW before summing, so the aggregate is a BIGINT sum — " +
+        "exact and order-independent under any partitioning (binary " +
+        "doubles cannot represent 0.01-grained values exactly, so a " +
+        "round-after-double-sum would be partition-order-sensitive). " +
+        "At 100 TB, o_orderdate is the partition column and " +
         "the year predicate prunes partitions before any IO."
     ) { (s, dir) =>
       val o = Tables.orders(s, dir)
@@ -255,7 +260,8 @@ object JoinQueries {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+            .cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -492,7 +498,8 @@ object JoinQueries {
     GraftQuery(
       "q176_tpch_q3",
       Some("""SELECT l_orderkey,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       o_orderdate
              |FROM customer
              |JOIN orders   ON c_custkey = o_custkey
@@ -501,14 +508,15 @@ object JoinQueries {
              |  AND o_orderdate < TIMESTAMP '1998-06-01'
              |  AND l_shipdate  > TIMESTAMP '1998-06-01'
              |GROUP BY l_orderkey, o_orderdate
-             |ORDER BY revenue DESC, l_orderkey
+             |ORDER BY revenue_cents DESC, l_orderkey
              |LIMIT 10""".stripMargin),
       "TPC-H Q3 (shipping priority, adapted to this schema): the classic " +
         "selective-dimension star — the BUILDING segment filter prunes " +
         "customer BEFORE it broadcasts, orders carries its date predicate " +
         "into the scan (partition-prunable at 100 TB), and the only " +
-        "fact-sized exchange is lineitem⋈orders on orderkey. Revenue " +
-        "reuses q103's hash-safe fixed-point argument, and the top-10 is " +
+        "fact-sized exchange is lineitem⋈orders on orderkey. Revenue is " +
+        "integer cents (floored per row, BIGINT-summed — exact under any " +
+        "partition order, q188/q203 idiom), and the top-10 is " +
         "TakeOrderedAndProject over the group-by output — per-task " +
         "heaps, no global sort of the aggregate."
     ) { (s, dir) =>
@@ -519,17 +527,18 @@ object JoinQueries {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
-        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+          .cast("long")).as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"), col("o_orderdate"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
         .limit(10)
     },
 
     GraftQuery(
       "q177_tpch_q10",
       Some("""SELECT c_custkey, c_name, n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM customer
              |JOIN nation   ON c_nationkey = n_nationkey
              |JOIN orders   ON c_custkey = o_custkey
@@ -538,7 +547,7 @@ object JoinQueries {
              |  AND o_orderdate >= TIMESTAMP '1997-01-01'
              |  AND o_orderdate <  TIMESTAMP '1998-01-01'
              |GROUP BY c_custkey, c_name, n_name
-             |ORDER BY revenue DESC, c_custkey
+             |ORDER BY revenue_cents DESC, c_custkey
              |LIMIT 20""".stripMargin),
       "TPC-H Q10 (returned-item revenue, adapted): who returned the most " +
         "value this year — returnflag filters the fact in the scan, the " +
@@ -558,9 +567,9 @@ object JoinQueries {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     },
 

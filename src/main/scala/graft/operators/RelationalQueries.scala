@@ -63,7 +63,8 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |       round(sum(l_quantity), 2)      AS sum_qty,
              |       round(sum(l_extendedprice), 2) AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS disc_price_cents,
              |       round(avg(l_quantity), 4)      AS avg_qty,
              |       round(avg(l_extendedprice), 4) AS avg_price,
              |       count(*)                       AS count_order
@@ -81,7 +82,8 @@ object RelationalQueries {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+            .cast("long")).as("disc_price_cents"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           count(lit(1)).as("count_order"))

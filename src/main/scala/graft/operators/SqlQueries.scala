@@ -176,7 +176,8 @@ object SqlQueries {
     GraftQuery(
       "q59_salted_agg",
       Some("""SELECT l_suppkey,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY l_suppkey
@@ -192,10 +193,11 @@ object SqlQueries {
       Tables.lineitem(s, dir)
         .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
         .groupBy("l_suppkey", "salt")
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_part"),
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100))
+          .cast("long")).as("rev_part"),
           count(lit(1)).as("n_part"))
         .groupBy("l_suppkey")
-        .agg(round(sum("rev_part"), 2).as("revenue"), sum("n_part").as("n"))
+        .agg(sum("rev_part").as("revenue_cents"), sum("n_part").as("n"))
         .orderBy("l_suppkey")
     },
 

@@ -16,7 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
-  final case class Event(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+  /** `event_id` breaks (user_id, ts) ties deterministically (the batch
+    * operators order by (ts, event_id)); it defaults to 0 for callers whose
+    * streams carry unique (user_id, ts) pairs. */
+  final case class Event(user_id: Long, event_type: String, ts: Timestamp,
+                         value: Double, event_id: Long = 0L)
   final case class UserRunning(user_id: Long, n: Long, sum_value: Double)
 
   /** Per-user running (count, sum) — emitted once per micro-batch per
@@ -145,12 +149,14 @@ object StatefulOps {
     * resolution past depth 8 — the identical argument the batch operator
     * makes), so the state store holds EIGHT longs per active user no matter
     * how long the stream runs — the O(active keys) discipline of this file,
-    * with a constant per-key footprint. Each batch's rows are time-sorted
-    * INSIDE the handler, so arrival interleaving within a micro-batch
-    * cannot perturb the window (cross-batch order is the caller's
-    * watermarking contract, as everywhere in this file). Emission mirrors
-    * q194's columns exactly; the StreamingOpsSpec pins streaming == batch
-    * on the same data. */
+    * with a constant per-key footprint. Each batch's rows are sorted by
+    * (ts, event_id) INSIDE the handler — the same total order the batch
+    * q194 window uses — so neither arrival interleaving nor same-timestamp
+    * ties within a micro-batch can perturb the window (cross-batch order is
+    * the caller's watermarking contract, as everywhere in this file; a
+    * same-(user, ts) pair split ACROSS batches is ordered by batch, so feed
+    * ties within one batch). Emission mirrors q194's columns exactly; the
+    * StreamingOpsSpec pins streaming == batch on the same data. */
   class EwmaProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EwmaOut] {
     import org.apache.spark.sql.Encoders
@@ -165,7 +171,7 @@ object StatefulOps {
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[EwmaOut] = {
       val prev = Option(state.get()).getOrElse(EwmaWindow(0L, Nil))
-      val incoming = rows.toSeq.sortBy(_.ts.getTime)
+      val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         .map(e => math.floor(e.value * 1000000).toLong)
       val window = (incoming.reverse ++ prev.newestFirst).take(8)
       val next = EwmaWindow(prev.n + incoming.size, window)
@@ -192,7 +198,11 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
-  final case class CmsCell(row_i: Int, bucket: Long)
+  /** `weight` lets the upstream pre-aggregate cell hits
+    * (groupBy(row, bucket).count → one weighted cell per bucket per batch)
+    * so the shuffle to the 4 state keys carries O(buckets), not O(tokens);
+    * it defaults to 1 for a raw one-row-per-hit feed. */
+  final case class CmsCell(row_i: Int, bucket: Long, weight: Long = 1L)
   final case class CmsRow(row_i: Int, cells: Seq[Long])
 
   /** Streaming Count-Min accumulation — the incremental form of q215's
@@ -202,7 +212,8 @@ object StatefulOps {
     * and the updated row is emitted for downstream point queries. Keying by
     * hash row gives only 4 keys — deliberately: the sketch's parallelism
     * comes from the map-side pre-aggregation of cell hits upstream
-    * (groupBy(row, bucket).count before the shuffle at scale), not from
+    * (groupBy(row, bucket).count before the shuffle at scale, carried in
+    * CmsCell.weight), not from
     * sharding the tiny state. Counter arrays merge by element-wise sum, so
     * a repartitioned or replayed stream converges to the identical sketch
     * — the q92/q85 mergeable-partial discipline, live. */
@@ -221,7 +232,11 @@ object StatefulOps {
                                  timers: TimerValues): Iterator[CmsRow] = {
       val cells = Option(state.get()).map(_.cells.toArray)
         .getOrElse(Array.fill(256)(0L))
-      rows.foreach(c => cells(c.bucket.toInt) += 1L)
+      rows.foreach { c =>
+        require(c.bucket >= 0L && c.bucket < 256L,
+          s"CmsCell.bucket must be in [0, 256), got ${c.bucket} (row ${c.row_i})")
+        cells(c.bucket.toInt) += c.weight
+      }
       val next = CmsRow(row, cells.toSeq)
       state.update(next)
       Iterator.single(next)

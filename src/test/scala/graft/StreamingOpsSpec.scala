@@ -210,7 +210,7 @@ class StreamingOpsSpec extends SparkSpec {
 
     // the whole sf0.001 event log, in time order, split into three batches
     val all = Tables.events(spark, sf)
-      .select($"user_id", $"event_type", $"ts", $"value")
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
       .orderBy("ts", "event_id")
       .as[Event].collect()
     val chunks = all.grouped(math.max(all.length / 3, 1)).toSeq
@@ -257,7 +257,8 @@ class StreamingOpsSpec extends SparkSpec {
     }
     val allCells = bucketed
       .select(explode(array(cellCols: _*)).as("t"))
-      .select(col("t.row_i").as("row_i"), col("t.bucket").as("bucket"))
+      .select(col("t.row_i").as("row_i"), col("t.bucket").as("bucket"),
+        lit(1L).as("weight"))
       .as[CmsCell].collect()
 
     val input = MemoryStream[CmsCell]
@@ -297,6 +298,73 @@ class StreamingOpsSpec extends SparkSpec {
       assert(est >= row.getLong(1),
         s"CMS underestimated '${row.getString(0)}'")
     }
+  }
+
+  test("EWMA orders same-timestamp events by event_id, not arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two (user, ts) ties fed in REVERSE event_id arrival order: the handler
+    // must sort by (ts, event_id), so event_id 2 (value 2.0) is newest.
+    val input = MemoryStream[Event]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.ewmaPerUserTws(input.toDS())
+      .writeStream.format("memory").queryName("ewma_tie")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, "v", ts(1), 2.0, event_id = 2),
+        Event(1, "v", ts(1), 1.0, event_id = 1))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val out = spark.table("ewma_tie").as[StatefulOps.EwmaOut].collect()
+    assert(out.length === 1)
+    // newest-first window [2.0, 1.0] micros, dyadic weights 128:64
+    assert(out.head.last_micros === 2000000L)
+    assert(out.head.ewma_micros === (2000000L * 128 + 1000000L * 64) / 192)
+  }
+
+  test("CMS accepts a pre-aggregated weighted feed and rejects bad buckets") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{CmsCell, CmsRow}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CmsCell]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.cmsTws(input.toDS())
+      .writeStream.format("memory").queryName("cms_weighted")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // pre-aggregated: (bucket 5 × 2) + (bucket 7 × 1), one batch
+      input.addData(CmsCell(0, 5L, 2L), CmsCell(0, 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.table("cms_weighted").as[CmsRow].collect()
+      .maxBy(_.cells.sum)
+    assert(row.cells(5) === 2L && row.cells(7) === 1L && row.cells.sum === 3L)
+
+    // an out-of-range bucket must fail the query with a clear message,
+    // not a silent ArrayIndexOutOfBoundsException
+    val bad = MemoryStream[CmsCell]
+    val qb = StatefulOps.cmsTws(bad.toDS())
+      .writeStream.format("memory").queryName("cms_bad")
+      .outputMode(OutputMode.Update()).start()
+    val err = intercept[Exception] {
+      try {
+        bad.addData(CmsCell(0, 256L))
+        qb.processAllAvailable()
+      } finally {
+        try qb.stop() catch { case _: Exception => () }
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("CmsCell.bucket")),
+      s"expected the bucket-range message in: ${messages(err).mkString(" | ")}")
   }
 
   test("mapGroupsWithState keeps running per-user counters across batches") {

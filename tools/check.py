@@ -49,7 +49,12 @@ def norm_cell(v):
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if f != f:
-            return "null"  # NaN: both readers surface missing as NaN
+            # Distinct token (not "null"): pandas float64 cannot represent
+            # NULL separately from NaN, so BOTH readers surface a missing
+            # float as NaN and both land here — comparison stays symmetric.
+            # What this refuses to do is equate a float NaN with an
+            # object-dtype None in some other column kind.
+            return "nan"
         return f"float:{f!r}"
     if isinstance(v, decimal.Decimal):
         return f"decimal:{v}"
