@@ -60,10 +60,26 @@ object Sketches {
     buf
   }
 
-  /** Fold one element hash into a SimHash counter buffer. */
+  /** Fold one element hash into a SimHash counter buffer.
+    *
+    * Bit k of an element is derived from the SAME affine family as MinHash
+    * — ((a_k·h + b_k) mod p) thresholded at p/2 — instead of reading the
+    * element's own bit k. Two reasons: the per-bit streams stay pairwise
+    * independent even when element hashes occupy a narrow range (q39/q40's
+    * replayable 2^40-space fingerprints would leave bits 40-63 constant
+    * under raw bit-reading, collapsing the upper LSH bands into one hot
+    * bucket), and every step is bounded below 2^62, so the whole SimHash
+    * index replays as DuckDB SQL (VERDICT r4 item 1 — DuckDB BIGINT
+    * overflow is an error, which is what rules out wrapping bit-mix
+    * hashes like xxhash64 there). */
   def simhashReduce(buf: Array[Long], h: Long): Array[Long] = {
+    val hm = Math.floorMod(h, MinHashPrime)
     var k = 0
-    while (k < 64) { buf(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L); k += 1 }
+    while (k < 64) {
+      val v = Math.floorMod(hashA(k) * hm + hashB(k), MinHashPrime)
+      buf(k) += (if (v < 1073741824L) 1L else -1L)
+      k += 1
+    }
     buf
   }
 

@@ -33,10 +33,10 @@ object TextQueries {
       lit(0L), (a, b) => pmod(a * 31 + b, lit(1000000007L)))
 
   /** [[base31Fold]] in the oracles' DuckDB dialect, over any string
-    * expression — q48/q155/q156/q168 interpolate this so a fold tweak
-    * moves every oracle together with the engine (the leadFingerprintSql
-    * discipline). */
-  private def base31FoldSql(inner: String): String =
+    * expression — q48/q155/q156/q168 (and q39/q40's LSH replay) interpolate
+    * this so a fold tweak moves every oracle together with the engine (the
+    * leadFingerprintSql discipline). */
+  private[graft] def base31FoldSql(inner: String): String =
     s"list_reduce(list_transform(string_split($inner, ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 

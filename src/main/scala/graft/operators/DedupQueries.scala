@@ -49,6 +49,59 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
+  /** q39/q40's SQL-replayable shingle fingerprints: token fp =
+    * [[graft.functions.TextQueries.base31Fold]] (mod 1e9+7 — the family six
+    * green oracles already replay), 3-gram fp = bounded base-2^22 fold of
+    * the three token fps mod the prime 2^40−87. Every intermediate stays
+    * below 2^62, which matters because DuckDB BIGINT overflow is an ERROR,
+    * not a wrap — the xxhash64 family this replaces needs wrapping 64-bit
+    * multiplies and cannot be replayed there (VERDICT r4 item 1). The 2^40
+    * fp space trades xxhash64's ~1e-10 collision odds for ~1e-3 at this
+    * corpus scale — immaterial to the *approximate* sketches (a collision
+    * perturbs one of 64 minima); q41's EXACT Jaccard keeps the xxhash64
+    * prep ([[shingleArrays]]) where set identity is the semantics. */
+  private[graft] val ShingleP = 1099511627689L // largest prime < 2^40
+  private[graft] val ShingleM = 4194301L       // prime < 2^22: (P−1)·M < 2^62
+
+  /** (doc_id, sh) with replayable fps, from any (doc_id, text) frame —
+    * shared by [[minhashSignatures]], q40 and the SketchSpec incremental
+    * test so a family tweak moves index build and probe together. */
+  private[graft] def replayableShingles(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(col("doc_id"),
+        transform(split(lower(col("text")), " "),
+          t => graft.functions.TextQueries.base31Fold(t)).as("hw"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),
+          i => pmod(
+            pmod(element_at(col("hw"), i) * ShingleM + element_at(col("hw"), i + 1),
+              lit(ShingleP)) * ShingleM + element_at(col("hw"), i + 2),
+            lit(ShingleP)))).as("sh"))
+
+  /** The same fps in the oracles' DuckDB dialect: CTEs `toks` (per-doc
+    * token-fp list) and `sh` (exploded distinct 3-gram fps), plus
+    * `params(i, a, b)` carrying the engine's OWN MinHash affine parameters
+    * ([[Sketches.hashA]]/[[Sketches.hashB]]) — interpolated at oracle-build
+    * time so the replay can never drift from the Scala constants. */
+  private[graft] def replayShinglePrologueSql: String = {
+    val params = Sketches.hashA.indices
+      .map(i => s"(${i}, ${Sketches.hashA(i)}, ${Sketches.hashB(i)})")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+       |           t -> ${graft.functions.TextQueries.base31FoldSql("t")}) AS hw
+       |  FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(hw) - 1),
+       |           i -> (((hw[i] * $ShingleM + hw[i+1]) % $ShingleP)
+       |                   * $ShingleM + hw[i+2]) % $ShingleP))) AS s
+       |  FROM toks
+       |), params(i, a, b) AS (VALUES $params)""".stripMargin
+  }
+
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
     * ONE definition shared by q160 (incremental dedup), q161 (source
     * overlap) and q169 (keep-best), plus `PipelineInvariantSpec`. A
@@ -88,9 +141,15 @@ object DedupQueries {
         (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L))).as("key")))
 
   /** (doc_id, sig) — the per-document MinHash signature table: THE artifact
-    * an incremental pipeline persists and joins new batches against. */
+    * an incremental pipeline persists and joins new batches against. Built
+    * on the replayable fp family so the whole index is oracle-checkable. */
   private[graft] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingleArrays(s, dir)
+    minhashSignaturesFor(Tables.documents(s, dir))
+
+  /** Signature build for any (doc_id, text) frame — the index-build and the
+    * new-batch probe (SketchSpec incremental test) share this path. */
+  private[graft] def minhashSignaturesFor(docs: DataFrame): DataFrame =
+    replayableShingles(docs)
       .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
 
   private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -190,7 +249,43 @@ object DedupQueries {
 
     GraftQuery(
       "q39_dedup_minhash_lsh",
-      None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
+      // approximate by design but fully deterministic — the oracle replays
+      // the ENTIRE index in SQL: replayable shingle fps, the engine's own
+      // 64 affine minhash params (interpolated), band folds, bucket cap,
+      // in-bucket pairing and the signature-agreement score (q67's replay
+      // pattern, VERDICT r4 item 1)
+      Some(s"""$replayShinglePrologueSql, msig AS (
+              |  SELECT doc_id, i,
+              |         min((a * (s % 2147483647) + b) % 2147483647) AS v
+              |  FROM sh, params GROUP BY doc_id, i
+              |), sigs AS (
+              |  SELECT doc_id, list(v ORDER BY i) AS sig FROM msig GROUP BY doc_id
+              |), bands AS (
+              |  SELECT doc_id, t.band,
+              |         list_reduce(
+              |           list_prepend(CAST(t.band AS BIGINT),
+              |                        sig[t.band*4+1 : t.band*4+4]),
+              |           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS key
+              |  FROM sigs, range(0, 16) t(band)
+              |), bounded AS (
+              |  SELECT doc_id, band, key FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+              |    FROM bands
+              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+              |), cand AS (
+              |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
+              |  FROM bounded p1 JOIN bounded p2 USING (band, key)
+              |  WHERE p1.doc_id < p2.doc_id
+              |)
+              |SELECT c.doc_a, c.doc_b,
+              |       CAST(sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) * 15625
+              |            AS BIGINT) AS est_jaccard_ppm
+              |FROM cand c
+              |JOIN msig ma ON ma.doc_id = c.doc_a
+              |JOIN msig mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+              |GROUP BY c.doc_a, c.doc_b
+              |HAVING sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) >= 32
+              |ORDER BY doc_a, doc_b""".stripMargin),
       "MinHash+LSH: the 64-minimum signature is computed ROW-LOCALLY from " +
         "each doc's shingle array (scalar sketch expression — no explode, " +
         "no aggregation shuffle; the aggregate form remains for docs too " +
@@ -202,7 +297,9 @@ object DedupQueries {
         "boilerplate) are BOUNDED before collection: a window count on the " +
         "band key (no extra exchange) drops buckets past MaxBucket=64, so " +
         "no agg buffer or pair expansion ever sees a degenerate bucket. " +
-        "P[candidate|J=0.8]≈99.98%."
+        "P[candidate|J=0.8]≈99.98%. The agreement score is emitted as exact " +
+        "integer ppm (matches × 15625) — no float rounding at the oracle " +
+        "boundary."
     ) { (s, dir) =>
       val cands = minhashBuckets(s, dir)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
@@ -212,26 +309,65 @@ object DedupQueries {
         .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
         .distinct()
       cands
-        .withColumn("est_jaccard",
+        .withColumn("n_match",
           aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v) / lit(Sketches.NumMinHashes.toDouble))
-        .filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+        .filter(col("n_match") >= Sketches.NumMinHashes / 2) // est J >= 0.5
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))
         .orderBy("doc_a", "doc_b")
     },
 
     GraftQuery(
       "q40_dedup_simhash",
-      None, // sketch parameters are engine-private; spec-verified vs exact Jaccard.
+      // deterministic replay oracle: per-(doc, bit) affine-threshold
+      // majorities, block keys as bit sums, bucket cap, in-bucket pairing
+      // and exact Hamming re-check — the same SQL mirror discipline as q39
+      Some(s"""$replayShinglePrologueSql, bits AS (
+              |  SELECT doc_id, i,
+              |         CASE WHEN sum(CASE WHEN (a * (s % 2147483647) + b)
+              |                                   % 2147483647 < 1073741824
+              |                             THEN 1 ELSE -1 END) > 0
+              |              THEN 1 ELSE 0 END AS bit
+              |  FROM sh, params GROUP BY doc_id, i
+              |), bdef(band, off, w) AS (
+              |  VALUES (0,0,10),(1,10,9),(2,19,9),(3,28,9),(4,37,9),(5,46,9),(6,55,9)
+              |), keys AS (
+              |  SELECT doc_id, band,
+              |         CAST(sum(bit * (1::BIGINT << CAST(i - off AS INT)))
+              |              AS BIGINT) AS key
+              |  FROM bits JOIN bdef ON i >= off AND i < off + w
+              |  GROUP BY doc_id, band
+              |), bounded AS (
+              |  SELECT doc_id, band, key FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+              |    FROM keys
+              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+              |), cand AS (
+              |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
+              |  FROM bounded p1 JOIN bounded p2 USING (band, key)
+              |  WHERE p1.doc_id < p2.doc_id
+              |)
+              |SELECT c.doc_a, c.doc_b,
+              |       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS hamming
+              |FROM cand c
+              |JOIN bits ba ON ba.doc_id = c.doc_a
+              |JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+              |GROUP BY c.doc_a, c.doc_b
+              |HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin),
       "SimHash: 8 bytes per doc total state, computed row-locally from the " +
-        "shingle array (no explode, no agg shuffle). Pigeonhole banding (Manku et " +
+        "shingle array (no explode, no agg shuffle); element bits come from " +
+        "the affine-threshold family (replayable, and independent of the " +
+        "fp value range). Pigeonhole banding (Manku et " +
         "al., WWW'07): 7 blocks over 64 bits, so any pair at Hamming ≤ 6 " +
         "agrees on ≥1 whole block — the band equi-join is an EXHAUSTIVE " +
         "candidate generator for the ≤6 threshold, then exact distance is " +
         "re-checked with bit_count(xor). Joins on (int, int) keys only."
     ) { (s, dir) =>
-      val sigs = shingleArrays(s, dir)
+      val sigs = replayableShingles(Tables.documents(s, dir))
         .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
       // 7 blocks of widths 10,9,9,9,9,9,9 — any Hamming-≤6 pair leaves ≥1
       // block untouched (pigeonhole), so banding misses nothing.
@@ -253,7 +389,8 @@ object DedupQueries {
               a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b"))
         .distinct()
-        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")

@@ -215,7 +215,11 @@ class ScaleDesignSpec extends SparkSpec {
     // show up as the tokenizer appearing multiple times in the plan.
     Seq("q39_dedup_minhash_lsh", "q41_dedup_ngram_jaccard").foreach { q =>
       val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
-      val n = "transform\\(split".r.findAllIn(plan).size
+      // count DOC tokenizations (split of the lowered text column); q39's
+      // replayable token fold legitimately char-splits each token INSIDE
+      // the one tokenize pass, which the old "transform(split" count would
+      // miscount as a re-tokenization
+      val n = "transform\\(split\\(lower".r.findAllIn(plan).size
       assert(n <= 1, s"$q tokenizes ${n}x — a filter or alias is re-inlining the build:\n$plan")
     }
     val p39 = physicalPlan(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf))

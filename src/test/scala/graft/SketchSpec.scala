@@ -133,14 +133,9 @@ class SketchSpec extends SparkSpec {
     def withBands(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("sig"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
         .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val newSigs = newDocs
-      .select(col("doc_id"),
-        transform(split(lower(col("text")), " "), t => xxhash64(t)).as("hw"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),
-          i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
-            element_at(col("hw"), i + 2)))).as("sh"))
-      .select(col("doc_id"), graft.functions.Sketches.minhashArray(col("sh")).as("sig"))
+    // same fp family + signature path as the index build — one definition
+    // (DedupQueries.minhashSignaturesFor) serves both ends of the pipeline
+    val newSigs = DedupQueries.minhashSignaturesFor(newDocs)
     val index = spark.read.parquet(indexDir)
     val flagged = withBands(newSigs).as("n")
       .join(withBands(index).as("x"), Seq("band", "key"))
