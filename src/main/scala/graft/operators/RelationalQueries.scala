@@ -466,6 +466,43 @@ object RelationalQueries {
     },
 
     GraftQuery(
+      "q115b_column_profile_approx",
+      None, // sketch NDV by design; ApproxSpec bounds it against exact q115.
+      "q115's own 100 TB path as a first-class sibling (the q141b " +
+        "treatment applied to the other documented non-scaling operator): " +
+        "the same four-column profile with exact NDV swapped for " +
+        "approx_count_distinct (rsd 0.01). The plan change is structural, " +
+        "not cosmetic — the exact form must ship every DISTINCT VALUE " +
+        "through its exchange (NDV-proportional shuffle, unbounded per " +
+        "group), while this form ships one fixed-size HLL partial per " +
+        "map task and each branch collapses to a single partial+final " +
+        "aggregate with no groupBy(value) stage at all. Null counts and " +
+        "min/max stay exact (they were never the scaling problem) and " +
+        "keep q115's integer encodings, so ApproxSpec can pin every " +
+        "column row-for-row against the exact profile: n_nulls/min/max " +
+        "identical, NDV within the configured rsd bound. At 100 TB the " +
+        "HLL partials also make the profile INCREMENTAL — per-partition " +
+        "sketches persist and merge across ingest batches (q92's rollup " +
+        "property), where exact NDV must rescan history."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.Column
+      val li = Tables.lineitem(s, dir)
+      def profile(name: String, minEnc: Column => Column): DataFrame =
+        li.agg(
+            (count(lit(1)) - count(col(name))).as("n_nulls"),
+            approx_count_distinct(col(name), 0.01).as("n_distinct"),
+            minEnc(min(col(name))).cast("long").as("min_enc"),
+            minEnc(max(col(name))).cast("long").as("max_enc"))
+          .select(lit(name).as("col_name"), col("n_nulls"),
+            col("n_distinct"), col("min_enc"), col("max_enc"))
+      profile("l_orderkey", identity)
+        .unionAll(profile("l_quantity", c => round(c * 100)))
+        .unionAll(profile("l_returnflag", c => ascii(c)))
+        .unionAll(profile("l_shipdate", c => unix_micros(c.cast("timestamp"))))
+        .orderBy("col_name")
+    },
+
+    GraftQuery(
       "q133_union_by_name",
       Some("""WITH v1 AS (
              |  SELECT doc_id, lang, n_chars FROM documents

@@ -56,6 +56,29 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q115b sketch profile pins exact stats and bounds NDV vs exact q115") {
+    // the q141b treatment for the other non-scaling operator: nulls/min/max
+    // must be IDENTICAL to the exact profile (they were never approximated),
+    // NDV within the rsd-derived bound
+    val exact = SparkEntry.queries("q115_column_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx =
+      SparkEntry.queries("q115b_column_profile_approx")(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq("n_nulls", "min_enc", "max_enc").foreach { c =>
+        assert(r.getLong(r.fieldIndex(c)) == e.getLong(e.fieldIndex(c)),
+          s"col=${r.getString(0)} $c approx=${r.getLong(r.fieldIndex(c))} " +
+            s"exact=${e.getLong(e.fieldIndex(c))}")
+      }
+      val (a, x) = (r.getLong(r.fieldIndex("n_distinct")),
+        e.getLong(e.fieldIndex("n_distinct")))
+      assert(math.abs(a - x) <= math.max(1.0, 0.05 * x),
+        s"col=${r.getString(0)} ndv approx=$a exact=$x")
+    }
+  }
+
   test("HLL sketch rollup: weekly union of daily sketches within 5% of exact") {
     import org.apache.spark.sql.functions._
     val exact = Tables.events(spark, sf)
