@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Degenerate-corpus synthesizer for the catalog-wide edge sweep.
+  *
+  * Writes the full ten-table star schema (TESTDATA.md layout, exact column
+  * names and physical types) with either ZERO rows or ONE internally
+  * consistent row per table. The r2–r4 history shows a recurring failure
+  * class — a guard discovered reactively one round at a time (q136 stride,
+  * q148 sub-ppm, q155 empty-text): each was a query that silently assumed
+  * "the corpus is non-trivial". This corpus makes that assumption testable
+  * for every catalog entry at once (DegenerateCorpusSpec), the way the
+  * reference asserts behavior on the emptiest possible input instead of
+  * only the happy path (reference ReplicationApplicationTest.java:117-124
+  * drives a single record end-to-end).
+  *
+  * `events.ts` is written as a plain long (nanoseconds): the driver's real
+  * events.parquet is parquet TIMESTAMP(NANOS), which the engine reads under
+  * `nanosAsLong=true` as a long — so a long column IS what every consumer
+  * of [[Tables.events]] sees. tools/check.py detects the BIGINT form and
+  * bridges it with make_timestamp for the DuckDB side.
+  */
+object EdgeCorpus {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** (schema, the single consistent row) per table. The row values follow
+    * the driver generator's formats (Customer#%09d names, Brand#N, real
+    * region names, src0 sources, JSON props) so format-parsing queries see
+    * representative input, and every FK resolves: the one lineitem belongs
+    * to the one order by the one customer in the one nation, etc.
+    */
+  private val tables: Seq[(String, StructType, Row)] = Seq(
+    ("region",
+      StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType))),
+      Row(0, "AFRICA")),
+    ("nation",
+      StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))),
+      Row(0, "NATION_0", 0)),
+    ("customer",
+      StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))),
+      Row(0L, "Customer#000000000", 0, 2095.23, "BUILDING")),
+    ("supplier",
+      StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))),
+      Row(0L, "Supplier#000000000", 0, 4090.79)),
+    ("part",
+      StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_type", StringType),
+        StructField("p_size", IntegerType),
+        StructField("p_retailprice", DoubleType))),
+      Row(0L, "cold widget", "Brand#13", "ECONOMY", 24, 900.0)),
+    ("orders",
+      StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))),
+      Row(0L, 0L, "F", 144449.04, ts("1997-01-15 00:00:00"), "3-MEDIUM")),
+    ("lineitem",
+      StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType))),
+      Row(0L, 0L, 0L, 1, 17.0, 1200.5, 0.05, 0.02, "N", "O",
+        ts("1997-02-01 00:00:00"))),
+    ("events",
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // nanos — see scaladoc
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))),
+      Row(0L, 1704067200000000000L, 0L, "purchase", 185.22, "{\"k\": 87}")),
+    ("documents",
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))),
+      Row(0L,
+        "the fast key order sort table scan merge part window small hash " +
+          "scan join order ",
+        "es", "src0", 128L)),
+    ("embeddings",
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))),
+      Row(0L,
+        (0 until 64).map(i => (((i * 37 + 11) % 101) - 50) / 100.0f).toArray
+          .toSeq,
+        5)))
+
+  /** Write the corpus. `rows = 0` (empty tables, schema present) or
+    * `rows = 1` (the one consistent row everywhere). Overwrites. */
+  def write(spark: SparkSession, dir: String, rows: Int): Unit = {
+    require(rows == 0 || rows == 1, s"rows must be 0 or 1, got $rows")
+    tables.foreach { case (name, schema, row) =>
+      val data = if (rows == 0) Seq.empty[Row] else Seq(row)
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(data).asJava), schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** CLI: `runMain graft.EdgeData <outDir> <0|1>` — lets the verify loop
+    * build the same corpora for the DuckDB cross-check (tools/check.py). */
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    write(spark, args(0), args(1).toInt)
+    spark.stop()
+  }
+}

@@ -228,7 +228,8 @@ object AnalyticsQueries {
              |SELECT segment, n,
              |       CAST(sx // n AS BIGINT) AS mean_x_days,
              |       CAST(sy // n AS BIGINT) AS mean_y_dollars,
-             |       CAST((n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000)
+             |       CAST((n * sxy - sx * sy)
+             |            // nullif((n * sxx - sx * sx) // 1000, 0)
              |            AS BIGINT) AS slope_milli
              |FROM m ORDER BY segment""".stripMargin),
       "Per-segment OLS trend fit (is order value drifting over time?): " +
@@ -259,7 +260,10 @@ object AnalyticsQueries {
         .select(col("segment"), col("n"),
           expr("sx div n").as("mean_x_days"),
           expr("sy div n").as("mean_y_dollars"),
-          expr("(n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000)")
+          // nullif: a single point (or a zero-variance x column) has no
+          // slope — NULL on both engines (DuckDB // 0 is already NULL;
+          // ANSI Spark would throw). Found by DegenerateCorpusSpec.
+          expr("(n * sxy - sx * sy) div nullif((n * sxx - sx * sx) div 1000, 0)")
             .as("slope_milli"))
         .orderBy("segment")
     },

@@ -148,7 +148,11 @@ object ClusterQueries {
         .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
           min(col("d")).as("d"), first(col("v")).as("v"))
         .localCheckpoint(true)
-      val cost = assigned.agg(sum(greatest(col("d"), lit(0.0)))).head.getDouble(0)
+      // coalesce: an empty corpus has no assignment cost — sum() is NULL
+      // and getDouble would throw (DegenerateCorpusSpec); cost 0 converges
+      // on the second round like any plateau.
+      val cost = assigned.agg(coalesce(sum(greatest(col("d"), lit(0.0))), lit(0.0)))
+        .head.getDouble(0)
       val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(sum("x").as("sx"), count(lit(1)).as("n"))

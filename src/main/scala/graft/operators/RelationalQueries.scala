@@ -127,6 +127,11 @@ object RelationalQueries {
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |-- no-op on any non-empty table (every grouping-set row
+             |-- aggregates >=1 input row); on an EMPTY one it pins the
+             |-- engine contract — Spark's grouped rollup emits 0 rows,
+             |-- where ANSI's () set emits a grand-total row (edge sweep)
+             |HAVING count(*) > 0
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       "Rollup expands to grouping sets inside the same partial+final hash " +
         "agg — one pass, one shuffle, rows multiplied only by #grouping-sets."
@@ -143,6 +148,7 @@ object RelationalQueries {
              |       round(sum(l_extendedprice), 2) AS sum_price
              |FROM lineitem
              |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |HAVING count(*) > 0 -- empty-table contract, see q06
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       "Cube = 2^k grouping sets in one aggregation pass; keep k small at " +
         "scale (sets multiply the shuffle rows)."
@@ -159,6 +165,7 @@ object RelationalQueries {
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |HAVING count(*) > 0 -- empty-table contract, see q06
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       "Explicit grouping sets — same single-shuffle expansion as rollup/cube."
     ) { (s, dir) =>

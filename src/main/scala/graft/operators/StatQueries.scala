@@ -724,8 +724,8 @@ object StatQueries {
              |)
              |SELECT fd, n_lhs, n_pairs,
              |       CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS holds,
-             |       CAST((n_pairs - n_lhs) * 1000000 // n_lhs AS BIGINT)
-             |         AS violation_ppm
+             |       CAST((n_pairs - n_lhs) * 1000000 // nullif(n_lhs, 0)
+             |            AS BIGINT) AS violation_ppm
              |FROM cand ORDER BY fd""".stripMargin),
       "Functional-dependency discovery (TANE's core test, declarative): " +
         "A→B holds iff |distinct A| = |distinct (A,B)| — two " +
@@ -754,7 +754,10 @@ object StatQueries {
           "c_nationkey", "c_mktsegment"))
         .select(col("fd"), col("n_lhs"), col("n_pairs"),
           when(col("n_pairs") === col("n_lhs"), 1).otherwise(0).as("holds"),
-          expr("(n_pairs - n_lhs) * 1000000 div n_lhs").as("violation_ppm"))
+          // nullif: an empty table has no LHS values to violate — NULL on
+          // both engines, not an ANSI crash (DegenerateCorpusSpec).
+          expr("(n_pairs - n_lhs) * 1000000 div nullif(n_lhs, 0)")
+            .as("violation_ppm"))
         .orderBy("fd")
     },
 
@@ -781,7 +784,8 @@ object StatQueries {
              |       CAST(sum(neg_s) AS BIGINT) AS n_neg,
              |       CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS u2,
              |       CAST(sum(pos_s * (2 * neg_below + neg_s)) * 1000000
-             |            // (2 * sum(pos_s) * sum(neg_s)) AS BIGINT) AS auc_ppm
+             |            // nullif(2 * sum(pos_s) * sum(neg_s), 0)
+             |            AS BIGINT) AS auc_ppm
              |FROM c""".stripMargin),
       "Exact tie-adjusted AUC (Mann-Whitney U) without any sort of the " +
         "raw data: scoring each embedding by its integer-milli norm " +
@@ -809,7 +813,9 @@ object StatQueries {
       c.agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
           sum(col("pos_s") * (lit(2L) * col("neg_below") + col("neg_s"))).as("u2"))
         .select(col("n_pos"), col("n_neg"), col("u2"),
-          expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+          // nullif: AUC is undefined with a single class present — NULL on
+          // both engines, not an ANSI crash (DegenerateCorpusSpec).
+          expr("u2 * 1000000 div nullif(2 * n_pos * n_neg, 0)").as("auc_ppm"))
     },
 
     GraftQuery(

@@ -1,0 +1,45 @@
+package graft
+
+/** Catalog-wide degenerate-input sweep: every registered query must survive
+  * an EMPTY corpus and a ONE-ROW corpus (EdgeCorpus — exact TESTDATA.md
+  * schemas, internally consistent FKs).
+  *
+  * History: the q136 stride guard, q148 sub-ppm guard and q155 empty-text
+  * guard were each found reactively, one round apiece — every one was a
+  * query assuming a non-trivial corpus (enough rows for a window stride, a
+  * nonzero total to divide by, a non-empty token array). This spec runs
+  * the WHOLE catalog against the two smallest corpora so the next guard of
+  * that class fails here, not in a later round's driver gate. "Survives"
+  * means: the plan constructs, executes and collects without throwing —
+  * divide-by-zero must degrade to SQL NULL semantics, sizing arithmetic
+  * (log2/ceil over row counts) must clamp, driver-side selections
+  * (BPE merge pick) must tolerate an empty candidate set.
+  *
+  * The Spark==DuckDB half of the edge contract runs in the verify loop
+  * (EdgeCorpus CLI + graft.Verify + tools/check.py on the same corpora);
+  * this spec is the crash gate that `sbt test` can enforce hermetically.
+  */
+class DegenerateCorpusSpec extends SparkSpec {
+
+  private lazy val base =
+    java.nio.file.Files.createTempDirectory("graft_edge").toString
+
+  Seq("empty" -> 0, "one_row" -> 1).foreach { case (label, n) =>
+    test(s"every catalog query survives the $label corpus") {
+      val dir = s"$base/$label"
+      EdgeCorpus.write(spark, dir, n)
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, fn) =>
+          try { fn(spark, dir).collect(); None }
+          catch { case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} " +
+              String.valueOf(e.getMessage).linesIterator.take(3)
+                .mkString(" | ").take(300))
+          }
+        }
+      assert(failures.isEmpty,
+        s"${failures.size} queries crashed on the $label corpus:\n" +
+          failures.mkString("\n"))
+    }
+  }
+}

@@ -23,6 +23,7 @@ driver's, never looser.
 import datetime
 import decimal
 import json
+import os
 import sys
 
 import duckdb
@@ -95,13 +96,27 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+
+    def tpath(t):
+        # driver corpora are single files; EdgeCorpus (Spark-written) tables
+        # are directories of part files — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tpath(t)}'")
     # events.ts is TIMESTAMP_NS; Spark side truncates to micros — mirror it.
+    # EdgeCorpus-written corpora carry ts as BIGINT nanos (what the engine
+    # sees under nanosAsLong) — bridge that form with make_timestamp(us).
+    ts_type = con.sql(
+        f"SELECT column_type FROM (DESCRIBE SELECT ts "
+        f"FROM '{tpath('events')}')").fetchone()[0]
+    ts_expr = ("make_timestamp(ts // 1000)" if "INT" in ts_type.upper()
+               else "CAST(ts AS TIMESTAMP)")
     con.sql("DROP VIEW events")
     con.sql(f"CREATE VIEW events AS SELECT event_id, "
-            f"CAST(ts AS TIMESTAMP) ts, user_id, event_type, value, props "
-            f"FROM '{sf_dir}/events.parquet'")
+            f"{ts_expr} ts, user_id, event_type, value, props "
+            f"FROM '{tpath('events')}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
