@@ -556,4 +556,60 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(11L, 13L),
       "index hits are rejected, cross-batch same-key arrivals admit once")
   }
+
+  test("admit-once tws equals batch q160 and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{AdmitDecision, Doc}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the sf0.001 corpus as a stream: epoch 0 = q160's index (doc_id%10<8),
+    // epoch 1 = q160's arriving batch — epoch is a data column, so the
+    // classification must not depend on how the stream is chunked
+    val docs = Tables.documents(spark, sf)
+      .select(operators.DedupQueries.leadFingerprint.as("h"),
+        col("doc_id"), col("source"),
+        when(col("doc_id") % 10 >= 8, 1).otherwise(0).as("epoch"))
+      .orderBy("epoch", "doc_id")
+      .as[Doc].collect()
+
+    def run(name: String, nChunks: Int): Map[Long, String] = {
+      val input = MemoryStream[Doc]
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.admitOnceTws(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        docs.grouped(math.max(docs.length / nChunks, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally {
+        q.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.table(name).as[AdmitDecision].collect()
+        .map(d => d.doc_id -> d.status).toMap
+    }
+
+    val a = run("admit_once_3", 3)
+    val b = run("admit_once_7", 7)
+    assert(a === b, "re-chunking the stream changed an admit decision")
+    assert(a.size === docs.length, "every arrival gets exactly one decision")
+
+    // epoch-1 decisions, aggregated per source, must reproduce q160's audit
+    val byDoc = docs.map(d => d.doc_id -> d).toMap
+    val got = a.toSeq.filter { case (id, _) => byDoc(id).epoch == 1 }
+      .groupBy { case (id, _) => byDoc(id).source }
+      .map { case (src, ds) =>
+        val st = ds.map(_._2)
+        src -> ((st.size.toLong, st.count(_ == "batch_dupe").toLong,
+          st.count(_ == "index_dupe").toLong,
+          st.count(_ == "admitted").toLong))
+      }
+    val batch = SparkEntry.queries("q160_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === batch,
+      "streaming admit-once audit diverged from batch q160")
+  }
 }
