@@ -1038,7 +1038,10 @@ object SimilarityQueries {
         "exactly in SQL."
     ) { (s, dir) =>
       val nf = normed(s, dir)
-      val q0 = nf.filter(col("vec_id") === 0)
+      // limit(1) is a no-op on the unique-key filter, but it makes the
+      // 1-row bound STRUCTURAL — the plan sweep's nested-loop check reads
+      // the bound off the plan instead of trusting the key's uniqueness
+      val q0 = nf.filter(col("vec_id") === 0).limit(1)
         .select(col("v").as("qv"), col("nrm").as("qn"))
       val sc = nf.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q0))

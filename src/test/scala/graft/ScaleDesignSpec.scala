@@ -231,66 +231,69 @@ class ScaleDesignSpec extends SparkSpec {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     import org.apache.spark.sql.execution.SortExec
-    // Sanctioned nested-loop shapes — all broadcast-small-side by design:
-    // q21 probes a broadcast O(bands) list with a range predicate; q43 is
-    // the brute-force ANN baseline whose O(n·q) score of every (corpus,
-    // query) pair IS the semantics (query side broadcast, corpus never
-    // shuffles); q66 cross-joins a broadcast ~2% centroid sample and
-    // collapses to one row per vector map-side before any exchange; q84
-    // cross-joins a single broadcast row of per-dimension corpus stats.
-    // q86's final audit joins the broadcast trained-centroid list the same way.
-    val bnljOk = Set("q21_join_theta_band", "q43_knn_bruteforce", "q66_knn_ivf",
-      "q84_embedding_quantize", "q86_kmeans_train",
-      // q43's broadcast-anchor scan with a band filter before the top-k
-      "q146_hard_negatives",
-      // 1-row broadcast vocabulary array (the q84 stats shape)
-      "q145_vocab_oov_gate",
-      // vocab 1-row + 5-row threshold-list broadcasts
-      "q153_gate_sensitivity",
-      // 1-row corpus-stats broadcast (N, total tokens) into the scorer
-      "q113_bm25_search",
-      // q43's broadcast-query-side shape + q84's 1-row stats broadcast
-      "q130_quantized_ann",
-      // 1-row corpus-total / cluster-count broadcasts
-      "q136_pps_sample", "q137_cluster_terms",
-      // 1-row totals broadcast into the per-domain weight projection
-      "q148_domain_reweight",
-      // 1-row corpus-count broadcast for the negative displacement rule
-      "q151_nsp_pairs",
-      // 1-row total-token-count broadcast into the lift projection
-      "q157_pmi_collocations",
-      // 1-row corpus-total + 1-row leftover broadcasts on a |sources| frame
-      "q158_token_allocation",
-      // 1-row min/max-epoch bounds broadcast into the split tag
-      "q159_temporal_embargo_split",
-      // 5-row coverage-target + 1-row total broadcasts on a |vocab| frame
-      "q163_vocab_coverage",
-      // 1-row totals broadcast on a |labels| frame
-      "q166_class_weights",
-      // 1-row totals broadcast building the |langs| weight table
-      "q170_weighted_resample",
-      // 1-row corpus-total broadcast into the mask-share projection
-      "q171_failure_reasons",
-      // q43's broadcast-anchor-set scan shape
-      "q173_contrastive_pairs",
-      // 4-row cut-list + 1-row total broadcasts on a |vocab| frame
-      "q174_vocab_prune_impact",
-      // 3-row k-list + 1-row total broadcasts on a |classes| frame
-      "q178_k_anonymity",
-      // 1-row max-date broadcast on the |customers| frame
-      "q180_rfm_segments",
-      // 1-row span-bounds broadcast into the window-cut conditional agg
-      "q183_churn_labels",
-      // 1-row (n_pos, s_pos) balance-average broadcast into the filter
-      "q189_tpch_q22",
-      // 1-row (n, total) broadcast into the CUSUM closed form
-      "q195_cusum_changepoint",
-      // 1-row doubled-median broadcast into the deviation projection
-      "q197_zipf_check",
-      // 1-row query-vector + 1-row corpus-stats broadcasts (q43/q113 shapes)
-      "q209_hybrid_rrf",
-      // 1-row class-total broadcast into the coverage share
-      "q217_l_diversity")
+    // Nested-loop joins are judged by SHAPE, not by name: a
+    // BroadcastNestedLoopJoin / CartesianProduct is sanctioned iff one side
+    // is STRUCTURALLY bounded — its subtree proves a constant row count
+    // (global aggregate -> 1 row, literal table -> its size, limit -> k,
+    // products/unions of those). A new 1-row-broadcast query is then
+    // auto-checked instead of auto-excused, and a fact-sized cross join can
+    // never hide behind a whitelist entry. The bound deliberately ignores
+    // runtime statistics: it must hold at ANY scale factor, which is
+    // exactly the 100 TB question.
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.{ExpandExec, GenerateExec,
+      GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan,
+      TakeOrderedAndProjectExec, UnionExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+    def rowBound(p: SparkPlan): Option[Long] = p match {
+      case a: BaseAggregateExec =>
+        if (a.groupingExpressions.isEmpty) Some(1L) else None
+      case l: LocalTableScanExec => Some(l.rows.length.toLong)
+      case g: GlobalLimitExec => Some(g.limit.toLong)
+      case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+      case r: RangeExec => Some(r.numElements.toLong)
+      case e: ExpandExec => rowBound(e.child).map(_ * e.projections.length)
+      case u: UnionExec =>
+        val bs = u.children.map(rowBound)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case j: BaseJoinExec => j.joinType match {
+        case LeftSemi | LeftAnti => rowBound(j.left)
+        case _ =>
+          for (a <- rowBound(j.left); b <- rowBound(j.right)) yield a * b
+      }
+      case _: GenerateExec => None // row fan-out breaks any child bound
+      case _ if p.children.length == 1 => rowBound(p.children.head)
+      case _ => None
+    }
+
+    // The only non-structural exceptions: sides bounded by CONSTRUCTION
+    // (a fixed-rate hash sample or a trained artifact behind an RDD scan),
+    // which no plan-shape analysis can see. Each entry names its bound.
+    val sampleBroadcastOk = Map(
+      "q43_knn_bruteforce" ->
+        "2% hash-sampled query side; O(n*q) IS the brute-force contract",
+      "q130_quantized_ann" -> "q43's hash-sampled broadcast query side",
+      "q66_knn_ivf" -> "~2% hash-sampled centroid side, collapsed map-side",
+      "q86_kmeans_train" ->
+        "k=8 trained centroids behind localCheckpoint's RDD scan",
+      "q146_hard_negatives" -> "q43's hash-sampled broadcast anchor scan",
+      "q173_contrastive_pairs" -> "q43's hash-sampled broadcast anchor set")
+
+    val SmallSide = 128L
+    def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
+      physical.collect {
+        case j: BroadcastNestedLoopJoinExec => (j: SparkPlan, j.left, j.right)
+        case j: CartesianProductExec => (j: SparkPlan, j.left, j.right)
+      }.flatMap { case (j, l, r) =>
+        val bounded = Seq(l, r).flatMap(rowBound).exists(_ <= SmallSide)
+        if (bounded || sampleBroadcastOk.contains(name)) None
+        else Some(s"$name: ${j.nodeName} with no structurally bounded side " +
+          s"(left=${rowBound(l)}, right=${rowBound(r)})")
+      }
+
     val udfOk = Set("q63_scalar_udf")
     // Warm Tables' schema cache: the FIRST read of each table legitimately
     // pays one schema-inference job; after that, plan construction must be
@@ -332,9 +335,7 @@ class ScaleDesignSpec extends SparkSpec {
         val df = q.run(spark, sf)
         val physical = df.queryExecution.sparkPlan
         val planStr = physical.toString
-        if (!bnljOk(q.name) && (planStr.contains("BroadcastNestedLoopJoin") ||
-            planStr.contains("CartesianProduct")))
-          problems += s"${q.name}: nested-loop or cartesian join"
+        problems ++= nestedLoopProblems(q.name, physical)
         val hasUdf = df.queryExecution.optimizedPlan.collect {
           case p if p.expressions.exists(_.collect { case u: ScalaUDF => u }.nonEmpty) => p
         }.nonEmpty
@@ -363,9 +364,7 @@ class ScaleDesignSpec extends SparkSpec {
       val df = q.run(spark, sf)
       val physical = df.queryExecution.sparkPlan
       val planStr = physical.toString
-      if (!bnljOk(q.name) && (planStr.contains("BroadcastNestedLoopJoin") ||
-          planStr.contains("CartesianProduct")))
-        problems += s"${q.name}: nested-loop or cartesian join"
+      problems ++= nestedLoopProblems(q.name, physical)
       if (df.queryExecution.optimizedPlan.collect {
             case p if p.expressions.exists(_.collect { case u: ScalaUDF => u }.nonEmpty) => p
           }.nonEmpty)
