@@ -18,11 +18,18 @@ import org.apache.spark.sql.types._
   * only the happy path (reference ReplicationApplicationTest.java:117-124
   * drives a single record end-to-end).
   *
-  * `events.ts` is written as a plain long (nanoseconds): the driver's real
-  * events.parquet is parquet TIMESTAMP(NANOS), which the engine reads under
-  * `nanosAsLong=true` as a long — so a long column IS what every consumer
-  * of [[Tables.events]] sees. tools/check.py detects the BIGINT form and
-  * bridges it with make_timestamp for the DuckDB side.
+  * `events.ts` is written in BOTH physical shapes the loader supports —
+  * the corpus generation of Aug 13 proved the encoding is a driver choice
+  * that changes over time, so the sweep must exercise every branch of
+  * [[Tables.events]]'s schema probe, not pin one "permanent" shape:
+  *
+  *  - `micros` (default): TIMESTAMP_NTZ micros — the shape the driver
+  *    ships since Aug 13 (TIMESTAMP(MICROS, isAdjustedToUTC=false)).
+  *  - `nanos`: a plain long of nanoseconds — what a TIMESTAMP(NANOS) file
+  *    looks like under `nanosAsLong=true` (pre-Aug-13 corpora).
+  *
+  * tools/check.py detects the observed `ts` type on the DuckDB side and
+  * bridges the BIGINT form with make_timestamp.
   */
 object EdgeCorpus {
 
@@ -97,12 +104,14 @@ object EdgeCorpus {
     ("events",
       StructType(Seq(
         StructField("event_id", LongType),
-        StructField("ts", LongType), // nanos — see scaladoc
+        StructField("ts", TimestampNTZType), // shape-swapped by write(); see scaladoc
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
         StructField("props", StringType))),
-      Row(0L, 1704067200000000000L, 0L, "purchase", 185.22, "{\"k\": 87}")),
+      // 2024-01-01T00:00:00 — same instant in both physical shapes
+      Row(0L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 0L,
+        "purchase", 185.22, "{\"k\": 87}")),
     ("documents",
       StructType(Seq(
         StructField("doc_id", LongType),
@@ -125,10 +134,28 @@ object EdgeCorpus {
         5)))
 
   /** Write the corpus. `rows = 0` (empty tables, schema present) or
-    * `rows = 1` (the one consistent row everywhere). Overwrites. */
-  def write(spark: SparkSession, dir: String, rows: Int): Unit = {
+    * `rows = 1` (the one consistent row everywhere). `tsShape` picks the
+    * events.ts physical encoding: "micros" (TIMESTAMP_NTZ, the driver's
+    * current shape) or "nanos" (long of nanoseconds, the legacy shape).
+    * Overwrites. */
+  def write(spark: SparkSession, dir: String, rows: Int,
+            tsShape: String = "micros"): Unit = {
     require(rows == 0 || rows == 1, s"rows must be 0 or 1, got $rows")
-    tables.foreach { case (name, schema, row) =>
+    require(tsShape == "micros" || tsShape == "nanos",
+      s"tsShape must be micros or nanos, got $tsShape")
+    tables.foreach { case (name, schema0, row0) =>
+      val (schema, row) =
+        if (name == "events" && tsShape == "nanos") {
+          val s = StructType(schema0.map(f =>
+            if (f.name == "ts") f.copy(dataType = LongType) else f))
+          val vals = row0.toSeq.zipWithIndex.map {
+            case (v: java.time.LocalDateTime, _) =>
+              v.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L +
+                v.getNano
+            case (v, _) => v
+          }
+          (s, Row.fromSeq(vals))
+        } else (schema0, row0)
       val data = if (rows == 0) Seq.empty[Row] else Seq(row)
       spark.createDataFrame(
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -138,12 +165,14 @@ object EdgeCorpus {
     }
   }
 
-  /** CLI: `runMain graft.EdgeData <outDir> <0|1>` — lets the verify loop
-    * build the same corpora for the DuckDB cross-check (tools/check.py). */
+  /** CLI: `runMain graft.EdgeData <outDir> <0|1> [micros|nanos]` — lets the
+    * verify loop build the same corpora for the DuckDB cross-check
+    * (tools/check.py). */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, args(0), args(1).toInt)
+    write(spark, args(0), args(1).toInt,
+      if (args.length > 2) args(2) else "micros")
     spark.stop()
   }
 }

@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   * through here — a builder that forgets one of these lines compiles fine
   * and fails subtly at runtime:
   *
-  *  - `nanosAsLong`: events.parquet is TIMESTAMP(NANOS); must be set at
-  *    session build (Tables.events enforces it with a require)
+  *  - `nanosAsLong`: legacy (pre-Aug-13) events.parquet corpora are
+  *    TIMESTAMP(NANOS), which Spark 4 rejects outright unless this is set
+  *    at session build. The current corpus is micros-NTZ and doesn't need
+  *    it, but Tables.events probes the schema and still supports the nanos
+  *    shape (requiring this flag only on that branch) — so the builder
+  *    keeps it on to stay able to read either generation.
   *  - `InferFiltersFromGenerate` exclusion: the rule pushes
   *    generator-inferred predicates below staged projections with aliases
   *    substituted, re-evaluating quadratic tokenizer expressions per row
@@ -25,6 +29,9 @@ object GraftSession {
       // and the graft_* SQL kernel registry are part of the product surface
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // UTC is load-bearing: Tables.events casts the micros-NTZ wall-clock
+      // to TimestampType in THIS zone; non-UTC would shift every instant
+      // vs the DuckDB oracle. HarnessContractSpec asserts it.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",

@@ -63,15 +63,6 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). The session must be BUILT with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all engine session
-    * builders set it — Verify/Bench/RunOne/BenchOne/SparkSpec); the nanos
-    * long is truncated to microseconds — exactly the coercion DuckDB applies
-    * reading TIMESTAMP_NS into TIMESTAMP, so oracle comparisons stay
-    * bit-identical. This loader deliberately does NOT mutate session conf:
-    * a load-time `conf.set` would race concurrent queries in the session.
-    */
   /** Total row count from parquet footers — metadata only, NO Spark job.
     * Index-sizing inputs (q42's tile count, q67's LSH code width) are
     * resolved during PLAN CONSTRUCTION, where launching a count job would
@@ -94,11 +85,43 @@ object Tables {
   }
   private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** `events.ts` — the physical timestamp encoding is a DRIVER choice that
+    * has changed between corpus generations, so it is PROBED from the loaded
+    * schema, never assumed (the r5 regression: a hard-coded nanos branch
+    * broke 42 queries when the corpus switched to micros). All shapes
+    * normalize to session-TZ `TimestampType` carrying the same instant:
+    *
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Spark 4 otherwise
+    *    rejects NANOS with [PARQUET_TYPE_ILLEGAL]); truncate to micros —
+    *    the same coercion DuckDB applies reading TIMESTAMP_NS.
+    *  - `TimestampNTZType`: parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    *    (the corpus shape since Aug 13). The cast to TimestampType
+    *    reinterprets the wall-clock in the session time zone — which every
+    *    engine entry point pins to UTC (GraftSession.scala:28), so the
+    *    instant matches what DuckDB reads. HarnessContractSpec asserts the
+    *    UTC precondition; a non-UTC session would shift instants silently.
+    *  - `TimestampType`: TIMESTAMP(isAdjustedToUTC=true) — already an
+    *    instant; pass through.
+    *
+    * The require for nanosAsLong applies only on the nanos branch; micros
+    * corpora load in any session. This loader deliberately does NOT mutate
+    * session conf: a load-time `conf.set` would race concurrent queries.
+    */
   def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "to read events.parquet (TIMESTAMP_NANOS)")
-    read(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = read(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+            "to read a TIMESTAMP(NANOS) events.parquet")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other at $dir — " +
+          "expected long nanos, TIMESTAMP_NTZ micros, or TIMESTAMP")
+    }
   }
 }

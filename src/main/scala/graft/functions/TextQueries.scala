@@ -1704,8 +1704,18 @@ object TextQueries {
 
     GraftQuery(
       "q107_bpe_train",
-      None, // iterative trainer with a driver-side argmax per round: merge
-      // sequence is spec-checked against a local reference BPE (BpeSpec).
+      // Deterministic DuckDB REPLAY oracle (the q39/q40 pattern): the merge
+      // sequence is a pure function of the corpus — argmax on (count desc,
+      // pa, pb) per round, greedy leftmost application between rounds — so
+      // the oracle re-derives it with a chained CTE per round. The greedy
+      // fold replays EXACTLY via list_reduce over a list-of-singletons
+      // (accumulator = BIGINT list), including the pa==pb overlap-chain
+      // semantics; BpeSpec stays as the independent sequential cross-check.
+      Some(s"""WITH ${bpeTrainCtes(3)}
+              |SELECT 1::BIGINT AS round, pa AS sym_a, pb AS sym_b, c AS pair_count FROM m1
+              |UNION ALL SELECT 2::BIGINT, pa, pb, c FROM m2
+              |UNION ALL SELECT 3::BIGINT, pa, pb, c FROM m3
+              |ORDER BY round""".stripMargin),
       "Distributed BPE merge training — the tokenizer-building step of a " +
         "training-data pipeline, not just token counting: words become " +
         "codepoint arrays, each round counts adjacent symbol pairs " +
@@ -1728,9 +1738,30 @@ object TextQueries {
 
     GraftQuery(
       "q117_bpe_encode",
-      None, // greedy merge application is a fold, not SQL-expressible in
-      // DuckDB; BpeSpec checks per-doc token counts against a sequential
-      // reference encoder at sf0.001.
+      // Same replay machinery as q107: re-learn the 3 merges in CTEs, then
+      // apply them IN ORDER to every length>=1 word (train filters >=2,
+      // encode does not — the oracle mirrors both populations) and
+      // aggregate per doc. All-integer output, truncating // division.
+      Some(s"""WITH ${bpeTrainCtes(3)},
+              |ewords AS (
+              |  SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+              |    FROM documents)
+              |  WHERE length(w) >= 1
+              |), e0 AS (
+              |  SELECT doc_id, CAST(length(w) AS BIGINT) AS n_sym0,
+              |         list_transform(generate_series(1, length(w)),
+              |                        i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)) AS sym
+              |  FROM ewords
+              |), e1 AS (SELECT doc_id, n_sym0, ${bpeFoldSql("m1")} AS sym FROM e0 LEFT JOIN m1 ON TRUE),
+              |e2 AS (SELECT doc_id, n_sym0, ${bpeFoldSql("m2")} AS sym FROM e1 LEFT JOIN m2 ON TRUE),
+              |e3 AS (SELECT doc_id, n_sym0, ${bpeFoldSql("m3")} AS sym FROM e2 LEFT JOIN m3 ON TRUE)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |       CAST(sum(n_sym0) AS BIGINT) AS n_sym_chars,
+              |       CAST(sum(len(sym)) AS BIGINT) AS n_tokens,
+              |       (10000 * CAST(sum(len(sym)) AS BIGINT)) // CAST(sum(n_sym0) AS BIGINT)
+              |         AS compression_bp
+              |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "BPE ENCODE — the apply half of the tokenizer q107 trains, the step " +
         "a pipeline runs over every document before packing (q94) or " +
         "budgeting (q111): the learned merge table (memoized per corpus " +

@@ -155,7 +155,8 @@ object JoinQueries {
       Some("""WITH bands(band, lo, hi) AS (
              |  VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e18)
              |)
-             |SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+             |SELECT band, count(*) AS n,
+             |       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
              |FROM events JOIN bands ON value >= lo AND value < hi
              |GROUP BY band
              |ORDER BY band""".stripMargin),
@@ -177,7 +178,11 @@ object JoinQueries {
       Tables.events(s, dir)
         .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        // integer cents BEFORE the sum (q103/q188 rule): a float sum's
+        // rounding depends on reduction order, so its hash is partition-
+        // count-dependent; the floored-cents BIGINT sum is exact.
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("sum_value_cents"))
         .orderBy("band")
     },
 

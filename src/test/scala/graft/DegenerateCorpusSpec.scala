@@ -24,10 +24,15 @@ class DegenerateCorpusSpec extends SparkSpec {
   private lazy val base =
     java.nio.file.Files.createTempDirectory("graft_edge").toString
 
-  Seq("empty" -> 0, "one_row" -> 1).foreach { case (label, n) =>
+  // Both events.ts physical shapes are swept (the Aug-13 corpus regeneration
+  // flipped nanos→micros and broke 42 queries; this sweep would have caught
+  // it). empty runs once on the driver's current shape — the one-row sweeps
+  // are what actually push data through both Tables.events branches.
+  Seq(("empty", 0, "micros"), ("one_row", 1, "micros"),
+      ("one_row_nanos", 1, "nanos")).foreach { case (label, n, shape) =>
     test(s"every catalog query survives the $label corpus") {
       val dir = s"$base/$label"
-      EdgeCorpus.write(spark, dir, n)
+      EdgeCorpus.write(spark, dir, n, shape)
       val failures = SparkEntry.queries.toSeq.sortBy(_._1)
         .flatMap { case (name, fn) =>
           try { fn(spark, dir).collect(); None }

@@ -43,4 +43,26 @@ class HarnessContractSpec extends SparkSpec {
         "emit integer cents, or drop the oracle and keep a spec):\n  " +
         offenders.mkString("\n  "))
   }
+
+  /** Probe the LIVE corpus shape. The r5 regression — the driver regenerated
+    * /root/testdata with events.ts as micros-NTZ while the loader assumed
+    * nanos-as-long — surfaced as 42 opaque driver rows instead of one named
+    * test failure. This pins the contract: whatever physical encoding the
+    * driver ships, Tables.events must normalize it to TimestampType, and it
+    * must actually load rows. A future corpus-shape change fails HERE with
+    * the table named. */
+  test("live corpus: Tables.events loads and ts normalizes to TimestampType") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts normalized to ${ev.schema("ts").dataType}, expected TimestampType")
+    assert(ev.limit(1).count() == 1, "events table is empty or unreadable")
+  }
+
+  /** The micros-NTZ branch of Tables.events reinterprets a wall-clock in the
+    * SESSION time zone; only UTC makes that the same instant the DuckDB
+    * oracle reads. Assert the precondition rather than trusting every entry
+    * point to keep routing through GraftSession. */
+  test("session time zone is UTC (precondition of the NTZ events cast)") {
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
 }
