@@ -2695,6 +2695,60 @@ object TextQueries {
     merges.toSeq
   }
 
+  /** DuckDB replay of `trainMerges` as a chained-CTE fragment (the q39/q40
+    * replay-oracle pattern): per round r, `p{r}` counts adjacent symbol
+    * pairs over the current stream, `m{r}` is the 0-or-1-row argmax on
+    * (count DESC, pa, pb) carrying the merged id m = 1e6 + r - 1, and
+    * `s{r}` applies the merge via the same greedy leftmost fold
+    * [[bpeFoldSql]] replays. Mirrors `trainMerges` exactly: words are
+    * lowercase [a-z0-9]+ runs of length >= 2; a round with no pairs
+    * (degenerate corpus) yields an empty `m{r}` and a no-op fold —
+    * matching the Spark trainer's early stop. Validated cell-exact against
+    * a sequential reimplementation on sf0.001/sf0.01 and a one-word corpus
+    * with two empty rounds. */
+  private[graft] def bpeTrainCtes(rounds: Int): String = {
+    val head =
+      """words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2
+        |), s0 AS (
+        |  SELECT list_transform(generate_series(1, length(w)),
+        |                        i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)) AS sym
+        |  FROM words
+        |)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT sym[i] AS pa, sym[i + 1] AS pb, CAST(count(*) AS BIGINT) AS c
+         |  FROM s${r - 1}, unnest(range(1, len(sym))) AS ri(i)
+         |  GROUP BY 1, 2
+         |), m$r AS (
+         |  SELECT pa, pb, c, CAST(${1000000L + (r - 1)} AS BIGINT) AS m
+         |  FROM p$r ORDER BY c DESC, pa, pb LIMIT 1
+         |), s$r AS (
+         |  SELECT ${bpeFoldSql(s"m$r")} AS sym FROM s${r - 1} LEFT JOIN m$r ON TRUE
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** `applyMergeExpr`'s exact semantics as a DuckDB expression over the
+    * current `sym` list and the 0-or-1-row merge table `t` (columns
+    * pa/pb/m, LEFT JOINed ON TRUE): list_reduce over a list-of-singletons
+    * so the accumulator is a BIGINT list, last element replaced by m on a
+    * (pa, pb) hit — preserving the pa==pb overlap-chain semantics (a
+    * freshly merged id never re-matches pa). A NULL merge pair (empty
+    * round joined ON TRUE) is a no-op returning sym unchanged. */
+  private[graft] def bpeFoldSql(t: String): String =
+    s"""CASE WHEN $t.pa IS NULL THEN sym
+       | WHEN NOT (list_contains(sym, $t.pa) AND list_contains(sym, $t.pb)) THEN sym
+       | ELSE list_reduce(list_transform(sym, s -> [s]),
+       |   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $t.pa AND x[1] = $t.pb
+       |               THEN list_append(list_slice(acc, 1, len(acc) - 1), $t.m)
+       |               ELSE list_concat(acc, x) END)
+       | END""".stripMargin.replace('\n', ' ')
+
   /** The greedy leftmost merge pass as a codegen expression over a symbol
     * array column — shared by training (per round) and encoding (per
     * learned merge, in order). */

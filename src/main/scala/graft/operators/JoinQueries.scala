@@ -156,7 +156,8 @@ object JoinQueries {
              |  VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e18)
              |)
              |SELECT band, count(*) AS n,
-             |       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+             |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_value_cents
              |FROM events JOIN bands ON value >= lo AND value < hi
              |GROUP BY band
              |ORDER BY band""".stripMargin),
