@@ -110,7 +110,21 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = read(s, dir, "events")
+    // A TIMESTAMP(NANOS) file in a session without nanosAsLong fails inside
+    // read()'s schema resolution ([PARQUET_TYPE_ILLEGAL]), BEFORE the dataType
+    // probe below — so the guidance must wrap the read, not just the branch
+    // (the require inside the LongType arm still covers the cached-schema
+    // path, where another session's inference bypassed resolution).
+    val raw =
+      try read(s, dir, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+          throw new IllegalStateException(
+            "events.parquet carries TIMESTAMP(NANOS); build the session with " +
+              "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does) " +
+              "to read it",
+            e)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",

@@ -44,6 +44,87 @@ class HarnessContractSpec extends SparkSpec {
         offenders.mkString("\n  "))
   }
 
+  // --- oracle-SQL lint for the third hazard class -------------------------
+  // DuckDB widens an integer sum() to HUGEINT, which pandas surfaces as
+  // float64 while Spark's stays int64 — identical digits, dtype hash fail.
+  // It lives in the ORACLE text where no Spark schema can see it (q21, r6:
+  // the idiom was four lines away). The detectable class: a sum() whose
+  // argument is explicitly integer (inner `CAST(... AS BIGINT)` or a
+  // len()/length() call) must sit inside SOME enclosing CAST(...) — any
+  // enclosing cast pins the final dtype no matter what the intermediate
+  // widens to (q188/q211 divide the HUGEINT then cast: fine).
+
+  /** Index of the ')' closing the '(' at `op`, or -1. */
+  private def balancedClose(sql: String, op: Int): Int = {
+    var depth = 0
+    var j = op
+    while (j < sql.length) {
+      sql.charAt(j) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** Positions of every '(' still open at `pos`. */
+  private def enclosingOpens(sql: String, pos: Int): List[Int] = {
+    var stack = List.empty[Int]
+    var j = 0
+    while (j < pos) {
+      sql.charAt(j) match {
+        case '('                   => stack = j :: stack
+        case ')' if stack.nonEmpty => stack = stack.tail
+        case _                     =>
+      }
+      j += 1
+    }
+    stack
+  }
+
+  private def sumHazards(sql: String): Seq[String] =
+    "(?i)\\bsum\\s*\\(".r.findAllMatchIn(sql).flatMap { m =>
+      val op = m.end - 1
+      val cl = balancedClose(sql, op)
+      if (cl < 0) None
+      else {
+        val arg = sql.substring(op + 1, cl).trim.toUpperCase
+        val innerInt = arg.endsWith("AS BIGINT)") ||
+          arg.startsWith("LEN(") || arg.startsWith("LENGTH(")
+        val castWrapped = enclosingOpens(sql, m.start).exists { p =>
+          sql.substring(0, p).replaceAll("\\s+$", "").toUpperCase.endsWith("CAST")
+        }
+        if (!innerInt || castWrapped) None
+        else Some(sql.substring(m.start, math.min(cl + 1, m.start + 70))
+          .replace('\n', ' '))
+      }
+    }.toSeq
+
+  test("oracle lint: integer sums are CAST-wrapped against HUGEINT widening") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => sumHazards(sql).map(frag => s"$name: $frag")
+    }
+    assert(offenders.isEmpty,
+      "oracle sums an integer expression without an enclosing CAST — DuckDB " +
+        "widens to HUGEINT → float64 vs Spark int64. Wrap the aggregate: " +
+        "CAST(sum(...) AS BIGINT).\n  " + offenders.mkString("\n  "))
+  }
+
+  test("oracle lint catches the r6 q21 shape and accepts the fixed one") {
+    val preFix = "SELECT band, count(*) AS n, " +
+      "sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents " +
+      "FROM events GROUP BY band"
+    assert(sumHazards(preFix).nonEmpty, "lint must flag the un-wrapped sum")
+    val fixed = "SELECT band, count(*) AS n, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents " +
+      "FROM events GROUP BY band"
+    assert(sumHazards(fixed).isEmpty, "lint must accept the CAST-wrapped sum")
+  }
+
   /** Probe the LIVE corpus shape. The r5 regression — the driver regenerated
     * /root/testdata with events.ts as micros-NTZ while the loader assumed
     * nanos-as-long — surfaced as 42 opaque driver rows instead of one named
