@@ -139,11 +139,19 @@ object EdgeCorpus {
     * current shape) or "nanos" (long of nanoseconds, the legacy shape).
     * Overwrites. */
   def write(spark: SparkSession, dir: String, rows: Int,
-            tsShape: String = "micros"): Unit = {
+            tsShape: String = "micros", bpeExhaust: Boolean = false): Unit = {
     require(rows == 0 || rows == 1, s"rows must be 0 or 1, got $rows")
     require(tsShape == "micros" || tsShape == "nanos",
       s"tsShape must be micros or nanos, got $tsShape")
-    tables.foreach { case (name, schema0, row0) =>
+    tables.foreach { case (name, schema0, row0pick) =>
+      val row0 =
+        if (name == "documents" && bpeExhaust)
+          // ADVICE r6: a text whose BPE pairs exhaust after ONE merge round
+          // ("ab ab ab": round 1 merges (a,b), rounds 2-3 find no pair), so
+          // the catalog sweep + tools/check.py exercise the NULL-merge no-op
+          // branch of bpeFoldSql and the trainer's early stop on BOTH engines
+          Row.fromSeq(row0pick.toSeq.updated(1, "ab ab ab").updated(4, 8L))
+        else row0pick
       val (schema, row) =
         if (name == "events" && tsShape == "nanos") {
           val s = StructType(schema0.map(f =>
@@ -165,14 +173,16 @@ object EdgeCorpus {
     }
   }
 
-  /** CLI: `runMain graft.EdgeData <outDir> <0|1> [micros|nanos]` — lets the
-    * verify loop build the same corpora for the DuckDB cross-check
-    * (tools/check.py). */
+  /** CLI: `runMain graft.EdgeCorpus <outDir> <0|1> [micros|nanos] [bpex]` —
+    * lets the verify loop build the same corpora for the DuckDB cross-check
+    * (tools/check.py). `bpex` swaps documents.text for the BPE-exhausting
+    * one-word corpus. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     write(spark, args(0), args(1).toInt,
-      if (args.length > 2) args(2) else "micros")
+      if (args.length > 2) args(2) else "micros",
+      bpeExhaust = args.length > 3 && args(3) == "bpex")
     spark.stop()
   }
 }

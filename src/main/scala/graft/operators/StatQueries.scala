@@ -202,7 +202,8 @@ object StatQueries {
              |        FROM r)
              |)
              |SELECT token, freq, rnk, CAST(rnk * freq AS BIGINT) AS rf,
-             |       CAST((2 * rnk * freq - med2) * 1000000 // med2 AS BIGINT) AS dev_ppm
+             |       CAST((2 * rnk * freq - med2) * 1000000 // nullif(med2, 0)
+             |         AS BIGINT) AS dev_ppm
              |FROM r, m ORDER BY rnk""".stripMargin),
       "Zipf rank-frequency diagnostic, log-free: under Zipf's law " +
         "rank×frequency is constant, so instead of fitting a log-log " +
@@ -229,7 +230,11 @@ object StatQueries {
       r.crossJoin(broadcast(m))
         .select(col("token"), col("freq"), col("rnk"),
           (col("rnk") * col("freq")).as("rf"),
-          expr("(2 * rnk * freq - med2) * 1000000 div med2").as("dev_ppm"))
+          // nullif guard (the q148/q191 ppm rule): a vocab smaller than the
+          // order stats 10+11 leaves med2 = 0 — ANSI div would throw where
+          // DuckDB // yields NULL; both engines now emit NULL dev_ppm
+          expr("(2 * rnk * freq - med2) * 1000000 div nullif(med2, 0)")
+            .as("dev_ppm"))
         .orderBy("rnk")
     },
 

@@ -49,6 +49,29 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._4).forall(_ > 0) && got.size == 3)
   }
 
+  /** The ADVICE-r6 degenerate case: a corpus whose pairs exhaust before the
+    * requested rounds. The trainer must stop early (merge table shorter than
+    * `rounds`) and the encode chain must treat the missing rounds as no-ops
+    * — the Spark half of the NULL-merge contract whose DuckDB half is the
+    * `bpeFoldSql` NULL guard (exercised by the `EdgeCorpus bpex` shape
+    * through tools/check.py). */
+  test("exhausted corpus: trainer stops early, encode no-ops the empty rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpex").toString
+    import spark.implicits._
+    Seq((0L, "ab ab ab", "en", "src0", 8L), (1L, "ab", "en", "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // round 1 merges (a=97, b=98) with count 4; rounds 2-3 find no pair
+    assert(functions.TextQueries.learnedMerges(spark, dir, rounds = 3) ==
+      Seq((1L, 97L, 98L, 4L)))
+    assert(functions.TextQueries.bpeMerges(spark, dir, rounds = 3).count() == 1L)
+    val enc = SparkEntry.queries("q117_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // every word collapses to one merged symbol: 50% compression exactly
+    assert(enc == Set((0L, 3L, 6L, 3L, 5000L), (1L, 1L, 2L, 1L, 5000L)))
+  }
+
   test("q117 encode: per-doc token counts equal a sequential reference encode") {
     val merges = functions.TextQueries.learnedMerges(spark, sf, rounds = 3)
       .map { case (_, pa, pb, _) => (pa, pb) }
