@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
 /** Degenerate-corpus synthesizer for the catalog-wide edge sweep.
   *
   * Writes the full ten-table star schema (TESTDATA.md layout, exact column
-  * names and physical types) with either ZERO rows or ONE internally
-  * consistent row per table. The r2–r4 history shows a recurring failure
+  * names and physical types) with ZERO rows, ONE internally consistent row,
+  * or EIGHT duplicate-payload rows (ties corpus — see [[pkIndex]]) per
+  * table. The r2–r4 history shows a recurring failure
   * class — a guard discovered reactively one round at a time (q136 stride,
   * q148 sub-ppm, q155 empty-text): each was a query that silently assumed
   * "the corpus is non-trivial". This corpus makes that assumption testable
@@ -138,9 +139,22 @@ object EdgeCorpus {
     * events.ts physical encoding: "micros" (TIMESTAMP_NTZ, the driver's
     * current shape) or "nanos" (long of nanoseconds, the legacy shape).
     * Overwrites. */
+  /** Primary-key column index per table — the ONE column the `rows = 8`
+    * duplicate-payload corpus varies (0..7); every other column, including
+    * foreign keys (pinned to 0) and all payloads, stays byte-identical
+    * across the 8 rows. The point is maximal TIES: 8 events at the same
+    * instant for the same user, 8 identical documents, 8 equal-price
+    * lineitems — any query whose ORDER BY / top-k / keeper rule is not a
+    * genuine total order diverges from the oracle here and nowhere else. */
+  private val pkIndex: Map[String, Int] = Map(
+    "region" -> 0, "nation" -> 0, "customer" -> 0, "supplier" -> 0,
+    "part" -> 0, "orders" -> 0, "lineitem" -> 0, "events" -> 0,
+    "documents" -> 0, "embeddings" -> 0)
+
   def write(spark: SparkSession, dir: String, rows: Int,
             tsShape: String = "micros", bpeExhaust: Boolean = false): Unit = {
-    require(rows == 0 || rows == 1, s"rows must be 0 or 1, got $rows")
+    require(rows == 0 || rows == 1 || rows == 8,
+      s"rows must be 0, 1, or 8 (duplicate-payload ties corpus), got $rows")
     require(tsShape == "micros" || tsShape == "nanos",
       s"tsShape must be micros or nanos, got $tsShape")
     tables.foreach { case (name, schema0, row0pick) =>
@@ -164,7 +178,21 @@ object EdgeCorpus {
           }
           (s, Row.fromSeq(vals))
         } else (schema0, row0)
-      val data = if (rows == 0) Seq.empty[Row] else Seq(row)
+      val data =
+        if (rows == 0) Seq.empty[Row]
+        else if (rows == 1) Seq(row)
+        else {
+          val pk = pkIndex(name)
+          (0 until rows).map { i =>
+            val v = row.get(pk) match {
+              case _: Int  => i
+              case _: Long => i.toLong
+              case other => throw new IllegalStateException(
+                s"$name pk col $pk has non-integral type ${other.getClass}")
+            }
+            Row.fromSeq(row.toSeq.updated(pk, v))
+          }
+        }
       spark.createDataFrame(
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters
             .SeqHasAsJava(data).asJava), schema)

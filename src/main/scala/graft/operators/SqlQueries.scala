@@ -166,10 +166,18 @@ object SqlQueries {
         .agg(
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
           round(var_samp(col("l_discount")), 6).as("var_disc"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          // NullSafe variants = the SAME Catalyst aggregates with their
+          // nullOnDivideByZero flag forced on: ANSI Spark otherwise THROWS
+          // on a constant group (m2 = 0) where DuckDB yields NULL — the
+          // ties-corpus (EdgeCorpus rows=8) finding. See MomentExpressions.
+          round(org.apache.spark.sql.graft.MomentExpressions
+            .corrNullSafe(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
           round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
-          round(skewness(col("l_extendedprice")), 4).as("skew_price"),
-          round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"))
+          round(org.apache.spark.sql.graft.MomentExpressions
+            .skewnessNullSafe(col("l_extendedprice")), 4).as("skew_price"),
+          round(org.apache.spark.sql.graft.MomentExpressions
+            .kurtosisNullSafe(col("l_extendedprice")), 4).as("kurt_price"))
         .orderBy("l_linestatus")
     },
 

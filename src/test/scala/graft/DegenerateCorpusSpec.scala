@@ -28,8 +28,13 @@ class DegenerateCorpusSpec extends SparkSpec {
   // flipped nanos→micros and broke 42 queries; this sweep would have caught
   // it). empty runs once on the driver's current shape — the one-row sweeps
   // are what actually push data through both Tables.events branches.
+  // ties: 8 duplicate-payload rows per table (only pks vary) — the maximal
+  // tie-break stress. It caught q58's ANSI corr/skewness/kurtosis throw on
+  // constant groups (MomentExpressions) and q197's zero-median divide the
+  // bpex shape first surfaced for vocab < 11.
   Seq(("empty", 0, "micros"), ("one_row", 1, "micros"),
-      ("one_row_nanos", 1, "nanos")).foreach { case (label, n, shape) =>
+      ("one_row_nanos", 1, "nanos"), ("ties", 8, "micros")).foreach {
+    case (label, n, shape) =>
     test(s"every catalog query survives the $label corpus") {
       val dir = s"$base/$label"
       EdgeCorpus.write(spark, dir, n, shape)
