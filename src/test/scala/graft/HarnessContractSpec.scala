@@ -139,6 +139,13 @@ class HarnessContractSpec extends SparkSpec {
     assert(ev.limit(1).count() == 1, "events table is empty or unreadable")
   }
 
+  /** The driver's third contract surface: `entry()` must return rows on
+    * sf0.001 (smoke gate). Pinned here so a flagship-query regression fails
+    * by name instead of as an opaque driver smoke failure. */
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
   /** The micros-NTZ branch of Tables.events reinterprets a wall-clock in the
     * SESSION time zone; only UTC makes that the same instant the DuckDB
     * oracle reads. Assert the precondition rather than trusting every entry
