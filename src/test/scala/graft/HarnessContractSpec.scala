@@ -146,6 +146,47 @@ class HarnessContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }
 
+  /** Extend the events probe to every other LOAD-BEARING physical dtype:
+    * the r5 lesson generalized. The driver regenerates corpora between
+    * rounds and the encoding is its choice — if embeddings flip to
+    * list<double> (DotProductD expects float), money columns to DECIMAL
+    * (cents arithmetic assumes double), or ids to int32 (shiftright/pmod
+    * bucketing assumes long), dozens of queries go red as opaque driver
+    * rows. This test makes the corpus-shape change fail HERE with the
+    * table and column named. Deliberately NOT pinned: string widths,
+    * column order, nullability — nothing the engine doesn't rely on. */
+  test("live corpus: load-bearing physical dtypes are the probed shapes") {
+    val expect: Seq[(String, org.apache.spark.sql.DataFrame, Map[String, DataType])] = Seq(
+      ("lineitem", Tables.lineitem(spark, sf), Map(
+        "l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        // wall-clock NTZ (isAdjustedToUTC=false), NOT normalized the way
+        // Tables.events normalizes ts: date arithmetic in the catalog is
+        // calendar-local on both engines, so NTZ passes through untouched
+        "l_shipdate" -> TimestampNTZType)),
+      ("orders", Tables.orders(spark, sf), Map(
+        "o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType)),
+      ("documents", Tables.documents(spark, sf), Map(
+        "doc_id" -> LongType, "text" -> StringType, "n_chars" -> LongType)),
+      ("embeddings", Tables.embeddings(spark, sf), Map(
+        "vec_id" -> LongType, "embedding" -> ArrayType(FloatType))),
+      ("events", Tables.events(spark, sf), Map(
+        "event_id" -> LongType, "user_id" -> LongType,
+        "value" -> DoubleType, "props" -> StringType)))
+    val drift = expect.flatMap { case (table, df, cols) =>
+      cols.flatMap { case (name, want) =>
+        val got = df.schema(name).dataType
+        if (got == want) None
+        else Some(s"$table.$name: got ${got.simpleString}, engine assumes ${want.simpleString}")
+      }
+    }
+    assert(drift.isEmpty,
+      "corpus physical shape drifted — re-probe the affected loaders/queries " +
+        "(the r5 events.ts lesson):\n  " + drift.mkString("\n  "))
+  }
+
   /** The micros-NTZ branch of Tables.events reinterprets a wall-clock in the
     * SESSION time zone; only UTC makes that the same instant the DuckDB
     * oracle reads. Assert the precondition rather than trusting every entry
