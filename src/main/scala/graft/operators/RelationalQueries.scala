@@ -328,6 +328,38 @@ object RelationalQueries {
     ) { (s, dir) => csvRoundTrip(s, dir) },
 
     GraftQuery(
+      "q224_orc_roundtrip",
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "ORC source/sink fidelity — the second columnar format in the matrix " +
+        "(Spark ships the reader/writer natively; a warehouse migrating " +
+        "from Hive hands you ORC, not parquet): events round-trip through " +
+        "an ORC stage and compare against the parquet truth, INCLUDING the " +
+        "timestamp column the JSON/CSV round-trips deliberately omit — " +
+        "ORC's typed storage carries micros exactly (session pinned UTC, " +
+        "so writer-zone wall-clock == instant), where a text format " +
+        "would re-parse through a format string. Explicit schema on the " +
+        "read-back as always (q78 rule: inference is a full extra scan). " +
+        "ORC stripes split like parquet row groups, carry min/max indexes " +
+        "for the same predicate pushdown, and the scan is vectorized — " +
+        "at 100 TB the format choice changes nothing structural about a " +
+        "plan, which is exactly what this query proves."
+    ) { (s, dir) =>
+      val orcDir = staged(s, "orc",
+        graft.Tables.fingerprint(s, s"$dir/events.parquet")) { out =>
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").orc(out)
+      }
+      s.read
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .orc(orcDir)
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q140_text_roundtrip",
       Some("""SELECT CAST(length(text) AS BIGINT) AS n_chars_line,
              |       CAST(count(*) AS BIGINT) AS n_lines

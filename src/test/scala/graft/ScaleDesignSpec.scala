@@ -302,11 +302,12 @@ class ScaleDesignSpec extends SparkSpec {
       Tables.region, Tables.nation, Tables.customer, Tables.supplier,
       Tables.part, Tables.orders, Tables.lineitem, Tables.documents,
       Tables.embeddings, Tables.events).foreach(t => t(spark, sf).schema)
-    // q78/q79/q112/q140 stage their JSON/CSV/partitioned-parquet/text sink
-    // on first construction (a one-time memoized write — the round-trip IS
-    // the semantics); steady-state re-construction must still be job-free.
+    // q78/q79/q112/q140/q224 stage their JSON/CSV/partitioned-parquet/text/
+    // ORC sink on first construction (a one-time memoized write — the
+    // round-trip IS the semantics); steady-state re-construction must still
+    // be job-free.
     Seq("q78_json_roundtrip", "q79_csv_roundtrip", "q112_partitioned_prune",
-      "q140_text_roundtrip")
+      "q140_text_roundtrip", "q224_orc_roundtrip")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
