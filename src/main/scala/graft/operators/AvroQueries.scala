@@ -73,6 +73,43 @@ object AvroQueries {
     },
 
     GraftQuery(
+      "q225_avro_ocf_roundtrip",
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "Avro Object Container File source/sink — the reference's AT-REST " +
+        "format completed at the file level (q49/q50 prove the record " +
+        "codec; this proves the .avro container): events encode through " +
+        "the SAME codegen toAvro expression, land as one sync-marked OCF " +
+        "per partition with the writer schema EMBEDDED (the container's " +
+        "registry-free contract), and read back one task per file through " +
+        "the embedded schema into the codegen fromAvro decode — container " +
+        "framing and record codec can never drift apart because only one " +
+        "codec exists. Compared against the parquet truth including the " +
+        "timestamp column (timestamp-micros logical type). Staged once " +
+        "per corpus fingerprint like q78/q79/q224. At 100 TB each OCF " +
+        "splits further at sync markers and the re-encode hop collapses " +
+        "to a direct InternalRow hand-off; the one-file-per-partition " +
+        "write and schema-embedded read are already the real shape."
+    ) { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val ev = Tables.events(s, dir).select(cols.map(col): _*)
+      val schemaJson = AvroFunctions.writerSchemaFor(ev.schema, "Event")
+      val ocfDir = RelationalQueries.staged(s, "avro-ocf",
+        graft.Tables.fingerprint(s, s"$dir/events.parquet")) { out =>
+        graft.avro.AvroOcf.write(
+          ev.select(AvroFunctions.toAvro(
+            struct(cols.map(col): _*), "Event").as("b")).as[Array[Byte]],
+          schemaJson, out)
+      }
+      graft.avro.AvroOcf.readBinary(s, ocfDir)
+        .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+        .select(col("r.*"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q65_avro_union",
       Some("""SELECT event_id,
              |       event_id % 3 AS tag,

@@ -835,7 +835,7 @@ object RelationalQueries {
     }
   }
 
-  private def staged(s: SparkSession, fmt: String, key: String)(
+  private[operators] def staged(s: SparkSession, fmt: String, key: String)(
       build: String => Unit): String = fmtSlots.synchronized {
     fmtSlots.get(fmt) match {
       case Some((k, path)) if k == key => path

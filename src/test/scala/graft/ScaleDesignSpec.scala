@@ -307,7 +307,7 @@ class ScaleDesignSpec extends SparkSpec {
     // round-trip IS the semantics); steady-state re-construction must still
     // be job-free.
     Seq("q78_json_roundtrip", "q79_csv_roundtrip", "q112_partitioned_prune",
-      "q140_text_roundtrip", "q224_orc_roundtrip")
+      "q140_text_roundtrip", "q224_orc_roundtrip", "q225_avro_ocf_roundtrip")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
