@@ -457,4 +457,28 @@ class ScaleDesignSpec extends SparkSpec {
       !plan.replaceAll("(?s).*ReadSchema", "").contains("l_comment"),
       "projection should prune unused columns")
   }
+
+  /** q224's scale claim, asserted at the plan level: the ORC scan is the
+    * same pushdown-and-prune citizen as parquet — predicates reach the
+    * stripe reader (min/max row-group skipping) and the projection prunes
+    * unread columns, so the format swap changes nothing structural. */
+  test("ORC scans push filters and prune columns like parquet") {
+    // construct q224 once so its staged ORC directory exists (memoized),
+    // then locate it through the scan's own file listing
+    val probe = SparkEntry.queries("q224_orc_roundtrip")(spark, sf)
+    val orcDir = new java.io.File(
+      probe.inputFiles.head.stripPrefix("file:")).getParent
+    val plan = physicalPlan(
+      spark.read
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .orc(orcDir)
+        .filter(col("value") > 100.0)
+        .select("event_id", "value"))
+    assert(plan.contains("PushedFilters") && plan.contains("value"),
+      s"ORC scan did not push the value predicate:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.replaceAll("(?s).*ReadSchema", "").contains("props"),
+      "ORC projection should prune unread columns")
+  }
 }
