@@ -367,7 +367,8 @@ object RelationalQueries {
              |GROUP BY 1
              |ORDER BY n_chars_line""".stripMargin),
       "Line-text source/sink — the rawest format in the matrix (parquet, " +
-        "JSON, CSV, Avro, partitioned parquet, text): document bodies " +
+        "partitioned parquet, ORC, Avro wire + OCF, JSON, CSV, text): " +
+        "document bodies " +
         "write as one line each and read back as a single `value` string " +
         "column, the shape every scraped-corpus ingest starts from " +
         "before any schema exists. Text splits by newline, so scans " +
