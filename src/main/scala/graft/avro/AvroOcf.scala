@@ -54,6 +54,25 @@ object AvroOcf {
     }
   }
 
+  /** The writer schema embedded in the container header of the first file
+    * under `path` — the discovery step an OCF reader performs before
+    * planning a resolving decode (`fromAvro(reader, writer)`): driver-side,
+    * header-only, no record IO. None for an empty directory. */
+  def embeddedSchema(s: SparkSession, path: String): Option[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted.headOption
+      .map { p =>
+        val reader = DataFileReader.openReader(
+          new FsInput(new Path(p), new org.apache.hadoop.conf.Configuration()),
+          new GenericDatumReader[GenericRecord]())
+        try reader.getSchema.toString finally reader.close()
+      }
+  }
+
   /** Read every `.avro` file under `path` into a one-column binary
     * DataFrame (`avro_value`), one task per file — the unit a splittable
     * reader would further subdivide by sync marker at 100 TB. Tolerates an
