@@ -134,11 +134,6 @@ object EdgeCorpus {
           .toSeq,
         5)))
 
-  /** Write the corpus. `rows = 0` (empty tables, schema present) or
-    * `rows = 1` (the one consistent row everywhere). `tsShape` picks the
-    * events.ts physical encoding: "micros" (TIMESTAMP_NTZ, the driver's
-    * current shape) or "nanos" (long of nanoseconds, the legacy shape).
-    * Overwrites. */
   /** Primary-key column index per table — the ONE column the `rows = 8`
     * duplicate-payload corpus varies (0..7); every other column, including
     * foreign keys (pinned to 0) and all payloads, stays byte-identical
@@ -151,6 +146,11 @@ object EdgeCorpus {
     "part" -> 0, "orders" -> 0, "lineitem" -> 0, "events" -> 0,
     "documents" -> 0, "embeddings" -> 0)
 
+  /** Write the corpus. `rows = 0` (empty tables, schema present) or
+    * `rows = 1` (the one consistent row everywhere). `tsShape` picks the
+    * events.ts physical encoding: "micros" (TIMESTAMP_NTZ, the driver's
+    * current shape) or "nanos" (long of nanoseconds, the legacy shape).
+    * Overwrites. */
   def write(spark: SparkSession, dir: String, rows: Int,
             tsShape: String = "micros", bpeExhaust: Boolean = false): Unit = {
     require(rows == 0 || rows == 1 || rows == 8,

@@ -1,115 +1,327 @@
 package graft.avro
 
+import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.nio.ByteBuffer
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.EncoderFactory
 import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Avro Object Container File source/sink — the reference's at-rest format
   * (an Avro-centric pipeline hands you `.avro` container files: embedded
-  * writer schema, deflate-able sync-marked blocks, splittable).
+  * writer schema, deflate-compressed sync-marked blocks, splittable).
   *
   * Division of labor: this layer handles ONLY the container framing; every
   * record body is produced/consumed by the engine's Catalyst codec
   * expressions (`AvroFunctions.toAvro`/`fromAvro` — codegen'd, spec-covered
   * including unions and evolution). The sink appends PRE-ENCODED datum
   * bytes (`DataFileWriter.appendEncoded`), so no second serializer exists
-  * to drift from the expression codec; the source surfaces each datum as
-  * the binary `avro_value` column for `fromAvro`, re-encoding through the
-  * file's own EMBEDDED writer schema — which is exactly the container
-  * contract (the reader needs no registry). A production-tuned path would
-  * hand `InternalRow`s straight across instead of re-encoding; the data
-  * flow (one file per partition out, one task per file in) is the real
-  * shape either way.
+  * to drift from the expression codec; the source slices each datum's RAW
+  * bytes straight out of the decompressed block (a schema-driven skip walk
+  * finds the boundaries — nothing is materialized, nothing re-encoded) and
+  * surfaces them as the binary `avro_value` column for `fromAvro`. That is
+  * the container contract end-to-end: the writer schema travels in the
+  * file header, the reader needs no registry, and exactly ONE decode
+  * happens per record — inside the codegen'd expression.
+  *
+  * Scale shape: each file is split into byte ranges at sync markers
+  * ([[DataFileReader.sync]]/`pastSync`, the format's whole point), so a
+  * multi-GB container fans out across tasks instead of capping parallelism
+  * at one-task-per-file; the sink stages into a hidden sibling directory
+  * and atomically renames on success, the same read-committed discipline
+  * as the streaming sink (`streaming/Topic.scala` FileTopicSink, mirroring
+  * the reference's transactional visibility,
+  * `ReplicationApplication.java:66,96-98`).
   */
 object AvroOcf {
 
+  /** Minimal serializable carrier for the session Hadoop conf, so executor
+    * tasks see the driver's filesystem impls/credentials instead of a bare
+    * `new Configuration()` (which only works on local FS). Same shape as
+    * Spark's internal SerializableConfiguration, re-stated here because
+    * that class is private[spark]. */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Write one `.avro` container file per non-empty partition of `bin`
-    * (Avro-binary records, all encoded with `schemaJson`). */
-  def write(bin: Dataset[Array[Byte]], schemaJson: String, out: String): Unit = {
+    * (Avro-binary records, all encoded with `schemaJson`), deflate-block
+    * compressed by default (a 100 TB at-rest corpus is never stored raw).
+    *
+    * Commit discipline: parts land in a dot-prefixed sibling staging dir
+    * (each task itself writes a `.tmp` and renames on task success, so a
+    * failed/speculative attempt never half-writes a part), and the staging
+    * dir is atomically renamed to `out` only after every partition
+    * succeeded — a mid-job failure leaves `out` untouched, never a mix of
+    * old and new containers. Overwrites any previous `out`.
+    *
+    * `syncInterval` (bytes, 0 = Avro's default ~64 KiB) bounds block size
+    * and therefore split granularity for readers. */
+  def write(bin: Dataset[Array[Byte]], schemaJson: String, out: String,
+            codec: String = "deflate", syncInterval: Int = 0): Unit = {
     val session = bin.sparkSession
-    // ensure the directory exists even when every partition is empty, so a
-    // degenerate corpus round-trips to an empty (not missing) table
-    new Path(out).getFileSystem(session.sessionState.newHadoopConf())
-      .mkdirs(new Path(out))
-    bin.foreachPartition { (it: Iterator[Array[Byte]]) =>
-      if (it.hasNext) {
-        val schema = new Schema.Parser().parse(schemaJson)
-        val path = new Path(out, f"part-${TaskContext.getPartitionId()}%05d.avro")
-        val os = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .create(path, true)
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        try {
-          w.create(schema, os)
-          it.foreach(b => w.appendEncoded(ByteBuffer.wrap(b)))
-        } finally w.close()
+    val conf = session.sessionState.newHadoopConf()
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(conf)
+    val staging = new Path(outPath.getParent,
+      s".${outPath.getName}.inprogress-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(staging)
+    val stagingStr = staging.toString
+    val sconf = new SerializableHadoopConf(conf)
+    try {
+      bin.foreachPartition { (it: Iterator[Array[Byte]]) =>
+        if (it.hasNext) {
+          val hc = sconf.value
+          val schema = new Schema.Parser().parse(schemaJson)
+          val tc = TaskContext.get()
+          val part = tc.partitionId()
+          val fin = new Path(stagingStr, f"part-$part%05d.avro")
+          val tmp = new Path(stagingStr,
+            f".part-$part%05d-attempt${tc.taskAttemptId()}.avro.tmp")
+          val pfs = tmp.getFileSystem(hc)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+            .setCodec(CodecFactory.fromString(codec))
+          if (syncInterval > 0) w.setSyncInterval(syncInterval)
+          try {
+            w.create(schema, pfs.create(tmp, true))
+            it.foreach(b => w.appendEncoded(ByteBuffer.wrap(b)))
+          } finally w.close()
+          // task commit: rename is atomic per attempt; if a sibling attempt
+          // already won the race, drop this attempt's output
+          if (!pfs.rename(tmp, fin)) { pfs.delete(tmp, false); () }
+        }
       }
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      if (!fs.rename(staging, outPath))
+        throw new java.io.IOException(s"commit rename failed: $staging -> $out")
+    } catch {
+      case t: Throwable =>
+        fs.delete(staging, true)
+        throw t
     }
   }
 
   /** The writer schema embedded in the container header of the first file
     * under `path` — the discovery step an OCF reader performs before
     * planning a resolving decode (`fromAvro(reader, writer)`): driver-side,
-    * header-only, no record IO. None for an empty directory. */
+    * header-only, no record IO. None for an empty directory. NOTE: files
+    * under one directory may carry DIFFERENT writer versions;
+    * [[readBinary]] resolves per file and this helper is only the "what
+    * does this corpus currently look like" probe. */
   def embeddedSchema(s: SparkSession, path: String): Option[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    listAvro(conf, path).headOption.map { case (p, _) =>
+      val reader = DataFileReader.openReader(
+        new FsInput(new Path(p), conf), new GenericDatumReader[GenericRecord]())
+      try reader.getSchema.toString finally reader.close()
+    }
+  }
+
+  private def listAvro(conf: Configuration, path: String): Seq[(String, Long)] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted.headOption
-      .map { p =>
-        val reader = DataFileReader.openReader(
-          new FsInput(new Path(p), new org.apache.hadoop.conf.Configuration()),
-          new GenericDatumReader[GenericRecord]())
-        try reader.getSchema.toString finally reader.close()
-      }
+      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
   }
 
   /** Read every `.avro` file under `path` into a one-column binary
-    * DataFrame (`avro_value`), one task per file — the unit a splittable
-    * reader would further subdivide by sync marker at 100 TB. Tolerates an
+    * DataFrame (`avro_value`), splitting each file into byte ranges at
+    * sync markers so multi-block containers fan out across tasks (the
+    * standard OCF split contract: a task owns exactly the blocks whose
+    * preceding sync marker starts inside its range).
+    *
+    * Schema handling is per FILE, through each container's OWN embedded
+    * writer schema — the file-level analog of the per-record registry
+    * resolution the topic path does:
+    *  - writer == `readerSchemaJson` (or no reader schema requested and
+    *    the directory is homogeneous): datum bytes are SLICED out of the
+    *    decompressed block by a schema-driven skip walk — zero decode,
+    *    zero re-encode; `fromAvro` downstream performs the only decode.
+    *  - writer != `readerSchemaJson`: that file's records are resolved
+    *    writer→reader (defaults filled, fields reordered/dropped) and
+    *    re-encoded under the reader schema, so every output datum is
+    *    uniformly `readerSchemaJson`-shaped regardless of which writer
+    *    version produced it.
+    *  - no `readerSchemaJson` and MIXED writer schemas: fails loudly —
+    *    raw passthrough of heterogeneous bytes would silently mis-decode
+    *    (the pre-round-8 hazard).
+    *
+    * `maxSplitBytes` 0 = `spark.sql.files.maxPartitionBytes`. Tolerates an
     * empty directory (empty corpus round-trip). */
-  def readBinary(s: SparkSession, path: String): DataFrame = {
+  def readBinary(s: SparkSession, path: String,
+                 readerSchemaJson: Option[String] = None,
+                 maxSplitBytes: Long = 0L): DataFrame = {
     import s.implicits._
-    val root = new Path(path)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val files =
-      if (!fs.exists(root)) Seq.empty[String]
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
-        .map(_.getPath.toString).sorted
-    val parallelism = math.max(1, math.min(files.size, s.sparkContext.defaultParallelism))
-    s.createDataset(files).repartition(parallelism)
-      .mapPartitions { paths =>
-        paths.flatMap { p =>
-          val in = new FsInput(new Path(p), new org.apache.hadoop.conf.Configuration())
-          val reader = DataFileReader.openReader(
-            in, new GenericDatumReader[GenericRecord]())
-          Option(TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => reader.close()))
-          val datumWriter =
-            new GenericDatumWriter[GenericRecord](reader.getSchema)
-          new Iterator[Array[Byte]] {
-            def hasNext: Boolean = reader.hasNext
-            def next(): Array[Byte] = {
-              val rec = reader.next()
-              val bos = new java.io.ByteArrayOutputStream(256)
-              val enc = EncoderFactory.get().binaryEncoder(bos, null)
-              datumWriter.write(rec, enc)
-              enc.flush()
-              bos.toByteArray
-            }
-          }
+    val conf = s.sessionState.newHadoopConf()
+    val files = listAvro(conf, path)
+    val splitBytes =
+      if (maxSplitBytes > 0) maxSplitBytes
+      else s.conf.getOption("spark.sql.files.maxPartitionBytes")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(128L * 1024 * 1024)
+    val splits = files.flatMap { case (p, len) =>
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i => (p, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+    }
+    // the schema every output datum must conform to: the requested reader
+    // schema, else the corpus's (asserted-homogeneous) embedded schema
+    val targetJson = readerSchemaJson.orElse(
+      embeddedSchema(s, path)).getOrElse("")
+    val strict = readerSchemaJson.isEmpty
+    val sconf = new SerializableHadoopConf(conf)
+    val parallelism = math.max(1, math.min(splits.size, s.sparkContext.defaultParallelism))
+    s.createDataset(splits).repartition(parallelism)
+      .mapPartitions { parts =>
+        val hc = sconf.value
+        val target = if (targetJson.isEmpty) null
+                     else new Schema.Parser().parse(targetJson)
+        parts.flatMap { case (p, start, end) =>
+          readSplit(hc, p, start, end, target, strict)
         }
       }
       .toDF("avro_value")
+  }
+
+  /** One split: blocks whose preceding sync marker starts in [start, end).
+    * Raw-slice fast path when the file's writer schema equals `target`;
+    * resolving decode + re-encode otherwise (per-file schema evolution). */
+  private def readSplit(hc: Configuration, p: String, start: Long, end: Long,
+                        target: Schema, strict: Boolean): Iterator[Array[Byte]] = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(p), hc), new GenericDatumReader[GenericRecord]())
+    val writer = reader.getSchema
+    if (writer != target && strict) {
+      reader.close()
+      throw new IllegalStateException(
+        s"mixed OCF writer schemas under one directory: $p embeds a schema " +
+          s"differing from the corpus head's (${target.getFullName}) — " +
+          "pass readerSchemaJson to resolve per file")
+    }
+    reader.sync(start)
+    val out = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    try {
+      if (writer == target) {
+        // fast path: slice raw datum bytes out of each decompressed block
+        val walker = new DatumWalker(writer)
+        while (!reader.pastSync(end) && reader.hasNext) {
+          val count = reader.getBlockCount
+          val buf = reader.nextBlock()
+          val bytes = buf.array()
+          val base = buf.arrayOffset() + buf.position()
+          var pos = base
+          var i = 0L
+          while (i < count) {
+            val next = walker.skip(bytes, pos)
+            out += java.util.Arrays.copyOfRange(bytes, pos, next)
+            pos = next
+            i += 1
+          }
+        }
+      } else {
+        // evolution path: resolve writer -> target, re-encode under target
+        val resolving = new GenericDatumReader[GenericRecord](writer, target)
+        val datumWriter = new GenericDatumWriter[GenericRecord](target)
+        var rec: GenericRecord = null
+        while (!reader.pastSync(end) && reader.hasNext) {
+          val count = reader.getBlockCount
+          val buf = reader.nextBlock()
+          val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+            buf.array(), buf.arrayOffset() + buf.position(), buf.remaining(), null)
+          var i = 0L
+          while (i < count) {
+            rec = resolving.read(rec, dec)
+            val bos = new java.io.ByteArrayOutputStream(256)
+            val enc = EncoderFactory.get().binaryEncoder(bos, null)
+            datumWriter.write(rec, enc)
+            enc.flush()
+            out += bos.toByteArray
+            i += 1
+          }
+        }
+      }
+    } finally reader.close()
+    out.iterator
+  }
+
+  /** Schema-driven skip walk over Avro binary: returns the end offset of
+    * the datum starting at `pos`, touching only lengths/varints — no
+    * object materialization, no string decode. This is what makes the OCF
+    * source single-decode: boundaries come from the walk, bytes pass
+    * through raw, and the one real decode happens in codegen'd `fromAvro`. */
+  private final class DatumWalker(root: Schema) extends Serializable {
+    def skip(bytes: Array[Byte], pos: Int): Int = walk(root, bytes, pos)
+
+    private def walk(s: Schema, bytes: Array[Byte], pos0: Int): Int = {
+      import Schema.Type._
+      var pos = pos0
+      def readVarLong(): Long = {
+        var b = bytes(pos); pos += 1
+        var n: Long = (b & 0x7f).toLong
+        var shift = 7
+        while ((b & 0x80) != 0) {
+          b = bytes(pos); pos += 1
+          n |= (b & 0x7f).toLong << shift
+          shift += 7
+        }
+        (n >>> 1) ^ -(n & 1L)
+      }
+      // NB: a length-prefixed skip must read the varint into a local BEFORE
+      // adding — `pos += readVarLong()` captures the pre-varint pos on the
+      // LHS and silently drops the varint's own bytes
+      def skipLenPrefixed(): Unit = { val len = readVarLong().toInt; pos += len }
+      s.getType match {
+        case NULL =>
+        case BOOLEAN => pos += 1
+        case INT | LONG | ENUM => readVarLong()
+        case FLOAT => pos += 4
+        case DOUBLE => pos += 8
+        case STRING | BYTES => skipLenPrefixed()
+        case FIXED => pos += s.getFixedSize
+        case UNION => pos = walk(s.getTypes.get(readVarLong().toInt), bytes, pos)
+        case RECORD =>
+          val fields = s.getFields
+          var i = 0
+          while (i < fields.size()) {
+            pos = walk(fields.get(i).schema(), bytes, pos)
+            i += 1
+          }
+        case ARRAY | MAP =>
+          var n = readVarLong()
+          while (n != 0L) {
+            if (n < 0L) {
+              // negative count: block byte size follows — skip wholesale
+              skipLenPrefixed()
+            } else {
+              var i = 0L
+              while (i < n) {
+                if (s.getType == MAP) skipLenPrefixed() // key string
+                pos = walk(
+                  if (s.getType == MAP) s.getValueType else s.getElementType,
+                  bytes, pos)
+                i += 1
+              }
+            }
+            n = readVarLong()
+          }
+      }
+      pos
+    }
   }
 }

@@ -80,17 +80,19 @@ object AvroQueries {
       "Avro Object Container File source/sink — the reference's AT-REST " +
         "format completed at the file level (q49/q50 prove the record " +
         "codec; this proves the .avro container): events encode through " +
-        "the SAME codegen toAvro expression, land as one sync-marked OCF " +
-        "per partition with the writer schema EMBEDDED (the container's " +
-        "registry-free contract), and read back one task per file through " +
-        "the embedded schema into the codegen fromAvro decode — container " +
-        "framing and record codec can never drift apart because only one " +
-        "codec exists. Compared against the parquet truth including the " +
-        "timestamp column (timestamp-micros logical type). Staged once " +
-        "per corpus fingerprint like q78/q79/q224. At 100 TB each OCF " +
-        "splits further at sync markers and the re-encode hop collapses " +
-        "to a direct InternalRow hand-off; the one-file-per-partition " +
-        "write and schema-embedded read are already the real shape."
+        "the SAME codegen toAvro expression, land as deflate-compressed " +
+        "sync-marked OCFs (one per partition, writer schema EMBEDDED — the " +
+        "container's registry-free contract) committed by atomic staging-" +
+        "dir rename, and read back SPLIT at sync markers: each task slices " +
+        "raw datum bytes out of its blocks by a schema-driven skip walk — " +
+        "zero decode, zero re-encode in the container layer — and the one " +
+        "real decode is the codegen fromAvro expression, so container " +
+        "framing and record codec can never drift apart. Compared against " +
+        "the parquet truth including the timestamp column (timestamp-" +
+        "micros logical type). Staged once per corpus fingerprint like " +
+        "q78/q79/q224. At 100 TB a multi-GB container fans out across " +
+        "tasks instead of capping parallelism at one-per-file, and mixed " +
+        "writer versions resolve per file through each embedded schema."
     ) { (s, dir) =>
       import s.implicits._
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -103,7 +105,7 @@ object AvroQueries {
             struct(cols.map(col): _*), "Event").as("b")).as[Array[Byte]],
           schemaJson, out)
       }
-      graft.avro.AvroOcf.readBinary(s, ocfDir)
+      graft.avro.AvroOcf.readBinary(s, ocfDir, readerSchemaJson = Some(schemaJson))
         .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
         .select(col("r.*"))
         .orderBy("event_id")

@@ -52,6 +52,19 @@ private[graft] class CorrNullSafe(x0: Expression, y0: Expression)
   }
   override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Corr =
     new CorrNullSafe(newLeft, newRight)
+  /** Class identity must participate in equality: the inherited case-class
+    * equals/canEqual would compare equal to a plain
+    * `Corr(x, y, nullOnDivideByZero = true)` in BOTH directions, and
+    * Catalyst expression/aggregate deduplication could then substitute the
+    * built-in — whose final still throws under ANSI on constant groups.
+    * `canEqual` guards the plain side's generated equals (it calls
+    * `that.canEqual(this)`); the `equals` override guards this side. */
+  override def canEqual(that: Any): Boolean = that.isInstanceOf[CorrNullSafe]
+  override def equals(other: Any): Boolean = other match {
+    case _: CorrNullSafe => super.equals(other)
+    case _               => false
+  }
+  override def hashCode(): Int = 31 * super.hashCode() + classOf[CorrNullSafe].hashCode()
 }
 
 object MomentExpressions {

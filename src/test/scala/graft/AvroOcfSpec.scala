@@ -65,4 +65,114 @@ class AvroOcfSpec extends SparkSpec {
     assert(AvroOcf.embeddedSchema(spark, out).isEmpty)
     assert(AvroOcf.readBinary(spark, out).count() == 0L)
   }
+
+  test("containers are deflate-compressed by default, codec pinned in the header") {
+    import spark.implicits._
+    val in = (1L to 50L).map(i => (i, "x" * 200)).toDF("id", "pad").repartition(1)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Padded")
+    def bin = in.select(AvroFunctions.toAvro(
+      struct(col("id"), col("pad")), "Padded").as("b")).as[Array[Byte]]
+    def headerCodec(dir: String): String = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val r = new org.apache.avro.file.DataFileReader(f,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.getMetaString("avro.codec") finally r.close()
+    }
+    val deflated = tempDir("deflate")
+    AvroOcf.write(bin, schemaJson, deflated)
+    assert(headerCodec(deflated) == "deflate")
+    val raw = tempDir("rawcodec")
+    AvroOcf.write(bin, schemaJson, raw, codec = "null")
+    assert(headerCodec(raw) == "null")
+    // compression must actually bite on the repetitive payload…
+    def bytes(dir: String): Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length()).sum
+    assert(bytes(deflated) < bytes(raw) / 2,
+      s"deflate=${bytes(deflated)} raw=${bytes(raw)}")
+    // …and both round-trip identically
+    def readBack(dir: String) = AvroOcf.readBinary(spark, dir, Some(schemaJson))
+      .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+      .select(col("r.*")).as[(Long, String)].collect().toSet
+    assert(readBack(deflated) == readBack(raw) &&
+      readBack(deflated) == in.as[(Long, String)].collect().toSet)
+  }
+
+  test("a mid-job failure leaves the output directory completely absent") {
+    import spark.implicits._
+    val in = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Atomic")
+    val good = in.select(AvroFunctions.toAvro(
+      struct(col("id"), col("v")), "Atomic").as("b")).as[Array[Byte]]
+    val out = tempDir("atomic") + "/table"
+    val poisoned = good.map { b =>
+      if (org.apache.spark.TaskContext.getPartitionId() == 1)
+        throw new RuntimeException("mid-partition failure injection")
+      b
+    }
+    intercept[org.apache.spark.SparkException] {
+      AvroOcf.write(poisoned, schemaJson, out)
+    }
+    // read-committed at the file level: the failed job is invisible — no
+    // final dir, no leaked staging sibling
+    val parent = new java.io.File(out).getParentFile
+    assert(!new java.io.File(out).exists(), "failed write left the output dir")
+    assert(parent.listFiles() == null || parent.listFiles().isEmpty,
+      s"failed write leaked staging: ${parent.listFiles().mkString(",")}")
+    // the same write, healthy, commits everything atomically
+    AvroOcf.write(good, schemaJson, out)
+    val back = AvroOcf.readBinary(spark, out, Some(schemaJson))
+      .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+      .select(col("r.*")).as[(Long, String)].collect().toSet
+    assert(back == in.as[(Long, String)].collect().toSet)
+  }
+
+  test("mixed writer versions in one directory resolve per file into the reader schema") {
+    import spark.implicits._
+    val v2 =
+      """{"type":"record","name":"Evo","namespace":"graft","fields":[
+        |  {"name":"id","type":["null","string"],"default":null},
+        |  {"name":"score","type":["null","double"],"default":null},
+        |  {"name":"source","type":["null","string"],"default":null}]}""".stripMargin
+    // v1 writers: id only
+    val inV1 = Seq("e-1", "e-2").toDF("id")
+    val v1 = AvroFunctions.writerSchemaFor(inV1.schema, "Evo")
+    val d1 = tempDir("mixv1")
+    AvroOcf.write(inV1.select(AvroFunctions.toAvro(
+      struct(col("id")), "Evo").as("b")).as[Array[Byte]], v1, d1)
+    // v2 writers: full shape
+    val inV2 = Seq(("e-3", 1.5, "s3"), ("e-4", 2.5, "s4"))
+      .toDF("id", "score", "source")
+    val d2 = tempDir("mixv2")
+    AvroOcf.write(inV2.select(AvroFunctions.toAvroWithSchema(
+      struct(col("id"), col("score"), col("source")), v2).as("b"))
+      .as[Array[Byte]], v2, d2)
+    // one directory holding both writer generations
+    val mixed = new java.io.File(tempDir("mixed"))
+    Seq(d1, d2).zipWithIndex.foreach { case (d, gen) =>
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".avro"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            mixed.toPath.resolve(s"gen$gen-${f.getName}"))
+        }
+    }
+    // with a requested reader schema every file resolves through its OWN
+    // embedded writer schema (v1 rows get nulls filled) — values exact
+    val rows = AvroOcf.readBinary(spark, mixed.toString, Some(v2))
+      .select(AvroFunctions.fromAvro(col("avro_value"), v2).as("r"))
+      .select(col("r.*"))
+      .as[(Option[String], Option[Double], Option[String])].collect().toSet
+    assert(rows == Set(
+      (Some("e-1"), None, None), (Some("e-2"), None, None),
+      (Some("e-3"), Some(1.5), Some("s3")), (Some("e-4"), Some(2.5), Some("s4"))))
+    // with NO reader schema raw passthrough would silently mis-decode —
+    // the source must refuse instead
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroOcf.readBinary(spark, mixed.toString).count()
+    }
+    assert(String.valueOf(e.getMessage).contains("mixed OCF writer schemas") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("mixed OCF writer schemas")))
+  }
 }

@@ -52,4 +52,30 @@ class DegenerateCorpusSpec extends SparkSpec {
           failures.mkString("\n"))
     }
   }
+
+  // The r5 failure class, pinned BY NAME for ORC exactly as
+  // HarnessContractSpec pins it for parquet: q224 reads its ORC stage back
+  // with an EXPLICIT schema (inference is banned at scale), so an events.ts
+  // physical-encoding drift would surface as an opaque cast error inside
+  // q224's catalog row. This test round-trips the normalized ts through ORC
+  // on BOTH driver shapes and compares instants exactly, so the drift fails
+  // here with the format and column named.
+  Seq("micros", "nanos").foreach { shape =>
+    test(s"ORC timestamp round-trip is exact on the $shape events shape") {
+      val dir = s"$base/orc_$shape"
+      EdgeCorpus.write(spark, dir, 1, shape)
+      val ev = Tables.events(spark, dir).select("event_id", "ts")
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_orc_rt_$shape").toString
+      ev.write.mode("overwrite").orc(out)
+      val back = spark.read.schema("event_id BIGINT, ts TIMESTAMP").orc(out)
+      val rows = ev.as("a")
+        .join(back.as("b"), "event_id")
+        .selectExpr("a.ts AS written", "b.ts AS readback")
+        .collect()
+      assert(rows.nonEmpty, "ORC round-trip lost every row")
+      rows.foreach(r => assert(r.get(0) == r.get(1),
+        s"ORC ts drift on $shape shape: wrote ${r.get(0)}, read ${r.get(1)}"))
+    }
+  }
 }

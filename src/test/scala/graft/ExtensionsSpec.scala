@@ -128,4 +128,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val nv = native.orderBy("vec_id").collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
     assert(hv.toSeq === nv.toSeq)
   }
+
+  test("corr_null_safe never compares equal to plain corr (dedup substitution hazard)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Corr}
+    import org.apache.spark.sql.graft.{ColumnBridge, MomentExpressions}
+    import org.apache.spark.sql.types.DoubleType
+    val x = AttributeReference("x", DoubleType)()
+    val y = AttributeReference("y", DoubleType)()
+    def safeFn = ColumnBridge.expression(
+      MomentExpressions.corrNullSafe(ColumnBridge.column(x), ColumnBridge.column(y)))
+      .asInstanceOf[AggregateExpression].aggregateFunction
+    val safe = safeFn
+    val plain = Corr(x, y, nullOnDivideByZero = true)
+    // both directions: Catalyst expression dedup maps may probe either way,
+    // and the case-class equals the subclass inherits was symmetric-true —
+    // substituting the built-in whose ANSI final throws on constant groups
+    assert(safe != plain, "corr_null_safe must not equal plain corr")
+    assert(plain != safe, "plain corr must not equal corr_null_safe")
+    // same-class instances with the same children still unify (dedup works)
+    assert(safe == safeFn && safe.hashCode == safeFn.hashCode)
+  }
 }

@@ -95,8 +95,11 @@ class HarnessContractSpec extends SparkSpec {
         val arg = sql.substring(op + 1, cl).trim.toUpperCase
         val innerInt = arg.endsWith("AS BIGINT)") ||
           arg.startsWith("LEN(") || arg.startsWith("LENGTH(")
+        // word-boundary match: `broadcast(`/`try_cast(` also END with "cast",
+        // but neither is the HUGEINT-defusing CAST(... AS BIGINT) wrapper
         val castWrapped = enclosingOpens(sql, m.start).exists { p =>
-          sql.substring(0, p).replaceAll("\\s+$", "").toUpperCase.endsWith("CAST")
+          "(?i)(?<![a-z0-9_])CAST$".r
+            .findFirstIn(sql.substring(0, p).replaceAll("\\s+$", "")).isDefined
         }
         if (!innerInt || castWrapped) None
         else Some(sql.substring(m.start, math.min(cl + 1, m.start + 70))
@@ -123,6 +126,15 @@ class HarnessContractSpec extends SparkSpec {
       "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents " +
       "FROM events GROUP BY band"
     assert(sumHazards(fixed).isEmpty, "lint must accept the CAST-wrapped sum")
+    // an identifier merely ENDING in "cast" is not a wrapper: the hazardous
+    // sum inside broadcast(...)/try_cast(...) must still be flagged
+    val laundered = "SELECT broadcast(sum(CAST(floor(value * 100) AS BIGINT))) " +
+      "AS s FROM events"
+    assert(sumHazards(laundered).nonEmpty,
+      "lint must not accept broadcast( as a CAST wrapper")
+    val tryCast = "SELECT try_cast(sum(CAST(v AS BIGINT)) AS VARCHAR) AS s FROM t"
+    assert(sumHazards(tryCast).nonEmpty,
+      "lint must not accept try_cast( as a CAST wrapper")
   }
 
   /** Probe the LIVE corpus shape. The r5 regression — the driver regenerated

@@ -481,4 +481,37 @@ class ScaleDesignSpec extends SparkSpec {
       !plan.replaceAll("(?s).*ReadSchema", "").contains("props"),
       "ORC projection should prune unread columns")
   }
+
+  /** q225's 100 TB claim at the task level: ONE multi-block container fans
+    * out across MANY tasks (sync-marker byte-range splits), every record
+    * lands exactly once, and the parallelism ceiling is gone — per-file
+    * tasks were the r7 shape this replaces. */
+  test("OCF source splits one multi-block container across many tasks, exactly once") {
+    import spark.implicits._
+    import graft.avro.{AvroFunctions, AvroOcf}
+    val in = (1L to 2000L).map(i => (i, s"payload-$i-${"x" * 40}"))
+      .toDF("id", "payload").repartition(1)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Split")
+    val out = Files.createTempDirectory("graft_ocf_split").toString + "/t"
+    // small sync interval => many small blocks inside a single container
+    AvroOcf.write(in.select(AvroFunctions.toAvro(
+      struct(col("id"), col("payload")), "Split").as("b")).as[Array[Byte]],
+      schemaJson, out, codec = "null", syncInterval = 256)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, "test needs a single multi-block container")
+    val df = AvroOcf.readBinary(spark, out, Some(schemaJson),
+      maxSplitBytes = 4096)
+    assert(df.rdd.getNumPartitions > 1,
+      s"one container must fan out: got ${df.rdd.getNumPartitions} task(s) " +
+        s"for a ${files.head.length()}-byte file at 4 KiB splits")
+    val back = df
+      .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+      .select(col("r.id"))
+      .groupBy(col("id")).count()
+      .as[(Long, Long)].collect()
+    assert(back.length == 2000, s"row loss across splits: ${back.length}/2000")
+    assert(back.forall(_._2 == 1L),
+      "duplicate rows across splits: a block was owned by two byte ranges")
+  }
 }
