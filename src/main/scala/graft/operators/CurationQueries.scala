@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextQueries.{deM, enM, esM, frM, markerCount}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation family for the LLM-data-pipeline surface: the cleaning
+  * passes that sit between raw crawl and training shards — PII / denylist
+  * scrubbing, Gopher-style repetition profiling, temperature-weighted
+  * source mixing, and the combined cleaning funnel that reports per-stage
+  * survivor counts.
+  *
+  * Everything is built-in expressions plus hash-partitioned aggregations —
+  * the scrub and feature passes are per-row map work (embarrassingly
+  * parallel at 100 TB); the repetition profile shuffles on (doc_id, gram)
+  * which is near-unique so partial aggregation collapses it; the mixer's
+  * only non-map step is a per-source row_number over an LCG order, a
+  * shuffle on the low-cardinality source key with a skew ceiling equal to
+  * the largest single source.
+  */
+object CurationQueries {
+
+  /** Java AND RE2 compatible (no backrefs, no lookaround): email, IPv4 and
+    * a denylist alternation. Kept class-only so the same pattern text is
+    * passed verbatim to both engines. */
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  private val ipPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val denyPat = "\\b(?:customer|slow)\\b"
+
+  /** Shared by q227 and q229 so the funnel's repetition gate is exactly the
+    * profiler's flag at the same threshold. */
+  private val topWordMax = 0.20
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q226_pii_denylist_scrub",
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
+              |  CAST(len(regexp_extract_all(text, '$ipPat')) AS BIGINT) AS n_ip,
+              |  CAST(len(regexp_extract_all(text, '$denyPat')) AS BIGINT) AS n_deny,
+              |  regexp_replace(regexp_replace(text, '$emailPat', '[PII]', 'g'),
+              |                 '$denyPat', '[TERM]', 'g') AS clean_text,
+              |  CAST(len(regexp_replace(regexp_replace(text, '$emailPat', '[PII]', 'g'),
+              |                          '$denyPat', '[TERM]', 'g')) AS BIGINT) AS clean_chars
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin),
+      "PII + denylist scrub: count and replace email/IPv4/banned-term " +
+        "matches in one projection — per-row map work, no shuffle but the " +
+        "presentation sort; the patterns live in the instruction stream " +
+        "(class-only regex, codegen'd). At 100 TB this is the shape of " +
+        "every redaction pass: scan-bandwidth bound, embarrassingly " +
+        "parallel, output written back partition-local."
+    ) { (s, dir) =>
+      val clean = regexp_replace(
+        regexp_replace(col("text"), emailPat, "[PII]"), denyPat, "[TERM]")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(ipPat), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(denyPat), lit(0)))
+          .cast("long").as("n_deny"),
+        clean.as("clean_text"),
+        length(clean).cast("long").as("clean_chars"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q227_repetition_profile",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             |  FROM documents
+             |), nt AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens FROM tok GROUP BY doc_id
+             |), topw AS (
+             |  SELECT doc_id, max(c) AS top_word_c FROM (
+             |    SELECT doc_id, word, CAST(count(*) AS BIGINT) c
+             |    FROM tok GROUP BY doc_id, word
+             |  ) GROUP BY doc_id
+             |), big AS (
+             |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+             |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             |       unnest(range(1, len(w))) AS t(i)
+             |), bstat AS (
+             |  SELECT doc_id, max(c) AS top_bigram_c, sum(c) AS n_bigrams,
+             |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_occ
+             |  FROM (SELECT doc_id, bg, CAST(count(*) AS BIGINT) c
+             |        FROM big GROUP BY doc_id, bg)
+             |  GROUP BY doc_id
+             |)
+             |SELECT nt.doc_id AS doc_id, nt.n_tokens,
+             |  round(topw.top_word_c * 1.0 / nt.n_tokens, 4) AS top_word_frac,
+             |  round(bstat.top_bigram_c * 1.0 / bstat.n_bigrams, 4) AS top_bigram_frac,
+             |  round(bstat.dup_bigram_occ * 1.0 / bstat.n_bigrams, 4) AS dup_bigram_frac,
+             |  (topw.top_word_c * 1.0 / nt.n_tokens > 0.20
+             |   OR bstat.dup_bigram_occ * 1.0 / bstat.n_bigrams > 0.50) AS repetitive
+             |FROM nt
+             |JOIN topw ON nt.doc_id = topw.doc_id
+             |JOIN bstat ON nt.doc_id = bstat.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Gopher-style repetition profile: most-common-word fraction, top " +
+        "bigram fraction and duplicate-bigram mass per document. Grams " +
+        "explode to (doc_id, gram) rows and hash-aggregate — near-unique " +
+        "keys so partial agg collapses the map side; no self-joins, no " +
+        "per-row quadratic work. A 100 TB corpus runs this as one " +
+        "explode+agg pipeline per gram order, shuffle bounded by distinct " +
+        "grams per doc; single-token docs carry no bigram and drop (same " +
+        "inner-join contract on both engines)."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val tok = docs.select(col("doc_id"), explode(col("w")).as("word"))
+      val nt = tok.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"))
+      val topw = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_word_c"))
+      val bg = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val bstat = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max("c").as("top_bigram_c"),
+          sum("c").as("n_bigrams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigram_occ"))
+      nt.join(topw, "doc_id").join(bstat, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_word_c") * 1.0 / col("n_tokens"), 4).as("top_word_frac"),
+          round(col("top_bigram_c") * 1.0 / col("n_bigrams"), 4).as("top_bigram_frac"),
+          round(col("dup_bigram_occ") * 1.0 / col("n_bigrams"), 4).as("dup_bigram_frac"),
+          (col("top_word_c") * 1.0 / col("n_tokens") > topWordMax ||
+            col("dup_bigram_occ") * 1.0 / col("n_bigrams") > 0.50).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q228_source_mixture_sample",
+      Some("""WITH src AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) cnt FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source, cnt,
+             |         CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS f
+             |  FROM src
+             |), tot AS (
+             |  SELECT CAST(sum(f) AS BIGINT) AS sumf, CAST(sum(cnt) AS BIGINT) AS total
+             |  FROM w
+             |), quota AS (
+             |  SELECT source, CAST(((total // 2) * f) // sumf AS BIGINT) AS quota
+             |  FROM w, tot
+             |), ranked AS (
+             |  SELECT d.doc_id AS doc_id, d.source AS source,
+             |    CAST(row_number() OVER (PARTITION BY d.source
+             |      ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648, d.doc_id)
+             |      AS BIGINT) AS rk
+             |  FROM documents d
+             |)
+             |SELECT r.doc_id, r.source, r.rk, quota.quota
+             |FROM ranked r JOIN quota ON r.source = quota.source
+             |WHERE r.rk <= quota.quota
+             |ORDER BY r.doc_id""".stripMargin),
+      "Temperature-weighted source mixing (alpha = 0.5): per-source integer " +
+        "weights floor(sqrt(count)) set quotas for a half-size mix, and a " +
+        "deterministic LCG over doc_id picks the sample — a seeded shuffle " +
+        "both engines replay bit-identically (all integer arithmetic; " +
+        "sqrt-of-integer is IEEE-exact). Scale: one count agg, a 1-row " +
+        "totals broadcast, and a per-source row_number — shuffle on the " +
+        "low-cardinality source key; at 100 TB a mega-source is pre-split " +
+        "by LCG range so no single partition holds a whole source " +
+        "(rank = range offset + within-range row_number, same order)."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("f", floor(sqrt(col("cnt").cast("double"))).cast("long"))
+      val tot = w.agg(sum("f").as("sumf"), sum("cnt").as("total"))
+      val quota = w.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("((total div 2) * f) div sumf").cast("long").as("quota"))
+      val lcg = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+      val ranked = docs.select(col("doc_id"), col("source"),
+        row_number().over(
+          Window.partitionBy("source").orderBy(lcg.asc, col("doc_id").asc))
+          .cast("long").as("rk"))
+      ranked.join(broadcast(quota), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q229_curation_funnel",
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split(lower(text), ' ') w FROM documents
+             |), feat AS (
+             |  SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) n_tokens,
+             |    CAST(len(text) AS BIGINT) n_chars,
+             |    list_reduce(list_transform(w, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) stl,
+             |    CAST(len(list_filter(w, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) n_en,
+             |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','y'], x))) AS BIGINT) n_es,
+             |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) n_de,
+             |    CAST(len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) AS BIGINT) n_fr,
+             |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) n_punct
+             |  FROM t
+             |), topw AS (
+             |  SELECT doc_id, max(c) AS top_word_c FROM (
+             |    SELECT doc_id, word, CAST(count(*) AS BIGINT) c
+             |    FROM (SELECT doc_id, unnest(w) AS word FROM t)
+             |    GROUP BY doc_id, word
+             |  ) GROUP BY doc_id
+             |), flags AS (
+             |  SELECT f.doc_id,
+             |    (f.n_en + f.n_es + f.n_de + f.n_fr > 0) AS lang_ok,
+             |    (0.2 * (CAST(f.stl AS DOUBLE) / f.n_tokens)
+             |     + 3.0 * (CAST(f.n_en AS DOUBLE) / f.n_tokens)
+             |     - 0.5 * (CAST(f.n_punct AS DOUBLE) / f.n_chars)) >= 1.05 AS quality_ok,
+             |    (CAST(topw.top_word_c AS DOUBLE) / f.n_tokens) <= 0.20 AS rep_ok,
+             |    (f.n_tokens BETWEEN 20 AND 80) AS len_ok
+             |  FROM feat f JOIN topw ON f.doc_id = topw.doc_id
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+             |  CAST(sum(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             |  CAST(sum(CASE WHEN lang_ok AND quality_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+             |  CAST(sum(CASE WHEN lang_ok AND quality_ok AND rep_ok AND len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_length
+             |FROM flags""".stripMargin),
+      "The cleaning funnel end-to-end: language-ID gate, quality-score " +
+        "gate (q46's transcendental-free linear score), repetition gate " +
+        "(q227's top-word fraction at the same 0.20 threshold) and a " +
+        "token-length window, reported as cumulative survivor counts — the " +
+        "per-stage loss accounting every curation run ships with. One " +
+        "feature projection + one word-count agg + a 5-number global " +
+        "rollup: at 100 TB the whole funnel is a single pass over text " +
+        "with partial aggregation; no per-stage re-scans."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      val feat = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L),
+          (a, b) => a + b).as("stl"),
+        markerCount(w, enM).as("n_en"), markerCount(w, esM).as("n_es"),
+        markerCount(w, deM).as("n_de"), markerCount(w, frM).as("n_fr"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_punct"))
+      val topw = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(w).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).cast("long").as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_word_c"))
+      val flags = feat.join(topw, "doc_id").select(
+        (col("n_en") + col("n_es") + col("n_de") + col("n_fr") > 0).as("lang_ok"),
+        (lit(0.2) * (col("stl").cast("double") / col("n_tokens"))
+          + lit(3.0) * (col("n_en").cast("double") / col("n_tokens"))
+          - lit(0.5) * (col("n_punct").cast("double") / col("n_chars")) >= 1.05)
+          .as("quality_ok"),
+        (col("top_word_c").cast("double") / col("n_tokens") <= topWordMax)
+          .as("rep_ok"),
+        col("n_tokens").between(20, 80).as("len_ok"))
+      flags.agg(
+        count(lit(1)).cast("long").as("n_total"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).cast("long").as("n_lang"),
+        sum(when(col("lang_ok") && col("quality_ok"), 1L).otherwise(0L))
+          .cast("long").as("n_quality"),
+        sum(when(col("lang_ok") && col("quality_ok") && col("rep_ok"), 1L)
+          .otherwise(0L)).cast("long").as("n_repetition"),
+        sum(when(col("lang_ok") && col("quality_ok") && col("rep_ok") &&
+          col("len_ok"), 1L).otherwise(0L)).cast("long").as("n_length"))
+    })
+}
