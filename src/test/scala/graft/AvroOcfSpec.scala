@@ -175,4 +175,42 @@ class AvroOcfSpec extends SparkSpec {
       Option(e.getCause).exists(c =>
         String.valueOf(c.getMessage).contains("mixed OCF writer schemas")))
   }
+
+  // --- corruption contract -------------------------------------------------
+  // OCF has no footer: truncation at an exact sync boundary is physically
+  // indistinguishable from a shorter file, so the honest contract is the one
+  // pinned here — damage INSIDE the byte stream (mid-block truncation, a
+  // non-container payload) must surface as a task failure, never as a
+  // silently short or garbled result.
+
+  test("a mid-block-truncated container fails the read loudly") {
+    import spark.implicits._
+    val in = (1L to 500L).map(i => (i, s"payload-$i-${"y" * 60}"))
+      .toDF("id", "pad").repartition(1)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Trunc")
+    val out = tempDir("trunc")
+    AvroOcf.write(
+      in.select(AvroFunctions.toAvro(
+        struct(col("id"), col("pad")), "Trunc").as("b")).as[Array[Byte]],
+      schemaJson, out)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    // cut inside the (single deflate) block, well past the header
+    val keep = (f.length() * 6) / 10
+    val ch = new java.io.RandomAccessFile(f, "rw")
+    try ch.setLength(keep) finally ch.close()
+    intercept[org.apache.spark.SparkException] {
+      AvroOcf.readBinary(spark, out, Some(schemaJson)).count()
+    }
+  }
+
+  test("a non-container file wearing the .avro suffix fails the read loudly") {
+    val out = tempDir("garbage")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-00000.avro"),
+      Array.fill[Byte](4096)(0x5a))
+    // discovery and read must both refuse — not return zero rows
+    intercept[Exception] { AvroOcf.embeddedSchema(spark, out) }
+    intercept[Exception] { AvroOcf.readBinary(spark, out).count() }
+  }
 }
