@@ -25,9 +25,9 @@ object CurationQueries {
   /** Java AND RE2 compatible (no backrefs, no lookaround): email, IPv4 and
     * a denylist alternation. Kept class-only so the same pattern text is
     * passed verbatim to both engines. */
-  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
-  private val ipPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val denyPat = "\\b(?:customer|slow)\\b"
+  private[graft] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  private[graft] val ipPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val denyPat = "\\b(?:customer|slow)\\b"
 
   /** Shared by q227 and q229 so the funnel's repetition gate is exactly the
     * profiler's flag at the same threshold. */
@@ -106,18 +106,23 @@ object CurationQueries {
         "bigram fraction and duplicate-bigram mass per document. Grams " +
         "explode to (doc_id, gram) rows and hash-aggregate — near-unique " +
         "keys so partial agg collapses the map side; no self-joins, no " +
-        "per-row quadratic work. A 100 TB corpus runs this as one " +
-        "explode+agg pipeline per gram order, shuffle bounded by distinct " +
-        "grams per doc; single-token docs carry no bigram and drop (same " +
+        "per-row quadratic work. Exactly one explode+agg pipeline per gram " +
+        "order (token totals fall out of the word-count aggregate, not a " +
+        "separate pass), shuffle bounded by distinct grams per doc; the " +
+        "doc-level joins shuffle on doc_id at scale (AQE broadcasts them " +
+        "at test size). Single-token docs carry no bigram and drop (same " +
         "inner-join contract on both engines)."
     ) { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       val tok = docs.select(col("doc_id"), explode(col("w")).as("word"))
-      val nt = tok.groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"))
+      // ONE token pass: n_tokens is the sum of per-word counts, so the
+      // word-count aggregate feeds both the mode and the total — no
+      // second scan+explode of the corpus for a plain count
       val topw = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_word_c"))
+        .groupBy("doc_id").agg(
+          max("c").as("top_word_c"),
+          sum("c").cast("long").as("n_tokens"))
       val bg = docs.select(col("doc_id"),
         explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
@@ -128,7 +133,7 @@ object CurationQueries {
           max("c").as("top_bigram_c"),
           sum("c").as("n_bigrams"),
           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigram_occ"))
-      nt.join(topw, "doc_id").join(bstat, "doc_id")
+      topw.join(bstat, "doc_id")
         .select(col("doc_id"), col("n_tokens"),
           round(col("top_word_c") * 1.0 / col("n_tokens"), 4).as("top_word_frac"),
           round(col("top_bigram_c") * 1.0 / col("n_bigrams"), 4).as("top_bigram_frac"),

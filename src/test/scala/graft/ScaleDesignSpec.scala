@@ -514,4 +514,52 @@ class ScaleDesignSpec extends SparkSpec {
     assert(back.forall(_._2 == 1L),
       "duplicate rows across splits: a block was owned by two byte ranges")
   }
+
+  /** The curation family's 100 TB shapes, pinned at the plan level: the
+    * scrub is scan→project with no exchange but the presentation sort; the
+    * repetition profile reads the corpus once per gram order (token totals
+    * fall out of the word-count aggregate, not a third scan); the mixer's
+    * quota side reaches the fact through broadcast only (the fact's lone
+    * shuffle is the per-source window). */
+  test("curation plans: scrub is exchange-free, grams scan once per order, mixer broadcasts quotas") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    def docScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("documents")) => sc
+      }
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+
+    // q226: per-row map work — no shuffle at all before exchange insertion
+    // (sparkPlan precedes EnsureRequirements; the only exchange execution
+    // adds is the presentation sort's range partitioning)
+    val scrub = SparkEntry.queries("q226_pii_denylist_scrub")(spark, sf)
+    assert(docScans(scrub).size === 1 && shuffles(scrub).isEmpty,
+      s"scrub must be scan→project→sort:\n${scrub.queryExecution.sparkPlan}")
+
+    // q227: one corpus read per gram order (word stream + bigram stream) —
+    // a third scan means a plain count pass crept back in
+    val rep = SparkEntry.queries("q227_repetition_profile")(spark, sf)
+    assert(docScans(rep).size === 2,
+      s"repetition profile re-reads the corpus ${docScans(rep).size}x " +
+        s"(want 2: tokens + bigrams):\n${rep.queryExecution.sparkPlan}")
+
+    // q228: the fact-side plan below the window's per-source exchange must
+    // be scan→project only — quotas and totals arrive via broadcast, so no
+    // aggregate/join shuffle ever carries the full corpus
+    val mix = SparkEntry.queries("q228_source_mixture_sample")(spark, sf)
+    val shuffledJoins = mix.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"mixer quotas must reach the fact via broadcast, found shuffled " +
+        s"join(s):\n${mix.queryExecution.sparkPlan}")
+    assert(mix.queryExecution.sparkPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isDefined, "mixer quota join should plan as BroadcastHashJoin")
+  }
 }
