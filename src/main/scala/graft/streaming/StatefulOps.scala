@@ -319,4 +319,65 @@ object StatefulOps {
       .transformWithState(new AdmitOnceProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[quotaAdmitTws]]: `pri` is the caller's admission
+    * priority (lower admits first within a micro-batch — e.g. q228's LCG
+    * value for a deterministic mix, or a quality score's negation for
+    * best-first admission). */
+  final case class SrcDoc(doc_id: Long, source: String, pri: Long)
+  final case class QuotaDecision(doc_id: Long, source: String, rk: Long,
+                                 admitted: Boolean)
+  private final case class QuotaState(admitted: Long)
+
+  /** Streaming per-source quota admission — the live form of batch q228's
+    * temperature mixer: state per source is ONE counter, an arrival is
+    * admitted iff the source's counter is below its quota, and admitted
+    * rows carry their 1-based admission rank. Within a micro-batch rows
+    * sort by (pri, doc_id) — feed arrivals in priority order and the
+    * admitted set is exactly the batch mixer's selection (StreamingOpsSpec
+    * pins 3-chunk == 7-chunk == batch q228); cross-batch delivery order is
+    * the caller's contract, as everywhere in this file. Decisions are
+    * decided once and never revised (Append), and the state-store
+    * checkpoint rolls counters back with the batch on restart, so replay
+    * cannot double-count. At 100 TB the state is 8 bytes per source —
+    * thousands of keys, not billions — while the arrival stream itself
+    * never shuffles anywhere but the groupByKey on the low-cardinality
+    * source (the same skew ceiling as the batch mixer's window; a
+    * mega-source pre-splits by pri range upstream). */
+  class QuotaAdmitProcessor(quotas: Map[String, Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SrcDoc, QuotaDecision] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[QuotaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[QuotaState](
+        "quota", Encoders.product[QuotaState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[SrcDoc],
+                                 timers: TimerValues): Iterator[QuotaDecision] = {
+      val quota = quotas.getOrElse(source, 0L)
+      var n = Option(state.get()).map(_.admitted).getOrElse(0L)
+      val out = rows.toSeq.sortBy(d => (d.pri, d.doc_id)).map { d =>
+        val admit = n < quota
+        if (admit) n += 1
+        QuotaDecision(d.doc_id, d.source, if (admit) n else 0L, admit)
+      }
+      state.update(QuotaState(n))
+      out.iterator
+    }
+  }
+
+  /** Keyed quota admission via transformWithState (Append: one decision
+    * per arrival, never revised). */
+  def quotaAdmitTws(docs: Dataset[SrcDoc],
+                    quotas: Map[String, Long]): Dataset[QuotaDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new QuotaAdmitProcessor(quotas),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

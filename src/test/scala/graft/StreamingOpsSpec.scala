@@ -612,4 +612,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === batch,
       "streaming admit-once audit diverged from batch q160")
   }
+
+  test("quota admission tws equals batch q228 and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{QuotaDecision, SrcDoc}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the corpus in the mixer's priority order: pri = q228's LCG value, so
+    // an in-priority-order stream must admit exactly the batch selection
+    def lcg(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+      .map { case (id, src) => SrcDoc(id, src, lcg(id)) }
+      .sortBy(d => (d.pri, d.doc_id))
+
+    // q228's integer quota formula, from first principles
+    val cnt = docs.groupBy(_.source).view.mapValues(_.size.toLong).toMap
+    val f = cnt.view.mapValues(c => math.floor(math.sqrt(c.toDouble)).toLong).toMap
+    val sumf = f.values.sum
+    val total = cnt.values.sum
+    val quotas = f.view.mapValues(fi => ((total / 2) * fi) / sumf).toMap
+
+    def run(name: String, nChunks: Int): Seq[QuotaDecision] = {
+      val input = MemoryStream[SrcDoc]
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.quotaAdmitTws(input.toDS(), quotas)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        docs.grouped(math.max(docs.length / nChunks, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally {
+        q.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.table(name).as[QuotaDecision].collect().toSeq
+    }
+
+    val a = run("quota_admit_3", 3)
+    val b = run("quota_admit_7", 7)
+    assert(a.toSet === b.toSet, "re-chunking the stream changed a decision")
+    assert(a.size === docs.length, "every arrival gets exactly one decision")
+
+    val batch = SparkEntry.queries("q228_source_mixture_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val admitted = a.filter(_.admitted).map(d => (d.doc_id, d.source, d.rk)).toSet
+    assert(admitted === batch,
+      "streaming quota admission diverged from the batch mixer's selection")
+  }
 }
