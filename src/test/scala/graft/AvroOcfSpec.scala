@@ -176,6 +176,41 @@ class AvroOcfSpec extends SparkSpec {
         String.valueOf(c.getMessage).contains("mixed OCF writer schemas")))
   }
 
+  test("sink output is plain Avro any standard reader consumes (interop)") {
+    import spark.implicits._
+    // our writer appends PRE-ENCODED datum bytes (appendEncoded) — this
+    // pins that the result is still a perfectly ordinary container file:
+    // a stock DataFileReader (no graft code) must see every row
+    val in = (1L to 25L).map(i => (i, s"name-$i", i * 0.5))
+      .toDF("id", "name", "score").repartition(2)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Interop")
+    val out = tempDir("interop")
+    AvroOcf.write(
+      in.select(AvroFunctions.toAvro(
+        struct(col("id"), col("name"), col("score")), "Interop").as("b"))
+        .as[Array[Byte]],
+      schemaJson, out)
+    val got = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+      .flatMap { f =>
+        val r = new org.apache.avro.file.DataFileReader(f,
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          val buf = collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+          while (r.hasNext) {
+            val rec = r.next()
+            buf += ((rec.get("id").asInstanceOf[Long],
+              String.valueOf(rec.get("name")),
+              rec.get("score").asInstanceOf[Double]))
+          }
+          buf
+        } finally r.close()
+      }.toSet
+    assert(got == in.as[(Long, String, Double)].collect().toSet,
+      "a stock Avro reader did not see the sink's rows")
+  }
+
   // --- corruption contract -------------------------------------------------
   // OCF has no footer: truncation at an exact sync boundary is physically
   // indistinguishable from a shorter file, so the honest contract is the one
