@@ -37,15 +37,19 @@ object CurationQueries {
 
     GraftQuery(
       "q226_pii_denylist_scrub",
-      Some(s"""SELECT doc_id,
-              |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
-              |  CAST(len(regexp_extract_all(text, '$ipPat')) AS BIGINT) AS n_ip,
-              |  CAST(len(regexp_extract_all(text, '$denyPat')) AS BIGINT) AS n_deny,
-              |  regexp_replace(regexp_replace(text, '$emailPat', '[PII]', 'g'),
-              |                 '$denyPat', '[TERM]', 'g') AS clean_text,
-              |  CAST(len(regexp_replace(regexp_replace(text, '$emailPat', '[PII]', 'g'),
-              |                          '$denyPat', '[TERM]', 'g')) AS BIGINT) AS clean_chars
-              |FROM documents
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
+              |    CAST(len(regexp_extract_all(text, '$ipPat')) AS BIGINT) AS n_ip,
+              |    CAST(len(regexp_extract_all(text, '$denyPat')) AS BIGINT) AS n_deny,
+              |    regexp_replace(regexp_replace(regexp_replace(
+              |      text, '$emailPat', '[PII]', 'g'), '$ipPat', '[PII]', 'g'),
+              |      '$denyPat', '[TERM]', 'g') AS clean_text
+              |  FROM documents
+              |)
+              |SELECT doc_id, n_email, n_ip, n_deny, clean_text,
+              |       CAST(len(clean_text) AS BIGINT) AS clean_chars
+              |FROM m
               |ORDER BY doc_id""".stripMargin),
       "PII + denylist scrub: count and replace email/IPv4/banned-term " +
         "matches in one projection — per-row map work, no shuffle but the " +
@@ -54,8 +58,9 @@ object CurationQueries {
         "every redaction pass: scan-bandwidth bound, embarrassingly " +
         "parallel, output written back partition-local."
     ) { (s, dir) =>
-      val clean = regexp_replace(
-        regexp_replace(col("text"), emailPat, "[PII]"), denyPat, "[TERM]")
+      val clean = regexp_replace(regexp_replace(
+        regexp_replace(col("text"), emailPat, "[PII]"), ipPat, "[PII]"),
+        denyPat, "[TERM]")
       Tables.documents(s, dir).select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
@@ -222,7 +227,7 @@ object CurationQueries {
              |    (f.n_en + f.n_es + f.n_de + f.n_fr > 0) AS lang_ok,
              |    (0.2 * (CAST(f.stl AS DOUBLE) / f.n_tokens)
              |     + 3.0 * (CAST(f.n_en AS DOUBLE) / f.n_tokens)
-             |     - 0.5 * (CAST(f.n_punct AS DOUBLE) / f.n_chars)) >= 1.05 AS quality_ok,
+             |     - 0.5 * (CAST(f.n_punct AS DOUBLE) / nullif(f.n_chars, 0))) >= 1.05 AS quality_ok,
              |    (CAST(topw.top_word_c AS DOUBLE) / f.n_tokens) <= 0.20 AS rep_ok,
              |    (f.n_tokens BETWEEN 20 AND 80) AS len_ok
              |  FROM feat f JOIN topw ON f.doc_id = topw.doc_id
@@ -259,9 +264,14 @@ object CurationQueries {
         .groupBy("doc_id").agg(max("c").as("top_word_c"))
       val flags = feat.join(topw, "doc_id").select(
         (col("n_en") + col("n_es") + col("n_de") + col("n_fr") > 0).as("lang_ok"),
+        // nullif-guard: an empty text has n_chars = 0; Spark's double /0
+        // yields NaN (compares false) while DuckDB's yields NULL (CASE
+        // else-branch) — they land on the same 0 by different routes, so
+        // pin the SAME route: NULL on both, gate fails closed
         (lit(0.2) * (col("stl").cast("double") / col("n_tokens"))
           + lit(3.0) * (col("n_en").cast("double") / col("n_tokens"))
-          - lit(0.5) * (col("n_punct").cast("double") / col("n_chars")) >= 1.05)
+          - lit(0.5) * (col("n_punct").cast("double") /
+            nullif(col("n_chars"), lit(0))) >= 1.05)
           .as("quality_ok"),
         (col("top_word_c").cast("double") / col("n_tokens") <= topWordMax)
           .as("rep_ok"),

@@ -24,13 +24,14 @@ class CurationSpec extends SparkSpec {
   // (doc_id, n_email, n_ip, n_deny, clean) — DuckDB's output, pinned.
   // Notable cells: '999.999.999.999' matches the SHAPE pattern (by
   // design — octet-range validation is downstream's job); '1.2.3.4.5'
-  // yields one match ('1.2.3.4', the trailing '.' is a word boundary);
-  // 'x@y.z' fails the two-letter TLD minimum; uppercase never matches.
+  // yields one match ('1.2.3.4', the trailing '.' is a word boundary, so
+  // the scrub leaves '[PII].5'); 'x@y.z' fails the two-letter TLD
+  // minimum; uppercase never matches.
   private val expected = Seq(
     (0L, 2L, 0L, 0L, "contact me at [PII] or [PII] for details"),
-    (1L, 0L, 3L, 0L, "server at 192.168.1.254 and backup at 10.0.0.1; fake 999.999.999.999 still matches shape"),
+    (1L, 0L, 3L, 0L, "server at [PII] and backup at [PII]; fake [PII] still matches shape"),
     (2L, 0L, 0L, 2L, "no pii here just a [TERM] [TERM] walking"),
-    (3L, 1L, 2L, 0L, "edge: [PII] x@y.z 1.2.3.4.5 trailing ip 8.8.8.8"),
+    (3L, 1L, 2L, 0L, "edge: [PII] x@y.z [PII].5 trailing ip [PII]"),
     (4L, 0L, 0L, 0L, "UPPER@CASE.COM should not match the lowercase-only pattern"),
     (5L, 0L, 0L, 0L, ""))
 
@@ -45,7 +46,9 @@ class CurationSpec extends SparkSpec {
           .cast("long").as("n_ip"),
         size(regexp_extract_all(col("text"), lit(CurationQueries.denyPat), lit(0)))
           .cast("long").as("n_deny"),
-        regexp_replace(regexp_replace(col("text"), CurationQueries.emailPat, "[PII]"),
+        regexp_replace(regexp_replace(
+          regexp_replace(col("text"), CurationQueries.emailPat, "[PII]"),
+          CurationQueries.ipPat, "[PII]"),
           CurationQueries.denyPat, "[TERM]").as("clean"))
       .orderBy("doc_id")
       .as[(Long, Long, Long, Long, String)].collect().toSeq
