@@ -327,7 +327,9 @@ object StatefulOps {
   final case class SrcDoc(doc_id: Long, source: String, pri: Long)
   final case class QuotaDecision(doc_id: Long, source: String, rk: Long,
                                  admitted: Boolean)
-  private final case class QuotaState(admitted: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class QuotaState(admitted: Long)
 
   /** Streaming per-source quota admission — the live form of batch q228's
     * temperature mixer: state per source is ONE counter, an arrival is

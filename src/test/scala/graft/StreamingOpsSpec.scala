@@ -661,4 +661,59 @@ class StreamingOpsSpec extends SparkSpec {
     assert(admitted === batch,
       "streaming quota admission diverged from the batch mixer's selection")
   }
+
+  test("quota admission survives a restart without double-counting (checkpointed)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{QuotaDecision, SrcDoc}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_quota_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val quotas = Map("s0" -> 3L, "s1" -> 2L)
+    // pri = doc_id and ids arrive ascending, so the admitted set is
+    // invariant to how the file stream batches the arrivals
+    def docs(ids: Range) =
+      ids.map(i => SrcDoc(i.toLong, s"s${i % 2}", i.toLong))
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[SrcDoc].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[SrcDoc]
+        val q = StatefulOps.quotaAdmitTws(src, quotas)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    docs(1 to 4).toDS().repartition(1).write.mode("append").parquet(inDir)
+    docs(5 to 8).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // restart with no new input: the sink's commit log re-emits nothing
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // more arrivals after the restart: partially-consumed quotas persist
+    // in the state store — counters must resume, not reset
+    docs(9 to 12).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val all = spark.read.parquet(outDir).as[QuotaDecision].collect()
+    assert(all.length === 12, "every arrival decided exactly once across restarts")
+    val admitted = all.filter(_.admitted)
+    // s0 arrivals 2,4,6,8,10,12 at quota 3 → first three; s1 arrivals
+    // 1,3,5,7,9,11 at quota 2 → first two. A reset counter would admit
+    // 8/10/12 or 9/11 after the restart.
+    assert(admitted.filter(_.source == "s0").map(d => (d.doc_id, d.rk)).sorted.toSeq
+      === Seq((2L, 1L), (4L, 2L), (6L, 3L)))
+    assert(admitted.filter(_.source == "s1").map(d => (d.doc_id, d.rk)).sorted.toSeq
+      === Seq((1L, 1L), (3L, 2L)))
+  }
 }
