@@ -181,7 +181,10 @@ object CurationQueries {
         "totals broadcast, and a per-source row_number — shuffle on the " +
         "low-cardinality source key; at 100 TB a mega-source is pre-split " +
         "by LCG range so no single partition holds a whole source " +
-        "(rank = range offset + within-range row_number, same order)."
+        "(rank = range offset + within-range row_number, same order). " +
+        "Contract note: doc_id * 1103515245 stays in i64 up to ~8.4e9 ids; " +
+        "past that swap in a 64-bit mix (e.g. splitmix64) — the contract " +
+        "is any engine-replayable integer hash, not this LCG."
     ) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val w = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
