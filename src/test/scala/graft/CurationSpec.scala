@@ -54,4 +54,25 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     assert(rows == expected)
   }
+
+  test("the curation family survives an empty-text document without NaN leakage") {
+    import spark.implicits._
+    // EdgeCorpus texts are non-empty by contract, so this shape is pinned
+    // here instead: text = "" gives n_chars = 0 (the q229 nullif-guard
+    // case) and a single empty token; nothing may crash, and the funnel's
+    // quality gate must fail CLOSED (NULL route), not report NaN
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptytext").toString
+    Seq((0L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("q226_pii_denylist_scrub", "q227_repetition_profile",
+        "q228_source_mixture_sample", "q229_curation_funnel").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows != null, s"$q crashed on the empty-text corpus")
+    }
+    val funnel = SparkEntry.queries("q229_curation_funnel")(spark, dir).collect().head
+    assert(funnel.getLong(0) === 1L)            // n_total sees the doc
+    assert(funnel.getLong(2) === 0L,            // n_quality: gate fails closed
+      "the quality gate must reject the empty-text doc via the NULL route")
+  }
 }
