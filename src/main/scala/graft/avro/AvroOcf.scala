@@ -65,9 +65,11 @@ object AvroOcf {
     * Commit discipline: parts land in a dot-prefixed sibling staging dir
     * (each task itself writes a `.tmp` and renames on task success, so a
     * failed/speculative attempt never half-writes a part), and the staging
-    * dir is atomically renamed to `out` only after every partition
-    * succeeded — a mid-job failure leaves `out` untouched, never a mix of
-    * old and new containers. Overwrites any previous `out`.
+    * dir is installed as `out` only after every partition succeeded — a
+    * mid-job failure leaves `out` untouched, never a mix of old and new
+    * containers. Overwrites any previous `out` via [[commitSwap]]'s
+    * move-aside/install/sweep sequence, so the old corpus is never
+    * destroyed before the new one is in place.
     *
     * `syncInterval` (bytes, 0 = Avro's default ~64 KiB) bounds block size
     * and therefore split granularity for readers. */
@@ -106,14 +108,58 @@ object AvroOcf {
           if (!pfs.rename(tmp, fin)) { pfs.delete(tmp, false); () }
         }
       }
-      if (fs.exists(outPath)) fs.delete(outPath, true)
-      if (!fs.rename(staging, outPath))
-        throw new java.io.IOException(s"commit rename failed: $staging -> $out")
+      commitSwap(fs, staging, outPath)
     } catch {
       case t: Throwable =>
         fs.delete(staging, true)
         throw t
     }
+  }
+
+  private def bakSiblings(fs: org.apache.hadoop.fs.FileSystem,
+                          out: Path): Seq[Path] = {
+    val parent = out.getParent
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s".${out.getName}.bak-"))
+  }
+
+  /** Job commit with no destruction window: the previous corpus moves aside
+    * to a hidden `.bak` sibling, the staged corpus renames in, and only then
+    * is the `.bak` deleted. Failure behavior at each phase:
+    *  - the install rename fails in-process → the `.bak` is restored to
+    *    `out` and the error propagates: the old corpus is back, unchanged;
+    *  - a hard crash BETWEEN the two renames leaves the old corpus intact
+    *    under `.bak`, where [[listAvro]] transparently falls back — so a
+    *    reader always sees the old corpus or the new one, never neither
+    *    (the pre-round-9 `delete(out); rename(staging, out)` sequence had
+    *    exactly that destroyed-but-not-replaced window);
+    *  - the next successful commit sweeps any stale `.bak` a crash left.
+    * `interpose` is a test seam called between the phases ("old-aside",
+    * "installed") so specs can assert the old-or-new invariant mid-swap. */
+  private[graft] def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                staging: Path, outPath: Path,
+                                interpose: String => Unit = _ => ()): Unit = {
+    val bak = new Path(outPath.getParent,
+      s".${outPath.getName}.bak-${java.util.UUID.randomUUID()}")
+    val hadOld = fs.exists(outPath)
+    if (hadOld) {
+      if (!fs.rename(outPath, bak))
+        throw new java.io.IOException(s"commit move-aside failed: $outPath -> $bak")
+      interpose("old-aside")
+    }
+    try {
+      if (!fs.rename(staging, outPath))
+        throw new java.io.IOException(s"commit rename failed: $staging -> $outPath")
+    } catch {
+      case t: Throwable =>
+        if (hadOld) fs.rename(bak, outPath)
+        throw t
+    }
+    interpose("installed")
+    // the moved-aside corpus — and any stale .bak an earlier crashed
+    // commit left behind — is now superseded by the installed one
+    bakSiblings(fs, outPath).foreach(p => fs.delete(p, true))
   }
 
   /** The writer schema embedded in the container header of the first file
@@ -135,10 +181,20 @@ object AvroOcf {
   private def listAvro(conf: Configuration, path: String): Seq[(String, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
-      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
+    // crash-window fallback: a writer that died between commitSwap's two
+    // renames left the old corpus under a `.bak` sibling — read that, so
+    // the reader contract stays old-or-new, never neither (at most one
+    // survives a successful commit's sweep; newest name wins if a double
+    // crash left several)
+    val dir =
+      if (fs.exists(root)) Some(root)
+      else bakSiblings(fs, root).sortBy(_.getName).lastOption
+    dir match {
+      case None => Seq.empty
+      case Some(d) => fs.listStatus(d).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+        .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
+    }
   }
 
   /** Read every `.avro` file under `path` into a one-column binary
@@ -201,11 +257,30 @@ object AvroOcf {
 
   /** One split: blocks whose preceding sync marker starts in [start, end).
     * Raw-slice fast path when the file's writer schema equals `target`;
-    * resolving decode + re-encode otherwise (per-file schema evolution). */
+    * resolving decode + re-encode otherwise (per-file schema evolution).
+    * The returned iterator is LAZY at block granularity — heap per task is
+    * one decompressed block (~the sync interval), never the whole split
+    * (`maxSplitBytes` × the codec's expansion ratio, the pre-round-9
+    * shape). The reader closes on exhaustion; the task-completion listener
+    * covers a consumer that stops early (limit / take). */
   private def readSplit(hc: Configuration, p: String, start: Long, end: Long,
                         target: Schema, strict: Boolean): Iterator[Array[Byte]] = {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new Path(p), hc), new GenericDatumReader[GenericRecord]())
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+    splitIterator(reader, p, start, end, target, strict)
+  }
+
+  /** Lazy datum iterator over `reader`'s blocks in [start, end) — the body
+    * of [[readSplit]], split out so a spec can wrap `reader` with a
+    * block-counting subclass and prove incremental consumption. Closes
+    * `reader` when the last block is exhausted (close is idempotent, so
+    * the task-completion close in [[readSplit]] may follow). */
+  private[graft] def splitIterator(reader: DataFileReader[GenericRecord],
+                                   p: String, start: Long, end: Long,
+                                   target: Schema,
+                                   strict: Boolean): Iterator[Array[Byte]] = {
     val writer = reader.getSchema
     if (writer != target && strict) {
       reader.close()
@@ -215,49 +290,69 @@ object AvroOcf {
           "pass readerSchemaJson to resolve per file")
     }
     reader.sync(start)
-    val out = collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    try {
-      if (writer == target) {
-        // fast path: slice raw datum bytes out of each decompressed block
-        val walker = new DatumWalker(writer)
-        while (!reader.pastSync(end) && reader.hasNext) {
+    if (writer == target) new SplitIterator(reader, end) {
+      // fast path: slice raw datum bytes out of each decompressed block
+      private val walker = new DatumWalker(writer)
+      private var bytes: Array[Byte] = _
+      private var pos = 0
+      protected def loadBlock(buf: ByteBuffer): Unit = {
+        bytes = buf.array()
+        pos = buf.arrayOffset() + buf.position()
+      }
+      protected def nextDatum(): Array[Byte] = {
+        val stop = walker.skip(bytes, pos)
+        val datum = java.util.Arrays.copyOfRange(bytes, pos, stop)
+        pos = stop
+        datum
+      }
+    } else new SplitIterator(reader, end) {
+      // evolution path: resolve writer -> target, re-encode under target
+      private val resolving = new GenericDatumReader[GenericRecord](writer, target)
+      private val datumWriter = new GenericDatumWriter[GenericRecord](target)
+      private var rec: GenericRecord = _
+      private var dec: org.apache.avro.io.BinaryDecoder = _
+      protected def loadBlock(buf: ByteBuffer): Unit =
+        dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+          buf.array(), buf.arrayOffset() + buf.position(), buf.remaining(), null)
+      protected def nextDatum(): Array[Byte] = {
+        rec = resolving.read(rec, dec)
+        val bos = new java.io.ByteArrayOutputStream(256)
+        val enc = EncoderFactory.get().binaryEncoder(bos, null)
+        datumWriter.write(rec, enc)
+        enc.flush()
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Block-at-a-time split traversal: `hasNext` pulls the NEXT block only
+    * when the current one is spent, so `take(1)` on a multi-block split
+    * never touches the remaining blocks and per-task heap is one
+    * decompressed block. Subclasses supply the per-block cursor. */
+  private abstract class SplitIterator(reader: DataFileReader[GenericRecord],
+                                       end: Long) extends Iterator[Array[Byte]] {
+    private var remaining = 0L
+    private var done = false
+    protected def loadBlock(buf: ByteBuffer): Unit
+    protected def nextDatum(): Array[Byte]
+    final def hasNext: Boolean = {
+      while (remaining == 0L && !done) {
+        if (reader.pastSync(end) || !reader.hasNext) {
+          done = true
+          reader.close()
+        } else {
           val count = reader.getBlockCount
-          val buf = reader.nextBlock()
-          val bytes = buf.array()
-          val base = buf.arrayOffset() + buf.position()
-          var pos = base
-          var i = 0L
-          while (i < count) {
-            val next = walker.skip(bytes, pos)
-            out += java.util.Arrays.copyOfRange(bytes, pos, next)
-            pos = next
-            i += 1
-          }
-        }
-      } else {
-        // evolution path: resolve writer -> target, re-encode under target
-        val resolving = new GenericDatumReader[GenericRecord](writer, target)
-        val datumWriter = new GenericDatumWriter[GenericRecord](target)
-        var rec: GenericRecord = null
-        while (!reader.pastSync(end) && reader.hasNext) {
-          val count = reader.getBlockCount
-          val buf = reader.nextBlock()
-          val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(
-            buf.array(), buf.arrayOffset() + buf.position(), buf.remaining(), null)
-          var i = 0L
-          while (i < count) {
-            rec = resolving.read(rec, dec)
-            val bos = new java.io.ByteArrayOutputStream(256)
-            val enc = EncoderFactory.get().binaryEncoder(bos, null)
-            datumWriter.write(rec, enc)
-            enc.flush()
-            out += bos.toByteArray
-            i += 1
-          }
+          loadBlock(reader.nextBlock())
+          remaining = count
         }
       }
-    } finally reader.close()
-    out.iterator
+      remaining > 0L
+    }
+    final def next(): Array[Byte] = {
+      if (!hasNext) throw new NoSuchElementException("split exhausted")
+      remaining -= 1
+      nextDatum()
+    }
   }
 
   /** Schema-driven skip walk over Avro binary: returns the end offset of

@@ -248,4 +248,179 @@ class AvroOcfSpec extends SparkSpec {
     intercept[Exception] { AvroOcf.embeddedSchema(spark, out) }
     intercept[Exception] { AvroOcf.readBinary(spark, out).count() }
   }
+
+  // --- incremental consumption ---------------------------------------------
+  // The split reader's 100 TB memory contract: heap per task is ONE
+  // decompressed block, not the whole split (maxSplitBytes × the codec's
+  // expansion ratio). Proven by wrapping the container reader with a
+  // block-counting subclass: take(1) on a multi-block split must touch
+  // exactly the first block.
+
+  private def countingReader(f: java.io.File, counter: java.util.concurrent.atomic.AtomicInteger) =
+    new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sessionState.newHadoopConf()),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]()) {
+      override def nextBlock(): java.nio.ByteBuffer = {
+        counter.incrementAndGet()
+        super.nextBlock()
+      }
+    }
+
+  test("split reading is lazy: take(1) on a multi-block split walks one block only") {
+    import spark.implicits._
+    val n = 300L
+    val in = (1L to n).map(i => (i, s"payload-$i-${"z" * 50}"))
+      .toDF("id", "pad").repartition(1)
+    val schemaJson = AvroFunctions.writerSchemaFor(in.schema, "Lazy")
+    val out = tempDir("lazy")
+    // small sync interval => many blocks in one container
+    AvroOcf.write(in.select(AvroFunctions.toAvro(
+      struct(col("id"), col("pad")), "Lazy").as("b")).as[Array[Byte]],
+      schemaJson, out, codec = "null", syncInterval = 256)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val target = new org.apache.avro.Schema.Parser().parse(schemaJson)
+
+    // fast path (writer == target): one datum => one block fetched
+    val c1 = new java.util.concurrent.atomic.AtomicInteger()
+    val r1 = countingReader(f, c1)
+    try {
+      val it = AvroOcf.splitIterator(r1, f.toString, 0L, f.length(), target,
+        strict = false)
+      assert(it.next().nonEmpty)
+      assert(c1.get() == 1,
+        s"take(1) must fetch exactly the first block, fetched ${c1.get()}")
+      // full consumption walks every remaining block and loses nothing
+      var rest = 1L
+      while (it.hasNext) { it.next(); rest += 1 }
+      assert(rest == n, s"row loss on lazy full consumption: $rest/$n")
+      assert(c1.get() > 3,
+        s"test needs a genuinely multi-block container, got ${c1.get()} block(s)")
+    } finally r1.close()
+
+    // evolution path (writer != target, resolving re-encode) is equally lazy
+    val v2 =
+      """{"type":"record","name":"Lazy","namespace":"graft","fields":[
+        |  {"name":"id","type":["null","long"],"default":null},
+        |  {"name":"pad","type":["null","string"],"default":null},
+        |  {"name":"extra","type":"string","default":"none"}]}""".stripMargin
+    val c2 = new java.util.concurrent.atomic.AtomicInteger()
+    val r2 = countingReader(f, c2)
+    try {
+      val it = AvroOcf.splitIterator(r2, f.toString, 0L, f.length(),
+        new org.apache.avro.Schema.Parser().parse(v2), strict = false)
+      assert(it.next().nonEmpty)
+      assert(c2.get() == 1,
+        s"resolving take(1) must fetch exactly the first block, fetched ${c2.get()}")
+    } finally r2.close()
+  }
+
+  // --- commit swap ----------------------------------------------------------
+  // Overwrite commit must never hold a window where the old corpus is
+  // destroyed and the new one not yet installed (the pre-round-9
+  // delete-then-rename shape). commitSwap's phases are interposed on
+  // directly: a reader sees old-or-new at every point, and a hard crash
+  // between the renames leaves the old corpus recoverable (and readable,
+  // via the .bak fallback) rather than gone.
+
+  private def writeCorpus(dir: String, ids: Seq[Long], schemaJson: String): Unit = {
+    import spark.implicits._
+    val in = ids.map(i => (i, s"v$i")).toDF("id", "v").repartition(1)
+    AvroOcf.write(in.select(AvroFunctions.toAvro(
+      struct(col("id"), col("v")), "Swap").as("b")).as[Array[Byte]],
+      schemaJson, dir)
+  }
+
+  private def readIds(dir: String, schemaJson: String): Set[Long] = {
+    import spark.implicits._
+    AvroOcf.readBinary(spark, dir, Some(schemaJson))
+      .select(AvroFunctions.fromAvro(col("avro_value"), schemaJson).as("r"))
+      .select(col("r.id")).as[Long].collect().toSet
+  }
+
+  private val swapSchema = AvroFunctions.writerSchemaFor(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true))), "Swap")
+
+  test("overwrite commit exposes old-or-new at every phase, never neither") {
+    val base = tempDir("swap")
+    val out = s"$base/table"
+    writeCorpus(out, Seq(1L, 2L, 3L), swapSchema)
+    val staging = s"$base/staging"
+    writeCorpus(staging, Seq(10L, 11L), swapSchema)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val phases = collection.mutable.ArrayBuffer.empty[String]
+    AvroOcf.commitSwap(fs, new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(out), { phase =>
+        phases += phase
+        val visible = readIds(out, swapSchema)
+        if (phase == "old-aside")
+          assert(visible == Set(1L, 2L, 3L),
+            s"mid-swap reader must still see the OLD corpus, saw $visible")
+        else
+          assert(visible == Set(10L, 11L),
+            s"post-install reader must see the NEW corpus, saw $visible")
+      })
+    assert(phases.toSeq == Seq("old-aside", "installed"))
+    assert(readIds(out, swapSchema) == Set(10L, 11L))
+    // the superseded corpus was swept: no .bak sibling survives the commit
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.startsWith(".table.bak-")),
+      "a committed swap must sweep its .bak")
+  }
+
+  test("a crash between the swap renames leaves the old corpus readable; the next commit heals") {
+    val base = tempDir("swapcrash")
+    val out = s"$base/table"
+    writeCorpus(out, Seq(1L, 2L), swapSchema)
+    val staging = s"$base/staging"
+    writeCorpus(staging, Seq(20L, 21L), swapSchema)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // hard-crash simulation: die after the old corpus moved aside, before
+    // the staged one renamed in (the exact window delete-then-rename turned
+    // into data loss)
+    intercept[RuntimeException] {
+      AvroOcf.commitSwap(fs, new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(out),
+        phase => if (phase == "old-aside") throw new RuntimeException("crash"))
+    }
+    assert(!new java.io.File(out).exists(), "crash window: out dir is mid-swap")
+    // …yet the reader still sees the old corpus, via the .bak fallback
+    assert(readIds(out, swapSchema) == Set(1L, 2L),
+      "a crash mid-swap must leave the old corpus readable")
+    assert(AvroOcf.embeddedSchema(spark, out).isDefined)
+    // the next successful overwrite installs new data and sweeps the wreck
+    val staging2 = s"$base/staging2"
+    writeCorpus(staging2, Seq(30L, 31L), swapSchema)
+    AvroOcf.commitSwap(fs, new org.apache.hadoop.fs.Path(staging2),
+      new org.apache.hadoop.fs.Path(out))
+    assert(readIds(out, swapSchema) == Set(30L, 31L))
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.startsWith(".table.bak-")),
+      "healing commit must sweep the crashed swap's .bak")
+  }
+
+  test("a failed install rename restores the old corpus in place") {
+    val base = tempDir("swaprestore")
+    val out = s"$base/table"
+    writeCorpus(out, Seq(1L, 2L, 3L), swapSchema)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // staging path that does not exist => the install rename fails in-process
+    intercept[java.io.IOException] {
+      AvroOcf.commitSwap(fs, new org.apache.hadoop.fs.Path(s"$base/absent"),
+        new org.apache.hadoop.fs.Path(out))
+    }
+    assert(new java.io.File(out).exists(),
+      "failed install must restore the old corpus AT the output path")
+    assert(readIds(out, swapSchema) == Set(1L, 2L, 3L))
+  }
 }
