@@ -247,8 +247,11 @@ object CurationQueries {
         "token-length window, reported as cumulative survivor counts — the " +
         "per-stage loss accounting every curation run ships with. One " +
         "feature projection + one word-count agg + a 5-number global " +
-        "rollup: at 100 TB the whole funnel is a single pass over text " +
-        "with partial aggregation; no per-stage re-scans."
+        "rollup: at 100 TB the funnel reads the corpus twice (the feature " +
+        "scan, plus the per-doc word-count the repetition gate needs — " +
+        "q227's exact 2-scan shape), each collapsed by partial " +
+        "aggregation; the four gates share those scans, so there are no " +
+        "per-STAGE re-scans."
     ) { (s, dir) =>
       val w = split(lower(col("text")), " ")
       val feat = Tables.documents(s, dir).select(

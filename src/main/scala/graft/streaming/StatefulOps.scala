@@ -334,18 +334,17 @@ object StatefulOps {
   /** Streaming per-source quota admission — the live form of batch q228's
     * temperature mixer: state per source is ONE counter, an arrival is
     * admitted iff the source's counter is below its quota, and admitted
-    * rows carry their 1-based admission rank. Within a micro-batch rows
-    * sort by (pri, doc_id) — feed arrivals in priority order and the
-    * admitted set is exactly the batch mixer's selection (StreamingOpsSpec
-    * pins 3-chunk == 7-chunk == batch q228); cross-batch delivery order is
-    * the caller's contract, as everywhere in this file. Decisions are
-    * decided once and never revised (Append), and the state-store
-    * checkpoint rolls counters back with the batch on restart, so replay
-    * cannot double-count. At 100 TB the state is 8 bytes per source —
-    * thousands of keys, not billions — while the arrival stream itself
-    * never shuffles anywhere but the groupByKey on the low-cardinality
-    * source (the same skew ceiling as the batch mixer's window; a
-    * mega-source pre-splits by pri range upstream). */
+    * rows carry their 1-based admission rank. Within a micro-batch the
+    * `quota − admitted` smallest (pri, doc_id) arrivals win — feed arrivals
+    * in priority order and the admitted set is exactly the batch mixer's
+    * selection (StreamingOpsSpec pins 3-chunk == 7-chunk == batch q228);
+    * cross-batch delivery order is the caller's contract, as everywhere in
+    * this file. Decisions are decided once and never revised (Append), and
+    * the state-store checkpoint rolls counters back with the batch on
+    * restart, so replay cannot double-count. At 100 TB the state is 8 bytes
+    * per source — thousands of keys, not billions — while the arrival
+    * stream itself never shuffles anywhere but the groupByKey on the
+    * low-cardinality source. */
   class QuotaAdmitProcessor(quotas: Map[String, Long])
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, SrcDoc, QuotaDecision] {
     import org.apache.spark.sql.Encoders
@@ -357,17 +356,51 @@ object StatefulOps {
       state = getHandle.getValueState[QuotaState](
         "quota", Encoders.product[QuotaState], org.apache.spark.sql.streaming.TTLConfig.NONE)
 
+    /** Memory contract: executor heap per source is O(min(quota − admitted,
+      * slice)) — a bounded selection heap, never the micro-batch slice. A
+      * saturated source streams rejections through with zero buffering; an
+      * unsaturated one keeps only the current k-smallest candidates, and an
+      * arrival (or the evictee it displaces) is rejected the moment it
+      * loses. Decisions are identical to sorting the whole slice by
+      * (pri, doc_id) and admitting the head (the pre-round-9 shape, kept as
+      * the reference in StreamingOpsSpec's mega-slice test), but a skewed
+      * mega-source can no longer blow a task's heap. */
     override def handleInputRows(source: String, rows: Iterator[SrcDoc],
                                  timers: TimerValues): Iterator[QuotaDecision] = {
       val quota = quotas.getOrElse(source, 0L)
-      var n = Option(state.get()).map(_.admitted).getOrElse(0L)
-      val out = rows.toSeq.sortBy(d => (d.pri, d.doc_id)).map { d =>
-        val admit = n < quota
-        if (admit) n += 1
-        QuotaDecision(d.doc_id, d.source, if (admit) n else 0L, admit)
+      val n0 = Option(state.get()).map(_.admitted).getOrElse(0L)
+      val room = quota - n0
+      def reject(d: SrcDoc) = QuotaDecision(d.doc_id, d.source, 0L, admitted = false)
+      if (room <= 0L) {
+        // saturated: ordering no longer affects any decision — pass
+        // rejections straight through; the counter does not move
+        rows.map(reject)
+      } else {
+        // worst-of-the-best at the head, so the heap never exceeds `room`
+        val cmp = Ordering.by[SrcDoc, (Long, Long)](d => (d.pri, d.doc_id))
+        val heap = new java.util.PriorityQueue[SrcDoc](
+          math.max(1, math.min(room, 1024L).toInt), cmp.reverse)
+        val rejections = rows.flatMap { d =>
+          if (heap.size < room) { heap.add(d); Iterator.empty }
+          else if (cmp.lt(d, heap.peek())) {
+            val evicted = heap.poll(); heap.add(d); Iterator.single(reject(evicted))
+          } else Iterator.single(reject(d))
+        }
+        // evaluated only once `rows` is exhausted (++ is by-name); the
+        // execution engine keeps the implicit grouping key set around lazy
+        // consumption (iteratorWithImplicitKeySet), so the state write
+        // here lands before the batch commits
+        def admitted: Iterator[QuotaDecision] = {
+          val survivors = new Array[SrcDoc](heap.size)
+          var i = survivors.length - 1
+          while (i >= 0) { survivors(i) = heap.poll(); i -= 1 }
+          state.update(QuotaState(n0 + survivors.length))
+          survivors.iterator.zipWithIndex.map { case (d, k) =>
+            QuotaDecision(d.doc_id, d.source, n0 + k + 1, admitted = true)
+          }
+        }
+        rejections ++ admitted
       }
-      state.update(QuotaState(n))
-      out.iterator
     }
   }
 

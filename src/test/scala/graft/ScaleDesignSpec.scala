@@ -146,18 +146,15 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("q149 projection is row-local: no exchange before the presentation sort") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q149_random_projection")(spark, sf)
-    val shuffles = df.queryExecution.sparkPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
-    // at most the one range exchange of the final orderBy — the projection
-    // itself must be pure map work (the plane matrix is a plan literal)
-    assert(shuffles.size <= 1,
-      s"projection must not shuffle beyond the presentation sort:\n" +
-        df.queryExecution.sparkPlan)
-    assert(!df.queryExecution.sparkPlan.toString.contains("Join"),
-      "projection must not join")
+    // the EXECUTABLE plan (exchanges only exist after EnsureRequirements)
+    // may carry exactly the final orderBy's range exchange — any hash or
+    // single-partition exchange means the projection stopped being pure
+    // map work (the plane matrix is a plan literal, never a join input)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+      s"projection must not shuffle beyond the presentation sort:\n$plan")
+    assert(!plan.contains("Join"), "projection must not join")
   }
 
   test("q184 basket affinity reads the fact exactly once (single-scan token stream)") {
@@ -523,22 +520,26 @@ class ScaleDesignSpec extends SparkSpec {
     * shuffle is the per-source window). */
   test("curation plans: scrub is exchange-free, grams scan once per order, mixer broadcasts quotas") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
     def docScans(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.sparkPlan.collect {
         case sc: FileSourceScanExec
           if sc.relation.location.rootPaths.exists(_.toString.contains("documents")) => sc
       }
-    def shuffles(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
 
-    // q226: per-row map work — no shuffle at all before exchange insertion
-    // (sparkPlan precedes EnsureRequirements; the only exchange execution
-    // adds is the presentation sort's range partitioning)
+    // q226: per-row map work — in the EXECUTABLE plan (exchanges exist only
+    // after EnsureRequirements, so sparkPlan would pin nothing) the sole
+    // permitted exchange is the presentation sort's range partitioning:
+    // any hash or single-partition exchange means an aggregate or join
+    // shuffle crept into what must stay scan→project→sort
     val scrub = SparkEntry.queries("q226_pii_denylist_scrub")(spark, sf)
-    assert(docScans(scrub).size === 1 && shuffles(scrub).isEmpty,
-      s"scrub must be scan→project→sort:\n${scrub.queryExecution.sparkPlan}")
+    val scrubPlan = physicalPlan(scrub)
+    assert(docScans(scrub).size === 1 &&
+      !scrubPlan.contains("hashpartitioning") &&
+      !scrubPlan.contains("SinglePartition"),
+      s"scrub must be scan→project→sort (range exchange only):\n$scrubPlan")
+    assert(scrubPlan.contains("rangepartitioning"),
+      s"scrub's presentation sort should plan as a range exchange:\n$scrubPlan")
 
     // q227: one corpus read per gram order (word stream + bigram stream) —
     // a third scan means a plain count pass crept back in

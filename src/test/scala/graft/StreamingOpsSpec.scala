@@ -574,18 +574,19 @@ class StreamingOpsSpec extends SparkSpec {
 
     def run(name: String, nChunks: Int): Map[Long, String] = {
       val input = MemoryStream[Doc]
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q = StatefulOps.admitOnceTws(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
+      // conf set + start live INSIDE the try: a failing start() must not
+      // leak the provider override into the rest of the suite
       try {
-        docs.grouped(math.max(docs.length / nChunks, 1))
-          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-      } finally {
-        q.stop()
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.admitOnceTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          docs.grouped(math.max(docs.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       spark.table(name).as[AdmitDecision].collect()
         .map(d => d.doc_id -> d.status).toMap
     }
@@ -635,18 +636,19 @@ class StreamingOpsSpec extends SparkSpec {
 
     def run(name: String, nChunks: Int): Seq[QuotaDecision] = {
       val input = MemoryStream[SrcDoc]
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q = StatefulOps.quotaAdmitTws(input.toDS(), quotas)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
+      // conf set + start live INSIDE the try: a failing start() must not
+      // leak the provider override into the rest of the suite
       try {
-        docs.grouped(math.max(docs.length / nChunks, 1))
-          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-      } finally {
-        q.stop()
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.quotaAdmitTws(input.toDS(), quotas)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          docs.grouped(math.max(docs.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       spark.table(name).as[QuotaDecision].collect().toSeq
     }
 
@@ -692,7 +694,12 @@ class StreamingOpsSpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
+    // a run() between the two writes pins cross-batch arrival order (the
+    // file source orders by modification time, where a same-mtime tie could
+    // deliver 5-8 before 1-4 and flip the admitted set) — the quota
+    // contract itself only promises order WITHIN a batch
     docs(1 to 4).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
     docs(5 to 8).toDS().repartition(1).write.mode("append").parquet(inDir)
     run()
     assert(spark.read.parquet(outDir).count() === 8L)
@@ -715,5 +722,51 @@ class StreamingOpsSpec extends SparkSpec {
       === Seq((2L, 1L), (4L, 2L), (6L, 3L)))
     assert(admitted.filter(_.source == "s1").map(d => (d.doc_id, d.rk)).sorted.toSeq
       === Seq((1L, 1L), (3L, 2L)))
+  }
+
+  test("quota admission decides a slice far larger than the quota like the full sort would") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{QuotaDecision, SrcDoc}
+    implicit val sqlCtx = spark.sqlContext
+
+    // one mega-source whose single micro-batch slice dwarfs its quota — the
+    // skewed shape the processor's bounded selection heap exists for. pris
+    // are scrambled (LCG) so the k-smallest are scattered all over the
+    // slice, and collide in pairs so the doc_id tie-break is exercised.
+    val quota = 7L
+    val slice = (1L to 5000L).map(d => SrcDoc(d, "mega", (d * 48271L) % 2500L))
+    // the sort-based reference the bounded heap must reproduce exactly:
+    // sort the whole slice by (pri, doc_id), admit the head with ranks
+    val sorted = slice.sortBy(d => (d.pri, d.doc_id))
+    val expect = (sorted.take(quota.toInt).zipWithIndex.map { case (d, i) =>
+      QuotaDecision(d.doc_id, d.source, i + 1L, admitted = true)
+    } ++ sorted.drop(quota.toInt).map(d =>
+      QuotaDecision(d.doc_id, d.source, 0L, admitted = false))).toSet
+
+    val input = MemoryStream[SrcDoc]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.quotaAdmitTws(input.toDS(), Map("mega" -> quota))
+        .writeStream.format("memory").queryName("quota_mega")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(slice)
+        q.processAllAvailable()
+        val got = spark.table("quota_mega").as[QuotaDecision].collect().toSet
+        assert(got === expect,
+          "bounded selection diverged from the sort-the-whole-slice reference")
+        // a follow-up slice against the now-saturated source rides the
+        // zero-buffering pass-through branch: all rejected, counter frozen
+        input.addData((6000L to 6100L).map(d => SrcDoc(d, "mega", d)))
+        q.processAllAvailable()
+        val after = spark.table("quota_mega").as[QuotaDecision].collect()
+        assert(after.length === slice.length + 101)
+        assert(after.filter(_.doc_id >= 6000L).forall(d => !d.admitted && d.rk == 0L),
+          "a saturated source must reject every later arrival")
+        assert(after.count(_.admitted) === quota,
+          "saturation pass-through must not move the admitted counter")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
