@@ -36,8 +36,15 @@ object NotesDump {
       |contract is pinned by `TopicContract` (`TopicContractSpec.scala`):
       |truthful `exists` (R9 fail-fast), whole-batch exactly-once visibility
       |(R5/R6), idempotent redelivery per `batchId` (R8/R10), invisibility of
-      |failed commits with exactly-once retry, and commit-order delivery to
-      |chained consumers. The file impls pass it; a live binding lands by:
+      |failed commits with exactly-once retry, commit-order delivery to
+      |chained consumers, strict no-op on a batchId replayed AFTER later
+      |commits (the restart-replay race: the re-offered frame may even be
+      |regenerated with different rows — a committed id must never be
+      |re-applied), and byte-exact transport of mixed-schema-version batches
+      |(per-record framed writer ids must survive the seam untouched; a
+      |binding that canonicalizes, trims or re-frames `value` breaks
+      |per-record resolution). The file impls pass it; a live binding lands
+      |by:
       |
       |1. `KafkaTopicSource`: `exists` = AdminClient topic lookup;
       |   `stream(spark)` = `spark.readStream.format("kafka")
