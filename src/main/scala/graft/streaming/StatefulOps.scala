@@ -73,6 +73,10 @@ object StatefulOps {
             // A late event (older than the open session's `last` but within
             // the gap) must MERGE without rewinding the bounds — min/max
             // keeps start ≤ end and never shortens the timeout.
+            // Memory: this buffers ONE USER's slice of one micro-batch —
+            // bounded by per-user arrival rate × trigger interval, not by
+            // batch size (user_id is high-cardinality, unlike the
+            // low-cardinality source key QuotaAdmitProcessor bounds for).
             val sorted = batch.toArray.sortBy(_.ts.getTime)
             var open = state.getOption
             val closed = List.newBuilder[Session]
@@ -171,6 +175,8 @@ object StatefulOps {
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[EwmaOut] = {
       val prev = Option(state.get()).getOrElse(EwmaWindow(0L, Nil))
+      // memory: one user's slice of one micro-batch (high-cardinality key —
+      // see the sessionizer's note), sorted for deterministic event order
       val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         .map(e => math.floor(e.value * 1000000).toLong)
       val window = (incoming.reverse ++ prev.newestFirst).take(8)
@@ -295,6 +301,10 @@ object StatefulOps {
 
     override def handleInputRows(h: String, rows: Iterator[Doc],
                                  timers: TimerValues): Iterator[AdmitDecision] = {
+      // memory: one DIGEST's slice of one micro-batch — the number of
+      // copies of one document arriving together, which no realistic skew
+      // makes large (cf. QuotaAdmitProcessor, whose low-cardinality source
+      // key is why it needs a bounded selection instead of this sort)
       rows.toSeq.sortBy(d => (d.epoch, d.doc_id)).iterator.map { d =>
         val status = Option(state.get()) match {
           case None =>
