@@ -277,7 +277,9 @@ class ScaleDesignSpec extends SparkSpec {
       "q86_kmeans_train" ->
         "k=8 trained centroids behind localCheckpoint's RDD scan",
       "q146_hard_negatives" -> "q43's hash-sampled broadcast anchor scan",
-      "q173_contrastive_pairs" -> "q43's hash-sampled broadcast anchor set")
+      "q173_contrastive_pairs" -> "q43's hash-sampled broadcast anchor set",
+      "q230_semdedup" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side",
+      "q232_prototypicality_prune" -> "q66's ~2% LCG-sampled centroid side")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
@@ -562,5 +564,54 @@ class ScaleDesignSpec extends SparkSpec {
     assert(mix.queryExecution.sparkPlan.collectFirst {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }.isDefined, "mixer quota join should plan as BroadcastHashJoin")
+  }
+
+  test("selection plans: semdedup pairs equi-join on cent_id, DSIR stats broadcast, fertility one-scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // q230: the intra-cluster pair expansion must meet in an EQUI join keyed
+    // on cent_id — never a product. The only nested-loop joins permitted are
+    // the sanctioned q66 centroid-assignment broadcasts (cents side).
+    val sem = SparkEntry.queries("q230_semdedup")(spark, sf)
+    val semPlan = sem.queryExecution.sparkPlan
+    assert(semPlan.collect { case j: CartesianProductExec => j }.isEmpty,
+      "semdedup must never plan a CartesianProduct")
+    val pairJoin = semPlan.collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+      case j: ShuffledHashJoinExec if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+    }
+    assert(pairJoin.nonEmpty,
+      s"semdedup pair expansion must be an equi-join on cent_id:\n$semPlan")
+
+    // q231: the 128-row bucket-stats table and the 1-row totals reach the
+    // per-document side via broadcast ONLY — a shuffled join here would
+    // re-partition the whole gram stream by bucket at 100 TB
+    val dsir = SparkEntry.queries("q231_dsir_importance")(spark, sf)
+    val dsirShuffledJoins = dsir.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(dsirShuffledJoins.isEmpty,
+      s"DSIR stats must arrive via broadcast, found shuffled join(s):\n" +
+        s"${dsir.queryExecution.sparkPlan}")
+    assert(dsir.queryExecution.sparkPlan.collectFirst {
+      case j: BroadcastHashJoinExec => j
+    }.isDefined, "DSIR bucket-stats join should plan as BroadcastHashJoin")
+
+    // q233: one corpus scan, one partial+final aggregate on the 5-key lang
+    // column, presentation sort — no joins at all
+    val fert = SparkEntry.queries("q233_tokenizer_fertility")(spark, sf)
+    val fertScans = fert.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("documents")) => sc
+    }
+    assert(fertScans.size === 1,
+      s"fertility audit reads the corpus ${fertScans.size}x (want 1)")
+    assert(fert.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.isEmpty,
+      "fertility audit must not join anything")
   }
 }
