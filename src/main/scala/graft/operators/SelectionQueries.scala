@@ -257,7 +257,7 @@ object SelectionQueries {
         .withColumn("proto_rank", row_number().over(w).cast("long"))
         .select(col("vec_id"), col("cent_id"), round(col("cc"), 4).as("proto_cos"),
           col("proto_rank"), col("csize"),
-          (col("proto_rank") > (col("csize") + 9) / 10).as("keep"))
+          (col("proto_rank") > expr("(csize + 9) div 10")).as("keep"))
         .orderBy("vec_id")
     },
 
