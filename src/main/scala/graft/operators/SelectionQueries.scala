@@ -262,6 +262,142 @@ object SelectionQueries {
     },
 
     GraftQuery(
+      "q234_incremental_semdedup",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), old AS (
+              |  SELECT * FROM n WHERE vec_id % 5 <> 4
+              |), newb AS (
+              |  SELECT * FROM n WHERE vec_id % 5 = 4
+              |), cents AS (
+              |  SELECT vec_id AS cent_id, v cv, nrm cn FROM old
+              |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+              |          % 2147483647 % 50 = 0
+              |), aco AS (
+              |  SELECT o.vec_id, o.v, o.nrm, c.cent_id,
+              |         list_reduce(list_transform(range(1, len(o.v) + 1),
+              |                                    i -> o.v[i] * c.cv[i]),
+              |                     (x,y) -> x+y) / (o.nrm * c.cn) AS cc
+              |  FROM old o, cents c
+              |), aold AS (
+              |  SELECT vec_id, v, nrm, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id DESC) rn
+              |    FROM aco
+              |  ) WHERE rn = 1
+              |), dropped AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM aold a JOIN aold b
+              |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+              |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+              |                                   i -> a.v[i] * b.v[i]),
+              |                    (x,y) -> x+y) / (a.nrm * b.nrm) >= $DupCos
+              |), idx AS (
+              |  SELECT a.* FROM aold a
+              |  LEFT JOIN dropped d ON a.vec_id = d.vec_id
+              |  WHERE d.vec_id IS NULL
+              |), acn AS (
+              |  SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
+              |         list_reduce(list_transform(range(1, len(nb.v) + 1),
+              |                                    i -> nb.v[i] * c.cv[i]),
+              |                     (x,y) -> x+y) / (nb.nrm * c.cn) AS cc
+              |  FROM newb nb, cents c
+              |), anew AS (
+              |  SELECT vec_id, v, nrm, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id DESC) rn
+              |    FROM acn
+              |  ) WHERE rn = 1
+              |), idxdup AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM anew a JOIN idx b ON a.cent_id = b.cent_id
+              |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+              |                                   i -> a.v[i] * b.v[i]),
+              |                    (x,y) -> x+y) / (a.nrm * b.nrm) >= $DupCos
+              |), bdup AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM anew a JOIN anew b
+              |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+              |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+              |                                   i -> a.v[i] * b.v[i]),
+              |                    (x,y) -> x+y) / (a.nrm * b.nrm) >= $DupCos
+              |)
+              |SELECT a.vec_id, a.cent_id,
+              |       (i.vec_id IS NOT NULL) AS idx_dup,
+              |       (bd.vec_id IS NOT NULL) AS batch_dup,
+              |       (i.vec_id IS NULL AND bd.vec_id IS NULL) AS admitted
+              |FROM anew a
+              |LEFT JOIN idxdup i ON a.vec_id = i.vec_id
+              |LEFT JOIN bdup bd ON a.vec_id = bd.vec_id
+              |ORDER BY a.vec_id""".stripMargin),
+      "Incremental SemDeDup — q160's no-corpus-rescan discipline applied to " +
+        "the semantic index: an arriving batch (vec_id ≡ 4 mod 5 models " +
+        "the delivery) is assigned to the EXISTING corpus's centroids and " +
+        "compared only against (a) the persisted canonical index — the " +
+        "q230-kept members of the existing corpus, smaller than the raw " +
+        "corpus by construction — and (b) its own lower-id cluster-mates. " +
+        "A vector is admitted iff neither conflict exists; the output " +
+        "attributes each rejection to index or batch. The raw corpus is " +
+        "never re-scanned: at 100 TB each delivery costs " +
+        "|batch| × centroid-broadcast assignment plus equi-joins on " +
+        "cent_id against the index and itself — per-delivery work scales " +
+        "with the batch and the index, not the corpus, the property that " +
+        "makes nightly ingestion O(delivery). Centroids are the trained, " +
+        "versioned artifact (q86), FROZEN across deliveries so admission " +
+        "decisions never flip retroactively; the streaming form is " +
+        "StatefulOps' per-cluster admit state."
+    ) { (s, dir) =>
+      val n = SimilarityQueries.normed(s, dir)
+      val old = n.filter(col("vec_id") % 5 =!= 4)
+      val newb = n.filter(col("vec_id") % 5 === 4)
+      val cents = old.filter(
+        ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
+          % 2147483647L % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val cc = SimilarityQueries.cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+      def assign(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(cents))
+          .groupBy("vec_id")
+          .agg(max(struct(cc.as("cc"), col("cent_id").as("cent_id"))).as("m"),
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+            col("v"), col("nrm"))
+      val aold = assign(old)
+      val pairCos = SimilarityQueries.cosine(
+        col("va"), col("vb"), col("na"), col("nb"))
+      def hiSide(df: DataFrame) = df.select(col("cent_id"),
+        col("vec_id").as("vec_hi"), col("v").as("va"), col("nrm").as("na"))
+      def loSide(df: DataFrame) = df.select(col("cent_id"),
+        col("vec_id").as("vec_lo"), col("v").as("vb"), col("nrm").as("nb"))
+      val droppedOld = hiSide(aold).join(loSide(aold), Seq("cent_id"))
+        .filter(col("vec_lo") < col("vec_hi")).filter(pairCos >= DupCos)
+        .select(col("vec_hi").as("vec_id")).distinct()
+        .withColumn("dr", lit(true))
+      val idx = aold.join(droppedOld, Seq("vec_id"), "left")
+        .filter(col("dr").isNull).drop("dr")
+      val anew = assign(newb)
+      val idxDup = hiSide(anew).join(loSide(idx), Seq("cent_id"))
+        .filter(pairCos >= DupCos)
+        .select(col("vec_hi").as("vec_id")).distinct()
+        .withColumn("id_", lit(true))
+      val batchDup = hiSide(anew).join(loSide(anew), Seq("cent_id"))
+        .filter(col("vec_lo") < col("vec_hi")).filter(pairCos >= DupCos)
+        .select(col("vec_hi").as("vec_id")).distinct()
+        .withColumn("bd_", lit(true))
+      anew.join(idxDup, Seq("vec_id"), "left")
+        .join(batchDup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          col("id_").isNotNull.as("idx_dup"),
+          col("bd_").isNotNull.as("batch_dup"),
+          (col("id_").isNull && col("bd_").isNull).as("admitted"))
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
       "q233_tokenizer_fertility",
       Some("""SELECT lang,
              |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -279,7 +279,8 @@ class ScaleDesignSpec extends SparkSpec {
       "q146_hard_negatives" -> "q43's hash-sampled broadcast anchor scan",
       "q173_contrastive_pairs" -> "q43's hash-sampled broadcast anchor set",
       "q230_semdedup" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side",
-      "q232_prototypicality_prune" -> "q66's ~2% LCG-sampled centroid side")
+      "q232_prototypicality_prune" -> "q66's ~2% LCG-sampled centroid side",
+      "q234_incremental_semdedup" -> "frozen trained-centroid side (q66's rule over the existing corpus)")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =

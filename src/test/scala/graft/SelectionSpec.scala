@@ -91,6 +91,52 @@ class SelectionSpec extends SparkSpec {
       s"selection rate en=$enSel must exceed non-target=$restSel")
   }
 
+  test("q234 admission decisions match a sequential re-derivation") {
+    val rows = run("q234_incremental_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val oldIds = vecs.keySet.filter(_ % 5 != 4)
+    val newIds = vecs.keySet.filter(_ % 5 == 4)
+    val cents = oldIds.filter(id =>
+      ((id % 2147483647L) * 1103515245L + 12345L) % 2147483647L % 50 == 0)
+      .toSeq.sorted
+    assert(cents.nonEmpty, "sf0.001 old corpus must yield centroids")
+    def assignOf(id: Long): Long =
+      cents.maxBy(c => (cos(vecs(id), vecs(c)), c))
+    val oldAssign = oldIds.map(id => id -> assignOf(id)).toMap
+    val kept = oldIds.filter { id =>
+      !oldIds.exists(o => o < id && oldAssign(o) == oldAssign(id) &&
+        cos(vecs(o), vecs(id)) >= 0.35)
+    }
+    val expected = newIds.map { id =>
+      val cid = assignOf(id)
+      val idxDup = kept.exists(k =>
+        oldAssign(k) == cid && cos(vecs(k), vecs(id)) >= 0.35)
+      val batchDup = newIds.exists(o => o < id && assignOf(o) == cid &&
+        cos(vecs(o), vecs(id)) >= 0.35)
+      id -> ((cid, idxDup, batchDup, !idxDup && !batchDup))
+    }.toMap
+    assert(rows.length == newIds.size, "one decision per new-batch vector")
+    rows.foreach { case (id, cid, idxDup, batchDup, admitted) =>
+      assert(expected(id) == ((cid, idxDup, batchDup, admitted)),
+        s"vec $id: got ($cid,$idxDup,$batchDup,$admitted), " +
+          s"want ${expected(id)}")
+    }
+    assert(rows.exists(_._3) && rows.exists(_._4) && rows.exists(_._5),
+      "the corpus must exercise all three outcomes (index dup, batch dup, admit)")
+  }
+
   test("q233 per-language sums agree with q47's per-document counts") {
     val fertility = run("q233_tokenizer_fertility").collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
