@@ -425,4 +425,87 @@ object StatefulOps {
       .transformWithState(new QuotaAdmitProcessor(quotas),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[semanticAdmitTws]]: a vector already assigned to its
+    * cluster — assignment is batch-side map work against broadcast (frozen,
+    * trained) centroids, exactly q234's shape; the stateful operator only
+    * ever sees (cent_id, vec_id, v). */
+  final case class ClusterVec(cent_id: Long, vec_id: Long, v: Array[Double])
+  final case class SemanticDecision(vec_id: Long, cent_id: Long,
+                                    admitted: Boolean, n_net: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class NetVec(vec_id: Long, v: Array[Double], nrm: Double)
+
+  /** Streaming semantic admit-once — the live form of the SemDeDup family
+    * (q230/q234): per cluster, the state is the set of ADMITTED vectors,
+    * and an arrival is admitted iff it sits below `eps` cosine to every one
+    * of them. The admitted set is therefore pairwise eps-SEPARATED — an
+    * eps-net of the cluster — so its size is bounded by the angular packing
+    * number of the sphere at acos(eps), a constant in the dimension and
+    * threshold, NOT in the stream length: state cannot grow past the
+    * geometry no matter how many duplicates arrive. Decision rule is greedy
+    * first-fit in arrival order (within a micro-batch slice, vec_id order),
+    * the sequential SemDeDup semantics; it differs deliberately from batch
+    * q230/q234's exists-ANY-lower-id contract — the greedy net can admit a
+    * vector whose only near neighbor was itself rejected, which the
+    * SQL-replayable batch rule cannot express. Both are deterministic;
+    * StreamingOpsSpec pins chunking-invariance against a sequential
+    * reference and the eps-separation invariant. Cross-batch delivery order
+    * is the caller's contract, as everywhere in this file; checkpointed
+    * state rolls back with the batch on restart exactly like quota
+    * admission. At 100 TB the groupByKey shuffles assigned ids+vectors on
+    * cent_id once; per-key state is (net size) × (dim+2) numbers. */
+  class SemanticAdmitProcessor(eps: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ClusterVec, SemanticDecision] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var net: org.apache.spark.sql.streaming.ListState[NetVec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      net = getHandle.getListState[NetVec](
+        "eps_net", Encoders.product[NetVec], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Memory contract: heap per cluster is the persisted eps-net (bounded
+      * by packing, see class doc) plus one micro-batch slice of this
+      * cluster's arrivals for the deterministic vec_id sort — the
+      * AdmitOnceProcessor contract, acceptable because the upstream
+      * assignment spreads a batch across the centroid key space; a single
+      * cluster receiving a whole skewed batch is a mis-trained index, not
+      * an operator regime. */
+    override def handleInputRows(cent: Long, rows: Iterator[ClusterVec],
+                                 timers: TimerValues): Iterator[SemanticDecision] = {
+      val current = scala.collection.mutable.ArrayBuffer.empty[NetVec]
+      net.get().foreach(current += _)
+      rows.toSeq.sortBy(_.vec_id).iterator.map { r =>
+        val nrm = math.sqrt(dot(r.v, r.v))
+        val dup = current.exists(a => dot(a.v, r.v) / (a.nrm * nrm) >= eps)
+        if (!dup) {
+          val nv = NetVec(r.vec_id, r.v, nrm)
+          current += nv
+          net.appendValue(nv)
+        }
+        SemanticDecision(r.vec_id, cent, admitted = !dup, current.length.toLong)
+      }
+    }
+  }
+
+  /** Keyed semantic admission via transformWithState (Append: one decision
+    * per arrival, never revised). */
+  def semanticAdmitTws(vecs: Dataset[ClusterVec],
+                       eps: Double): Dataset[SemanticDecision] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    vecs
+      .groupByKey(_.cent_id)
+      .transformWithState(new SemanticAdmitProcessor(eps),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -769,4 +769,81 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming semantic admit is chunking-invariant and keeps an eps-separated net") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ClusterVec, SemanticDecision}
+    implicit val sqlCtx = spark.sqlContext
+    val Eps = 0.35
+
+    // the q234 shape computed test-side: sf0.001 embeddings assigned to the
+    // full-corpus LCG centroids; arrivals flow in vec_id order
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cents = vecs.keySet.filter(id =>
+      ((id % 2147483647L) * 1103515245L + 12345L) % 2147483647L % 50 == 0)
+      .toSeq.sorted
+    assert(cents.nonEmpty)
+    val arrivals = vecs.keys.toSeq.sorted.map { id =>
+      ClusterVec(cents.maxBy(c => (cos(vecs(id), vecs(c)), c)), id, vecs(id))
+    }
+
+    // sequential greedy eps-net reference, per cluster in arrival order
+    val refNet = scala.collection.mutable.Map.empty[Long, List[Long]]
+    val refAdmitted = arrivals.map { a =>
+      val kept = refNet.getOrElse(a.cent_id, Nil)
+      val dup = kept.exists(k => cos(vecs(k), a.v) >= Eps)
+      if (!dup) refNet(a.cent_id) = kept :+ a.vec_id
+      a.vec_id -> !dup
+    }.toMap
+
+    def run(chunks: Int, name: String): Map[Long, Boolean] = {
+      val input = MemoryStream[ClusterVec]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.semanticAdmitTws(input.toDS(), Eps)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          arrivals.grouped(math.max(arrivals.length / chunks, 1))
+            .foreach { c => input.addData(c); q.processAllAvailable() }
+          spark.table(name).as[SemanticDecision].collect()
+            .map(d => d.vec_id -> d.admitted).toMap
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    val three = run(3, "sem_admit_3")
+    val seven = run(7, "sem_admit_7")
+    assert(three === refAdmitted,
+      "3-chunk decisions diverged from the sequential greedy reference")
+    assert(seven === refAdmitted,
+      "7-chunk decisions diverged from the sequential greedy reference")
+    assert(refAdmitted.values.exists(identity) && refAdmitted.values.exists(!_),
+      "corpus must exercise both admit and reject")
+
+    // the invariant the memory bound rests on: admitted vectors of one
+    // cluster are pairwise BELOW eps (an eps-separated net), and every
+    // rejection is witnessed by an EARLIER admitted vector
+    val admittedByCluster = arrivals.filter(a => refAdmitted(a.vec_id))
+      .groupBy(_.cent_id)
+    admittedByCluster.values.foreach { as =>
+      for (i <- as.indices; j <- (i + 1) until as.length)
+        assert(cos(as(i).v, as(j).v) < Eps,
+          s"net not eps-separated: ${as(i).vec_id} vs ${as(j).vec_id}")
+    }
+    arrivals.filter(a => !refAdmitted(a.vec_id)).foreach { a =>
+      val witnesses = admittedByCluster(a.cent_id)
+        .filter(k => k.vec_id < a.vec_id && cos(k.v, a.v) >= Eps)
+      assert(witnesses.nonEmpty,
+        s"rejected ${a.vec_id} has no earlier admitted witness")
+    }
+  }
 }
