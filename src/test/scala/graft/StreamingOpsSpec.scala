@@ -846,4 +846,66 @@ class StreamingOpsSpec extends SparkSpec {
         s"rejected ${a.vec_id} has no earlier admitted witness")
     }
   }
+
+  test("semantic admit's eps-net survives a restart (checkpointed state, no re-admission)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ClusterVec, SemanticDecision}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sem_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    def v(x: Double, y: Double) = Array(x, y)
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[ClusterVec].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[ClusterVec]
+        val q = StatefulOps.semanticAdmitTws(src, 0.35)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // run() between writes pins cross-batch arrival order, as in the quota
+    // restart test. Cluster 1, eps = 0.35:
+    //   1 (1,0)        admit        2 ~(1,0)  dup of 1
+    //   3 (0,1)        admit        4 (.7,.7) dup of both
+    Seq(ClusterVec(1L, 1L, v(1, 0)), ClusterVec(1L, 2L, v(0.995, 0.1)),
+      ClusterVec(1L, 3L, v(0, 1)), ClusterVec(1L, 4L, v(0.7, 0.714)))
+      .toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    //   5 (-1,.2)      admit        6 ~5      dup of 5
+    //   7 (.5,-.87)    dup of 1     8 (-.6,-.8) dup of 5 — the witness
+    //                               lives in the PREVIOUS batch's state
+    Seq(ClusterVec(1L, 5L, v(-1, 0.2)), ClusterVec(1L, 6L, v(-0.99, 0.21)),
+      ClusterVec(1L, 7L, v(0.5, -0.866)), ClusterVec(1L, 8L, v(-0.6, -0.8)))
+      .toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // restart with no new input: the sink's commit log re-emits nothing
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // arrivals after the restart: 9 REPEATS vector 1 — a state store that
+    // reset on restart would re-admit it; 10 is genuinely novel; 11
+    // repeats 3; 12 repeats 10 (rejected by post-restart state)
+    Seq(ClusterVec(1L, 9L, v(1, 0)), ClusterVec(1L, 10L, v(0.2, -0.98)),
+      ClusterVec(1L, 11L, v(0, 1)), ClusterVec(1L, 12L, v(0.21, -0.97)))
+      .toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val all = spark.read.parquet(outDir).as[SemanticDecision].collect()
+    assert(all.length === 12, "every arrival decided exactly once across restarts")
+    assert(all.filter(_.admitted).map(_.vec_id).sorted.toSeq === Seq(1L, 3L, 5L, 10L),
+      "eps-net state must persist across restarts (9/11/12 re-admitted?)")
+    // n_net reports the cluster's net size at decision time: 1,1,2,2 / 3,3,3,3 / 3,4,4,4
+    assert(all.maxBy(_.vec_id).n_net === 4L)
+  }
 }
