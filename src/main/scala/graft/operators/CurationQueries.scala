@@ -291,5 +291,184 @@ object CurationQueries {
           .otherwise(0L)).cast("long").as("n_repetition"),
         sum(when(col("lang_ok") && col("quality_ok") && col("rep_ok") &&
           col("len_ok"), 1L).otherwise(0L)).cast("long").as("n_length"))
+    },
+
+    GraftQuery(
+      "q235_token_budget_mix",
+      Some(s"""WITH d AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) n_docs,
+              |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+              |              AS BIGINT) tokens
+              |  FROM documents GROUP BY source
+              |), w AS (
+              |  SELECT source, n_docs, tokens,
+              |         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) wt,
+              |         CAST(1 + (${sourceFoldSql}) % 4 AS BIGINT) AS cap_epochs
+              |  FROM d
+              |), tot AS (
+              |  SELECT CAST(sum(tokens) AS BIGINT) * 2 AS b,
+              |         CAST(sum(wt) AS BIGINT) AS wsum FROM w
+              |), ord AS (
+              |  SELECT w.*, tot.b, tot.wsum, cap_epochs * tokens AS cap,
+              |         row_number() OVER (ORDER BY
+              |           CAST(cap_epochs * tokens AS DOUBLE) / wt, source) rn
+              |  FROM w, tot
+              |), pre AS (
+              |  SELECT *,
+              |    coalesce(sum(cap) OVER (ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) scap_prev,
+              |    coalesce(sum(wt) OVER (ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) sw_prev
+              |  FROM ord
+              |), flg AS (
+              |  SELECT *, CASE WHEN (b - scap_prev) * wt >= cap * (wsum - sw_prev)
+              |                 THEN 1 ELSE 0 END satraw
+              |  FROM pre
+              |), run AS (
+              |  SELECT *, min(satraw) OVER (ORDER BY rn
+              |    ROWS UNBOUNDED PRECEDING) sat FROM flg
+              |), fin AS (
+              |  SELECT *,
+              |    CAST(sum(CASE WHEN sat = 1 THEN cap ELSE 0 END) OVER ()
+              |         AS BIGINT) satcap,
+              |    CAST(sum(CASE WHEN sat = 1 THEN wt ELSE 0 END) OVER ()
+              |         AS BIGINT) satw
+              |  FROM run
+              |)
+              |SELECT source, n_docs, tokens, wt AS weight, cap_epochs,
+              |  cap AS cap_tokens, (sat = 1) AS saturated,
+              |  CASE WHEN sat = 1 THEN cap
+              |       ELSE ((b - satcap) * wt) // (wsum - satw) END AS alloc_tokens,
+              |  (CASE WHEN sat = 1 THEN cap
+              |        ELSE ((b - satcap) * wt) // (wsum - satw) END)
+              |    * 1000000 // tokens AS epochs_ppm
+              |FROM fin ORDER BY source""".stripMargin),
+      "Epoch-capped token-budget allocation (exact water-filling): the " +
+        "global token budget (2× the corpus, i.e. two average epochs) is " +
+        "split across sources proportionally to q228's sqrt-temperature " +
+        "weights, but no source may exceed its per-source repetition cap " +
+        "of 1–4 epochs (high-quality sources repeat, crawl-grade sources " +
+        "don't — the cap table is the curator's policy artifact, modeled " +
+        "here as a deterministic hash of the source name so both engines " +
+        "replay it; in production it is a tiny broadcast join). The " +
+        "water-filling is CLOSED FORM, not iterative: sorted ascending by " +
+        "cap/weight, the saturated set is exactly a prefix, so one " +
+        "row_number, two prefix sums and a running min find the waterline " +
+        "and every unsaturated source gets floor(remaining_budget × w / " +
+        "remaining_w) — all integer arithmetic after an IEEE-exact " +
+        "sqrt-and-divide sort key. Scale: the corpus is touched ONCE (the " +
+        "per-source token count, partial-agg collapsed); everything after " +
+        "runs on O(sources) rows, so the windows' single partition holds " +
+        "hundreds of rows, not documents. i64 contract: (budget − satcap) " +
+        "× weight stays in range up to ~1e12 tokens at sqrt weights; past " +
+        "that, promote the multiply to DECIMAL(38) — the contract is the " +
+        "allocation rule, not the word size."
+    ) { (s, dir) =>
+      import graft.functions.TextQueries.base31Fold
+      val d = Tables.documents(s, dir).groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).cast("long").as("tokens"))
+      val w = d
+        .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+        .withColumn("cap_epochs", (base31Fold(col("source")) % 4 + 1).cast("long"))
+        .withColumn("cap", col("cap_epochs") * col("tokens"))
+      val wPrev = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val alloc = when(col("sat") === 1, col("cap"))
+        .otherwise(expr("((b - satcap) * weight) div (wsum - satw)"))
+      // totals as whole-partition windows over the O(sources) aggregate —
+      // a separate agg+crossJoin would re-derive the lineage and scan the
+      // corpus a second time
+      w.withColumn("rn", row_number().over(Window.orderBy(
+          (col("cap").cast("double") / col("weight")).asc, col("source").asc)))
+        .withColumn("b", (sum("tokens").over(wAll) * 2).cast("long"))
+        .withColumn("wsum", sum("weight").over(wAll).cast("long"))
+        .withColumn("scap_prev", coalesce(sum("cap").over(wPrev), lit(0L)))
+        .withColumn("sw_prev", coalesce(sum("weight").over(wPrev), lit(0L)))
+        .withColumn("satraw", when(
+          (col("b") - col("scap_prev")) * col("weight") >=
+            col("cap") * (col("wsum") - col("sw_prev")), 1).otherwise(0))
+        .withColumn("sat", min("satraw").over(wRun))
+        .withColumn("satcap",
+          sum(when(col("sat") === 1, col("cap")).otherwise(0L)).over(wAll)
+            .cast("long"))
+        .withColumn("satw",
+          sum(when(col("sat") === 1, col("weight")).otherwise(0L)).over(wAll)
+            .cast("long"))
+        .withColumn("alloc_tokens", alloc)
+        .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+          col("cap_epochs"), col("cap").as("cap_tokens"),
+          (col("sat") === 1).as("saturated"), col("alloc_tokens"),
+          expr("alloc_tokens * 1000000 div tokens").as("epochs_ppm"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
+      "q237_split_leakage_audit",
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    CASE WHEN (${sourceFoldSql}) % 10 < 8 THEN 'train'
+              |         WHEN (${sourceFoldSql}) % 10 = 8 THEN 'valid'
+              |         ELSE 'test' END AS split,
+              |    ${graft.operators.DedupQueries.leadFingerprintSql} AS fp
+              |  FROM documents
+              |), pf AS (
+              |  SELECT fp, split, CAST(count(*) AS BIGINT) c, min(doc_id) mdoc
+              |  FROM f GROUP BY fp, split
+              |), nf AS (
+              |  SELECT *, count(*) OVER (PARTITION BY fp) nsplits FROM pf
+              |)
+              |SELECT split, CAST(sum(c) AS BIGINT) n_docs,
+              |  CAST(count(*) AS BIGINT) n_fps,
+              |  CAST(sum(CASE WHEN nsplits > 1 THEN c ELSE 0 END) AS BIGINT)
+              |    AS n_leaked,
+              |  CAST(sum(CASE WHEN nsplits > 1 THEN c ELSE 0 END) AS BIGINT)
+              |    * 1000000 // CAST(sum(c) AS BIGINT) AS leak_ppm,
+              |  min(CASE WHEN nsplits > 1 THEN mdoc END) AS first_leaked_doc
+              |FROM nf GROUP BY split ORDER BY split""".stripMargin),
+      "Train/valid/test split assignment + leakage audit: membership is a " +
+        "hash of the SOURCE (all of a source lands in one split — the " +
+        "grouping that stops a crawl re-serving one site across splits), " +
+        "and the audit counts documents whose canonical lead fingerprint " +
+        "(q160's sha256-of-first-8-words, one shared definition) appears " +
+        "in more than one split — the cross-split near-dup leakage an " +
+        "eval-integrity gate must catch BEFORE training, the complement " +
+        "of q76/q96's decontamination against a fixed eval set. Scale: " +
+        "one corpus scan to (fp, split) partial-agg pairs — document " +
+        "bodies never ride a shuffle, only 32-byte digests; the " +
+        "multi-split flag is a count window on fp over the ALREADY " +
+        "aggregated pairs (≤ 3 rows per fp), and the final rollup is a " +
+        "3-key aggregate. first_leaked_doc gives the auditor a concrete " +
+        "offender per split (NULL when clean)."
+    ) { (s, dir) =>
+      import graft.functions.TextQueries.base31Fold
+      val fold = base31Fold(col("source")) % 10
+      val f = Tables.documents(s, dir).select(col("doc_id"),
+        when(fold < 8, "train").when(fold === 8, "valid").otherwise("test")
+          .as("split"),
+        DedupQueries.leadFingerprint.as("fp"))
+      val pf = f.groupBy("fp", "split").agg(
+        count(lit(1)).cast("long").as("c"), min("doc_id").as("mdoc"))
+      pf.withColumn("nsplits", count(lit(1)).over(Window.partitionBy("fp")))
+        .groupBy("split").agg(
+          sum("c").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_fps"),
+          sum(when(col("nsplits") > 1, col("c")).otherwise(0L)).cast("long")
+            .as("n_leaked"),
+          min(when(col("nsplits") > 1, col("mdoc"))).as("first_leaked_doc"))
+        .select(col("split"), col("n_docs"), col("n_fps"), col("n_leaked"),
+          expr("n_leaked * 1000000 div n_docs").as("leak_ppm"),
+          col("first_leaked_doc"))
+        .orderBy("split")
     })
+
+  /** `base31Fold(source)` in the oracles' DuckDB dialect — the policy /
+    * split hash both q235 and q237 key on the source name. */
+  private def sourceFoldSql: String =
+    "list_reduce(list_transform(string_split(source, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 }

@@ -636,6 +636,156 @@ object SimilarityQueries {
     },
 
     GraftQuery(
+      "q236_pq_ann",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), subs AS (
+              |  SELECT vec_id, m,
+              |         list_transform(range(1 + m, len(v) + 1, 4), i -> v[i]) sv
+              |  FROM e, unnest([0, 1, 2, 3]) t(m)
+              |), cents AS (
+              |  SELECT vec_id AS cent_id, m, sv AS csub FROM subs
+              |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+              |          % 2147483647 % 31 = 0
+              |), asg AS (
+              |  SELECT s.vec_id, s.m, c.cent_id, c.csub,
+              |         list_reduce(list_transform(range(1, len(s.sv) + 1),
+              |           i -> (s.sv[i] - c.csub[i]) * (s.sv[i] - c.csub[i])),
+              |           (x, y) -> x + y) AS l2
+              |  FROM subs s JOIN cents c USING (m)
+              |), best AS (
+              |  SELECT vec_id, m, csub FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              |                                 ORDER BY l2, cent_id DESC) rn
+              |    FROM asg
+              |  ) WHERE rn = 1
+              |), rv AS (
+              |  SELECT vec_id, flatten(list(csub ORDER BY m)) rv
+              |  FROM best GROUP BY vec_id
+              |), pv AS (
+              |  SELECT vec_id, flatten(list(sv ORDER BY m)) pv
+              |  FROM subs GROUP BY vec_id
+              |), q AS (
+              |  SELECT vec_id AS query_id, pv FROM pv WHERE vec_id % 50 = 0
+              |), cand AS (
+              |  SELECT q.query_id, r.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.pv) + 1),
+              |           i -> q.pv[i] * r.rv[i]), (x, y) -> x + y) sc
+              |  FROM q JOIN rv r ON r.vec_id <> q.query_id
+              |), pruned AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY sc DESC, neighbor_id) prk
+              |  FROM cand
+              |), rr AS (
+              |  SELECT p.query_id, p.neighbor_id,
+              |         list_reduce(list_transform(range(1, len(qn.v) + 1),
+              |           i -> qn.v[i] * a.v[i]), (x, y) -> x + y)
+              |           / (qn.nrm * a.nrm) AS c
+              |  FROM pruned p
+              |  JOIN n a ON a.vec_id = p.neighbor_id
+              |  JOIN n qn ON qn.vec_id = p.query_id
+              |  WHERE p.prk <= 32
+              |), reranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM rr
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) rk,
+              |       round(c, 4) AS cos
+              |FROM reranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
+      "Product-quantized retrieval (PQ/ADC, the codebook pillar next to " +
+        "q130's scalar SQ8): each vector is cut into 4 STRIDED subspaces " +
+        "(dimension i goes to subspace i mod 4 — a fixed permutation, so " +
+        "no divisibility constraint on dim), each subvector is assigned " +
+        "to its nearest (L2, ties to the larger id — both engines replay " +
+        "the rule) codebook entry from a deterministic ~3% LCG sample of " +
+        "the corpus's own subvectors, and a database vector is thereafter " +
+        "REPRESENTED by 4 small codes: memory per vector is 4 code ids " +
+        "instead of 64 floats, the 16×-and-beyond compression that lets " +
+        "a 100 TB corpus's index live in executor memory. Retrieval is " +
+        "asymmetric distance computation: the query stays exact and " +
+        "scores each candidate against its RECONSTRUCTION (the " +
+        "concatenated assigned centroid subvectors, assembled in fixed " +
+        "subspace order so the fold order — and therefore every double — " +
+        "is bit-identical across engines), then the 32 ADC survivors " +
+        "re-rank by exact cosine through an id-only join (q67's " +
+        "discipline: full vectors never ride the prune shuffle). " +
+        "Candidate pruning uses the salted two-phase top-k; recall loss " +
+        "lives only between ADC rank 32 and k, and the oracle replays " +
+        "the identical pipeline so the check is hash-exact, not " +
+        "recall-tolerant. At 100 TB the codebooks are q86-trained " +
+        "per-subspace k-means (broadcast, a few KB) and the scan reads " +
+        "4 bytes of codes per vector — the FAISS IVFPQ layout minus the " +
+        "IVF gate q66 already provides."
+    ) { (s, dir) =>
+      val e = normed(s, dir)
+      val subs = e
+        .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(3))).as("m"))
+        .select(col("vec_id"), col("m"),
+          transform(sequence(lit(1) + col("m"), size(col("v")), lit(4)),
+            i => element_at(col("v"), i)).as("sv"))
+      val cents = subs.filter(
+        ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
+          % 2147483647L % 31 === 0)
+        .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("csub"))
+      val l2 = aggregate(
+        zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      // min(struct(l2, -cent_id, csub)) == ORDER BY l2 ASC, cent_id DESC:
+      // l2 is a sum of squares so only +0.0 occurs, never the -0.0
+      // struct-ordering hazard; -cent_id makes the integer tie-break exact
+      val best = subs.join(broadcast(cents), "m")
+        .select(col("vec_id"), col("m"), l2.as("l2"),
+          (-col("cent_id")).as("nc"), col("csub"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("l2"), col("nc"), col("csub"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.csub").as("csub"))
+      // deterministic assembly: collect the 4 subspaces, sort by m, flatten
+      def assemble(df: DataFrame, sub: String, out: String): DataFrame =
+        df.groupBy("vec_id").agg(
+          flatten(transform(
+            sort_array(collect_list(struct(col("m"), col(sub)))),
+            p => p(sub))).as(out))
+      val rv = assemble(best, "csub", "rv")
+      val pq = assemble(subs, "sv", "pv")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("pv"))
+      val cand = rv.join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dotd(col("pv"), col("rv")).as("sc"))
+      val salted = Window
+        .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+        .orderBy(col("sc").desc, col("neighbor_id"))
+      val finalPrune = Window.partitionBy(col("query_id"))
+        .orderBy(col("sc").desc, col("neighbor_id"))
+      val survivors = cand
+        .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
+        .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val rerank = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      survivors
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rk", row_number().over(rerank).cast("long"))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
       "q124_embedding_pool",
       Some("""WITH cell AS (
              |  SELECT label, dim,

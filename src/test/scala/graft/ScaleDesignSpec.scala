@@ -280,7 +280,9 @@ class ScaleDesignSpec extends SparkSpec {
       "q173_contrastive_pairs" -> "q43's hash-sampled broadcast anchor set",
       "q230_semdedup" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side",
       "q232_prototypicality_prune" -> "q66's ~2% LCG-sampled centroid side",
-      "q234_incremental_semdedup" -> "frozen trained-centroid side (q66's rule over the existing corpus)")
+      "q234_incremental_semdedup" -> "frozen trained-centroid side (q66's rule over the existing corpus)",
+      "q236_pq_ann" -> ("q43's 2% hash-sampled broadcast query side (ADC " +
+        "scan) and q66's ~3% LCG-sampled codebook side (assignment)"))
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
@@ -614,5 +616,43 @@ class ScaleDesignSpec extends SparkSpec {
       s"fertility audit reads the corpus ${fertScans.size}x (want 1)")
     assert(fert.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.isEmpty,
       "fertility audit must not join anything")
+  }
+
+  test("governance plans: budget mix one-scan, PQ queries broadcast, leak audit join-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+    def docScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("documents")) => sc
+      }
+
+    // q235: the corpus is touched once (the per-source token count);
+    // the water-filling itself runs on O(sources) rows
+    val mix = SparkEntry.queries("q235_token_budget_mix")(spark, sf)
+    assert(docScans(mix).size === 1,
+      s"budget mix reads the corpus ${docScans(mix).size}x (want 1)")
+
+    // q236: query vectors reach the ADC scan via broadcast only — the
+    // corpus-side reconstruction table must never be re-partitioned for
+    // them, and the non-equi self-exclusion must never degrade to a product
+    val pq = SparkEntry.queries("q236_pq_ann")(spark, sf)
+    val pqPlan = pq.queryExecution.sparkPlan
+    assert(pqPlan.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"PQ ANN must never plan a CartesianProduct:\n$pqPlan")
+    assert(pqPlan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "PQ ADC scan should reach queries via a broadcast nested-loop " +
+        "(tiny query side, <> self-exclusion)")
+
+    // q237: digests-only pipeline — one corpus scan, aggregates and a
+    // window, no joins anywhere (document bodies never ride a shuffle)
+    val leak = SparkEntry.queries("q237_split_leakage_audit")(spark, sf)
+    assert(docScans(leak).size === 1,
+      s"leak audit reads the corpus ${docScans(leak).size}x (want 1)")
+    assert(leak.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.isEmpty,
+      "leak audit must not join anything — fp flag is a window over the " +
+        "aggregated (fp, split) pairs")
   }
 }
