@@ -295,54 +295,11 @@ object CurationQueries {
 
     GraftQuery(
       "q235_token_budget_mix",
-      Some(s"""WITH d AS (
-              |  SELECT source, CAST(count(*) AS BIGINT) n_docs,
-              |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-              |              AS BIGINT) tokens
-              |  FROM documents GROUP BY source
-              |), w AS (
-              |  SELECT source, n_docs, tokens,
-              |         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) wt,
-              |         CAST(1 + (${sourceFoldSql}) % 4 AS BIGINT) AS cap_epochs
-              |  FROM d
-              |), tot AS (
-              |  SELECT CAST(sum(tokens) AS BIGINT) * 2 AS b,
-              |         CAST(sum(wt) AS BIGINT) AS wsum FROM w
-              |), ord AS (
-              |  SELECT w.*, tot.b, tot.wsum, cap_epochs * tokens AS cap,
-              |         row_number() OVER (ORDER BY
-              |           CAST(cap_epochs * tokens AS DOUBLE) / wt, source) rn
-              |  FROM w, tot
-              |), pre AS (
-              |  SELECT *,
-              |    coalesce(sum(cap) OVER (ORDER BY rn
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) scap_prev,
-              |    coalesce(sum(wt) OVER (ORDER BY rn
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) sw_prev
-              |  FROM ord
-              |), flg AS (
-              |  SELECT *, CASE WHEN (b - scap_prev) * wt >= cap * (wsum - sw_prev)
-              |                 THEN 1 ELSE 0 END satraw
-              |  FROM pre
-              |), run AS (
-              |  SELECT *, min(satraw) OVER (ORDER BY rn
-              |    ROWS UNBOUNDED PRECEDING) sat FROM flg
-              |), fin AS (
-              |  SELECT *,
-              |    CAST(sum(CASE WHEN sat = 1 THEN cap ELSE 0 END) OVER ()
-              |         AS BIGINT) satcap,
-              |    CAST(sum(CASE WHEN sat = 1 THEN wt ELSE 0 END) OVER ()
-              |         AS BIGINT) satw
-              |  FROM run
-              |)
+      Some(s"""$budgetAllocSqlCtes
               |SELECT source, n_docs, tokens, wt AS weight, cap_epochs,
-              |  cap AS cap_tokens, (sat = 1) AS saturated,
-              |  CASE WHEN sat = 1 THEN cap
-              |       ELSE ((b - satcap) * wt) // (wsum - satw) END AS alloc_tokens,
-              |  (CASE WHEN sat = 1 THEN cap
-              |        ELSE ((b - satcap) * wt) // (wsum - satw) END)
-              |    * 1000000 // tokens AS epochs_ppm
-              |FROM fin ORDER BY source""".stripMargin),
+              |  cap AS cap_tokens, (sat = 1) AS saturated, alloc_tokens,
+              |  alloc_tokens * 1000000 // tokens AS epochs_ppm
+              |FROM quota ORDER BY source""".stripMargin),
       "Epoch-capped token-budget allocation (exact water-filling): the " +
         "global token budget (2× the corpus, i.e. two average epochs) is " +
         "split across sources proportionally to q228's sqrt-temperature " +
@@ -364,47 +321,76 @@ object CurationQueries {
         "that, promote the multiply to DECIMAL(38) — the contract is the " +
         "allocation rule, not the word size."
     ) { (s, dir) =>
-      import graft.functions.TextQueries.base31Fold
-      val d = Tables.documents(s, dir).groupBy("source").agg(
-        count(lit(1)).cast("long").as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).cast("long").as("tokens"))
-      val w = d
-        .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
-        .withColumn("cap_epochs", (base31Fold(col("source")) % 4 + 1).cast("long"))
-        .withColumn("cap", col("cap_epochs") * col("tokens"))
-      val wPrev = Window.orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val alloc = when(col("sat") === 1, col("cap"))
-        .otherwise(expr("((b - satcap) * weight) div (wsum - satw)"))
-      // totals as whole-partition windows over the O(sources) aggregate —
-      // a separate agg+crossJoin would re-derive the lineage and scan the
-      // corpus a second time
-      w.withColumn("rn", row_number().over(Window.orderBy(
-          (col("cap").cast("double") / col("weight")).asc, col("source").asc)))
-        .withColumn("b", (sum("tokens").over(wAll) * 2).cast("long"))
-        .withColumn("wsum", sum("weight").over(wAll).cast("long"))
-        .withColumn("scap_prev", coalesce(sum("cap").over(wPrev), lit(0L)))
-        .withColumn("sw_prev", coalesce(sum("weight").over(wPrev), lit(0L)))
-        .withColumn("satraw", when(
-          (col("b") - col("scap_prev")) * col("weight") >=
-            col("cap") * (col("wsum") - col("sw_prev")), 1).otherwise(0))
-        .withColumn("sat", min("satraw").over(wRun))
-        .withColumn("satcap",
-          sum(when(col("sat") === 1, col("cap")).otherwise(0L)).over(wAll)
-            .cast("long"))
-        .withColumn("satw",
-          sum(when(col("sat") === 1, col("weight")).otherwise(0L)).over(wAll)
-            .cast("long"))
-        .withColumn("alloc_tokens", alloc)
+      budgetAlloc(s, dir)
         .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
           col("cap_epochs"), col("cap").as("cap_tokens"),
           (col("sat") === 1).as("saturated"), col("alloc_tokens"),
           expr("alloc_tokens * 1000000 div tokens").as("epochs_ppm"))
         .orderBy("source")
+    },
+
+    GraftQuery(
+      "q238_token_budget_admit",
+      Some(s"""$budgetAllocSqlCtes, ranked AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |    CAST(row_number() OVER (PARTITION BY d.source
+              |      ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648,
+              |               d.doc_id) AS BIGINT) AS rk
+              |  FROM documents d
+              |), cum AS (
+              |  SELECT *,
+              |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+              |      AND 1 PRECEDING), 0) AS BIGINT) cum_prev
+              |  FROM ranked
+              |)
+              |SELECT c.doc_id, c.source, c.n_tokens, c.rk,
+              |  c.cum_prev + c.n_tokens AS cum_tokens,
+              |  q.alloc_tokens // q.cap_epochs AS shard_tokens
+              |FROM cum c JOIN quota q ON c.source = q.source
+              |WHERE c.cum_prev < q.alloc_tokens // q.cap_epochs
+              |ORDER BY c.doc_id""".stripMargin),
+      "Token-budget admission — the EXECUTOR of q235's plan: each source " +
+        "repeats its shard exactly cap_epochs times, so the shard of " +
+        "UNIQUE documents to materialize carries alloc div cap_epochs " +
+        "tokens (shard × epochs = allocation; for a saturated source the " +
+        "shard is the whole source). Documents queue in q228's " +
+        "deterministic LCG priority order and are admitted while the " +
+        "tokens already admitted ahead of them stay below the shard " +
+        "budget — the last admission may overshoot by less than one " +
+        "document, the admit-then-saturate rule that makes each decision " +
+        "independent of later arrivals, which is what lets the streaming " +
+        "form StatefulOps.tokenBudgetAdmitTws decide each arrival " +
+        "exactly once with 8 bytes of state per source. Admission is a " +
+        "prefix by construction: once the running sum crosses the shard " +
+        "every later-priority document is rejected, so the gate is one " +
+        "per-source cumulative-sum window — no join between documents, " +
+        "no iteration. Scale: the fact side is one scan + one window " +
+        "shuffle on the low-cardinality source key (q228's mega-source " +
+        "pre-split applies verbatim); shard budgets arrive as an " +
+        "O(sources) broadcast. Together q235/q238 are plan-then-admit: " +
+        "the same pair of passes a production mixer runs nightly."
+    ) { (s, dir) =>
+      val quota = budgetAlloc(s, dir).select(col("source"),
+        expr("alloc_tokens div cap_epochs").as("shard_tokens"))
+      val lcg = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(lcg.asc, col("doc_id").asc))
+          .cast("long"))
+      val cumPrev = Window.partitionBy("source").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranked
+        .withColumn("cum_prev", coalesce(sum("n_tokens").over(cumPrev), lit(0L)))
+        .join(broadcast(quota), "source")
+        .filter(col("cum_prev") < col("shard_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"),
+          (col("cum_prev") + col("n_tokens")).as("cum_tokens"),
+          col("shard_tokens"))
+        .orderBy("doc_id")
     },
 
     GraftQuery(
@@ -471,4 +457,95 @@ object CurationQueries {
   private def sourceFoldSql: String =
     "list_reduce(list_transform(string_split(source, ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** q235's water-filled allocation frame, through `alloc_tokens` — ONE
+    * definition shared by q235 (reports the plan) and q238 (admits under
+    * it): an allocation-rule tweak must move the planner and the admitter
+    * together, the leadFingerprint discipline. Columns: source, n_docs,
+    * tokens, weight, cap_epochs, cap, b, wsum, sat, alloc_tokens (+
+    * intermediates). Totals are whole-partition windows over the
+    * O(sources) aggregate, so the corpus is scanned exactly once. */
+  private def budgetAlloc(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextQueries.base31Fold
+    val w = Tables.documents(s, dir).groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).cast("long").as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .withColumn("cap_epochs", (base31Fold(col("source")) % 4 + 1).cast("long"))
+      .withColumn("cap", col("cap_epochs") * col("tokens"))
+    val wPrev = Window.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w.withColumn("rn", row_number().over(Window.orderBy(
+        (col("cap").cast("double") / col("weight")).asc, col("source").asc)))
+      .withColumn("b", (sum("tokens").over(wAll) * 2).cast("long"))
+      .withColumn("wsum", sum("weight").over(wAll).cast("long"))
+      .withColumn("scap_prev", coalesce(sum("cap").over(wPrev), lit(0L)))
+      .withColumn("sw_prev", coalesce(sum("weight").over(wPrev), lit(0L)))
+      .withColumn("satraw", when(
+        (col("b") - col("scap_prev")) * col("weight") >=
+          col("cap") * (col("wsum") - col("sw_prev")), 1).otherwise(0))
+      .withColumn("sat", min("satraw").over(wRun))
+      .withColumn("satcap",
+        sum(when(col("sat") === 1, col("cap")).otherwise(0L)).over(wAll)
+          .cast("long"))
+      .withColumn("satw",
+        sum(when(col("sat") === 1, col("weight")).otherwise(0L)).over(wAll)
+          .cast("long"))
+      .withColumn("alloc_tokens", when(col("sat") === 1, col("cap"))
+        .otherwise(expr("((b - satcap) * weight) div (wsum - satw)")))
+  }
+
+  /** [[budgetAlloc]] in the oracles' DuckDB dialect, ending in a `quota`
+    * CTE with `alloc_tokens` — interpolated by both the q235 and q238
+    * oracles so they replay the identical waterline. */
+  private def budgetAllocSqlCtes: String =
+    s"""WITH bd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |              AS BIGINT) tokens
+       |  FROM documents GROUP BY source
+       |), bw AS (
+       |  SELECT source, n_docs, tokens,
+       |         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) wt,
+       |         CAST(1 + (${sourceFoldSql}) % 4 AS BIGINT) AS cap_epochs
+       |  FROM bd
+       |), btot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) * 2 AS b,
+       |         CAST(sum(wt) AS BIGINT) AS wsum FROM bw
+       |), bord AS (
+       |  SELECT bw.*, btot.b, btot.wsum, cap_epochs * tokens AS cap,
+       |         row_number() OVER (ORDER BY
+       |           CAST(cap_epochs * tokens AS DOUBLE) / wt, source) rn
+       |  FROM bw, btot
+       |), bpre AS (
+       |  SELECT *,
+       |    coalesce(sum(cap) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) scap_prev,
+       |    coalesce(sum(wt) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) sw_prev
+       |  FROM bord
+       |), bflg AS (
+       |  SELECT *, CASE WHEN (b - scap_prev) * wt >= cap * (wsum - sw_prev)
+       |                 THEN 1 ELSE 0 END satraw
+       |  FROM bpre
+       |), brun AS (
+       |  SELECT *, min(satraw) OVER (ORDER BY rn
+       |    ROWS UNBOUNDED PRECEDING) sat FROM bflg
+       |), bfin AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN sat = 1 THEN cap ELSE 0 END) OVER ()
+       |         AS BIGINT) satcap,
+       |    CAST(sum(CASE WHEN sat = 1 THEN wt ELSE 0 END) OVER ()
+       |         AS BIGINT) satw
+       |  FROM brun
+       |), quota AS (
+       |  SELECT *, CASE WHEN sat = 1 THEN cap
+       |       ELSE ((b - satcap) * wt) // (wsum - satw) END AS alloc_tokens
+       |  FROM bfin
+       |)""".stripMargin
 }

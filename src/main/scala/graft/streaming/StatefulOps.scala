@@ -426,6 +426,119 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One arrival for [[tokenBudgetAdmitTws]]: like [[SrcDoc]] plus the
+    * document's token count — the unit the budget is denominated in. */
+  final case class TokDoc(doc_id: Long, source: String, pri: Long,
+                          n_tokens: Long)
+  final case class TokDecision(doc_id: Long, source: String, cum_tokens: Long,
+                               admitted: Boolean)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class TokState(spent: Long)
+
+  /** Streaming token-budget admission — the live form of batch q238's
+    * shard builder: state per source is ONE token counter, and an arrival
+    * is admitted iff the tokens admitted ahead of it (across all batches
+    * and, within this batch, all better-(pri, doc_id) winners) are still
+    * below the source's shard budget. That admit-then-saturate rule (the
+    * final admission may overshoot by under one document) is exactly what
+    * makes the decision PREFIX-SHAPED: once the running sum crosses the
+    * budget, no later arrival can ever be admitted, so a decision never
+    * depends on future arrivals and Append mode is sound.
+    *
+    * Memory contract (the q228 lesson, applied from the start): the
+    * candidate heap's total token mass stays under `room + one document`
+    * by construction — an arrival that cannot be a winner (or the
+    * worse-priority candidate it displaces) is rejected THE MOMENT the
+    * retained mass would exceed the open budget, so a skewed mega-source
+    * micro-batch costs O(room / min_tokens) heap entries, never the
+    * slice. The eviction rule is exact, not heuristic: the retained set
+    * after every arrival is precisely the winner set of the arrivals so
+    * far (every retained candidate's preceding retained mass is < room —
+    * if a middle candidate violated this, the worst one would violate it
+    * harder and be evicted first), so decisions are identical to sorting
+    * the whole slice by (pri, doc_id) and walking the prefix.
+    *
+    * Feed arrivals in priority order across batches (the caller contract
+    * shared with [[quotaAdmitTws]]) and the admitted set with its
+    * cumulative token positions is exactly batch q238's shard,
+    * chunk-invariantly (StreamingOpsSpec pins 3-chunk == 7-chunk ==
+    * batch). On restart the state-store checkpoint rolls the counter back
+    * with the batch, so replay cannot double-spend. */
+  class TokenBudgetAdmitProcessor(shards: Map[String, Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TokDoc, TokDecision] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[TokState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TokState](
+        "tok", Encoders.product[TokState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[TokDoc],
+                                 timers: TimerValues): Iterator[TokDecision] = {
+      val shard = shards.getOrElse(source, 0L)
+      val spent0 = Option(state.get()).map(_.spent).getOrElse(0L)
+      val room = shard - spent0
+      def reject(d: TokDoc) = TokDecision(d.doc_id, d.source, 0L, admitted = false)
+      if (room <= 0L) {
+        // saturated: the prefix property says nothing can ever be admitted
+        // again — stream rejections through, the counter does not move
+        rows.map(reject)
+      } else {
+        // worst-of-the-best at the head; total retained mass tracked so an
+        // arrival is rejected the moment it cannot be in the winner prefix
+        val cmp = Ordering.by[TokDoc, (Long, Long)](d => (d.pri, d.doc_id))
+        val heap = new java.util.PriorityQueue[TokDoc](16, cmp.reverse)
+        var mass = 0L
+        val rejections = rows.flatMap { d =>
+          heap.add(d)
+          mass += d.n_tokens
+          // evict while the worst candidate's preceding retained mass
+          // already fills the room (mass − its own tokens ≥ room)
+          var out = List.empty[TokDecision]
+          while (!heap.isEmpty && mass - heap.peek().n_tokens >= room) {
+            val ev = heap.poll()
+            mass -= ev.n_tokens
+            out ::= reject(ev)
+          }
+          out.iterator
+        }
+        // evaluated only once `rows` is exhausted (++ is by-name); the
+        // execution engine keeps the implicit grouping key set around lazy
+        // consumption, so the state write here lands before the batch commits
+        def admitted: Iterator[TokDecision] = {
+          val survivors = new Array[TokDoc](heap.size)
+          var i = survivors.length - 1
+          while (i >= 0) { survivors(i) = heap.poll(); i -= 1 }
+          var cum = spent0
+          val out = survivors.map { d =>
+            cum += d.n_tokens
+            TokDecision(d.doc_id, d.source, cum, admitted = true)
+          }
+          state.update(TokState(cum))
+          out.iterator
+        }
+        rejections ++ admitted
+      }
+    }
+  }
+
+  /** Keyed token-budget admission via transformWithState (Append: one
+    * decision per arrival, never revised). `shards` is q235's plan reduced
+    * to per-source unique-token shard budgets (alloc div cap_epochs — the
+    * q238 gate). */
+  def tokenBudgetAdmitTws(docs: Dataset[TokDoc],
+                          shards: Map[String, Long]): Dataset[TokDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new TokenBudgetAdmitProcessor(shards),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One arrival for [[semanticAdmitTws]]: a vector already assigned to its
     * cluster — assignment is batch-side map work against broadcast (frozen,
     * trained) centroids, exactly q234's shape; the stateful operator only

@@ -121,6 +121,44 @@ class GovernanceSpec extends SparkSpec {
     assert(mean <= 1.0 && recalls.forall(_ >= 0.0))
   }
 
+  test("q238 admission is exactly the per-source sorted token prefix of q235's shards") {
+    // shard budgets re-derived from the q235 plan the admitter must obey
+    val plan = run("q235_token_budget_mix").collect()
+      .map(r => r.getString(0) -> r.getLong(7) / r.getLong(4)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lcg(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+
+    // first principles: per source, walk the (pri, id)-sorted queue and
+    // admit while the running token sum has not yet reached the shard
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val shard = plan(src)
+      var cum = 0L
+      ds.sortBy { case (id, _, _) => (lcg(id), id) }.toSeq.flatMap {
+        case (id, _, nt) =>
+          if (cum < shard) { cum += nt; Some((id, src, nt, cum)) } else None
+      }
+    }.toSet
+
+    val got = run("q238_token_budget_admit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    assert(got === expect, "q238 shard diverged from the sorted-prefix walk")
+    assert(got.size < docs.length,
+      "the per-epoch shard gate must reject something at sf0.001")
+    // shard × epochs never exceeds the source's allocation by more than
+    // one overshooting document per epoch
+    val byCum = got.groupBy(_._2).view.mapValues(_.map(_._4).max).toMap
+    byCum.foreach { case (src, cmax) =>
+      val maxDoc = docs.filter(_._2 == src).map(_._3).max
+      assert(cmax < plan(src) + maxDoc, s"$src overshoots by a whole document")
+    }
+  }
+
   test("q237 split assignment and leak counts match a per-document re-derivation") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()

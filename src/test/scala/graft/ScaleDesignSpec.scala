@@ -646,6 +646,20 @@ class ScaleDesignSpec extends SparkSpec {
       "PQ ADC scan should reach queries via a broadcast nested-loop " +
         "(tiny query side, <> self-exclusion)")
 
+    // q238: shard budgets reach the ranked fact via broadcast only — the
+    // O(sources) plan side must never re-partition the document stream
+    val admit = SparkEntry.queries("q238_token_budget_admit")(spark, sf)
+    val admitShuffledJoins = admit.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(admitShuffledJoins.isEmpty,
+      s"q238 shard budgets must arrive via broadcast:\n" +
+        s"${admit.queryExecution.sparkPlan}")
+    assert(docScans(admit).size === 2,
+      s"q238 reads the corpus ${docScans(admit).size}x " +
+        "(want 2: ranked fact + the O(sources) plan aggregate)")
+
     // q237: digests-only pipeline — one corpus scan, aggregates and a
     // window, no joins anywhere (document bodies never ride a shuffle)
     val leak = SparkEntry.queries("q237_split_leakage_audit")(spark, sf)

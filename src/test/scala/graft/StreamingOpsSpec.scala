@@ -908,4 +908,157 @@ class StreamingOpsSpec extends SparkSpec {
     // n_net reports the cluster's net size at decision time: 1,1,2,2 / 3,3,3,3 / 3,4,4,4
     assert(all.maxBy(_.vec_id).n_net === 4L)
   }
+
+  test("token-budget admission tws equals batch q238 and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{TokDecision, TokDoc}
+    implicit val sqlCtx = spark.sqlContext
+
+    // shard budgets straight from the q235 plan (alloc div cap_epochs — the
+    // q238 gate), so the streaming form admits under the SAME waterline
+    val shards = SparkEntry.queries("q235_token_budget_mix")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(7) / r.getLong(4)).toMap
+
+    // the corpus in the admitter's priority order, token counts computed by
+    // the same expression the batch uses
+    def lcg(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(Long, String, Long)].collect()
+      .map { case (id, src, nt) => TokDoc(id, src, lcg(id), nt) }
+      .sortBy(d => (d.pri, d.doc_id))
+
+    def run(name: String, nChunks: Int): Seq[TokDecision] = {
+      val input = MemoryStream[TokDoc]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.tokenBudgetAdmitTws(input.toDS(), shards)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          docs.grouped(math.max(docs.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[TokDecision].collect().toSeq
+    }
+
+    val a = run("tok_admit_3", 3)
+    val b = run("tok_admit_7", 7)
+    assert(a.toSet === b.toSet, "re-chunking the stream changed a decision")
+    assert(a.size === docs.length, "every arrival gets exactly one decision")
+
+    val batch = SparkEntry.queries("q238_token_budget_admit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    val admitted = a.filter(_.admitted)
+      .map(d => (d.doc_id, d.source, d.cum_tokens)).toSet
+    assert(admitted === batch,
+      "streaming token admission diverged from the batch shard (cum positions included)")
+    assert(a.exists(!_.admitted), "the shard gate must reject something at sf0.001")
+  }
+
+  test("token-budget admission decides a mega-slice like the full sort would") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{TokDecision, TokDoc}
+    implicit val sqlCtx = spark.sqlContext
+
+    // one mega-source, one micro-batch far larger than its token shard:
+    // scrambled pris, varying token sizes. The bounded heap must reproduce
+    // the sort-the-slice-and-walk-the-prefix reference exactly, including
+    // the final overshooting admission.
+    val shard = 1000L
+    val slice = (1L to 5000L).map(d =>
+      TokDoc(d, "mega", (d * 48271L) % 2500L, 1L + d % 7L))
+    val sorted = slice.sortBy(d => (d.pri, d.doc_id))
+    var cum = 0L
+    val expect = sorted.map { d =>
+      val admit = cum < shard
+      if (admit) cum += d.n_tokens
+      TokDecision(d.doc_id, d.source, if (admit) cum else 0L, admit)
+    }.toSet
+
+    val input = MemoryStream[TokDoc]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.tokenBudgetAdmitTws(input.toDS(), Map("mega" -> shard))
+        .writeStream.format("memory").queryName("tok_mega")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(slice)
+        q.processAllAvailable()
+        val got = spark.table("tok_mega").as[TokDecision].collect().toSet
+        assert(got === expect,
+          "bounded mass-tracking heap diverged from the sorted-prefix reference")
+        // saturated source: pass-through rejections, counter frozen
+        input.addData((6000L to 6100L).map(d => TokDoc(d, "mega", d, 1L)))
+        q.processAllAvailable()
+        val after = spark.table("tok_mega").as[TokDecision].collect()
+        assert(after.filter(_.doc_id >= 6000L)
+          .forall(d => !d.admitted && d.cum_tokens == 0L),
+          "a spent shard must reject every later arrival")
+        assert(after.filter(_.admitted).map(_.cum_tokens).max ===
+          expect.filter(_.admitted).map(_.cum_tokens).max,
+          "saturation pass-through must not move the token counter")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("token-budget admission survives a restart without double-spending (checkpointed)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{TokDecision, TokDoc}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_tok_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    // s0 docs carry 3 tokens each against a 7-token shard: cum 3, 6, 9 —
+    // the third admission overshoots, the fourth is rejected; s1 docs carry
+    // 2 against a 3-token shard: cum 2, 4 — overshoot at the second
+    val shards = Map("s0" -> 7L, "s1" -> 3L)
+    def docs(ids: Range) =
+      ids.map(i => TokDoc(i.toLong, s"s${i % 2}", i.toLong, if (i % 2 == 0) 3L else 2L))
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TokDoc].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[TokDoc]
+        val q = StatefulOps.tokenBudgetAdmitTws(src, shards)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // run() between the writes pins cross-batch arrival order (the quota
+    // restart test's discipline) — pri = doc_id and ids ascend
+    docs(1 to 4).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    docs(5 to 8).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // restart with no new input: the sink's commit log re-emits nothing
+    run()
+    assert(spark.read.parquet(outDir).count() === 8L)
+
+    // arrivals after the restart: a token counter that reset would re-open
+    // both shards and admit 9-12; persisted counters must reject them all
+    docs(9 to 12).toDS().repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val all = spark.read.parquet(outDir).as[TokDecision].collect()
+    assert(all.length === 12, "every arrival decided exactly once across restarts")
+    // s0 arrivals 2,4,6,8,10,12 at 3 tokens, shard 7 → cum 3,6,9 admits
+    // 2,4,6 (9 overshoots) then saturation; s1 arrivals 1,3,5,... at 2
+    // tokens, shard 3 → cum 2,4 admits 1,3 then saturation
+    assert(all.filter(_.admitted).map(d => (d.doc_id, d.cum_tokens)).sorted.toSeq
+      === Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 6L), (6L, 9L)))
+  }
 }
