@@ -651,31 +651,41 @@ object SimilarityQueries {
               |  SELECT vec_id AS cent_id, m, sv AS csub FROM subs
               |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
               |          % 2147483647 % 31 = 0
+              |), centsrk AS (
+              |  SELECT cent_id, m, csub,
+              |         CAST(row_number() OVER (PARTITION BY m
+              |           ORDER BY cent_id) AS BIGINT) crk
+              |  FROM cents
               |), asg AS (
-              |  SELECT s.vec_id, s.m, c.cent_id, c.csub,
+              |  SELECT s.vec_id, s.m, c.cent_id, c.crk,
               |         list_reduce(list_transform(range(1, len(s.sv) + 1),
               |           i -> (s.sv[i] - c.csub[i]) * (s.sv[i] - c.csub[i])),
               |           (x, y) -> x + y) AS l2
-              |  FROM subs s JOIN cents c USING (m)
+              |  FROM subs s JOIN centsrk c USING (m)
               |), best AS (
-              |  SELECT vec_id, m, csub FROM (
+              |  SELECT vec_id, m, crk FROM (
               |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
               |                                 ORDER BY l2, cent_id DESC) rn
               |    FROM asg
               |  ) WHERE rn = 1
-              |), rv AS (
-              |  SELECT vec_id, flatten(list(csub ORDER BY m)) rv
-              |  FROM best GROUP BY vec_id
-              |), pv AS (
-              |  SELECT vec_id, flatten(list(sv ORDER BY m)) pv
-              |  FROM subs GROUP BY vec_id
-              |), q AS (
-              |  SELECT vec_id AS query_id, pv FROM pv WHERE vec_id % 50 = 0
+              |), codes AS (
+              |  SELECT vec_id, list(crk ORDER BY m) cd FROM best GROUP BY vec_id
+              |), qlut AS (
+              |  SELECT vec_id AS query_id, list(dot ORDER BY m, crk) lut,
+              |         CAST(max(crk) AS BIGINT) nc
+              |  FROM (
+              |    SELECT s.vec_id, c.m, c.crk,
+              |           list_reduce(list_transform(range(1, len(s.sv) + 1),
+              |             i -> s.sv[i] * c.csub[i]), (x, y) -> x + y) dot
+              |    FROM subs s JOIN centsrk c USING (m)
+              |    WHERE s.vec_id % 50 = 0
+              |  ) GROUP BY vec_id
               |), cand AS (
-              |  SELECT q.query_id, r.vec_id AS neighbor_id,
-              |         list_reduce(list_transform(range(1, len(q.pv) + 1),
-              |           i -> q.pv[i] * r.rv[i]), (x, y) -> x + y) sc
-              |  FROM q JOIN rv r ON r.vec_id <> q.query_id
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         q.lut[a.cd[1]] + q.lut[q.nc + a.cd[2]]
+              |           + q.lut[2 * q.nc + a.cd[3]]
+              |           + q.lut[3 * q.nc + a.cd[4]] AS sc
+              |  FROM qlut q JOIN codes a ON a.vec_id <> q.query_id
               |), pruned AS (
               |  SELECT query_id, neighbor_id,
               |         row_number() OVER (PARTITION BY query_id
@@ -709,21 +719,24 @@ object SimilarityQueries {
         "the corpus's own subvectors, and a database vector is thereafter " +
         "REPRESENTED by 4 small codes: memory per vector is 4 code ids " +
         "instead of 64 floats, the 16×-and-beyond compression that lets " +
-        "a 100 TB corpus's index live in executor memory. Retrieval is " +
-        "asymmetric distance computation: the query stays exact and " +
-        "scores each candidate against its RECONSTRUCTION (the " +
-        "concatenated assigned centroid subvectors, assembled in fixed " +
-        "subspace order so the fold order — and therefore every double — " +
-        "is bit-identical across engines), then the 32 ADC survivors " +
-        "re-rank by exact cosine through an id-only join (q67's " +
-        "discipline: full vectors never ride the prune shuffle). " +
-        "Candidate pruning uses the salted two-phase top-k; recall loss " +
-        "lives only between ADC rank 32 and k, and the oracle replays " +
-        "the identical pipeline so the check is hash-exact, not " +
-        "recall-tolerant. At 100 TB the codebooks are q86-trained " +
-        "per-subspace k-means (broadcast, a few KB) and the scan reads " +
-        "4 bytes of codes per vector — the FAISS IVFPQ layout minus the " +
-        "IVF gate q66 already provides."
+        "a 100 TB corpus's index live in executor memory — and the scan " +
+        "actually READS that layout: candidate rows carry only their 4 " +
+        "codes, never a float vector. Retrieval is asymmetric distance " +
+        "computation via per-query lookup tables: each query " +
+        "pre-computes its dot product against every codebook entry (4 × " +
+        "|codebook| doubles, broadcast with the query), a candidate's " +
+        "score is FOUR table lookups added in fixed subspace order " +
+        "(bit-identical across engines — no reduction-order ambiguity), " +
+        "and the 32 ADC survivors re-rank by exact cosine through an " +
+        "id-only join (q67's discipline: full vectors never ride the " +
+        "prune shuffle). Candidate pruning uses the salted two-phase " +
+        "top-k; recall loss lives only between ADC rank 32 and k, and " +
+        "the oracle replays the identical pipeline so the check is " +
+        "hash-exact, not recall-tolerant. At 100 TB the codebooks are " +
+        "q86-trained per-subspace k-means (broadcast, a few KB), the " +
+        "code table is 4 small ints per vector, and ADC bandwidth is " +
+        "lookups, not multiplies — the FAISS IVFPQ layout minus the IVF " +
+        "gate q66 already provides."
     ) { (s, dir) =>
       val e = normed(s, dir)
       val subs = e
@@ -735,31 +748,47 @@ object SimilarityQueries {
         ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
           % 2147483647L % 31 === 0)
         .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("csub"))
+      // per-subspace codebook rank: the 1-based index a CODE stores and a
+      // query LUT is addressed by (the same ids are sampled in every
+      // subspace, so the rank range is uniform across m)
+      val centsrk = cents.withColumn("crk",
+        row_number().over(Window.partitionBy("m").orderBy("cent_id")).cast("long"))
       val l2 = aggregate(
         zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
-      // min(struct(l2, -cent_id, csub)) == ORDER BY l2 ASC, cent_id DESC:
+      // min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
       // l2 is a sum of squares so only +0.0 occurs, never the -0.0
       // struct-ordering hazard; -cent_id makes the integer tie-break exact
-      val best = subs.join(broadcast(cents), "m")
+      val best = subs.join(broadcast(centsrk), "m")
         .select(col("vec_id"), col("m"), l2.as("l2"),
-          (-col("cent_id")).as("nc"), col("csub"))
+          (-col("cent_id")).as("negc"), col("crk"))
         .groupBy("vec_id", "m")
-        .agg(min(struct(col("l2"), col("nc"), col("csub"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.csub").as("csub"))
-      // deterministic assembly: collect the 4 subspaces, sort by m, flatten
-      def assemble(df: DataFrame, sub: String, out: String): DataFrame =
-        df.groupBy("vec_id").agg(
-          flatten(transform(
-            sort_array(collect_list(struct(col("m"), col(sub)))),
-            p => p(sub))).as(out))
-      val rv = assemble(best, "csub", "rv")
-      val pq = assemble(subs, "sv", "pv")
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("pv"))
-      val cand = rv.join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .agg(min(struct(col("l2"), col("negc"), col("crk"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.crk").as("crk"))
+      // the PQ index proper: 4 small codes per vector, assembled in fixed
+      // subspace order — this is ALL the candidate scan ever reads
+      val codes = best.groupBy("vec_id").agg(
+        transform(sort_array(collect_list(struct(col("m"), col("crk")))),
+          p => p("crk")).as("cd"))
+      // per-query ADC lookup table: dot of the query's m-th subvector with
+      // every rank-m codebook entry, flattened in (m, crk) order; `nc` (the
+      // rank range) travels with it for flat addressing
+      val qlut = subs.filter(col("vec_id") % 50 === 0)
+        .join(broadcast(centsrk), "m")
+        .select(col("vec_id").as("query_id"), col("m"), col("crk"),
+          dotd(col("sv"), col("csub")).as("dot"))
+        .groupBy("query_id")
+        .agg(transform(
+            sort_array(collect_list(struct(col("m"), col("crk"), col("dot")))),
+            p => p("dot")).as("lut"),
+          max("crk").as("nc"))
+      // candidate score = four LUT reads added in fixed subspace order —
+      // no reduction-order ambiguity, so both engines agree bitwise
+      def lutAt(m: Int) = element_at(col("lut"),
+        (lit(m.toLong) * col("nc") + col("cd").getItem(m)).cast("int"))
+      val cand = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          dotd(col("pv"), col("rv")).as("sc"))
+          (lutAt(0) + lutAt(1) + lutAt(2) + lutAt(3)).as("sc"))
       val salted = Window
         .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
         .orderBy(col("sc").desc, col("neighbor_id"))

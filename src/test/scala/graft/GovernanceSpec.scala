@@ -54,7 +54,7 @@ class GovernanceSpec extends SparkSpec {
       "sf0.001 must exercise both saturated and proportional branches")
   }
 
-  test("q236 reconstructions are the nearest sampled centroid subvectors, and ADC recall holds") {
+  test("q236 codes are the nearest sampled centroid subvectors, and LUT-ADC recall holds") {
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .toMap
@@ -71,14 +71,9 @@ class GovernanceSpec extends SparkSpec {
     assert(centIds.size > 4, "centroid sample too small to be meaningful")
 
     // brute-force PQ: per subspace, nearest centroid subvector (ties -> larger id)
-    def reconstruct(v: Array[Double]): Array[Double] = {
-      val bySub = (0 until 4).map { m =>
-        val sv = sub(v, m)
-        centIds.map(c => (l2(sv, sub(vecs(c), m)), -c, c))
-          .min match { case (_, _, win) => sub(vecs(win), m) }
-      }
-      // strided flatten in subspace order — the query's fixed assembly
-      bySub.toArray.flatten
+    def code(v: Array[Double], m: Int): Long = {
+      val sv = sub(v, m)
+      centIds.map(c => (l2(sv, sub(vecs(c), m)), -c, c)).min._3
     }
 
     val out = run("q236_pq_ann").collect()
@@ -86,12 +81,16 @@ class GovernanceSpec extends SparkSpec {
     val queries = out.map(_._1).distinct.sorted
     assert(queries.nonEmpty && out.groupBy(_._1).values.forall(_.length == 10))
 
-    // ADC candidate scoring on the brute-force reconstructions must produce
-    // the same top-32 -> exact-rerank top-10 as the query
+    // LUT-shaped ADC on the brute-force codes must produce the same
+    // top-32 -> exact-rerank top-10 as the query: one dot per subspace
+    // against the assigned codebook entry, the four partials added in
+    // subspace order (the query's fixed LUT-sum grouping)
     queries.foreach { q =>
-      val pv = (0 until 4).flatMap(m => sub(vecs(q), m)).toArray
       val adc = vecs.keys.filter(_ != q).map { id =>
-        val sc = pv.zip(reconstruct(vecs(id))).map { case (x, y) => x * y }.sum
+        val sc = (0 until 4).foldLeft(0.0) { (acc, m) =>
+          acc + sub(vecs(q), m).zip(sub(vecs(code(vecs(id), m)), m))
+            .map { case (x, y) => x * y }.sum
+        }
         (id, sc)
       }.toSeq
       val top32 = adc.sortBy { case (id, sc) => (-sc, id) }.take(32).map(_._1)
