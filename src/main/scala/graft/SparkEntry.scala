@@ -27,7 +27,8 @@ object SparkEntry {
       operators.AnalyticsQueries.all ++
       operators.StatQueries.all ++
       operators.CurationQueries.all ++
-      operators.SelectionQueries.all
+      operators.SelectionQueries.all ++
+      operators.RefineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own pipeline in batch form — Avro decode(encode(row))

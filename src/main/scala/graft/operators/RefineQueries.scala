@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus refinement & embedding-index maintenance family — the passes a
+  * training-data pipeline runs AFTER cleaning and selection to shape what
+  * survives: CCNet-style perplexity bucketing of each language stratum
+  * (q239), within-document repeated-span scrubbing (q240, the intra-doc
+  * counterpart of q114's cross-corpus span dedup), and the IVF
+  * assignment-drift audit (q241) that decides when the q66/q230 centroid
+  * index needs retraining as the corpus distribution moves.
+  *
+  * Shared machinery: q239 scores documents with q99's rare-bigram LM proxy
+  * (the transcendental-free perplexity stand-in — one bigram definition for
+  * the whole engine, `TextQueries.bigramArray`'s contract); q241 rides
+  * `SelectionQueries.assigned` — the SAME deterministic centroid assignment
+  * that serves IVF retrieval (q66), SemDeDup (q230) and prototypicality
+  * pruning (q232), so the drift monitor watches the index the other three
+  * actually use.
+  *
+  * Reference scope: the reference pipeline replicates whatever the topic
+  * carries (`ReplicationApplication.java:63-78` moves records verbatim);
+  * these operators are part of the mandated LLM-data-pipeline extension
+  * surface, not translations of reference code.
+  */
+object RefineQueries {
+
+  /** ppm shift at which q241 flags a cell for index rebalance: 2% of the
+    * corpus moving in or out of one cell is the classic "retrain the
+    * coarse quantizer" trigger (cell-size imbalance degrades both recall
+    * and probe cost roughly linearly past this point). */
+  private val RebalancePpm = 20000L
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q239_perplexity_buckets",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 2
+             |), st AS (
+             |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+             |           i -> w[i] || ' ' || w[i+1])) s
+             |  FROM t
+             |), cnt AS (
+             |  SELECT s, count(*) c FROM st GROUP BY s
+             |), nov AS (
+             |  SELECT st.doc_id, st.lang,
+             |         CAST(count(*) AS BIGINT) AS n_bigrams,
+             |         (10000 * count(*) FILTER (WHERE cnt.c <= 2)) // count(*) AS bp
+             |  FROM st JOIN cnt USING (s)
+             |  GROUP BY st.doc_id, st.lang
+             |), rb AS (
+             |  SELECT *,
+             |         row_number() OVER (PARTITION BY lang ORDER BY bp, doc_id) rk,
+             |         count(*) OVER (PARTITION BY lang) nl
+             |  FROM nov
+             |), b AS (
+             |  SELECT *, (3 * (rk - 1)) // nl AS bid FROM rb
+             |)
+             |SELECT lang,
+             |       CASE bid WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             |                ELSE 'tail' END AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_bigrams) AS BIGINT) AS mass_bigrams,
+             |       CAST(min(bp) AS BIGINT) AS bp_min,
+             |       CAST(max(bp) AS BIGINT) AS bp_max
+             |FROM b GROUP BY lang, bucket
+             |ORDER BY lang, bucket""".stripMargin),
+      "CCNet-style perplexity bucketing: each language stratum splits into " +
+        "head/middle/tail thirds by LM score, so the mixer can oversample " +
+        "the head (lowest-perplexity = cleanest) and audit what the tail " +
+        "holds before discarding it. The score is q99's rare-bigram rate " +
+        "in basis points — the integer-exact perplexity proxy (a real " +
+        "log-prob would drift across engines; a count ratio cannot), and " +
+        "ONE bigram definition serves q64/q85/q99 and this gate. Tercile " +
+        "membership is integer rank arithmetic, (3·(rk−1)) div n — " +
+        "deterministic under ties via the (bp, doc_id) total order, no " +
+        "interpolated quantile to disagree on. The Spark plan: hashed " +
+        "bigrams shuffle once to count, once to score (q99's shape), " +
+        "then ONE per-lang exchange computes rank and stratum size " +
+        "together. At 100 TB the per-lang window would funnel a billion-" +
+        "doc stratum through one sort — the swap is q104's mergeable " +
+        "histogram over bp (10k integer buckets): two bucket-boundary " +
+        "cuts per lang from a map-side sketch, bucket assignment becomes " +
+        "a broadcast compare, and the exact-rank form stays as the " +
+        "oracle-checkable contract the sketch is bounded against (the " +
+        "q57/q73 discipline)."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      // stage the token-hash array BEFORE indexing (the q64 lesson:
+      // inlined, element_at re-evaluates the transform at every site)
+      val st = Tables.documents(s, dir)
+        .filter(size(w) >= 2)
+        .select(col("doc_id"), col("lang"), transform(w, t => xxhash64(t)).as("hw"))
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("hw")) - 1),
+            i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
+            .as("s"))
+      val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
+      val nov = st.join(cnt, "s")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("c") <= 2, 1)).as("n_rare"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          expr("(10000 * n_rare) div n_bigrams").as("bp"))
+      val byLang = Window.partitionBy("lang")
+      nov
+        .withColumn("rk", row_number().over(byLang.orderBy(col("bp"), col("doc_id"))))
+        .withColumn("nl", count(lit(1)).over(byLang))
+        .withColumn("bid", expr("(3 * (rk - 1)) div nl"))
+        .groupBy(col("lang"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("bid").cast("int") + 1).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("mass_bigrams"),
+          min(col("bp")).as("bp_min"),
+          max(col("bp")).as("bp_max"))
+        .orderBy("lang", "bucket")
+    },
+
+    GraftQuery(
+      "q240_intradoc_repeat_scrub",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 3
+             |), g AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |         list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+             |  FROM t
+             |), r AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(len(grams) AS BIGINT) AS n_grams,
+             |         list_filter(range(1, len(grams) + 1),
+             |           i -> list_position(grams, grams[i]) < i) AS rep
+             |  FROM g
+             |), m AS (
+             |  SELECT doc_id, n_tokens, n_grams,
+             |         CAST(len(rep) AS BIGINT) AS n_repeat,
+             |         CAST(len(list_distinct(flatten(list_transform(rep,
+             |                i -> range(i, i + 3))))) AS BIGINT) AS removed_tokens
+             |  FROM r
+             |)
+             |SELECT doc_id, n_tokens, n_grams, n_repeat, removed_tokens,
+             |       (1000000 * (n_tokens - removed_tokens)) // n_tokens AS kept_ppm
+             |FROM m ORDER BY doc_id""".stripMargin),
+      "Within-document repeated-span scrub — the intra-doc counterpart of " +
+        "q114's corpus-wide exact-substring dedup and the REMOVAL form of " +
+        "q227's repetition profile (Gopher profiles and gates; this " +
+        "operator reports exactly which token mass a scrub would delete): " +
+        "a 3-gram occurrence is a repeat iff the identical 3 consecutive " +
+        "tokens appeared earlier in the SAME document, and the removed " +
+        "mass is the union of the repeats' [i, i+2] spans, overlap " +
+        "counted once. The entire computation is row-local array " +
+        "algebra — token hashes, gram hashes, first-occurrence via " +
+        "array_position, span union via flatten+distinct — so the plan " +
+        "is scan → project → presentation sort: ZERO data shuffles, " +
+        "embarrassingly parallel at any corpus size, the ideal 100 TB " +
+        "shape (the within-doc first-occurrence scan is quadratic only " +
+        "in DOCUMENT length, which the ingest gate bounds — corpus size " +
+        "never enters). Hashed grams keep the strings from " +
+        "materializing; q99's zero-collision evidence covers the same " +
+        "xxhash64 composite."
+    ) { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      Tables.documents(s, dir)
+        .filter(size(w) >= 3)
+        .select(col("doc_id"), transform(w, t => xxhash64(t)).as("hw"))
+        .select(col("doc_id") +: triGramCols: _*)
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("g")).cast("long").as("n_grams"),
+          filter(sequence(lit(1), size(col("g"))),
+            i => array_position(col("g"), element_at(col("g"), i)) < i).as("rep"))
+        .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+          size(col("rep")).cast("long").as("n_repeat"),
+          size(array_distinct(flatten(transform(col("rep"),
+            i => sequence(i, i + 2))))).cast("long").as("removed_tokens"))
+        .withColumn("kept_ppm",
+          expr("(1000000 * (n_tokens - removed_tokens)) div n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q241_ivf_drift_audit",
+      Some(s"""${SelectionQueries.assignedSql}, cell AS (
+              |  SELECT cent_id,
+              |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              |           AS BIGINT) AS n_old,
+              |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+              |           AS BIGINT) AS n_new
+              |  FROM assigned GROUP BY cent_id
+              |), tot AS (
+              |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+              |         CAST(sum(n_new) AS BIGINT) AS t_new
+              |  FROM cell
+              |), p AS (
+              |  SELECT c.cent_id, c.n_old, c.n_new,
+              |         (1000000 * c.n_old) // nullif(t.t_old, 0) AS ppm_old,
+              |         (1000000 * c.n_new) // nullif(t.t_new, 0) AS ppm_new
+              |  FROM cell c, tot t
+              |)
+              |SELECT cent_id, n_old, n_new, ppm_old, ppm_new,
+              |       abs(ppm_new - ppm_old) AS shift_ppm,
+              |       (abs(ppm_new - ppm_old) > $RebalancePpm) AS rebalance
+              |FROM p ORDER BY cent_id""".stripMargin),
+      "IVF index-maintenance drift audit: as the corpus grows, the " +
+        "coarse-quantizer cells trained on yesterday's distribution " +
+        "drift — cells bloat or empty, and both probe cost and recall " +
+        "degrade. This operator splits the corpus into epochs (even " +
+        "vec_id = indexed baseline, odd = new arrivals — in production " +
+        "the epoch is an ingest-date column), assigns BOTH through the " +
+        "frozen q66 centroid rule (`SelectionQueries.assigned`, the one " +
+        "assignment pipeline shared by retrieval/SemDeDup/pruning — the " +
+        "monitor watches the index the engine actually serves), and " +
+        "reports per-cell mass in integer ppm of each epoch with a 2% " +
+        "shift flag — the classic retrain-the-quantizer trigger. Plan: " +
+        "broadcast centroids, map-side max_by assignment (no shuffle to " +
+        "assign), ONE cells-sized aggregate; the epoch totals ride a " +
+        "single-series window over that aggregate (q135's post-agg " +
+        "pattern) — the single partition holds index METADATA, thousands " +
+        "of cells at 100 TB, never corpus rows, so nothing scales with " +
+        "corpus size except the embarrassingly parallel assignment scan. " +
+        "Integer ppm via div keeps both engines bit-identical; nullif " +
+        "guards the single-epoch degenerate corpus."
+    ) { (s, dir) =>
+      val a = SelectionQueries.assigned(s, dir).select(col("vec_id"), col("cent_id"))
+      val cell = a.groupBy("cent_id").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+      val all = Window.partitionBy(lit(1))
+      cell
+        .withColumn("t_old", sum(col("n_old")).over(all))
+        .withColumn("t_new", sum(col("n_new")).over(all))
+        .select(col("cent_id"), col("n_old"), col("n_new"),
+          expr("(1000000 * n_old) div nullif(t_old, 0)").as("ppm_old"),
+          expr("(1000000 * n_new) div nullif(t_new, 0)").as("ppm_new"))
+        .withColumn("shift_ppm", abs(col("ppm_new") - col("ppm_old")))
+        .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
+        .orderBy("cent_id")
+    }
+  )
+
+  /** q240's staged gram projection: n_tokens plus the hashed-3-gram array,
+    * built from the staged token-hash column so each token hashes once.
+    * 3-gram granularity keeps the repeat machinery LIVE on the synthetic
+    * corpus (5-grams never repeat within a document there — the fence
+    * would pass vacuously); production scrubs raise the order. */
+  private def triGramCols: Seq[org.apache.spark.sql.Column] = Seq(
+    size(col("hw")).cast("long").as("n_tokens"),
+    transform(sequence(lit(1), size(col("hw")) - 2),
+      i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1),
+        element_at(col("hw"), i + 2))).as("g"))
+}

@@ -40,7 +40,7 @@ object SelectionQueries {
     * index already maintains. `cc` is the cosine to the assigned centroid
     * (q232's prototypicality score). Ties break toward the larger cent_id,
     * matching the replay oracle's ORDER BY cc DESC, cent_id DESC. */
-  private def assigned(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def assigned(s: SparkSession, dir: String): DataFrame = {
     val CentStride = 50
     val n = SimilarityQueries.normed(s, dir)
     val cents = n.filter(
@@ -60,7 +60,7 @@ object SelectionQueries {
     * prologue extended with the per-vector centroid cosine, shared by the
     * q230 and q232 oracles so a centroid-rule tweak moves both with the
     * engine. */
-  private val assignedSql: String =
+  private[operators] val assignedSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
       |), n AS (

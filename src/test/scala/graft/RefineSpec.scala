@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Refinement-family invariants beyond the DuckDB replay oracles: q240's
+  * span-union scrub re-derived by a sequential reference implementation,
+  * q239's tercile partition/balance/boundary laws, and q241's conservation
+  * and flag laws against the shared centroid-assignment pipeline.
+  */
+class RefineSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q240 matches a sequential intra-doc scrub reference") {
+    val got = run("q240_intradoc_repeat_scrub").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var nonZeroRepeats = 0
+    docs.foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ", -1) // -1: keep trailing empties, like split()
+      if (w.length >= 3) {
+        val grams = w.sliding(3).map(_.mkString(" ")).toArray
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        val repStarts = grams.zipWithIndex.flatMap { case (g, i0) =>
+          val first = seen.getOrElseUpdate(g, i0)
+          if (first < i0) Some(i0) else None
+        }
+        val removed = repStarts.flatMap(i0 => i0 to (i0 + 2)).distinct.length
+        val expect = (w.length.toLong, grams.length.toLong,
+          repStarts.length.toLong, removed.toLong,
+          (1000000L * (w.length - removed)) / w.length)
+        assert(got(id) === expect, s"doc $id")
+        if (repStarts.nonEmpty) nonZeroRepeats += 1
+      } else assert(!got.contains(id), s"doc $id under 3 tokens must be absent")
+    }
+    // the gate must be live, not vacuous: the corpus has intra-doc repeats
+    assert(nonZeroRepeats > 0, "no doc exercised the repeat machinery")
+  }
+
+  test("q239 terciles partition each stratum, balanced, with ordered boundaries") {
+    val rows = run("q239_perplexity_buckets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+
+    // independent stratum sizes: docs with >= 2 tokens per lang
+    val strata = Tables.documents(spark, sf)
+      .filter(size(split(lower(col("text")), " ")) >= 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._3).sum === strata(lang), s"$lang buckets must partition")
+      // integer-rank terciles are balanced within one document
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1, s"$lang balance")
+      // head/middle/tail in score order: each bucket's max <= next's min
+      val ord = Seq("head", "middle", "tail").flatMap(b => bs.find(_._2 == b))
+      assert(ord.map(_._2) === bs.sortBy(_._2).map(_._2).toSeq, s"$lang names")
+      ord.sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo._6 <= hi._5,
+          s"$lang ${lo._2} max bp ${lo._6} > ${hi._2} min bp ${hi._5}")
+        case _ =>
+      }
+    }
+  }
+
+  test("q241 conserves mass, obeys the centroid rule, and flags exactly >2%") {
+    val rows = run("q241_ivf_drift_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty, "sf0.001 has centroids; audit must be non-empty")
+
+    // every vector lands in exactly one cell: epoch masses sum to the corpus
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum === nVec, "assignment must conserve")
+
+    rows.foreach { case (cent, nOld, nNew, ppmOld, ppmNew, shift, rebal) =>
+      // cent_id really is a sampled centroid (the shared q66 LCG rule)
+      assert(((cent % 2147483647L) * 1103515245L + 12345L)
+        % 2147483647L % 50 === 0L, s"cell $cent not a centroid")
+      assert(shift === math.abs(ppmNew - ppmOld), s"cell $cent shift")
+      assert(rebal === (shift > 20000L), s"cell $cent flag")
+    }
+
+    // truncating div: each epoch's ppm column sums to 1e6 less at most
+    // one ulp-per-cell of truncation loss
+    val sumOld = rows.map(_._4).sum
+    assert(sumOld <= 1000000L && sumOld >= 1000000L - rows.length,
+      s"ppm_old mass $sumOld")
+    val sumNew = rows.map(_._5).sum
+    assert(sumNew <= 1000000L && sumNew >= 1000000L - rows.length,
+      s"ppm_new mass $sumNew")
+  }
+}

@@ -282,7 +282,8 @@ class ScaleDesignSpec extends SparkSpec {
       "q232_prototypicality_prune" -> "q66's ~2% LCG-sampled centroid side",
       "q234_incremental_semdedup" -> "frozen trained-centroid side (q66's rule over the existing corpus)",
       "q236_pq_ann" -> ("q43's 2% hash-sampled broadcast query side (ADC " +
-        "scan) and q66's ~3% LCG-sampled codebook side (assignment)"))
+        "scan) and q66's ~3% LCG-sampled codebook side (assignment)"),
+      "q241_ivf_drift_audit" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
@@ -668,5 +669,40 @@ class ScaleDesignSpec extends SparkSpec {
     assert(leak.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.isEmpty,
       "leak audit must not join anything — fp flag is a window over the " +
         "aggregated (fp, split) pairs")
+  }
+
+  test("refine plans: intra-doc scrub shuffle-free, drift audit broadcast-only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+
+    // q240: the whole scrub is row-local array algebra — in the EXECUTABLE
+    // plan the only exchange allowed is the presentation sort's range
+    // partitioning (q226's discipline); a hash or single-partition
+    // exchange means a per-gram aggregate crept in
+    val scrub = SparkEntry.queries("q240_intradoc_repeat_scrub")(spark, sf)
+    val scrubPlan = physicalPlan(scrub)
+    assert(!scrubPlan.contains("hashpartitioning") &&
+      !scrubPlan.contains("SinglePartition"),
+      s"intra-doc scrub must be scan→project→sort:\n$scrubPlan")
+    assert(scrubPlan.contains("rangepartitioning"),
+      s"presentation sort should plan as a range exchange:\n$scrubPlan")
+
+    // q241: epoch totals reach the cells via broadcast — the only shuffled
+    // join keys allowed are none at all (cells aggregate + broadcast total)
+    val drift = SparkEntry.queries("q241_ivf_drift_audit")(spark, sf)
+    val driftShuffledJoins = drift.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(driftShuffledJoins.isEmpty,
+      s"drift audit totals must arrive via broadcast:\n" +
+        s"${drift.queryExecution.sparkPlan}")
+    val embScans = drift.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("embeddings")) => sc
+    }
+    // assignment (fact + centroid sample) is 2 scans; a 3rd would mean the
+    // epoch split re-reads the corpus instead of riding the assignment
+    assert(embScans.size === 2,
+      s"drift audit reads embeddings ${embScans.size}x (want 2: fact + centroids)")
   }
 }
