@@ -450,6 +450,108 @@ object CurationQueries {
           expr("n_leaked * 1000000 div n_docs").as("leak_ppm"),
           col("first_leaked_doc"))
         .orderBy("split")
+    },
+
+    GraftQuery(
+      "q242_classifier_gate",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text, string_split(lower(text), ' ') w
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(text) AS BIGINT) n_chars,
+             |    CAST(len(w) AS BIGINT) n_tokens,
+             |    list_reduce(list_transform(w, x -> CAST(len(x) AS BIGINT)),
+             |                (a,b) -> a+b) sum_tok_len,
+             |    CAST(len(list_filter(w, x ->
+             |      list_contains(['the','a','and','of'], x))) AS BIGINT) n_stop,
+             |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
+             |      n_punct,
+             |    CAST(len(list_distinct(w)) AS BIGINT) n_uniq
+             |  FROM t
+             |), f AS (
+             |  SELECT doc_id, lang,
+             |    (1000 * sum_tok_len) // n_tokens AS atl_milli,
+             |    (10000 * n_stop) // n_tokens AS stop_bp,
+             |    coalesce((10000 * n_punct) // nullif(n_chars, 0), 10000)
+             |      AS punct_bp,
+             |    (10000 * n_uniq) // n_tokens AS ttr_bp
+             |  FROM m
+             |), wt(lang, w_atl, w_stop, w_punct, w_ttr, bias) AS (
+             |  VALUES ('de', 2, 30, -40, -5, -7700),
+             |         ('en', 2, 30, -40, -5, -4200),
+             |         ('es', 2, 30, -40, -5, -6400),
+             |         ('fr', 2, 30, -40, -5, -9400),
+             |         ('zh', 2,  0, -40, -5, 12600)
+             |), g AS (
+             |  SELECT f.doc_id, f.lang, f.atl_milli, f.stop_bp, f.punct_bp,
+             |    f.ttr_bp,
+             |    CAST(coalesce(w.w_atl, 2) * f.atl_milli
+             |       + coalesce(w.w_stop, 30) * f.stop_bp
+             |       + coalesce(w.w_punct, -40) * f.punct_bp
+             |       + coalesce(w.w_ttr, -5) * f.ttr_bp
+             |       + coalesce(w.bias, -20000) AS BIGINT) AS logit
+             |  FROM f LEFT JOIN wt w ON f.lang = w.lang
+             |)
+             |SELECT doc_id, lang, atl_milli, stop_bp, punct_bp, ttr_bp,
+             |       logit, (logit > 0) AS passed
+             |FROM g ORDER BY doc_id""".stripMargin),
+      "Frozen-classifier quality gate — model-based filtering in the " +
+        "DCLM / fastText-classifier shape: a per-language linear model " +
+        "over q46's exact feature definitions (mean token length in " +
+        "milli, stopword / punctuation / type-token ratios in basis " +
+        "points — ONE feature contract serves the profiler and the gate) " +
+        "scores every document with an integer logit; pass = logit > 0. " +
+        "The weight matrix is the curator's frozen policy artifact: " +
+        "per-language rows (zh zeroes the Latin-stopword weight; biases " +
+        "calibrated per stratum, exactly CCNet's per-language threshold " +
+        "practice) delivered by a BROADCAST left join, with strict " +
+        "defaults (bias -20000) so an unknown language fails toward " +
+        "reject, and empty text coalesces punct_bp to 10000 — the gate " +
+        "fails closed on degenerate rows, the q229 discipline. All " +
+        "integer arithmetic: the same bits fall out of any engine, and " +
+        "a margin audit can bucket logits without float drift. Scale: " +
+        "one corpus scan of per-row map work joined to a KB-sized " +
+        "broadcast — no shuffle touches document rows; retraining the " +
+        "classifier only replaces the tiny weights table, never the " +
+        "plan. In production the weights row count is O(languages); the " +
+        "gate composes with q229's funnel as just another survivor stage."
+    ) { (s, dir) =>
+      import s.implicits._
+      val wts = broadcast(Seq(
+        ("de", 2L, 30L, -40L, -5L, -7700L),
+        ("en", 2L, 30L, -40L, -5L, -4200L),
+        ("es", 2L, 30L, -40L, -5L, -6400L),
+        ("fr", 2L, 30L, -40L, -5L, -9400L),
+        ("zh", 2L, 0L, -40L, -5L, 12600L))
+        .toDF("lang", "w_atl", "w_stop", "w_punct", "w_ttr", "bias"))
+      val w = split(lower(col("text")), " ")
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(w).cast("long").as("n_tokens"),
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L),
+          (a, b) => a + b).as("sum_tok_len"),
+        markerCount(w, enM).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_punct"),
+        size(array_distinct(w)).cast("long").as("n_uniq"))
+      val f = m.select(col("doc_id"), col("lang"),
+        expr("(1000 * sum_tok_len) div n_tokens").as("atl_milli"),
+        expr("(10000 * n_stop) div n_tokens").as("stop_bp"),
+        coalesce(expr("(10000 * n_punct) div nullif(n_chars, 0)"), lit(10000L))
+          .as("punct_bp"),
+        expr("(10000 * n_uniq) div n_tokens").as("ttr_bp"))
+      f.join(wts, Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("atl_milli"), col("stop_bp"),
+          col("punct_bp"), col("ttr_bp"),
+          (coalesce(col("w_atl"), lit(2L)) * col("atl_milli")
+            + coalesce(col("w_stop"), lit(30L)) * col("stop_bp")
+            + coalesce(col("w_punct"), lit(-40L)) * col("punct_bp")
+            + coalesce(col("w_ttr"), lit(-5L)) * col("ttr_bp")
+            + coalesce(col("bias"), lit(-20000L))).cast("long").as("logit"))
+        .withColumn("passed", col("logit") > 0L)
+        .orderBy("doc_id")
     })
 
   /** `base31Fold(source)` in the oracles' DuckDB dialect — the policy /

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * training-data pipeline runs AFTER cleaning and selection to shape what
   * survives: CCNet-style perplexity bucketing of each language stratum
   * (q239), within-document repeated-span scrubbing (q240, the intra-doc
-  * counterpart of q114's cross-corpus span dedup), and the IVF
+  * counterpart of q114's cross-corpus span dedup), the IVF
   * assignment-drift audit (q241) that decides when the q66/q230 centroid
-  * index needs retraining as the corpus distribution moves.
+  * index needs retraining as the corpus distribution moves, and the
+  * reproducible shuffle-shard-interleave training order (q243) that turns
+  * the surviving corpus into epoch-keyed shards without a global sort.
   *
   * Shared machinery: q239 scores documents with q99's rare-bigram LM proxy
   * (the transcendental-free perplexity stand-in — one bigram definition for
@@ -241,6 +243,58 @@ object RefineQueries {
         .withColumn("shift_ppm", abs(col("ppm_new") - col("ppm_old")))
         .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
         .orderBy("cent_id")
+    },
+
+    GraftQuery(
+      "q243_shuffle_shard_interleave",
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483647) * 1103515245 + 12345 + 9)
+             |      % 2147483647 AS r1
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, r1 % 8 AS shard,
+             |    (r1 * 1103515245 + 12345) % 2147483647 AS r2
+             |  FROM h
+             |), p AS (
+             |  SELECT doc_id, shard, r2,
+             |    CAST(row_number() OVER (PARTITION BY shard
+             |      ORDER BY r2, doc_id) - 1 AS BIGINT) AS pos_in_shard
+             |  FROM s
+             |)
+             |SELECT doc_id, shard, pos_in_shard,
+             |       pos_in_shard * 8 + shard AS global_pos
+             |FROM p ORDER BY doc_id""".stripMargin),
+      "Reproducible epoch shuffle in the WebDataset / tf.data " +
+        "shuffle-shard-interleave shape: an LCG keyed on doc_id (epoch 9 " +
+        "folds into the seed addend — a new epoch is a new addend, " +
+        "nothing recomputes but the keys) assigns each document to one " +
+        "of 8 shards, a SECOND LCG pass orders documents within their " +
+        "shard, and the global training position is pure arithmetic — " +
+        "pos_in_shard x 8 + shard, the round-robin interleave a loader " +
+        "reading shards in lockstep would produce. The whole point is " +
+        "what is ABSENT: a naive reproducible shuffle is ORDER BY " +
+        "hash(id) — one global 100 TB sort — while here the only data " +
+        "movement is the 8-way (production: thousands-way) shard " +
+        "exchange and per-shard sorts that parallelize perfectly, and " +
+        "the written shards ARE the training artifacts a streaming " +
+        "loader consumes. Interleaved positions are injective but leave " +
+        "tail gaps when shards are unbalanced — real interleave " +
+        "semantics (order is the contract, not density). Same LCG " +
+        "family as q228/q66 with the documented i64 range contract."
+    ) { (s, dir) =>
+      val M = 2147483647L; val A = 1103515245L; val C = 12345L
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (((col("doc_id") % M) * A + C + 9L) % M).as("r1"))
+      val sh = h.select(col("doc_id"), (col("r1") % 8L).as("shard"),
+        ((col("r1") * A + C) % M).as("r2"))
+      sh.withColumn("pos_in_shard",
+        (row_number().over(Window.partitionBy("shard")
+          .orderBy(col("r2"), col("doc_id"))) - 1).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          (col("pos_in_shard") * 8L + col("shard")).as("global_pos"))
+        .orderBy("doc_id")
     }
   )
 

@@ -75,4 +75,75 @@ class CurationSpec extends SparkSpec {
     assert(funnel.getLong(2) === 0L,            // n_quality: gate fails closed
       "the quality gate must reject the empty-text doc via the NULL route")
   }
+
+  test("q242 matches a sequential frozen-classifier reference and is live per language") {
+    val got = SparkEntry.queries("q242_classifier_gate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+
+    val wts = Map(
+      "de" -> (2L, 30L, -40L, -5L, -7700L),
+      "en" -> (2L, 30L, -40L, -5L, -4200L),
+      "es" -> (2L, 30L, -40L, -5L, -6400L),
+      "fr" -> (2L, 30L, -40L, -5L, -9400L),
+      "zh" -> (2L, 0L, -40L, -5L, 12600L))
+    val stops = Set("the", "a", "and", "of")
+
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val outcomes = scala.collection.mutable.Map.empty[String, Set[Boolean]]
+    docs.foreach { case (id, text, lang) =>
+      val w = text.toLowerCase.split(" ", -1)
+      val nChars = text.length.toLong
+      val nTokens = w.length.toLong
+      val sumTokLen = w.map(_.length.toLong).sum
+      val nStop = w.count(stops).toLong
+      val nPunct = text.count(c =>
+        !((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')).toLong
+      val nUniq = w.distinct.length.toLong
+      val atl = (1000L * sumTokLen) / nTokens
+      val stopBp = (10000L * nStop) / nTokens
+      val punctBp = if (nChars == 0) 10000L else (10000L * nPunct) / nChars
+      val ttrBp = (10000L * nUniq) / nTokens
+      val (wa, ws, wp, wt, b) = wts.getOrElse(lang, (2L, 30L, -40L, -5L, -20000L))
+      val logit = wa * atl + ws * stopBp + wp * punctBp + wt * ttrBp + b
+      assert(got(id) === ((lang, atl, stopBp, punctBp, ttrBp, logit, logit > 0)),
+        s"doc $id")
+      outcomes(lang) = outcomes.getOrElse(lang, Set.empty) + (logit > 0)
+    }
+    // the gate must be LIVE in every stratum: per-lang bias calibration
+    // means each language both admits and rejects on the driver corpus
+    outcomes.foreach { case (lang, o) =>
+      assert(o === Set(true, false), s"$lang gate is vacuous: $o")
+    }
+  }
+
+  test("q242 routes an unknown language through the strict default weights") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_unklang").toString
+    // two unknown-lang docs straddling the default bias: the stopword-dense
+    // pangram's raw score (~36670) clears even -20000, the distinct-token
+    // line (~-17500 raw) cannot — proving the fallback is the DEFAULT row
+    // exactly (logit carries bias -20000, the strictest in the table) and
+    // that the left join drops nothing
+    val passText = "the quick brown fox jumps over the lazy dog and runs off"
+    val failText = "quick brown foxes jump over seven lazy sleeping dogs tonight quietly somewhere"
+    Seq((0L, passText, "xx", "src0", passText.length.toLong),
+        (1L, failText, "xx", "src0", failText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q242_classifier_gate")(spark, dir).collect()
+    assert(rows.length === 2, "unknown lang must survive the left join")
+    rows.foreach { r =>
+      val atl = r.getLong(2); val stopBp = r.getLong(3)
+      val punctBp = r.getLong(4); val ttrBp = r.getLong(5)
+      assert(r.getLong(6) ===
+        2L * atl + 30L * stopBp - 40L * punctBp - 5L * ttrBp - 20000L,
+        s"doc ${r.getLong(0)}: fallback must use the default weight row")
+      assert(r.getBoolean(7) === (r.getLong(6) > 0L), s"doc ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getBoolean(7)).toSet === Set(true, false),
+      "the default gate must be live: one doc clears -20000, one does not")
+  }
 }

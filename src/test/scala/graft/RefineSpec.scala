@@ -95,4 +95,47 @@ class RefineSpec extends SparkSpec {
     assert(sumNew <= 1000000L && sumNew >= 1000000L - rows.length,
       s"ppm_new mass $sumNew")
   }
+
+  test("q243 interleave: sequential re-derivation + permutation laws") {
+    val rows = run("q243_shuffle_shard_interleave").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // re-derive shard / position / global_pos from the LCG on the driver
+    val M = 2147483647L; val A = 1103515245L; val C = 12345L
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val keyed = ids.map { id =>
+      val r1 = ((id % M) * A + C + 9L) % M
+      (id, r1 % 8L, (r1 * A + C) % M)
+    }
+    val expect = keyed.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (x._3, x._1)).zipWithIndex.map { case ((id, s2, _), i) =>
+        id -> ((s2, i.toLong, i.toLong * 8L + s2))
+      }
+    }.toMap
+    rows.foreach { case (id, shard, pos, g) =>
+      assert(expect(id) === ((shard, pos, g)), s"doc $id")
+    }
+
+    // laws: global positions injective; per-shard positions contiguous 0..n-1
+    assert(rows.map(_._4).distinct.length === rows.length, "global_pos clash")
+    rows.groupBy(_._2).foreach { case (shard, xs) =>
+      assert(xs.map(_._3).sorted.toSeq === (0L until xs.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+
+    // a different epoch addend must produce a different order (the epoch
+    // really enters the keys): epoch 10's within-shard ranks differ
+    val other = keyed.map { case (id, _, _) =>
+      val r1 = ((id % M) * A + C + 10L) % M
+      (id, r1 % 8L, (r1 * A + C) % M)
+    }
+    val otherPos = other.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (x._3, x._1)).zipWithIndex.map { case ((id, s2, _), i) =>
+        id -> (i.toLong * 8L + s2)
+      }
+    }.toMap
+    assert(ids.exists(id => otherPos(id) != expect(id)._3),
+      "changing the epoch addend must reshuffle the order")
+  }
 }

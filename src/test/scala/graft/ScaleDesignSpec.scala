@@ -705,4 +705,28 @@ class ScaleDesignSpec extends SparkSpec {
     assert(embScans.size === 2,
       s"drift audit reads embeddings ${embScans.size}x (want 2: fact + centroids)")
   }
+
+  test("gate and training-order plans: gate joins broadcast-only, interleave shuffles once on shard") {
+    // q242: the weights table is a KB-sized literal — it must reach the
+    // corpus via broadcast, never a shuffled join that moves document rows
+    val gate = SparkEntry.queries("q242_classifier_gate")(spark, sf)
+    val gateShuffledJoins = gate.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(gateShuffledJoins.isEmpty,
+      s"classifier weights must broadcast:\n${gate.queryExecution.sparkPlan}")
+
+    // q243: the ONLY data exchange is the 8-way shard hash partition for
+    // the within-shard rank (plus the presentation sort's range exchange) —
+    // a second hash exchange or any global sort on the LCG key would be
+    // the naive ORDER BY hash(id) shuffle the operator exists to avoid
+    val order = SparkEntry.queries("q243_shuffle_shard_interleave")(spark, sf)
+    val orderPlan = physicalPlan(order)
+    val hashExchanges =
+      "hashpartitioning".r.findAllMatchIn(orderPlan).length
+    assert(hashExchanges === 1 && orderPlan.contains("rangepartitioning"),
+      s"interleave must shuffle exactly once (shard) + presentation " +
+        s"range sort, got $hashExchanges hash exchanges:\n$orderPlan")
+  }
 }
