@@ -345,6 +345,94 @@ object ClusterQueries {
     },
 
     GraftQuery(
+      "q244_softdedup_multiplicity",
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+             |), sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           range(1, greatest(len(w)-1, 1)),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+             |  FROM docs
+             |), sh AS (
+             |  SELECT * FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY s) <= 64
+             |), sizes AS (
+             |  SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT doc_a, doc_b, c*1.0/((sa.n + sb.n) - c) jac
+             |  FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |), edges AS (
+             |  SELECT doc_a a, doc_b b FROM scored WHERE jac >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM scored WHERE jac >= 0.8
+             |), nodes AS (
+             |  SELECT DISTINCT a AS doc_id FROM edges
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+             |), comp AS (
+             |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+             |), allc AS (
+             |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |         d.n_chars
+             |  FROM documents d LEFT JOIN comp c USING (doc_id)
+             |), k AS (
+             |  SELECT cluster_id, doc_id AS keep_doc,
+             |         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             |           AS n_dups
+             |  FROM allc
+             |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+             |                             ORDER BY n_chars DESC, doc_id ASC) = 1
+             |)
+             |SELECT cluster_id, keep_doc, n_dups,
+             |       CAST(least(n_dups, 4) AS BIGINT) AS repeat_n,
+             |       (1000000 * least(n_dups, 4)) // n_dups AS keep_ppm
+             |FROM k ORDER BY cluster_id""".stripMargin),
+      "Duplicate-count-aware soft dedup — the data-constrained-scaling " +
+        "practice (repeats up to ~4 epochs retain most of their value, " +
+        "and a page's duplicate count is a popularity signal): instead of " +
+        "hard-deleting near-dup clusters, every document lands in a " +
+        "cluster (q81's components; singletons are their own), the q97 " +
+        "canonical survives, and its TRAINING MULTIPLICITY is " +
+        "min(cluster_size, 4) — a 50-copy boilerplate family trains 4 " +
+        "times, a unique page once, and keep_ppm reports the surviving " +
+        "fraction of each cluster's mass in integer ppm. One row per " +
+        "cluster is the loader's repeat manifest; joining it back to the " +
+        "corpus on keep_doc IS the dedup + upsample in a single pass. " +
+        "Scale: rides the SAME banded shingle edges and pointer-jumping " +
+        "labels as q81/q97 (nothing quadratic; the 64-doc shingle " +
+        "frequency ceiling bounds bucket fan-out), the singleton " +
+        "completion is a metadata-only left join on doc_id (labels exist " +
+        "only for clustered docs), and the keeper selection is max_by " +
+        "through partial aggregation — one candidate row per cluster per " +
+        "partition on the shuffle, never document bodies."
+    ) { (s, dir) =>
+      val labels = nearDupLabels(s, dir)
+        .select(col("id").as("doc_id"), col("comp"))
+      graft.Tables.documents(s, dir).select("doc_id", "n_chars")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+        .groupBy("cluster_id")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("keep_doc"),
+          count(lit(1)).cast("long").as("n_dups"))
+        .select(col("cluster_id"), col("keep_doc"), col("n_dups"),
+          least(col("n_dups"), lit(4L)).cast("long").as("repeat_n"),
+          expr("(1000000 * least(n_dups, 4)) div n_dups").as("keep_ppm"))
+        .orderBy("cluster_id")
+    },
+
+    GraftQuery(
       "q109_triangle_count",
       Some("""WITH docs AS (
              |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents

@@ -295,4 +295,44 @@ class PipelineInvariantSpec extends SparkSpec {
       assert(bm > 0 || cos > 0, "a fused row must come from at least one arm")
     }
   }
+
+  test("q244 conserves corpus mass, agrees with q97, and caps multiplicity at 4") {
+    val rows = SparkEntry.queries("q244_softdedup_multiplicity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    // every document lands in exactly one cluster (singletons included)
+    assert(rows.map(_._3).sum === Tables.documents(spark, sf).count(),
+      "sum of cluster sizes must equal the corpus")
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per cluster")
+
+    // cap + ppm laws hold row by row
+    rows.foreach { case (cid, _, n, rep, ppm) =>
+      assert(rep === math.min(n, 4L), s"cluster $cid repeat_n")
+      assert(ppm === (1000000L * math.min(n, 4L)) / n, s"cluster $cid keep_ppm")
+    }
+
+    // the multi-member clusters are exactly q97's, with the same canonical
+    val q97 = SparkEntry.queries("q97_cluster_canonical")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val multi = rows.filter(_._3 > 1)
+    assert(multi.map(_._1).toSet === q97.keySet,
+      "q244's multi-member clusters must be q97's clusters")
+    multi.foreach { case (cid, keep, n, _, _) =>
+      assert(q97(cid) === ((keep, n)), s"cluster $cid disagrees with q97")
+    }
+
+    // the 4-epoch cap must be LIVE: a 6-copy boilerplate family trains 4x
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_softdedup").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (0L until 6L).map(i => (i, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = SparkEntry.queries("q244_softdedup_multiplicity")(spark, dir)
+      .collect()
+    assert(capped.length === 1 && capped.head.getLong(2) === 6L &&
+      capped.head.getLong(3) === 4L && capped.head.getLong(4) === 666666L,
+      "a 6-identical-doc cluster must cap at repeat_n = 4, keep_ppm = 666666")
+  }
 }

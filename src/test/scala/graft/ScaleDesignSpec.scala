@@ -332,7 +332,8 @@ class ScaleDesignSpec extends SparkSpec {
         // materializes the edge list once before the hop joins (q109's rule)
         "q129_khop_neighborhood",
         // consume the memoized connected-components labels (actions if cold)
-        "q137_cluster_terms", "q142_leakage_safe_split")
+        "q137_cluster_terms", "q142_leakage_safe_split",
+        "q244_softdedup_multiplicity")
     val (iterative, declarative) = SparkEntry.catalog.partition(q => iterativeOk(q.name))
     try {
       declarative.foreach { q =>
