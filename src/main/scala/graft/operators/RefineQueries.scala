@@ -36,6 +36,12 @@ object RefineQueries {
     * and probe cost roughly linearly past this point). */
   private val RebalancePpm = 20000L
 
+  /** q245 flags a subspace for codebook retraining when its mean
+    * reconstruction error moves by more than 1/40 (2.5%) between epochs —
+    * RELATIVE, so the rule survives any embedding normalization or corpus
+    * scale where a fixed micros threshold would saturate or go dead. */
+  private val PqDriftDenom = 40L
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -295,6 +301,84 @@ object RefineQueries {
         .select(col("doc_id"), col("shard"), col("pos_in_shard"),
           (col("pos_in_shard") * 8L + col("shard")).as("global_pos"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q245_pq_drift_audit",
+      Some(s"""${SimilarityQueries.pqAsgSqlCtes}, best AS (
+              |  SELECT vec_id, m, l2 FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              |                                 ORDER BY l2, cent_id DESC) rn
+              |    FROM asg
+              |  ) WHERE rn = 1
+              |), er AS (
+              |  SELECT vec_id, m, CAST(floor(l2 * 1000000) AS BIGINT) err_u
+              |  FROM best
+              |), cell AS (
+              |  SELECT m,
+              |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) n_old,
+              |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) n_new,
+              |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN err_u ELSE 0 END)
+              |      AS BIGINT) e_old,
+              |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN err_u ELSE 0 END)
+              |      AS BIGINT) e_new
+              |  FROM er GROUP BY m
+              |)
+              |SELECT m, n_old, n_new,
+              |  e_old // nullif(n_old, 0) AS merr_old_u,
+              |  e_new // nullif(n_new, 0) AS merr_new_u,
+              |  abs(e_new // nullif(n_new, 0) - e_old // nullif(n_old, 0))
+              |    AS shift_u,
+              |  (abs(e_new // nullif(n_new, 0) - e_old // nullif(n_old, 0))
+              |    * $PqDriftDenom > e_old // nullif(n_old, 0)) AS retrain
+              |FROM cell ORDER BY m""".stripMargin),
+      "PQ codebook drift audit — q241's sibling for the OTHER index: as " +
+        "new data arrives, a product-quantizer trained on yesterday's " +
+        "distribution reconstructs today's vectors worse, and ADC " +
+        "scores degrade silently (retrieval still returns k results — " +
+        "only an error monitor notices). Per subspace, every vector's " +
+        "quantization error (L2 to its assigned codebook entry — the " +
+        "SAME `pqAsgSqlCtes` assignment q236's index build executes, so " +
+        "the monitor watches the codebook the scan actually uses) is " +
+        "floored to integer MICROS before summing: double errors are " +
+        "deterministic per row (fixed fold order) but a float SUM " +
+        "would be reduction-order-dependent across partitions — the " +
+        "floor-then-integer-sum makes the aggregate bit-exact on any " +
+        "engine at any parallelism. Epochs split by vec_id parity " +
+        "(production: ingest date), and a subspace flags retrain when " +
+        "its mean error shifts by more than 2.5% RELATIVE between epochs " +
+        "(an absolute micros cut would saturate or go dead under a " +
+        "different embedding normalization). " +
+        "Scale: one decomposition scan, broadcast codebook, partial-agg " +
+        "collapse to 4 rows — the audit costs ONE assignment pass, " +
+        "which the nightly index rebuild already pays; nullif guards " +
+        "the single-epoch degenerate corpus through both engines' " +
+        "NULL-comparison semantics."
+    ) { (s, dir) =>
+      val l2 = aggregate(
+        zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val best = SimilarityQueries.pqSubs(s, dir)
+        .join(broadcast(SimilarityQueries.pqCodebook(s, dir)), "m")
+        .select(col("vec_id"), col("m"), l2.as("l2"),
+          (-col("cent_id")).as("negc"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("l2"), col("negc"))).as("b"))
+        .select(col("vec_id"), col("m"),
+          floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
+      best.groupBy("m").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("vec_id") % 2 === 0, col("err_u")).otherwise(0L)).as("e_old"),
+        sum(when(col("vec_id") % 2 === 1, col("err_u")).otherwise(0L)).as("e_new"))
+        .select(col("m").cast("long").as("m"), col("n_old"), col("n_new"),
+          expr("e_old div nullif(n_old, 0)").as("merr_old_u"),
+          expr("e_new div nullif(n_new, 0)").as("merr_new_u"))
+        .withColumn("shift_u", abs(col("merr_new_u") - col("merr_old_u")))
+        .withColumn("retrain", col("shift_u") * PqDriftDenom > col("merr_old_u"))
+        .orderBy("m")
     }
   )
 

@@ -29,6 +29,58 @@ object SimilarityQueries {
   private[operators] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dotd(va, vb) / (na * nb)
 
+  /** q236's strided PQ decomposition: one row per (vec_id, m ∈ 0..3)
+    * carrying the m-th strided subvector (dimension i goes to subspace
+    * i mod 4). Shared by q236 (index build + ADC scan) and q245 (codebook
+    * drift audit) so a decomposition tweak moves the index and its
+    * monitor together. */
+  private[operators] def pqSubs(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir)
+      .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(3))).as("m"))
+      .select(col("vec_id"), col("m"),
+        transform(sequence(lit(1) + col("m"), size(col("v")), lit(4)),
+          i => element_at(col("v"), i)).as("sv"))
+
+  /** q236's ranked per-subspace codebook: the deterministic ~3% LCG sample
+    * of the corpus's own subvectors, with `crk` the 1-based rank a CODE
+    * stores and a query LUT is addressed by (the same ids are sampled in
+    * every subspace, so the rank range is uniform across m). */
+  private[operators] def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqSubs(s, dir).filter(
+      ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
+        % 2147483647L % 31 === 0)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("csub"))
+      .withColumn("crk",
+        row_number().over(Window.partitionBy("m").orderBy("cent_id")).cast("long"))
+
+  /** The PQ decomposition + assignment CTE prefix (e → subs → cents →
+    * centsrk → asg) shared by the q236 and q245 oracles — the SQL twin of
+    * [[pqSubs]]/[[pqCodebook]]. `asg` carries every (vector, subspace,
+    * codebook entry) L2 so downstream queries pick winners their own way. */
+  private[operators] val pqAsgSqlCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, m,
+      |         list_transform(range(1 + m, len(v) + 1, 4), i -> v[i]) sv
+      |  FROM e, unnest([0, 1, 2, 3]) t(m)
+      |), cents AS (
+      |  SELECT vec_id AS cent_id, m, sv AS csub FROM subs
+      |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+      |          % 2147483647 % 31 = 0
+      |), centsrk AS (
+      |  SELECT cent_id, m, csub,
+      |         CAST(row_number() OVER (PARTITION BY m
+      |           ORDER BY cent_id) AS BIGINT) crk
+      |  FROM cents
+      |), asg AS (
+      |  SELECT s.vec_id, s.m, c.cent_id, c.crk,
+      |         list_reduce(list_transform(range(1, len(s.sv) + 1),
+      |           i -> (s.sv[i] - c.csub[i]) * (s.sv[i] - c.csub[i])),
+      |           (x, y) -> x + y) AS l2
+      |  FROM subs s JOIN centsrk c USING (m)
+      |)""".stripMargin
+
   /** (vec_id, v, nrm, cd): [[normed]] plus q84's per-dimension min-max int8
     * codes — ONE copy of the quantization expression tree, because both
     * q84's and q130's oracle agreement depends on it staying bit-identical
@@ -637,31 +689,10 @@ object SimilarityQueries {
 
     GraftQuery(
       "q236_pq_ann",
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
-              |), n AS (
+      Some(s"""$pqAsgSqlCtes, n AS (
               |  SELECT vec_id, v,
               |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
               |  FROM e
-              |), subs AS (
-              |  SELECT vec_id, m,
-              |         list_transform(range(1 + m, len(v) + 1, 4), i -> v[i]) sv
-              |  FROM e, unnest([0, 1, 2, 3]) t(m)
-              |), cents AS (
-              |  SELECT vec_id AS cent_id, m, sv AS csub FROM subs
-              |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
-              |          % 2147483647 % 31 = 0
-              |), centsrk AS (
-              |  SELECT cent_id, m, csub,
-              |         CAST(row_number() OVER (PARTITION BY m
-              |           ORDER BY cent_id) AS BIGINT) crk
-              |  FROM cents
-              |), asg AS (
-              |  SELECT s.vec_id, s.m, c.cent_id, c.crk,
-              |         list_reduce(list_transform(range(1, len(s.sv) + 1),
-              |           i -> (s.sv[i] - c.csub[i]) * (s.sv[i] - c.csub[i])),
-              |           (x, y) -> x + y) AS l2
-              |  FROM subs s JOIN centsrk c USING (m)
               |), best AS (
               |  SELECT vec_id, m, crk FROM (
               |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
@@ -739,20 +770,8 @@ object SimilarityQueries {
         "gate q66 already provides."
     ) { (s, dir) =>
       val e = normed(s, dir)
-      val subs = e
-        .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(3))).as("m"))
-        .select(col("vec_id"), col("m"),
-          transform(sequence(lit(1) + col("m"), size(col("v")), lit(4)),
-            i => element_at(col("v"), i)).as("sv"))
-      val cents = subs.filter(
-        ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
-          % 2147483647L % 31 === 0)
-        .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("csub"))
-      // per-subspace codebook rank: the 1-based index a CODE stores and a
-      // query LUT is addressed by (the same ids are sampled in every
-      // subspace, so the rank range is uniform across m)
-      val centsrk = cents.withColumn("crk",
-        row_number().over(Window.partitionBy("m").orderBy("cent_id")).cast("long"))
+      val subs = pqSubs(s, dir)
+      val centsrk = pqCodebook(s, dir)
       val l2 = aggregate(
         zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)

@@ -138,4 +138,52 @@ class RefineSpec extends SparkSpec {
     assert(ids.exists(id => otherPos(id) != expect(id)._3),
       "changing the epoch addend must reshuffle the order")
   }
+
+  test("q245 matches a sequential PQ-assignment reference and the flag is live") {
+    val got = run("q245_pq_drift_audit").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L), "one row per subspace")
+
+    // full sequential re-derivation: strided subvectors, LCG-sampled
+    // codebook, min-L2 assignment (ties to larger cent_id), floored micros
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sub(v: Array[Double], m: Int): Array[Double] =
+      v.indices.collect { case i if i % 4 == m => v(i) }.toArray
+    val isCent = (id: Long) =>
+      ((id % 2147483647L) * 1103515245L + 12345L) % 2147483647L % 31 == 0
+    val cents = vecs.filter(v => isCent(v._1))
+    assert(cents.nonEmpty, "sf0.001 must sample a non-empty codebook")
+    val sums = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+      .withDefaultValue((0L, 0L)) // (m, epoch) -> (n, err_u sum)
+    vecs.foreach { case (id, v) =>
+      (0 until 4).foreach { m =>
+        val sv = sub(v, m)
+        // min over (l2, -cent_id): left-fold the squared diffs in order
+        val best = cents.map { case (cid, cv) =>
+          val cs = sub(cv, m)
+          val l2 = sv.indices.foldLeft(0.0) { (acc, i) =>
+            acc + (sv(i) - cs(i)) * (sv(i) - cs(i))
+          }
+          (l2, -cid)
+        }.min
+        val errU = math.floor(best._1 * 1000000d).toLong
+        val k = (m, (id % 2).toInt)
+        val (n, e) = sums(k); sums(k) = (n + 1, e + errU)
+      }
+    }
+    (0 until 4).foreach { m =>
+      val (nOld, eOld) = sums((m, 0)); val (nNew, eNew) = sums((m, 1))
+      val merrOld = eOld / nOld; val merrNew = eNew / nNew
+      val shift = math.abs(merrNew - merrOld)
+      assert(got(m.toLong) === ((nOld, nNew, merrOld, merrNew, shift,
+        shift * 40L > merrOld)), s"subspace $m")
+    }
+    // conservation + a LIVE relative flag (2.5% splits this corpus 2/2)
+    got.values.foreach { v => assert(v._1 + v._2 === vecs.length.toLong) }
+    assert(got.values.map(_._6).toSet === Set(true, false),
+      "the retrain flag must be live in both directions")
+  }
 }

@@ -705,6 +705,23 @@ class ScaleDesignSpec extends SparkSpec {
     // epoch split re-reads the corpus instead of riding the assignment
     assert(embScans.size === 2,
       s"drift audit reads embeddings ${embScans.size}x (want 2: fact + centroids)")
+
+    // q245: same discipline for the PQ monitor — the codebook side reaches
+    // the decomposition via broadcast (equi-join on m), never a shuffled
+    // join, and the corpus is read exactly twice (fact + codebook sample)
+    val pq = SparkEntry.queries("q245_pq_drift_audit")(spark, sf)
+    val pqShuffledJoins = pq.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(pqShuffledJoins.isEmpty,
+      s"PQ drift audit codebook must broadcast:\n${pq.queryExecution.sparkPlan}")
+    val pqEmbScans = pq.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("embeddings")) => sc
+    }
+    assert(pqEmbScans.size === 2,
+      s"PQ drift audit reads embeddings ${pqEmbScans.size}x (want 2)")
   }
 
   test("gate and training-order plans: gate joins broadcast-only, interleave shuffles once on shard") {
