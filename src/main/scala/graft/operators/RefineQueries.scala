@@ -357,18 +357,7 @@ object RefineQueries {
         "the single-epoch degenerate corpus through both engines' " +
         "NULL-comparison semantics."
     ) { (s, dir) =>
-      val l2 = aggregate(
-        zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      val best = SimilarityQueries.pqSubs(s, dir)
-        .join(broadcast(SimilarityQueries.pqCodebook(s, dir)), "m")
-        .select(col("vec_id"), col("m"), l2.as("l2"),
-          (-col("cent_id")).as("negc"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("l2"), col("negc"))).as("b"))
-        .select(col("vec_id"), col("m"),
-          floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
-      best.groupBy("m").agg(
+      pqErrU(s, dir).groupBy("m").agg(
         sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
         sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"),
         sum(when(col("vec_id") % 2 === 0, col("err_u")).otherwise(0L)).as("e_old"),
@@ -381,6 +370,26 @@ object RefineQueries {
         .orderBy("m")
     }
   )
+
+  /** q245's pre-aggregation rows — (vec_id, m, err_u): each vector's
+    * quantization error against its assigned (min-L2, ties to larger id)
+    * codebook entry in one strided subspace, floored to integer micros.
+    * Shared by batch q245 and the streaming monitor's feed
+    * (`StatefulOps.pqDriftTws` — StreamingOpsSpec stages these exact rows),
+    * so the live and nightly monitors watch identical arithmetic. */
+  private[graft] def pqErrU(s: SparkSession, dir: String): DataFrame = {
+    val l2 = aggregate(
+      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    SimilarityQueries.pqSubs(s, dir)
+      .join(broadcast(SimilarityQueries.pqCodebook(s, dir)), "m")
+      .select(col("vec_id"), col("m"), l2.as("l2"),
+        (-col("cent_id")).as("negc"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("l2"), col("negc"))).as("b"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
+  }
 
   /** q240's staged gram projection: n_tokens plus the hashed-3-gram array,
     * built from the staged token-hash column so each token hashes once.

@@ -621,4 +621,81 @@ object StatefulOps {
       .transformWithState(new SemanticAdmitProcessor(eps),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[pqDriftTws]]: a vector's quantization error against
+    * the frozen PQ codebook in one subspace, already in floored integer
+    * micros — assignment is batch-side map work against the broadcast
+    * codebook (exactly q245's `pqErrU` rows, the [[ClusterVec]] shape of
+    * this family); the stateful operator only ever sees 24-byte rows. */
+  final case class PqErr(vec_id: Long, m: Long, err_u: Long)
+  final case class PqDriftCell(m: Long, n_old: Long, n_new: Long,
+                               merr_old_u: Option[Long],
+                               merr_new_u: Option[Long],
+                               shift_u: Option[Long],
+                               retrain: Option[Boolean])
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class PqDriftState(n_old: Long, e_old: Long,
+                                n_new: Long, e_new: Long)
+
+  /** Streaming PQ codebook drift monitor — the live form of batch q245:
+    * state per subspace is FOUR counters (n, Σerr_u per epoch; 32 bytes —
+    * the whole monitor's state is 128 bytes for a 4-subspace quantizer),
+    * and every micro-batch emits the subspace's current monitor reading
+    * (running means in integer micros, 2.5% relative retrain flag), so the
+    * sink accumulates the health TIME SERIES an index operator alerts on.
+    *
+    * Unlike the admission operators in this file, counters COMMUTE: the
+    * final reading is invariant to arrival order, chunking, AND cross-batch
+    * delivery order — there is no caller ordering contract at all, and
+    * StreamingOpsSpec pins 3-chunk == 7-chunk == batch q245 row-for-row on
+    * the final reading. Restart safety is the standard state-store
+    * contract: the checkpoint rolls the counters back with the batch, so
+    * replay cannot double-count a vector. At 100 TB the only movement is
+    * the groupByKey on the 4-value subspace key carrying 24-byte rows —
+    * and since integer sums partial-aggregate, a production binding can
+    * pre-combine per partition upstream and feed this operator per-batch
+    * subtotals instead of rows without changing a single emitted reading
+    * (the same commutativity, exploited twice). */
+  class PqDriftProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PqErr, PqDriftCell] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[PqDriftState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PqDriftState](
+        "pq_drift", Encoders.product[PqDriftState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(m: Long, rows: Iterator[PqErr],
+                                 timers: TimerValues): Iterator[PqDriftCell] = {
+      var s = Option(state.get()).getOrElse(PqDriftState(0L, 0L, 0L, 0L))
+      rows.foreach { r =>
+        s = if (r.vec_id % 2 == 0)
+          s.copy(n_old = s.n_old + 1, e_old = s.e_old + r.err_u)
+        else
+          s.copy(n_new = s.n_new + 1, e_new = s.e_new + r.err_u)
+      }
+      state.update(s)
+      val merrOld = if (s.n_old == 0) None else Some(s.e_old / s.n_old)
+      val merrNew = if (s.n_new == 0) None else Some(s.e_new / s.n_new)
+      val shift = for (o <- merrOld; n <- merrNew) yield math.abs(n - o)
+      val retrain = for (sh <- shift; o <- merrOld) yield sh * 40L > o
+      Iterator.single(PqDriftCell(m, s.n_old, s.n_new,
+        merrOld, merrNew, shift, retrain))
+    }
+  }
+
+  /** Keyed PQ drift monitoring via transformWithState (Append: each batch
+    * appends one reading per touched subspace — the monitor's time series). */
+  def pqDriftTws(errs: Dataset[PqErr]): Dataset[PqDriftCell] = {
+    import errs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    errs
+      .groupByKey(_.m)
+      .transformWithState(new PqDriftProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1061,4 +1061,105 @@ class StreamingOpsSpec extends SparkSpec {
     assert(all.filter(_.admitted).map(d => (d.doc_id, d.cum_tokens)).sorted.toSeq
       === Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 6L), (6L, 9L)))
   }
+
+  test("streaming PQ drift monitor: final reading equals batch q245 under any chunking") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{PqDriftCell, PqErr}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the monitor's feed is EXACTLY q245's pre-aggregation rows (shared
+    // pqErrU definition — live and nightly monitors watch one arithmetic)
+    val errs = operators.RefineQueries.pqErrU(spark, sf)
+      .as[PqErr].collect().sortBy(e => (e.vec_id, e.m))
+
+    def run(name: String, nChunks: Int): Seq[PqDriftCell] = {
+      val input = MemoryStream[PqErr]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.pqDriftTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          errs.grouped(math.max(errs.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[PqDriftCell].collect().toSeq
+    }
+
+    // counters COMMUTE, so the FINAL reading per subspace must be identical
+    // across chunkings (intermediate time series legitimately differ)
+    def finalReading(cells: Seq[PqDriftCell]): Map[Long, PqDriftCell] =
+      cells.groupBy(_.m).view.mapValues(_.maxBy(c => c.n_old + c.n_new)).toMap
+    val a = finalReading(run("pq_drift_3", 3))
+    val b = finalReading(run("pq_drift_7", 7))
+    assert(a === b, "re-chunking changed a final monitor reading")
+
+    // ...and equal batch q245 row-for-row, flags included
+    val batch = SparkEntry.queries("q245_pq_drift_audit")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(a.keySet === batch.keySet, "monitor must cover every subspace")
+    a.foreach { case (m, c) =>
+      assert((c.n_old, c.n_new, c.merr_old_u.get, c.merr_new_u.get,
+        c.shift_u.get, c.retrain.get) === batch(m), s"subspace $m")
+    }
+    // the monitor really emits a time series: one reading per touched
+    // subspace per batch (grouped() rounds up, so count the actual chunks)
+    val nBatches = errs.grouped(math.max(errs.length / 3, 1)).size
+    val series = run("pq_drift_series", 3)
+    assert(series.groupBy(_.m).values
+      .forall(s => s.length >= 2 && s.length <= nBatches),
+      "each subspace should have one reading per batch that touched it")
+  }
+
+  test("PQ drift monitor counters survive a restart without double-counting") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{PqDriftCell, PqErr}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_pqdrift_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[PqErr].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[PqErr]
+        val q = StatefulOps.pqDriftTws(src)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // two vectors per epoch in subspace 0: errors 10/30 (old), 20/40 (new)
+    def err(id: Long, u: Long) = PqErr(id, 0L, u)
+    Seq(err(0L, 10L), err(1L, 20L)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    // restart with no new input: commit log re-emits nothing, state intact
+    run()
+    val mid = spark.read.parquet(outDir).as[PqDriftCell].collect()
+    assert(mid.length === 1 && mid.head.n_old === 1L && mid.head.n_new === 1L)
+
+    // arrivals after the restart: counters must RESUME (a reset would
+    // report n=1/mean=30 and n=1/mean=40 instead of n=2 running means)
+    Seq(err(2L, 30L), err(3L, 40L)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val all = spark.read.parquet(outDir).as[PqDriftCell].collect()
+      .sortBy(c => c.n_old + c.n_new)
+    assert(all.length === 2, "one reading per batch across restarts")
+    val last = all.last
+    assert((last.n_old, last.n_new, last.merr_old_u, last.merr_new_u) ===
+      ((2L, 2L, Some(20L), Some(30L))),
+      "restarted counters must continue from the checkpointed sums")
+  }
 }
