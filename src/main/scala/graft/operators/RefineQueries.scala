@@ -46,22 +46,7 @@ object RefineQueries {
 
     GraftQuery(
       "q239_perplexity_buckets",
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
-             |  WHERE len(string_split(lower(text), ' ')) >= 2
-             |), st AS (
-             |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
-             |           i -> w[i] || ' ' || w[i+1])) s
-             |  FROM t
-             |), cnt AS (
-             |  SELECT s, count(*) c FROM st GROUP BY s
-             |), nov AS (
-             |  SELECT st.doc_id, st.lang,
-             |         CAST(count(*) AS BIGINT) AS n_bigrams,
-             |         (10000 * count(*) FILTER (WHERE cnt.c <= 2)) // count(*) AS bp
-             |  FROM st JOIN cnt USING (s)
-             |  GROUP BY st.doc_id, st.lang
-             |), rb AS (
+      Some(s"""$novSqlCtes, rb AS (
              |  SELECT *,
              |         row_number() OVER (PARTITION BY lang ORDER BY bp, doc_id) rk,
              |         count(*) OVER (PARTITION BY lang) nl
@@ -81,42 +66,25 @@ object RefineQueries {
       "CCNet-style perplexity bucketing: each language stratum splits into " +
         "head/middle/tail thirds by LM score, so the mixer can oversample " +
         "the head (lowest-perplexity = cleanest) and audit what the tail " +
-        "holds before discarding it. The score is q99's rare-bigram rate " +
-        "in basis points — the integer-exact perplexity proxy (a real " +
-        "log-prob would drift across engines; a count ratio cannot), and " +
-        "ONE bigram definition serves q64/q85/q99 and this gate. Tercile " +
+        "holds before discarding it. The score is the inverse mean corpus " +
+        "frequency of the document's bigrams in integer micros — the " +
+        "unigram-cache perplexity proxy (a document built from corpus-" +
+        "common bigrams scores low = low perplexity; a real log-prob " +
+        "would drift across engines, a count ratio cannot), and ONE " +
+        "bigram definition serves q64/q85/q99 and this gate. Tercile " +
         "membership is integer rank arithmetic, (3·(rk−1)) div n — " +
         "deterministic under ties via the (bp, doc_id) total order, no " +
         "interpolated quantile to disagree on. The Spark plan: hashed " +
         "bigrams shuffle once to count, once to score (q99's shape), " +
         "then ONE per-lang exchange computes rank and stratum size " +
         "together. At 100 TB the per-lang window would funnel a billion-" +
-        "doc stratum through one sort — the swap is q104's mergeable " +
-        "histogram over bp (10k integer buckets): two bucket-boundary " +
-        "cuts per lang from a map-side sketch, bucket assignment becomes " +
-        "a broadcast compare, and the exact-rank form stays as the " +
-        "oracle-checkable contract the sketch is bounded against (the " +
-        "q57/q73 discipline)."
+        "doc stratum through one sort — q239b IS that swap (shared score " +
+        "pipeline, histogram cuts instead of ranks), and this exact-rank " +
+        "form stays as the contract the histogram form is bounded " +
+        "against (the q57/q73 discipline)."
     ) { (s, dir) =>
-      val w = split(lower(col("text")), " ")
-      // stage the token-hash array BEFORE indexing (the q64 lesson:
-      // inlined, element_at re-evaluates the transform at every site)
-      val st = Tables.documents(s, dir)
-        .filter(size(w) >= 2)
-        .select(col("doc_id"), col("lang"), transform(w, t => xxhash64(t)).as("hw"))
-        .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("hw")) - 1),
-            i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
-            .as("s"))
-      val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
-      val nov = st.join(cnt, "s")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_bigrams"),
-          count(when(col("c") <= 2, 1)).as("n_rare"))
-        .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          expr("(10000 * n_rare) div n_bigrams").as("bp"))
       val byLang = Window.partitionBy("lang")
-      nov
+      novScores(s, dir)
         .withColumn("rk", row_number().over(byLang.orderBy(col("bp"), col("doc_id"))))
         .withColumn("nl", count(lit(1)).over(byLang))
         .withColumn("bid", expr("(3 * (rk - 1)) div nl"))
@@ -127,6 +95,82 @@ object RefineQueries {
           sum(col("n_bigrams")).as("mass_bigrams"),
           min(col("bp")).as("bp_min"),
           max(col("bp")).as("bp_max"))
+        .orderBy("lang", "bucket")
+    },
+
+    GraftQuery(
+      "q239b_perplexity_buckets_hist",
+      Some(s"""$novSqlCtes, hist AS (
+              |  SELECT lang, bp, CAST(count(*) AS BIGINT) c,
+              |         CAST(sum(n_bigrams) AS BIGINT) sbg
+              |  FROM nov GROUP BY lang, bp
+              |), cum AS (
+              |  SELECT *, sum(c) OVER (PARTITION BY lang ORDER BY bp) cc,
+              |         sum(c) OVER (PARTITION BY lang) n
+              |  FROM hist
+              |), cuts AS (
+              |  SELECT *,
+              |    min(CASE WHEN cc >= (n + 2) // 3 THEN bp END)
+              |      OVER (PARTITION BY lang) c1,
+              |    min(CASE WHEN cc >= (2 * n + 2) // 3 THEN bp END)
+              |      OVER (PARTITION BY lang) c2
+              |  FROM cum
+              |), lab AS (
+              |  SELECT lang,
+              |    CASE WHEN bp <= c1 THEN 'head'
+              |         WHEN bp <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+              |    bp, c, sbg
+              |  FROM cuts
+              |)
+              |SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+              |       CAST(sum(sbg) AS BIGINT) AS mass_bigrams,
+              |       CAST(min(bp) AS BIGINT) AS bp_min,
+              |       CAST(max(bp) AS BIGINT) AS bp_max
+              |FROM lab GROUP BY lang, bucket
+              |ORDER BY lang, bucket""".stripMargin),
+      "q239's documented 100 TB swap, made real AND oracle-exact: because " +
+        "the LM score is an integer on a BOUNDED domain (micros, ≤ 1e6+1 " +
+        "values), the per-lang histogram over bp is not a sketch — it is " +
+        "a lossless, MERGEABLE summary (partial aggregation collapses " +
+        "each map partition to at most the domain size per lang), and " +
+        "the tercile cuts c1/c2 are the smallest scores whose cumulative " +
+        "count reaches ceil(n/3) and ceil(2n/3). Allocation is whole-" +
+        "bucket: every document with the same score lands in the same " +
+        "tercile, so buckets wobble from exact thirds only by tie-bucket " +
+        "mass (RefineSpec bounds the wobble by the cut buckets' sizes " +
+        "against q239's exact ranks) — the price for deleting q239's " +
+        "per-lang DOCUMENT sort: here the windows run over the O(langs × " +
+        "score-domain) histogram, never the corpus, so no billion-doc " +
+        "stratum ever funnels through one partition. Same nov pipeline " +
+        "as q239 (shared novScores / novSqlCtes — a score tweak moves " +
+        "both forms together); both engines replay the cut rule integer-" +
+        "exactly, so unlike a t-digest quantile this scale path needs no " +
+        "tolerance band anywhere."
+    ) { (s, dir) =>
+      val byLang = Window.partitionBy("lang")
+      val hist = novScores(s, dir)
+        .groupBy("lang", "bp")
+        .agg(count(lit(1)).cast("long").as("c"),
+          sum("n_bigrams").cast("long").as("sbg"))
+      val cum = hist
+        .withColumn("cc", sum("c").over(byLang.orderBy("bp")))
+        .withColumn("n", sum("c").over(byLang))
+      val cuts = cum
+        .withColumn("c1",
+          min(when(col("cc") >= expr("(n + 2) div 3"), col("bp"))).over(byLang))
+        .withColumn("c2",
+          min(when(col("cc") >= expr("(2 * n + 2) div 3"), col("bp"))).over(byLang))
+      cuts
+        .select(col("lang"),
+          when(col("bp") <= col("c1"), "head")
+            .when(col("bp") <= col("c2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("bp"), col("c"), col("sbg"))
+        .groupBy("lang", "bucket")
+        .agg(sum("c").cast("long").as("n_docs"),
+          sum("sbg").cast("long").as("mass_bigrams"),
+          min("bp").cast("long").as("bp_min"),
+          max("bp").cast("long").as("bp_max"))
         .orderBy("lang", "bucket")
     },
 
@@ -370,6 +414,51 @@ object RefineQueries {
         .orderBy("m")
     }
   )
+
+  /** The q239/q239b scoring pipeline — (doc_id, lang, n_bigrams, bp): q99's
+    * rare-bigram rate in basis points per document, staged token hashes,
+    * docs under 2 tokens excluded. ONE definition feeds both the exact-rank
+    * and the histogram-cut tercile forms. */
+  private def novScores(s: SparkSession, dir: String): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    // stage the token-hash array BEFORE indexing (the q64 lesson:
+    // inlined, element_at re-evaluates the transform at every site)
+    val st = Tables.documents(s, dir)
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), col("lang"), transform(w, t => xxhash64(t)).as("hw"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("hw")) - 1),
+          i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
+          .as("s"))
+    val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
+    st.join(cnt, "s")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("sum_c"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("(1000000 * n_bigrams) div sum_c").as("bp"))
+  }
+
+  /** [[novScores]] in the oracles' dialect, ending at the `nov` CTE.
+    * `lazy` because `all`'s initializer interpolates it and this object
+    * initializes top-down — a plain val would still be null there. */
+  private lazy val novSqlCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2
+      |), st AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1])) s
+      |  FROM t
+      |), cnt AS (
+      |  SELECT s, count(*) c FROM st GROUP BY s
+      |), nov AS (
+      |  SELECT st.doc_id, st.lang,
+      |         CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         (1000000 * count(*)) // sum(cnt.c) AS bp
+      |  FROM st JOIN cnt USING (s)
+      |  GROUP BY st.doc_id, st.lang
+      |)""".stripMargin
 
   /** q245's pre-aggregation rows — (vec_id, m, err_u): each vector's
     * quantization error against its assigned (min-L2, ties to larger id)

@@ -68,6 +68,56 @@ class RefineSpec extends SparkSpec {
     }
   }
 
+  test("q239b histogram cuts match a sequential reference and stay near q239's thirds") {
+    val rows = run("q239b_perplexity_buckets_hist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // sequential reference: string bigrams (the oracle's form — q99's
+    // zero-collision evidence covers hash==string equivalence), corpus
+    // counts, inverse-mean-frequency micros, then the min-cut rule
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.split(" ", -1).length >= 2)
+    val grams = docs.map { case (id, lang, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      (id, lang, w.sliding(2).map(_.mkString(" ")).toArray)
+    }
+    val corpus = grams.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+    val scored = grams.map { case (id, lang, gs) =>
+      val sumC = gs.map(corpus(_)).sum
+      (id, lang, gs.length.toLong, (1000000L * gs.length) / sumC)
+    }
+    scored.groupBy(_._2).foreach { case (lang, xs) =>
+      val n = xs.length.toLong
+      val hist = xs.groupBy(_._4).view
+        .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+      val bps = hist.keys.toSeq.sorted
+      val cum = bps.scanLeft(0L)((acc, bp) => acc + hist(bp)._1).tail
+      def cut(t: Long): Long = bps(cum.indexWhere(_ >= t))
+      val c1 = cut((n + 2) / 3); val c2 = cut((2 * n + 2) / 3)
+      val expect = bps.groupBy(bp =>
+        if (bp <= c1) "head" else if (bp <= c2) "middle" else "tail")
+        .map { case (b, bs) =>
+          b -> ((bs.map(hist(_)._1).sum, bs.map(hist(_)._2).sum, bs.min, bs.max))
+        }
+      val got = rows.filter(_._1 == lang)
+        .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+      assert(got === expect, s"$lang histogram buckets")
+
+      // whole-bucket wobble bound: each cumulative boundary overshoots
+      // ceil(kn/3) by less than the cut bucket's own size
+      val nHead = expect.get("head").map(_._1).getOrElse(0L)
+      assert(nHead >= (n + 2) / 3 && nHead - hist(c1)._1 < (n + 2) / 3,
+        s"$lang head respects the min-cut rule")
+      // strict score separation between buckets (no bp value spans two)
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail")
+             .flatMap(expect.get).sliding(2) if lo != hi)
+        assert(lo._4 < hi._3, s"$lang buckets share a score value")
+    }
+  }
+
   test("q241 conserves mass, obeys the centroid rule, and flags exactly >2%") {
     val rows = run("q241_ivf_drift_audit").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
