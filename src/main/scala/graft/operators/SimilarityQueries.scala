@@ -29,6 +29,200 @@ object SimilarityQueries {
   private[operators] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dotd(va, vb) / (na * nb)
 
+  /** q43's exact top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the broadcast-query scan + salted two-phase top-k,
+    * shared by q43 itself and the q246/q247 recall evals — the eval grades
+    * the index against the PLAN it ships, not a lookalike. */
+  private[operators] def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+    // Phase 1: per-(query, salt) partial top-k — bounded partitions.
+    val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    // Phase 2: exact top-k over the ≤ 64·k survivors per query.
+    val finalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
+      .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
+  /** q66's IVF top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
+    * by q66 itself and the q246 recall eval. */
+  private[operators] def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val Probes = 5
+    val CentStride = 50 // ~2% of the corpus serves as centroids
+    val n = normed(s, dir)
+    // deterministic ~2% centroid pick via 31-bit LCG on vec_id — chosen
+    // over xxhash64 because the identical arithmetic replays in the
+    // DuckDB oracle (no 64-bit wraparound multiply there); vec_id is
+    // reduced mod 2^31-1 first so the product never overflows a long on
+    // either engine at any id scale
+    val cents = n.filter(
+      ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
+        % 2147483647L % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+    // index build: nearest centroid per vector, collapsed map-side
+    val assigned = n.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      // tie-break equidistant centroids by cent_id (struct ordering) so
+      // cell assignment — and therefore q66's output — is deterministic
+      .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // query routing: probe the nearest `Probes` cells
+    val cw = Window.partitionBy(col("vec_id"))
+      .orderBy(centCos.desc, col("cent_id"))
+    val qprobes = n.filter(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= Probes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    assigned.join(broadcast(qprobes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
+  /** q236's PQ/ADC top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the codebook assignment + ADC scan + re-rank,
+    * shared by q236 itself and the q247 recall eval. */
+  private[operators] def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val subs = pqSubs(s, dir)
+    val centsrk = pqCodebook(s, dir)
+    val l2 = aggregate(
+      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
+    // l2 is a sum of squares so only +0.0 occurs, never the -0.0
+    // struct-ordering hazard; -cent_id makes the integer tie-break exact
+    val best = subs.join(broadcast(centsrk), "m")
+      .select(col("vec_id"), col("m"), l2.as("l2"),
+        (-col("cent_id")).as("negc"), col("crk"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("l2"), col("negc"), col("crk"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.crk").as("crk"))
+    // the PQ index proper: 4 small codes per vector, assembled in fixed
+    // subspace order — this is ALL the candidate scan ever reads
+    val codes = best.groupBy("vec_id").agg(
+      transform(sort_array(collect_list(struct(col("m"), col("crk")))),
+        p => p("crk")).as("cd"))
+    // per-query ADC lookup table: dot of the query's m-th subvector with
+    // every rank-m codebook entry, flattened in (m, crk) order; `nc` (the
+    // rank range) travels with it for flat addressing
+    val qlut = subs.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(centsrk), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("crk"),
+        dotd(col("sv"), col("csub")).as("dot"))
+      .groupBy("query_id")
+      .agg(transform(
+          sort_array(collect_list(struct(col("m"), col("crk"), col("dot")))),
+          p => p("dot")).as("lut"),
+        max("crk").as("nc"))
+    // candidate score = four LUT reads added in fixed subspace order —
+    // no reduction-order ambiguity, so both engines agree bitwise
+    def lutAt(m: Int) = element_at(col("lut"),
+      (lit(m.toLong) * col("nc") + col("cd").getItem(m)).cast("int"))
+    val cand = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (lutAt(0) + lutAt(1) + lutAt(2) + lutAt(3)).as("sc"))
+    val salted = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+      .orderBy(col("sc").desc, col("neighbor_id"))
+    val finalPrune = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("neighbor_id"))
+    val survivors = cand
+      .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
+      .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rerank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    survivors
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .withColumn("rk", row_number().over(rerank).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
+  /** The recall scoreboard shared by q246 (IVF) and q247 (PQ): exact top-k
+    * rows left-join the approximate result set on (query, neighbor), and
+    * one count-only aggregate per query yields hits, recall in exact ppm
+    * (integer division — both engines floor), and `first_miss_rk`, the
+    * exact rank at which the index FIRST loses a neighbor (0 = perfect).
+    * Only id pairs ride the join — Q·K rows per side, never a vector. */
+  private def recallAgg(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"), col("rk"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_cnt"),
+        count(col("hit")).as("hits"),
+        coalesce(min(when(col("hit").isNull, col("rk"))), lit(0L))
+          .as("first_miss_rk"))
+      .select(col("query_id"), col("exact_cnt"), col("hits"),
+        expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+        col("first_miss_rk"))
+      .orderBy("query_id")
+
+  /** The exact-top-k CTE chain (n → q → bscored → exact) of the q43 oracle
+    * minus the leading `e`, so it appends equally to a fresh `WITH e` (q246)
+    * or to [[pqAsgSqlCtes]]'s existing one (q247). */
+  private val exactTopKTailSqlCtes: String =
+    s"""n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+       |  FROM e
+       |), q AS (
+       |  SELECT * FROM n WHERE vec_id % 50 = 0
+       |), bscored AS (
+       |  SELECT q.vec_id query_id, a.vec_id neighbor_id,
+       |         list_reduce(list_transform(range(1, len(q.v)+1),
+       |                                    i -> q.v[i] * a.v[i]),
+       |                     (x,y) -> x+y) / (q.nrm * a.nrm) c
+       |  FROM q JOIN n a ON a.vec_id <> q.vec_id
+       |), exact AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY c DESC, neighbor_id) rk
+       |    FROM bscored
+       |  ) WHERE rk <= $K
+       |)""".stripMargin
+
+  /** The recall-scoreboard tail of the q246/q247 oracles: `exact` (from
+    * [[exactTopKTailSqlCtes]]) left-joins an `approx(query_id, neighbor_id)`
+    * CTE the caller provides. */
+  private val recallSqlTail: String =
+    """SELECT x.query_id,
+      |       CAST(count(*) AS BIGINT) AS exact_cnt,
+      |       CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+      |       CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+      |         AS recall_ppm,
+      |       CAST(coalesce(min(CASE WHEN i.neighbor_id IS NULL
+      |                              THEN x.rk END), 0) AS BIGINT)
+      |         AS first_miss_rk
+      |FROM exact x
+      |LEFT JOIN approx i
+      |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+      |GROUP BY x.query_id
+      |ORDER BY x.query_id""".stripMargin
+
   /** q236's strided PQ decomposition: one row per (vec_id, m ∈ 0..3)
     * carrying the m-th strided subvector (dimension i goes to subspace
     * i mod 4). Shared by q236 (index build + ADC scan) and q245 (codebook
@@ -252,22 +446,9 @@ object SimilarityQueries {
         "This is the plan that survives a 10^9-vector corpus; the window " +
         "never materializes a global per-query sort."
     ) { (s, dir) =>
-      val n = normed(s, dir)
-      val q = n.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
-      // Phase 1: per-(query, salt) partial top-k — bounded partitions.
-      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      // Phase 2: exact top-k over the ≤ 64·k survivors per query.
-      val finalW = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      scored
-        .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
-        .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+      bruteTopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
     },
 
@@ -514,42 +695,9 @@ object SimilarityQueries {
         "periodic index build — the query plan is unchanged. Same plan " +
         "shape as q44 with centroid id in place of the LSH bucket code."
     ) { (s, dir) =>
-      val Probes = 5
-      val CentStride = 50 // ~2% of the corpus serves as centroids
-      val n = normed(s, dir)
-      // deterministic ~2% centroid pick via 31-bit LCG on vec_id — chosen
-      // over xxhash64 because the identical arithmetic replays in the
-      // DuckDB oracle (no 64-bit wraparound multiply there); vec_id is
-      // reduced mod 2^31-1 first so the product never overflows a long on
-      // either engine at any id scale
-      val cents = n.filter(
-        ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
-          % 2147483647L % CentStride === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
-      // index build: nearest centroid per vector, collapsed map-side
-      val assigned = n.crossJoin(broadcast(cents))
-        .groupBy("vec_id")
-        // tie-break equidistant centroids by cent_id (struct ordering) so
-        // cell assignment — and therefore q66's output — is deterministic
-        .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      // query routing: probe the nearest `Probes` cells
-      val cw = Window.partitionBy(col("vec_id"))
-        .orderBy(centCos.desc, col("cent_id"))
-      val qprobes = n.filter(col("vec_id") % 50 === 0)
-        .crossJoin(broadcast(cents))
-        .withColumn("crk", row_number().over(cw)).filter(col("crk") <= Probes)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cent_id"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      assigned.join(broadcast(qprobes), Seq("cent_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
-        .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+      ivfTopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
     },
 
@@ -769,65 +917,7 @@ object SimilarityQueries {
         "lookups, not multiplies — the FAISS IVFPQ layout minus the IVF " +
         "gate q66 already provides."
     ) { (s, dir) =>
-      val e = normed(s, dir)
-      val subs = pqSubs(s, dir)
-      val centsrk = pqCodebook(s, dir)
-      val l2 = aggregate(
-        zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      // min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
-      // l2 is a sum of squares so only +0.0 occurs, never the -0.0
-      // struct-ordering hazard; -cent_id makes the integer tie-break exact
-      val best = subs.join(broadcast(centsrk), "m")
-        .select(col("vec_id"), col("m"), l2.as("l2"),
-          (-col("cent_id")).as("negc"), col("crk"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("l2"), col("negc"), col("crk"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.crk").as("crk"))
-      // the PQ index proper: 4 small codes per vector, assembled in fixed
-      // subspace order — this is ALL the candidate scan ever reads
-      val codes = best.groupBy("vec_id").agg(
-        transform(sort_array(collect_list(struct(col("m"), col("crk")))),
-          p => p("crk")).as("cd"))
-      // per-query ADC lookup table: dot of the query's m-th subvector with
-      // every rank-m codebook entry, flattened in (m, crk) order; `nc` (the
-      // rank range) travels with it for flat addressing
-      val qlut = subs.filter(col("vec_id") % 50 === 0)
-        .join(broadcast(centsrk), "m")
-        .select(col("vec_id").as("query_id"), col("m"), col("crk"),
-          dotd(col("sv"), col("csub")).as("dot"))
-        .groupBy("query_id")
-        .agg(transform(
-            sort_array(collect_list(struct(col("m"), col("crk"), col("dot")))),
-            p => p("dot")).as("lut"),
-          max("crk").as("nc"))
-      // candidate score = four LUT reads added in fixed subspace order —
-      // no reduction-order ambiguity, so both engines agree bitwise
-      def lutAt(m: Int) = element_at(col("lut"),
-        (lit(m.toLong) * col("nc") + col("cd").getItem(m)).cast("int"))
-      val cand = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (lutAt(0) + lutAt(1) + lutAt(2) + lutAt(3)).as("sc"))
-      val salted = Window
-        .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-        .orderBy(col("sc").desc, col("neighbor_id"))
-      val finalPrune = Window.partitionBy(col("query_id"))
-        .orderBy(col("sc").desc, col("neighbor_id"))
-      val survivors = cand
-        .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
-        .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
-        .select(col("query_id"), col("neighbor_id"))
-      val qv = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val rerank = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      survivors
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-          "neighbor_id")
-        .join(broadcast(qv), "query_id")
-        .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        .withColumn("rk", row_number().over(rerank).cast("long"))
-        .filter(col("rk") <= K)
+      pqTopK(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
@@ -1366,6 +1456,134 @@ object SimilarityQueries {
             " div greatest((n * sxx_b - sx_b * sx_b) div 10000, 1)").as("r2_ppm"))
         .orderBy(col("r2_ppm").desc, col("di"), col("dj"))
         .limit(10)
+    },
+
+    GraftQuery(
+      "q246_ann_recall_eval",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+              |), $exactTopKTailSqlCtes, cents AS (
+              |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+              |          % 2147483647 % 50 = 0
+              |), ac AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              |         list_reduce(list_transform(range(1, len(n.v) + 1),
+              |                                    i -> n.v[i] * c.cv[i]),
+              |                     (x,y) -> x+y) / (n.nrm * c.cn) AS cc
+              |  FROM n, cents c
+              |), assigned AS (
+              |  SELECT vec_id, v, nrm, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id DESC) rn
+              |    FROM ac
+              |  ) WHERE rn = 1
+              |), qpr AS (
+              |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                ORDER BY cc DESC, cent_id) crk
+              |    FROM ac WHERE vec_id % 50 = 0
+              |  ) WHERE crk <= 5
+              |), iscored AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+              |                                    i -> q.qv[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+              |  FROM assigned a JOIN qpr q USING (cent_id)
+              |  WHERE a.vec_id <> q.query_id
+              |), approx AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM iscored
+              |  ) WHERE rk <= $K
+              |)
+              |$recallSqlTail""".stripMargin),
+      "Recall@k of the IVF index (q66) against the exact baseline (q43) — " +
+        "the quality metric a deployed ANN index is actually operated by, " +
+        "closing the index lifecycle next to q241's assignment-drift " +
+        "audit: drift says the INDEX moved, recall says the ANSWERS " +
+        "degraded, and the retrain decision wants both. Both sides are " +
+        "the very pipelines the engine ships (one shared Scala method " +
+        "each — the eval cannot silently grade a lookalike), and the " +
+        "scoreboard join carries only (query, neighbor) id pairs — Q·k " +
+        "rows per side, never a vector, so its cost is noise next to the " +
+        "searches themselves. recall_ppm is exact integer division and " +
+        "first_miss_rk localizes WHERE the index loses neighbors (rank 1 " +
+        "means the top answer is wrong — probe deeper; rank 9 means only " +
+        "the tail frays). At 100 TB the exact side is priced by running " +
+        "the panel as a FIXED deterministic query sample (here vec_id ≡ 0 " +
+        "mod 50): brute force over a thousand panel queries is Q " +
+        "broadcast rows against one corpus scan — routine — and the " +
+        "panel's recall time series is the index's health dashboard."
+    ) { (s, dir) =>
+      recallAgg(bruteTopK(s, dir), ivfTopK(s, dir))
+    },
+
+    GraftQuery(
+      "q247_pq_recall_eval",
+      Some(s"""$pqAsgSqlCtes, $exactTopKTailSqlCtes, best AS (
+              |  SELECT vec_id, m, crk FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              |                                 ORDER BY l2, cent_id DESC) rn
+              |    FROM asg
+              |  ) WHERE rn = 1
+              |), codes AS (
+              |  SELECT vec_id, list(crk ORDER BY m) cd FROM best GROUP BY vec_id
+              |), qlut AS (
+              |  SELECT vec_id AS query_id, list(dot ORDER BY m, crk) lut,
+              |         CAST(max(crk) AS BIGINT) nc
+              |  FROM (
+              |    SELECT s.vec_id, c.m, c.crk,
+              |           list_reduce(list_transform(range(1, len(s.sv) + 1),
+              |             i -> s.sv[i] * c.csub[i]), (x, y) -> x + y) dot
+              |    FROM subs s JOIN centsrk c USING (m)
+              |    WHERE s.vec_id % 50 = 0
+              |  ) GROUP BY vec_id
+              |), cand AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         q.lut[a.cd[1]] + q.lut[q.nc + a.cd[2]]
+              |           + q.lut[2 * q.nc + a.cd[3]]
+              |           + q.lut[3 * q.nc + a.cd[4]] AS sc
+              |  FROM qlut q JOIN codes a ON a.vec_id <> q.query_id
+              |), pruned AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY sc DESC, neighbor_id) prk
+              |  FROM cand
+              |), rr AS (
+              |  SELECT p.query_id, p.neighbor_id,
+              |         list_reduce(list_transform(range(1, len(qn.v) + 1),
+              |           i -> qn.v[i] * a.v[i]), (x, y) -> x + y)
+              |           / (qn.nrm * a.nrm) AS c
+              |  FROM pruned p
+              |  JOIN n a ON a.vec_id = p.neighbor_id
+              |  JOIN n qn ON qn.vec_id = p.query_id
+              |  WHERE p.prk <= 32
+              |), approx AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM rr
+              |  ) WHERE rk <= $K
+              |)
+              |$recallSqlTail""".stripMargin),
+      "Recall@k of the PQ/ADC index (q236) against the exact baseline — " +
+        "q246's scoreboard pointed at the compressed index, sharing its " +
+        "aggregation and the q43 exact side verbatim. PQ loses recall " +
+        "for a DIFFERENT reason than IVF (quantization error in the ADC " +
+        "scores reorders candidates below prune rank 32, vs cell routing " +
+        "missing a neighbor's cell entirely), so a fleet runs both " +
+        "scoreboards on the same panel: IVF recall dropping flags " +
+        "routing (rebuild centroids, q241), PQ recall dropping flags " +
+        "codebook staleness (retrain codebooks, q245) or too-shallow " +
+        "pruning (raise the 32). Same 100 TB posture as q246: fixed " +
+        "deterministic query panel, id-only scoreboard join, the eval's " +
+        "own cost is Q·k rows against the indexes it grades."
+    ) { (s, dir) =>
+      recallAgg(bruteTopK(s, dir), pqTopK(s, dir))
     }
   )
 }

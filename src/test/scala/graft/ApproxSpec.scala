@@ -94,4 +94,39 @@ class ApproxSpec extends SparkSpec {
         s"week $week: estimate $est vs exact $truth exceeds 5%")
     }
   }
+
+  /** The q246/q247 recall scoreboards must be the literal set algebra of
+    * the catalog queries they grade — recomputed here independently from
+    * q43/q66/q236's own published outputs, not the shared helpers. */
+  private def checkRecallEval(evalName: String, approxName: String): Unit = {
+    val exact = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q, n, rk)
+    val approx = SparkEntry.queries(approxName)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = SparkEntry.queries(evalName)(spark, sf).collect()
+    val byQ = exact.groupBy(_._1)
+    assert(ev.nonEmpty && ev.map(_.getLong(0)).toSet == byQ.keySet,
+      s"$evalName must cover exactly the queries with exact neighbors")
+    ev.foreach { r =>
+      val qid = r.getLong(r.fieldIndex("query_id"))
+      val ex = byQ(qid)
+      val hits = ex.count(t => approx((t._1, t._2)))
+      val firstMiss = ex.filter(t => !approx((t._1, t._2)))
+        .map(_._3).minOption.getOrElse(0L)
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == ex.size, s"q$qid exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == hits, s"q$qid hits")
+      assert(r.getLong(r.fieldIndex("recall_ppm")) ==
+        hits.toLong * 1000000L / ex.size, s"q$qid recall_ppm")
+      assert(r.getLong(r.fieldIndex("first_miss_rk")) == firstMiss,
+        s"q$qid first_miss_rk")
+    }
+  }
+
+  test("q246 IVF recall eval is the set algebra of q43 vs q66") {
+    checkRecallEval("q246_ann_recall_eval", "q66_knn_ivf")
+  }
+
+  test("q247 PQ recall eval is the set algebra of q43 vs q236") {
+    checkRecallEval("q247_pq_recall_eval", "q236_pq_ann")
+  }
 }

@@ -283,7 +283,11 @@ class ScaleDesignSpec extends SparkSpec {
       "q234_incremental_semdedup" -> "frozen trained-centroid side (q66's rule over the existing corpus)",
       "q236_pq_ann" -> ("q43's 2% hash-sampled broadcast query side (ADC " +
         "scan) and q66's ~3% LCG-sampled codebook side (assignment)"),
-      "q241_ivf_drift_audit" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side")
+      "q241_ivf_drift_audit" -> "q66's ~2% LCG-sampled centroid side, collapsed map-side",
+      "q246_ann_recall_eval" ->
+        "q43's + q66's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
+      "q247_pq_recall_eval" ->
+        "q43's + q236's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
