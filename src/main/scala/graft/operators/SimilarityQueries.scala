@@ -94,6 +94,64 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
   }
 
+  /** q44's sign-LSH top-k pipeline, pre-presentation: (query_id,
+    * neighbor_id, rk, c). ONE copy of the bucket build + Hamming≤2
+    * multi-probe + re-rank, shared by q44 itself and the q248 recall eval. */
+  private[operators] def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val Tbl = 4
+    val Dim = 64
+    val Bits = codeBits(Tables.parquetRowCount(s, dir, "embeddings"))
+    val n = normed(s, dir)
+    // bucket code per (vector, table): one fused native pass over all
+    // hyperplanes (SignCodeD) — the unrolled when(dot>0)-chain form costs
+    // seconds of codegen warm-up and re-reads the vector per bit
+    val codeFor: Int => Column = t => graft.functions.VectorFunctions.signCode(
+      col("v"), (0 until Bits).flatMap(b => hyperplane(t, b, Dim)).toArray, Bits, Dim)
+    // corpus side: IDS ONLY past this point — the join, dedup and
+    // candidate shuffle move (vec_id, tbl, code), never the vectors
+    val cbuckets = n.select(col("vec_id"),
+      explode(array((0 until Tbl).map(t =>
+        struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl"), col("bk.code"))
+    // query side: multi-probe all buckets within Hamming ≤ 2 of the
+    // query's own code (1 + Bits + C(Bits,2) codes/table) — recall lift
+    // at zero corpus-side cost; this corpus's neighbors sit at wide
+    // angles (cos ≤ 0.5 ⇒ per-hyperplane agreement ≤ 0.67), so probing
+    // depth, not corpus replication, is the recall knob
+    val probeMasks: Seq[Int] = 0 +:
+      (0 until Bits).map(1 << _) ++:
+      (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
+    // single definition of the query set — qprobes and qvecs MUST agree
+    // or the final join silently drops candidates
+    val queries = n.filter(col("vec_id") % 50 === 0)
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"),
+        explode(array((0 until Tbl).map(t =>
+          struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
+      .select(col("query_id"), col("bk.tbl"),
+        explode(array(probeMasks.map(m =>
+          col("bk.code").bitwiseXOR(lit(m))): _*)).as("code"))
+    val candIds = cbuckets.join(broadcast(qprobes), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // vectors re-enter AFTER dedup: corpus side by equi-join on
+    // neighbor_id (a broadcast of tiny candIds at any corpus size the
+    // optimizer chooses; a shuffle join degrades gracefully), query side
+    // as an explicit broadcast
+    val qvecs = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    candIds
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
   /** q236's PQ/ADC top-k pipeline, pre-presentation: (query_id, neighbor_id,
     * rk, c). ONE copy of the codebook assignment + ADC scan + re-rank,
     * shared by q236 itself and the q247 recall eval. */
@@ -180,15 +238,11 @@ object SimilarityQueries {
         col("first_miss_rk"))
       .orderBy("query_id")
 
-  /** The exact-top-k CTE chain (n → q → bscored → exact) of the q43 oracle
-    * minus the leading `e`, so it appends equally to a fresh `WITH e` (q246)
-    * or to [[pqAsgSqlCtes]]'s existing one (q247). */
-  private val exactTopKTailSqlCtes: String =
-    s"""n AS (
-       |  SELECT vec_id, v,
-       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
-       |  FROM e
-       |), q AS (
+  /** The exact-top-k CTE chain (q → bscored → exact) of the q43 oracle
+    * given an existing `n(vec_id, v, nrm)` — appended after
+    * [[lshReplayPrologue]] (which already defines `n`) by the q248 oracle. */
+  private val exactFromNSqlCtes: String =
+    s"""q AS (
        |  SELECT * FROM n WHERE vec_id % 50 = 0
        |), bscored AS (
        |  SELECT q.vec_id query_id, a.vec_id neighbor_id,
@@ -204,6 +258,16 @@ object SimilarityQueries {
        |    FROM bscored
        |  ) WHERE rk <= $K
        |)""".stripMargin
+
+  /** [[exactFromNSqlCtes]] prefixed with the norm CTE, so it appends
+    * equally to a fresh `WITH e` (q246) or to [[pqAsgSqlCtes]]'s existing
+    * one (q247). */
+  private val exactTopKTailSqlCtes: String =
+    s"""n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+       |  FROM e
+       |), $exactFromNSqlCtes""".stripMargin
 
   /** The recall-scoreboard tail of the q246/q247 oracles: `exact` (from
     * [[exactTopKTailSqlCtes]]) left-joins an `approx(query_id, neighbor_id)`
@@ -579,58 +643,9 @@ object SimilarityQueries {
         "carries a duplicated embedding. The same plan shape serves IVF: " +
         "swap bucket code for a centroid id, probe nearest centroids."
     ) { (s, dir) =>
-      val Tbl = 4
-      val Dim = 64
-      val Bits = codeBits(Tables.parquetRowCount(s, dir, "embeddings"))
-      val n = normed(s, dir)
-      // bucket code per (vector, table): one fused native pass over all
-      // hyperplanes (SignCodeD) — the unrolled when(dot>0)-chain form costs
-      // seconds of codegen warm-up and re-reads the vector per bit
-      val codeFor: Int => Column = t => graft.functions.VectorFunctions.signCode(
-        col("v"), (0 until Bits).flatMap(b => hyperplane(t, b, Dim)).toArray, Bits, Dim)
-      // corpus side: IDS ONLY past this point — the join, dedup and
-      // candidate shuffle move (vec_id, tbl, code), never the vectors
-      val cbuckets = n.select(col("vec_id"),
-        explode(array((0 until Tbl).map(t =>
-          struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.tbl"), col("bk.code"))
-      // query side: multi-probe all buckets within Hamming ≤ 2 of the
-      // query's own code (1 + Bits + C(Bits,2) codes/table) — recall lift
-      // at zero corpus-side cost; this corpus's neighbors sit at wide
-      // angles (cos ≤ 0.5 ⇒ per-hyperplane agreement ≤ 0.67), so probing
-      // depth, not corpus replication, is the recall knob
-      val probeMasks: Seq[Int] = 0 +:
-        (0 until Bits).map(1 << _) ++:
-        (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
-      // single definition of the query set — qprobes and qvecs MUST agree
-      // or the final join silently drops candidates
-      val queries = n.filter(col("vec_id") % 50 === 0)
-      val qprobes = queries
-        .select(col("vec_id").as("query_id"),
-          explode(array((0 until Tbl).map(t =>
-            struct(lit(t).as("tbl"), codeFor(t).as("code"))): _*)).as("bk"))
-        .select(col("query_id"), col("bk.tbl"),
-          explode(array(probeMasks.map(m =>
-            col("bk.code").bitwiseXOR(lit(m))): _*)).as("code"))
-      val candIds = cbuckets.join(broadcast(qprobes), Seq("tbl", "code"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id")
-      // vectors re-enter AFTER dedup: corpus side by equi-join on
-      // neighbor_id (a broadcast of tiny candIds at any corpus size the
-      // optimizer chooses; a shuffle join degrades gracefully), query side
-      // as an explicit broadcast
-      val qvecs = queries
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      candIds
-        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-          "neighbor_id")
-        .join(broadcast(qvecs), "query_id")
-        .withColumn("c", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
+      lshTopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
     },
 
@@ -1584,6 +1599,55 @@ object SimilarityQueries {
         "own cost is Q·k rows against the indexes it grades."
     ) { (s, dir) =>
       recallAgg(bruteTopK(s, dir), pqTopK(s, dir))
+    },
+
+    GraftQuery(
+      "q248_lsh_recall_eval",
+      Some(s"""$lshReplayPrologue, $exactFromNSqlCtes, idx AS (
+              |  SELECT i FROM range(0, 24) t(i), params WHERE i < bits
+              |), masks AS (
+              |  SELECT 0::BIGINT AS m
+              |  UNION ALL SELECT (1::BIGINT << i) FROM idx
+              |  UNION ALL SELECT (1::BIGINT << a.i) | (1::BIGINT << b.i)
+              |            FROM idx a, idx b WHERE b.i > a.i
+              |), qprobes AS (
+              |  SELECT vec_id AS query_id, tbl, xor(code, m) AS code
+              |  FROM codes, masks WHERE vec_id % 50 = 0
+              |), lcand AS (
+              |  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+              |  FROM codes c JOIN qprobes qp USING (tbl, code)
+              |  WHERE c.vec_id <> qp.query_id
+              |), lscored AS (
+              |  SELECT lcand.query_id, lcand.neighbor_id,
+              |         list_reduce(list_transform(range(1, 65),
+              |                                    i -> qn.v[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (qn.nrm * a.nrm) AS c
+              |  FROM lcand
+              |  JOIN n qn ON qn.vec_id = lcand.query_id
+              |  JOIN n a ON a.vec_id = lcand.neighbor_id
+              |), approx AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM lscored
+              |  ) WHERE rk <= $K
+              |)
+              |$recallSqlTail""".stripMargin),
+      "Recall@k of the sign-LSH index (q44) against the exact baseline — " +
+        "the third scoreboard, completing per-index recall coverage " +
+        "(q246 IVF, q247 PQ, q248 LSH) over the shared exact side and " +
+        "aggregation. q44's own scale note names probe depth as THE " +
+        "recall knob; this is the dial readout that justifies turning " +
+        "it: recall sagging with first_miss_rk at 1-2 means whole " +
+        "neighbor buckets are being missed (add probes or tables), " +
+        "while high recall with misses only at tail ranks means the " +
+        "Hamming≤2 ball already covers the neighborhood and probe " +
+        "budget can be CUT. Same 100 TB posture as its siblings: fixed " +
+        "deterministic query panel, id-only scoreboard join, cost " +
+        "dominated by the two searches it grades."
+    ) { (s, dir) =>
+      recallAgg(bruteTopK(s, dir), lshTopK(s, dir))
     }
   )
 }

@@ -129,4 +129,8 @@ class ApproxSpec extends SparkSpec {
   test("q247 PQ recall eval is the set algebra of q43 vs q236") {
     checkRecallEval("q247_pq_recall_eval", "q236_pq_ann")
   }
+
+  test("q248 LSH recall eval is the set algebra of q43 vs q44") {
+    checkRecallEval("q248_lsh_recall_eval", "q44_knn_lsh")
+  }
 }

@@ -287,7 +287,9 @@ class ScaleDesignSpec extends SparkSpec {
       "q246_ann_recall_eval" ->
         "q43's + q66's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
       "q247_pq_recall_eval" ->
-        "q43's + q236's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
+        "q43's + q236's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
+      "q248_lsh_recall_eval" ->
+        "q43's + q44's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
