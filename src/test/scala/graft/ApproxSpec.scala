@@ -95,10 +95,15 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  /** The q246/q247 recall scoreboards must be the literal set algebra of
-    * the catalog queries they grade — recomputed here independently from
-    * q43/q66/q236's own published outputs, not the shared helpers. */
-  private def checkRecallEval(evalName: String, approxName: String): Unit = {
+  /** The q246/q247/q248 recall scoreboards must be the literal set algebra
+    * of the catalog queries they grade — recomputed here independently from
+    * q43/q66/q236/q44's own published outputs, not the shared helpers.
+    * `macroFloorPpm` additionally pins a deterministic recall floor (the
+    * corpus and every pipeline are deterministic, so these numbers move
+    * ONLY when an index algorithm changes — exactly the regression the
+    * scoreboard exists to catch). */
+  private def checkRecallEval(evalName: String, approxName: String,
+                              macroFloorPpm: Long): Unit = {
     val exact = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q, n, rk)
     val approx = SparkEntry.queries(approxName)(spark, sf).collect()
@@ -120,17 +125,20 @@ class ApproxSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("first_miss_rk")) == firstMiss,
         s"q$qid first_miss_rk")
     }
+    val macroPpm = ev.map(_.getLong(ev.head.fieldIndex("recall_ppm"))).sum / ev.length
+    assert(macroPpm >= macroFloorPpm,
+      s"$evalName macro recall $macroPpm ppm under floor $macroFloorPpm")
   }
 
   test("q246 IVF recall eval is the set algebra of q43 vs q66") {
-    checkRecallEval("q246_ann_recall_eval", "q66_knn_ivf")
+    checkRecallEval("q246_ann_recall_eval", "q66_knn_ivf", 500000L)
   }
 
   test("q247 PQ recall eval is the set algebra of q43 vs q236") {
-    checkRecallEval("q247_pq_recall_eval", "q236_pq_ann")
+    checkRecallEval("q247_pq_recall_eval", "q236_pq_ann", 200000L)
   }
 
   test("q248 LSH recall eval is the set algebra of q43 vs q44") {
-    checkRecallEval("q248_lsh_recall_eval", "q44_knn_lsh")
+    checkRecallEval("q248_lsh_recall_eval", "q44_knn_lsh", 600000L)
   }
 }
