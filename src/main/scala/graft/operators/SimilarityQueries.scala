@@ -52,22 +52,49 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
   }
 
-  /** q66's IVF top-k pipeline, pre-presentation: (query_id, neighbor_id,
-    * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
-    * by q66 itself and the q246 recall eval. */
-  private[operators] def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val Probes = 5
+  /** q66's probe depth — also the DEFAULT for every IVF-routed pipeline.
+    * q251 calibrates the minimal depth meeting a recall floor; callers can
+    * then pass that dial reading into [[ivfTopK]]/[[ivfPqTopK]] instead of
+    * this constant. */
+  val IvfProbes = 5
+
+  /** (cent_id, cv, cn): the deterministic ~2% IVF centroid sample, shared
+    * by q66's index build, the query routing, and q249's cell gate. The
+    * 31-bit LCG is chosen over xxhash64 because the identical arithmetic
+    * replays in the DuckDB oracle (no 64-bit wraparound multiply there);
+    * vec_id is reduced mod 2^31-1 first so the product never overflows a
+    * long on either engine at any id scale. */
+  private[operators] def ivfCents(s: SparkSession, dir: String): DataFrame = {
     val CentStride = 50 // ~2% of the corpus serves as centroids
-    val n = normed(s, dir)
-    // deterministic ~2% centroid pick via 31-bit LCG on vec_id — chosen
-    // over xxhash64 because the identical arithmetic replays in the
-    // DuckDB oracle (no 64-bit wraparound multiply there); vec_id is
-    // reduced mod 2^31-1 first so the product never overflows a long on
-    // either engine at any id scale
-    val cents = n.filter(
+    normed(s, dir).filter(
       ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
         % 2147483647L % CentStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+  }
+
+  /** IVF query routing shared by q66 and q249: each panel query's `probes`
+    * nearest centroid cells — (query_id, qv, qn, cent_id). */
+  private[operators] def ivfQueryProbes(s: SparkSession, dir: String,
+                                        probes: Int): DataFrame = {
+    val cents = ivfCents(s, dir)
+    val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+    val cw = Window.partitionBy(col("vec_id"))
+      .orderBy(centCos.desc, col("cent_id"))
+    normed(s, dir).filter(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= probes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"))
+  }
+
+  /** q66's IVF top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
+    * by q66 itself, the q246 recall eval and the q251 probe-depth dial
+    * (which sweeps `probes`). */
+  private[operators] def ivfTopK(s: SparkSession, dir: String,
+                                 probes: Int = IvfProbes): DataFrame = {
+    val n = normed(s, dir)
+    val cents = ivfCents(s, dir)
     val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     // index build: nearest centroid per vector, collapsed map-side
     val assigned = n.crossJoin(broadcast(cents))
@@ -76,14 +103,7 @@ object SimilarityQueries {
       // cell assignment — and therefore q66's output — is deterministic
       .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-    // query routing: probe the nearest `Probes` cells
-    val cw = Window.partitionBy(col("vec_id"))
-      .orderBy(centCos.desc, col("cent_id"))
-    val qprobes = n.filter(col("vec_id") % 50 === 0)
-      .crossJoin(broadcast(cents))
-      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= Probes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cent_id"))
+    val qprobes = ivfQueryProbes(s, dir, probes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id"))
     assigned.join(broadcast(qprobes), Seq("cent_id"))
@@ -152,35 +172,34 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
   }
 
-  /** q236's PQ/ADC top-k pipeline, pre-presentation: (query_id, neighbor_id,
-    * rk, c). ONE copy of the codebook assignment + ADC scan + re-rank,
-    * shared by q236 itself and the q247 recall eval. */
-  private[operators] def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir)
-    val subs = pqSubs(s, dir)
-    val centsrk = pqCodebook(s, dir)
+  /** (vec_id, cd): the PQ index proper — 4 small codes per vector,
+    * assembled in fixed subspace order. This is ALL an ADC candidate scan
+    * ever reads; shared by q236's flat scan and q249's cell-pruned scan.
+    * min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
+    * l2 is a sum of squares so only +0.0 occurs, never the -0.0
+    * struct-ordering hazard; -cent_id makes the integer tie-break exact. */
+  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val l2 = aggregate(
       zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    // min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
-    // l2 is a sum of squares so only +0.0 occurs, never the -0.0
-    // struct-ordering hazard; -cent_id makes the integer tie-break exact
-    val best = subs.join(broadcast(centsrk), "m")
+    pqSubs(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"),
         (-col("cent_id")).as("negc"), col("crk"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("l2"), col("negc"), col("crk"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.crk").as("crk"))
-    // the PQ index proper: 4 small codes per vector, assembled in fixed
-    // subspace order — this is ALL the candidate scan ever reads
-    val codes = best.groupBy("vec_id").agg(
-      transform(sort_array(collect_list(struct(col("m"), col("crk")))),
-        p => p("crk")).as("cd"))
-    // per-query ADC lookup table: dot of the query's m-th subvector with
-    // every rank-m codebook entry, flattened in (m, crk) order; `nc` (the
-    // rank range) travels with it for flat addressing
-    val qlut = subs.filter(col("vec_id") % 50 === 0)
-      .join(broadcast(centsrk), "m")
+      .groupBy("vec_id").agg(
+        transform(sort_array(collect_list(struct(col("m"), col("crk")))),
+          p => p("crk")).as("cd"))
+  }
+
+  /** (query_id, lut, nc): per-query ADC lookup table — dot of the query's
+    * m-th subvector with every rank-m codebook entry, flattened in (m, crk)
+    * order; `nc` (the rank range) travels with it for flat addressing.
+    * Shared by q236 and q249. */
+  private[operators] def pqQueryLuts(s: SparkSession, dir: String): DataFrame =
+    pqSubs(s, dir).filter(col("vec_id") % 50 === 0)
+      .join(broadcast(pqCodebook(s, dir)), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("crk"),
         dotd(col("sv"), col("csub")).as("dot"))
       .groupBy("query_id")
@@ -188,21 +207,31 @@ object SimilarityQueries {
           sort_array(collect_list(struct(col("m"), col("crk"), col("dot")))),
           p => p("dot")).as("lut"),
         max("crk").as("nc"))
-    // candidate score = four LUT reads added in fixed subspace order —
-    // no reduction-order ambiguity, so both engines agree bitwise
+
+  /** Candidate ADC score = four LUT reads added in fixed subspace order —
+    * no reduction-order ambiguity, so both engines agree bitwise. Expects
+    * `lut`, `nc`, `cd` columns in scope. */
+  private def adcScore: Column = {
     def lutAt(m: Int) = element_at(col("lut"),
       (lit(m.toLong) * col("nc") + col("cd").getItem(m)).cast("int"))
-    val cand = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (lutAt(0) + lutAt(1) + lutAt(2) + lutAt(3)).as("sc"))
+    lutAt(0) + lutAt(1) + lutAt(2) + lutAt(3)
+  }
+
+  /** Salted two-phase ADC prune + exact cosine re-rank shared by the PQ
+    * scans: cut `cand(query_id, neighbor_id, sc)` to `depth` survivors per
+    * query by ADC score, re-join the corpus BY ID for exact cosine, and
+    * return the top-k (query_id, neighbor_id, rk, c). */
+  private def adcPruneRerank(s: SparkSession, dir: String,
+                             cand: DataFrame, depth: Int): DataFrame = {
+    val e = normed(s, dir)
     val salted = Window
       .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
       .orderBy(col("sc").desc, col("neighbor_id"))
     val finalPrune = Window.partitionBy(col("query_id"))
       .orderBy(col("sc").desc, col("neighbor_id"))
     val survivors = cand
-      .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
-      .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
+      .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= depth)
+      .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= depth)
       .select(col("query_id"), col("neighbor_id"))
     val qv = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -216,6 +245,52 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(rerank).cast("long"))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
+  /** q236's PQ/ADC top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the codebook assignment + ADC scan + re-rank,
+    * shared by q236 itself and the q247 recall eval. */
+  private[operators] def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cand = pqCodes(s, dir)
+      .join(broadcast(pqQueryLuts(s, dir)), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
+    adcPruneRerank(s, dir, cand, depth = 32)
+  }
+
+  /** q249's ADC prune depth. Deeper than q236's 32 because the cell gate
+    * has already cut candidates to ~probes·cell_size per query — a depth
+    * that keeps the prune near-lossless INSIDE probed cells, so IVF-PQ
+    * recall tracks IVF recall (cell routing, not ADC ordering, is the
+    * recall limiter; q250 pins the floor at IVF's own 500000 ppm). At
+    * 100 TB with thousands-deep cells this is still a real prune — the
+    * exact re-rank touches 128 float vectors per query, never a cell. */
+  private val IvfPqDepth = 128
+
+  /** q249's IVF-PQ top-k pipeline, pre-presentation: (query_id,
+    * neighbor_id, rk, c) — the FAISS IVFPQ composition of the two index
+    * pillars: q66's centroid cells gate WHICH vectors are scanned, q236's
+    * ADC codes decide HOW each survivor is scored. The corpus side of the
+    * candidate join carries (cent_id, vec_id, 4 codes) — never a float
+    * vector — and meets the query side in an EQUI-join on cent_id, so
+    * per-query scan cost is probes·cell_size, sublinear in corpus size.
+    * Shared by q249 itself and the q250 recall eval. */
+  private[operators] def ivfPqTopK(s: SparkSession, dir: String,
+                                   probes: Int = IvfProbes): DataFrame = {
+    // the complete IVF-PQ index row: cell id + 4 PQ codes per vector
+    // (cell assignment is THE shared q66/q230/q232 pipeline)
+    val coded = pqCodes(s, dir)
+      .join(SelectionQueries.assigned(s, dir).select(col("vec_id"), col("cent_id")),
+        "vec_id")
+    // query side: probed cells × per-query ADC LUT — a few rows per query
+    val qside = ivfQueryProbes(s, dir, probes)
+      .select(col("query_id"), col("cent_id"))
+      .join(pqQueryLuts(s, dir), "query_id")
+    // the cell-pruned ADC scan: candidates meet in an equi-join on
+    // cent_id (cell assignment is unique per vector, so no dedup needed)
+    val cand = coded.join(broadcast(qside), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
+    adcPruneRerank(s, dir, cand, depth = IvfPqDepth)
   }
 
   /** The recall scoreboard shared by q246 (IVF) and q247 (PQ): exact top-k
@@ -338,6 +413,77 @@ object SimilarityQueries {
       |           (x, y) -> x + y) AS l2
       |  FROM subs s JOIN centsrk c USING (m)
       |)""".stripMargin
+
+  /** The IVF-PQ approximate-side CTE chain shared by the q249 and q250
+    * oracles — the SQL twin of [[ivfPqTopK]]. Assumes `e`, `subs`,
+    * `centsrk`, `asg` (from [[pqAsgSqlCtes]]) and `n` (norms) are in
+    * scope; ends at `rr`, the exact-cosine re-ranked ADC survivors. */
+  private def ivfPqSqlCtes(probes: Int, depth: Int): String =
+    s"""best AS (
+       |  SELECT vec_id, m, crk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY l2, cent_id DESC) rn
+       |    FROM asg
+       |  ) WHERE rn = 1
+       |), codes AS (
+       |  SELECT vec_id, list(crk ORDER BY m) cd FROM best GROUP BY vec_id
+       |), qlut AS (
+       |  SELECT vec_id AS query_id, list(dot ORDER BY m, crk) lut,
+       |         CAST(max(crk) AS BIGINT) nc
+       |  FROM (
+       |    SELECT s.vec_id, c.m, c.crk,
+       |           list_reduce(list_transform(range(1, len(s.sv) + 1),
+       |             i -> s.sv[i] * c.csub[i]), (x, y) -> x + y) dot
+       |    FROM subs s JOIN centsrk c USING (m)
+       |    WHERE s.vec_id % 50 = 0
+       |  ) GROUP BY vec_id
+       |), icents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+       |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+       |          % 2147483647 % 50 = 0
+       |), iac AS (
+       |  SELECT n.vec_id, n.nrm, c.cent_id,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1),
+       |                                    i -> n.v[i] * c.cv[i]),
+       |                     (x,y) -> x+y) / (n.nrm * c.cn) AS cc
+       |  FROM n, icents c
+       |), iassigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY cc DESC, cent_id DESC) rn
+       |    FROM iac
+       |  ) WHERE rn = 1
+       |), qpr AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY cc DESC, cent_id) crk
+       |    FROM iac WHERE vec_id % 50 = 0
+       |  ) WHERE crk <= $probes
+       |), cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         q.lut[a.cd[1]] + q.lut[q.nc + a.cd[2]]
+       |           + q.lut[2 * q.nc + a.cd[3]]
+       |           + q.lut[3 * q.nc + a.cd[4]] AS sc
+       |  FROM qpr p
+       |  JOIN qlut q ON q.query_id = p.query_id
+       |  JOIN iassigned ia ON ia.cent_id = p.cent_id
+       |  JOIN codes a ON a.vec_id = ia.vec_id
+       |  WHERE a.vec_id <> q.query_id
+       |), pruned AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sc DESC, neighbor_id) prk
+       |  FROM cand
+       |), rr AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |         list_reduce(list_transform(range(1, len(qn.v) + 1),
+       |           i -> qn.v[i] * a.v[i]), (x, y) -> x + y)
+       |           / (qn.nrm * a.nrm) AS c
+       |  FROM pruned p
+       |  JOIN n a ON a.vec_id = p.neighbor_id
+       |  JOIN n qn ON qn.vec_id = p.query_id
+       |  WHERE p.prk <= $depth
+       |)""".stripMargin
 
   /** (vec_id, v, nrm, cd): [[normed]] plus q84's per-dimension min-max int8
     * codes — ONE copy of the quantization expression tree, because both
@@ -1648,6 +1794,79 @@ object SimilarityQueries {
         "dominated by the two searches it grades."
     ) { (s, dir) =>
       recallAgg(bruteTopK(s, dir), lshTopK(s, dir))
+    },
+
+    GraftQuery(
+      "q249_ivfpq_ann",
+      Some(s"""$pqAsgSqlCtes, n AS (
+              |  SELECT vec_id, v,
+              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+              |  FROM e
+              |), ${ivfPqSqlCtes(IvfProbes, 128)}, reranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM rr
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) rk,
+              |       round(c, 4) AS cos
+              |FROM reranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
+      "IVF-PQ retrieval — the FAISS IVFPQ composition of the engine's two " +
+        "index pillars, and the only ANN form whose per-query cost is " +
+        "sublinear in corpus size: q66's centroid cells decide WHICH " +
+        "vectors are scanned (queries multi-probe their 5 nearest cells " +
+        "through the SAME shared routing q66 ships), and q236's product-" +
+        "quantization codes decide HOW each survivor is scored (the SAME " +
+        "shared code table and per-query ADC lookup tables). The " +
+        "candidate scan is an EQUI-join on cent_id between the code table " +
+        "(cent_id, vec_id, 4 codes — never a float vector) and a " +
+        "broadcast of probes-rows-per-query LUTs, so per-query bandwidth " +
+        "is probes × cell_size code rows, vs q236's O(N) flat scan — at " +
+        "100 TB with trained centroids and thousands of cells, that is " +
+        "the difference between scanning gigabytes and scanning " +
+        "megabytes per query. ADC survivors (128 — deeper than q236's 32 " +
+        "because the cell gate already cut candidates, so the prune is " +
+        "near-lossless inside probed cells and cell ROUTING, not ADC " +
+        "ordering, is the recall limiter) re-rank by exact cosine " +
+        "through the id-only join discipline. Cell assignment is the one " +
+        "shared q66/q230/q232 pipeline; both tie-breaks (assignment to " +
+        "larger cent_id, probe order by smaller) replay exactly in the " +
+        "oracle, so the check is hash-exact, not recall-tolerant."
+    ) { (s, dir) =>
+      ivfPqTopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q250_ivfpq_recall_eval",
+      Some(s"""$pqAsgSqlCtes, $exactTopKTailSqlCtes,
+              |${ivfPqSqlCtes(IvfProbes, 128)}, approx AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM rr
+              |  ) WHERE rk <= $K
+              |)
+              |$recallSqlTail""".stripMargin),
+      "Recall@k of the composed IVF-PQ index (q249) against the exact " +
+        "baseline — the fourth scoreboard, grading the production-shaped " +
+        "index next to its pillars (q246 IVF, q247 PQ, q248 LSH) over " +
+        "the shared exact side and aggregation. The diagnostic READ is " +
+        "the comparison: IVF-PQ recall at-or-near IVF recall means the " +
+        "deep ADC prune is near-lossless inside probed cells (expected — " +
+        "the 64-deep prune is sized for exactly that) and any loss is " +
+        "cell routing, fixable by probing deeper (q251's dial); IVF-PQ " +
+        "sagging BELOW IVF flags codebook error reordering candidates " +
+        "out of the prune — retrain codebooks (q245). Same 100 TB " +
+        "posture as its siblings: fixed deterministic query panel, " +
+        "id-only scoreboard join, cost dominated by the searches it " +
+        "grades."
+    ) { (s, dir) =>
+      recallAgg(bruteTopK(s, dir), ivfPqTopK(s, dir))
     }
   )
 }

@@ -141,4 +141,12 @@ class ApproxSpec extends SparkSpec {
   test("q248 LSH recall eval is the set algebra of q43 vs q44") {
     checkRecallEval("q248_lsh_recall_eval", "q44_knn_lsh", 600000L)
   }
+
+  // floor == IVF's own 500000: the 128-deep ADC prune is near-lossless
+  // inside probed cells, so composing PQ scoring into the cell gate may
+  // not cost the composed index IVF's floor (it measures 610000 at sf0.01
+  // vs IVF's 650000 — the gap is codebook error, watched by q245)
+  test("q250 IVF-PQ recall eval is the set algebra of q43 vs q249") {
+    checkRecallEval("q250_ivfpq_recall_eval", "q249_ivfpq_ann", 500000L)
+  }
 }

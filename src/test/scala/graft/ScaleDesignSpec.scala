@@ -289,7 +289,13 @@ class ScaleDesignSpec extends SparkSpec {
       "q247_pq_recall_eval" ->
         "q43's + q236's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
       "q248_lsh_recall_eval" ->
-        "q43's + q44's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
+        "q43's + q44's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
+      "q249_ivfpq_ann" -> ("q66's ~2% LCG-sampled centroid side (cell " +
+        "assignment + query routing) and ~3% LCG-sampled codebook side " +
+        "(code build); the ADC scan itself is the cent_id equi-join the " +
+        "dedicated ivfpq plan test pins"),
+      "q250_ivfpq_recall_eval" ->
+        "q43's + q249's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
@@ -746,11 +752,61 @@ class ScaleDesignSpec extends SparkSpec {
     // a second hash exchange or any global sort on the LCG key would be
     // the naive ORDER BY hash(id) shuffle the operator exists to avoid
     val order = SparkEntry.queries("q243_shuffle_shard_interleave")(spark, sf)
-    val orderPlan = physicalPlan(order)
-    val hashExchanges =
-      "hashpartitioning".r.findAllMatchIn(orderPlan).length
-    assert(hashExchanges === 1 && orderPlan.contains("rangepartitioning"),
+    // count actual exchange NODES (post-EnsureRequirements, AQE unwrapped),
+    // not substring occurrences of the partitioning token — plan rendering
+    // can echo a partitioning across downstream operators, which would flip
+    // a substring count on a Spark version/config change with no real plan
+    // regression
+    val orderExec = order.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val orderExchanges = orderExec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.outputPartitioning
+    }
+    val hashExchanges = orderExchanges.count(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    val rangeExchanges = orderExchanges.count(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(hashExchanges === 1 && rangeExchanges === 1,
       s"interleave must shuffle exactly once (shard) + presentation " +
-        s"range sort, got $hashExchanges hash exchanges:\n$orderPlan")
+        s"range sort, got $hashExchanges hash / $rangeExchanges range " +
+        s"exchanges:\n$orderExec")
+  }
+
+  test("ivfpq plan: the ADC candidate scan is cell-pruned, never flat") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+      SortMergeJoinExec}
+
+    // q249 exists to close q236's composition gap: the candidate scan must
+    // meet the query side in an EQUI-join keyed on cent_id (per-query cost
+    // = probes × cell_size), and must NOT contain q236's flat broadcast
+    // nested-loop of codes × query LUTs (per-query cost = O(corpus)).
+    val ipq = SparkEntry.queries("q249_ivfpq_ann")(spark, sf)
+    val plan = ipq.queryExecution.sparkPlan
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"IVF-PQ must never plan a CartesianProduct:\n$plan")
+    val cellJoins = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cent_id")) => j
+    }
+    assert(cellJoins.nonEmpty,
+      s"IVF-PQ candidates must meet queries in an equi-join on cent_id:\n$plan")
+    // the only nested-loop joins allowed are the sanctioned tiny-side
+    // broadcasts (centroid sample, codebook); a flat ADC scan would carry
+    // the query_id self-exclusion as the NLJ condition
+    val flatAdc = plan.collect {
+      case j: BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.references.exists(_.name == "query_id")) => j
+    }
+    assert(flatAdc.isEmpty,
+      s"IVF-PQ must not fall back to q236's flat codes × LUT scan:\n$plan")
   }
 }

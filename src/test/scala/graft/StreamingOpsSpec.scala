@@ -690,7 +690,7 @@ class StreamingOpsSpec extends SparkSpec {
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
@@ -869,7 +869,7 @@ class StreamingOpsSpec extends SparkSpec {
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
@@ -1033,7 +1033,7 @@ class StreamingOpsSpec extends SparkSpec {
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
@@ -1135,7 +1135,7 @@ class StreamingOpsSpec extends SparkSpec {
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
