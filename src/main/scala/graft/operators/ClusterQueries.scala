@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging.StagingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,10 +19,12 @@ object ClusterQueries {
     * pointer-jumping join (`comp ← comp(comp)`) that collapses label chains,
     * so convergence needs O(log diameter) rounds rather than O(diameter).
     *
-    * Each round `localCheckpoint`s the labels: iterative plans otherwise
-    * nest one join per round and the optimizer re-analyzes a growing tree
-    * (at 100 TB swap in `checkpoint` against a reliable dir — same call
-    * shape, failure-tolerant lineage). The convergence probe is a
+    * Each round stages the labels under [[graft.Staging]]'s policy:
+    * iterative plans otherwise nest one join per round and the optimizer
+    * re-analyzes a growing tree. With a checkpoint dir configured (the
+    * 100 TB posture) the cut is a RELIABLE `checkpoint` — a lost executor
+    * mid-iteration recomputes from files instead of failing the query;
+    * locally it falls back to eager `localCheckpoint`. The convergence probe is a
     * `limit(1).count` on changed labels — an intentional per-round action;
     * this is the one operator family whose work cannot be a single
     * declarative plan. Near-dup graphs converge in 2–3 rounds (clusters are
@@ -35,10 +38,10 @@ object ClusterQueries {
     // deduplicating them would cost an extra shuffle of the edge list)
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .staged
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .staged
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -55,7 +58,7 @@ object ClusterQueries {
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).alias("r"),
           col("l.comp") === col("r.cid"))
         .select(col("l.id").as("id"), col("r.ccomp").as("comp"))
-      val next = jumped.localCheckpoint(true)
+      val next = jumped.staged
       converged = next.alias("n")
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") =!= col("prev")).limit(1).count() == 0L
@@ -73,7 +76,7 @@ object ClusterQueries {
   /** The corpus's near-dup cluster labels (id, comp), memoized per
     * (session, corpus fingerprint): q81 (clusters) and q97 (canonical
     * selection) both need the SAME fixed point, and the labels frame is
-    * already `localCheckpoint`ed — re-running pointer jumping per query
+    * already staged (checkpointed) — re-running pointer jumping per query
     * would double the bench's most expensive iterative work for an
     * identical answer. Session identity is part of the key because
     * checkpoint blocks die with their session; the file fingerprint
@@ -128,14 +131,14 @@ object ClusterQueries {
     import graft.functions.VectorFunctions.dotd
     val vs = vectors.select(col("id"), col("v"))
       .withColumn("vv", dotd(col("v"), col("v")))
-      .localCheckpoint(true)
+      .staged
     var cents = vs
       .withColumn("hk", xxhash64(col("id")))
       .orderBy("hk").limit(k)
       .withColumn("cid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("hk")).cast("long"))
       .select(col("cid"), col("v").as("c"))
-      .localCheckpoint(true)
+      .staged
     val costs = scala.collection.mutable.Buffer.empty[Double]
     var iter = 0
     var done = false
@@ -147,7 +150,7 @@ object ClusterQueries {
         .groupBy("id")
         .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
           min(col("d")).as("d"), first(col("v")).as("v"))
-        .localCheckpoint(true)
+        .staged
       // coalesce: an empty corpus has no assignment cost — sum() is NULL
       // and getDouble would throw (DegenerateCorpusSpec); cost 0 converges
       // on the second round like any plateau.
@@ -162,7 +165,7 @@ object ClusterQueries {
       // clusters that lost every member keep their previous centroid
       val kept = cents.join(next.select(col("cid")), Seq("cid"), "left_anti")
       val prevCents = cents
-      cents = next.union(kept).localCheckpoint(true)
+      cents = next.union(kept).staged
       // the new checkpoint is materialized: release the round's scratch
       // blocks so repeated builds don't accumulate storage pressure
       assigned.unpersist()
@@ -479,7 +482,8 @@ object ClusterQueries {
         "hash-probe, two equi-joins on id, never a cross product; at " +
         "100 TB you orient by DEGREE instead of id (same plan, provably " +
         "O(m^1.5) candidates). The edge list is MATERIALIZED once " +
-        "(localCheckpoint — q81's discipline; checkpoint at scale) " +
+        "(Staging's policy: reliable checkpoint when a dir is set, " +
+        "eager localCheckpoint locally — q81's discipline) " +
         "before the three-way self-join: left in one plan, the whole " +
         "shingle→pair pipeline would execute three times, since the " +
         "three branch subtrees differ post-aggregation and ReuseExchange " +
@@ -828,11 +832,12 @@ object ClusterQueries {
     * order-independent, so the result is reproducible bit-for-bit at any
     * parallelism, which a floating-point PageRank cannot guarantee.
     * The edge list and degree table are materialized once
-    * (`localCheckpoint`, as [[connectedComponents]] — at 100 TB swap in
-    * `checkpoint`); each round shuffles only (node, rank). */
+    * ([[graft.Staging]]'s policy, as [[connectedComponents]] — reliable
+    * `checkpoint` when a dir is configured, eager `localCheckpoint`
+    * locally); each round shuffles only (node, rank). */
   def pageRankMicros(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val edges = edges0.select(col("src"), col("dst")).staged
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).staged
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     var i = 0
     while (i < iters) {
@@ -842,7 +847,7 @@ object ClusterQueries {
         .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("node"), (lit(150000L) + col("sc")).as("r"))
-        .localCheckpoint(true)
+        .staged
       if (i > 0) prev.unpersist()
       i += 1
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging.StagingOps
 import graft.functions.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -218,7 +219,7 @@ object DedupQueries {
         case prev =>
           val edges = jaccardPairs(s, dir)
             .select(col("doc_a"), col("doc_b"))
-            .localCheckpoint(true)
+            .staged
           edgeSlot = Some((key, edges))
           prev.foreach { case ((h, _), old) =>
             if (h == System.identityHashCode(s) && !s.sparkContext.isStopped)
