@@ -1,0 +1,205 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The observe→act loop on ANN-index maintenance: q241/q245 FLAG drift,
+  * this module ACTS on it — retrain the coarse quantizer and install the
+  * new index version atomically, so readers always see one complete index
+  * (old or new, never neither, never a half-written centroid set).
+  *
+  * Store layout (the [[graft.streaming.MaterializedAgg]] version-directory
+  * discipline applied to index artifacts): `root/v=N/centroids` (cent_id,
+  * cv, cn) and `root/v=N/baseline` (cent_id, n, ppm — the cell-mass
+  * distribution of the training corpus under THESE centroids, recorded at
+  * install time). A version directory appears atomically (staging dir +
+  * ATOMIC_MOVE rename), a replayed install of an existing version is a
+  * no-op, and readers load the highest committed version — so a reader
+  * concurrent with a swap sees exactly one complete version.
+  *
+  * The drift audit generalizes q241: instead of comparing two data epochs
+  * through a frozen index, it compares the CURRENT corpus's cell masses
+  * against the masses recorded when the installed version was trained —
+  * which is the operational retrain trigger (a fresh index is green by
+  * construction because its baseline IS the current distribution), while
+  * q241's epoch-parity form remains the oracle-checked batch audit.
+  *
+  * Retraining runs [[ClusterQueries.kmeans]] (deterministic seeding,
+  * broadcast-centroid assignment, partial-agg re-averaging — the q86
+  * trainer); search against any installed version rides
+  * [[SimilarityQueries.ivfTopKFrom]], the very plan q66 ships, so query
+  * results change ONLY through the installed centroid artifact.
+  *
+  * Scale: centroids and baselines are KB-scale artifacts (thousands of
+  * cells at 100 TB); the only corpus-sized work is the assignment scan the
+  * audit shares with every index build, and the install moves directories,
+  * not data. This store uses local-filesystem atomic renames; a cluster
+  * deployment swaps in the same sequence over a filesystem with atomic
+  * rename (HDFS) or a catalog pointer (the AvroOcf `.bak` discipline).
+  */
+object IndexLifecycle {
+
+  /** ppm cell-mass shift at which a cell flags for retrain — the same 2%
+    * trigger as q241 (`RefineQueries`). */
+  val RebalancePpm = 20000L
+
+  // ---------- store ----------
+
+  private def versionsOf(root: Path): Seq[Long] =
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val st = Files.list(root)
+      try st.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v=") && n.drop(2).nonEmpty &&
+          n.drop(2).forall(_.isDigit))
+        .map(_.stripPrefix("v=").toLong)
+        .toSeq
+      finally st.close()
+    }
+
+  /** Highest committed version, if any. */
+  def latestVersion(root: String): Option[Long] =
+    versionsOf(Paths.get(root)).maxOption
+
+  /** The latest committed centroid frame (cent_id, cv, cn). */
+  def readCentroids(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    s.read.parquet(s"$root/v=$v/centroids")
+  }
+
+  /** The latest committed training-time cell masses (cent_id, n, ppm). */
+  def readBaseline(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    s.read.parquet(s"$root/v=$v/baseline")
+  }
+
+  /** Install `centroids(cent_id, cv, cn)` as `version`, recording the
+    * cell-mass baseline of `vectors(vec_id, v)` under these centroids.
+    * Atomic (staging dir + rename); idempotent — an already-committed
+    * version returns false untouched. `interpose` is a test seam called at
+    * "staged" (artifacts complete, not yet visible) and "installed". */
+  def install(s: SparkSession, root: String, version: Long,
+              centroids: DataFrame, vectors: DataFrame,
+              interpose: String => Unit = _ => ()): Boolean = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val target = rootP.resolve(s"v=$version")
+    if (Files.exists(target)) return false // replay: already committed
+    val staging = rootP.resolve(s".staging-$version")
+    try {
+      centroids.write.mode("overwrite")
+        .parquet(staging.resolve("centroids").toString)
+      // baseline reads centroids back from STAGING: the recorded masses
+      // provably describe the exact artifact being installed, not the
+      // in-memory frame (whose k-means lineage could recompute differently)
+      val staged = s.read.parquet(staging.resolve("centroids").toString)
+      cellPpm(assign(vectors, staged), staged)
+        .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
+      interpose("staged")
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      interpose("installed")
+      true
+    } catch {
+      case t: Throwable =>
+        deleteRecursively(staging)
+        throw t
+    }
+  }
+
+  // ---------- assignment + audit ----------
+
+  /** (vec_id, cent_id): nearest-centroid cosine assignment of
+    * `vectors(vec_id, v)` — the q66 shape (broadcast centroids, map-side
+    * max-struct collapse, ties to the larger cent_id). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val n = vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+    val cc = dotd(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    n.crossJoin(broadcast(centroids))
+      .groupBy("vec_id")
+      .agg(max(struct(cc.as("cc"), col("cent_id").as("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"))
+  }
+
+  /** (cent_id, n, ppm) over ALL cells of `centroids` — zero-mass cells
+    * included (a cell emptying out is exactly the drift signal). The
+    * totals ride a single-series window over the cells-sized aggregate
+    * (q241's post-agg pattern — index metadata, never corpus rows). */
+  def cellPpm(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val counts = assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy(lit(1))
+    centroids.select(col("cent_id"))
+      .join(counts, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("t", sum(col("n")).over(all))
+      .select(col("cent_id"), col("n"),
+        expr("(1000000 * n) div nullif(t, 0)").as("ppm"))
+  }
+
+  /** Per-cell drift of `vectors`' current cell masses vs the installed
+    * version's training-time baseline: (cent_id, baseline_ppm,
+    * current_ppm, shift_ppm, rebalance). Green (no flags) right after a
+    * retrain by construction — the baseline IS the refreshed corpus. */
+  def driftAudit(s: SparkSession, root: String, vectors: DataFrame): DataFrame = {
+    val cents = readCentroids(s, root)
+    val current = cellPpm(assign(vectors, cents), cents)
+      .select(col("cent_id"), col("ppm").as("current_ppm"))
+    readBaseline(s, root)
+      .select(col("cent_id"), col("ppm").as("baseline_ppm"))
+      .join(current, "cent_id")
+      .withColumn("shift_ppm", abs(col("current_ppm") - col("baseline_ppm")))
+      .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
+      .orderBy("cent_id")
+  }
+
+  // ---------- retrain ----------
+
+  /** k-means centroids of `vectors(vec_id, v)` in store schema
+    * (cent_id, cv, cn) — the q86 trainer feeding the store. */
+  def train(s: SparkSession, vectors: DataFrame, k: Int,
+            maxIter: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val (cents, _) = ClusterQueries.kmeans(
+      vectors.select(col("vec_id").as("id"), col("v")), k, maxIter)
+    cents.select(col("cid").as("cent_id"), col("c").as("cv"),
+      sqrt(dotd(col("c"), col("c"))).as("cn"))
+  }
+
+  /** The closed loop: audit the installed version against `vectors`; if
+    * any cell flags, retrain k centroids on the current corpus and install
+    * the next version atomically. Returns the new version when a retrain
+    * happened. */
+  def retrainIfDrifted(s: SparkSession, root: String, vectors: DataFrame,
+                       k: Int): Option[Long] = {
+    val flagged = driftAudit(s, root, vectors)
+      .filter(col("rebalance")).limit(1).count() > 0
+    if (!flagged) None
+    else {
+      val next = latestVersion(root).getOrElse(0L) + 1
+      install(s, root, next, train(s, vectors, k), vectors)
+      Some(next)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
+    }
+
+  /** Search the corpus at `dir` through the INSTALLED index — q66's exact
+    * plan with the store's centroid frame in place of the LCG sample. */
+  def search(s: SparkSession, root: String, dir: String,
+             probes: Int = SimilarityQueries.IvfProbes): DataFrame =
+    SimilarityQueries.ivfTopKFrom(s, dir, readCentroids(s, root), probes)
+}

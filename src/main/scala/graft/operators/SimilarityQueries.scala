@@ -73,10 +73,10 @@ object SimilarityQueries {
   }
 
   /** IVF query routing shared by q66 and q249: each panel query's `probes`
-    * nearest centroid cells — (query_id, qv, qn, cent_id). */
-  private[operators] def ivfQueryProbes(s: SparkSession, dir: String,
-                                        probes: Int): DataFrame = {
-    val cents = ivfCents(s, dir)
+    * nearest cells of the given `cents(cent_id, cv, cn)` —
+    * (query_id, qv, qn, cent_id). */
+  private[operators] def ivfQueryProbesFrom(s: SparkSession, dir: String,
+                                            probes: Int, cents: DataFrame): DataFrame = {
     val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     val cw = Window.partitionBy(col("vec_id"))
       .orderBy(centCos.desc, col("cent_id"))
@@ -87,14 +87,18 @@ object SimilarityQueries {
         col("nrm").as("qn"), col("cent_id"))
   }
 
-  /** q66's IVF top-k pipeline, pre-presentation: (query_id, neighbor_id,
-    * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
-    * by q66 itself, the q246 recall eval and the q251 probe-depth dial
-    * (which sweeps `probes`). */
-  private[operators] def ivfTopK(s: SparkSession, dir: String,
-                                 probes: Int = IvfProbes): DataFrame = {
+  private[operators] def ivfQueryProbes(s: SparkSession, dir: String,
+                                        probes: Int): DataFrame =
+    ivfQueryProbesFrom(s, dir, probes, ivfCents(s, dir))
+
+  /** The IVF pipeline against an ARBITRARY centroid frame `(cent_id, cv,
+    * cn)` — the seam the versioned index store drives: a retrain-and-swap
+    * (IndexLifecycle) changes results ONLY by changing the centroid frame
+    * this method receives, through exactly the plan q66 ships. */
+  private[operators] def ivfTopKFrom(s: SparkSession, dir: String,
+                                     cents: DataFrame,
+                                     probes: Int = IvfProbes): DataFrame = {
     val n = normed(s, dir)
-    val cents = ivfCents(s, dir)
     val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     // index build: nearest centroid per vector, collapsed map-side
     val assigned = n.crossJoin(broadcast(cents))
@@ -103,7 +107,7 @@ object SimilarityQueries {
       // cell assignment — and therefore q66's output — is deterministic
       .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-    val qprobes = ivfQueryProbes(s, dir, probes)
+    val qprobes = ivfQueryProbesFrom(s, dir, probes, cents)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id"))
     assigned.join(broadcast(qprobes), Seq("cent_id"))
@@ -113,6 +117,14 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
   }
+
+  /** q66's IVF top-k pipeline, pre-presentation: (query_id, neighbor_id,
+    * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
+    * by q66 itself, the q246 recall eval and the q251 probe-depth dial
+    * (which sweeps `probes`). */
+  private[operators] def ivfTopK(s: SparkSession, dir: String,
+                                 probes: Int = IvfProbes): DataFrame =
+    ivfTopKFrom(s, dir, ivfCents(s, dir), probes)
 
   /** q44's sign-LSH top-k pipeline, pre-presentation: (query_id,
     * neighbor_id, rk, c). ONE copy of the bucket build + Hamming≤2

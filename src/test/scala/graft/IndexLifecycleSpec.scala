@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IndexLifecycle
+
+/** The retrain-and-swap loop (VERDICT r9 item 2): drift flagged → retrain →
+  * atomic version install, with the three contracted properties:
+  *
+  *  (a) a reader concurrent with the swap sees exactly ONE complete
+  *      version — old before the atomic move, new after, never a partial
+  *      or staging artifact;
+  *  (b) the post-retrain drift audit reads green (the refreshed baseline
+  *      IS the current corpus distribution);
+  *  (c) search results change only through the installed index version —
+  *      repeated searches at a fixed version are identical row-for-row.
+  */
+class IndexLifecycleSpec extends SparkSpec {
+
+  /** Synthetic drifting corpus: the OLD epoch (vec_id 0–39) points along
+    * e0/e1; the NEW arrivals (40–79) all point along e2 — a hard
+    * distribution shift no frozen 2-cell index can absorb. Small
+    * deterministic jitter in dim 10 keeps neighbors distinct. */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    (0L until 80L).map { i =>
+      val dir = if (i < 40) (i % 2).toInt else 2
+      val v = Array.fill(64)(0.0f)
+      v(dir) = 1.0f
+      v(10) = 0.01f * (i % 7)
+      (i, v, dir.toLong)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def oldEpoch(c: DataFrame): DataFrame = c.filter(col("vec_id") < 40)
+
+  private def asVec(c: DataFrame): DataFrame =
+    c.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  test("drift flags a stale index; retrain-and-swap turns the audit green") {
+    val root = Files.createTempDirectory("graft_index_store").toString
+    val c = corpus
+
+    // v1: trained and baselined on the OLD epoch only
+    IndexLifecycle.install(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2),
+      asVec(oldEpoch(c)))
+    assert(IndexLifecycle.latestVersion(root) === Some(1L))
+
+    // the audit against the FULL corpus must flag: the new e2 mass crowds
+    // into one of the two old cells, shifting its share far past 2%
+    val audit1 = IndexLifecycle.driftAudit(spark, root, asVec(c)).collect()
+    assert(audit1.exists(_.getBoolean(audit1.head.fieldIndex("rebalance"))),
+      s"stale index must flag drift:\n${audit1.mkString("\n")}")
+
+    // the closed loop retrains (k=3 — room for the new cluster) and swaps
+    val retrained = IndexLifecycle.retrainIfDrifted(spark, root, asVec(c), k = 3)
+    assert(retrained === Some(2L))
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+    assert(IndexLifecycle.readCentroids(spark, root).count() === 3L)
+
+    // (b) post-retrain: green by construction — the baseline is the
+    // current distribution, so every shift is exactly 0
+    val audit2 = IndexLifecycle.driftAudit(spark, root, asVec(c)).collect()
+    assert(audit2.nonEmpty &&
+      audit2.forall(_.getLong(audit2.head.fieldIndex("shift_ppm")) == 0L),
+      s"post-retrain audit must read green:\n${audit2.mkString("\n")}")
+    assert(!audit2.exists(_.getBoolean(audit2.head.fieldIndex("rebalance"))))
+
+    // a second loop pass is a no-op: nothing flagged, no new version
+    assert(IndexLifecycle.retrainIfDrifted(spark, root, asVec(c), k = 3).isEmpty)
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+  }
+
+  test("a reader concurrent with the swap sees exactly one complete version") {
+    val root = Files.createTempDirectory("graft_index_swap").toString
+    val c = corpus
+    IndexLifecycle.install(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2), asVec(oldEpoch(c)))
+
+    var sawDuringStaged: Option[(Option[Long], Long)] = None
+    var sawAfterInstall: Option[(Option[Long], Long)] = None
+    IndexLifecycle.install(spark, root, 2L,
+      IndexLifecycle.train(spark, asVec(c), k = 3), asVec(c),
+      interpose = {
+        case "staged" =>
+          // new artifacts fully written but not yet visible: a reader must
+          // still resolve v1, complete
+          sawDuringStaged = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCentroids(spark, root).count()))
+        case "installed" =>
+          sawAfterInstall = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCentroids(spark, root).count()))
+        case _ => ()
+      })
+    assert(sawDuringStaged === Some((Some(1L), 2L)),
+      "mid-swap reader must see the OLD version, complete")
+    assert(sawAfterInstall === Some((Some(2L), 3L)),
+      "post-swap reader must see the NEW version, complete")
+
+    // replayed install of a committed version is a strict no-op
+    val replayed = IndexLifecycle.install(spark, root, 2L,
+      IndexLifecycle.train(spark, asVec(c), k = 2), asVec(c))
+    assert(!replayed)
+    assert(IndexLifecycle.readCentroids(spark, root).count() === 3L,
+      "replay must not touch the committed artifact")
+
+    // a failed install never becomes visible and leaves no staging debris
+    // behind for versionsOf to misread
+    intercept[RuntimeException] {
+      IndexLifecycle.install(spark, root, 3L,
+        IndexLifecycle.train(spark, asVec(c), k = 2), asVec(c),
+        interpose = phase =>
+          if (phase == "staged") throw new RuntimeException("crash before move"))
+    }
+    assert(IndexLifecycle.latestVersion(root) === Some(2L),
+      "failed install must stay invisible")
+  }
+
+  test("search results are a pure function of the installed version") {
+    val root = Files.createTempDirectory("graft_index_search").toString
+    val dir = Files.createTempDirectory("graft_index_corpus").toString
+    val c = corpus
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    IndexLifecycle.install(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2), asVec(oldEpoch(c)))
+
+    def collectSearch(): Seq[(Long, Long, Long)] =
+      IndexLifecycle.search(spark, root, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // (c) bit-deterministic at a fixed version: the installed parquet
+    // artifact is the only input, so two runs are identical row-for-row
+    val run1 = collectSearch()
+    val run2 = collectSearch()
+    assert(run1.nonEmpty && run1 === run2,
+      "same installed version must give identical search results")
+
+    // swap to the retrained version: results remain deterministic and the
+    // index serving them is demonstrably the new artifact
+    IndexLifecycle.install(spark, root, 2L,
+      IndexLifecycle.train(spark, asVec(c), k = 3), asVec(c))
+    assert(IndexLifecycle.readCentroids(spark, root).count() === 3L)
+    val run3 = collectSearch()
+    assert(run3 === collectSearch(),
+      "new version must serve deterministically too")
+  }
+}
