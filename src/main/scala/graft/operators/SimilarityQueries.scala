@@ -58,6 +58,13 @@ object SimilarityQueries {
     * this constant. */
   val IvfProbes = 5
 
+  /** The q251 sweep: candidate probe depths, ascending. */
+  private[operators] val ProbeDepths = Seq(1, 3, 5)
+
+  /** The q251 recall target: micro recall@k the chosen depth must meet —
+    * IVF's own scoreboard floor (q246/q250). */
+  private[operators] val ProbeRecallFloorPpm = 500000L
+
   /** (cent_id, cv, cn): the deterministic ~2% IVF centroid sample, shared
     * by q66's index build, the query routing, and q249's cell gate. The
     * 31-bit LCG is chosen over xxhash64 because the identical arithmetic
@@ -122,8 +129,8 @@ object SimilarityQueries {
     * rk, c). ONE copy of the index build + multi-probe + re-rank, shared
     * by q66 itself, the q246 recall eval and the q251 probe-depth dial
     * (which sweeps `probes`). */
-  private[operators] def ivfTopK(s: SparkSession, dir: String,
-                                 probes: Int = IvfProbes): DataFrame =
+  private[graft] def ivfTopK(s: SparkSession, dir: String,
+                             probes: Int = IvfProbes): DataFrame =
     ivfTopKFrom(s, dir, ivfCents(s, dir), probes)
 
   /** q44's sign-LSH top-k pipeline, pre-presentation: (query_id,
@@ -1879,6 +1886,116 @@ object SimilarityQueries {
         "grades."
     ) { (s, dir) =>
       recallAgg(bruteTopK(s, dir), ivfPqTopK(s, dir))
+    },
+
+    GraftQuery(
+      "q251_probe_depth_calibration",
+      Some {
+        val depthCtes = ProbeDepths.map { d =>
+          s"""ap_$d AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |                              ORDER BY c DESC, neighbor_id) rk
+             |    FROM iscored WHERE crk <= $d
+             |  ) WHERE rk <= $K
+             |), st_$d AS (
+             |  SELECT CAST($d AS BIGINT) AS probes,
+             |         CAST(count(*) AS BIGINT) AS exact_cnt,
+             |         CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+             |         CAST(coalesce(count(i.neighbor_id) * 1000000
+             |              // nullif(count(*), 0), 0) AS BIGINT) AS recall_ppm
+             |  FROM exact x LEFT JOIN ap_$d i
+             |    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+             |)""".stripMargin
+        }.mkString(", ")
+        val unioned = ProbeDepths
+          .map(d => s"SELECT * FROM st_$d").mkString(" UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+           |), $exactTopKTailSqlCtes, cents AS (
+           |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+           |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+           |          % 2147483647 % 50 = 0
+           |), ac AS (
+           |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           |         list_reduce(list_transform(range(1, len(n.v) + 1),
+           |                                    i -> n.v[i] * c.cv[i]),
+           |                     (x,y) -> x+y) / (n.nrm * c.cn) AS cc
+           |  FROM n, cents c
+           |), assigned AS (
+           |  SELECT vec_id, v, nrm, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                ORDER BY cc DESC, cent_id DESC) rn
+           |    FROM ac
+           |  ) WHERE rn = 1
+           |), qcrk AS (
+           |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id, crk FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                ORDER BY cc DESC, cent_id) crk
+           |    FROM ac WHERE vec_id % 50 = 0
+           |  )
+           |), iscored AS (
+           |  SELECT q.query_id, a.vec_id AS neighbor_id, q.crk,
+           |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+           |                                    i -> q.qv[i] * a.v[i]),
+           |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+           |  FROM assigned a JOIN qcrk q USING (cent_id)
+           |  WHERE a.vec_id <> q.query_id
+           |), $depthCtes, u AS (
+           |  $unioned
+           |)
+           |SELECT probes, exact_cnt, hits, recall_ppm,
+           |       recall_ppm >= $ProbeRecallFloorPpm AS meets_floor,
+           |       probes = coalesce(
+           |         min(CASE WHEN recall_ppm >= $ProbeRecallFloorPpm
+           |                  THEN probes END) OVER (),
+           |         max(probes) OVER ()) AS chosen
+           |FROM u ORDER BY probes""".stripMargin
+      },
+      "Adaptive probe-depth dial — the calibration that turns q246's " +
+        "scoreboard reading into an OPERATING PARAMETER: the IVF pipeline " +
+        "(the very ivfTopK q66 ships, swept at probe depths 1/3/5) is " +
+        "graded against the exact panel at each depth, and `chosen` marks " +
+        "the MINIMAL depth whose micro recall meets the 500000 ppm floor " +
+        "(falling back to the deepest sweep point if none does) — probing " +
+        "deeper than needed linearly wastes scan cost, shallower silently " +
+        "loses neighbors, and this emits the knee. One shared candidate " +
+        "scoring pass serves all depths (a candidate's rank among cells " +
+        "probed at depth d is its crk — deeper sweeps reuse shallower " +
+        "work, in SQL as in Spark), the per-depth scoreboards join id " +
+        "pairs only, and every division is integer with nullif guards so " +
+        "the dial replays hash-exact on the empty corpus too. At 100 TB " +
+        "this runs on the fixed deterministic query panel next to the " +
+        "nightly recall evals, and the chosen depth feeds ivfTopK/" +
+        "ivfPqTopK's `probes` parameter instead of the IvfProbes " +
+        "constant (ApproxSpec closes that loop)."
+    ) { (s, dir) =>
+      val exact = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+      val perDepth = ProbeDepths.map { d =>
+        exact
+          .join(ivfTopK(s, dir, d)
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"))
+          .select(lit(d.toLong).as("probes"), col("exact_cnt"), col("hits"),
+            // coalesce(0): the empty-panel degenerate corpus must emit a
+            // typed zero, not NULL — a NULL recall is a dtype hazard at
+            // the driver boundary and "no recall evidence" correctly
+            // fails any floor
+            expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)")
+              .as("recall_ppm"))
+      }
+      val all = Window.partitionBy(lit(1))
+      perDepth.reduce(_ unionAll _)
+        .withColumn("meets_floor", col("recall_ppm") >= lit(ProbeRecallFloorPpm))
+        .withColumn("chosen", col("probes") === coalesce(
+          min(when(col("recall_ppm") >= lit(ProbeRecallFloorPpm), col("probes")))
+            .over(all),
+          max(col("probes")).over(all)))
+        .select(col("probes"), col("exact_cnt"), col("hits"),
+          col("recall_ppm"), col("meets_floor"), col("chosen"))
+        .orderBy("probes")
     }
   )
 }

@@ -149,4 +149,35 @@ class ApproxSpec extends SparkSpec {
   test("q250 IVF-PQ recall eval is the set algebra of q43 vs q249") {
     checkRecallEval("q250_ivfpq_recall_eval", "q249_ivfpq_ann", 500000L)
   }
+
+  test("q251's chosen depth is minimal, feeds ivfTopK, and meets its floor") {
+    val Floor = 500000L
+    val rows = SparkEntry.queries("q251_probe_depth_calibration")(spark, sf)
+      .collect()
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    def b(r: org.apache.spark.sql.Row, c: String) = r.getBoolean(r.fieldIndex(c))
+    val chosen = rows.filter(b(_, "chosen"))
+    assert(chosen.length === 1, "exactly one depth is chosen")
+    val depth = l(chosen.head, "probes")
+    // minimality: every shallower depth missed the floor; the chosen one
+    // meets it (or is the deepest sweep point when none does)
+    rows.filter(r => l(r, "probes") < depth)
+      .foreach(r => assert(!b(r, "meets_floor"),
+        s"depth ${l(r, "probes")} already met the floor — $depth not minimal"))
+    if (!b(chosen.head, "meets_floor"))
+      assert(depth === rows.map(l(_, "probes")).max,
+        "floor unmet anywhere must fall back to the deepest sweep point")
+
+    // the dial's output is a real operating parameter: feed it into the
+    // very pipeline q66 ships and the promised recall holds
+    val exact = SparkEntry.queries("q43_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = operators.SimilarityQueries.ivfTopK(spark, sf, depth.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val microPpm = exact.count(approx) * 1000000L / exact.length
+    assert(microPpm === l(chosen.head, "recall_ppm"),
+      "re-running ivfTopK at the calibrated depth must reproduce the dial's reading")
+    if (b(chosen.head, "meets_floor"))
+      assert(microPpm >= Floor, s"calibrated depth $depth under floor: $microPpm")
+  }
 }
