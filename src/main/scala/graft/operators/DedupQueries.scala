@@ -80,15 +80,21 @@ object DedupQueries {
               lit(ShingleP)) * ShingleM + element_at(col("hw"), i + 2),
             lit(ShingleP)))).as("sh"))
 
+  /** The engine's affine MinHash/SimHash parameters as SQL VALUES rows —
+    * interpolated at oracle-build time so a replay can never drift from
+    * the Scala constants. Shared by every sketch-family oracle. */
+  private[graft] def affineParamsSql: String =
+    Sketches.hashA.indices
+      .map(i => s"(${i}, ${Sketches.hashA(i)}, ${Sketches.hashB(i)})")
+      .mkString(", ")
+
   /** The same fps in the oracles' DuckDB dialect: CTEs `toks` (per-doc
     * token-fp list) and `sh` (exploded distinct 3-gram fps), plus
     * `params(i, a, b)` carrying the engine's OWN MinHash affine parameters
     * ([[Sketches.hashA]]/[[Sketches.hashB]]) — interpolated at oracle-build
     * time so the replay can never drift from the Scala constants. */
   private[graft] def replayShinglePrologueSql: String = {
-    val params = Sketches.hashA.indices
-      .map(i => s"(${i}, ${Sketches.hashA(i)}, ${Sketches.hashB(i)})")
-      .mkString(", ")
+    val params = affineParamsSql
     s"""WITH toks AS (
        |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
        |           t -> ${graft.functions.TextQueries.base31FoldSql("t")}) AS hw
@@ -101,6 +107,83 @@ object DedupQueries {
        |                   * $ShingleM + hw[i+2]) % $ShingleP))) AS s
        |  FROM toks
        |), params(i, a, b) AS (VALUES $params)""".stripMargin
+  }
+
+  /** The SimHash pipeline's banding tail in the oracles' dialect — bits
+    * from the affine-threshold family, 7-block pigeonhole keys, bucket
+    * cap, in-bucket pairing and exact Hamming re-check — appended after a
+    * prologue defining `sh(doc_id, s)` and `params(i, a, b)`. ONE copy
+    * serves q40 (token shingles) and q252 (byte shingles): the indexing
+    * machinery is shingle-source-agnostic by construction. */
+  private[graft] def simhashBandTailSql: String =
+    s"""bits AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN sum(CASE WHEN (a * (s % 2147483647) + b)
+       |                                   % 2147483647 < 1073741824
+       |                             THEN 1 ELSE -1 END) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM sh, params GROUP BY doc_id, i
+       |), bdef(band, off, w) AS (
+       |  VALUES (0,0,10),(1,10,9),(2,19,9),(3,28,9),(4,37,9),(5,46,9),(6,55,9)
+       |), keys AS (
+       |  SELECT doc_id, band,
+       |         CAST(sum(bit * (1::BIGINT << CAST(i - off AS INT)))
+       |              AS BIGINT) AS key
+       |  FROM bits JOIN bdef ON i >= off AND i < off + w
+       |  GROUP BY doc_id, band
+       |), bounded AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+       |    FROM keys
+       |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
+       |  FROM bounded p1 JOIN bounded p2 USING (band, key)
+       |  WHERE p1.doc_id < p2.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN bits ba ON ba.doc_id = c.doc_a
+       |JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+       |GROUP BY c.doc_a, c.doc_b
+       |HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash pigeonhole banding + bounded-bucket pairing + exact Hamming
+    * re-check over any (doc_id, sim) signature frame — the Spark twin of
+    * [[simhashBandTailSql]], shared by q40 and q252. 7 blocks of widths
+    * 10,9,9,9,9,9,9: any Hamming-≤6 pair leaves ≥1 block untouched
+    * (pigeonhole), so banding misses nothing; hot buckets are bounded at
+    * [[MaxBucket]] BEFORE collection (window count on the groupBy key —
+    * no extra exchange), exactly as the oracle's `bounded` CTE. */
+  private[graft] def simhashNearDupPairs(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandDefs = Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
+      (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
+    val bands = sigs.select(col("doc_id"), col("sim"),
+      explode(array(bandDefs.map { case (b, off, mask) =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+    val bounded = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bsz").between(2, MaxBucket))
+    bounded.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("docs"))
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
@@ -325,40 +408,7 @@ object DedupQueries {
       // deterministic replay oracle: per-(doc, bit) affine-threshold
       // majorities, block keys as bit sums, bucket cap, in-bucket pairing
       // and exact Hamming re-check — the same SQL mirror discipline as q39
-      Some(s"""$replayShinglePrologueSql, bits AS (
-              |  SELECT doc_id, i,
-              |         CASE WHEN sum(CASE WHEN (a * (s % 2147483647) + b)
-              |                                   % 2147483647 < 1073741824
-              |                             THEN 1 ELSE -1 END) > 0
-              |              THEN 1 ELSE 0 END AS bit
-              |  FROM sh, params GROUP BY doc_id, i
-              |), bdef(band, off, w) AS (
-              |  VALUES (0,0,10),(1,10,9),(2,19,9),(3,28,9),(4,37,9),(5,46,9),(6,55,9)
-              |), keys AS (
-              |  SELECT doc_id, band,
-              |         CAST(sum(bit * (1::BIGINT << CAST(i - off AS INT)))
-              |              AS BIGINT) AS key
-              |  FROM bits JOIN bdef ON i >= off AND i < off + w
-              |  GROUP BY doc_id, band
-              |), bounded AS (
-              |  SELECT doc_id, band, key FROM (
-              |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
-              |    FROM keys
-              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
-              |), cand AS (
-              |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
-              |  FROM bounded p1 JOIN bounded p2 USING (band, key)
-              |  WHERE p1.doc_id < p2.doc_id
-              |)
-              |SELECT c.doc_a, c.doc_b,
-              |       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
-              |            AS BIGINT) AS hamming
-              |FROM cand c
-              |JOIN bits ba ON ba.doc_id = c.doc_a
-              |JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
-              |GROUP BY c.doc_a, c.doc_b
-              |HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
-              |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(s"$replayShinglePrologueSql, $simhashBandTailSql"),
       "SimHash: 8 bytes per doc total state, computed row-locally from the " +
         "shingle array (no explode, no agg shuffle); element bits come from " +
         "the affine-threshold family (replayable, and independent of the " +
@@ -368,33 +418,8 @@ object DedupQueries {
         "candidate generator for the ≤6 threshold, then exact distance is " +
         "re-checked with bit_count(xor). Joins on (int, int) keys only."
     ) { (s, dir) =>
-      val sigs = replayableShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
-      // 7 blocks of widths 10,9,9,9,9,9,9 — any Hamming-≤6 pair leaves ≥1
-      // block untouched (pigeonhole), so banding misses nothing.
-      val bandDefs = Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
-        (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
-      val bands = sigs.select(col("doc_id"), col("sim"),
-        explode(array(bandDefs.map { case (b, off, mask) =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
-      val buckets = bands.groupBy("band", "key")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("docs"))
-        .filter(size(col("docs")) > 1)
-      buckets
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-              a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-        .filter(col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+      simhashNearDupPairs(replayableShingles(Tables.documents(s, dir))
+        .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim")))
     },
 
     GraftQuery(

@@ -76,6 +76,31 @@ object MultimodalQueries {
   /** Big-endian byte packing as a column: int → fixed-width hex → bytes. */
   private def be(c: Column, hexDigits: Int): Column = unhex(lpad(hex(c), hexDigits, "0"))
 
+  /** The synthesized media payload over a documents row — real PNG IHDR /
+    * JPEG SOF0 header bytes followed by the document text as the "image
+    * data". ONE definition shared by q51 (decode/feature-extract) and q252
+    * (byte-shingle near-dup), so the envelope format and its dedup index
+    * move together. */
+  private[operators] def mediaPayload: Column = {
+    val width = (col("n_chars") % 640).cast("int")
+    val height = (col("n_chars") % 480).cast("int")
+    // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8, color
+    // type 6, compression/filter/interlace 0, dummy CRC — then the "image
+    // data" (document text standing in for pixels).
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be(width, 8), be(height, 8),
+      unhex(lit("080600000000000000")),
+      encode(col("text"), "utf-8"))
+    // JPEG: SOI, SOF0 with length 17, precision 8, h, w, 3 components.
+    val jpeg = concat(
+      unhex(lit("FFD8FFC0001108")),
+      be(height, 4), be(width, 4),
+      unhex(lit("03011100021101031101")),
+      encode(col("text"), "utf-8"))
+    when(col("doc_id") % 2 === 0, png).otherwise(jpeg)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -105,23 +130,9 @@ object MultimodalQueries {
       import s.implicits._
       val width = (col("n_chars") % 640).cast("int")
       val height = (col("n_chars") % 480).cast("int")
-      // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8, color
-      // type 6, compression/filter/interlace 0, dummy CRC — then the "image
-      // data" (document text standing in for pixels).
-      val pngPayload = concat(
-        unhex(lit("89504E470D0A1A0A0000000D49484452")),
-        be(width, 8), be(height, 8),
-        unhex(lit("080600000000000000")),
-        encode(col("text"), "utf-8"))
-      // JPEG: SOI, SOF0 with length 17, precision 8, h, w, 3 components.
-      val jpegPayload = concat(
-        unhex(lit("FFD8FFC0001108")),
-        be(height, 4), be(width, 4),
-        unhex(lit("03011100021101031101")),
-        encode(col("text"), "utf-8"))
       val media = Tables.documents(s, dir).select(
         col("doc_id"),
-        when(col("doc_id") % 2 === 0, pngPayload).otherwise(jpegPayload).as("payload"),
+        mediaPayload.as("payload"),
         when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
         width.as("width"),
         height.as("height"))
@@ -232,8 +243,102 @@ object MultimodalQueries {
         .mapPartitions(_.map(parseWav))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q252_media_simhash_neardup",
+      Some(s"""WITH hp AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 2 = 0
+              |              THEN '89504E470D0A1A0A0000000D49484452'
+              |                   || lpad(hex(n_chars % 640), 8, '0')
+              |                   || lpad(hex(n_chars % 480), 8, '0')
+              |                   || '080600000000000000'
+              |              ELSE 'FFD8FFC0001108'
+              |                   || lpad(hex(n_chars % 480), 4, '0')
+              |                   || lpad(hex(n_chars % 640), 4, '0')
+              |                   || '03011100021101031101'
+              |         END || hex(encode(text)) AS h
+              |  FROM documents
+              |), ch AS (
+              |  SELECT doc_id, string_split(h, '') c FROM hp
+              |), bt AS (
+              |  SELECT doc_id,
+              |         list_transform(range(1, len(c)//2 + 1), i ->
+              |           CAST((ascii(c[2*i-1]) - 48
+              |             - CASE WHEN ascii(c[2*i-1]) >= 65 THEN 7 ELSE 0 END) * 16
+              |           + ascii(c[2*i]) - 48
+              |             - CASE WHEN ascii(c[2*i]) >= 65 THEN 7 ELSE 0 END
+              |           AS BIGINT)) AS bv
+              |  FROM ch
+              |), sh AS (
+              |  SELECT doc_id,
+              |         unnest(list_distinct(list_transform(range(1, len(bv) - 6),
+              |           j -> list_reduce(bv[j:j+7],
+              |                  (a, x) -> (a * 256 + x)
+              |                    % ${DedupQueries.ShingleP})))) AS s
+              |  FROM bt WHERE len(bv) >= 8
+              |), params(i, a, b) AS (VALUES ${DedupQueries.affineParamsSql}),
+              |${DedupQueries.simhashBandTailSql}""".stripMargin),
+      "Byte-shingle SimHash near-dup over the MEDIA payload column — " +
+        "extending the near-dup surface from text and embeddings to the " +
+        "binary envelopes (q51/q68/q116 parse them; this deduplicates " +
+        "them): rolling 8-byte windows over the raw payload bytes fold to " +
+        "bounded-arithmetic fingerprints (base-256 mod the shared 2^40 " +
+        "shingle prime — every intermediate < 2^48, replayable on both " +
+        "engines), the distinct-shingle set collapses ROW-LOCALLY to one " +
+        "64-bit SimHash via the same affine-threshold family as q40, and " +
+        "candidates come from the SHARED 7-block pigeonhole banding + " +
+        "bounded buckets + exact Hamming≤6 re-check (one banding pipeline " +
+        "serves token and byte shingles — the indexing machinery is " +
+        "shingle-source-agnostic). Byte windows are format-aware dedup " +
+        "WITHOUT a decoder: same image bytes behind different metadata " +
+        "collide on nearly all windows, small patches perturb only the " +
+        "windows they touch — the classic content-defined near-dup trade. " +
+        "Scale shape: signatures are 8 bytes/doc computed in the scan; " +
+        "payloads NEVER shuffle (the band join moves (doc_id, band, key) " +
+        "ints); buckets are capped before any pair expansion. At 100 TB " +
+        "this is the media twin of q40 riding the same index, and the " +
+        "window fold swaps for a content-defined-chunking rolling hash " +
+        "(q155) when payloads are large enough to shingle at chunk " +
+        "granularity. MultimodalSpec additionally pins recall on planted " +
+        "byte-identical and near-identical payload pairs."
+    ) { (s, dir) =>
+      byteSimhashPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
     }
   )
+
+  /** (doc_id, sim): byte-shingle SimHash signatures of any
+    * `(doc_id, payload: binary)` frame — rolling 8-byte windows folded to
+    * the shared shingle-fp space, distinct per doc, collapsed row-locally
+    * by the native SimHash expression. Byte values go through the hex
+    * representation so the identical arithmetic replays in SQL. */
+  private[graft] def byteSimhashSigs(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def hv(c: Column): Column =
+      (ascii(c) - 48 - when(ascii(c) >= 65, 7).otherwise(0)).cast("long")
+    media
+      .select(col("doc_id"), split(hex(col("payload")), "").as("c"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), (size(col("c")) / lit(2)).cast("int")), i =>
+          hv(element_at(col("c"), i * 2 - 1)) * 16
+            + hv(element_at(col("c"), i * 2))).as("bv"))
+      .filter(size(col("bv")) >= 8)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("bv")) - 7), j =>
+          aggregate(slice(col("bv"), j, lit(8)), lit(0L),
+            (acc, x) => (acc * 256L + x) % DedupQueries.ShingleP))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.simhashArray(col("sh")).as("sim"))
+  }
+
+  /** Byte-shingle near-dup pairs of any `(doc_id, payload)` frame — the
+    * full q252 pipeline, exposed so specs can grade recall on planted
+    * payloads through exactly the shipped plan. */
+  private[graft] def byteSimhashPairs(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    DedupQueries.simhashNearDupPairs(byteSimhashSigs(media))
 
   final case class AudioRow(doc_id: Long, payload: Array[Byte])
   final case class AudioFeatures(doc_id: Long, sample_rate: Long,
