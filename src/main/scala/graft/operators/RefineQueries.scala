@@ -280,19 +280,9 @@ object RefineQueries {
         "guards the single-epoch degenerate corpus."
     ) { (s, dir) =>
       val a = SelectionQueries.assigned(s, dir).select(col("vec_id"), col("cent_id"))
-      val cell = a.groupBy("cent_id").agg(
+      ivfDriftFromCells(a.groupBy("cent_id").agg(
         sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
-        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
-      val all = Window.partitionBy(lit(1))
-      cell
-        .withColumn("t_old", sum(col("n_old")).over(all))
-        .withColumn("t_new", sum(col("n_new")).over(all))
-        .select(col("cent_id"), col("n_old"), col("n_new"),
-          expr("(1000000 * n_old) div nullif(t_old, 0)").as("ppm_old"),
-          expr("(1000000 * n_new) div nullif(t_new, 0)").as("ppm_new"))
-        .withColumn("shift_ppm", abs(col("ppm_new") - col("ppm_old")))
-        .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
-        .orderBy("cent_id")
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new")))
     },
 
     GraftQuery(
@@ -459,6 +449,34 @@ object RefineQueries {
       |  FROM st JOIN cnt USING (s)
       |  GROUP BY st.doc_id, st.lang
       |)""".stripMargin
+
+  /** q241's pre-aggregation feed — (vec_id, cent_id) through the frozen
+    * shared centroid assignment: the rows the streaming monitor
+    * (`StatefulOps.ivfCellTws`) consumes, so the live and nightly
+    * monitors watch identical assignment arithmetic (the pqErrU
+    * discipline applied to the IVF index). */
+  private[graft] def ivfCellArrivals(s: SparkSession, dir: String): DataFrame =
+    SelectionQueries.assigned(s, dir).select(col("vec_id"), col("cent_id"))
+
+  /** q241's drift reading over a per-cell count frame `(cent_id, n_old,
+    * n_new)`: epoch shares in integer ppm plus the 2% rebalance flag. ONE
+    * definition serves batch q241 and the streaming monitor
+    * (`StatefulOps.ivfCellTws` emits exactly these count rows; its final
+    * reading through this finisher equals the batch audit row-for-row —
+    * StreamingOpsSpec pins it). The windows run over the cells-sized
+    * frame — index METADATA, never corpus rows. */
+  private[graft] def ivfDriftFromCells(cells: DataFrame): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    cells
+      .withColumn("t_old", sum(col("n_old")).over(all))
+      .withColumn("t_new", sum(col("n_new")).over(all))
+      .select(col("cent_id"), col("n_old"), col("n_new"),
+        expr("(1000000 * n_old) div nullif(t_old, 0)").as("ppm_old"),
+        expr("(1000000 * n_new) div nullif(t_new, 0)").as("ppm_new"))
+      .withColumn("shift_ppm", abs(col("ppm_new") - col("ppm_old")))
+      .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
+      .orderBy("cent_id")
+  }
 
   /** q245's pre-aggregation rows — (vec_id, m, err_u): each vector's
     * quantization error against its assigned (min-L2, ties to larger id)

@@ -698,4 +698,71 @@ object StatefulOps {
       .transformWithState(new PqDriftProcessor(),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[ivfCellTws]]: a vector already assigned to its IVF
+    * cell — assignment is batch-side map work against the broadcast
+    * frozen centroids (`SelectionQueries.assigned`'s rule, exactly q241's
+    * feed); the stateful operator only ever sees 16-byte id rows. */
+  final case class CellArrival(vec_id: Long, cent_id: Long)
+  final case class IvfCellCount(cent_id: Long, n_old: Long, n_new: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class IvfCellState(n_old: Long, n_new: Long)
+
+  /** Streaming IVF cell-mass monitor — the live form of batch q241's
+    * drift audit and the symmetric sibling of [[pqDriftTws]]: state per
+    * centroid cell is TWO counters (arrivals per epoch; 16 bytes — a
+    * thousand-cell index carries 16 KB of monitor state), and every
+    * micro-batch emits the cell's current counts, so the sink accumulates
+    * the per-cell time series. Counters COMMUTE: the final reading is
+    * invariant to arrival order, chunking AND cross-batch delivery order —
+    * no caller ordering contract — and restart safety is the standard
+    * state-store contract (counters roll back with the batch; replay
+    * cannot double-count).
+    *
+    * Unlike the per-subspace PQ monitor, the ppm SHARES and the 2% flag
+    * need the totals ACROSS cells, which no per-key processor can see —
+    * so the monitor emits raw counts and the reading runs the counts
+    * through the SAME `RefineQueries.ivfDriftFromCells` finisher batch
+    * q241 uses (a cells-sized stateless aggregate the dashboard runs per
+    * tick). StreamingOpsSpec pins final-counts→finisher == batch q241
+    * row-for-row under 3-chunk, 7-chunk and restart deliveries. At
+    * 100 TB the only movement is the groupByKey on cent_id carrying
+    * 16-byte rows, pre-combinable upstream by the same commutativity. */
+  class IvfCellProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CellArrival, IvfCellCount] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[IvfCellState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IvfCellState](
+        "ivf_cells", Encoders.product[IvfCellState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(cent: Long, rows: Iterator[CellArrival],
+                                 timers: TimerValues): Iterator[IvfCellCount] = {
+      var s = Option(state.get()).getOrElse(IvfCellState(0L, 0L))
+      rows.foreach { r =>
+        s = if (r.vec_id % 2 == 0) s.copy(n_old = s.n_old + 1)
+        else s.copy(n_new = s.n_new + 1)
+      }
+      state.update(s)
+      Iterator.single(IvfCellCount(cent, s.n_old, s.n_new))
+    }
+  }
+
+  /** Keyed IVF cell monitoring via transformWithState (Append: each batch
+    * appends one count reading per touched cell — the monitor's time
+    * series; the drift dashboard folds the latest reading per cell
+    * through `RefineQueries.ivfDriftFromCells`). */
+  def ivfCellTws(arrivals: Dataset[CellArrival]): Dataset[IvfCellCount] = {
+    import arrivals.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    arrivals
+      .groupByKey(_.cent_id)
+      .transformWithState(new IvfCellProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

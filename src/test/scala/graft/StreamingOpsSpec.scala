@@ -1162,4 +1162,108 @@ class StreamingOpsSpec extends SparkSpec {
       ((2L, 2L, Some(20L), Some(30L))),
       "restarted counters must continue from the checkpointed sums")
   }
+
+  test("streaming IVF cell monitor: final counts through the shared finisher equal batch q241") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{CellArrival, IvfCellCount}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the monitor's feed is EXACTLY q241's pre-aggregation rows (shared
+    // ivfCellArrivals — live and nightly monitors watch one assignment)
+    val arrivals = operators.RefineQueries.ivfCellArrivals(spark, sf)
+      .as[CellArrival].collect().sortBy(_.vec_id)
+
+    def run(name: String, nChunks: Int): Seq[IvfCellCount] = {
+      val input = MemoryStream[CellArrival]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.ivfCellTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          arrivals.grouped(math.max(arrivals.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[IvfCellCount].collect().toSeq
+    }
+
+    // counters COMMUTE: the FINAL per-cell counts must be identical across
+    // chunkings (intermediate time series legitimately differ)
+    def finalCounts(cells: Seq[IvfCellCount]): Map[Long, (Long, Long)] =
+      cells.groupBy(_.cent_id).view
+        .mapValues(s => { val m = s.maxBy(c => c.n_old + c.n_new); (m.n_old, m.n_new) })
+        .toMap
+    val a = finalCounts(run("ivf_cells_3", 3))
+    val b = finalCounts(run("ivf_cells_7", 7))
+    assert(a === b, "re-chunking changed a final monitor count")
+
+    // ...and the final counts, folded through the SAME finisher batch q241
+    // uses, must reproduce the batch audit row-for-row, flags included
+    val reading = operators.RefineQueries.ivfDriftFromCells(
+      a.toSeq.map { case (cid, (o, n)) => (cid, o, n) }
+        .toDF("cent_id", "n_old", "n_new")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val batch = SparkEntry.queries("q241_ivf_drift_audit")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(reading === batch,
+      "live monitor's final reading must equal the batch drift audit")
+
+    // the monitor really emits a time series: one count per touched cell
+    // per batch that touched it
+    val nBatches = arrivals.grouped(math.max(arrivals.length / 3, 1)).size
+    val series = run("ivf_cells_series", 3)
+    assert(series.groupBy(_.cent_id).values
+      .forall(s => s.nonEmpty && s.length <= nBatches),
+      "each cell should read once per batch that touched it")
+  }
+
+  test("IVF cell monitor counters survive a restart without double-counting") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{CellArrival, IvfCellCount}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfcell_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[CellArrival].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[CellArrival]
+        val q = StatefulOps.ivfCellTws(src)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // cell 5: one old (even id) + one new (odd id) arrival
+    Seq(CellArrival(0L, 5L), CellArrival(1L, 5L)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    // restart with no new input: commit log re-emits nothing, state intact
+    run()
+    val mid = spark.read.parquet(outDir).as[IvfCellCount].collect()
+    assert(mid.length === 1 && mid.head.n_old === 1L && mid.head.n_new === 1L)
+
+    // arrivals after the restart: counters must RESUME (a reset would
+    // report 1/1 again instead of 2/2)
+    Seq(CellArrival(2L, 5L), CellArrival(3L, 5L)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val all = spark.read.parquet(outDir).as[IvfCellCount].collect()
+      .sortBy(c => c.n_old + c.n_new)
+    assert(all.length === 2, "one reading per batch across restarts")
+    assert((all.last.n_old, all.last.n_new) === ((2L, 2L)),
+      "restarted counters must continue from the checkpointed sums")
+  }
 }
