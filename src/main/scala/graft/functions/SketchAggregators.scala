@@ -151,6 +151,14 @@ object Sketches {
     ColumnBridge.column(SimHashOfArray(ColumnBridge.expression(col)))
   }
 
+  /** One-pass distinct rolling 8-byte shingle fingerprints of a binary
+    * column (base-256 mod `p`), codegen'd — the scan-stage byte twin of
+    * the token-shingle arrays feeding [[simhashArray]]/[[minhashArray]]. */
+  def byteShingles(col: Column, p: Long): Column = {
+    import org.apache.spark.sql.graft.{ByteShingles, ColumnBridge}
+    ColumnBridge.column(ByteShingles(ColumnBridge.expression(col), p))
+  }
+
   /** Mergeable Misra-Gries heavy-hitters summary of a string column:
     * ≤ k (term, cnt) entries, every true count > n/(k+1) guaranteed
     * present, estimates within n/(k+1) of truth. */

@@ -283,10 +283,13 @@ object MultimodalQueries {
       "Byte-shingle SimHash near-dup over the MEDIA payload column — " +
         "extending the near-dup surface from text and embeddings to the " +
         "binary envelopes (q51/q68/q116 parse them; this deduplicates " +
-        "them): rolling 8-byte windows over the raw payload bytes fold to " +
-        "bounded-arithmetic fingerprints (base-256 mod the shared 2^40 " +
-        "shingle prime — every intermediate < 2^48, replayable on both " +
-        "engines), the distinct-shingle set collapses ROW-LOCALLY to one " +
+        "them): the native one-pass graft_byte_shingles expression walks " +
+        "the raw payload bytes ONCE in the scan stage, folding rolling " +
+        "8-byte windows to bounded-arithmetic fingerprints (base-256 mod " +
+        "the shared 2^40 shingle prime — every intermediate < 2^48, so " +
+        "the DuckDB oracle replays the identical arithmetic from " +
+        "hex(payload) without sharing the plan), the distinct-shingle " +
+        "set collapses ROW-LOCALLY to one " +
         "64-bit SimHash via the same affine-threshold family as q40, and " +
         "candidates come from the SHARED 7-block pigeonhole banding + " +
         "bounded buckets + exact Hamming≤6 re-check (one banding pipeline " +
@@ -311,27 +314,24 @@ object MultimodalQueries {
 
   /** (doc_id, sim): byte-shingle SimHash signatures of any
     * `(doc_id, payload: binary)` frame — rolling 8-byte windows folded to
-    * the shared shingle-fp space, distinct per doc, collapsed row-locally
-    * by the native SimHash expression. Byte values go through the hex
-    * representation so the identical arithmetic replays in SQL. */
+    * the shared shingle-fp space by the native one-pass
+    * `graft_byte_shingles` expression (distinct per doc), then collapsed
+    * row-locally by the native SimHash expression. The payload is walked
+    * ONCE as raw bytes inside the scan stage; only the DuckDB oracle goes
+    * through the hex representation (the oracle shares the arithmetic,
+    * not the plan). `length(payload) >= 8` is the octet-count equivalent
+    * of the oracle's `len(bv) >= 8` gate and costs no shingle recompute —
+    * filtering on a derived shingle column would re-inline the build
+    * (the round-2 alias-inlining poison this expression exists to kill;
+    * ScaleDesignSpec pins the build appears exactly once in q252's plan). */
   private[graft] def byteSimhashSigs(media: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    def hv(c: Column): Column =
-      (ascii(c) - 48 - when(ascii(c) >= 65, 7).otherwise(0)).cast("long")
+      : org.apache.spark.sql.DataFrame =
     media
-      .select(col("doc_id"), split(hex(col("payload")), "").as("c"))
+      .filter(length(col("payload")) >= 8)
       .select(col("doc_id"),
-        transform(sequence(lit(1), (size(col("c")) / lit(2)).cast("int")), i =>
-          hv(element_at(col("c"), i * 2 - 1)) * 16
-            + hv(element_at(col("c"), i * 2))).as("bv"))
-      .filter(size(col("bv")) >= 8)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("bv")) - 7), j =>
-          aggregate(slice(col("bv"), j, lit(8)), lit(0L),
-            (acc, x) => (acc * 256L + x) % DedupQueries.ShingleP))).as("sh"))
-      .select(col("doc_id"),
-        graft.functions.Sketches.simhashArray(col("sh")).as("sim"))
-  }
+        graft.functions.Sketches.simhashArray(
+          graft.functions.Sketches.byteShingles(
+            col("payload"), DedupQueries.ShingleP)).as("sim"))
 
   /** Byte-shingle near-dup pairs of any `(doc_id, payload)` frame — the
     * full q252 pipeline, exposed so specs can grade recall on planted

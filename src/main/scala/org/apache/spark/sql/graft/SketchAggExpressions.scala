@@ -4,11 +4,12 @@ import java.nio.ByteBuffer
 
 import graft.functions.Sketches
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, LongType}
 
 /** Native TypedImperativeAggregate versions of the MinHash / SimHash
   * sketches.
@@ -257,4 +258,66 @@ case class SimHashSketch(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): SimHashSketch =
     copy(child = newChild)
+}
+
+/** One-pass distinct rolling-window byte-shingle fingerprints of a binary
+  * column: every 8-byte window of the payload folds base-256 modulo the
+  * prime `p` (`acc = (acc * 256 + byte) % p` — with `p < 2^40` every
+  * intermediate stays below 2^48, so the identical arithmetic replays in
+  * engines without 64-bit wraparound multiply, e.g. a DuckDB oracle
+  * working from `hex(payload)`), and first-occurrence-distinct
+  * fingerprints come back as one `array<long>` ready for
+  * [[SimHashOfArray]] / [[MinHashOfArray]].
+  *
+  * This expression exists because the declarative form is a plan poison:
+  * building the byte array via `split(hex(payload), "")` +
+  * `transform`/`aggregate` HOFs gets re-inlined across every alias
+  * consumer (the round-2 `element_at` poison), turning an O(L) build into
+  * O(L²) interpreted work with per-character string allocation — 229 s at
+  * sf0.1 for 5k docs of ~330 bytes. Here the payload is walked ONCE as raw
+  * bytes inside whole-stage codegen (the generated code is a single static
+  * call), and a payload shorter than one window yields an empty array —
+  * callers gate with `length(payload) >= 8`, the exact octet-count
+  * equivalent of the oracle's `len(bv) >= 8`.
+  */
+case class ByteShingles(child: Expression, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(p > 0 && p < (1L << 40), s"shingle modulus must be in (0, 2^40): $p")
+
+  override def prettyName: String = "graft_byte_shingles"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteShingles.compute(input.asInstanceOf[Array[Byte]], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = org.apache.spark.sql.graft.ByteShingles.compute($b, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteShingles =
+    copy(child = newChild)
+}
+
+object ByteShingles {
+  /** The kernel the generated code calls: rolling 8-byte base-256-mod-p
+    * fingerprints, first-occurrence distinct, one pass, no boxing beyond
+    * the dedup set. */
+  def compute(b: Array[Byte], p: Long): GenericArrayData = {
+    val nw = b.length - 7
+    if (nw <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(nw * 2, 1 << 16))
+    val out = new Array[Long](nw)
+    var m = 0
+    var j = 0
+    while (j < nw) {
+      var acc = 0L
+      var i = 0
+      while (i < 8) { acc = (acc * 256L + (b(j + i) & 0xffL)) % p; i += 1 }
+      if (seen.add(acc)) { out(m) = acc; m += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (m == nw) out else java.util.Arrays.copyOf(out, m))
+  }
 }

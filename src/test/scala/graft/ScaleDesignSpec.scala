@@ -222,6 +222,16 @@ class ScaleDesignSpec extends SparkSpec {
     val p39 = physicalPlan(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf))
     assert(p39.contains("graft_minhash_array"),
       "q39 signatures must be row-local (scalar sketch, no explode+agg)")
+    // q252's byte twin of the same poison: the payload shingle build must
+    // appear EXACTLY once — a filter or alias re-inlining the build turns
+    // the O(L) native pass back into O(L·sites) work per row (the defect
+    // that cost 229 s at sf0.1 in round 10's HOF form).
+    val p252 = physicalPlan(SparkEntry.queries("q252_media_simhash_neardup")(spark, sf))
+    val n252 = "graft_byte_shingles".r.findAllIn(p252).size
+    assert(n252 == 1,
+      s"q252 builds the byte-shingle array ${n252}x (want exactly 1):\n$p252")
+    assert(!p252.contains("split(hex"),
+      s"q252 must not take the hex-string detour on the Spark side:\n$p252")
   }
 
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {
@@ -295,7 +305,12 @@ class ScaleDesignSpec extends SparkSpec {
         "(code build); the ADC scan itself is the cent_id equi-join the " +
         "dedicated ivfpq plan test pins"),
       "q250_ivfpq_recall_eval" ->
-        "q43's + q249's hash-sampled broadcast sides (the eval runs both pipelines it grades)")
+        "q43's + q249's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
+      "q251_probe_depth_calibration" ->
+        ("q43's + q66's hash/LCG-sampled broadcast sides: the dial sweeps " +
+          "the already-sanctioned ivfTopK pipeline at each candidate depth " +
+          "and grades it against the exact panel, so it plans exactly the " +
+          "sampled-side BNLJs of q246, once per depth"))
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
