@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging
 import graft.Staging.StagingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,14 +63,14 @@ object ClusterQueries {
       converged = next.alias("n")
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") =!= col("prev")).limit(1).count() == 0L
-      labels.unpersist()
+      Staging.release(labels)
       labels = next
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // labels is independently checkpointed — releasing the edge list here
     // doesn't touch the returned lineage
-    sym.unpersist()
+    Staging.release(sym)
     labels
   }
 
@@ -168,13 +169,13 @@ object ClusterQueries {
       cents = next.union(kept).staged
       // the new checkpoint is materialized: release the round's scratch
       // blocks so repeated builds don't accumulate storage pressure
-      assigned.unpersist()
-      prevCents.unpersist()
+      Staging.release(assigned)
+      Staging.release(prevCents)
       done = costs.lastOption.exists(prev => prev - cost <= tol * math.abs(prev))
       costs += cost
       iter += 1
     }
-    vs.unpersist()
+    Staging.release(vs)
     (cents, costs.toSeq)
   }
 
@@ -848,12 +849,12 @@ object ClusterQueries {
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("node"), (lit(150000L) + col("sc")).as("r"))
         .staged
-      if (i > 0) prev.unpersist()
+      if (i > 0) Staging.release(prev)
       i += 1
     }
     // the returned ranks is independently checkpointed (iters ≥ 1), so the
     // inputs can be released now — same discipline as connectedComponents
-    if (iters > 0) { edges.unpersist(); deg.unpersist() }
+    if (iters > 0) { Staging.release(edges); Staging.release(deg) }
     ranks
   }
 }

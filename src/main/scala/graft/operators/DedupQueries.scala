@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging
 import graft.Staging.StagingOps
 import graft.functions.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -306,7 +307,7 @@ object DedupQueries {
           edgeSlot = Some((key, edges))
           prev.foreach { case ((h, _), old) =>
             if (h == System.identityHashCode(s) && !s.sparkContext.isStopped)
-              try old.unpersist() catch { case _: Exception => () }
+              try Staging.release(old) catch { case _: Exception => () }
           }
           edges
       }

@@ -43,9 +43,10 @@ import org.apache.spark.sql.functions._
   */
 object IndexLifecycle {
 
-  /** ppm cell-mass shift at which a cell flags for retrain — the same 2%
-    * trigger as q241 (`RefineQueries`). */
-  val RebalancePpm = 20000L
+  /** ppm cell-mass shift at which a cell flags for retrain — literally
+    * q241's trigger (one constant; a threshold tweak moves the batch audit
+    * and this closed loop together, never one without the other). */
+  val RebalancePpm: Long = RefineQueries.RebalancePpm
 
   // ---------- store ----------
 
@@ -93,7 +94,11 @@ object IndexLifecycle {
     Files.createDirectories(rootP)
     val target = rootP.resolve(s"v=$version")
     if (Files.exists(target)) return false // replay: already committed
-    val staging = rootP.resolve(s".staging-$version")
+    // Per-ATTEMPT staging dir: two concurrent installs of the same version
+    // must not write into one shared staging path (they would corrupt each
+    // other's artifacts before either rename) — each attempt stages
+    // privately and the rename decides the winner.
+    val staging = Files.createTempDirectory(rootP, s".staging-$version-")
     try {
       centroids.write.mode("overwrite")
         .parquet(staging.resolve("centroids").toString)
@@ -104,7 +109,19 @@ object IndexLifecycle {
       cellPpm(assign(vectors, staged), staged)
         .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
       interpose("staged")
-      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(target)) { // lost the race while staging
+        deleteRecursively(staging)
+        return false
+      }
+      try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // the loser of the rename race takes the documented replay no-op
+        // path, exactly as if the version had been committed before entry
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(staging)
+          return false
+      }
       interpose("installed")
       true
     } catch {

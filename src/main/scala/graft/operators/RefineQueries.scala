@@ -34,7 +34,7 @@ object RefineQueries {
     * corpus moving in or out of one cell is the classic "retrain the
     * coarse quantizer" trigger (cell-size imbalance degrades both recall
     * and probe cost roughly linearly past this point). */
-  private val RebalancePpm = 20000L
+  private[graft] val RebalancePpm = 20000L
 
   /** q245 flags a subspace for codebook retraining when its mean
     * reconstruction error moves by more than 1/40 (2.5%) between epochs —

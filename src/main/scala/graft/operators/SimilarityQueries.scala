@@ -1821,7 +1821,7 @@ object SimilarityQueries {
               |  SELECT vec_id, v,
               |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
               |  FROM e
-              |), ${ivfPqSqlCtes(IvfProbes, 128)}, reranked AS (
+              |), ${ivfPqSqlCtes(IvfProbes, IvfPqDepth)}, reranked AS (
               |  SELECT query_id, neighbor_id, c,
               |         row_number() OVER (PARTITION BY query_id
               |                            ORDER BY c DESC, neighbor_id) rk
@@ -1862,7 +1862,7 @@ object SimilarityQueries {
     GraftQuery(
       "q250_ivfpq_recall_eval",
       Some(s"""$pqAsgSqlCtes, $exactTopKTailSqlCtes,
-              |${ivfPqSqlCtes(IvfProbes, 128)}, approx AS (
+              |${ivfPqSqlCtes(IvfProbes, IvfPqDepth)}, approx AS (
               |  SELECT query_id, neighbor_id FROM (
               |    SELECT query_id, neighbor_id,
               |           row_number() OVER (PARTITION BY query_id
@@ -1877,7 +1877,7 @@ object SimilarityQueries {
         "the shared exact side and aggregation. The diagnostic READ is " +
         "the comparison: IVF-PQ recall at-or-near IVF recall means the " +
         "deep ADC prune is near-lossless inside probed cells (expected — " +
-        "the 64-deep prune is sized for exactly that) and any loss is " +
+        s"the $IvfPqDepth-deep prune is sized for exactly that) and any loss is " +
         "cell routing, fixable by probing deeper (q251's dial); IVF-PQ " +
         "sagging BELOW IVF flags codebook error reordering candidates " +
         "out of the prune — retrain codebooks (q245). Same 100 TB " +

@@ -13,11 +13,13 @@ import graft.operators.ClusterQueries
   *
   *  - no checkpoint dir configured → eager localCheckpoint (zero files;
   *    the local dev/bench posture);
-  *  - checkpoint dir configured → RELIABLE `checkpoint`, with the round
-  *    frames demonstrably landing under the configured directory — the
-  *    100 TB posture where a lost executor mid-iteration must recompute
-  *    from files instead of killing the query (Spark cannot recompute a
-  *    localCheckpoint block);
+  *  - checkpoint dir configured → RELIABLE parquet staging (one write job
+  *    per round, read back from files), with the round frames demonstrably
+  *    landing under the configured directory — the 100 TB posture where a
+  *    lost executor mid-iteration must recompute from files instead of
+  *    killing the query (Spark cannot recompute a localCheckpoint block);
+  *  - superseded round files are DELETED as the fixed point advances, so
+  *    a long run's checkpoint dir never grows past the live frames;
   *  - the fixed point itself is IDENTICAL under either policy.
   */
 class StagingSpec extends SparkSpec {
@@ -35,6 +37,22 @@ class StagingSpec extends SparkSpec {
     else {
       val st = Files.walk(root)
       try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSeq
+      finally st.close()
+    }
+  }
+
+  /** Staged round directories still on disk — the disk-growth contract:
+    * superseded rounds are deleted, so only the frames the operator still
+    * references (its returned fixed point) may remain. */
+  private def stageDirs(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Seq.empty
+    else {
+      // setCheckpointDir nests a per-context UUID dir — walk, don't list
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("graft-stage-"))
         .map(_.toString).toSeq
       finally st.close()
     }
@@ -65,6 +83,9 @@ class StagingSpec extends SparkSpec {
         "fixed point must be identical under either staging policy")
       assert(checkpointFiles(dir).nonEmpty,
         s"reliable staging must write round frames under $dir")
+      assert(stageDirs(dir).size === 1,
+        s"superseded CC rounds must be deleted (only the returned labels " +
+          s"frame may keep files): ${stageDirs(dir)}")
     } finally setCheckpointDir(sc, prev.map(_.toString))
   }
 
@@ -86,6 +107,9 @@ class StagingSpec extends SparkSpec {
       }, s"cost sequence must be monotone non-increasing: $costs")
       assert(checkpointFiles(dir).nonEmpty,
         s"reliable staging must write round frames under $dir")
+      assert(stageDirs(dir).size === 1,
+        s"superseded k-means rounds must be deleted (only the returned " +
+          s"centroid frame may keep files): ${stageDirs(dir)}")
     } finally setCheckpointDir(sc, prev.map(_.toString))
   }
 }
