@@ -293,7 +293,7 @@ object SimilarityQueries {
     * vector — and meets the query side in an EQUI-join on cent_id, so
     * per-query scan cost is probes·cell_size, sublinear in corpus size.
     * Shared by q249 itself and the q250 recall eval. */
-  private[operators] def ivfPqTopK(s: SparkSession, dir: String,
+  private[graft] def ivfPqTopK(s: SparkSession, dir: String,
                                    probes: Int = IvfProbes): DataFrame = {
     // the complete IVF-PQ index row: cell id + 4 PQ codes per vector
     // (cell assignment is THE shared q66/q230/q232 pipeline)
@@ -1970,32 +1970,65 @@ object SimilarityQueries {
         "nightly recall evals, and the chosen depth feeds ivfTopK/" +
         "ivfPqTopK's `probes` parameter instead of the IvfProbes " +
         "constant (ApproxSpec closes that loop)."
-    ) { (s, dir) =>
-      val exact = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
-      val perDepth = ProbeDepths.map { d =>
-        exact
-          .join(ivfTopK(s, dir, d)
-              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-            Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"))
-          .select(lit(d.toLong).as("probes"), col("exact_cnt"), col("hits"),
-            // coalesce(0): the empty-panel degenerate corpus must emit a
-            // typed zero, not NULL — a NULL recall is a dtype hazard at
-            // the driver boundary and "no recall evidence" correctly
-            // fails any floor
-            expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)")
-              .as("recall_ppm"))
-      }
-      val all = Window.partitionBy(lit(1))
-      perDepth.reduce(_ unionAll _)
-        .withColumn("meets_floor", col("recall_ppm") >= lit(ProbeRecallFloorPpm))
-        .withColumn("chosen", col("probes") === coalesce(
-          min(when(col("recall_ppm") >= lit(ProbeRecallFloorPpm), col("probes")))
-            .over(all),
-          max(col("probes")).over(all)))
-        .select(col("probes"), col("exact_cnt"), col("hits"),
-          col("recall_ppm"), col("meets_floor"), col("chosen"))
-        .orderBy("probes")
-    }
+    ) { (s, dir) => probeDepthDial(s, dir) }
   )
+
+  /** The q251 dial as a parameterized frame: per-depth recall scoreboards
+    * over the fixed panel with `chosen` marking the minimal depth meeting
+    * `floorPpm` (deepest sweep point if none does). q251 ships the
+    * defaults; [[calibratedProbes]] reads any floor. */
+  private[graft] def probeDepthDial(s: SparkSession, dir: String,
+                                    floorPpm: Long = ProbeRecallFloorPpm,
+                                    depths: Seq[Int] = ProbeDepths): DataFrame = {
+    val exact = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val perDepth = depths.map { d =>
+      exact
+        .join(ivfTopK(s, dir, d)
+            .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"))
+        .select(lit(d.toLong).as("probes"), col("exact_cnt"), col("hits"),
+          // coalesce(0): the empty-panel degenerate corpus must emit a
+          // typed zero, not NULL — a NULL recall is a dtype hazard at
+          // the driver boundary and "no recall evidence" correctly
+          // fails any floor
+          expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)")
+            .as("recall_ppm"))
+    }
+    val all = Window.partitionBy(lit(1))
+    perDepth.reduce(_ unionAll _)
+      .withColumn("meets_floor", col("recall_ppm") >= lit(floorPpm))
+      .withColumn("chosen", col("probes") === coalesce(
+        min(when(col("recall_ppm") >= lit(floorPpm), col("probes")))
+          .over(all),
+        max(col("probes")).over(all)))
+      .select(col("probes"), col("exact_cnt"), col("hits"),
+        col("recall_ppm"), col("meets_floor"), col("chosen"))
+      .orderBy("probes")
+  }
+
+  /** The dial reading as an OPERATING PARAMETER: the minimal swept probe
+    * depth whose panel recall meets `floorPpm`. The read is one row of a
+    * depths-sized frame (index metadata, like the BPE argmax — never
+    * corpus rows), which is the whole point of a dial: its output is a
+    * scalar the next index build consumes. */
+  def calibratedProbes(s: SparkSession, dir: String,
+                       floorPpm: Long = ProbeRecallFloorPpm,
+                       depths: Seq[Int] = ProbeDepths): Int =
+    probeDepthDial(s, dir, floorPpm, depths)
+      .filter(col("chosen")).select(col("probes")).head.getLong(0).toInt
+
+  /** q66's IVF search at the depth the dial chose for `floorPpm` —
+    * IvfProbes is now only the DEFAULT these entry points replace. */
+  def ivfTopKCalibrated(s: SparkSession, dir: String,
+                        floorPpm: Long = ProbeRecallFloorPpm): DataFrame =
+    ivfTopK(s, dir, calibratedProbes(s, dir, floorPpm))
+
+  /** q249's IVF-PQ search at the dial-chosen depth: the calibration
+    * transfers because IVF-PQ's recall limiter IS the cell routing the
+    * dial measures (the ADC prune is near-lossless inside probed cells —
+    * q250's scoreboard pins that). */
+  def ivfPqTopKCalibrated(s: SparkSession, dir: String,
+                          floorPpm: Long = ProbeRecallFloorPpm): DataFrame =
+    ivfPqTopK(s, dir, probes = calibratedProbes(s, dir, floorPpm))
 }

@@ -180,4 +180,28 @@ class ApproxSpec extends SparkSpec {
     if (b(chosen.head, "meets_floor"))
       assert(microPpm >= Floor, s"calibrated depth $depth under floor: $microPpm")
   }
+
+  test("a recall-floor change moves the calibrated depth and the index follows") {
+    import operators.SimilarityQueries
+    // floor 0: any depth qualifies, minimality picks the shallowest sweep
+    // point; an unreachable floor (> 10^6 ppm) qualifies none and falls
+    // back to the deepest — the dial is a FUNCTION of the floor, not a
+    // constant in disguise
+    val shallow = SimilarityQueries.calibratedProbes(spark, sf, floorPpm = 0L)
+    val deep = SimilarityQueries.calibratedProbes(spark, sf, floorPpm = 1000001L)
+    assert(shallow === 1, s"floor 0 must choose the shallowest sweep point, got $shallow")
+    assert(deep === 5, s"an unreachable floor must fall back to the deepest, got $deep")
+
+    // the downstream index actually follows the dial: the calibrated entry
+    // point at each floor returns exactly what the raw pipeline returns at
+    // the depth the dial chose — the constant is now only a default
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(SimilarityQueries.ivfTopKCalibrated(spark, sf, floorPpm = 0L))
+      === rows(SimilarityQueries.ivfTopK(spark, sf, probes = 1)))
+    assert(rows(SimilarityQueries.ivfTopKCalibrated(spark, sf, floorPpm = 1000001L))
+      === rows(SimilarityQueries.ivfTopK(spark, sf, probes = 5)))
+    assert(rows(SimilarityQueries.ivfPqTopKCalibrated(spark, sf, floorPpm = 1000001L))
+      === rows(SimilarityQueries.ivfPqTopK(spark, sf, probes = 5)))
+  }
 }
