@@ -89,17 +89,8 @@ object IndexLifecycle {
     * "staged" (artifacts complete, not yet visible) and "installed". */
   def install(s: SparkSession, root: String, version: Long,
               centroids: DataFrame, vectors: DataFrame,
-              interpose: String => Unit = _ => ()): Boolean = {
-    val rootP = Paths.get(root)
-    Files.createDirectories(rootP)
-    val target = rootP.resolve(s"v=$version")
-    if (Files.exists(target)) return false // replay: already committed
-    // Per-ATTEMPT staging dir: two concurrent installs of the same version
-    // must not write into one shared staging path (they would corrupt each
-    // other's artifacts before either rename) — each attempt stages
-    // privately and the rename decides the winner.
-    val staging = Files.createTempDirectory(rootP, s".staging-$version-")
-    try {
+              interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
       centroids.write.mode("overwrite")
         .parquet(staging.resolve("centroids").toString)
       // baseline reads centroids back from STAGING: the recorded masses
@@ -108,6 +99,23 @@ object IndexLifecycle {
       val staged = s.read.parquet(staging.resolve("centroids").toString)
       cellPpm(assign(vectors, staged), staged)
         .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
+    }
+
+  /** The one atomic-version discipline both pillars install through:
+    * `write` fills a per-ATTEMPT private staging dir (two concurrent
+    * installs of the same version must not share one staging path — they
+    * would corrupt each other's artifacts before either rename), then one
+    * ATOMIC_MOVE commits; replays and rename-race losers return false. */
+  private def installVersion(root: String, version: Long,
+                             interpose: String => Unit)
+                            (write: Path => Unit): Boolean = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val target = rootP.resolve(s"v=$version")
+    if (Files.exists(target)) return false // replay: already committed
+    val staging = Files.createTempDirectory(rootP, s".staging-$version-")
+    try {
+      write(staging)
       interpose("staged")
       if (Files.exists(target)) { // lost the race while staging
         deleteRecursively(staging)
@@ -219,4 +227,113 @@ object IndexLifecycle {
   def search(s: SparkSession, root: String, dir: String,
              probes: Int = SimilarityQueries.IvfProbes): DataFrame =
     SimilarityQueries.ivfTopKFrom(s, dir, readCentroids(s, root), probes)
+
+  // ---------- the OTHER pillar: PQ codebooks ----------
+  //
+  // The composed IVF-PQ index (q249) has two trained artifacts — the
+  // coarse quantizer's centroids (drift monitor q241, store above) and
+  // the product quantizer's codebooks (drift monitor q245, store below).
+  // Both live under the same v=N ATOMIC_MOVE discipline, in separate
+  // roots, so either pillar hot-swaps independently and a reader composes
+  // whatever pair is installed at read time — each complete by itself.
+
+  /** The latest committed codebook frame (m, cent_id, csub, crk). */
+  def readCodebook(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed codebook under $root"))
+    s.read.parquet(s"$root/v=$v/codebook")
+  }
+
+  /** The latest committed training-time per-subspace mean quantization
+    * error (m, n, merr_u). */
+  def readErrBaseline(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed codebook under $root"))
+    s.read.parquet(s"$root/v=$v/errbase")
+  }
+
+  /** Install `codebook(m, cent_id, csub, crk)` as `version`, recording the
+    * per-subspace mean quantization error of `vectors(vec_id, v)` under
+    * THIS codebook — the training-time baseline q245's relative rule
+    * audits against. Same atomicity/idempotence contract as [[install]]. */
+  def installCodebook(s: SparkSession, root: String, version: Long,
+                      codebook: DataFrame, vectors: DataFrame,
+                      interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      codebook.write.mode("overwrite")
+        .parquet(staging.resolve("codebook").toString)
+      val staged = s.read.parquet(staging.resolve("codebook").toString)
+      codebookErrU(vectors, staged)
+        .write.mode("overwrite").parquet(staging.resolve("errbase").toString)
+    }
+
+  /** (m, n, merr_u): per-subspace mean quantization error of
+    * `vectors(vec_id, v)` under `codebook` — q245's exact arithmetic
+    * (min-L2 assignment with ties to the larger cent_id, per-vector error
+    * FLOORED to integer micros before the sum, integer mean) so the
+    * lifecycle audit and the batch audit read the same dial. */
+  def codebookErrU(vectors: DataFrame, codebook: DataFrame): DataFrame = {
+    val l2 = aggregate(
+      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    SimilarityQueries.pqSubsOf(vectors)
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), l2.as("l2"), (-col("cent_id")).as("negc"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("l2"), col("negc"))).as("b"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(err_u) div nullif(count(1), 0)").as("merr_u"))
+      .orderBy("m")
+  }
+
+  /** Per-subspace drift of `vectors`' current mean quantization error vs
+    * the installed version's training-time baseline: (m, baseline_merr_u,
+    * current_merr_u, shift_u, retrain) — q245's 2.5%-relative rule
+    * ([[RefineQueries.PqDriftDenom]]). Green right after a retrain by
+    * construction. */
+  def codebookDriftAudit(s: SparkSession, root: String,
+                         vectors: DataFrame): DataFrame = {
+    val current = codebookErrU(vectors, readCodebook(s, root))
+      .select(col("m"), col("merr_u").as("current_merr_u"))
+    readErrBaseline(s, root)
+      .select(col("m"), col("merr_u").as("baseline_merr_u"))
+      .join(current, "m")
+      .withColumn("shift_u", abs(col("current_merr_u") - col("baseline_merr_u")))
+      .withColumn("retrain",
+        col("shift_u") * RefineQueries.PqDriftDenom > col("baseline_merr_u"))
+      .orderBy("m")
+  }
+
+  /** Codebook in store schema from `vectors(vec_id, v)` — the q236
+    * trainer ([[SimilarityQueries.pqCodebookOf]]) feeding the store. */
+  def trainCodebook(vectors: DataFrame): DataFrame =
+    SimilarityQueries.pqCodebookOf(SimilarityQueries.pqSubsOf(vectors))
+
+  /** The closed loop for the codebook pillar: audit the installed version
+    * against `vectors`; if any subspace flags q245's relative rule,
+    * retrain on the current corpus and install the next version
+    * atomically. Returns the new version when a retrain happened. */
+  def retrainCodebookIfDrifted(s: SparkSession, root: String,
+                               vectors: DataFrame): Option[Long] = {
+    val flagged = codebookDriftAudit(s, root, vectors)
+      .filter(col("retrain")).limit(1).count() > 0
+    if (!flagged) None
+    else {
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installCodebook(s, root, next, trainCodebook(vectors), vectors)
+      Some(next)
+    }
+  }
+
+  /** Search the corpus at `dir` through BOTH installed pillars — q249's
+    * exact plan with the stores' centroid and codebook frames in place of
+    * the LCG samples. */
+  def searchPq(s: SparkSession, centsRoot: String, codebookRoot: String,
+               dir: String,
+               probes: Int = SimilarityQueries.IvfProbes): DataFrame =
+    SimilarityQueries.ivfPqTopKFrom(s, dir,
+      readCentroids(s, centsRoot), readCodebook(s, codebookRoot), probes)
 }

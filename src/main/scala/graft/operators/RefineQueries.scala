@@ -40,7 +40,7 @@ object RefineQueries {
     * reconstruction error moves by more than 1/40 (2.5%) between epochs —
     * RELATIVE, so the rule survives any embedding normalization or corpus
     * scale where a fixed micros threshold would saturate or go dead. */
-  private val PqDriftDenom = 40L
+  private[graft] val PqDriftDenom = 40L
 
   val all: Seq[GraftQuery] = Seq(
 

@@ -197,11 +197,19 @@ object SimilarityQueries {
     * min(struct(l2, -cent_id, crk)) == ORDER BY l2 ASC, cent_id DESC:
     * l2 is a sum of squares so only +0.0 occurs, never the -0.0
     * struct-ordering hazard; -cent_id makes the integer tie-break exact. */
-  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesFrom(s, dir, pqCodebook(s, dir))
+
+  /** [[pqCodes]] against an ARBITRARY codebook `(m, cent_id, csub, crk)` —
+    * the seam the versioned index store drives: a codebook retrain-and-swap
+    * changes the stored codes ONLY through the frame this method receives,
+    * through exactly the assignment q236 ships. */
+  private[graft] def pqCodesFrom(s: SparkSession, dir: String,
+                                 codebook: DataFrame): DataFrame = {
     val l2 = aggregate(
       zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    pqSubs(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
+    pqSubs(s, dir).join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"),
         (-col("cent_id")).as("negc"), col("crk"))
       .groupBy("vec_id", "m")
@@ -217,8 +225,15 @@ object SimilarityQueries {
     * order; `nc` (the rank range) travels with it for flat addressing.
     * Shared by q236 and q249. */
   private[operators] def pqQueryLuts(s: SparkSession, dir: String): DataFrame =
+    pqQueryLutsFrom(s, dir, pqCodebook(s, dir))
+
+  /** [[pqQueryLuts]] against an ARBITRARY codebook — the query-side twin
+    * of [[pqCodesFrom]]; codes and LUTs must address the SAME crk ranks,
+    * so both seams take the one installed frame. */
+  private[graft] def pqQueryLutsFrom(s: SparkSession, dir: String,
+                                     codebook: DataFrame): DataFrame =
     pqSubs(s, dir).filter(col("vec_id") % 50 === 0)
-      .join(broadcast(pqCodebook(s, dir)), "m")
+      .join(broadcast(codebook), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("crk"),
         dotd(col("sv"), col("csub")).as("dot"))
       .groupBy("query_id")
@@ -312,6 +327,29 @@ object SimilarityQueries {
     adcPruneRerank(s, dir, cand, depth = IvfPqDepth)
   }
 
+  /** The IVF-PQ pipeline against ARBITRARY installed pillars — `cents
+    * (cent_id, cv, cn)` gates WHICH vectors are scanned, `codebook (m,
+    * cent_id, csub, crk)` decides HOW survivors are scored; both frames
+    * come from the versioned index store, so a hot-swap of EITHER pillar
+    * changes results only through the artifact it installs, through
+    * exactly the q249 plan shape (codes ⋈ broadcast(probed LUTs) on
+    * cent_id, ADC prune, exact re-rank). */
+  private[graft] def ivfPqTopKFrom(s: SparkSession, dir: String,
+                                   cents: DataFrame, codebook: DataFrame,
+                                   probes: Int = IvfProbes): DataFrame = {
+    val coded = pqCodesFrom(s, dir, codebook)
+      .join(IndexLifecycle.assign(
+          normed(s, dir).select(col("vec_id"), col("v")), cents),
+        "vec_id")
+    val qside = ivfQueryProbesFrom(s, dir, probes, cents)
+      .select(col("query_id"), col("cent_id"))
+      .join(pqQueryLutsFrom(s, dir, codebook), "query_id")
+    val cand = coded.join(broadcast(qside), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
+    adcPruneRerank(s, dir, cand, depth = IvfPqDepth)
+  }
+
   /** The recall scoreboard shared by q246 (IVF) and q247 (PQ): exact top-k
     * rows left-join the approximate result set on (query, neighbor), and
     * one count-only aggregate per query yields hits, recall in exact ppm
@@ -387,7 +425,12 @@ object SimilarityQueries {
     * drift audit) so a decomposition tweak moves the index and its
     * monitor together. */
   private[operators] def pqSubs(s: SparkSession, dir: String): DataFrame =
-    normed(s, dir)
+    pqSubsOf(normed(s, dir))
+
+  /** The strided decomposition of ANY `(vec_id, v)` frame — the seam the
+    * versioned codebook store trains and audits through. */
+  private[graft] def pqSubsOf(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(3))).as("m"))
       .select(col("vec_id"), col("m"),
         transform(sequence(lit(1) + col("m"), size(col("v")), lit(4)),
@@ -398,7 +441,13 @@ object SimilarityQueries {
     * stores and a query LUT is addressed by (the same ids are sampled in
     * every subspace, so the rank range is uniform across m). */
   private[operators] def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    pqSubs(s, dir).filter(
+    pqCodebookOf(pqSubs(s, dir))
+
+  /** The q236 codebook trainer over ANY decomposed `(vec_id, m, sv)`
+    * frame — shared by the corpus-reading form above and the versioned
+    * store's retrain path, so a trainer tweak moves both together. */
+  private[graft] def pqCodebookOf(subs: DataFrame): DataFrame =
+    subs.filter(
       ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
         % 2147483647L % 31 === 0)
       .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("csub"))

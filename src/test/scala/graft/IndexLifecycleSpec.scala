@@ -150,4 +150,117 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(run3 === collectSearch(),
       "new version must serve deterministically too")
   }
+
+  // ---------- the codebook pillar's twin contracts ----------
+
+  test("codebook drift flags a stale codebook; retrain-and-swap turns q245's dial green") {
+    val root = Files.createTempDirectory("graft_codebook_store").toString
+    val c = corpus
+
+    // v1: trained and baselined on the OLD epoch only (its LCG sample
+    // holds only e0/e1-direction subvectors)
+    IndexLifecycle.installCodebook(spark, root, 1L,
+      IndexLifecycle.trainCodebook(asVec(oldEpoch(c))), asVec(oldEpoch(c)))
+    assert(IndexLifecycle.latestVersion(root) === Some(1L))
+
+    // against the FULL corpus the e2 arrivals reconstruct terribly under
+    // the old codebook: at least one subspace's mean error jumps far past
+    // the 2.5% relative rule
+    val audit1 = IndexLifecycle.codebookDriftAudit(spark, root, asVec(c)).collect()
+    assert(audit1.exists(_.getBoolean(audit1.head.fieldIndex("retrain"))),
+      s"stale codebook must flag drift:\n${audit1.mkString("\n")}")
+
+    // the closed loop retrains on the current corpus and swaps
+    assert(IndexLifecycle.retrainCodebookIfDrifted(spark, root, asVec(c))
+      === Some(2L))
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+
+    // green by construction: the refreshed baseline IS the current error
+    val audit2 = IndexLifecycle.codebookDriftAudit(spark, root, asVec(c)).collect()
+    assert(audit2.nonEmpty &&
+      audit2.forall(_.getLong(audit2.head.fieldIndex("shift_u")) == 0L),
+      s"post-retrain audit must read green:\n${audit2.mkString("\n")}")
+    assert(IndexLifecycle.retrainCodebookIfDrifted(spark, root, asVec(c)).isEmpty)
+
+    // replayed install of a committed version is a strict no-op
+    assert(!IndexLifecycle.installCodebook(spark, root, 2L,
+      IndexLifecycle.trainCodebook(asVec(oldEpoch(c))), asVec(c)))
+  }
+
+  test("a codebook reader concurrent with the swap sees exactly one complete version") {
+    val root = Files.createTempDirectory("graft_codebook_swap").toString
+    val c = corpus
+    IndexLifecycle.installCodebook(spark, root, 1L,
+      IndexLifecycle.trainCodebook(asVec(oldEpoch(c))), asVec(oldEpoch(c)))
+    val v1Rows = IndexLifecycle.readCodebook(spark, root).count()
+
+    var sawDuringStaged: Option[(Option[Long], Long)] = None
+    var sawAfterInstall: Option[(Option[Long], Long)] = None
+    IndexLifecycle.installCodebook(spark, root, 2L,
+      IndexLifecycle.trainCodebook(asVec(c)), asVec(c),
+      interpose = {
+        case "staged" =>
+          sawDuringStaged = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCodebook(spark, root).count()))
+        case "installed" =>
+          sawAfterInstall = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCodebook(spark, root).count()))
+        case _ => ()
+      })
+    val v2Rows = IndexLifecycle.readCodebook(spark, root).count()
+    assert(sawDuringStaged === Some((Some(1L), v1Rows)),
+      "mid-swap reader must see the OLD codebook, complete")
+    assert(sawAfterInstall === Some((Some(2L), v2Rows)))
+    assert(v2Rows > v1Rows, "full-corpus retrain must have grown the sample")
+
+    // a failed install never becomes visible and leaves no staging debris
+    intercept[RuntimeException] {
+      IndexLifecycle.installCodebook(spark, root, 3L,
+        IndexLifecycle.trainCodebook(asVec(c)), asVec(c),
+        interpose = phase =>
+          if (phase == "staged") throw new RuntimeException("crash before move"))
+    }
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+  }
+
+  test("IVF-PQ search composes whatever pillar pair is installed") {
+    val centsRoot = Files.createTempDirectory("graft_ivfpq_cents").toString
+    val cbRoot = Files.createTempDirectory("graft_ivfpq_cb").toString
+    val dir = Files.createTempDirectory("graft_ivfpq_corpus").toString
+    val c = corpus
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    IndexLifecycle.install(spark, centsRoot, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2), asVec(oldEpoch(c)))
+    IndexLifecycle.installCodebook(spark, cbRoot, 1L,
+      IndexLifecycle.trainCodebook(asVec(c)), asVec(c))
+
+    // probes=1 so the cell gate actually gates (2-3 cells in store)
+    def collectSearch(): Seq[(Long, Long, Long)] =
+      IndexLifecycle.searchPq(spark, centsRoot, cbRoot, dir, probes = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val run1 = collectSearch()
+    assert(run1.nonEmpty && run1 === collectSearch(),
+      "fixed pillar versions must serve identical IVF-PQ results")
+
+    // swap ONLY the centroid pillar, to a version whose cells SPLIT the
+    // e0 blob by its jitter dimension: the e0 query now probes a cell
+    // missing some of its former neighbors, so the served results change
+    // — through the store alone (the codebook pillar is untouched; a
+    // well-trained retrain would NOT move these results, because the
+    // exact re-rank absorbs it — that robustness is the point of q249,
+    // so the seam test installs a deliberately different quantizer)
+    import spark.implicits._
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val e0j = Array.tabulate(64)(i =>
+      if (i == 0) 1.0 else if (i == 10) 0.06 else 0.0)
+    val handCents = Seq((100L, e0, 1.0), (101L, e0j, math.sqrt(1.0036)))
+      .toDF("cent_id", "cv", "cn")
+    IndexLifecycle.install(spark, centsRoot, 2L, handCents, asVec(c))
+    val run3 = collectSearch()
+    assert(run3 === collectSearch(), "new pillar pair must be deterministic")
+    assert(run3 !== run1,
+      "a centroid swap must change IVF-PQ routing (results flowed from the store)")
+  }
 }
