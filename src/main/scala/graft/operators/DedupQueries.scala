@@ -159,12 +159,21 @@ object DedupQueries {
     * (pigeonhole), so banding misses nothing; hot buckets are bounded at
     * [[MaxBucket]] BEFORE collection (window count on the groupBy key —
     * no extra exchange), exactly as the oracle's `bounded` CTE. */
+  /** The SimHash pigeonhole band table — (band, offset, mask), 7 blocks of
+    * widths 10,9,9,9,9,9,9 covering all 64 bits: any Hamming-≤6 pair
+    * leaves ≥1 block untouched. ONE table serves the batch pipelines
+    * ([[simhashNearDupPairs]]), their oracles ([[simhashBandTailSql]]'s
+    * `bdef`) and the streaming media admission monitor
+    * (`StatefulOps.mediaNearDupTws`) — the recall guarantee is the
+    * table, so every consumer reads the same copy. */
+  private[graft] val SimhashBands: Seq[(Int, Int, Long)] =
+    Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
+      (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
+
   private[graft] def simhashNearDupPairs(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bandDefs = Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
-      (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
     val bands = sigs.select(col("doc_id"), col("sim"),
-      explode(array(bandDefs.map { case (b, off, mask) =>
+      explode(array(SimhashBands.map { case (b, off, mask) =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))

@@ -81,7 +81,7 @@ object MultimodalQueries {
     * data". ONE definition shared by q51 (decode/feature-extract) and q252
     * (byte-shingle near-dup), so the envelope format and its dedup index
     * move together. */
-  private[operators] def mediaPayload: Column = {
+  private[graft] def mediaPayload: Column = {
     val width = (col("n_chars") % 640).cast("int")
     val height = (col("n_chars") % 480).cast("int")
     // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8, color

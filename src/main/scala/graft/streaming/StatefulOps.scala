@@ -765,4 +765,99 @@ object StatefulOps {
       .transformWithState(new IvfCellProcessor(),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One media arrival for [[mediaNearDupTws]]: the 64-bit byte-shingle
+    * SimHash of the payload, computed batch-side in the scan (the native
+    * `graft_byte_shingles` → `graft_simhash_array` projection — exactly
+    * q252's signature; payloads never reach the stateful operator). */
+  final case class MediaSig(doc_id: Long, sim: Long)
+  final case class MediaBandArrival(bucket: Long, doc_id: Long, sim: Long)
+  final case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class BucketMember(doc_id: Long, sim: Long)
+
+  /** Streaming byte-shingle near-dup detection — the media twin of the
+    * semantic admit-once processor, and the live form of batch q252: state
+    * per (band, key) bucket is the ≤[[graft.operators.DedupQueries.MaxBucket]]
+    * signatures already filed there (16 bytes each — never a payload), and
+    * an arriving signature reports every filed member within Hamming ≤ 6,
+    * exactly the batch pipeline's exact re-check. Cross-band uniqueness
+    * costs NO second stateful stage: a pair is emitted only from its
+    * CANONICAL band — the smallest band index where the two signatures'
+    * keys agree (both full sigs are in hand at emission, so the canonical
+    * band is a pure function of the pair; a Hamming-≤6 pair has ≥1 agreeing
+    * band by the pigeonhole guarantee, so canonical-band emission loses
+    * nothing). Buckets are bounded exactly like the batch `bounded` CTE:
+    * an arrival into a full bucket files nothing and reports nothing there
+    * — the one deliberate divergence from batch (which drops a bucket by
+    * its FINAL size, unknowable mid-stream); both sides agree wherever no
+    * bucket saturates. Within a micro-batch, bucket slices sort by doc_id
+    * (the banding pipeline's id order); cross-batch delivery order is the
+    * caller's contract, as everywhere in this file. At 100 TB the
+    * groupByKey shuffles 24-byte (bucket, doc_id, sim) rows once and an
+    * ingest pipeline drops a flagged doc_b on arrival — admit-once over
+    * media content, without ever holding two payloads in one place. */
+  class MediaBandProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MediaBandArrival, NearDupPair] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var members: org.apache.spark.sql.streaming.ListState[BucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketMember](
+        "bucket", Encoders.product[BucketMember],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Long, rows: Iterator[MediaBandArrival],
+                                 timers: TimerValues): Iterator[NearDupPair] = {
+      val band = (bucket >> 10).toInt
+      val filed = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
+      members.get().foreach(filed += _)
+      rows.toSeq.sortBy(_.doc_id).iterator.flatMap { r =>
+        if (filed.length >= graft.operators.DedupQueries.MaxBucket) Iterator.empty
+        else {
+          val hits = filed.iterator.filter { m =>
+            java.lang.Long.bitCount(m.sim ^ r.sim) <= 6 &&
+              canonicalBand(m.sim, r.sim) == band
+          }.map { m =>
+            val (a, b) = if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                         else (r.doc_id, m.doc_id)
+            NearDupPair(a, b, java.lang.Long.bitCount(m.sim ^ r.sim).toLong)
+          }.toVector
+          val nv = BucketMember(r.doc_id, r.sim)
+          filed += nv
+          members.appendValue(nv)
+          hits.iterator
+        }
+      }
+    }
+  }
+
+  /** The smallest band index on which two signatures' keys agree — defined
+    * for every Hamming-≤6 pair (pigeonhole over
+    * [[graft.operators.DedupQueries.SimhashBands]]). */
+  private def canonicalBand(a: Long, b: Long): Int =
+    graft.operators.DedupQueries.SimhashBands
+      .find { case (_, off, mask) =>
+        ((a >>> off) & mask) == ((b >>> off) & mask)
+      }.map(_._1).getOrElse(-1)
+
+  /** Keyed media near-dup detection via transformWithState over the shared
+    * band table (Append: each near-dup pair is reported exactly once, at
+    * its canonical band, when its later doc arrives). */
+  def mediaNearDupTws(sigs: Dataset[MediaSig]): Dataset[NearDupPair] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap(s => graft.operators.DedupQueries.SimhashBands.map {
+        case (b, off, mask) =>
+          MediaBandArrival((b.toLong << 10) | ((s.sim >>> off) & mask),
+            s.doc_id, s.sim)
+      })
+      .groupByKey(_.bucket)
+      .transformWithState(new MediaBandProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1266,4 +1266,60 @@ class StreamingOpsSpec extends SparkSpec {
     assert((all.last.n_old, all.last.n_new) === ((2L, 2L)),
       "restarted counters must continue from the checkpointed sums")
   }
+
+  test("media near-dup tws equals batch q252 pairs and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{MediaSig, NearDupPair}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the sf0.001 corpus's media envelopes (q252's exact payloads) PLUS a
+    // planted byte-identical pair and a 3-byte-patch near-dup, so the pin
+    // covers both organic and adversarial collisions
+    def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) & 0xff).toByte
+      }
+    }
+    val base = lcgBytes(42L, 1000)
+    val nearDup = base.clone()
+    Seq(150, 450, 750).foreach(i => nearDup(i) = (nearDup(i) ^ 0x5a).toByte)
+    val planted = Seq((900001L, base), (900002L, base.clone()),
+      (900003L, nearDup)).toDF("doc_id", "payload")
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.MultimodalQueries.mediaPayload.as("payload"))
+      .union(planted)
+
+    val batchPairs = operators.MultimodalQueries.byteSimhashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs.contains((900001L, 900002L, 0L)),
+      "planted byte-identical pair must be in the batch reference")
+
+    val sigs = operators.MultimodalQueries.byteSimhashSigs(media)
+      .orderBy("doc_id").as[MediaSig].collect()
+
+    def run(name: String, nChunks: Int): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[MediaSig]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.mediaNearDupTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          sigs.grouped(math.max(sigs.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[NearDupPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    }
+
+    val a = run("media_neardup_3", 3)
+    val b = run("media_neardup_7", 7)
+    assert(a === b, "re-chunking the stream changed the reported pair set")
+    assert(a === batchPairs,
+      s"streaming pair set diverged from batch q252: only-stream=${a -- batchPairs}, only-batch=${batchPairs -- a}")
+  }
 }
