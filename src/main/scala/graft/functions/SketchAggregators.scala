@@ -159,6 +159,15 @@ object Sketches {
     ColumnBridge.column(ByteShingles(ColumnBridge.expression(col), p))
   }
 
+  /** One-pass content-defined chunk fingerprints of a binary column
+    * (boundaries where the rolling 8-byte fp ≡ 0 mod `divisor`; chunk
+    * bytes fold base-256 mod `p`) — insert-resistant chunking for
+    * chunk-level media dedup. */
+  def cdcChunks(col: Column, divisor: Long, p: Long): Column = {
+    import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge}
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(col), divisor, p))
+  }
+
   /** Mergeable Misra-Gries heavy-hitters summary of a string column:
     * ≤ k (term, cnt) entries, every true count > n/(k+1) guaranteed
     * present, estimates within n/(k+1) of truth. */

@@ -101,6 +101,47 @@ object MultimodalQueries {
     when(col("doc_id") % 2 === 0, png).otherwise(jpeg)
   }
 
+  /** The media envelope's bytes in the oracles' dialect: `hp` rebuilds
+    * [[mediaPayload]] as a hex string, `bt(doc_id, bv)` is its byte list —
+    * ONE prologue shared by the q252 (shingle) and q253 (chunk) oracles so
+    * the envelope replay can never drift between them. */
+  private def mediaBytesSqlCtes: String =
+    // concat() instead of the || operator: this fragment is interpolated
+    // into templates that apply their OWN stripMargin, which would eat the
+    // first pipe of a line-leading `||`
+    s"""hp AS (
+       |  SELECT doc_id,
+       |         concat(CASE WHEN doc_id % 2 = 0
+       |              THEN concat('89504E470D0A1A0A0000000D49484452',
+       |                   lpad(hex(n_chars % 640), 8, '0'),
+       |                   lpad(hex(n_chars % 480), 8, '0'),
+       |                   '080600000000000000')
+       |              ELSE concat('FFD8FFC0001108',
+       |                   lpad(hex(n_chars % 480), 4, '0'),
+       |                   lpad(hex(n_chars % 640), 4, '0'),
+       |                   '03011100021101031101')
+       |         END, hex(encode(text))) AS h
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id, string_split(h, '') c FROM hp
+       |), bt AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(c)//2 + 1), i ->
+       |           CAST((ascii(c[2*i-1]) - 48
+       |             - CASE WHEN ascii(c[2*i-1]) >= 65 THEN 7 ELSE 0 END) * 16
+       |           + ascii(c[2*i]) - 48
+       |             - CASE WHEN ascii(c[2*i]) >= 65 THEN 7 ELSE 0 END
+       |           AS BIGINT)) AS bv
+       |  FROM ch
+       |)""".stripMargin
+
+  /** q253's expected chunk length in bytes (the CDC boundary divisor). */
+  private[graft] val CdcDivisor = 64L
+
+  /** q253's containment floor: a pair reports when the smaller doc shares
+    * at least half its distinct chunks with the other. */
+  private[graft] val CdcContainmentFloorPpm = 500000L
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -247,31 +288,7 @@ object MultimodalQueries {
 
     GraftQuery(
       "q252_media_simhash_neardup",
-      Some(s"""WITH hp AS (
-              |  SELECT doc_id,
-              |         CASE WHEN doc_id % 2 = 0
-              |              THEN '89504E470D0A1A0A0000000D49484452'
-              |                   || lpad(hex(n_chars % 640), 8, '0')
-              |                   || lpad(hex(n_chars % 480), 8, '0')
-              |                   || '080600000000000000'
-              |              ELSE 'FFD8FFC0001108'
-              |                   || lpad(hex(n_chars % 480), 4, '0')
-              |                   || lpad(hex(n_chars % 640), 4, '0')
-              |                   || '03011100021101031101'
-              |         END || hex(encode(text)) AS h
-              |  FROM documents
-              |), ch AS (
-              |  SELECT doc_id, string_split(h, '') c FROM hp
-              |), bt AS (
-              |  SELECT doc_id,
-              |         list_transform(range(1, len(c)//2 + 1), i ->
-              |           CAST((ascii(c[2*i-1]) - 48
-              |             - CASE WHEN ascii(c[2*i-1]) >= 65 THEN 7 ELSE 0 END) * 16
-              |           + ascii(c[2*i]) - 48
-              |             - CASE WHEN ascii(c[2*i]) >= 65 THEN 7 ELSE 0 END
-              |           AS BIGINT)) AS bv
-              |  FROM ch
-              |), sh AS (
+      Some(s"""WITH $mediaBytesSqlCtes, sh AS (
               |  SELECT doc_id,
               |         unnest(list_distinct(list_transform(range(1, len(bv) - 6),
               |           j -> list_reduce(bv[j:j+7],
@@ -309,8 +326,105 @@ object MultimodalQueries {
     ) { (s, dir) =>
       byteSimhashPairs(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload")))
+    },
+
+    GraftQuery(
+      "q253_media_cdc_containment",
+      Some(s"""WITH $mediaBytesSqlCtes, pos AS (
+              |  SELECT doc_id, bv, unnest(range(1, len(bv) + 1)) AS i FROM bt
+              |), cid AS (
+              |  SELECT doc_id, i, bv[i] AS byte,
+              |         coalesce(sum(CASE WHEN i >= 8 AND
+              |             list_reduce(bv[i-7:i],
+              |               (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP})
+              |               % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY doc_id ORDER BY i
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |           0) AS chunk_id
+              |  FROM pos
+              |), chunks AS (
+              |  SELECT DISTINCT doc_id,
+              |         list_reduce(list(byte ORDER BY i),
+              |           (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP}) AS cfp
+              |  FROM cid GROUP BY doc_id, chunk_id
+              |), sizes AS (
+              |  SELECT doc_id, count(*) n FROM chunks GROUP BY doc_id
+              |), bounded AS (
+              |  SELECT doc_id, cfp FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY cfp) bsz FROM chunks
+              |  ) WHERE bsz BETWEEN 2 AND ${DedupQueries.MaxBucket}
+              |), p2 AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+              |         CAST(count(*) AS BIGINT) shared
+              |  FROM bounded a JOIN bounded b
+              |    ON a.cfp = b.cfp AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT p2.doc_a, p2.doc_b, shared,
+              |       CAST(1000000 * shared // least(sa.n, sb.n) AS BIGINT)
+              |         AS containment_ppm
+              |FROM p2 JOIN sizes sa ON sa.doc_id = p2.doc_a
+              |        JOIN sizes sb ON sb.doc_id = p2.doc_b
+              |WHERE 1000000 * shared // least(sa.n, sb.n)
+              |        >= $CdcContainmentFloorPpm
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "Content-defined-chunking media dedup — the LARGE-payload sibling " +
+        "q252's design notes promise: the native one-pass graft_cdc_chunks " +
+        "expression cuts chunk boundaries where the SAME rolling 8-byte " +
+        "fingerprint stream hits 0 mod 64 (expected ~64-byte chunks), " +
+        "folds each chunk's bytes to one fingerprint, and a pair reports " +
+        "when the smaller doc shares >= 50% of its distinct chunks " +
+        "(containment, the storage-dedup metric). Content-defined beats " +
+        "fixed-size chunking on exactly one axis and it is the axis that " +
+        "matters: an INSERTION misaligns every fixed-size boundary after " +
+        "the edit, but CDC boundaries depend only on local window bytes, " +
+        "so the two streams re-synchronize at the first boundary past the " +
+        "edit and every later chunk matches (LBFS, SOSP'01 — " +
+        "MultimodalSpec pins this insert-resilience on planted payloads). " +
+        "Scale shape: chunk fingerprints are 8 bytes each, ~payload/64 " +
+        "per doc, computed in the scan; payloads never shuffle; the " +
+        "inverted chunk index is bucket-capped at 64 BEFORE pairing, " +
+        "which doubles as automatic common-chunk suppression (a shared " +
+        "envelope-header chunk lands in a saturated bucket and drops, " +
+        "like stopword shingles in q41). At 100 TB this is how you dedup " +
+        "video/audio blobs where whole-payload signatures are too coarse " +
+        "and per-window shingles too fine — and the containment join " +
+        "doubles as the storage-savings audit for chunk-store planning."
+    ) { (s, dir) =>
+      cdcContainmentPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
     }
   )
+
+  /** CDC containment pairs of any `(doc_id, payload)` frame — the full
+    * q253 pipeline, exposed so specs can grade the insert-resilience
+    * property on planted payloads through exactly the shipped plan. */
+  private[graft] def cdcContainmentPairs(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = media
+      .select(col("doc_id"), array_distinct(
+        graft.functions.Sketches.cdcChunks(
+          col("payload"), CdcDivisor, DedupQueries.ShingleP)).as("cfps"))
+      .select(col("doc_id"), size(col("cfps")).cast("long").as("n"),
+        explode(col("cfps")).as("cfp"))
+    val bounded = chunks
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("cfp")))
+      .filter(col("bsz").between(2, DedupQueries.MaxBucket))
+      .select(col("doc_id"), col("n"), col("cfp"))
+    bounded.select(col("doc_id").as("doc_a"), col("n").as("na"), col("cfp"))
+      .join(bounded.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("cfp")),
+        "cfp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("containment_ppm",
+        expr("1000000 * shared div least(na, nb)"))
+      .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** (doc_id, sim): byte-shingle SimHash signatures of any
     * `(doc_id, payload: binary)` frame — rolling 8-byte windows folded to

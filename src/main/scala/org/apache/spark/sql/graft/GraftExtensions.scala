@@ -51,12 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomSketch(c.head, intLit(c(1), "graft_bloom numBits")))
     fn("graft_minhash", classOf[MinHashSketch], 1)(c => MinHashSketch(c.head))
     fn("graft_simhash", classOf[SimHashSketch], 1)(c => SimHashSketch(c.head))
-    fn("graft_byte_shingles", classOf[ByteShingles], 2)(c => ByteShingles(c.head, c(1) match {
+    def longLit(e: Expression, what: String): Long = e match {
       case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
       case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
       case other => throw new IllegalArgumentException(
-        s"graft_byte_shingles modulus must be an integer literal, got $other")
-    }))
+        s"$what must be an integer literal, got $other")
+    }
+    fn("graft_byte_shingles", classOf[ByteShingles], 2)(c =>
+      ByteShingles(c.head, longLit(c(1), "graft_byte_shingles modulus")))
+    fn("graft_cdc_chunks", classOf[CdcChunks], 3)(c =>
+      CdcChunks(c.head, longLit(c(1), "graft_cdc_chunks divisor"),
+        longLit(c(2), "graft_cdc_chunks modulus")))
     fn("graft_heavy_hitters", classOf[HeavyHitters], 2)(c =>
       HeavyHitters(c.head, intLit(c(1), "graft_heavy_hitters capacity")))
   }

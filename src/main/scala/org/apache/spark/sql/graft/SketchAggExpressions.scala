@@ -321,3 +321,76 @@ object ByteShingles {
     new GenericArrayData(if (m == nw) out else java.util.Arrays.copyOf(out, m))
   }
 }
+
+/** One-pass content-defined chunk fingerprints of a binary column — the
+  * large-payload sibling of [[ByteShingles]]: the SAME rolling 8-byte
+  * base-256-mod-`p` fingerprint stream, but instead of emitting every
+  * window, a chunk boundary is cut AFTER byte i whenever the window
+  * fingerprint satisfies `fp % divisor == 0` (expected chunk length ≈
+  * `divisor` bytes), and each chunk's bytes fold to one fingerprint
+  * (left fold, base-256 mod `p` — every intermediate < 2^48, replayable
+  * from `hex(payload)` in engines without wraparound multiply). The final
+  * partial chunk always emits; a payload shorter than one window is one
+  * chunk. Output order is payload order, duplicates preserved — distinct
+  * and set algebra belong to the query, not the kernel.
+  *
+  * WHY content-defined: a fixed-size chunker misaligns every boundary
+  * after a single inserted byte, so two payloads differing by one
+  * insertion share almost nothing. Here boundaries depend only on LOCAL
+  * window content, so the chunk streams of the two payloads re-synchronize
+  * at the first boundary after the edit and every later chunk fingerprint
+  * matches — the storage-dedup property (LBFS, Muthitacharoen et al.,
+  * SOSP'01) that makes chunk-level containment a real near-dup signal for
+  * large media where whole-payload shingling is too fine-grained.
+  */
+case class CdcChunks(child: Expression, divisor: Long, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(divisor > 0, s"chunk divisor must be positive: $divisor")
+  require(p > 0 && p < (1L << 40), s"chunk modulus must be in (0, 2^40): $p")
+
+  override def prettyName: String = "graft_cdc_chunks"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[Array[Byte]], divisor, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = org.apache.spark.sql.graft.CdcChunks.compute($b, ${divisor}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** The kernel: one pass, two running fingerprints (the 8-byte window fp
+    * deciding boundaries, the unbounded chunk fp being emitted). */
+  def compute(b: Array[Byte], divisor: Long, p: Long): GenericArrayData = {
+    if (b.length == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](b.length / divisor.toInt + 2)
+    // pow256(7) mod p — the coefficient of the byte leaving the window
+    var hi = 1L
+    var k = 0
+    while (k < 7) { hi = (hi * 256L) % p; k += 1 }
+    var win = 0L   // rolling fp of the last min(i+1, 8) bytes
+    var chunk = 0L // fold of the current chunk's bytes
+    var chunkStart = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xffL
+      win = if (i < 8) (win * 256L + x) % p
+            else (((win - (((b(i - 8) & 0xffL) * hi) % p) + p) % p) * 256L + x) % p
+      chunk = (chunk * 256L + x) % p
+      if (i >= 7 && win % divisor == 0L) {
+        out += chunk
+        chunk = 0L
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    if (chunkStart < b.length) out += chunk
+    new GenericArrayData(out.toArray)
+  }
+}
