@@ -393,8 +393,75 @@ object MultimodalQueries {
     ) { (s, dir) =>
       cdcContainmentPairs(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload")))
+    },
+
+    GraftQuery(
+      "q254_media_chunk_store_audit",
+      Some(s"""WITH $mediaBytesSqlCtes, pos AS (
+              |  SELECT doc_id, bv, unnest(range(1, len(bv) + 1)) AS i FROM bt
+              |), cid AS (
+              |  SELECT doc_id, i, bv[i] AS byte,
+              |         coalesce(sum(CASE WHEN i >= 8 AND
+              |             list_reduce(bv[i-7:i],
+              |               (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP})
+              |               % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY doc_id ORDER BY i
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |           0) AS chunk_id
+              |  FROM pos
+              |), chunks AS (
+              |  SELECT doc_id, chunk_id,
+              |         list_reduce(list(byte ORDER BY i),
+              |           (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP}) AS cfp
+              |  FROM cid GROUP BY doc_id, chunk_id
+              |), fmt AS (
+              |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+              |         cfp
+              |  FROM chunks
+              |), agg AS (
+              |  SELECT format,
+              |         CAST(count(*) AS BIGINT) AS total_chunks,
+              |         CAST(count(DISTINCT cfp) AS BIGINT) AS distinct_chunks
+              |  FROM fmt GROUP BY format
+              |)
+              |SELECT format, total_chunks, distinct_chunks,
+              |       total_chunks - distinct_chunks AS dup_chunks,
+              |       1000000 * (total_chunks - distinct_chunks)
+              |         // nullif(total_chunks, 0) AS dup_ppm
+              |FROM agg ORDER BY format""".stripMargin),
+      "Chunk-store capacity audit over the media corpus — the planning " +
+        "read behind q253's dedup write path: per format, how many chunk " +
+        "INSTANCES the corpus decomposes into (the same native one-pass " +
+        "graft_cdc_chunks stream, duplicates preserved — instances are " +
+        "what a non-deduplicating store would persist) versus DISTINCT " +
+        "chunk fingerprints (what a content-addressed chunk store " +
+        "persists), with the saving as integer ppm. This is the number " +
+        "that sizes a 100 TB media lake's chunk store before building " +
+        "it, and its trend is the dedup-efficiency time series operators " +
+        "watch after. Scale shape: one payload scan, 8-byte fps into a " +
+        "partial-aggregated count + count(distinct) per format — 2 " +
+        "groups, no row ever carries payload bytes past the scan stage."
+    ) { (s, dir) =>
+      cdcStoreAudit(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
     }
   )
+
+  /** q254's audit over any `(doc_id, payload)` frame. */
+  private[graft] def cdcStoreAudit(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    media
+      .select(when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        explode(graft.functions.Sketches.cdcChunks(
+          col("payload"), CdcDivisor, DedupQueries.ShingleP)).as("cfp"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("total_chunks"),
+        countDistinct(col("cfp")).as("distinct_chunks"))
+      .select(col("format"), col("total_chunks"), col("distinct_chunks"),
+        (col("total_chunks") - col("distinct_chunks")).as("dup_chunks"),
+        expr("1000000 * (total_chunks - distinct_chunks) div nullif(total_chunks, 0)")
+          .as("dup_ppm"))
+      .orderBy("format")
 
   /** CDC containment pairs of any `(doc_id, payload)` frame — the full
     * q253 pipeline, exposed so specs can grade the insert-resilience

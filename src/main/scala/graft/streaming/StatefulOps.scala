@@ -844,6 +844,63 @@ object StatefulOps {
         ((a >>> off) & mask) == ((b >>> off) & mask)
       }.map(_._1).getOrElse(-1)
 
+  /** One arrival for [[chunkAdmitTws]]: a (doc, chunk-fingerprint) pair
+    * from the native CDC decomposition — per-doc DISTINCT, the q253/q254
+    * chunk-set convention; fps are batch-side scan work, the stateful
+    * operator only ever sees 16-byte rows. */
+  final case class ChunkArrival(cfp: Long, doc_id: Long)
+  final case class ChunkDecision(doc_id: Long, cfp: Long, novel: Boolean,
+                                 first_doc_id: Long)
+
+  /** Streaming chunk-store admission — the WRITE path q254 sizes: state
+    * per chunk fingerprint is the id of the doc that first filed it (8
+    * bytes against an 8-byte key — the content-addressed store's index
+    * record), an arriving (doc, chunk) is `novel` iff its fingerprint was
+    * never filed, and every decision carries the canonical first writer —
+    * exactly the dedup a content-addressed store performs on PUT: novel
+    * chunks persist bytes, duplicate chunks bump a refcount toward the
+    * first writer's copy. Within a micro-batch a fingerprint's slice
+    * sorts by doc_id (the batch rule's min-doc-wins order), so the
+    * decision stream equals the batch window-min truth under ANY chunking
+    * of the arrivals (StreamingOpsSpec pins 3-chunk == 7-chunk == batch
+    * over the sf corpus's real chunk stream). At 100 TB the groupByKey
+    * shuffles 16-byte rows once, keyed by fingerprint across the store's
+    * partitions — payload bytes travel only for admitted chunks, to the
+    * store partition that owns them. */
+  class ChunkAdmitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChunkArrival, ChunkDecision] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var owner: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long](
+        "owner", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(cfp: Long, rows: Iterator[ChunkArrival],
+                                 timers: TimerValues): Iterator[ChunkDecision] =
+      rows.toSeq.sortBy(_.doc_id).iterator.map { r =>
+        if (!owner.exists()) {
+          owner.update(r.doc_id)
+          ChunkDecision(r.doc_id, cfp, novel = true, first_doc_id = r.doc_id)
+        } else {
+          ChunkDecision(r.doc_id, cfp, novel = false, first_doc_id = owner.get())
+        }
+      }
+  }
+
+  /** Keyed chunk-store admission via transformWithState (Append: one
+    * decision per arriving (doc, chunk), decided once, never revised). */
+  def chunkAdmitTws(chunks: Dataset[ChunkArrival]): Dataset[ChunkDecision] = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    chunks
+      .groupByKey(_.cfp)
+      .transformWithState(new ChunkAdmitProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Keyed media near-dup detection via transformWithState over the shared
     * band table (Append: each near-dup pair is reported exactly once, at
     * its canonical band, when its later doc arrives). */

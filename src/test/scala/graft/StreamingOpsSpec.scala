@@ -1322,4 +1322,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a === batchPairs,
       s"streaming pair set diverged from batch q252: only-stream=${a -- batchPairs}, only-batch=${batchPairs -- a}")
   }
+
+  test("chunk-store admission tws equals the batch min-doc rule and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ChunkArrival, ChunkDecision}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the corpus's real per-doc distinct chunk stream (q253's convention),
+    // delivered in doc order — the ingest sequence of a media lake
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.MultimodalQueries.mediaPayload.as("payload"))
+    val arrivals = media
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Sketches.cdcChunks(col("payload"),
+          operators.MultimodalQueries.CdcDivisor,
+          operators.DedupQueries.ShingleP))).as("cfp"))
+      .select(col("cfp"), col("doc_id")).as[ChunkArrival]
+      .collect().sortBy(_.doc_id)
+
+    // batch truth: a (doc, chunk) is novel iff the doc is the chunk's
+    // min-id filer; the first writer is that min id
+    val firstWriter = arrivals.groupBy(_.cfp).map { case (c, as) =>
+      c -> as.map(_.doc_id).min
+    }
+    def run(name: String, nChunks: Int): Map[(Long, Long), (Boolean, Long)] = {
+      val input = MemoryStream[ChunkArrival]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.chunkAdmitTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          arrivals.grouped(math.max(arrivals.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[ChunkDecision].collect()
+        .map(d => (d.doc_id, d.cfp) -> ((d.novel, d.first_doc_id))).toMap
+    }
+
+    val a = run("chunk_admit_3", 3)
+    val b = run("chunk_admit_7", 7)
+    assert(a === b, "re-chunking the stream changed a chunk admission")
+    assert(a.size === arrivals.length, "every (doc, chunk) gets exactly one decision")
+    arrivals.foreach { r =>
+      val (novel, first) = a((r.doc_id, r.cfp))
+      assert(first === firstWriter(r.cfp),
+        s"first writer for ${r.cfp} diverged from the batch min-doc rule")
+      assert(novel === (r.doc_id == firstWriter(r.cfp)),
+        s"novelty for (${r.doc_id}, ${r.cfp}) diverged from the batch rule")
+    }
+    // the admitted set IS q254's distinct_chunks reading
+    assert(a.count(_._2._1) === firstWriter.size)
+  }
 }
