@@ -98,6 +98,23 @@ object SimilarityQueries {
                                         probes: Int): DataFrame =
     ivfQueryProbesFrom(s, dir, probes, ivfCents(s, dir))
 
+  /** Nearest-centroid assignment of ANY corpus frame `(vec_id, v, nrm,
+    * extra…)` against `cents` — the C candidate rows per vector collapse
+    * map-side to one, every extra column riding through as `first` (each is
+    * functionally determined by vec_id). ONE definition of the cell
+    * assignment shared by the plain (q66/ivfTopKFrom) and the
+    * label-filtered (q255) IVF pipelines. */
+  private[operators] def ivfAssignOf(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+    val carried = corpus.columns.filterNot(_ == "vec_id").toSeq
+    corpus.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      // tie-break equidistant centroids by cent_id (struct ordering) so
+      // cell assignment — and therefore q66's output — is deterministic
+      .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
+        carried.map(c => first(col(c)).as(c)): _*)
+  }
+
   /** The IVF pipeline against an ARBITRARY centroid frame `(cent_id, cv,
     * cn)` — the seam the versioned index store drives: a retrain-and-swap
     * (IndexLifecycle) changes results ONLY by changing the centroid frame
@@ -105,15 +122,8 @@ object SimilarityQueries {
   private[operators] def ivfTopKFrom(s: SparkSession, dir: String,
                                      cents: DataFrame,
                                      probes: Int = IvfProbes): DataFrame = {
-    val n = normed(s, dir)
-    val centCos = cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     // index build: nearest centroid per vector, collapsed map-side
-    val assigned = n.crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      // tie-break equidistant centroids by cent_id (struct ordering) so
-      // cell assignment — and therefore q66's output — is deterministic
-      .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val assigned = ivfAssignOf(normed(s, dir), cents)
     val qprobes = ivfQueryProbesFrom(s, dir, probes, cents)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id"))
@@ -132,6 +142,70 @@ object SimilarityQueries {
   private[graft] def ivfTopK(s: SparkSession, dir: String,
                              probes: Int = IvfProbes): DataFrame =
     ivfTopKFrom(s, dir, ivfCents(s, dir), probes)
+
+  /** [[normed]] plus the vector's metadata label in one scan — the
+    * attribute a filtered search constrains on. Built directly from the
+    * table (no normed-⋈-labels self-join: one parquet scan, three columns
+    * pruned at the reader). */
+  private[operators] def normedWithLabel(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        col("label").cast("long").as("lbl"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+
+  /** q255's label-constrained IVF search, pre-presentation: top-k among
+    * corpus vectors sharing the QUERY's label — the "filtered vector
+    * search" every production vector store exposes (metadata predicate +
+    * ANN in one query). Strategy is post-filter: route and scan cells
+    * exactly as [[ivfTopKFrom]] (same centroids, same probes, same
+    * assignment via [[ivfAssignOf]]), apply the label predicate to
+    * candidates BEFORE the re-rank window, so filter selectivity costs
+    * nothing extra — the label rides the assignment frame as one long.
+    * Shared by q255 itself and the q256 filtered-recall scoreboard. */
+  private[graft] def ivfFilteredTopK(s: SparkSession, dir: String,
+                                     probes: Int = IvfProbes): DataFrame = {
+    val cents = ivfCents(s, dir)
+    val assigned = ivfAssignOf(normedWithLabel(s, dir), cents)
+    // query panel labels: the % 50 filter reaches the parquet scan, so the
+    // broadcast side is ~2% of one int column
+    val qlab = Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("qlbl"))
+    val qprobes = ivfQueryProbesFrom(s, dir, probes, cents)
+      .join(broadcast(qlab), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    assigned.join(broadcast(qprobes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id") && col("lbl") === col("qlbl"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
+
+  /** The EXACT label-filtered baseline — [[bruteTopK]]'s salted two-phase
+    * top-k with the label-equality predicate folded into the broadcast join
+    * condition (pre-filter: at 100 TB this is the strategy for SELECTIVE
+    * predicates, where the filtered corpus is small enough to scan; the
+    * IVF post-filter above is the strategy for broad ones). Exact side of
+    * the q256 scoreboard. */
+  private[operators] def bruteFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val nl = normedWithLabel(s, dir)
+    val q = nl.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("lbl").as("qlbl"))
+    val scored = nl.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("lbl") === col("qlbl"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+    val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    val finalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
+      .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+  }
 
   /** q44's sign-LSH top-k pipeline, pre-presentation: (query_id,
     * neighbor_id, rk, c). ONE copy of the bucket build + Hamming≤2
@@ -418,6 +492,52 @@ object SimilarityQueries {
       |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
       |GROUP BY x.query_id
       |ORDER BY x.query_id""".stripMargin
+
+  /** The label-carrying IVF replay prologue of the q255/q256 oracles —
+    * q66's CTE chain with the label riding `n`, `assigned` and `qpr`, and
+    * the label-equality predicate folded into the candidate join. Ends at
+    * `fscored(query_id, neighbor_id, c)`; ONE copy shared by the search
+    * (q255) and its scoreboard (q256) so engine and oracle can never
+    * drift between them. */
+  private val filteredIvfSqlCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] v, CAST(label AS BIGINT) lbl
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, lbl,
+       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+       |  FROM e
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+       |  WHERE ((vec_id % 2147483647) * 1103515245 + 12345)
+       |          % 2147483647 % 50 = 0
+       |), ac AS (
+       |  SELECT n.vec_id, n.v, n.nrm, n.lbl, c.cent_id,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1),
+       |                                    i -> n.v[i] * c.cv[i]),
+       |                     (x,y) -> x+y) / (n.nrm * c.cn) AS cc
+       |  FROM n, cents c
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, lbl, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY cc DESC, cent_id DESC) rn
+       |    FROM ac
+       |  ) WHERE rn = 1
+       |), qpr AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, lbl AS qlbl, cent_id
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY cc DESC, cent_id) crk
+       |    FROM ac WHERE vec_id % 50 = 0
+       |  ) WHERE crk <= $IvfProbes
+       |), fscored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+       |                                    i -> q.qv[i] * a.v[i]),
+       |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+       |  FROM assigned a JOIN qpr q USING (cent_id)
+       |  WHERE a.vec_id <> q.query_id AND a.lbl = q.qlbl
+       |)""".stripMargin
 
   /** q236's strided PQ decomposition: one row per (vec_id, m ∈ 0..3)
     * carrying the m-th strided subvector (dimension i goes to subspace
@@ -2019,7 +2139,95 @@ object SimilarityQueries {
         "nightly recall evals, and the chosen depth feeds ivfTopK/" +
         "ivfPqTopK's `probes` parameter instead of the IvfProbes " +
         "constant (ApproxSpec closes that loop)."
-    ) { (s, dir) => probeDepthDial(s, dir) }
+    ) { (s, dir) => probeDepthDial(s, dir) },
+
+    GraftQuery(
+      "q255_filtered_knn_ivf",
+      Some(s"""WITH $filteredIvfSqlCtes, ranked AS (
+              |  SELECT query_id, neighbor_id, c,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY c DESC, neighbor_id) rk
+              |  FROM fscored
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+              |       round(c, 4) AS cos
+              |FROM ranked WHERE rk <= $K
+              |ORDER BY query_id, rk""".stripMargin),
+      "FILTERED vector search — the metadata-predicate + ANN combination " +
+        "every production vector store exposes (here: top-k among corpus " +
+        "vectors sharing the QUERY's label, ~10% selectivity): q66's IVF " +
+        "pipeline with the label predicate applied to candidates between " +
+        "the cell scan and the re-rank window — POST-filtering, the " +
+        "strategy for broad predicates, where routing stays " +
+        "predicate-agnostic (one index serves every filter) and the " +
+        "predicate costs one long comparison per candidate instead of a " +
+        "per-filter index. The label rides the assignment frame as a " +
+        "single column (ivfAssignOf carries it through the map-side " +
+        "collapse — no corpus self-join to fetch metadata), the query " +
+        "panel's labels broadcast as ~2% of one int column, and the plan " +
+        "is otherwise bit-identical to q66's: same LCG centroid sample, " +
+        "same multi-probe routing, same tie-breaks, so the oracle replays " +
+        "hash-exact. At 100 TB the filtered-ANN decision is " +
+        "selectivity-driven: this post-filter form when matches are " +
+        "plentiful, q256's exact pre-filter baseline when the predicate " +
+        "is sharp enough that the filtered corpus fits a brute scan — " +
+        "and q256's scoreboard is the dial that says which regime a " +
+        "predicate is in (empty probed cells = post-filter starving)."
+    ) { (s, dir) =>
+      ivfFilteredTopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q256_filtered_recall_eval",
+      Some(s"""WITH $filteredIvfSqlCtes, approx AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM fscored
+              |  ) WHERE rk <= $K
+              |), fq AS (
+              |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, lbl
+              |  FROM n WHERE vec_id % 50 = 0
+              |), bscored AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+              |                                    i -> q.qv[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+              |  FROM fq q JOIN n a
+              |    ON a.vec_id <> q.query_id AND a.lbl = q.lbl
+              |), exact AS (
+              |  SELECT query_id, neighbor_id, rk FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM bscored
+              |  ) WHERE rk <= $K
+              |)
+              |$recallSqlTail""".stripMargin),
+      "Recall@k of the filtered IVF search (q255) against the EXACT " +
+        "pre-filtered baseline — the fifth scoreboard, and the one that " +
+        "grades a different failure mode than q246-q250: a filtered " +
+        "post-search loses neighbors not only to cell routing but to " +
+        "CANDIDATE STARVATION — probed cells can hold fewer than k " +
+        "label-matching vectors even when the corpus holds plenty (the " +
+        "classic filtered-ANN pathology; vector stores grow per-filter " +
+        "over-fetch or predicate-aware routing for exactly this). The " +
+        "exact side pre-filters then brute-scans (the sharp-predicate " +
+        "strategy, correct by construction), the approx side is the very " +
+        "ivfFilteredTopK q255 ships, and the scoreboard join carries id " +
+        "pairs only. Reading the dial: recall at q246's level means the " +
+        "label filter is benign at this selectivity; recall sagging " +
+        "BELOW q246 with first_miss_rk at 1-2 is starvation — probe " +
+        "deeper (q251's dial) or flip that predicate to pre-filtering. " +
+        "Same 100 TB posture as its siblings: fixed deterministic panel, " +
+        "cost dominated by the searches it grades."
+    ) { (s, dir) =>
+      recallAgg(bruteFilteredTopK(s, dir), ivfFilteredTopK(s, dir))
+    }
   )
 
   /** The q251 dial as a parameterized frame: per-depth recall scoreboards

@@ -150,6 +150,54 @@ class ApproxSpec extends SparkSpec {
     checkRecallEval("q250_ivfpq_recall_eval", "q249_ivfpq_ann", 500000L)
   }
 
+  test("q256 filtered recall eval is the set algebra of the label-filtered " +
+      "exact baseline vs q255") {
+    // The exact side recomputed HERE from the raw table — not the shared
+    // bruteFilteredTopK helper: per query, cosine against every SAME-LABEL
+    // vector, summed left-to-right (the same IEEE evaluation order as the
+    // codegen'd dot product), ranked (-c, id).
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      (r.getLong(r.fieldIndex("vec_id")), v,
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)),
+        r.getInt(r.fieldIndex("label")).toLong)
+    }
+    val exact = vecs.filter(_._1 % 50 == 0).flatMap { case (q, qv, qn, ql) =>
+      vecs.filter(t => t._1 != q && t._4 == ql)
+        .map { case (n, nv, nn, _) =>
+          (q, n, qv.indices.foldLeft(0.0)((a, i) => a + qv(i) * nv(i)) / (qn * nn))
+        }
+        .sortBy { case (_, n, c) => (-c, n) }
+        .take(10).zipWithIndex
+        .map { case ((qq, n, _), i) => (qq, n, i + 1L) }
+    }
+    val approx = SparkEntry.queries("q255_filtered_knn_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = SparkEntry.queries("q256_filtered_recall_eval")(spark, sf).collect()
+    val byQ = exact.groupBy(_._1)
+    assert(ev.nonEmpty && ev.map(_.getLong(0)).toSet == byQ.keySet,
+      "q256 must cover exactly the queries with same-label neighbors")
+    ev.foreach { r =>
+      val qid = r.getLong(r.fieldIndex("query_id"))
+      val ex = byQ(qid)
+      val hits = ex.count(t => approx((t._1, t._2)))
+      val firstMiss = ex.filter(t => !approx((t._1, t._2)))
+        .map(_._3).minOption.getOrElse(0L)
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == ex.size, s"q$qid exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == hits, s"q$qid hits")
+      assert(r.getLong(r.fieldIndex("recall_ppm")) ==
+        hits.toLong * 1000000L / ex.size, s"q$qid recall_ppm")
+      assert(r.getLong(r.fieldIndex("first_miss_rk")) == firstMiss,
+        s"q$qid first_miss_rk")
+    }
+    // deterministic macro floor, the q246-sibling treatment; the filtered
+    // search may recall BELOW q246's 500000 floor by design (candidate
+    // starvation is the failure mode this scoreboard exists to surface)
+    val macroPpm = ev.map(_.getLong(ev.head.fieldIndex("recall_ppm"))).sum / ev.length
+    assert(macroPpm >= 400000L,
+      s"q256 macro recall $macroPpm ppm under floor 400000")
+  }
+
   test("q251's chosen depth is minimal, feeds ivfTopK, and meets its floor") {
     val Floor = 500000L
     val rows = SparkEntry.queries("q251_probe_depth_calibration")(spark, sf)

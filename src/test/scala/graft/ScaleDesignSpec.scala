@@ -310,7 +310,15 @@ class ScaleDesignSpec extends SparkSpec {
         ("q43's + q66's hash/LCG-sampled broadcast sides: the dial sweeps " +
           "the already-sanctioned ivfTopK pipeline at each candidate depth " +
           "and grades it against the exact panel, so it plans exactly the " +
-          "sampled-side BNLJs of q246, once per depth"))
+          "sampled-side BNLJs of q246, once per depth"),
+      "q255_filtered_knn_ivf" ->
+        ("q66's ~2% LCG-sampled centroid side (assignment + routing) plus " +
+          "the 2% hash-sampled query-label broadcast; the label predicate " +
+          "only FILTERS the sanctioned candidate equi-join"),
+      "q256_filtered_recall_eval" ->
+        ("q43's + q255's hash/LCG-sampled broadcast sides (the eval runs " +
+          "both pipelines it grades; the exact side is the label-filtered " +
+          "brute scan over the same 2% panel)"))
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
