@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pipeline (SURVEY.md §2.2 LLM surface): media as opaque
@@ -137,6 +138,9 @@ object MultimodalQueries {
 
   /** q253's expected chunk length in bytes (the CDC boundary divisor). */
   private[graft] val CdcDivisor = 64L
+
+  /** q257's per-batch pixel budget (the packing cut). */
+  private[graft] val PackPxBudget = 1048576L
 
   /** q253's containment floor: a pair reports when the smaller doc shares
     * at least half its distinct chunks with the other. */
@@ -444,6 +448,81 @@ object MultimodalQueries {
     ) { (s, dir) =>
       cdcStoreAudit(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload")))
+    },
+
+    GraftQuery(
+      "q257_aspect_bucket_packing",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, CAST(n_chars % 640 AS BIGINT) w,
+              |         CAST(n_chars % 480 AS BIGINT) h
+              |  FROM documents
+              |  WHERE n_chars % 640 > 0 AND n_chars % 480 > 0
+              |), b AS (
+              |  SELECT doc_id, w * h AS px,
+              |         least((w * 1000000 // h) // 333333, 5) AS bucket
+              |  FROM d
+              |), c AS (
+              |  SELECT doc_id, bucket, px,
+              |         sum(px) OVER (PARTITION BY bucket ORDER BY doc_id
+              |                       ROWS BETWEEN UNBOUNDED PRECEDING
+              |                       AND CURRENT ROW) AS cum
+              |  FROM b
+              |)
+              |SELECT bucket, CAST((cum - px) // $PackPxBudget AS BIGINT) AS batch_id,
+              |       count(*) AS n_imgs, CAST(sum(px) AS BIGINT) AS batch_px,
+              |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+              |       CAST(CAST(sum(px) AS BIGINT) * 1000000 // $PackPxBudget
+              |         AS BIGINT) AS fill_ppm
+              |FROM c
+              |GROUP BY bucket, batch_id
+              |ORDER BY bucket, batch_id""".stripMargin),
+      "Aspect-ratio bucketed batch packing — the image dataloader step " +
+        "every resolution-aware vision/VLM trainer runs (SDXL/NaViT " +
+        "style): images batch together only with SIMILAR aspect ratios " +
+        "(so per-batch resize crops nothing), and each bucket packs " +
+        "greedily into batches under a fixed pixel budget — q94's " +
+        "concatenate-and-cut discipline with pixels as the token count. " +
+        "Dimensions come from the PAYLOAD BYTES through q51's real " +
+        "header decoder (metadata columns are never consulted; " +
+        "undecodable/zero-area images drop with an explicit guard, as a " +
+        "production loader drops them), the ratio buckets are exact " +
+        "integer thirds capped at 5, and the batch cut is a running-sum " +
+        "window in deterministic doc_id order — no RNG, reproducible " +
+        "across engines, so the oracle replays the dims arithmetically " +
+        "and the check is hash-exact. Scale shape: decode is the one " +
+        "payload-touching stage (batch-at-a-time per partition, sized by " +
+        "maxPartitionBytes); past it only (doc_id, w, h) ints flow; the " +
+        "window and the batch aggregation share ONE hash partitioning on " +
+        "bucket — packing 100 TB of images is a single shuffle of int " +
+        "triples, and at that scale bucket becomes the write-time " +
+        "partition column with each bucket packing executor-parallel, " +
+        "exactly this plan."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id"),
+        mediaPayload.as("payload"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+        .as[MediaRow]
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      media
+        .mapPartitions(_.map(decodeImage))
+        .toDF()
+        .filter(col("width") > 0 && col("height") > 0)
+        .select(col("doc_id"),
+          (col("width").cast("long") * col("height")).as("px"),
+          least(expr("CAST(width AS BIGINT) * 1000000 div height div 333333"),
+            lit(5L)).as("bucket"))
+        .withColumn("cum", sum("px").over(w))
+        .withColumn("batch_id", expr(s"(cum - px) div $PackPxBudget"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_imgs"), sum("px").as("batch_px"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .withColumn("fill_ppm", expr(s"batch_px * 1000000 div $PackPxBudget"))
+        .orderBy("bucket", "batch_id")
     }
   )
 
