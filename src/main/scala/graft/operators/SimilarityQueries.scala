@@ -162,25 +162,41 @@ object SimilarityQueries {
     * candidates BEFORE the re-rank window, so filter selectivity costs
     * nothing extra — the label rides the assignment frame as one long.
     * Shared by q255 itself and the q256 filtered-recall scoreboard. */
-  private[graft] def ivfFilteredTopK(s: SparkSession, dir: String,
-                                     probes: Int = IvfProbes): DataFrame = {
+  /** The fixed query panel's labels: the % 50 filter reaches the parquet
+    * scan, so the broadcast side is ~2% of one int column. */
+  private[operators] def panelLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("qlbl"))
+
+  /** The label-matching candidates in each panel query's probed cells,
+    * scored but un-ranked: (query_id, neighbor_id, c). ONE candidate scan
+    * shared by the q255 search, the q258 supply audit and the q259 hybrid
+    * (which rank, count and route the same frame respectively). */
+  private[operators] def ivfFilteredCandidates(s: SparkSession, dir: String,
+                                               probes: Int = IvfProbes): DataFrame = {
     val cents = ivfCents(s, dir)
     val assigned = ivfAssignOf(normedWithLabel(s, dir), cents)
-    // query panel labels: the % 50 filter reaches the parquet scan, so the
-    // broadcast side is ~2% of one int column
-    val qlab = Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("label").cast("long").as("qlbl"))
     val qprobes = ivfQueryProbesFrom(s, dir, probes, cents)
-      .join(broadcast(qlab), "query_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
+      .join(broadcast(panelLabels(s, dir)), "query_id")
     assigned.join(broadcast(qprobes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id") && col("lbl") === col("qlbl"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+  }
+
+  /** The top-k rank-and-cut of any scored candidate frame — shared tail of
+    * the filtered pipelines. */
+  private def rankTopK(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    cand
       .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
   }
+
+  private[graft] def ivfFilteredTopK(s: SparkSession, dir: String,
+                                     probes: Int = IvfProbes): DataFrame =
+    rankTopK(ivfFilteredCandidates(s, dir, probes))
 
   /** The EXACT label-filtered baseline — [[bruteTopK]]'s salted two-phase
     * top-k with the label-equality predicate folded into the broadcast join
@@ -2227,6 +2243,136 @@ object SimilarityQueries {
         "cost dominated by the searches it grades."
     ) { (s, dir) =>
       recallAgg(bruteFilteredTopK(s, dir), ivfFilteredTopK(s, dir))
+    },
+
+    GraftQuery(
+      "q258_filter_strategy_router",
+      Some(s"""WITH $filteredIvfSqlCtes, sup AS (
+              |  SELECT query_id, count(*) AS c FROM fscored GROUP BY query_id
+              |), pnl AS (
+              |  SELECT vec_id AS query_id, lbl FROM n WHERE vec_id % 50 = 0
+              |), lc AS (
+              |  SELECT lbl, count(*) AS cnt FROM n GROUP BY lbl
+              |), tot AS (
+              |  SELECT count(*) AS cnt FROM n
+              |)
+              |SELECT p.query_id, p.lbl AS label,
+              |       CAST(lc.cnt - 1 AS BIGINT) AS matches,
+              |       CAST((lc.cnt - 1) * 1000000 // nullif(tot.cnt - 1, 0)
+              |         AS BIGINT) AS sel_ppm,
+              |       CAST(coalesce(s.c, 0) AS BIGINT) AS cell_supply,
+              |       CASE WHEN coalesce(s.c, 0) >= $K THEN 'postfilter'
+              |            ELSE 'prefilter' END AS strategy
+              |FROM pnl p
+              |JOIN lc ON lc.lbl = p.lbl
+              |LEFT JOIN sup s ON s.query_id = p.query_id, tot
+              |ORDER BY p.query_id""".stripMargin),
+      "Filtered-search strategy router — the cardinality-based planning " +
+        "read every vector store runs before executing a filtered query " +
+        "(pre-filter when the predicate is sharp, post-filter when broad): " +
+        "per panel query, the predicate's corpus-wide selectivity (label " +
+        "population from a 10-row broadcast count; corpus total from " +
+        "parquet FOOTERS, no job) and — the measurement selectivity alone " +
+        "cannot give — the ACTUAL candidate supply in the query's probed " +
+        "cells, counted over the very candidate scan q255 executes. The " +
+        "routing rule is supply-driven: post-filter only where the probed " +
+        "cells can fill k label-matching candidates, pre-filter where " +
+        "they starve (label mass concentrated outside the probe set — " +
+        "skew that selectivity-only routers misroute). q259 executes this " +
+        "dial; q256's scoreboard grades what ignoring it costs. Scale " +
+        "shape: the supply count is a count-only partial agg over the " +
+        "candidate scan (id pairs, never vectors), the label census is " +
+        "label-cardinality rows, and the router's own output is one row " +
+        "per panel query — planning metadata, not corpus data."
+    ) { (s, dir) =>
+      val sup = ivfFilteredCandidates(s, dir)
+        .groupBy("query_id").agg(count(lit(1)).as("supply"))
+      val labcnt = Tables.embeddings(s, dir)
+        .groupBy(col("label").cast("long").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = Tables.parquetRowCount(s, dir, "embeddings")
+      panelLabels(s, dir)
+        .join(broadcast(labcnt), col("qlbl") === col("lbl"))
+        .join(sup, Seq("query_id"), "left")
+        .select(col("query_id"), col("qlbl").as("label"),
+          (col("cnt") - 1).as("matches"),
+          expr(s"(cnt - 1) * 1000000 div nullif(${tot - 1}, 0)").as("sel_ppm"),
+          coalesce(col("supply"), lit(0L)).as("cell_supply"),
+          when(coalesce(col("supply"), lit(0L)) >= K, "postfilter")
+            .otherwise("prefilter").as("strategy"))
+        .orderBy("query_id")
+    },
+
+    GraftQuery(
+      "q259_adaptive_filtered_knn",
+      Some(s"""WITH $filteredIvfSqlCtes, sup AS (
+              |  SELECT query_id, count(*) AS c FROM fscored GROUP BY query_id
+              |), ok AS (
+              |  SELECT query_id FROM sup WHERE c >= $K
+              |), post AS (
+              |  SELECT query_id, neighbor_id, c, rk FROM (
+              |    SELECT query_id, neighbor_id, c,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM fscored
+              |  ) WHERE rk <= $K AND query_id IN (SELECT query_id FROM ok)
+              |), pnl AS (
+              |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, lbl
+              |  FROM n WHERE vec_id % 50 = 0
+              |), bsc AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |         list_reduce(list_transform(range(1, len(q.qv) + 1),
+              |                                    i -> q.qv[i] * a.v[i]),
+              |                     (x,y) -> x+y) / (q.qn * a.nrm) AS c
+              |  FROM pnl q JOIN n a
+              |    ON a.vec_id <> q.query_id AND a.lbl = q.lbl
+              |  WHERE q.query_id NOT IN (SELECT query_id FROM ok)
+              |), pre AS (
+              |  SELECT query_id, neighbor_id, c, rk FROM (
+              |    SELECT query_id, neighbor_id, c,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY c DESC, neighbor_id) rk
+              |    FROM bsc
+              |  ) WHERE rk <= $K
+              |), u AS (
+              |  SELECT *, 'postfilter' AS strategy FROM post
+              |  UNION ALL
+              |  SELECT *, 'prefilter' AS strategy FROM pre
+              |)
+              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+              |       round(c, 4) AS cos, strategy
+              |FROM u ORDER BY query_id, rk""".stripMargin),
+      "Adaptive filtered search — q258's router EXECUTED: panel queries " +
+        "whose probed cells supply k label-matching candidates take the " +
+        "post-filter IVF path (the very candidate scan + rank q255 " +
+        "ships), starved queries fall back to the exact pre-filtered " +
+        "brute scan (q256's baseline side) — per query, not per " +
+        "workload, which is how production stores actually route (the " +
+        "predicate's hardness varies query-to-query with label skew). " +
+        "By construction the hybrid's recall dominates q255's: routed " +
+        "queries return identical rows, starved queries return the " +
+        "exact answer post-filtering couldn't fill (ApproxSpec pins " +
+        "both). Everything is deterministic — supply counts, routing " +
+        "set, both branches — so the oracle replays the whole hybrid " +
+        "hash-exact, strategy column included. Scale: the dominant cost " +
+        "stays the shared candidate scan; the fallback brute side scans " +
+        "corpus × starved-fraction with the label predicate pushed into " +
+        "the broadcast join condition, and the strategy knee (supply ≥ " +
+        "k) is the same dial a per-filter over-fetch factor would turn."
+    ) { (s, dir) =>
+      val cand = ivfFilteredCandidates(s, dir)
+      val okQ = cand.groupBy("query_id").agg(count(lit(1)).as("supply"))
+        .filter(col("supply") >= K).select("query_id")
+      val post = rankTopK(cand)
+        .join(okQ, Seq("query_id"), "left_semi")
+        .withColumn("strategy", lit("postfilter"))
+      val pre = bruteFilteredTopK(s, dir)
+        .join(okQ, Seq("query_id"), "left_anti")
+        .withColumn("strategy", lit("prefilter"))
+      post.unionAll(pre)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"), col("strategy"))
+        .orderBy("query_id", "rk")
     }
   )
 

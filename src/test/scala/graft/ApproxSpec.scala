@@ -198,6 +198,66 @@ class ApproxSpec extends SparkSpec {
       s"q256 macro recall $macroPpm ppm under floor 400000")
   }
 
+  test("q258/q259 route starved filtered queries to the exact pre-filter branch") {
+    // Planted corpus: panel query 0's label has only 3 other members, so
+    // its probed-cell supply can NEVER fill k=10 (supply <= matches) and
+    // the router must send it pre-filter — the starvation path the real
+    // corpus's even labels never exercise.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_filtered").toString
+    def vec(id: Long): Seq[Float] =
+      (0 until 8).map(i =>
+        ((((id * 2654435761L + i * 40503L) % 1000003L) - 500000L) / 500000.0).toFloat)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, vec(i.toLong), if (Set(0, 10, 20, 30)(i)) 1 else 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // exact same-label top-k, replayed independently (left-to-right sums)
+    val all = rows.map { case (id, v, l) =>
+      val d = v.map(_.toDouble).toArray
+      (id, d, math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x)), l)
+    }
+    def exactFor(q: Long): Seq[Long] = {
+      val (_, qv, qn, ql) = all.find(_._1 == q).get
+      all.filter(t => t._1 != q && t._4 == ql)
+        .map { case (id, v, nn, _) =>
+          (id, qv.indices.foldLeft(0.0)((a, i) => a + qv(i) * v(i)) / (qn * nn))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    }
+    val r258 = SparkEntry.queries("q258_filter_strategy_router")(spark, dir)
+      .collect()
+    val strat = r258.map(r =>
+      r.getLong(0) -> r.getString(r.fieldIndex("strategy"))).toMap
+    val mat = r258.map(r =>
+      r.getLong(0) -> r.getLong(r.fieldIndex("matches"))).toMap
+    val sup = r258.map(r =>
+      r.getLong(0) -> r.getLong(r.fieldIndex("cell_supply"))).toMap
+    assert(mat(0L) == 3L && sup(0L) <= 3L,
+      s"planted label census off: matches=${mat(0L)} supply=${sup(0L)}")
+    assert(strat(0L) == "prefilter", "3 matches can never fill k=10")
+    val r259 = SparkEntry.queries("q259_adaptive_filtered_knn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(r.fieldIndex("strategy"))))
+    // executor and router must agree per query
+    r259.foreach { case (q, _, _, st) =>
+      assert(st == strat(q), s"q259 strategy $st != router ${strat(q)} for $q") }
+    // the starved query returns the COMPLETE exact filtered answer, ranked
+    val got0 = r259.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(got0 == exactFor(0L),
+      s"starved query must fall back to exact: $got0 vs ${exactFor(0L)}")
+    // hybrid recall dominates post-only, per query
+    val post = SparkEntry.queries("q255_filtered_knn_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    strat.keys.foreach { q =>
+      val exact = exactFor(q).toSet
+      val h259 = r259.filter(_._1 == q).map(_._2).count(exact)
+      val h255 = post.filter(_._1 == q).map(_._2).count(exact)
+      assert(h259 >= h255, s"hybrid recall regressed for $q: $h259 < $h255")
+    }
+  }
+
   test("q251's chosen depth is minimal, feeds ivfTopK, and meets its floor") {
     val Floor = 500000L
     val rows = SparkEntry.queries("q251_probe_depth_calibration")(spark, sf)

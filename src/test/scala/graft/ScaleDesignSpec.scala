@@ -318,7 +318,14 @@ class ScaleDesignSpec extends SparkSpec {
       "q256_filtered_recall_eval" ->
         ("q43's + q255's hash/LCG-sampled broadcast sides (the eval runs " +
           "both pipelines it grades; the exact side is the label-filtered " +
-          "brute scan over the same 2% panel)"))
+          "brute scan over the same 2% panel)"),
+      "q258_filter_strategy_router" ->
+        ("q255's sampled broadcast sides feeding the supply count; the " +
+          "router's own frame is one row per panel query"),
+      "q259_adaptive_filtered_knn" ->
+        ("q255's + q256's sampled broadcast sides: the hybrid runs the " +
+          "post-filter candidate scan and, for starved queries only, the " +
+          "label-filtered brute scan over the same 2% panel"))
 
     val SmallSide = 128L
     def nestedLoopProblems(name: String, physical: SparkPlan): Seq[String] =
