@@ -142,6 +142,21 @@ object MultimodalQueries {
   /** q257's per-batch pixel budget (the packing cut). */
   private[graft] val PackPxBudget = 1048576L
 
+  /** The q252 replay — byte-shingle extraction from the hex envelope, then
+    * the SHARED SimHash banding tail. ONE copy serves q252 and the q260
+    * cross-modal consensus (which nests it as a CTE beside q40's text
+    * replay). */
+  private def mediaSimhashOracleSql: String =
+    s"""WITH $mediaBytesSqlCtes, sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(bv) - 6),
+       |           j -> list_reduce(bv[j:j+7],
+       |                  (a, x) -> (a * 256 + x)
+       |                    % ${DedupQueries.ShingleP})))) AS s
+       |  FROM bt WHERE len(bv) >= 8
+       |), params(i, a, b) AS (VALUES ${DedupQueries.affineParamsSql}),
+       |${DedupQueries.simhashBandTailSql}""".stripMargin
+
   /** q253's containment floor: a pair reports when the smaller doc shares
     * at least half its distinct chunks with the other. */
   private[graft] val CdcContainmentFloorPpm = 500000L
@@ -292,15 +307,7 @@ object MultimodalQueries {
 
     GraftQuery(
       "q252_media_simhash_neardup",
-      Some(s"""WITH $mediaBytesSqlCtes, sh AS (
-              |  SELECT doc_id,
-              |         unnest(list_distinct(list_transform(range(1, len(bv) - 6),
-              |           j -> list_reduce(bv[j:j+7],
-              |                  (a, x) -> (a * 256 + x)
-              |                    % ${DedupQueries.ShingleP})))) AS s
-              |  FROM bt WHERE len(bv) >= 8
-              |), params(i, a, b) AS (VALUES ${DedupQueries.affineParamsSql}),
-              |${DedupQueries.simhashBandTailSql}""".stripMargin),
+      Some(mediaSimhashOracleSql),
       "Byte-shingle SimHash near-dup over the MEDIA payload column — " +
         "extending the near-dup surface from text and embeddings to the " +
         "binary envelopes (q51/q68/q116 parse them; this deduplicates " +
@@ -523,6 +530,62 @@ object MultimodalQueries {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .withColumn("fill_ppm", expr(s"batch_px * 1000000 div $PackPxBudget"))
         .orderBy("bucket", "batch_id")
+    },
+
+    GraftQuery(
+      "q260_crossmodal_dedup_consensus",
+      Some(s"""WITH tp AS (
+              |  ${DedupQueries.replayShinglePrologueSql},
+              |${DedupQueries.simhashBandTailSql}
+              |), mp AS (
+              |  $mediaSimhashOracleSql
+              |)
+              |SELECT coalesce(tp.doc_a, mp.doc_a) AS doc_a,
+              |       coalesce(tp.doc_b, mp.doc_b) AS doc_b,
+              |       CASE WHEN tp.doc_a IS NOT NULL AND mp.doc_a IS NOT NULL
+              |              THEN 'both'
+              |            WHEN tp.doc_a IS NOT NULL THEN 'text_only'
+              |            ELSE 'media_only' END AS modality,
+              |       tp.hamming AS text_hamming, mp.hamming AS media_hamming
+              |FROM tp FULL OUTER JOIN mp
+              |  ON tp.doc_a = mp.doc_a AND tp.doc_b = mp.doc_b
+              |ORDER BY 1, 2""".stripMargin),
+      "Cross-modal near-dup consensus — the multimodal curation decision " +
+        "neither single-modality index can make alone: q40's token-shingle " +
+        "pairs (what the TEXT says) full-outer-join q252's byte-shingle " +
+        "pairs (what the MEDIA bytes are) on the pair key, and each " +
+        "candidate pair is classified `both` / `text_only` / `media_only` " +
+        "with its per-modality Hamming distances. The classes mean " +
+        "different things operationally: `both` is a true duplicate " +
+        "(delete with confidence), `text_only` is same prose under " +
+        "different media (caption plagiarism, re-encoded assets — dedup " +
+        "text, keep media), `media_only` is same asset under different " +
+        "prose (stock-image reuse — keep text, dedup storage via q253's " +
+        "chunk store). Both sides are the VERY pipelines q40/q252 ship " +
+        "(one banding implementation instantiated over two shingle " +
+        "sources), so the consensus inherits their recall guarantees and " +
+        "the oracle nests their replays verbatim. Scale shape: each side " +
+        "is banded + bucket-capped before any pair exists; the consensus " +
+        "join carries only (doc_a, doc_b, hamming) int triples — pair-set " +
+        "scale, not corpus scale — and at 100 TB it is the cheap final " +
+        "equi-join after two already-sublinear candidate generators."
+    ) { (s, dir) =>
+      val tp = DedupQueries.simhashNearDupPairs(
+        DedupQueries.replayableShingles(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            graft.functions.Sketches.simhashArray(col("sh")).as("sim")))
+        .select(col("doc_a"), col("doc_b"), col("hamming").as("text_hamming"))
+      val mp = byteSimhashPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
+        .select(col("doc_a"), col("doc_b"), col("hamming").as("media_hamming"))
+      tp.join(mp, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          when(col("text_hamming").isNotNull && col("media_hamming").isNotNull,
+            "both")
+            .when(col("text_hamming").isNotNull, "text_only")
+            .otherwise("media_only").as("modality"),
+          col("text_hamming"), col("media_hamming"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 

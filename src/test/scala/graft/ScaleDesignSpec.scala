@@ -232,6 +232,13 @@ class ScaleDesignSpec extends SparkSpec {
       s"q252 builds the byte-shingle array ${n252}x (want exactly 1):\n$p252")
     assert(!p252.contains("split(hex"),
       s"q252 must not take the hex-string detour on the Spark side:\n$p252")
+    // q260 composes BOTH shingle sources: each must still build exactly once
+    val p260 = physicalPlan(
+      SparkEntry.queries("q260_crossmodal_dedup_consensus")(spark, sf))
+    val t260 = "transform\\(split\\(lower".r.findAllIn(p260).size
+    val b260 = "graft_byte_shingles".r.findAllIn(p260).size
+    assert(t260 <= 1 && b260 == 1,
+      s"q260 re-inlines a shingle build (text=$t260, byte=$b260):\n$p260")
   }
 
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {
