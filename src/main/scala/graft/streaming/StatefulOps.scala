@@ -917,4 +917,59 @@ object StatefulOps {
       .transformWithState(new MediaBandProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[labelCensusTws]]: a vector's metadata label —
+    * 16-byte id rows; the embedding itself never reaches the stateful
+    * operator. */
+  final case class LabelArrival(vec_id: Long, lbl: Long)
+  final case class LabelCount(lbl: Long, n: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class LabelState(n: Long)
+
+  /** Streaming label census — the live feed of q258's filter-strategy
+    * router: state per label is ONE counter (8 bytes — a thousand-label
+    * taxonomy carries 8 KB of monitor state), and every micro-batch emits
+    * the label's current population, so the router's selectivity estimate
+    * (`matches = census(label) − 1`) tracks ingestion instead of waiting
+    * for a nightly census. Counters COMMUTE: the final reading is
+    * invariant to arrival order and chunking, and restart safety is the
+    * standard state-store contract (counters roll back with the batch;
+    * replay cannot double-count). The pre/post-filter routing decision
+    * needs exactly this number plus the probed-cell supply, which the
+    * batch router computes per query — a census flip across the k
+    * threshold is the signal to re-plan a stored filter's strategy.
+    * StreamingOpsSpec pins final counts == batch census under re-chunking
+    * and that q258's matches column is the census reading minus one. */
+  class LabelCensusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LabelArrival, LabelCount] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[LabelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LabelState](
+        "label_census", Encoders.product[LabelState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(lbl: Long, rows: Iterator[LabelArrival],
+                                 timers: TimerValues): Iterator[LabelCount] = {
+      var s = Option(state.get()).getOrElse(LabelState(0L))
+      rows.foreach(_ => s = s.copy(n = s.n + 1))
+      state.update(s)
+      Iterator.single(LabelCount(lbl, s.n))
+    }
+  }
+
+  /** Keyed label census via transformWithState (Append: one population
+    * reading per touched label per batch — the router's time series). */
+  def labelCensusTws(arrivals: Dataset[LabelArrival]): Dataset[LabelCount] = {
+    import arrivals.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    arrivals
+      .groupByKey(_.lbl)
+      .transformWithState(new LabelCensusProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1376,4 +1376,50 @@ class StreamingOpsSpec extends SparkSpec {
     // the admitted set IS q254's distinct_chunks reading
     assert(a.count(_._2._1) === firstWriter.size)
   }
+
+  test("label census tws equals the batch census and feeds q258's matches column") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{LabelArrival, LabelCount}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the census feed is the embeddings metadata — two pruned int columns
+    val arrivals = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+      .as[LabelArrival].collect().sortBy(_.vec_id)
+
+    def run(name: String, nChunks: Int): Seq[LabelCount] = {
+      val input = MemoryStream[LabelArrival]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.labelCensusTws(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          arrivals.grouped(math.max(arrivals.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[LabelCount].collect().toSeq
+    }
+
+    def finalCounts(cs: Seq[LabelCount]): Map[Long, Long] =
+      cs.groupBy(_.lbl).view.mapValues(_.map(_.n).max).toMap
+    val a = finalCounts(run("label_census_3", 3))
+    val b = finalCounts(run("label_census_7", 7))
+    assert(a === b, "re-chunking changed a final census count")
+
+    // final reading == the batch census
+    val batch = arrivals.groupBy(_.lbl).view.mapValues(_.length.toLong).toMap
+    assert(a === batch, "streaming census diverged from the batch groupBy")
+
+    // ...and the router's matches column IS census(label) - 1
+    SparkEntry.queries("q258_filter_strategy_router")(spark, sf).collect()
+      .foreach { r =>
+        val lbl = r.getLong(r.fieldIndex("label"))
+        val m = r.getLong(r.fieldIndex("matches"))
+        assert(m === a(lbl) - 1,
+          s"q258 matches for label $lbl must be the census reading minus one")
+      }
+  }
 }
