@@ -2434,4 +2434,13 @@ object SimilarityQueries {
   def ivfPqTopKCalibrated(s: SparkSession, dir: String,
                           floorPpm: Long = ProbeRecallFloorPpm): DataFrame =
     ivfPqTopK(s, dir, probes = calibratedProbes(s, dir, floorPpm))
+
+  /** q255's filtered search at the dial-chosen depth — and for the
+    * filtered pipeline probing deeper does double duty: it lifts routing
+    * recall (what the dial measures) AND candidate supply (what q258's
+    * router gates on), so a starved filter's first remediation is exactly
+    * this knob before flipping strategies. */
+  def ivfFilteredTopKCalibrated(s: SparkSession, dir: String,
+                                floorPpm: Long = ProbeRecallFloorPpm): DataFrame =
+    ivfFilteredTopK(s, dir, probes = calibratedProbes(s, dir, floorPpm))
 }

@@ -311,5 +311,7 @@ class ApproxSpec extends SparkSpec {
       === rows(SimilarityQueries.ivfTopK(spark, sf, probes = 5)))
     assert(rows(SimilarityQueries.ivfPqTopKCalibrated(spark, sf, floorPpm = 1000001L))
       === rows(SimilarityQueries.ivfPqTopK(spark, sf, probes = 5)))
+    assert(rows(SimilarityQueries.ivfFilteredTopKCalibrated(spark, sf, floorPpm = 1000001L))
+      === rows(SimilarityQueries.ivfFilteredTopK(spark, sf, probes = 5)))
   }
 }
