@@ -89,6 +89,45 @@ object DedupQueries {
       .map(i => s"(${i}, ${Sketches.hashA(i)}, ${Sketches.hashB(i)})")
       .mkString(", ")
 
+  /** The q39 index replay in the oracles' dialect — signatures, band
+    * folds, bucket cap, in-bucket pairing, agreement score — appended
+    * after [[replayShinglePrologueSql]], ending at `ap(doc_a, doc_b,
+    * est_jaccard_ppm)`. ONE copy serves q39 and the q261 recall
+    * scoreboard (which grades exactly this pair set). */
+  private[graft] def minhashPairSqlCtes: String =
+    s"""msig AS (
+       |  SELECT doc_id, i,
+       |         min((a * (s % 2147483647) + b) % 2147483647) AS v
+       |  FROM sh, params GROUP BY doc_id, i
+       |), sigs AS (
+       |  SELECT doc_id, list(v ORDER BY i) AS sig FROM msig GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, t.band,
+       |         list_reduce(
+       |           list_prepend(CAST(t.band AS BIGINT),
+       |                        sig[t.band*4+1 : t.band*4+4]),
+       |           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS key
+       |  FROM sigs, range(0, 16) t(band)
+       |), bounded AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+       |    FROM bands
+       |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
+       |  FROM bounded p1 JOIN bounded p2 USING (band, key)
+       |  WHERE p1.doc_id < p2.doc_id
+       |), ap AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) * 15625
+       |              AS BIGINT) AS est_jaccard_ppm
+       |  FROM cand c
+       |  JOIN msig ma ON ma.doc_id = c.doc_a
+       |  JOIN msig mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) >= 32
+       |)""".stripMargin
+
   /** The same fps in the oracles' DuckDB dialect: CTEs `toks` (per-doc
     * token-fp list) and `sh` (exploded distinct 3-gram fps), plus
     * `params(i, a, b)` carrying the engine's OWN MinHash affine parameters
@@ -246,6 +285,28 @@ object DedupQueries {
     replayableShingles(docs)
       .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
 
+  /** q39's pair set, pre-presentation: (doc_a, doc_b, est_jaccard_ppm) —
+    * banded candidates, bucket cap, signature-agreement score, est-J ≥ 0.5
+    * cut. ONE copy shared by q39 itself and the q261 recall scoreboard
+    * (the eval grades the pair set the engine ships, not a lookalike). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val cands = minhashBuckets(s, dir)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("sig").as("sa"), b("sig").as("sb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
+      .distinct()
+    cands
+      .withColumn("n_match",
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+      .filter(col("n_match") >= Sketches.NumMinHashes / 2) // est J >= 0.5
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))
+  }
+
   private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minhashSignatures(s, dir)
@@ -348,37 +409,8 @@ object DedupQueries {
       // 64 affine minhash params (interpolated), band folds, bucket cap,
       // in-bucket pairing and the signature-agreement score (q67's replay
       // pattern, VERDICT r4 item 1)
-      Some(s"""$replayShinglePrologueSql, msig AS (
-              |  SELECT doc_id, i,
-              |         min((a * (s % 2147483647) + b) % 2147483647) AS v
-              |  FROM sh, params GROUP BY doc_id, i
-              |), sigs AS (
-              |  SELECT doc_id, list(v ORDER BY i) AS sig FROM msig GROUP BY doc_id
-              |), bands AS (
-              |  SELECT doc_id, t.band,
-              |         list_reduce(
-              |           list_prepend(CAST(t.band AS BIGINT),
-              |                        sig[t.band*4+1 : t.band*4+4]),
-              |           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS key
-              |  FROM sigs, range(0, 16) t(band)
-              |), bounded AS (
-              |  SELECT doc_id, band, key FROM (
-              |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
-              |    FROM bands
-              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
-              |), cand AS (
-              |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
-              |  FROM bounded p1 JOIN bounded p2 USING (band, key)
-              |  WHERE p1.doc_id < p2.doc_id
-              |)
-              |SELECT c.doc_a, c.doc_b,
-              |       CAST(sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) * 15625
-              |            AS BIGINT) AS est_jaccard_ppm
-              |FROM cand c
-              |JOIN msig ma ON ma.doc_id = c.doc_a
-              |JOIN msig mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
-              |GROUP BY c.doc_a, c.doc_b
-              |HAVING sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) >= 32
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes
+              |SELECT doc_a, doc_b, est_jaccard_ppm FROM ap
               |ORDER BY doc_a, doc_b""".stripMargin),
       "MinHash+LSH: the 64-minimum signature is computed ROW-LOCALLY from " +
         "each doc's shingle array (scalar sketch expression — no explode, " +
@@ -395,22 +427,7 @@ object DedupQueries {
         "integer ppm (matches × 15625) — no float rounding at the oracle " +
         "boundary."
     ) { (s, dir) =>
-      val cands = minhashBuckets(s, dir)
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-              a("sig").as("sa"), b("sig").as("sb")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
-        .distinct()
-      cands
-        .withColumn("n_match",
-          aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v))
-        .filter(col("n_match") >= Sketches.NumMinHashes / 2) // est J >= 0.5
-        .select(col("doc_a"), col("doc_b"),
-          (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     GraftQuery(
@@ -853,6 +870,85 @@ object DedupQueries {
           col("doc_id").as("kept_doc_id"), col("tok").as("kept_tokens"),
           (col("grp_tok") - col("tok")).as("dropped_tokens"))
         .orderBy("h")
+    },
+
+    GraftQuery(
+      "q261_minhash_recall_eval",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes, aps AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM ap
+              |  UNION ALL
+              |  SELECT doc_b, doc_a FROM ap
+              |), sizes AS (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              |  WHERE a.doc_id % 5 = 0
+              |  GROUP BY 1, 2
+              |), exact AS (
+              |  SELECT pa, pb, c * 1000000 // (sa.n + sb.n - c) AS jac_ppm
+              |  FROM inter
+              |  JOIN sizes sa ON sa.doc_id = pa
+              |  JOIN sizes sb ON sb.doc_id = pb
+              |  WHERE 2 * c >= sa.n + sb.n - c
+              |)
+              |SELECT pa AS panel_doc,
+              |       CAST(count(*) AS BIGINT) AS exact_cnt,
+              |       CAST(count(h.a) AS BIGINT) AS hits,
+              |       CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
+              |         AS recall_ppm,
+              |       CAST(coalesce(max(CASE WHEN h.a IS NULL
+              |                              THEN jac_ppm END), 0) AS BIGINT)
+              |         AS worst_miss_ppm
+              |FROM exact
+              |LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pb
+              |GROUP BY pa ORDER BY pa""".stripMargin),
+      "Recall scoreboard for the MinHash-LSH dedup index — the q246 " +
+        "treatment applied to the near-dup surface: ground truth is EXACT " +
+        "Jaccard ≥ 0.5 over the index's OWN shingle-fingerprint universe " +
+        "(grading banding + bucket cap + 64-sample estimation, not the " +
+        "tokenizer), computed for a deterministic 20% document panel " +
+        "through the inverted shingle index (panel-side shingles join " +
+        "corpus shingles on fp — the integer predicate 2·∩ ≥ |A|+|B|−∩ is " +
+        "J ≥ ½ with no division), and the graded set is the very q39 " +
+        "pair set the engine ships. recall_ppm says how much the banded " +
+        "index loses; worst_miss_ppm says how STRONG the strongest missed " +
+        "pair was — a high worst-miss means real duplicates slip through " +
+        "(raise bands or the bucket cap), misses only near 500000 ppm " +
+        "mean only borderline pairs fray, which is what the " +
+        "P[candidate|J] curve predicts. Scale: the exact side is priced " +
+        "by the panel (its cost is Σ_s freq_panel·freq_corpus, the " +
+        "inverted-index bound); at 100 TB the panel is a fixed absolute " +
+        "sample and this runs nightly beside the ANN scoreboards — same " +
+        "posture, different index."
+    ) { (s, dir) =>
+      val shEx = replayableShingles(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = shEx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shEx.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("pa"), col("s"))
+        .join(shEx.select(col("doc_id").as("pb"), col("s")), "s")
+        .filter(col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      val exact = inter
+        .join(sizes.select(col("doc_id").as("pa"), col("n").as("na")), "pa")
+        .join(sizes.select(col("doc_id").as("pb"), col("n").as("nb")), "pb")
+        .filter(lit(2) * col("c") >= col("na") + col("nb") - col("c"))
+        .select(col("pa"), col("pb"),
+          expr("c * 1000000 div (na + nb - c)").as("jac_ppm"))
+      val ap = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+        .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+        .withColumn("hit", lit(1))
+      exact.join(aps, Seq("pa", "pb"), "left")
+        .groupBy("pa")
+        .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
+          coalesce(max(when(col("hit").isNull, col("jac_ppm"))), lit(0L))
+            .as("worst_miss_ppm"))
+        .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
+          expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+          col("worst_miss_ppm"))
+        .orderBy("panel_doc")
     }
   )
 }

@@ -269,4 +269,45 @@ class SketchSpec extends SparkSpec {
       .size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF top-k recall too low: $recall")
   }
+
+  test("q261 minhash scoreboard is the set algebra of exact panel Jaccard vs q39") {
+    // exact side recomputed HERE as literal set arithmetic over the
+    // collected shingle sets — not the shipped inverted-index join
+    val shingles = graft.operators.DedupQueries
+      .replayableShingles(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val panel = shingles.keys.filter(_ % 5 == 0)
+    val exact = panel.flatMap { p =>
+      val a = shingles(p)
+      shingles.collect { case (d, b) if d != p =>
+        val inter = (a & b).size
+        (p, d, inter.toLong * 1000000L / (a.size + b.size - inter),
+          2 * inter >= a.size + b.size - inter)
+      }.filter(_._4).map(t => (t._1, t._2, t._3))
+    }.toSeq
+    val ap = SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val ev = SparkEntry.queries("q261_minhash_recall_eval")(spark, sf).collect()
+    val byP = exact.groupBy(_._1)
+    assert(ev.nonEmpty && ev.map(_.getLong(0)).toSet == byP.keySet,
+      "q261 must cover exactly the panel docs with exact near-dup partners")
+    ev.foreach { r =>
+      val p = r.getLong(r.fieldIndex("panel_doc"))
+      val ex = byP(p)
+      val hits = ex.count(t => ap((t._1, t._2)))
+      val worstMiss = ex.filter(t => !ap((t._1, t._2))).map(_._3)
+        .maxOption.getOrElse(0L)
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == ex.size, s"doc $p exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == hits, s"doc $p hits")
+      assert(r.getLong(r.fieldIndex("recall_ppm")) ==
+        hits.toLong * 1000000L / ex.size, s"doc $p recall_ppm")
+      assert(r.getLong(r.fieldIndex("worst_miss_ppm")) == worstMiss,
+        s"doc $p worst_miss_ppm")
+    }
+    // deterministic macro floor: the banding math promises ~100% at J>=0.5;
+    // anything under 90% means the index family itself changed
+    val macroPpm = ev.map(_.getLong(ev.head.fieldIndex("recall_ppm"))).sum / ev.length
+    assert(macroPpm >= 900000L, s"q261 macro recall $macroPpm under floor 900000")
+  }
 }
