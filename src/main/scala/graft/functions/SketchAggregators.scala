@@ -159,6 +159,15 @@ object Sketches {
     ColumnBridge.column(ByteShingles(ColumnBridge.expression(col), p))
   }
 
+  /** One-pass distinct replayable token-3-gram shingle fingerprints of a
+    * text column (base-31 token fold mod 1e9+7, 3-gram fold base-`m` mod
+    * `p`), codegen'd — the scan-stage text twin of [[byteShingles]] and
+    * the native form of the dedup family's declarative shingle build. */
+  def tokenShingles(col: Column, m: Long, p: Long): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, TokenShingles}
+    ColumnBridge.column(TokenShingles(ColumnBridge.expression(col), m, p))
+  }
+
   /** One-pass content-defined chunk fingerprints of a binary column
     * (boundaries where the rolling 8-byte fp ≡ 0 mod `divisor`; chunk
     * bytes fold base-256 mod `p`) — insert-resistant chunking for

@@ -72,6 +72,19 @@ object DedupQueries {
     docs
       .filter(size(split(lower(col("text")), " ")) >= 3)
       .select(col("doc_id"),
+        Sketches.tokenShingles(col("text"), ShingleM, ShingleP).as("sh"))
+
+  /** The declarative HOF form of [[replayableShingles]] — the spec'd
+    * reference model the native kernel is pinned against (SketchSpec),
+    * NOT a query path: whenever the signature frame feeds a join,
+    * InferFiltersFromConstraints copies this pipeline alias-flattened
+    * into an isnotnull scan condition, re-inlining the token-hash array
+    * at every element_at site — O(tokens²) interpreted work per row (the
+    * q262 scoreboard read 58 s at sf0.1 through this form, 1.5 s native). */
+  private[graft] def replayableShinglesHof(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(col("doc_id"),
         transform(split(lower(col("text")), " "),
           t => graft.functions.TextQueries.base31Fold(t)).as("hw"))
       .select(col("doc_id"),
@@ -156,6 +169,14 @@ object DedupQueries {
     * serves q40 (token shingles) and q252 (byte shingles): the indexing
     * machinery is shingle-source-agnostic by construction. */
   private[graft] def simhashBandTailSql: String =
+    s"""$simhashBandPairCtes
+       |SELECT doc_a, doc_b, hamming FROM sp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** [[simhashBandTailSql]] in CTE form, ending at `sp(doc_a, doc_b,
+    * hamming)` — composable by the q262/q263 scoreboards, which grade
+    * exactly this pair set against exact full-signature Hamming. */
+  private[graft] def simhashBandPairCtes: String =
     s"""bits AS (
        |  SELECT doc_id, i,
        |         CASE WHEN sum(CASE WHEN (a * (s % 2147483647) + b)
@@ -180,16 +201,54 @@ object DedupQueries {
        |  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
        |  FROM bounded p1 JOIN bounded p2 USING (band, key)
        |  WHERE p1.doc_id < p2.doc_id
+       |), sp AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.doc_a
+       |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
+       |)""".stripMargin
+
+  /** The scoreboard tail of the q262/q263 oracles — the exact side is
+    * every panel-touching pair at FULL-signature Hamming ≤ 6, found
+    * through the UNCAPPED band index (`keys`, before the `bounded` cut):
+    * pigeonhole makes the 7-block banding exhaustive at ≤ 6 differing
+    * bits, so the uncapped equi-join is complete ground truth at
+    * inverted-index cost — no panel × corpus product anywhere. Graded
+    * against the capped pair set `sp`; `miss_min_hamming` is NULL when
+    * nothing is missed; a small value means a STRONG pair was lost to
+    * the bucket cap. */
+  private[graft] def simhashScoreboardSqlTail: String =
+    s"""pcand AS (
+       |  SELECT DISTINCT p.doc_id AS pa, c.doc_id AS pd
+       |  FROM keys p JOIN keys c USING (band, key)
+       |  WHERE p.doc_id % 5 = 0 AND c.doc_id <> p.doc_id
+       |), ph AS (
+       |  SELECT pc.pa, pc.pd,
+       |         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hd
+       |  FROM pcand pc
+       |  JOIN bits ba ON ba.doc_id = pc.pa
+       |  JOIN bits bb ON bb.doc_id = pc.pd AND bb.i = ba.i
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT pa, pd, CAST(hd AS BIGINT) AS hd FROM ph WHERE hd <= 6
+       |), aps AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM sp
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM sp
        |)
-       |SELECT c.doc_a, c.doc_b,
-       |       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
-       |            AS BIGINT) AS hamming
-       |FROM cand c
-       |JOIN bits ba ON ba.doc_id = c.doc_a
-       |JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
-       |GROUP BY c.doc_a, c.doc_b
-       |HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |SELECT pa AS panel_doc,
+       |       CAST(count(*) AS BIGINT) AS exact_cnt,
+       |       CAST(count(h.a) AS BIGINT) AS hits,
+       |       CAST(count(h.a) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+       |       CAST(min(CASE WHEN h.a IS NULL THEN hd END) AS BIGINT)
+       |         AS miss_min_hamming
+       |FROM exact
+       |LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pd
+       |GROUP BY pa ORDER BY pa""".stripMargin
 
   /** SimHash pigeonhole banding + bounded-bucket pairing + exact Hamming
     * re-check over any (doc_id, sim) signature frame — the Spark twin of
@@ -209,14 +268,30 @@ object DedupQueries {
     Seq((0, 0, 1023L), (1, 10, 511L), (2, 19, 511L),
       (3, 28, 511L), (4, 37, 511L), (5, 46, 511L), (6, 55, 511L))
 
-  private[graft] def simhashNearDupPairs(sigs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = sigs.select(col("doc_id"), col("sim"),
+  private[graft] def simhashNearDupPairs(sigs: DataFrame): DataFrame =
+    simhashNearDupPairsUnsorted(sigs).orderBy("doc_a", "doc_b")
+
+  /** [[simhashNearDupPairs]] without the presentation sort — the form the
+    * q262/q263 scoreboards compose (their grading join is order-blind, and
+    * an interior global sort under the scoreboard's union would survive
+    * Catalyst's EliminateSorts and shuffle the whole pair set for
+    * nothing). */
+  /** (doc_id, sim, band, key) — each signature exploded to its 7
+    * pigeonhole band keys. The explode is also the projection barrier
+    * that pins the `sim` expression to ONE evaluation per row (Catalyst
+    * cannot collapse a project through a Generate), which is what keeps
+    * the shingle→simhash pipeline out of downstream join conditions. */
+  private def simhashBandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sim"),
       explode(array(SimhashBands.map { case (b, off, mask) =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), off).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+
+  private[graft] def simhashNearDupPairsUnsorted(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = simhashBandKeys(sigs)
     val bounded = bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
       .filter(col("bsz").between(2, MaxBucket))
@@ -232,7 +307,50 @@ object DedupQueries {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= 6)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, sim) — q40's token-shingle SimHash signatures, shared by
+    * q40, the q260 consensus and the q262 scoreboard. */
+  private[graft] def textSimhashSigs(s: SparkSession, dir: String): DataFrame =
+    replayableShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
+
+  /** The SimHash index scoreboard shared by q262 (text) and q263 (media):
+    * exact side is every pair touching the deterministic 20% panel at
+    * full-signature Hamming ≤ 6 (the index's own contract), found through
+    * the UNCAPPED band index — pigeonhole makes 7-block banding
+    * exhaustive at ≤ 6 differing bits, so the uncapped (band, key)
+    * equi-join is complete ground truth at inverted-index cost, never a
+    * panel × corpus product (a nested-loop exact side also re-inlines the
+    * whole shingle→simhash pipeline into the pushed join condition — the
+    * round-10 q252 poison in join clothing). Graded against the capped
+    * pair set the engine ships, so what this measures is exactly the
+    * BUCKET CAP's cost: every miss is a pair dropped in a saturated
+    * bucket — `miss_min_hamming` (NULL when none) says how strong the
+    * strongest dropped pair was. */
+  private[graft] def simhashScoreboard(sigs: DataFrame, pairs: DataFrame): DataFrame = {
+    val keyed = simhashBandKeys(sigs)
+    val panelKeys = keyed.filter(col("doc_id") % 5 === 0)
+      .select(col("band"), col("key"), col("doc_id").as("pa"), col("sim").as("sim_a"))
+    val exact = keyed
+      .select(col("band"), col("key"), col("doc_id").as("pd"), col("sim").as("sim_b"))
+      .join(panelKeys, Seq("band", "key"))
+      .filter(col("pa") =!= col("pd"))
+      .select("pa", "pd", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hd", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hd") <= 6)
+    val aps = pairs.select(col("doc_a").as("pa"), col("doc_b").as("pd"))
+      .unionAll(pairs.select(col("doc_b").as("pa"), col("doc_a").as("pd")))
+      .withColumn("hit", lit(1))
+    exact.join(aps, Seq("pa", "pd"), "left")
+      .groupBy("pa")
+      .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
+        min(when(col("hit").isNull, col("hd"))).as("miss_min_hamming"))
+      .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
+        expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+        col("miss_min_hamming"))
+      .orderBy("panel_doc")
   }
 
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
@@ -445,8 +563,7 @@ object DedupQueries {
         "candidate generator for the ≤6 threshold, then exact distance is " +
         "re-checked with bit_count(xor). Joins on (int, int) keys only."
     ) { (s, dir) =>
-      simhashNearDupPairs(replayableShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim")))
+      simhashNearDupPairs(textSimhashSigs(s, dir))
     },
 
     GraftQuery(
@@ -949,6 +1066,31 @@ object DedupQueries {
           expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
           col("worst_miss_ppm"))
         .orderBy("panel_doc")
+    },
+
+    GraftQuery(
+      "q262_simhash_recall_eval",
+      Some(s"""$replayShinglePrologueSql, $simhashBandPairCtes,
+              |$simhashScoreboardSqlTail""".stripMargin),
+      "Recall scoreboard for the token-shingle SimHash index — q261's " +
+        "treatment applied to q40: ground truth is the deterministic 20% " +
+        "panel's FULL-64-bit-signature Hamming ≤ 6 against the corpus " +
+        "(the index's own contract), graded against the banded pair set " +
+        "q40 ships. The exact side needs no brute pass: 7-block banding " +
+        "is pigeonhole-EXHAUSTIVE at Hamming ≤ 6, so the UNCAPPED band " +
+        "equi-join (panel keys × corpus keys, before the bucket cut) is " +
+        "complete ground truth at inverted-index cost. That also means " +
+        "every miss here has exactly one cause: the pair sat only in " +
+        "buckets past the 64-member cap — miss_min_hamming (NULL when " +
+        "nothing is missed) says how strong the strongest dropped pair " +
+        "was, and a small value is the signal to raise the cap or add " +
+        "bands. Scale: exact-side cost is Σ_key freq_panel·freq_corpus " +
+        "over 8-byte sigs (q261's inverted-index bound, signatures never " +
+        "shingle sets); the scoreboard join carries id pairs only, and " +
+        "at 100 TB this runs nightly beside q261 over the same panel."
+    ) { (s, dir) =>
+      simhashScoreboard(textSimhashSigs(s, dir),
+        simhashNearDupPairsUnsorted(textSimhashSigs(s, dir)))
     }
   )
 }

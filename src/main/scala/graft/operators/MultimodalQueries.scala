@@ -142,11 +142,11 @@ object MultimodalQueries {
   /** q257's per-batch pixel budget (the packing cut). */
   private[graft] val PackPxBudget = 1048576L
 
-  /** The q252 replay — byte-shingle extraction from the hex envelope, then
-    * the SHARED SimHash banding tail. ONE copy serves q252 and the q260
-    * cross-modal consensus (which nests it as a CTE beside q40's text
-    * replay). */
-  private def mediaSimhashOracleSql: String =
+  /** The q252 replay in CTE form — byte-shingle extraction from the hex
+    * envelope, then the SHARED SimHash banding CTEs, ending at `sp(doc_a,
+    * doc_b, hamming)`. ONE copy serves q252, the q260 cross-modal
+    * consensus and the q263 scoreboard. */
+  private def mediaSimhashPairCtes: String =
     s"""WITH $mediaBytesSqlCtes, sh AS (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(range(1, len(bv) - 6),
@@ -155,7 +155,12 @@ object MultimodalQueries {
        |                    % ${DedupQueries.ShingleP})))) AS s
        |  FROM bt WHERE len(bv) >= 8
        |), params(i, a, b) AS (VALUES ${DedupQueries.affineParamsSql}),
-       |${DedupQueries.simhashBandTailSql}""".stripMargin
+       |${DedupQueries.simhashBandPairCtes}""".stripMargin
+
+  private def mediaSimhashOracleSql: String =
+    s"""$mediaSimhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM sp
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q253's containment floor: a pair reports when the smaller doc shares
     * at least half its distinct chunks with the other. */
@@ -571,9 +576,7 @@ object MultimodalQueries {
         "equi-join after two already-sublinear candidate generators."
     ) { (s, dir) =>
       val tp = DedupQueries.simhashNearDupPairs(
-        DedupQueries.replayableShingles(Tables.documents(s, dir))
-          .select(col("doc_id"),
-            graft.functions.Sketches.simhashArray(col("sh")).as("sim")))
+        DedupQueries.textSimhashSigs(s, dir))
         .select(col("doc_a"), col("doc_b"), col("hamming").as("text_hamming"))
       val mp = byteSimhashPairs(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload")))
@@ -586,6 +589,29 @@ object MultimodalQueries {
             .otherwise("media_only").as("modality"),
           col("text_hamming"), col("media_hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
+      "q263_media_simhash_recall_eval",
+      Some(s"""$mediaSimhashPairCtes,
+              |${DedupQueries.simhashScoreboardSqlTail}""".stripMargin),
+      "Recall scoreboard for the media byte-shingle SimHash index — q262's " +
+        "twin over q252: the same 20% panel, the same full-signature " +
+        "Hamming ≤ 6 ground truth, the same banded-pair grading — over " +
+        "byte-shingle signatures instead of token-shingle ones. Media " +
+        "buckets saturate DIFFERENTLY than text buckets (shared envelope " +
+        "headers put format-mates in the same bands the way boilerplate " +
+        "prose does for text), so the two scoreboards drift independently " +
+        "and a fleet watches both: media recall sagging while text holds " +
+        "means header-induced bucket saturation — raise the media cap or " +
+        "shingle at CDC chunk granularity (q253), not the band count. " +
+        "Same scale posture as q262: uncapped-band inverted-index exact " +
+        "side, id-only scoreboard join, nightly beside the chunk audit."
+    ) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload"))
+      DedupQueries.simhashScoreboard(byteSimhashSigs(media),
+        byteSimhashPairsUnsorted(media))
     }
   )
 
@@ -662,6 +688,12 @@ object MultimodalQueries {
   private[graft] def byteSimhashPairs(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     DedupQueries.simhashNearDupPairs(byteSimhashSigs(media))
+
+  /** [[byteSimhashPairs]] without the presentation sort — for the q263
+    * scoreboard, whose grading join is order-blind. */
+  private[graft] def byteSimhashPairsUnsorted(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    DedupQueries.simhashNearDupPairsUnsorted(byteSimhashSigs(media))
 
   final case class AudioRow(doc_id: Long, payload: Array[Byte])
   final case class AudioFeatures(doc_id: Long, sample_rate: Long,

@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     fn("graft_byte_shingles", classOf[ByteShingles], 2)(c =>
       ByteShingles(c.head, longLit(c(1), "graft_byte_shingles modulus")))
+    fn("graft_token_shingles", classOf[TokenShingles], 3)(c =>
+      TokenShingles(c.head, longLit(c(1), "graft_token_shingles multiplier"),
+        longLit(c(2), "graft_token_shingles modulus")))
     fn("graft_cdc_chunks", classOf[CdcChunks], 3)(c =>
       CdcChunks(c.head, longLit(c(1), "graft_cdc_chunks divisor"),
         longLit(c(2), "graft_cdc_chunks modulus")))

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native TypedImperativeAggregate versions of the MinHash / SimHash
   * sketches.
@@ -319,6 +320,101 @@ object ByteShingles {
       j += 1
     }
     new GenericArrayData(if (m == nw) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** One-pass distinct token-3-gram shingle fingerprints of a text column —
+  * the text twin of [[ByteShingles]], and the same replayable arithmetic
+  * the dedup family's declarative form computes: lowercase, split on
+  * single spaces (empties kept, as `split(lower(text), " ", -1)` keeps
+  * them), each token folded base-31 over each character's Unicode code
+  * point (Spark `ascii` semantics: `codePointAt(0)`) mod 1e9+7, then each
+  * token-hash 3-gram folded `((h1*m + h2) % p) * m + h3) % p`,
+  * first-occurrence distinct. Fewer than 3 tokens yields an empty array —
+  * callers gate on the token count of the scan column, exactly like the
+  * declarative form's `size(split(lower(text), " ")) >= 3` filter.
+  *
+  * This expression exists because the declarative HOF pipeline is a plan
+  * poison whenever the signature frame feeds a join:
+  * `InferFiltersFromConstraints` copies the ALIAS-FLATTENED pipeline into
+  * an `isnotnull(...)` scan condition, and inside that flattened copy the
+  * token-hash array is re-inlined at every `element_at` site — O(tokens²)
+  * interpreted work per row per referencing site (58 s at sf0.1 for the
+  * q262 scoreboard's band self-join). As a single codegen'd leaf the same
+  * inference costs one O(bytes) pass. Intermediates stay below 2^62
+  * ((p−1)·m with p < 2^40, m < 2^22), so a DuckDB oracle replays the
+  * identical arithmetic without wraparound multiply. */
+case class TokenShingles(child: Expression, m: Long, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(p > 0 && p < (1L << 40), s"shingle modulus must be in (0, 2^40): $p")
+  require(m > 0 && m < (1L << 22), s"shingle multiplier must be in (0, 2^22): $m")
+
+  override def prettyName: String = "graft_token_shingles"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenShingles.compute(input.asInstanceOf[UTF8String], m, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenShingles.compute($t, ${m}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+object TokenShingles {
+
+  /** Token fold modulus — the base-31 character fold's 1e9+7, shared with
+    * [[graft.functions.TextQueries.base31Fold]]'s literal. */
+  val TokP = 1000000007L
+
+  /** The kernel the generated code calls: one walk over the lowered
+    * UTF-8 bytes. Space (0x20) can never be a continuation byte, so the
+    * byte-level token split is exact; a character's contribution is its
+    * full Unicode CODE POINT (Spark's `ascii(c)` is `codePointAt(0)`),
+    * decoded in place from the lead byte. */
+  def compute(text: UTF8String, m: Long, p: Long): GenericArrayData = {
+    val b = text.toLowerCase.getBytes
+    var hw = new Array[Long](math.max(16, b.length / 5))
+    var n = 0
+    var h = 0L
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        if (n == hw.length) hw = java.util.Arrays.copyOf(hw, n * 2)
+        hw(n) = h; n += 1; h = 0L
+        i += 1
+      } else {
+        val lead = b(i) & 0xff
+        var cp = 0
+        if (lead < 0x80) { cp = lead; i += 1 }
+        else if (lead < 0xe0) {
+          cp = ((lead & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2
+        } else if (lead < 0xf0) {
+          cp = ((lead & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
+            (b(i + 2) & 0x3f); i += 3
+        } else {
+          cp = ((lead & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+            ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+        }
+        h = (h * 31L + cp) % TokP
+      }
+    }
+    val nw = n - 2
+    if (nw <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(nw * 2, 1 << 16))
+    val out = new Array[Long](nw)
+    var cnt = 0
+    var j = 0
+    while (j < nw) {
+      val v = ((hw(j) * m + hw(j + 1)) % p * m + hw(j + 2)) % p
+      if (seen.add(v)) { out(cnt) = v; cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (cnt == nw) out else java.util.Arrays.copyOf(out, cnt))
   }
 }
 

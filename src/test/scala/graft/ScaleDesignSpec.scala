@@ -239,6 +239,22 @@ class ScaleDesignSpec extends SparkSpec {
     val b260 = "graft_byte_shingles".r.findAllIn(p260).size
     assert(t260 <= 1 && b260 == 1,
       s"q260 re-inlines a shingle build (text=$t260, byte=$b260):\n$p260")
+    // The scoreboards self-join the signature frame, which makes
+    // InferFiltersFromConstraints copy the signature expression into
+    // isnotnull scan conditions. With the declarative HOF build that copy
+    // is alias-FLATTENED — the token-hash array re-inlined at every
+    // element_at site, O(tokens²) per row (58 s at sf0.1 for q262). The
+    // text shingle build must therefore be the native one-pass kernel
+    // everywhere a signature frame can feed a join, and the HOF form must
+    // never appear in these plans at all.
+    Seq("q39_dedup_minhash_lsh", "q40_dedup_simhash",
+        "q261_minhash_recall_eval", "q262_simhash_recall_eval").foreach { q =>
+      val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("graft_token_shingles"),
+        s"$q must build text shingles with the native one-pass kernel:\n$p")
+      assert(!p.contains("transform(split(lower"),
+        s"$q re-introduces the HOF shingle pipeline (the inference-copy poison):\n$p")
+    }
   }
 
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {

@@ -310,4 +310,86 @@ class SketchSpec extends SparkSpec {
     val macroPpm = ev.map(_.getLong(ev.head.fieldIndex("recall_ppm"))).sum / ev.length
     assert(macroPpm >= 900000L, s"q261 macro recall $macroPpm under floor 900000")
   }
+
+  test("q262 is the set algebra of exact panel Hamming vs q40") {
+    // exact side recomputed HERE from collected signatures (bit arithmetic
+    // on longs), not the shipped broadcast join
+    val sigs = graft.operators.DedupQueries.textSimhashSigs(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = sigs.keys.filter(_ % 5 == 0).flatMap { p =>
+      sigs.collect { case (d, s) if d != p =>
+        (p, d, java.lang.Long.bitCount(sigs(p) ^ s).toLong)
+      }.filter(_._3 <= 6)
+    }.toSeq
+    val ap = SparkEntry.queries("q40_dedup_simhash")(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val ev = SparkEntry.queries("q262_simhash_recall_eval")(spark, sf).collect()
+    val byP = exact.groupBy(_._1)
+    assert(ev.nonEmpty && ev.map(_.getLong(0)).toSet == byP.keySet,
+      "q262 must cover exactly the panel docs with Hamming-close partners")
+    ev.foreach { r =>
+      val p = r.getLong(r.fieldIndex("panel_doc"))
+      val ex = byP(p)
+      val hits = ex.count(t => ap((t._1, t._2)))
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == ex.size, s"doc $p exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == hits, s"doc $p hits")
+      val missMin = ex.filter(t => !ap((t._1, t._2))).map(_._3).minOption
+      assert(Option(r.get(r.fieldIndex("miss_min_hamming")))
+        .map(_.asInstanceOf[Long]) == missMin, s"doc $p miss_min_hamming")
+    }
+  }
+
+  test("native token-shingle kernel == declarative HOF reference model, corpus + edges") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // The corpus the dedup family actually runs on, plus hand-planted
+    // edge shapes: unicode (multibyte lead bytes → Spark ascii() is the
+    // SIGN-EXTENDED first byte), consecutive/leading/trailing spaces
+    // (empty tokens fold to 0), sub-3-token docs (filtered upstream, but
+    // the kernel must still agree where the filter keeps them), and
+    // repeated shingles (first-occurrence distinct order).
+    val edges = Seq(
+      (9001L, "a b c d e"),
+      (9002L, "α βγ δ ε ζ"),
+      (9003L, "  double  spaces  here  "),
+      (9004L, "x y z x y z x y z"),
+      (9005L, "ONE Two tHRee FOUR"),
+      (9006L, "emoji 🙂 mixed ascii ünïcode"),
+      (9007L, "three tok ens"),
+      (9008L, "a " * 40 + "b c")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").unionAll(edges)
+    val native = DedupQueries.replayableShingles(docs)
+    val hof = DedupQueries.replayableShinglesHof(docs)
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == h.keySet, "same docs survive the 3-token gate")
+    n.foreach { case (id, sh) =>
+      assert(sh == h(id), s"doc $id: native $sh != HOF ${h(id)}")
+    }
+  }
+
+  test("the simhash scoreboard detects bucket-cap loss on a saturated planted corpus") {
+    import spark.implicits._
+    // 70 byte-identical payloads: every pair is Hamming 0 — a TRUE
+    // duplicate family — but every band bucket holds 70 > MaxBucket=64,
+    // so the banded index drops ALL of them. The scoreboard must read
+    // recall 0 with miss_min_hamming 0 (the strongest possible miss),
+    // not silently report nothing.
+    val payload = Array.tabulate(64)(i => (i * 7 + 3).toByte)
+    val media = (0L until 70L).map(id => (id, payload.clone))
+      .toDF("doc_id", "payload")
+    val sb = graft.operators.DedupQueries.simhashScoreboard(
+      graft.operators.MultimodalQueries.byteSimhashSigs(media),
+      graft.operators.MultimodalQueries.byteSimhashPairs(media)).collect()
+    assert(sb.length == 14, s"panel 0,5,..,65 is 14 docs, got ${sb.length}")
+    sb.foreach { r =>
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == 69L, "69 identical partners")
+      assert(r.getLong(r.fieldIndex("recall_ppm")) == 0L,
+        "saturated buckets must read as recall 0, not as no pairs")
+      assert(r.getLong(r.fieldIndex("miss_min_hamming")) == 0L,
+        "the strongest dropped pair is byte-identical")
+    }
+  }
 }
