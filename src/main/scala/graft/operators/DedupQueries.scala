@@ -353,6 +353,137 @@ object DedupQueries {
       .orderBy("panel_doc")
   }
 
+  /** The q67 index replay in CTE form, appended after
+    * [[SimilarityQueries.lshReplayPrologue]] (which defines `n` and
+    * `codes`): Hamming≤1 probe expansion, bucket cap, in-bucket pairing,
+    * exact cosine re-check — ending at `lsc(vec_a, vec_b, c)`. ONE copy
+    * serves q67 and the q264 recall scoreboard. */
+  private[graft] def lshPairSqlCtes: String =
+    s"""probed AS (
+       |  SELECT c.vec_id, c.tbl, xor(c.code, m.m) AS code
+       |  FROM codes c, (
+       |    SELECT 0::BIGINT AS m
+       |    UNION ALL
+       |    SELECT (1::BIGINT << i) FROM range(0, 24) t(i), params
+       |    WHERE i < bits
+       |  ) m
+       |), bounded AS (
+       |  SELECT vec_id, tbl, code FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY tbl, code) AS bsz
+       |    FROM probed
+       |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
+       |), pairs AS (
+       |  SELECT DISTINCT p1.vec_id AS vec_a, p2.vec_id AS vec_b
+       |  FROM bounded p1 JOIN bounded p2 USING (tbl, code)
+       |  WHERE p1.vec_id < p2.vec_id
+       |), lsc AS (
+       |  SELECT vec_a, vec_b, c FROM (
+       |    SELECT p.vec_a, p.vec_b,
+       |           list_reduce(list_transform(range(1, 65),
+       |                                      i -> a.v[i] * b.v[i]),
+       |                       (x,y) -> x+y) / (a.nrm * b.nrm) AS c
+       |    FROM pairs p
+       |    JOIN n a ON a.vec_id = p.vec_a
+       |    JOIN n b ON b.vec_id = p.vec_b
+       |  ) WHERE c >= CAST(0.35 AS DOUBLE)
+       |)""".stripMargin
+
+  /** (vec_id, v: array<double>, nrm) — the normalized embedding frame
+    * q42/q67/q264 share. */
+  private[graft] def normVecs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+  }
+
+  /** q67's sub-quadratic near-dup pair set from any normalized vector
+    * frame, unsorted: sign-LSH codes (4 tables × `bits`-bit hyperplane
+    * codes), symmetric Hamming≤1 multi-probe, bounded buckets, in-bucket
+    * pairing over IDS only, exact cosine re-check. */
+  private[graft] def lshNearDupPairsFrom(e: DataFrame, bits: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    import org.apache.spark.sql.expressions.Window
+    val Tbl = 4
+    val Dim = 64
+    val codeFor: Int => org.apache.spark.sql.Column = t =>
+      graft.functions.VectorFunctions.signCode(col("v"),
+        (0 until bits).flatMap(b => SimilarityQueries.hyperplane(t, b, Dim)).toArray,
+        bits, Dim)
+    // every vector lands in its own bucket AND all Hamming-1 neighbors —
+    // symmetric multi-probe: two codes collide iff their probe balls meet,
+    // widening the collision radius to Hamming ≤ 2. Only IDS flow through
+    // banding, pair expansion and dedupe (16 B/pair, not the vectors);
+    // the embeddings join back for the exact re-check afterwards.
+    val probed = e.select(col("vec_id"),
+      explode(array((0 until Tbl).map(t => struct(lit(t).as("tbl"),
+        codeFor(t).as("code"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl"),
+        explode(array(col("bk.code") +:
+          (0 until bits).map(b => col("bk.code").bitwiseXOR(lit(1 << b))): _*)).as("code"))
+    val bounded = probed
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "code")))
+      .filter(col("bsz").between(2, MaxBucket))
+      .groupBy("tbl", "code")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+    val pairs = bounded
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+      // vec_a < vec_b already holds: ids are sorted in-bucket, a vector
+      // appears at most once per bucket (its probe codes are distinct),
+      // and the slice pattern only pairs strictly-later elements
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+  }
+
+  /** The embedding near-dup recall scoreboard shared machinery (q264):
+    * exact side is every cosine ≥ 0.35 partner of the deterministic 20%
+    * panel, computed through q42's tile discipline restricted to
+    * panel × corpus (each panel vector rides to all B tiles, each corpus
+    * vector sits in its hash tile once — an equi-join on the tile key,
+    * never a nested-loop product; the O(panel·n) COMPUTE is inherent to
+    * exact cosine on this corpus, see q42). Graded against the capped
+    * banded pair set q67 ships; `miss_max_cos` (NULL when nothing is
+    * missed) names the strongest dropped pair — near 1.0 means the index
+    * is dropping true near-dups (cap saturation), near 0.35 means only
+    * threshold-straddlers slip (the documented LSH hard case). */
+  private[graft] def embeddingScoreboard(e: DataFrame, pairs: DataFrame,
+                                         nVecs: Long): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val BlockRows = 256L
+    val B = math.min(1024L, math.max(1L, (nVecs + BlockRows - 1) / BlockRows)).toInt
+    val blocked = e.withColumn("blk", pmod(xxhash64(col("vec_id")), lit(B)).cast("int"))
+    val panel = blocked.filter(col("vec_id") % 5 === 0)
+      .withColumn("tb", explode(sequence(lit(0), lit(B - 1))))
+      .select(col("tb"), col("vec_id").as("pa"), col("v").as("va"), col("nrm").as("na"))
+    val exact = blocked
+      .select(col("blk").as("tb"), col("vec_id").as("pd"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      .join(panel, Seq("tb"))
+      .filter(col("pa") =!= col("pd"))
+      .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c") >= 0.35)
+      .select(col("pa"), col("pd"), round(col("c"), 4).as("cos4"))
+    val aps = pairs.select(col("vec_a").as("pa"), col("vec_b").as("pd"))
+      .unionAll(pairs.select(col("vec_b").as("pa"), col("vec_a").as("pd")))
+      .withColumn("hit", lit(1))
+    exact.join(aps, Seq("pa", "pd"), "left")
+      .groupBy("pa")
+      .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
+        max(when(col("hit").isNull, col("cos4"))).as("miss_max_cos"))
+      .select(col("pa").as("panel_vec"), col("exact_cnt"), col("hits"),
+        expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+        col("miss_max_cos"))
+      .orderBy("panel_vec")
+  }
+
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
     * ONE definition shared by q160 (incremental dedup), q161 (source
     * overlap) and q169 (keep-best), plus `PipelineInvariantSpec`. A
@@ -678,35 +809,8 @@ object DedupQueries {
       // the whole index (codes from the embedded sign matrix, Hamming≤1
       // probes, bucket-size guard, in-bucket pairing, exact re-check) in
       // SQL, sharing q44's replay prologue
-      Some(s"""${SimilarityQueries.lshReplayPrologue}, probed AS (
-              |  SELECT c.vec_id, c.tbl, xor(c.code, m.m) AS code
-              |  FROM codes c, (
-              |    SELECT 0::BIGINT AS m
-              |    UNION ALL
-              |    SELECT (1::BIGINT << i) FROM range(0, 24) t(i), params
-              |    WHERE i < bits
-              |  ) m
-              |), bounded AS (
-              |  SELECT vec_id, tbl, code FROM (
-              |    SELECT *, count(*) OVER (PARTITION BY tbl, code) AS bsz
-              |    FROM probed
-              |  ) WHERE bsz BETWEEN 2 AND $MaxBucket
-              |), pairs AS (
-              |  SELECT DISTINCT p1.vec_id AS vec_a, p2.vec_id AS vec_b
-              |  FROM bounded p1 JOIN bounded p2 USING (tbl, code)
-              |  WHERE p1.vec_id < p2.vec_id
-              |)
-              |SELECT p.vec_a, p.vec_b,
-              |       round(list_reduce(list_transform(range(1, 65),
-              |                                        i -> a.v[i] * b.v[i]),
-              |                         (x,y) -> x+y) / (a.nrm * b.nrm), 4) AS cos
-              |FROM pairs p
-              |JOIN n a ON a.vec_id = p.vec_a
-              |JOIN n b ON b.vec_id = p.vec_b
-              |WHERE list_reduce(list_transform(range(1, 65),
-              |                                 i -> a.v[i] * b.v[i]),
-              |                  (x,y) -> x+y) / (a.nrm * b.nrm)
-              |        >= CAST(0.35 AS DOUBLE)
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes
+              |SELECT vec_a, vec_b, round(c, 4) AS cos FROM lsc
               |ORDER BY vec_a, vec_b""".stripMargin),
       "Sub-quadratic embedding near-dup: sign-LSH buckets (4 tables × " +
         "8-bit hyperplane codes, all Hamming≤1 probe codes emitted per " +
@@ -720,52 +824,8 @@ object DedupQueries {
         "hard case), so the spec pins recall on comfortably-above-" +
         "threshold pairs. Bucket-size cap as in q39."
     ) { (s, dir) =>
-      import graft.functions.VectorFunctions.dotd
-      import org.apache.spark.sql.expressions.Window
-      val Tbl = 4
-      val Dim = 64
-      // Code width sized from parquet footers (metadata only — no job
-      // during plan construction): constant bucket load as the corpus
-      // grows. Same codeBits rule as q44.
-      val Bits = SimilarityQueries.codeBits(Tables.parquetRowCount(s, dir, "embeddings"))
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
-      val codeFor: Int => org.apache.spark.sql.Column = t =>
-        graft.functions.VectorFunctions.signCode(col("v"),
-          (0 until Bits).flatMap(b => SimilarityQueries.hyperplane(t, b, Dim)).toArray,
-          Bits, Dim)
-      // every vector lands in its own bucket AND all Hamming-1 neighbors —
-      // symmetric multi-probe: two codes collide iff their probe balls meet,
-      // widening the collision radius to Hamming ≤ 2. Only IDS flow through
-      // banding, pair expansion and dedupe (16 B/pair, not the vectors);
-      // the embeddings join back for the exact re-check afterwards.
-      val probed = e.select(col("vec_id"),
-        explode(array((0 until Tbl).map(t => struct(lit(t).as("tbl"),
-          codeFor(t).as("code"))): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.tbl"),
-          explode(array(col("bk.code") +:
-            (0 until Bits).map(b => col("bk.code").bitwiseXOR(lit(1 << b))): _*)).as("code"))
-      val bounded = probed
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "code")))
-        .filter(col("bsz").between(2, MaxBucket))
-        .groupBy("tbl", "code")
-        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      val pairs = bounded
-        .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-            struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
-        // vec_a < vec_b already holds: ids are sorted in-bucket, a vector
-        // appears at most once per bucket (its probe codes are distinct),
-        // and the slice pattern only pairs strictly-later elements
-        .select(col("p.vec_a"), col("p.vec_b"))
-        .dropDuplicates("vec_a", "vec_b")
-      pairs
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("c") >= 0.35)
-        .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      lshNearDupPairsFrom(normVecs(s, dir),
+        SimilarityQueries.codeBits(Tables.parquetRowCount(s, dir, "embeddings")))
         .orderBy("vec_a", "vec_b")
     },
 
@@ -1091,6 +1151,55 @@ object DedupQueries {
     ) { (s, dir) =>
       simhashScoreboard(textSimhashSigs(s, dir),
         simhashNearDupPairsUnsorted(textSimhashSigs(s, dir)))
+    },
+
+    GraftQuery(
+      "q264_embedding_recall_eval",
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes,
+              |pex AS (
+              |  SELECT pa, pd, c FROM (
+              |    SELECT p.vec_id AS pa, a.vec_id AS pd,
+              |           list_reduce(list_transform(range(1, 65),
+              |                                      i -> p.v[i] * a.v[i]),
+              |                       (x,y) -> x+y) / (p.nrm * a.nrm) AS c
+              |    FROM n p JOIN n a ON a.vec_id <> p.vec_id
+              |    WHERE p.vec_id % 5 = 0
+              |  ) WHERE c >= CAST(0.35 AS DOUBLE)
+              |), aps AS (
+              |  SELECT vec_a AS a, vec_b AS b FROM lsc
+              |  UNION ALL
+              |  SELECT vec_b, vec_a FROM lsc
+              |)
+              |SELECT pa AS panel_vec,
+              |       CAST(count(*) AS BIGINT) AS exact_cnt,
+              |       CAST(count(h.a) AS BIGINT) AS hits,
+              |       CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
+              |         AS recall_ppm,
+              |       max(CASE WHEN h.a IS NULL THEN round(c, 4) END)
+              |         AS miss_max_cos
+              |FROM pex
+              |LEFT JOIN aps h ON h.a = pex.pa AND h.b = pex.pd
+              |GROUP BY pa ORDER BY pa""".stripMargin),
+      "Recall scoreboard for the sign-LSH embedding near-dup index — the " +
+        "q261/q262 treatment applied to q67, completing per-index recall " +
+        "coverage of every approximate near-dup family: ground truth is " +
+        "the deterministic 20% panel's exact cosine ≥ 0.35 partners " +
+        "(q42's own contract), computed through q42's tile equi-join " +
+        "restricted to panel × corpus, graded against the capped banded " +
+        "pair set q67 ships. Unlike the pigeonhole scoreboards (whose " +
+        "banding is exhaustive, so every miss is the bucket cap's), LSH " +
+        "misses have TWO causes a fleet must tell apart, and " +
+        "miss_max_cos does: near 1.0 = cap saturation dropping true " +
+        "near-dups (raise the cap), near 0.35 = threshold-straddlers " +
+        "outside the probe radius (the documented hard case — add " +
+        "tables, not cap). Scale: exact side is O(panel·n) dot products " +
+        "by the semantics' own q42 contract (run on a panel SAMPLE, " +
+        "nightly); the grading join carries id pairs only."
+    ) { (s, dir) =>
+      val e = normVecs(s, dir)
+      val n = Tables.parquetRowCount(s, dir, "embeddings")
+      embeddingScoreboard(e,
+        lshNearDupPairsFrom(e, SimilarityQueries.codeBits(n)), n)
     }
   )
 }

@@ -370,6 +370,67 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q264 is the set algebra of exact panel cosine vs q67") {
+    import graft.operators.DedupQueries
+    // exact side recomputed HERE from collected vectors (sequential
+    // double dot, the same left-to-right order dotd folds), not the
+    // shipped tile join
+    val vecs = DedupQueries.normVecs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.keys.filter(_ % 5 == 0).flatMap { p =>
+      vecs.collect { case (d, v) if d != p => (p, d, cos(vecs(p), v)) }
+        .filter(_._3 >= 0.35)
+    }.toSeq
+    val ap = SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val ev = SparkEntry.queries("q264_embedding_recall_eval")(spark, sf).collect()
+    val byP = exact.groupBy(_._1)
+    assert(ev.nonEmpty && ev.map(_.getLong(0)).toSet == byP.keySet,
+      "q264 must cover exactly the panel vecs with cosine-close partners")
+    ev.foreach { r =>
+      val p = r.getLong(r.fieldIndex("panel_vec"))
+      val ex = byP(p)
+      val hits = ex.count(t => ap((t._1, t._2)))
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == ex.size, s"vec $p exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == hits, s"vec $p hits")
+      val missMax = ex.filter(t => !ap((t._1, t._2)))
+        .map(t => math.round(t._3 * 10000.0) / 10000.0).maxOption
+      assert(Option(r.get(r.fieldIndex("miss_max_cos")))
+        .map(_.asInstanceOf[Double]) == missMax, s"vec $p miss_max_cos")
+    }
+  }
+
+  test("the embedding scoreboard detects bucket-cap loss on a saturated planted corpus") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dotd
+    // 70 identical vectors: every pair is cosine 1.0 — a TRUE duplicate
+    // family — but every LSH probe bucket holds all 70 > MaxBucket=64,
+    // so the banded index drops ALL of them. The scoreboard must read
+    // recall 0 with miss_max_cos 1.0 (the strongest possible miss).
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val e = (0L until 70L).map(id => (id, v.toSeq)).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"), sqrt(dotd(col("v"), col("v"))).as("nrm"))
+    val sb = DedupQueries.embeddingScoreboard(e,
+      DedupQueries.lshNearDupPairsFrom(e, SimilarityQueries.codeBits(70L)), 70L)
+      .collect()
+    assert(sb.length == 14, s"panel 0,5,..,65 is 14 vecs, got ${sb.length}")
+    sb.foreach { r =>
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == 69L, "69 identical partners")
+      assert(r.getLong(r.fieldIndex("recall_ppm")) == 0L,
+        "saturated buckets must read as recall 0, not as no pairs")
+      assert(r.getDouble(r.fieldIndex("miss_max_cos")) == 1.0,
+        "the strongest dropped pair is vector-identical")
+    }
+  }
+
   test("the simhash scoreboard detects bucket-cap loss on a saturated planted corpus") {
     import spark.implicits._
     // 70 byte-identical payloads: every pair is Hamming 0 — a TRUE
