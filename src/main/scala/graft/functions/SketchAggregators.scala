@@ -168,6 +168,14 @@ object Sketches {
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(col), m, p))
   }
 
+  /** One-pass distinct xxhash64 token-3-gram shingles of a text column —
+    * the exact-set (64-bit) sibling of [[tokenShingles]], identical values
+    * to the declarative split/xxhash64 pipeline. */
+  def xxhTokenShingles(col: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, XxTokenShingles}
+    ColumnBridge.column(XxTokenShingles(ColumnBridge.expression(col)))
+  }
+
   /** One-pass content-defined chunk fingerprints of a binary column
     * (boundaries where the rolling 8-byte fp ≡ 0 mod `divisor`; chunk
     * bytes fold base-256 mod `p`) — insert-resistant chunking for

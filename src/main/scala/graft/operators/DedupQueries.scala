@@ -40,6 +40,16 @@ object DedupQueries {
     Tables.documents(s, dir)
       .filter(size(split(lower(col("text")), " ")) >= 3)
       .select(col("doc_id"),
+        Sketches.xxhTokenShingles(col("text")).as("sh"))
+
+  /** The declarative HOF form of [[shingleArrays]]'s shingle build — the
+    * spec'd reference model the native xxhash kernel is pinned against
+    * (SketchSpec), NOT a query path (same poison class as
+    * [[replayableShinglesHof]]). */
+  private[graft] def xxhShingleArraysHof(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(col("doc_id"),
         transform(split(lower(col("text")), " "), t => xxhash64(t)).as("hw"))
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("hw")) - 2),

@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_token_shingles", classOf[TokenShingles], 3)(c =>
       TokenShingles(c.head, longLit(c(1), "graft_token_shingles multiplier"),
         longLit(c(2), "graft_token_shingles modulus")))
+    fn("graft_xxh_token_shingles", classOf[XxTokenShingles], 1)(c =>
+      XxTokenShingles(c.head))
     fn("graft_cdc_chunks", classOf[CdcChunks], 3)(c =>
       CdcChunks(c.head, longLit(c(1), "graft_cdc_chunks divisor"),
         longLit(c(2), "graft_cdc_chunks modulus")))

@@ -323,6 +323,81 @@ object ByteShingles {
   }
 }
 
+/** One-pass distinct xxhash64 token-3-gram shingles of a text column —
+  * the exact-set sibling of [[TokenShingles]], computing the SAME values
+  * as the declarative `transform(split(lower(text), " "), t =>
+  * xxhash64(t))` + `xxhash64(h1, h2, h3)` 3-gram pipeline (token hash =
+  * Spark's seed-42 xxhash64 of the token string; 3-gram hash = the
+  * multi-child fold, each long hashed with the previous result as seed),
+  * first-occurrence distinct. The 64-bit space keeps collision odds
+  * ~1e-10, which is why q41's EXACT Jaccard uses this prep rather than
+  * the replayable 2^40 fold. Fewer than 3 tokens yields an empty array.
+  * Exists for the same reason as [[TokenShingles]]: one codegen'd leaf
+  * instead of a HOF pipeline the optimizer re-inlines into scan and join
+  * conditions. */
+case class XxTokenShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_xxh_token_shingles"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    XxTokenShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.XxTokenShingles.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): XxTokenShingles =
+    copy(child = newChild)
+}
+
+object XxTokenShingles {
+
+  private val Seed = 42L
+
+  /** One walk over the lowered UTF-8 bytes: byte-level split on 0x20
+    * (space is never a continuation byte), each token hashed through the
+    * SAME code path the xxhash64 expression uses (zero-copy UTF8String
+    * views over the lowered buffer), 3-grams folded with the multi-child
+    * seed-chaining rule. */
+  def compute(text: UTF8String): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
+    val lowered = text.toLowerCase
+    val b = lowered.getBytes
+    var hw = new Array[Long](math.max(16, b.length / 5))
+    var n = 0
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        if (n == hw.length) hw = java.util.Arrays.copyOf(hw, n * 2)
+        hw(n) = XxHash64Function.hash(
+          UTF8String.fromBytes(b, start, i - start), ST, Seed)
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val nw = n - 2
+    if (nw <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(nw * 2, 1 << 16))
+    val out = new Array[Long](nw)
+    var cnt = 0
+    var j = 0
+    while (j < nw) {
+      var h = XxHash64Function.hash(hw(j), LT, Seed)
+      h = XxHash64Function.hash(hw(j + 1), LT, h)
+      h = XxHash64Function.hash(hw(j + 2), LT, h)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (cnt == nw) out else java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
 /** One-pass distinct token-3-gram shingle fingerprints of a text column —
   * the text twin of [[ByteShingles]], and the same replayable arithmetic
   * the dedup family's declarative form computes: lowercase, split on

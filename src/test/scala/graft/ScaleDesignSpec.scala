@@ -255,6 +255,11 @@ class ScaleDesignSpec extends SparkSpec {
       assert(!p.contains("transform(split(lower"),
         s"$q re-introduces the HOF shingle pipeline (the inference-copy poison):\n$p")
     }
+    // q41's exact-Jaccard prep is the xxhash64 sibling — same kernel rule
+    val p41 = physicalPlan(SparkEntry.queries("q41_dedup_ngram_jaccard")(spark, sf))
+    assert(p41.contains("graft_xxh_token_shingles") &&
+      !p41.contains("transform(split(lower"),
+      s"q41 must build xxhash shingles with the native one-pass kernel:\n$p41")
   }
 
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {

@@ -370,6 +370,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("native xxhash token-shingle kernel == declarative HOF reference model") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import org.apache.spark.sql.functions._
+    val edges = Seq(
+      (9001L, "a b c d e"),
+      (9002L, "α βγ δ ε ζ"),
+      (9003L, "  double  spaces  here  "),
+      (9004L, "x y z x y z x y z"),
+      (9005L, "ONE Two tHRee FOUR"),
+      (9006L, "emoji 🙂 mixed ascii ünïcode"),
+      (9007L, "three tok ens"),
+      (9008L, "a " * 40 + "b c")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").unionAll(edges)
+    val native = docs.filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(col("doc_id"), Sketches.xxhTokenShingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = DedupQueries.xxhShingleArraysHof(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, sh) =>
+      assert(sh == hof(id), s"doc $id: native $sh != HOF ${hof(id)}")
+    }
+  }
+
   test("q264 is the set algebra of exact panel cosine vs q67") {
     import graft.operators.DedupQueries
     // exact side recomputed HERE from collected vectors (sequential
