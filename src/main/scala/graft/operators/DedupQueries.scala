@@ -299,12 +299,13 @@ object DedupQueries {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
 
-  private[graft] def simhashNearDupPairsUnsorted(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashNearDupPairsUnsorted(
+      sigs: DataFrame, cap: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = simhashBandKeys(sigs)
     val bounded = bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
-      .filter(col("bsz").between(2, MaxBucket))
+      .filter(col("bsz").between(2, cap))
     bounded.groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("docs"))
       .select(explode(flatten(transform(col("docs"), (a, i) =>
@@ -493,6 +494,122 @@ object DedupQueries {
         col("miss_max_cos"))
       .orderBy("panel_vec")
   }
+
+  /** The q265/q266 cap sweep: candidate bucket caps, ascending.
+    * [[MaxBucket]] sits inside the sweep so the dial can confirm or move
+    * the shipped default in either direction. */
+  private[graft] val CapSweep = Seq(16, 32, 64, 128)
+
+  /** The q265/q266 recall target: micro recall the chosen cap must meet
+    * over the panel's full-signature Hamming ≤ 6 pairs. */
+  private[graft] val CapRecallFloorPpm = 900000L
+
+  /** The bucket-cap dial shared by q265 (text) and q266 (media) — q251's
+    * treatment applied to the near-dup index's OTHER operating parameter:
+    * the q262/q263 scoreboards price the shipped cap's recall loss; this
+    * dial sweeps caps and emits the MINIMAL one whose panel recall meets
+    * the floor (deepest sweep point if none does). One shared pass serves
+    * every cap: each exact panel pair carries the SIZE OF ITS SMALLEST
+    * SHARED BUCKET (`min_bsz`), and the pair survives cap c iff
+    * min_bsz ≤ c — so the per-cap scoreboards are conditional sums over
+    * one per-pair frame, never a re-run of the index per cap (the crk
+    * trick, bucket-sized instead of rank-sized). Exact side and cost
+    * bound are q262's: uncapped pigeonhole banding is exhaustive at
+    * Hamming ≤ 6, panel-scoped, id-only. */
+  private[graft] def bucketCapDial(sigs: DataFrame,
+                                   floorPpm: Long = CapRecallFloorPpm,
+                                   caps: Seq[Int] = CapSweep): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = simhashBandKeys(sigs)
+    val sized = keyed.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val panel = sized.filter(col("doc_id") % 5 === 0)
+      .select(col("band"), col("key"), col("doc_id").as("pa"),
+        col("sim").as("sim_a"), col("bsz"))
+    val exact = sized
+      .select(col("band"), col("key"), col("doc_id").as("pd"), col("sim").as("sim_b"))
+      .join(panel, Seq("band", "key"))
+      .filter(col("pa") =!= col("pd") &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 6)
+      .groupBy("pa", "pd")
+      .agg(min(col("bsz")).as("min_bsz"))
+    val agged = exact.agg(count(lit(1)).as("exact_cnt"),
+      caps.map(c => sum(when(col("min_bsz") <= c, 1L)).as(s"h$c")): _*)
+    val all = Window.partitionBy(lit(1))
+    agged.select(col("exact_cnt"),
+      explode(array(caps.map(c => struct(lit(c.toLong).as("cap"),
+        coalesce(col(s"h$c"), lit(0L)).as("hits"))): _*)).as("cr"))
+      .select(col("cr.cap").as("cap"), col("exact_cnt"), col("cr.hits").as("hits"))
+      // coalesce(0): the empty corpus must emit a typed zero (q251's
+      // discipline) — "no recall evidence" correctly fails any floor
+      .withColumn("recall_ppm",
+        expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)"))
+      .withColumn("meets_floor", col("recall_ppm") >= lit(floorPpm))
+      .withColumn("chosen", col("cap") === coalesce(
+        min(when(col("recall_ppm") >= lit(floorPpm), col("cap"))).over(all),
+        max(col("cap")).over(all)))
+      .orderBy("cap")
+  }
+
+  /** The dial tail of the q265/q266 oracles, appended after
+    * [[simhashBandPairCtes]] (whose `keys`/`bits` CTEs it reads): per-pair
+    * smallest-shared-bucket sizes, per-cap conditional grading, minimal
+    * cap meeting the floor. */
+  private[graft] def capDialSqlTail: String = {
+    val capValues = CapSweep.map(c => s"($c::BIGINT)").mkString(", ")
+    s"""kb AS (
+       |  SELECT band, key, count(*) AS b FROM keys GROUP BY 1, 2
+       |), kp AS (
+       |  SELECT k.band, k.key, k.doc_id, kb.b
+       |  FROM keys k JOIN kb USING (band, key)
+       |), pp AS (
+       |  SELECT p.doc_id AS pa, c.doc_id AS pd, min(p.b) AS min_bsz
+       |  FROM kp p JOIN kp c USING (band, key)
+       |  WHERE p.doc_id % 5 = 0 AND c.doc_id <> p.doc_id
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT pp.pa, pp.pd, pp.min_bsz
+       |  FROM pp
+       |  JOIN bits ba ON ba.doc_id = pp.pa
+       |  JOIN bits bb ON bb.doc_id = pp.pd AND bb.i = ba.i
+       |  GROUP BY 1, 2, 3
+       |  HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 6
+       |), caps(cap) AS (VALUES $capValues),
+       |g AS (
+       |  SELECT cap,
+       |         CAST(count(ex.pa) AS BIGINT) AS exact_cnt,
+       |         CAST(count(CASE WHEN ex.min_bsz <= cap THEN 1 END) AS BIGINT)
+       |           AS hits
+       |  FROM caps LEFT JOIN ex ON TRUE
+       |  GROUP BY cap
+       |)
+       |SELECT cap, exact_cnt, hits,
+       |       CAST(coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |            AS BIGINT) AS recall_ppm,
+       |       coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |         >= $CapRecallFloorPpm AS meets_floor,
+       |       cap = coalesce(
+       |         min(CASE WHEN coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |                       >= $CapRecallFloorPpm THEN cap END) OVER (),
+       |         max(cap) OVER ()) AS chosen
+       |FROM g ORDER BY cap""".stripMargin
+  }
+
+  /** The dial reading as an OPERATING PARAMETER: the minimal swept cap
+    * whose panel recall meets `floorPpm` — a scalar read off a
+    * caps-sized frame, consumed by the next index build. */
+  def calibratedSimhashCap(s: SparkSession, dir: String,
+                           floorPpm: Long = CapRecallFloorPpm): Int =
+    bucketCapDial(textSimhashSigs(s, dir), floorPpm)
+      .filter(col("chosen")).select(col("cap")).head.getLong(0).toInt
+
+  /** q40's near-dup pairs at the dial-chosen cap — [[MaxBucket]] is now
+    * only the DEFAULT this entry point replaces. */
+  def simhashNearDupCalibrated(s: SparkSession, dir: String,
+                               floorPpm: Long = CapRecallFloorPpm): DataFrame =
+    simhashNearDupPairsUnsorted(textSimhashSigs(s, dir),
+      calibratedSimhashCap(s, dir, floorPpm))
+      .orderBy("doc_a", "doc_b")
 
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
     * ONE definition shared by q160 (incremental dedup), q161 (source
@@ -1210,6 +1327,29 @@ object DedupQueries {
       val n = Tables.parquetRowCount(s, dir, "embeddings")
       embeddingScoreboard(e,
         lshNearDupPairsFrom(e, SimilarityQueries.codeBits(n)), n)
-    }
+    },
+
+    GraftQuery(
+      "q265_bucket_cap_dial",
+      Some(s"""$replayShinglePrologueSql, $simhashBandPairCtes,
+              |$capDialSqlTail""".stripMargin),
+      "Bucket-cap dial for the token-shingle SimHash index — q251's " +
+        "calibration discipline applied to the near-dup family's " +
+        "operating parameter: q262 PRICES the shipped cap's recall loss, " +
+        "this dial SETS the cap, sweeping 16/32/64/128 and choosing the " +
+        "minimal one whose panel recall (full-signature Hamming ≤ 6 " +
+        "ground truth, q262's exhaustive uncapped-banding exact side) " +
+        "meets the 900000 ppm floor — a looser cap than needed " +
+        "quadratically inflates the worst bucket's pair expansion, a " +
+        "tighter one silently drops true near-dups, and this emits the " +
+        "knee. One shared pass serves all caps: each exact pair carries " +
+        "the size of its SMALLEST shared bucket, and it survives cap c " +
+        "iff that size ≤ c, so per-cap scoreboards are conditional sums " +
+        "over one per-pair frame — the index is never re-run per cap. " +
+        "At 100 TB this runs beside the nightly q262 over the same " +
+        "panel, and the chosen cap feeds the pair builder's cap " +
+        "parameter instead of the MaxBucket constant (ApproxSpec closes " +
+        "that loop)."
+    ) { (s, dir) => bucketCapDial(textSimhashSigs(s, dir)) }
   )
 }

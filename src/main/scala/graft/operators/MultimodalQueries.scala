@@ -612,6 +612,25 @@ object MultimodalQueries {
         .select(col("doc_id"), mediaPayload.as("payload"))
       DedupQueries.simhashScoreboard(byteSimhashSigs(media),
         byteSimhashPairsUnsorted(media))
+    },
+
+    GraftQuery(
+      "q266_media_cap_dial",
+      Some(s"""$mediaSimhashPairCtes,
+              |${DedupQueries.capDialSqlTail}""".stripMargin),
+      "Bucket-cap dial for the media byte-shingle SimHash index — q265's " +
+        "twin over q252's signatures: the same cap sweep, the same " +
+        "smallest-shared-bucket one-pass grading, over byte-shingle " +
+        "bands. The two dials deliberately run apart: media buckets " +
+        "saturate on shared envelope headers where text buckets saturate " +
+        "on boilerplate prose (q263's drift rationale), so the right cap " +
+        "differs by modality and a fleet sets each from its own dial " +
+        "rather than sharing one constant. Same scale posture as q265: " +
+        "panel-scoped exhaustive exact side, id-only per-pair frame, " +
+        "nightly beside the scoreboards."
+    ) { (s, dir) =>
+      DedupQueries.bucketCapDial(byteSimhashSigs(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload"))))
     }
   )
 

@@ -457,6 +457,69 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q265 is the set algebra of per-pair smallest-shared-bucket grading") {
+    import graft.operators.DedupQueries
+    val sigs = DedupQueries.textSimhashSigs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-pair min shared-bucket size recomputed HERE from collected sigs
+    val bands = DedupQueries.SimhashBands
+    def keysOf(sim: Long) = bands.map { case (b, off, mask) =>
+      (b, (sim >>> off) & mask)
+    }
+    val bucketSize = sigs.values.toSeq.flatMap(keysOf)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val exact = sigs.keys.filter(_ % 5 == 0).flatMap { p =>
+      sigs.collect {
+        case (d, s) if d != p &&
+          java.lang.Long.bitCount(sigs(p) ^ s) <= 6 =>
+          val shared = keysOf(sigs(p)).toSet.intersect(keysOf(s).toSet)
+          (p, d, shared.map(bucketSize).min)
+      }
+    }.toSeq
+    val dial = SparkEntry.queries("q265_bucket_cap_dial")(spark, sf).collect()
+    assert(dial.map(_.getLong(0)).toSeq == DedupQueries.CapSweep.map(_.toLong))
+    dial.foreach { r =>
+      val cap = r.getLong(r.fieldIndex("cap"))
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == exact.size, s"cap $cap exact_cnt")
+      assert(r.getLong(r.fieldIndex("hits")) == exact.count(_._3 <= cap),
+        s"cap $cap hits")
+    }
+    // exactly one chosen row, and it is the minimal floor-meeting cap
+    assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
+  }
+
+  test("the cap dial moves with the floor and the chosen cap feeds the index (closed loop)") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, MultimodalQueries}
+    // q263's saturated corpus: 70 byte-identical payloads — every pair is
+    // a true duplicate, every bucket holds 70. The shipped cap (64) drops
+    // everything; the dial must discover that 128 is the minimal working
+    // cap, and the pair builder at the dial's choice must recover what
+    // the default loses.
+    val payload = Array.tabulate(64)(i => (i * 7 + 3).toByte)
+    val media = (0L until 70L).map(id => (id, payload.clone))
+      .toDF("doc_id", "payload")
+    val sigs = MultimodalQueries.byteSimhashSigs(media)
+    val dial = DedupQueries.bucketCapDial(sigs).collect()
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+    assert(chosen.length == 1 && chosen.head.getLong(0) == 128L,
+      "only cap 128 clears the 70-member buckets")
+    dial.foreach { r =>
+      val expect = if (r.getLong(0) >= 70L) 1000000L else 0L
+      assert(r.getLong(r.fieldIndex("recall_ppm")) == expect,
+        s"cap ${r.getLong(0)} recall")
+    }
+    // floor moves the choice: any recall clears a 0 floor, so the dial
+    // must fall to the cheapest swept cap
+    val loose = DedupQueries.bucketCapDial(sigs, floorPpm = 0L).collect()
+    assert(loose.filter(_.getBoolean(loose.head.fieldIndex("chosen")))
+      .head.getLong(0) == 16L)
+    // closed loop: the default cap loses every pair, the dial-chosen cap
+    // recovers all 70*69/2
+    assert(DedupQueries.simhashNearDupPairsUnsorted(sigs).count() == 0L)
+    assert(DedupQueries.simhashNearDupPairsUnsorted(sigs, 128).count() == 69L * 35L)
+  }
+
   test("the simhash scoreboard detects bucket-cap loss on a saturated planted corpus") {
     import spark.implicits._
     // 70 byte-identical payloads: every pair is Hamming 0 — a TRUE
