@@ -1323,6 +1323,39 @@ class StreamingOpsSpec extends SparkSpec {
       s"streaming pair set diverged from batch q252: only-stream=${a -- batchPairs}, only-batch=${batchPairs -- a}")
   }
 
+  test("text near-dup through the same tws equals batch q40 — the processor is signature-generic") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{MediaSig, NearDupPair}
+    implicit val sqlCtx = spark.sqlContext
+
+    // The near-dup state processor is keyed on (band, key) of a 64-bit
+    // SimHash — nothing in it is media-specific. Feeding the TEXT
+    // signature stream must reproduce batch q40 exactly, so one streaming
+    // operator serves both modalities' ingest-time admission.
+    val batchPairs = operators.DedupQueries.simhashNearDupPairs(
+      operators.DedupQueries.textSimhashSigs(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = operators.DedupQueries.textSimhashSigs(spark, sf)
+      .orderBy("doc_id").as[MediaSig].collect()
+
+    val input = MemoryStream[MediaSig]
+    val pairs = try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.mediaNearDupTws(input.toDS())
+        .writeStream.format("memory").queryName("text_neardup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        sigs.grouped(math.max(sigs.length / 5, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table("text_neardup").as[NearDupPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(pairs === batchPairs,
+      s"streamed text pairs diverged from batch q40: only-stream=${pairs -- batchPairs}, only-batch=${batchPairs -- pairs}")
+  }
+
   test("chunk-store admission tws equals the batch min-doc rule and is batch-boundary-invariant") {
     import spark.implicits._
     import graft.streaming.StatefulOps.{ChunkArrival, ChunkDecision}
