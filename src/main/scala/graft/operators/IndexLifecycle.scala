@@ -336,4 +336,75 @@ object IndexLifecycle {
                probes: Int = SimilarityQueries.IvfProbes): DataFrame =
     SimilarityQueries.ivfPqTopKFrom(s, dir,
       readCentroids(s, centsRoot), readCodebook(s, codebookRoot), probes)
+
+  // ---------- near-dup cap pillar ----------
+
+  /** The latest committed bucket cap — the near-dup index's operating
+    * parameter, versioned with the same discipline as the vector pillars
+    * (a cap is an index artifact the moment it gates which pairs exist:
+    * two readers on different caps disagree about the corpus). */
+  def readCap(s: SparkSession, root: String): Int = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed cap under $root"))
+    s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+  }
+
+  /** The latest committed install-time dial frame (cap, exact_cnt, hits,
+    * recall_ppm, meets_floor, chosen) — the recall evidence the installed
+    * cap was chosen on. */
+  def readCapBaseline(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed cap under $root"))
+    s.read.parquet(s"$root/v=$v/capdial")
+  }
+
+  /** Install `cap` as `version`, recording the q265 dial of `sigs` under
+    * the full sweep as the install-time baseline. Same atomicity /
+    * idempotence contract as [[install]]. */
+  def installCap(s: SparkSession, root: String, version: Long, cap: Int,
+                 sigs: DataFrame,
+                 interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+      DedupQueries.bucketCapDial(sigs)
+        .write.mode("overwrite").parquet(staging.resolve("capdial").toString)
+    }
+
+  /** The installed cap's health on the CURRENT corpus: the q265 dial
+    * recomputed over `sigs`, each row marked `installed` (is this the
+    * shipped cap) and `recalibrate` (the shipped cap no longer meets the
+    * floor — the corpus drifted into bucket saturation the way media
+    * envelopes or boilerplate prose do). Green right after a
+    * recalibration by construction. */
+  def capDriftAudit(s: SparkSession, root: String, sigs: DataFrame): DataFrame = {
+    val cap = readCap(s, root).toLong
+    DedupQueries.bucketCapDial(sigs)
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
+  }
+
+  /** The closed loop for the cap pillar: audit the installed cap against
+    * `sigs`; if it no longer meets the recall floor, install the dial's
+    * newly chosen cap as the next version atomically. Returns the new
+    * version when a recalibration happened. */
+  def recalibrateCapIfSagging(s: SparkSession, root: String,
+                              sigs: DataFrame): Option[Long] = {
+    val audit = capDriftAudit(s, root, sigs).collect()
+    if (!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate")))) None
+    else {
+      val chosen = audit.filter(_.getBoolean(audit.head.fieldIndex("chosen")))
+        .head.getLong(0).toInt
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installCap(s, root, next, chosen, sigs)
+      Some(next)
+    }
+  }
+
+  /** q40's near-dup pairs through the installed cap — the store is the
+    * only path by which a recalibration changes what readers see. */
+  def nearDupThroughStore(s: SparkSession, root: String,
+                          sigs: DataFrame): DataFrame =
+    DedupQueries.simhashNearDupPairsUnsorted(sigs, readCap(s, root))
+      .orderBy("doc_a", "doc_b")
 }

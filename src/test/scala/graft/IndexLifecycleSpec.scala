@@ -263,4 +263,110 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(run3 !== run1,
       "a centroid swap must change IVF-PQ routing (results flowed from the store)")
   }
+
+  /** Deterministic payload corpora for the cap pillar: `healthy` is ten
+    * 2-member duplicate families (every bucket tiny, cap 16 suffices);
+    * `drifted` adds a 70-member byte-identical family whose band buckets
+    * all exceed the shipped cap — the saturation drift media envelopes
+    * and boilerplate prose produce in the wild. */
+  private def lcgPayload(seed: Long): Array[Byte] = {
+    var x = seed
+    Array.fill(64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) & 0xff).toByte
+    }
+  }
+
+  private def sigsOf(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    graft.operators.MultimodalQueries.byteSimhashSigs(
+      rows.toDF("doc_id", "payload"))
+  }
+
+  private def healthyRows: Seq[(Long, Array[Byte])] =
+    (0L until 10L).flatMap(f =>
+      Seq((2 * f, lcgPayload(f + 1)), (2 * f + 1, lcgPayload(f + 1))))
+
+  private def driftedRows: Seq[(Long, Array[Byte])] =
+    healthyRows ++ (1000L until 1070L).map(id => (id, lcgPayload(99L)))
+
+  test("cap drift flags a saturated corpus; recalibrate-and-swap turns the dial green") {
+    val root = Files.createTempDirectory("graft_cap_store").toString
+
+    // v1: the dial's choice on the healthy corpus is the cheapest cap
+    val dial1 = graft.operators.DedupQueries.bucketCapDial(sigsOf(healthyRows))
+      .filter(col("chosen")).collect()
+    assert(dial1.length == 1 && dial1.head.getLong(0) == 16L,
+      "tiny buckets must calibrate to the cheapest swept cap")
+    assert(IndexLifecycle.installCap(spark, root, 1L, 16, sigsOf(healthyRows)))
+    assert(IndexLifecycle.readCap(spark, root) === 16)
+    val audit1 = IndexLifecycle.capDriftAudit(spark, root, sigsOf(healthyRows))
+      .collect()
+    assert(!audit1.exists(_.getBoolean(audit1.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle
+      .recalibrateCapIfSagging(spark, root, sigsOf(healthyRows)).isEmpty)
+
+    // the corpus drifts into saturation: the installed cap's recall
+    // collapses (966 of 970 panel pairs sit only in 70-member buckets)
+    val audit2 = IndexLifecycle.capDriftAudit(spark, root, sigsOf(driftedRows))
+      .collect()
+    assert(audit2.exists(r => r.getBoolean(r.fieldIndex("recalibrate"))),
+      s"saturated corpus must flag the installed cap:\n${audit2.mkString("\n")}")
+
+    // the closed loop installs the dial's new choice atomically
+    assert(IndexLifecycle
+      .recalibrateCapIfSagging(spark, root, sigsOf(driftedRows)) === Some(2L))
+    assert(IndexLifecycle.readCap(spark, root) === 128)
+    val audit3 = IndexLifecycle.capDriftAudit(spark, root, sigsOf(driftedRows))
+      .collect()
+    assert(!audit3.exists(_.getBoolean(audit3.head.fieldIndex("recalibrate"))),
+      "post-recalibration audit must read green")
+
+    // pairs flow through the store alone: the v1 cap dropped the planted
+    // family, the v2 cap recovers all 70*69/2 of it plus the healthy 10
+    val pairs = IndexLifecycle
+      .nearDupThroughStore(spark, root, sigsOf(driftedRows)).count()
+    assert(pairs === 69L * 35L + 10L,
+      s"dial-chosen cap must recover the saturated family, got $pairs")
+    assert(graft.operators.DedupQueries
+      .simhashNearDupPairsUnsorted(sigsOf(driftedRows), 16).count() === 10L,
+      "the superseded cap loses exactly the planted family")
+
+    // replayed install of a committed version is a strict no-op
+    assert(!IndexLifecycle.installCap(spark, root, 2L, 16, sigsOf(healthyRows)))
+    assert(IndexLifecycle.readCap(spark, root) === 128)
+  }
+
+  test("a cap reader concurrent with the swap sees exactly one complete version") {
+    val root = Files.createTempDirectory("graft_cap_swap").toString
+    assert(IndexLifecycle.installCap(spark, root, 1L, 16, sigsOf(healthyRows)))
+
+    var sawDuringStaged: Option[(Option[Long], Int)] = None
+    var sawAfterInstall: Option[(Option[Long], Int)] = None
+    IndexLifecycle.installCap(spark, root, 2L, 128, sigsOf(driftedRows),
+      interpose = {
+        case "staged" =>
+          sawDuringStaged = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCap(spark, root)))
+        case "installed" =>
+          sawAfterInstall = Some((IndexLifecycle.latestVersion(root),
+            IndexLifecycle.readCap(spark, root)))
+        case _ => ()
+      })
+    assert(sawDuringStaged === Some((Some(1L), 16)),
+      "mid-swap reader must see the OLD cap, complete")
+    assert(sawAfterInstall === Some((Some(2L), 128)))
+    // the install-time dial evidence rode along with the artifact
+    assert(IndexLifecycle.readCapBaseline(spark, root)
+      .filter(col("chosen")).head.getLong(0) === 128L)
+
+    // a failed install never becomes visible and leaves no staging debris
+    intercept[RuntimeException] {
+      IndexLifecycle.installCap(spark, root, 3L, 64, sigsOf(healthyRows),
+        interpose = phase =>
+          if (phase == "staged") throw new RuntimeException("crash before move"))
+    }
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+    assert(IndexLifecycle.readCap(spark, root) === 128)
+  }
 }
