@@ -631,6 +631,84 @@ object MultimodalQueries {
     ) { (s, dir) =>
       DedupQueries.bucketCapDial(byteSimhashSigs(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload"))))
+    },
+
+    GraftQuery(
+      "q267_media_resize",
+      Some(s"""WITH $mediaBytesSqlCtes, h2 AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 2 = 0
+              |           THEN concat('89504E470D0A1A0A0000000D49484452',
+              |                lpad(hex((n_chars % 640) // 2), 8, '0'),
+              |                lpad(hex((n_chars % 480) // 2), 8, '0'),
+              |                '080600000000000000')
+              |           ELSE concat('FFD8FFC0001108',
+              |                lpad(hex((n_chars % 480) // 2), 4, '0'),
+              |                lpad(hex((n_chars % 640) // 2), 4, '0'),
+              |                '03011100021101031101')
+              |         END AS h
+              |  FROM documents
+              |), c2 AS (
+              |  SELECT doc_id, string_split(h, '') c FROM h2
+              |), b2 AS (
+              |  SELECT doc_id,
+              |         list_transform(range(1, len(c)//2 + 1), i ->
+              |           CAST((ascii(c[2*i-1]) - 48
+              |             - CASE WHEN ascii(c[2*i-1]) >= 65 THEN 7 ELSE 0 END) * 16
+              |           + ascii(c[2*i]) - 48
+              |             - CASE WHEN ascii(c[2*i]) >= 65 THEN 7 ELSE 0 END
+              |           AS BIGINT)) AS hv
+              |  FROM c2
+              |), rb AS (
+              |  SELECT bt.doc_id,
+              |         CASE WHEN bt.doc_id % 2 = 0 THEN $PngHeaderLen
+              |              ELSE $JpegHeaderLen END AS hl,
+              |         len(bt.bv) AS n_in,
+              |         list_concat(b2.hv,
+              |           list_transform(
+              |             range(0, (len(bt.bv)
+              |               - CASE WHEN bt.doc_id % 2 = 0 THEN $PngHeaderLen
+              |                      ELSE $JpegHeaderLen END + 3) // 4),
+              |             i -> bt.bv[CASE WHEN bt.doc_id % 2 = 0
+              |                        THEN $PngHeaderLen
+              |                        ELSE $JpegHeaderLen END + 4*i + 1])) AS ob
+              |  FROM bt JOIN b2 ON b2.doc_id = bt.doc_id
+              |)
+              |SELECT rb.doc_id,
+              |       CASE WHEN rb.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+              |         AS format,
+              |       CAST((d.n_chars % 640) // 2 AS BIGINT) AS width,
+              |       CAST((d.n_chars % 480) // 2 AS BIGINT) AS height,
+              |       CAST(rb.n_in AS BIGINT) AS n_bytes_in,
+              |       CAST(len(rb.ob) AS BIGINT) AS n_bytes_out,
+              |       CAST(list_reduce(list_prepend(0::BIGINT, rb.ob),
+              |              (a, b) -> (a * 256 + b) % ${DedupQueries.ShingleP})
+              |            AS BIGINT) AS payload_fp
+              |FROM rb JOIN documents d ON d.doc_id = rb.doc_id
+              |ORDER BY rb.doc_id""".stripMargin),
+      "Resize/transcode stage — the payload→payload shape q68's note " +
+        "promises, made concrete: the envelope header is parsed from the " +
+        "BYTES, dimensions halve, the body strides by 4 (the area scaling " +
+        "of a 2× linear resize — a deterministic stand-in for the pixel " +
+        "resample a real codec performs in this exact stage), and a VALID " +
+        "envelope of the same format re-emits with the new dims patched " +
+        "in. The reported format/width/height come from RE-DECODING the " +
+        "output through the same parser every payload stage uses, so the " +
+        "oracle match proves the transcoded envelope round-trips — " +
+        "resized media flows back into q51 decode, q252 near-dup and " +
+        "q253 chunking unchanged. payload_fp folds the full output bytes " +
+        "base-256 mod the 2^40 prime (q253's replayable arithmetic), so " +
+        "the compare pins every output byte, not just the header. At " +
+        "100 TB this is the one payload-touching rewrite stage: " +
+        "batch-at-a-time per partition, sized by maxPartitionBytes, " +
+        "output co-partitioned with input, ~16× smaller bodies downstream."
+    ) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")).as[VideoRow]
+      media.mapPartitions(_.flatMap(resizeAndAudit))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -783,4 +861,67 @@ object MultimodalQueries {
       FrameSample(r.doc_id, j.toLong, digest)
     }
   }
+
+  /** q267's linear downsample factor (dims halve, body strides by its
+    * square — the area scaling of a 2× resize). */
+  val ResizeFactor = 2
+
+  /** The resize/transcode stage kernel — payload IN, payload OUT (the
+    * q68 note's promised shape): parse the envelope header from the
+    * BYTES, halve the declared dimensions, stride the body by
+    * ResizeFactor² (a deterministic stand-in for the pixel resample a
+    * real codec performs), and re-emit a VALID envelope of the same
+    * format with the new dims patched into the header — the output
+    * re-decodes through [[parseImageDims]] like any other payload, which
+    * is what lets resized media flow back into every payload-consuming
+    * stage (q51 decode, q252 near-dup, q253 chunking) unchanged. A
+    * payload that doesn't parse returns None (the q257 drop-with-guard
+    * discipline). */
+  def resizeEnvelope(b: Array[Byte]): Option[Array[Byte]] =
+    parseImageDims(b).flatMap { case (fmt, w, h) =>
+      val hdrLen = if (fmt == "png") PngHeaderLen else JpegHeaderLen
+      if (b.length < hdrLen) None
+      else {
+        val hdr = java.util.Arrays.copyOf(b, hdrLen)
+        def be(off: Int, width: Int, v: Int): Unit = {
+          var i = 0
+          while (i < width) { hdr(off + i) = (v >>> (8 * (width - 1 - i))).toByte; i += 1 }
+        }
+        if (fmt == "png") { be(16, 4, w / ResizeFactor); be(20, 4, h / ResizeFactor) }
+        else { be(7, 2, h / ResizeFactor); be(9, 2, w / ResizeFactor) }
+        val bodyLen = b.length - hdrLen
+        val stride = ResizeFactor * ResizeFactor
+        val out = new Array[Byte](hdrLen + (bodyLen + stride - 1) / stride)
+        System.arraycopy(hdr, 0, out, 0, hdrLen)
+        var i = 0
+        while (i * stride < bodyLen) { out(hdrLen + i) = b(hdrLen + i * stride); i += 1 }
+        Some(out)
+      }
+    }
+
+  final case class ResizedMedia(doc_id: Long, format: String, width: Long,
+                                height: Long, n_bytes_in: Long,
+                                n_bytes_out: Long, payload_fp: Long)
+
+  /** Base-256-mod-P fold of a whole payload — the replayable content
+    * fingerprint the oracle recomputes from hex (q253's chunk-fold
+    * arithmetic over the full byte stream). */
+  private[graft] def payloadFp(b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) { acc = (acc * 256L + (b(i) & 0xffL)) % DedupQueries.ShingleP; i += 1 }
+    acc
+  }
+
+  /** The full q267 stage: resize, then RE-DECODE the emitted envelope —
+    * the reported format/dims come from the OUTPUT bytes, so equality
+    * with the oracle's arithmetic expectation proves the patched header
+    * round-trips through the same parser every other stage uses. */
+  def resizeAndAudit(r: VideoRow): Iterator[ResizedMedia] =
+    resizeEnvelope(r.payload).flatMap { out =>
+      parseImageDims(out).map { case (fmt, w, h) =>
+        ResizedMedia(r.doc_id, fmt, w.toLong, h.toLong,
+          r.payload.length.toLong, out.length.toLong, payloadFp(out))
+      }
+    }.iterator
 }
