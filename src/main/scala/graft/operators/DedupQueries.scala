@@ -412,10 +412,13 @@ object DedupQueries {
     * frame, unsorted: sign-LSH codes (4 tables × `bits`-bit hyperplane
     * codes), symmetric Hamming≤1 multi-probe, bounded buckets, in-bucket
     * pairing over IDS only, exact cosine re-check. */
-  private[graft] def lshNearDupPairsFrom(e: DataFrame, bits: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dotd
+  /** (vec_id, tbl, code) — every vector's bounded probe-bucket
+    * memberships across `tables` sign-LSH tables: own code plus all
+    * Hamming-1 probes, buckets capped at [[MaxBucket]]. The shared
+    * collision universe of q67's pairing and the q268 table dial. */
+  private[graft] def lshBoundedKeys(e: DataFrame, bits: Int,
+                                    tables: Int = LshTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val Tbl = 4
     val Dim = 64
     val codeFor: Int => org.apache.spark.sql.Column = t =>
       graft.functions.VectorFunctions.signCode(col("v"),
@@ -427,14 +430,24 @@ object DedupQueries {
     // banding, pair expansion and dedupe (16 B/pair, not the vectors);
     // the embeddings join back for the exact re-check afterwards.
     val probed = e.select(col("vec_id"),
-      explode(array((0 until Tbl).map(t => struct(lit(t).as("tbl"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
         codeFor(t).as("code"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.tbl"),
         explode(array(col("bk.code") +:
           (0 until bits).map(b => col("bk.code").bitwiseXOR(lit(1 << b))): _*)).as("code"))
-    val bounded = probed
+    probed
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "code")))
       .filter(col("bsz").between(2, MaxBucket))
+      .select(col("vec_id"), col("tbl"), col("code"))
+  }
+
+  /** q67's shipped table count — the q268 dial's default and sweep max. */
+  private[graft] val LshTables = 4
+
+  private[graft] def lshNearDupPairsFrom(e: DataFrame, bits: Int,
+                                         tables: Int = LshTables): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val bounded = lshBoundedKeys(e, bits, tables)
       .groupBy("tbl", "code")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
     val pairs = bounded
@@ -465,8 +478,10 @@ object DedupQueries {
     * missed) names the strongest dropped pair — near 1.0 means the index
     * is dropping true near-dups (cap saturation), near 0.35 means only
     * threshold-straddlers slip (the documented LSH hard case). */
-  private[graft] def embeddingScoreboard(e: DataFrame, pairs: DataFrame,
-                                         nVecs: Long): DataFrame = {
+  /** (pa, pd, cos4) — the deterministic 20% panel's exact cosine ≥ 0.35
+    * partners via q42's tile discipline restricted to panel × corpus.
+    * The shared exact side of the q264 scoreboard and the q268 dial. */
+  private[graft] def panelExactCosine(e: DataFrame, nVecs: Long): DataFrame = {
     import graft.functions.VectorFunctions.dotd
     val BlockRows = 256L
     val B = math.min(1024L, math.max(1L, (nVecs + BlockRows - 1) / BlockRows)).toInt
@@ -474,7 +489,7 @@ object DedupQueries {
     val panel = blocked.filter(col("vec_id") % 5 === 0)
       .withColumn("tb", explode(sequence(lit(0), lit(B - 1))))
       .select(col("tb"), col("vec_id").as("pa"), col("v").as("va"), col("nrm").as("na"))
-    val exact = blocked
+    blocked
       .select(col("blk").as("tb"), col("vec_id").as("pd"), col("v").as("vb"),
         col("nrm").as("nb"))
       .join(panel, Seq("tb"))
@@ -482,6 +497,11 @@ object DedupQueries {
       .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("c") >= 0.35)
       .select(col("pa"), col("pd"), round(col("c"), 4).as("cos4"))
+  }
+
+  private[graft] def embeddingScoreboard(e: DataFrame, pairs: DataFrame,
+                                         nVecs: Long): DataFrame = {
+    val exact = panelExactCosine(e, nVecs)
     val aps = pairs.select(col("vec_a").as("pa"), col("vec_b").as("pd"))
       .unionAll(pairs.select(col("vec_b").as("pa"), col("vec_a").as("pd")))
       .withColumn("hit", lit(1))
@@ -610,6 +630,74 @@ object DedupQueries {
     simhashNearDupPairsUnsorted(textSimhashSigs(s, dir),
       calibratedSimhashCap(s, dir, floorPpm))
       .orderBy("doc_a", "doc_b")
+
+  /** The q268 recall target: micro recall the chosen table count must
+    * meet over the panel's exact cosine ≥ 0.35 pairs. Matches the probe
+    * dial's floor (both calibrate routing recall, not precision —
+    * precision is 1 by the exact re-check). */
+  private[graft] val LshTableFloorPpm = 500000L
+
+  /** The LSH table dial (q268) — the calibration q264's diagnostic points
+    * at: miss_max_cos near the threshold means pairs fall outside the
+    * probe radius, and the fix is MORE TABLES, each an independent
+    * hyperplane draw whose collision chance compounds. Tables are the
+    * index's linear cost knob (build size, probe work and bucket state
+    * all scale with t), so the dial sweeps t = 1..4 and emits the MINIMAL
+    * count whose panel recall meets the floor. One shared pass serves
+    * every t: each exact pair carries the SMALLEST table index where it
+    * collides through the bounded probe buckets (`min_tbl`), and it is
+    * found by t tables iff min_tbl < t — conditional sums over one
+    * per-pair frame, the index never re-built per sweep point. */
+  private[graft] def lshTableDial(e: DataFrame, bits: Int, nVecs: Long,
+                                  floorPpm: Long = LshTableFloorPpm,
+                                  tables: Int = LshTables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = lshBoundedKeys(e, bits, tables)
+    val pc = keys.filter(col("vec_id") % 5 === 0)
+      .select(col("tbl"), col("code"), col("vec_id").as("pa"))
+      .join(keys.select(col("tbl"), col("code"), col("vec_id").as("pd")),
+        Seq("tbl", "code"))
+      .filter(col("pa") =!= col("pd"))
+      .groupBy("pa", "pd")
+      .agg(min(col("tbl")).as("min_tbl"))
+    val graded = panelExactCosine(e, nVecs)
+      .join(pc, Seq("pa", "pd"), "left")
+    val agged = graded.agg(count(lit(1)).as("exact_cnt"),
+      (1 to tables).map(t =>
+        sum(when(col("min_tbl") < t, 1L)).as(s"h$t")): _*)
+    val all = Window.partitionBy(lit(1))
+    agged.select(col("exact_cnt"),
+      explode(array((1 to tables).map(t => struct(lit(t.toLong).as("tables"),
+        coalesce(col(s"h$t"), lit(0L)).as("hits"))): _*)).as("tr"))
+      .select(col("tr.tables").as("tables"), col("exact_cnt"),
+        col("tr.hits").as("hits"))
+      .withColumn("recall_ppm",
+        expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)"))
+      .withColumn("meets_floor", col("recall_ppm") >= lit(floorPpm))
+      .withColumn("chosen", col("tables") === coalesce(
+        min(when(col("recall_ppm") >= lit(floorPpm), col("tables"))).over(all),
+        max(col("tables")).over(all)))
+      .orderBy("tables")
+  }
+
+  /** The dial reading as an OPERATING PARAMETER: the minimal swept table
+    * count whose panel recall meets `floorPpm`. */
+  def calibratedLshTables(s: SparkSession, dir: String,
+                          floorPpm: Long = LshTableFloorPpm): Int = {
+    val n = Tables.parquetRowCount(s, dir, "embeddings")
+    lshTableDial(normVecs(s, dir), SimilarityQueries.codeBits(n), n, floorPpm)
+      .filter(col("chosen")).select(col("tables")).head.getLong(0).toInt
+  }
+
+  /** q67's near-dup pairs at the dial-chosen table count — [[LshTables]]
+    * is now only the DEFAULT this entry point replaces. */
+  def lshNearDupCalibrated(s: SparkSession, dir: String,
+                           floorPpm: Long = LshTableFloorPpm): DataFrame = {
+    val n = Tables.parquetRowCount(s, dir, "embeddings")
+    lshNearDupPairsFrom(normVecs(s, dir), SimilarityQueries.codeBits(n),
+      calibratedLshTables(s, dir, floorPpm))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** Canonical lead fingerprint: sha256 of the first 8 lowercased words —
     * ONE definition shared by q160 (incremental dedup), q161 (source
@@ -1350,6 +1438,68 @@ object DedupQueries {
         "panel, and the chosen cap feeds the pair builder's cap " +
         "parameter instead of the MaxBucket constant (ApproxSpec closes " +
         "that loop)."
-    ) { (s, dir) => bucketCapDial(textSimhashSigs(s, dir)) }
+    ) { (s, dir) => bucketCapDial(textSimhashSigs(s, dir)) },
+
+    GraftQuery(
+      "q268_lsh_table_dial",
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes,
+              |pc AS (
+              |  SELECT p1.vec_id AS pa, p2.vec_id AS pd, min(p1.tbl) AS min_tbl
+              |  FROM bounded p1 JOIN bounded p2 USING (tbl, code)
+              |  WHERE p1.vec_id % 5 = 0 AND p2.vec_id <> p1.vec_id
+              |  GROUP BY 1, 2
+              |), pex AS (
+              |  SELECT pa, pd FROM (
+              |    SELECT p.vec_id AS pa, a.vec_id AS pd,
+              |           list_reduce(list_transform(range(1, 65),
+              |                                      i -> p.v[i] * a.v[i]),
+              |                       (x,y) -> x+y) / (p.nrm * a.nrm) AS c
+              |    FROM n p JOIN n a ON a.vec_id <> p.vec_id
+              |    WHERE p.vec_id % 5 = 0
+              |  ) WHERE c >= CAST(0.35 AS DOUBLE)
+              |), j AS (
+              |  SELECT pex.pa, pex.pd, pc.min_tbl
+              |  FROM pex LEFT JOIN pc ON pc.pa = pex.pa AND pc.pd = pex.pd
+              |), ts(t) AS (VALUES (1::BIGINT), (2), (3), (4)),
+              |g AS (
+              |  SELECT t, CAST(count(j.pa) AS BIGINT) AS exact_cnt,
+              |         CAST(count(CASE WHEN j.min_tbl < t THEN 1 END) AS BIGINT)
+              |           AS hits
+              |  FROM ts LEFT JOIN j ON TRUE
+              |  GROUP BY t
+              |)
+              |SELECT t AS tables, exact_cnt, hits,
+              |       CAST(coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+              |            AS BIGINT) AS recall_ppm,
+              |       coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+              |         >= $LshTableFloorPpm AS meets_floor,
+              |       t = coalesce(
+              |         min(CASE WHEN coalesce(hits * 1000000
+              |                                // nullif(exact_cnt, 0), 0)
+              |                       >= $LshTableFloorPpm THEN t END) OVER (),
+              |         max(t) OVER ()) AS chosen
+              |FROM g ORDER BY tables""".stripMargin),
+      "LSH table dial — the calibration q264's diagnostic points at: " +
+        "misses near the threshold mean pairs fall outside the probe " +
+        "radius, and the fix is MORE TABLES (independent hyperplane " +
+        "draws whose collision chance compounds), not a larger cap. " +
+        "Tables are the index's LINEAR cost knob — build size, probe " +
+        "work and bucket state all scale with t — so the dial sweeps " +
+        "t = 1..4 against the panel's exact cosine ≥ 0.35 partners and " +
+        "emits the minimal count meeting the 500000 ppm floor. One " +
+        "shared pass serves every sweep point: each exact pair carries " +
+        "the smallest table index where it collides through the bounded " +
+        "probe buckets, and t tables find it iff that index < t — the " +
+        "q251/q265 threshold trick with tables as the dimension. " +
+        "Completing the dial family, every approximate index now " +
+        "calibrates each of its operating parameters from its own " +
+        "scoreboard: IVF probes (q251), SimHash caps (q265/q266), LSH " +
+        "tables (here). At 100 TB this runs nightly beside q264 on the " +
+        "same panel; the chosen t feeds the pair builder's tables " +
+        "parameter (calibratedLshTables closes the loop)."
+    ) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, dir, "embeddings")
+      lshTableDial(normVecs(s, dir), SimilarityQueries.codeBits(n), n)
+    }
   )
 }

@@ -432,6 +432,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("the table dial is monotone, agrees with q264 at full width, and moves with the floor") {
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val e = DedupQueries.normVecs(spark, sf)
+    val dial = DedupQueries.lshTableDial(e, SimilarityQueries.codeBits(n), n)
+      .collect()
+    assert(dial.map(_.getLong(0)).toSeq == (1L to 4L))
+    // recall is non-decreasing in tables (each table only adds collisions)
+    val recalls = dial.map(_.getLong(dial.head.fieldIndex("recall_ppm")))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in tables: ${recalls.mkString(",")}")
+    // at full width the dial's hit count IS q264's: same exact side, and
+    // a pair collides through 4 tables iff it is in the shipped pair set
+    val hits4 = dial.last.getLong(dial.head.fieldIndex("hits"))
+    val sb = SparkEntry.queries("q264_embedding_recall_eval")(spark, sf).collect()
+    assert(hits4 == sb.map(_.getLong(sb.head.fieldIndex("hits"))).sum,
+      "t=4 hits must equal the q264 scoreboard's total")
+    assert(dial.last.getLong(dial.head.fieldIndex("exact_cnt")) ==
+      sb.map(_.getLong(sb.head.fieldIndex("exact_cnt"))).sum)
+    // exactly one chosen row; a zero floor moves the choice to one table
+    assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
+    val loose = DedupQueries.lshTableDial(e, SimilarityQueries.codeBits(n), n,
+      floorPpm = 0L).collect()
+    assert(loose.filter(_.getBoolean(loose.head.fieldIndex("chosen")))
+      .head.getLong(0) == 1L)
+    // the calibrated entry point serves the dial's choice
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+      .head.getLong(0).toInt
+    assert(DedupQueries.calibratedLshTables(spark, sf) == chosen)
+  }
+
   test("the embedding scoreboard detects bucket-cap loss on a saturated planted corpus") {
     import spark.implicits._
     import graft.operators.{DedupQueries, SimilarityQueries}
