@@ -138,6 +138,33 @@ object TextQueries {
       .select(split(lower(col("text")), " ").as("w"))
       .select(explode(bigramArray(col("w"))).as("bigram"))
 
+  /** q269's deterministic HTML envelope template — interpolated into BOTH
+    * the Spark builder and the DuckDB oracle (the leadFingerprintSql
+    * discipline), so the synthesized markup can never drift between
+    * engines. No single quotes (SQL literal safety); the chrome carries
+    * head/title, script + style elements, nav and footer text, and an
+    * INLINE script inside the article the extractor must drop wholesale. */
+  private[graft] val HtmlPre = "<html><head><title>"
+  private[graft] val HtmlMid =
+    "</title><script>var a=1;track();</script><style>.x{margin:0}</style>" +
+      "</head><body><nav>Home | Browse | Contact</nav>" +
+      "<article><script>inline();</script><p>"
+  private[graft] val HtmlTail1 = "</p></article><footer>(c) "
+  private[graft] val HtmlTail2 = " - all rights reserved</footer></body></html>"
+
+  /** q269's extraction chain over any html column — segment to the
+    * article, drop script elements WITH content, strip remaining tags,
+    * collapse space runs. Dialect-portable regexes only (see the q269
+    * note); shared by the query and the adversarial fixture spec. */
+  private[graft] def extractMarkup(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_extract(html, "<article>(.*)</article>", 1),
+          "<script[^>]*>[^<]*</script>", " "),
+        "<[^>]*>", " "),
+      " +", " "))
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -2601,6 +2628,66 @@ object TextQueries {
           (min("c") - max("n")).as("overestimate"))
         .orderBy(col("exact_n").desc, col("token"))
         .limit(15)
+    },
+
+    GraftQuery(
+      "q269_markup_extract",
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, text,
+              |         concat('$HtmlPre', source, '$HtmlMid', text,
+              |                '$HtmlTail1', source, '$HtmlTail2') AS html
+              |  FROM documents
+              |), x AS (
+              |  SELECT doc_id, text, html,
+              |         trim(regexp_replace(
+              |           regexp_replace(
+              |             regexp_replace(
+              |               regexp_extract(html, '<article>(.*)</article>', 1),
+              |               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+              |             '<[^>]*>', ' ', 'g'),
+              |           ' +', ' ', 'g')) AS extracted
+              |  FROM h
+              |)
+              |SELECT doc_id,
+              |       CAST(len(html) AS BIGINT) AS n_html_chars,
+              |       CAST(len(extracted) AS BIGINT) AS n_extracted_chars,
+              |       CAST(len(extracted) * 1000000 // len(html) AS BIGINT)
+              |         AS content_ratio_ppm,
+              |       extracted = text AS intact
+              |FROM x ORDER BY doc_id""".stripMargin),
+      "Markup boilerplate extraction — the readability-style main-content " +
+        "pass every scraped corpus runs before any quality gate: documents " +
+        "ride inside a deterministic HTML envelope (head/title, script and " +
+        "style elements, nav and footer chrome, the body text inside an " +
+        "article element — including an INLINE script the extractor must " +
+        "drop with its content, not just its tags), and extraction is " +
+        "segment-then-strip: take the article region, remove script " +
+        "elements wholesale, strip remaining tags, collapse runs of " +
+        "spaces. `intact` pins the round trip — the extracted content " +
+        "equals the original text exactly, so chrome removal provably " +
+        "lost nothing — and content_ratio_ppm is the text-to-markup " +
+        "density signal extraction pipelines gate on (chrome-heavy pages " +
+        "score low). Every regex sticks to dialect-portable constructs " +
+        "(explicit ' +' not \\\\s+, character classes over dotall flags) " +
+        "so Java and RE2 agree byte-for-byte. At 100 TB this is one " +
+        "codegen'd scan pass — regexp_replace/extract are " +
+        "whole-stage-codegen expressions, no UDF boundary — and the " +
+        "envelope synthesis column swaps for the real crawl payload " +
+        "column with the extraction chain unchanged."
+    ) { (s, dir) =>
+      val html = concat(lit(HtmlPre), col("source"), lit(HtmlMid), col("text"),
+        lit(HtmlTail1), col("source"), lit(HtmlTail2))
+      val extracted = extractMarkup(html)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(html).cast("long").as("n_html_chars"),
+          length(extracted).cast("long").as("n_extracted_chars"),
+          (extracted === col("text")).as("intact"))
+        .withColumn("content_ratio_ppm",
+          expr("n_extracted_chars * 1000000 div n_html_chars"))
+        .select(col("doc_id"), col("n_html_chars"), col("n_extracted_chars"),
+          col("content_ratio_ppm"), col("intact"))
+        .orderBy("doc_id")
     }
   )
 

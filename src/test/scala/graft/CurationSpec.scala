@@ -55,6 +55,30 @@ class CurationSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("markup extraction handles chrome the driver corpus cannot exercise") {
+    import spark.implicits._
+    import graft.functions.TextQueries
+    // the corpus text is markup-free, so q269's oracle only proves the
+    // happy path; these fixtures pin the extractor on adversarial markup
+    val rows = Seq(
+      // attribute-bearing script inside the article drops WITH content
+      ("<x><article><script type=\"text/js\">track(1);</script>real content" +
+        "</article><footer>no</footer></x>", "real content"),
+      // multiple tags and runs of spaces collapse to single spaces
+      ("<article><p>a</p>  <p>b</p><br/><em>c</em></article>", "a b c"),
+      // nothing outside the article survives, even text-bearing chrome
+      ("<nav>Home</nav><article>kept</article><div>dropped</div>", "kept"),
+      // an empty article extracts to the empty string, not a crash
+      ("<article></article>", ""),
+      // no article at all extracts empty (regexp_extract's no-match form)
+      ("<p>orphan</p>", "")
+    ).toDF("html", "expected")
+    val got = rows.select(TextQueries.extractMarkup(col("html")).as("x"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"extracted '${r.getString(0)}' != expected '${r.getString(1)}'"))
+  }
+
   test("the curation family survives an empty-text document without NaN leakage") {
     import spark.implicits._
     // EdgeCorpus texts are non-empty by contract, so this shape is pinned
