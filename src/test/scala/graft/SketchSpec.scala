@@ -519,6 +519,21 @@ class SketchSpec extends SparkSpec {
     assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
   }
 
+  test("the calibrated cap entry points serve the dial's corpus choice") {
+    import graft.operators.DedupQueries
+    val dial = SparkEntry.queries("q265_bucket_cap_dial")(spark, sf).collect()
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+      .head.getLong(0).toInt
+    assert(DedupQueries.calibratedSimhashCap(spark, sf) == chosen)
+    val served = DedupQueries.simhashNearDupCalibrated(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = DedupQueries.simhashNearDupPairsUnsorted(
+      DedupQueries.textSimhashSigs(spark, sf), chosen).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct,
+      "the calibrated entry point must serve exactly the chosen-cap pair set")
+  }
+
   test("the cap dial moves with the floor and the chosen cap feeds the index (closed loop)") {
     import spark.implicits._
     import graft.operators.{DedupQueries, MultimodalQueries}
