@@ -798,7 +798,7 @@ object StatefulOps {
     * groupByKey shuffles 24-byte (bucket, doc_id, sim) rows once and an
     * ingest pipeline drops a flagged doc_b on arrival — admit-once over
     * media content, without ever holding two payloads in one place. */
-  class MediaBandProcessor
+  class MediaBandProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MediaBandArrival, NearDupPair] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
@@ -816,7 +816,7 @@ object StatefulOps {
       val filed = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
       members.get().foreach(filed += _)
       rows.toSeq.sortBy(_.doc_id).iterator.flatMap { r =>
-        if (filed.length >= graft.operators.DedupQueries.MaxBucket) Iterator.empty
+        if (filed.length >= cap) Iterator.empty
         else {
           val hits = filed.iterator.filter { m =>
             java.lang.Long.bitCount(m.sim ^ r.sim) <= 6 &&
@@ -904,7 +904,9 @@ object StatefulOps {
   /** Keyed media near-dup detection via transformWithState over the shared
     * band table (Append: each near-dup pair is reported exactly once, at
     * its canonical band, when its later doc arrives). */
-  def mediaNearDupTws(sigs: Dataset[MediaSig]): Dataset[NearDupPair] = {
+  def mediaNearDupTws(sigs: Dataset[MediaSig],
+                      cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[NearDupPair] = {
     import sigs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     sigs
@@ -914,7 +916,7 @@ object StatefulOps {
             s.doc_id, s.sim)
       })
       .groupByKey(_.bucket)
-      .transformWithState(new MediaBandProcessor,
+      .transformWithState(new MediaBandProcessor(cap),
         TimeMode.None(), OutputMode.Append())
   }
 

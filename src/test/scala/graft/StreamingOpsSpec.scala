@@ -1356,6 +1356,59 @@ class StreamingOpsSpec extends SparkSpec {
       s"streamed text pairs diverged from batch q40: only-stream=${pairs -- batchPairs}, only-batch=${batchPairs -- pairs}")
   }
 
+  test("the calibrated cap flows through streaming admission — streamed pairs equal batch at the dial's choice") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{MediaSig, NearDupPair}
+    implicit val sqlCtx = spark.sqlContext
+
+    // q265's saturated-drift scenario on the streaming side: 70
+    // byte-identical payloads saturate every bucket past the default cap,
+    // so default-cap streaming admits nothing — the dial chooses 128 and
+    // the SAME processor at that cap must report exactly the batch pair
+    // set. Without the cap parameter a recalibration would move batch and
+    // leave ingestion silently blind.
+    val payload = Array.tabulate(64)(i => (i * 7 + 3).toByte)
+    val media = (0L until 70L).map(id => (id, payload.clone))
+      .toDF("doc_id", "payload")
+    val sigsDf = operators.MultimodalQueries.byteSimhashSigs(media)
+    val dial = operators.DedupQueries.bucketCapDial(sigsDf).collect()
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+      .head.getLong(0).toInt
+    assert(chosen == 128)
+    val batchPairs = operators.DedupQueries
+      .simhashNearDupPairsUnsorted(sigsDf, chosen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs.size == 69 * 35, "chosen cap recovers the full family")
+
+    val sigs = sigsDf.orderBy("doc_id").as[MediaSig].collect()
+    def run(name: String, cap: Int): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[MediaSig]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.mediaNearDupTws(input.toDS(), cap)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          sigs.grouped(25).foreach { c =>
+            input.addData(c.toIndexedSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[NearDupPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    }
+    // streaming bounds by CURRENT filed size (the documented divergence
+    // from batch's final-size rule): the default cap files the first 64
+    // arrivals and pairs only those — every later doc is silently lost
+    val first64 = (0L until 64L)
+      .flatMap(b => (0L until b).map(a => (a, b, 0L))).toSet
+    assert(run("capped_default", operators.DedupQueries.MaxBucket) === first64,
+      "the default cap must lose every doc past the first 64")
+    assert(run("capped_calibrated", chosen) === batchPairs,
+      "streaming at the dial's cap must equal the batch pair set")
+  }
+
   test("chunk-store admission tws equals the batch min-doc rule and is batch-boundary-invariant") {
     import spark.implicits._
     import graft.streaming.StatefulOps.{ChunkArrival, ChunkDecision}
