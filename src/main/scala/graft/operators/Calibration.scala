@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The calibration manifest — every approximate index's operating
+  * parameters as ONE fleet-facing frame, each row the `chosen` reading of
+  * its dial: IVF probe depth (q251), the text and media SimHash bucket
+  * caps (q265/q266), and the sign-LSH table count (q268). This is the
+  * artifact a 100 TB deployment ships alongside its indexes — the nightly
+  * dials recompute it from the shared panels, the lifecycle store versions
+  * the pieces that gate results (the cap pillar), and every `calibrated*`
+  * entry point reads the same choices this frame reports. Deliberately an
+  * API rather than a catalog query: the dials are already first-class
+  * oracle-checked queries, and the manifest is their join-free union —
+  * re-running all four inside the bench would double-charge the sweeps. */
+object Calibration {
+
+  /** (param, value, recall_ppm, floor_ppm) — one row per calibrated
+    * operating parameter, ordered by param name. */
+  def manifest(s: SparkSession, dir: String): DataFrame = {
+    def chosenOf(dial: DataFrame, param: String, valueCol: String,
+                 floor: Long): DataFrame =
+      dial.filter(col("chosen")).select(lit(param).as("param"),
+        col(valueCol).as("value"), col("recall_ppm"),
+        lit(floor).as("floor_ppm"))
+    val n = Tables.parquetRowCount(s, dir, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), MultimodalQueries.mediaPayload.as("payload"))
+    chosenOf(SimilarityQueries.probeDepthDial(s, dir),
+        "ivf_probes", "probes", SimilarityQueries.ProbeRecallFloorPpm)
+      .unionAll(chosenOf(
+        DedupQueries.bucketCapDial(DedupQueries.textSimhashSigs(s, dir)),
+        "simhash_cap_text", "cap", DedupQueries.CapRecallFloorPpm))
+      .unionAll(chosenOf(
+        DedupQueries.bucketCapDial(MultimodalQueries.byteSimhashSigs(media)),
+        "simhash_cap_media", "cap", DedupQueries.CapRecallFloorPpm))
+      .unionAll(chosenOf(
+        DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir), bits, n),
+        "lsh_tables", "tables", DedupQueries.LshTableFloorPpm))
+      .orderBy("param")
+  }
+}

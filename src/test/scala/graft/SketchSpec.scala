@@ -519,6 +519,17 @@ class SketchSpec extends SparkSpec {
     assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
   }
 
+  test("the calibration manifest carries each dial's chosen reading, one row per parameter") {
+    import graft.operators.{Calibration, DedupQueries, SimilarityQueries}
+    val m = Calibration.manifest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("ivf_probes", "simhash_cap_text",
+      "simhash_cap_media", "lsh_tables"))
+    assert(m("ivf_probes") == SimilarityQueries.calibratedProbes(spark, sf).toLong)
+    assert(m("simhash_cap_text") == DedupQueries.calibratedSimhashCap(spark, sf).toLong)
+    assert(m("lsh_tables") == DedupQueries.calibratedLshTables(spark, sf).toLong)
+  }
+
   test("the calibrated cap entry points serve the dial's corpus choice") {
     import graft.operators.DedupQueries
     val dial = SparkEntry.queries("q265_bucket_cap_dial")(spark, sf).collect()
