@@ -227,15 +227,30 @@ object DedupQueries {
     * through the UNCAPPED band index (`keys`, before the `bounded` cut):
     * pigeonhole makes the 7-block banding exhaustive at ≤ 6 differing
     * bits, so the uncapped equi-join is complete ground truth at
-    * inverted-index cost — no panel × corpus product anywhere. Graded
-    * against the capped pair set `sp`; `miss_min_hamming` is NULL when
-    * nothing is missed; a small value means a STRONG pair was lost to
-    * the bucket cap. */
+    * inverted-index cost — no panel × corpus product anywhere. The
+    * corpus side is still bounded at [[GtBucketCap]] (rank-by-doc_id
+    * within each bucket) with explicit per-panel-doc `gt_dropped`
+    * accounting, mirroring the Spark twin. Graded against the capped
+    * pair set `sp`; `miss_min_hamming` is NULL when nothing is missed;
+    * a small value means a STRONG pair was lost to the bucket cap. */
   private[graft] def simhashScoreboardSqlTail: String =
-    s"""pcand AS (
+    s"""kr AS (
+       |  SELECT doc_id, band, key,
+       |         count(*) OVER (PARTITION BY band, key) AS bsz,
+       |         row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+       |           AS rk
+       |  FROM keys
+       |), gtd AS (
+       |  SELECT doc_id AS pa,
+       |         CAST(sum(CASE WHEN bsz > $GtBucketCap
+       |                       THEN bsz - $GtBucketCap ELSE 0 END) AS BIGINT)
+       |           AS gt_dropped
+       |  FROM kr WHERE doc_id % 5 = 0 GROUP BY 1
+       |), pcand AS (
        |  SELECT DISTINCT p.doc_id AS pa, c.doc_id AS pd
-       |  FROM keys p JOIN keys c USING (band, key)
+       |  FROM kr p JOIN kr c USING (band, key)
        |  WHERE p.doc_id % 5 = 0 AND c.doc_id <> p.doc_id
+       |    AND c.rk <= $GtBucketCap
        |), ph AS (
        |  SELECT pc.pa, pc.pd,
        |         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hd
@@ -249,16 +264,23 @@ object DedupQueries {
        |  SELECT doc_a AS a, doc_b AS b FROM sp
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM sp
+       |), sbd AS (
+       |  SELECT pa,
+       |         CAST(count(*) AS BIGINT) AS exact_cnt,
+       |         CAST(count(h.a) AS BIGINT) AS hits,
+       |         CAST(count(h.a) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+       |         CAST(min(CASE WHEN h.a IS NULL THEN hd END) AS BIGINT)
+       |           AS miss_min_hamming
+       |  FROM exact
+       |  LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pd
+       |  GROUP BY pa
        |)
-       |SELECT pa AS panel_doc,
-       |       CAST(count(*) AS BIGINT) AS exact_cnt,
-       |       CAST(count(h.a) AS BIGINT) AS hits,
-       |       CAST(count(h.a) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
-       |       CAST(min(CASE WHEN h.a IS NULL THEN hd END) AS BIGINT)
-       |         AS miss_min_hamming
-       |FROM exact
-       |LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pd
-       |GROUP BY pa ORDER BY pa""".stripMargin
+       |SELECT panel_doc, exact_cnt, hits, recall_ppm, miss_min_hamming,
+       |       gt_dropped
+       |FROM (SELECT sbd.pa AS panel_doc, sbd.exact_cnt, sbd.hits,
+       |             sbd.recall_ppm, sbd.miss_min_hamming, gtd.gt_dropped
+       |      FROM sbd JOIN gtd ON gtd.pa = sbd.pa)
+       |ORDER BY panel_doc""".stripMargin
 
   /** SimHash pigeonhole banding + bounded-bucket pairing + exact Hamming
     * re-check over any (doc_id, sim) signature frame — the Spark twin of
@@ -326,6 +348,22 @@ object DedupQueries {
     replayableShingles(Tables.documents(s, dir))
       .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
 
+  /** Ground-truth bucket cap for the scoreboard/dial family's EXACT side.
+    * The exact sides find ground truth through uncapped band buckets
+    * (pigeonhole-exhaustive), whose join cost is panel_share × Σ bucket² —
+    * quadratic exactly when buckets saturate, the very condition the dials
+    * exist to detect. So the corpus side of every ground-truth join is
+    * bounded: within each (band, key) bucket only the first [[GtBucketCap]]
+    * members by doc_id contribute candidates, and the truncation is
+    * EXPLICIT — every scoreboard/dial row carries a `gt_dropped` count of
+    * candidate slots the bound left unexamined (0 means the ground truth is
+    * complete; the planted-saturation SketchSpec pins both behaviors).
+    * 4096 = 64× the shipped index cap: orders of magnitude above any
+    * healthy bucket (sf0.1 max band bucket ≈ tens), so real corpora grade
+    * against COMPLETE ground truth, while a pathological corpus costs at
+    * most panel_share × Σ bucket × 4096 — linear, not quadratic. */
+  private[graft] val GtBucketCap = 4096
+
   /** The SimHash index scoreboard shared by q262 (text) and q263 (media):
     * exact side is every pair touching the deterministic 20% panel at
     * full-signature Hamming ≤ 6 (the index's own contract), found through
@@ -334,18 +372,32 @@ object DedupQueries {
     * equi-join is complete ground truth at inverted-index cost, never a
     * panel × corpus product (a nested-loop exact side also re-inlines the
     * whole shingle→simhash pipeline into the pushed join condition — the
-    * round-10 q252 poison in join clothing). Graded against the capped
+    * round-10 q252 poison in join clothing). "Uncapped" means free of the
+    * index's own [[MaxBucket]] cut; the join is still BOUNDED at the much
+    * looser [[GtBucketCap]] with per-panel-doc `gt_dropped` accounting, so
+    * a pathologically saturated corpus can't turn the ground-truth pass
+    * quadratic (and can't lie about it either). Graded against the capped
     * pair set the engine ships, so what this measures is exactly the
     * BUCKET CAP's cost: every miss is a pair dropped in a saturated
     * bucket — `miss_min_hamming` (NULL when none) says how strong the
     * strongest dropped pair was. */
-  private[graft] def simhashScoreboard(sigs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def simhashScoreboard(sigs: DataFrame, pairs: DataFrame,
+                                       gtCap: Int = GtBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bkt = Window.partitionBy("band", "key")
     val keyed = simhashBandKeys(sigs)
+      .withColumn("bsz", count(lit(1)).over(bkt))
+      .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
     val panelKeys = keyed.filter(col("doc_id") % 5 === 0)
-      .select(col("band"), col("key"), col("doc_id").as("pa"), col("sim").as("sim_a"))
-    val exact = keyed
+      .select(col("band"), col("key"), col("doc_id").as("pa"),
+        col("sim").as("sim_a"), col("bsz"))
+    // candidate slots the bound left unexamined, per panel doc: each of its
+    // buckets past the cap hides (bsz − cap) corpus members from it
+    val dropped = panelKeys.groupBy("pa")
+      .agg(sum(greatest(col("bsz") - lit(gtCap.toLong), lit(0L))).as("gt_dropped"))
+    val exact = keyed.filter(col("rk") <= gtCap)
       .select(col("band"), col("key"), col("doc_id").as("pd"), col("sim").as("sim_b"))
-      .join(panelKeys, Seq("band", "key"))
+      .join(panelKeys.select("band", "key", "pa", "sim_a"), Seq("band", "key"))
       .filter(col("pa") =!= col("pd"))
       .select("pa", "pd", "sim_a", "sim_b")
       .distinct()
@@ -358,9 +410,10 @@ object DedupQueries {
       .groupBy("pa")
       .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
         min(when(col("hit").isNull, col("hd"))).as("miss_min_hamming"))
+      .join(dropped, Seq("pa"))
       .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
         expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
-        col("miss_min_hamming"))
+        col("miss_min_hamming"), col("gt_dropped"))
       .orderBy("panel_doc")
   }
 
@@ -535,18 +588,27 @@ object DedupQueries {
     * one per-pair frame, never a re-run of the index per cap (the crk
     * trick, bucket-sized instead of rank-sized). Exact side and cost
     * bound are q262's: uncapped pigeonhole banding is exhaustive at
-    * Hamming ≤ 6, panel-scoped, id-only. */
+    * Hamming ≤ 6, panel-scoped, id-only — and, like q262, the corpus
+    * side of the ground-truth join is bounded at `gtCap` with an
+    * explicit corpus-level `gt_dropped` column (Σ over panel bucket
+    * memberships of the slots past the bound; identical on every cap
+    * row because it describes the ground truth, not the swept cap). */
   private[graft] def bucketCapDial(sigs: DataFrame,
                                    floorPpm: Long = CapRecallFloorPpm,
-                                   caps: Seq[Int] = CapSweep): DataFrame = {
+                                   caps: Seq[Int] = CapSweep,
+                                   gtCap: Int = GtBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bkt = Window.partitionBy("band", "key")
     val keyed = simhashBandKeys(sigs)
-    val sized = keyed.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val sized = keyed.withColumn("bsz", count(lit(1)).over(bkt))
+      .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
     val panel = sized.filter(col("doc_id") % 5 === 0)
       .select(col("band"), col("key"), col("doc_id").as("pa"),
         col("sim").as("sim_a"), col("bsz"))
-    val exact = sized
+    val gtDropped = panel
+      .agg(coalesce(sum(greatest(col("bsz") - lit(gtCap.toLong), lit(0L))),
+        lit(0L)).as("gt_dropped"))
+    val exact = sized.filter(col("rk") <= gtCap)
       .select(col("band"), col("key"), col("doc_id").as("pd"), col("sim").as("sim_b"))
       .join(panel, Seq("band", "key"))
       .filter(col("pa") =!= col("pd") &&
@@ -568,6 +630,7 @@ object DedupQueries {
       .withColumn("chosen", col("cap") === coalesce(
         min(when(col("recall_ppm") >= lit(floorPpm), col("cap"))).over(all),
         max(col("cap")).over(all)))
+      .crossJoin(broadcast(gtDropped))
       .orderBy("cap")
   }
 
@@ -580,12 +643,20 @@ object DedupQueries {
     s"""kb AS (
        |  SELECT band, key, count(*) AS b FROM keys GROUP BY 1, 2
        |), kp AS (
-       |  SELECT k.band, k.key, k.doc_id, kb.b
+       |  SELECT k.band, k.key, k.doc_id, kb.b,
+       |         row_number() OVER (PARTITION BY k.band, k.key
+       |                            ORDER BY k.doc_id) AS rk
        |  FROM keys k JOIN kb USING (band, key)
+       |), gtd AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN b > $GtBucketCap
+       |                                THEN b - $GtBucketCap ELSE 0 END), 0)
+       |              AS BIGINT) AS gt_dropped
+       |  FROM kp WHERE doc_id % 5 = 0
        |), pp AS (
        |  SELECT p.doc_id AS pa, c.doc_id AS pd, min(p.b) AS min_bsz
        |  FROM kp p JOIN kp c USING (band, key)
        |  WHERE p.doc_id % 5 = 0 AND c.doc_id <> p.doc_id
+       |    AND c.rk <= $GtBucketCap
        |  GROUP BY 1, 2
        |), ex AS (
        |  SELECT pp.pa, pp.pd, pp.min_bsz
@@ -611,8 +682,9 @@ object DedupQueries {
        |       cap = coalesce(
        |         min(CASE WHEN coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
        |                       >= $CapRecallFloorPpm THEN cap END) OVER (),
-       |         max(cap) OVER ()) AS chosen
-       |FROM g ORDER BY cap""".stripMargin
+       |         max(cap) OVER ()) AS chosen,
+       |       gtd.gt_dropped
+       |FROM g CROSS JOIN gtd ORDER BY cap""".stripMargin
   }
 
   /** The dial reading as an OPERATING PARAMETER: the minimal swept cap
@@ -1270,11 +1342,22 @@ object DedupQueries {
               |  SELECT doc_a AS a, doc_b AS b FROM ap
               |  UNION ALL
               |  SELECT doc_b, doc_a FROM ap
+              |), fdf AS (
+              |  SELECT s, count(*) AS df FROM sh GROUP BY s
+              |), shf AS (
+              |  SELECT sh.doc_id, sh.s FROM sh JOIN fdf USING (s)
+              |  WHERE df <= $GtBucketCap
+              |), gtx AS (
+              |  SELECT sh.doc_id AS pa,
+              |         CAST(count(CASE WHEN df > $GtBucketCap THEN 1 END)
+              |              AS BIGINT) AS gt_excluded_fps
+              |  FROM sh JOIN fdf USING (s)
+              |  WHERE sh.doc_id % 5 = 0 GROUP BY 1
               |), sizes AS (
-              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
               |), inter AS (
               |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS c
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
               |  WHERE a.doc_id % 5 = 0
               |  GROUP BY 1, 2
               |), exact AS (
@@ -1283,18 +1366,23 @@ object DedupQueries {
               |  JOIN sizes sa ON sa.doc_id = pa
               |  JOIN sizes sb ON sb.doc_id = pb
               |  WHERE 2 * c >= sa.n + sb.n - c
+              |), sbd AS (
+              |  SELECT pa,
+              |         CAST(count(*) AS BIGINT) AS exact_cnt,
+              |         CAST(count(h.a) AS BIGINT) AS hits,
+              |         CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
+              |           AS recall_ppm,
+              |         CAST(coalesce(max(CASE WHEN h.a IS NULL
+              |                                THEN jac_ppm END), 0) AS BIGINT)
+              |           AS worst_miss_ppm
+              |  FROM exact
+              |  LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pb
+              |  GROUP BY pa
               |)
-              |SELECT pa AS panel_doc,
-              |       CAST(count(*) AS BIGINT) AS exact_cnt,
-              |       CAST(count(h.a) AS BIGINT) AS hits,
-              |       CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
-              |         AS recall_ppm,
-              |       CAST(coalesce(max(CASE WHEN h.a IS NULL
-              |                              THEN jac_ppm END), 0) AS BIGINT)
-              |         AS worst_miss_ppm
-              |FROM exact
-              |LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pb
-              |GROUP BY pa ORDER BY pa""".stripMargin),
+              |SELECT sbd.pa AS panel_doc, exact_cnt, hits, recall_ppm,
+              |       worst_miss_ppm, gtx.gt_excluded_fps
+              |FROM sbd JOIN gtx ON gtx.pa = sbd.pa
+              |ORDER BY panel_doc""".stripMargin),
       "Recall scoreboard for the MinHash-LSH dedup index — the q246 " +
         "treatment applied to the near-dup surface: ground truth is EXACT " +
         "Jaccard ≥ 0.5 over the index's OWN shingle-fingerprint universe " +
@@ -1310,16 +1398,36 @@ object DedupQueries {
         "mean only borderline pairs fray, which is what the " +
         "P[candidate|J] curve predicts. Scale: the exact side is priced " +
         "by the panel (its cost is Σ_s freq_panel·freq_corpus, the " +
-        "inverted-index bound); at 100 TB the panel is a fixed absolute " +
-        "sample and this runs nightly beside the ANN scoreboards — same " +
-        "posture, different index."
+        "inverted-index bound), and that bound is ENFORCED: shingles " +
+        "with corpus df past GtBucketCap=4096 are excluded from the " +
+        "ground-truth universe (q41's informative-shingle discipline, " +
+        "sizes recomputed consistently) with the exclusion reported per " +
+        "panel doc as gt_excluded_fps — 0 on this corpus (max df ≈ 25), " +
+        "never silent on a boilerplate-saturated one. At 100 TB the " +
+        "panel is a fixed absolute sample and this runs nightly beside " +
+        "the ANN scoreboards — same posture, different index."
     ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // bounded ground truth: shingle fps whose corpus document frequency
+      // exceeds GtBucketCap are excluded from BOTH intersections and sizes
+      // (q41's informative-shingle discipline — the predicate 2·∩ ≥
+      // |A|+|B|−∩ stays self-consistent over the reduced universe), and
+      // the exclusion is explicit: gt_excluded_fps counts each panel
+      // doc's shingles the bound removed (0 = complete ground truth).
+      // Without the bound, one boilerplate shingle shared by every doc
+      // makes the inverted-index exact side panel_share × n² at exactly
+      // the saturation the scoreboard exists to measure.
       val shEx = replayableShingles(Tables.documents(s, dir))
         .select(col("doc_id"), explode(col("sh")).as("s"))
-      val sizes = shEx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shEx.filter(col("doc_id") % 5 === 0)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      val gtx = shEx.filter(col("doc_id") % 5 === 0)
+        .groupBy(col("doc_id").as("pa"))
+        .agg(count(when(col("df") > GtBucketCap, 1)).as("gt_excluded_fps"))
+      val shF = shEx.filter(col("df") <= GtBucketCap).select("doc_id", "s")
+      val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shF.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("pa"), col("s"))
-        .join(shEx.select(col("doc_id").as("pb"), col("s")), "s")
+        .join(shF.select(col("doc_id").as("pb"), col("s")), "s")
         .filter(col("pa") =!= col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
       val exact = inter
@@ -1337,9 +1445,10 @@ object DedupQueries {
         .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
           coalesce(max(when(col("hit").isNull, col("jac_ppm"))), lit(0L))
             .as("worst_miss_ppm"))
+        .join(gtx, Seq("pa"))
         .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
           expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
-          col("worst_miss_ppm"))
+          col("worst_miss_ppm"), col("gt_excluded_fps"))
         .orderBy("panel_doc")
     },
 
@@ -1361,7 +1470,12 @@ object DedupQueries {
         "was, and a small value is the signal to raise the cap or add " +
         "bands. Scale: exact-side cost is Σ_key freq_panel·freq_corpus " +
         "over 8-byte sigs (q261's inverted-index bound, signatures never " +
-        "shingle sets); the scoreboard join carries id pairs only, and " +
+        "shingle sets) — and bounded: the corpus side of the ground-truth " +
+        "join keeps only the first GtBucketCap=4096 members per band " +
+        "bucket, with the unexamined slots reported per panel doc as " +
+        "gt_dropped (0 on this corpus; explicit, never silent, when a " +
+        "pathologically saturated corpus would otherwise turn this pass " +
+        "quadratic). The scoreboard join carries id pairs only, and " +
         "at 100 TB this runs nightly beside q261 over the same panel."
     ) { (s, dir) =>
       simhashScoreboard(textSimhashSigs(s, dir),
@@ -1434,6 +1548,9 @@ object DedupQueries {
         "the size of its SMALLEST shared bucket, and it survives cap c " +
         "iff that size ≤ c, so per-cap scoreboards are conditional sums " +
         "over one per-pair frame — the index is never re-run per cap. " +
+        "The ground-truth join itself is bounded at GtBucketCap=4096 " +
+        "per bucket with the unexamined slots reported in gt_dropped " +
+        "(0 here) — the dial survives the very saturation it measures. " +
         "At 100 TB this runs beside the nightly q262 over the same " +
         "panel, and the chosen cap feeds the pair builder's cap " +
         "parameter instead of the MaxBucket constant (ApproxSpec closes " +

@@ -605,8 +605,9 @@ object MultimodalQueries {
         "and a fleet watches both: media recall sagging while text holds " +
         "means header-induced bucket saturation — raise the media cap or " +
         "shingle at CDC chunk granularity (q253), not the band count. " +
-        "Same scale posture as q262: uncapped-band inverted-index exact " +
-        "side, id-only scoreboard join, nightly beside the chunk audit."
+        "Same scale posture as q262: inverted-index exact side bounded " +
+        "at GtBucketCap with explicit gt_dropped accounting, id-only " +
+        "scoreboard join, nightly beside the chunk audit."
     ) { (s, dir) =>
       val media = Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload"))
@@ -626,8 +627,9 @@ object MultimodalQueries {
         "on boilerplate prose (q263's drift rationale), so the right cap " +
         "differs by modality and a fleet sets each from its own dial " +
         "rather than sharing one constant. Same scale posture as q265: " +
-        "panel-scoped exhaustive exact side, id-only per-pair frame, " +
-        "nightly beside the scoreboards."
+        "panel-scoped exact side bounded at GtBucketCap with explicit " +
+        "gt_dropped accounting, id-only per-pair frame, nightly beside " +
+        "the scoreboards."
     ) { (s, dir) =>
       DedupQueries.bucketCapDial(byteSimhashSigs(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload"))))

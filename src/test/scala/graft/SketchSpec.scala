@@ -599,4 +599,58 @@ class SketchSpec extends SparkSpec {
         "the strongest dropped pair is byte-identical")
     }
   }
+
+  test("bounded ground truth: a saturated planted corpus completes within the gtCap budget and reports its truncation") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, MultimodalQueries}
+    // 70 byte-identical payloads: every band bucket holds all 70 docs —
+    // the degenerate corpus whose UNBOUNDED ground-truth join is
+    // panel_share × Σ bucket² ≈ n², at exactly the saturation the dials
+    // exist to detect. With gtCap=10 the exact side may examine at most
+    // the first 10 members of each bucket, and the truncation must be
+    // REPORTED, never silent.
+    val payload = Array.tabulate(64)(i => (i * 7 + 3).toByte)
+    val media = (0L until 70L).map(id => (id, payload.clone))
+      .toDF("doc_id", "payload")
+    val sigs = MultimodalQueries.byteSimhashSigs(media)
+    val sb = DedupQueries.simhashScoreboard(sigs,
+      MultimodalQueries.byteSimhashPairs(media), gtCap = 10).collect()
+    assert(sb.length == 14, "every panel doc still appears, bounded")
+    sb.foreach { r =>
+      val p = r.getLong(r.fieldIndex("panel_doc"))
+      // surviving candidates = bucket members ranked 1..10 (docs 0..9),
+      // minus self for the two panel docs inside that prefix
+      val expected = if (p < 10) 9L else 10L
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == expected,
+        s"doc $p: exact side must stay within the gt budget")
+      assert(r.getLong(r.fieldIndex("gt_dropped")) == 7L * 60L,
+        s"doc $p: 7 bands × (70−10) unexamined slots must be reported")
+    }
+    // same bound and accounting on the cap dial: exact side 2×9 + 12×10
+    // pairs, truncation = 14 panel docs × 7 bands × 60 slots on every row
+    val dial = DedupQueries.bucketCapDial(sigs, gtCap = 10).collect()
+    assert(dial.length == DedupQueries.CapSweep.length)
+    dial.foreach { r =>
+      val cap = r.getLong(r.fieldIndex("cap"))
+      assert(r.getLong(r.fieldIndex("exact_cnt")) == 138L, s"cap $cap exact_cnt")
+      assert(r.getLong(r.fieldIndex("gt_dropped")) == 14L * 7L * 60L,
+        s"cap $cap gt_dropped")
+      // every surviving pair sits only in 70-member buckets
+      assert(r.getLong(r.fieldIndex("hits")) == (if (cap >= 70L) 138L else 0L),
+        s"cap $cap hits")
+    }
+  }
+
+  test("bounded ground truth: the real corpus reports ZERO truncation (complete ground truth, results unchanged)") {
+    val ev262 = SparkEntry.queries("q262_simhash_recall_eval")(spark, sf).collect()
+    assert(ev262.nonEmpty && ev262.forall(
+      _.getLong(ev262.head.fieldIndex("gt_dropped")) == 0L),
+      "no sf-corpus band bucket approaches GtBucketCap")
+    val ev261 = SparkEntry.queries("q261_minhash_recall_eval")(spark, sf).collect()
+    assert(ev261.nonEmpty && ev261.forall(
+      _.getLong(ev261.head.fieldIndex("gt_excluded_fps")) == 0L),
+      "no sf-corpus shingle df approaches GtBucketCap")
+    val dial = SparkEntry.queries("q265_bucket_cap_dial")(spark, sf).collect()
+    assert(dial.forall(_.getLong(dial.head.fieldIndex("gt_dropped")) == 0L))
+  }
 }
