@@ -42,4 +42,39 @@ object Calibration {
         "lsh_tables", "tables", DedupQueries.LshTableFloorPpm))
       .orderBy("param")
   }
+
+  /** [[manifest]] read from the INSTALLED state instead of recomputed —
+    * the production form once every parameter is versioned through
+    * [[IndexLifecycle]]'s pillars: each row is the store's committed
+    * scalar plus the `chosen` row of the install-time dial evidence that
+    * rode along with it. A nightly recalibration changes this frame only
+    * by committing a new version; between installs it is stable however
+    * the corpus moves (that movement is the drift audits' to flag). The
+    * four roots are the four pillar stores: IVF probes, text cap, media
+    * cap, LSH tables. */
+  def manifestFromStore(s: SparkSession, probesRoot: String,
+                        capTextRoot: String, capMediaRoot: String,
+                        tablesRoot: String): DataFrame = {
+    def row(param: String, value: Long, baseline: DataFrame, valueCol: String,
+            floor: Long): DataFrame =
+      baseline.filter(col("chosen") && col(valueCol) === value)
+        .select(lit(param).as("param"), col(valueCol).as("value"),
+          col("recall_ppm"), lit(floor).as("floor_ppm"))
+    row("ivf_probes", IndexLifecycle.readProbes(s, probesRoot).toLong,
+        IndexLifecycle.readProbesBaseline(s, probesRoot), "probes",
+        SimilarityQueries.ProbeRecallFloorPpm)
+      .unionAll(row("simhash_cap_text",
+        IndexLifecycle.readCap(s, capTextRoot).toLong,
+        IndexLifecycle.readCapBaseline(s, capTextRoot), "cap",
+        DedupQueries.CapRecallFloorPpm))
+      .unionAll(row("simhash_cap_media",
+        IndexLifecycle.readCap(s, capMediaRoot).toLong,
+        IndexLifecycle.readCapBaseline(s, capMediaRoot), "cap",
+        DedupQueries.CapRecallFloorPpm))
+      .unionAll(row("lsh_tables",
+        IndexLifecycle.readLshTables(s, tablesRoot).toLong,
+        IndexLifecycle.readLshTablesBaseline(s, tablesRoot), "tables",
+        DedupQueries.LshTableFloorPpm))
+      .orderBy("param")
+  }
 }

@@ -407,4 +407,148 @@ object IndexLifecycle {
                           sigs: DataFrame): DataFrame =
     DedupQueries.simhashNearDupPairsUnsorted(sigs, readCap(s, root))
       .orderBy("doc_a", "doc_b")
+
+  // ---------- probe-depth pillar ----------
+  //
+  // q251's dial chooses the IVF probe depth, but until now the choice was
+  // recomputed per call (`calibratedProbes`) — a nightly recalibration had
+  // no install/audit/rollback path. Same discipline as the cap pillar: the
+  // scalar is an index artifact the moment it gates which neighbors a
+  // reader sees, so it is versioned, installed with its dial evidence, and
+  // read through the store.
+
+  /** The latest committed probe depth. */
+  def readProbes(s: SparkSession, root: String): Int = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed probe depth under $root"))
+    s.read.parquet(s"$root/v=$v/probescfg").head.getLong(0).toInt
+  }
+
+  /** The latest committed install-time dial frame (probes, exact_cnt,
+    * hits, recall_ppm, meets_floor, chosen) — the recall evidence the
+    * installed depth was chosen on. */
+  def readProbesBaseline(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed probe depth under $root"))
+    s.read.parquet(s"$root/v=$v/probesdial")
+  }
+
+  /** Install `probes` as `version`, recording the q251 dial over the
+    * corpus at `dir` as the install-time baseline. Same atomicity /
+    * idempotence contract as [[install]]. */
+  def installProbes(s: SparkSession, root: String, version: Long, probes: Int,
+                    dir: String,
+                    interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      s.range(1).select(lit(probes.toLong).as("probes"))
+        .write.mode("overwrite").parquet(staging.resolve("probescfg").toString)
+      SimilarityQueries.probeDepthDial(s, dir)
+        .write.mode("overwrite").parquet(staging.resolve("probesdial").toString)
+    }
+
+  /** The installed depth's health on the CURRENT corpus: the q251 dial
+    * recomputed, each row marked `installed` and `recalibrate` (the
+    * shipped depth no longer meets the recall floor — the corpus drifted
+    * so queries' true neighbors spread across more cells than the depth
+    * reaches). Green right after a recalibration by construction. */
+  def probesDriftAudit(s: SparkSession, root: String, dir: String): DataFrame = {
+    val p = readProbes(s, root).toLong
+    SimilarityQueries.probeDepthDial(s, dir)
+      .withColumn("installed", col("probes") === p)
+      .withColumn("recalibrate", col("probes") === p && !col("meets_floor"))
+  }
+
+  /** The closed loop for the probe pillar: audit the installed depth; if
+    * it sags under the floor, install the dial's newly chosen depth as
+    * the next version atomically. */
+  def recalibrateProbesIfSagging(s: SparkSession, root: String,
+                                 dir: String): Option[Long] = {
+    val audit = probesDriftAudit(s, root, dir).collect()
+    if (!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate")))) None
+    else {
+      val chosen = audit.filter(_.getBoolean(audit.head.fieldIndex("chosen")))
+        .head.getLong(0).toInt
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installProbes(s, root, next, chosen, dir)
+      Some(next)
+    }
+  }
+
+  /** q66's IVF search at the INSTALLED probe depth — the store is the
+    * only path by which a probe recalibration changes what readers see. */
+  def searchAtInstalledProbes(s: SparkSession, root: String,
+                              dir: String): DataFrame =
+    SimilarityQueries.ivfTopK(s, dir, readProbes(s, root))
+
+  // ---------- LSH table-count pillar ----------
+  //
+  // q268's dial chooses the sign-LSH table count — the embedding near-dup
+  // index's linear cost knob. Versioned identically: the count gates which
+  // near-dup pairs exist, so readers take it from the store.
+
+  /** The latest committed table count. */
+  def readLshTables(s: SparkSession, root: String): Int = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed table count under $root"))
+    s.read.parquet(s"$root/v=$v/tablescfg").head.getLong(0).toInt
+  }
+
+  /** The latest committed install-time dial frame (tables, exact_cnt,
+    * hits, recall_ppm, meets_floor, chosen). */
+  def readLshTablesBaseline(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed table count under $root"))
+    s.read.parquet(s"$root/v=$v/tablesdial")
+  }
+
+  /** Install `tables` as `version`, recording the q268 dial over the
+    * corpus at `dir` as the install-time baseline. */
+  def installLshTables(s: SparkSession, root: String, version: Long,
+                       tables: Int, dir: String,
+                       interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      s.range(1).select(lit(tables.toLong).as("tables"))
+        .write.mode("overwrite").parquet(staging.resolve("tablescfg").toString)
+      val n = graft.Tables.parquetRowCount(s, dir, "embeddings")
+      DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir),
+          SimilarityQueries.codeBits(n), n)
+        .write.mode("overwrite").parquet(staging.resolve("tablesdial").toString)
+    }
+
+  /** The installed table count's health on the CURRENT corpus — q268
+    * recomputed, `installed`/`recalibrate` marked. A sagging count means
+    * new near-dup mass sits just past the probe radius of the installed
+    * tables (q264's miss_max_cos-near-threshold diagnostic). */
+  def lshTablesDriftAudit(s: SparkSession, root: String,
+                          dir: String): DataFrame = {
+    val t = readLshTables(s, root).toLong
+    val n = graft.Tables.parquetRowCount(s, dir, "embeddings")
+    DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir),
+        SimilarityQueries.codeBits(n), n)
+      .withColumn("installed", col("tables") === t)
+      .withColumn("recalibrate", col("tables") === t && !col("meets_floor"))
+  }
+
+  /** The closed loop for the table pillar. */
+  def recalibrateLshTablesIfSagging(s: SparkSession, root: String,
+                                    dir: String): Option[Long] = {
+    val audit = lshTablesDriftAudit(s, root, dir).collect()
+    if (!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate")))) None
+    else {
+      val chosen = audit.filter(_.getBoolean(audit.head.fieldIndex("chosen")))
+        .head.getLong(0).toInt
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installLshTables(s, root, next, chosen, dir)
+      Some(next)
+    }
+  }
+
+  /** q67's near-dup pairs through the INSTALLED table count. */
+  def lshNearDupThroughStore(s: SparkSession, root: String,
+                             dir: String): DataFrame = {
+    val n = graft.Tables.parquetRowCount(s, dir, "embeddings")
+    DedupQueries.lshNearDupPairsFrom(DedupQueries.normVecs(s, dir),
+        SimilarityQueries.codeBits(n), readLshTables(s, root))
+      .orderBy("vec_a", "vec_b")
+  }
 }

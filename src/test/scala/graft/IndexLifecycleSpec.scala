@@ -369,4 +369,217 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.latestVersion(root) === Some(2L))
     assert(IndexLifecycle.readCap(spark, root) === 128)
   }
+
+  // ---------- probe-depth pillar twins ----------
+
+  /** Write a planted embeddings corpus and return its table dir. */
+  private def writeEmbeddings(rows: Seq[(Long, Array[Float])]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_emb_corpus").toString
+    rows.map { case (id, v) => (id, v, id % 3) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def unit(d: Int, jitterDim: Int = -1, jitter: Float = 0f): Array[Float] = {
+    val v = Array.fill(64)(0.0f); v(d) = 1.0f
+    if (jitterDim >= 0) v(jitterDim) = jitter
+    v
+  }
+
+  /** Planted corpora for the probe pillar, ids 0..129: the LCG centroid
+    * sample picks exactly {70, 99, 128} and the query panel is
+    * {0, 50, 100}. `probesHealthyDir`: three tight orthogonal clusters
+    * (e0/e1/e2), every query's true top-10 inside its own cell — 1 probe
+    * recalls everything. `probesDriftedDir`: queries 0 and 50 route to
+    * cells holding only their centroid while all corpus mass (and their
+    * true neighbors) sits in cell 128 — 1 probe recalls 12/30 (400000
+    * ppm, under the 500000 floor) and the dial must move to 3. */
+  private def probesHealthyDir: String = writeEmbeddings(
+    (0L until 130L).map { i =>
+      val c = if (i == 70) 0 else if (i == 99) 1 else if (i == 128) 2
+              else (i % 3).toInt
+      (i, unit(c, 10 + c, 0.01f * (1 + (i % 17))))
+    })
+
+  private def probesDriftedDir: String = writeEmbeddings(
+    (0L until 130L).map { i =>
+      if (i == 70) (i, unit(0))
+      else if (i == 99) (i, unit(1))
+      else if (i == 128) (i, unit(2))
+      else if (i == 0) (i, unit(0, 20, 0.01f))
+      else if (i == 50) (i, unit(1, 21, 0.01f))
+      else if (i == 100) (i, unit(2, 22, 0.01f))
+      else {
+        val v = Array.fill(64)(0.0f)
+        v(2) = 1.0f
+        v(0) = 0.001f * (1 + (i % 19))
+        v(1) = 0.001f * (1 + (i % 23))
+        (i, v)
+      }
+    })
+
+  test("probe drift flags a routed-away corpus; recalibrate-and-swap turns the dial green") {
+    import graft.operators.SimilarityQueries
+    val root = Files.createTempDirectory("graft_probes_store").toString
+    val dirH = probesHealthyDir
+    val dirD = probesDriftedDir
+
+    // v1: the dial's choice on the healthy corpus is the cheapest depth
+    val dialH = SimilarityQueries.probeDepthDial(spark, dirH)
+      .filter(col("chosen")).collect()
+    assert(dialH.length == 1 && dialH.head.getLong(0) == 1L,
+      "tight own-cell clusters must calibrate to 1 probe")
+    assert(IndexLifecycle.installProbes(spark, root, 1L, 1, dirH))
+    assert(IndexLifecycle.readProbes(spark, root) === 1)
+    val audit1 = IndexLifecycle.probesDriftAudit(spark, root, dirH).collect()
+    assert(!audit1.exists(_.getBoolean(audit1.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle.recalibrateProbesIfSagging(spark, root, dirH).isEmpty)
+
+    // the corpus drifts: queries' neighbors now live outside the first
+    // probed cell, the installed depth's recall collapses to 400000 ppm
+    val audit2 = IndexLifecycle.probesDriftAudit(spark, root, dirD).collect()
+    val installedRow = audit2
+      .filter(_.getBoolean(audit2.head.fieldIndex("installed"))).head
+    assert(installedRow.getLong(installedRow.fieldIndex("recall_ppm")) == 400000L,
+      s"drifted corpus at 1 probe:\n${audit2.mkString("\n")}")
+    assert(installedRow.getBoolean(installedRow.fieldIndex("recalibrate")))
+
+    // the closed loop installs the dial's new choice atomically
+    assert(IndexLifecycle.recalibrateProbesIfSagging(spark, root, dirD)
+      === Some(2L))
+    assert(IndexLifecycle.readProbes(spark, root) === 3)
+    val audit3 = IndexLifecycle.probesDriftAudit(spark, root, dirD).collect()
+    assert(!audit3.exists(_.getBoolean(audit3.head.fieldIndex("recalibrate"))),
+      "post-recalibration audit must read green")
+
+    // search flows through the store alone: the installed depth's results
+    // are exactly q66 at that depth, and differ from the superseded one
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val throughStore = rows(
+      IndexLifecycle.searchAtInstalledProbes(spark, root, dirD))
+    assert(throughStore ==
+      rows(SimilarityQueries.ivfTopK(spark, dirD, 3)))
+    assert(throughStore !=
+      rows(SimilarityQueries.ivfTopK(spark, dirD, 1)),
+      "a depth swap must change what readers see (results flow from the store)")
+
+    // replayed install of a committed version is a strict no-op, and the
+    // install-time dial evidence rode along with the artifact
+    assert(!IndexLifecycle.installProbes(spark, root, 2L, 1, dirH))
+    assert(IndexLifecycle.readProbes(spark, root) === 3)
+    assert(IndexLifecycle.readProbesBaseline(spark, root)
+      .filter(col("chosen")).head.getLong(0) === 3L)
+  }
+
+  // ---------- LSH table-count pillar twins ----------
+
+  /** Planted corpora for the table pillar. `tablesHealthyDir`: 20 twin
+    * pairs of IDENTICAL orthogonal vectors — identical codes collide in
+    * every table, so 1 table recalls everything and the dial picks the
+    * cheapest count. `tablesDriftedDir`: 12 pairs at cosine 0.40 on
+    * disjoint dim pairs, hand-picked (measured against the fixed
+    * splitmix64 hyperplanes at 8-bit codes) so their first colliding
+    * table is 0 for three pairs, 1 for one, 2 for five and 3 for three —
+    * recall at the installed single table collapses to 3/12 = 250000 ppm
+    * and the dial must move to 3 tables (9/12 = 750000). The first pair
+    * member sits on the vec_id % 5 == 0 panel, the second never does, so
+    * each pair is exactly one ground-truth row; cross-pair cosine is 0. */
+  private def tablesHealthyDir: String = writeEmbeddings(
+    (0L until 40L).map(i => (i, unit((i / 2).toInt))))
+
+  /** (dim-pair j, first colliding table measured for cos 0.40). */
+  private val DriftPairJs: Seq[(Int, Int)] = Seq(
+    (8, 0), (17, 0), (22, 0),
+    (30, 1),
+    (3, 2), (10, 2), (12, 2), (13, 2), (23, 2),
+    (1, 3), (26, 3), (28, 3))
+
+  private def tablesDriftedDir: String = writeEmbeddings(
+    DriftPairJs.zipWithIndex.flatMap { case ((j, _), m) =>
+      val ct = 0.40f
+      val st = math.sqrt(1 - 0.40 * 0.40).toFloat
+      val a = Array.fill(64)(0.0f); a(2 * j) = 1.0f
+      val b = Array.fill(64)(0.0f); b(2 * j) = ct; b(2 * j + 1) = st
+      Seq((10000L + 5 * m, a), (10001L + 5 * m, b))
+    })
+
+  test("table drift flags a probe-radius-starved corpus; recalibrate-and-swap turns the dial green") {
+    val root = Files.createTempDirectory("graft_tables_store").toString
+    val dirH = tablesHealthyDir
+    val dirD = tablesDriftedDir
+
+    // v1: identical twins collide in table 0 — the dial picks 1 table
+    assert(IndexLifecycle.installLshTables(spark, root, 1L, 1, dirH))
+    assert(IndexLifecycle.readLshTables(spark, root) === 1)
+    assert(IndexLifecycle.readLshTablesBaseline(spark, root)
+      .filter(col("chosen")).head.getLong(0) === 1L)
+    val audit1 = IndexLifecycle.lshTablesDriftAudit(spark, root, dirH).collect()
+    assert(!audit1.exists(_.getBoolean(audit1.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle
+      .recalibrateLshTablesIfSagging(spark, root, dirH).isEmpty)
+
+    // drifted: near-dup mass at cos 0.40 sits past one table's probe
+    // radius — exactly q264's miss-near-threshold diagnostic
+    val audit2 = IndexLifecycle.lshTablesDriftAudit(spark, root, dirD).collect()
+    val installedRow = audit2
+      .filter(_.getBoolean(audit2.head.fieldIndex("installed"))).head
+    assert(installedRow.getLong(installedRow.fieldIndex("recall_ppm")) == 250000L,
+      s"drifted corpus at 1 table:\n${audit2.mkString("\n")}")
+    assert(installedRow.getBoolean(installedRow.fieldIndex("recalibrate")))
+
+    assert(IndexLifecycle.recalibrateLshTablesIfSagging(spark, root, dirD)
+      === Some(2L))
+    assert(IndexLifecycle.readLshTables(spark, root) === 3)
+    val audit3 = IndexLifecycle.lshTablesDriftAudit(spark, root, dirD).collect()
+    assert(!audit3.exists(_.getBoolean(audit3.head.fieldIndex("recalibrate"))),
+      "post-recalibration audit must read green")
+
+    // pairs flow through the store alone: 3 of the 12 planted pairs
+    // collide inside one table, the installed 3 tables recover 9
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    val n = graft.Tables.parquetRowCount(spark, dirD, "embeddings")
+    assert(DedupQueries.lshNearDupPairsFrom(DedupQueries.normVecs(spark, dirD),
+      SimilarityQueries.codeBits(n), tables = 1).count() === 3L)
+    assert(IndexLifecycle.lshNearDupThroughStore(spark, root, dirD).count() === 9L)
+
+    // replayed install of a committed version is a strict no-op
+    assert(!IndexLifecycle.installLshTables(spark, root, 2L, 1, dirH))
+    assert(IndexLifecycle.readLshTables(spark, root) === 3)
+  }
+
+  test("the manifest read from the store equals the recomputed manifest (all four pillars installed)") {
+    import graft.operators.{Calibration, DedupQueries, MultimodalQueries,
+      SimilarityQueries}
+    val base = Files.createTempDirectory("graft_manifest_store")
+    val (pr, ct, cm, tr) = (base.resolve("probes").toString,
+      base.resolve("captext").toString, base.resolve("capmedia").toString,
+      base.resolve("tables").toString)
+    // install every pillar from the sf corpus at its dial's own choice
+    IndexLifecycle.installProbes(spark, pr, 1L,
+      SimilarityQueries.calibratedProbes(spark, sf), sf)
+    IndexLifecycle.installCap(spark, ct, 1L,
+      DedupQueries.calibratedSimhashCap(spark, sf),
+      DedupQueries.textSimhashSigs(spark, sf))
+    val media = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), MultimodalQueries.mediaPayload.as("payload"))
+    val mediaDial = DedupQueries
+      .bucketCapDial(MultimodalQueries.byteSimhashSigs(media))
+      .filter(col("chosen")).head.getLong(0).toInt
+    IndexLifecycle.installCap(spark, cm, 1L, mediaDial,
+      MultimodalQueries.byteSimhashSigs(media))
+    IndexLifecycle.installLshTables(spark, tr, 1L,
+      DedupQueries.calibratedLshTables(spark, sf), sf)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val recomputed = rows(Calibration.manifest(spark, sf))
+    val fromStore = rows(Calibration.manifestFromStore(spark, pr, ct, cm, tr))
+    assert(fromStore == recomputed,
+      s"store manifest must equal the recomputed manifest:\n$fromStore\nvs\n$recomputed")
+  }
 }
