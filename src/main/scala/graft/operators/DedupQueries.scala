@@ -469,14 +469,32 @@ object DedupQueries {
     * memberships across `tables` sign-LSH tables: own code plus all
     * Hamming-1 probes, buckets capped at [[MaxBucket]]. The shared
     * collision universe of q67's pairing and the q268 table dial. */
+  /** The per-table sign-LSH code expressions over a `v` column — ONE
+    * definition of the code family shared by the batch index
+    * ([[lshBoundedKeys]]) and the streaming admission feed
+    * ([[lshSigCodes]]): the hyperplanes ARE the index, so every consumer
+    * derives codes from the same planes. */
+  private[graft] def lshCodeCols(bits: Int,
+                                 tables: Int): Seq[org.apache.spark.sql.Column] = {
+    val Dim = 64
+    (0 until tables).map(t =>
+      graft.functions.VectorFunctions.signCode(col("v"),
+        (0 until bits).flatMap(b => SimilarityQueries.hyperplane(t, b, Dim)).toArray,
+        bits, Dim))
+  }
+
+  /** (vec_id, codes: array<int>) — each vector's per-table codes as one
+    * row: the batch-side projection that feeds streaming LSH admission
+    * (`StatefulOps.lshAdmitTws`). The embedding itself stays in the scan;
+    * only the ~16-byte code row travels. */
+  private[graft] def lshSigCodes(e: DataFrame, bits: Int,
+                                 tables: Int = LshTables): DataFrame =
+    e.select(col("vec_id"), array(lshCodeCols(bits, tables): _*).as("codes"))
+
   private[graft] def lshBoundedKeys(e: DataFrame, bits: Int,
                                     tables: Int = LshTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val Dim = 64
-    val codeFor: Int => org.apache.spark.sql.Column = t =>
-      graft.functions.VectorFunctions.signCode(col("v"),
-        (0 until bits).flatMap(b => SimilarityQueries.hyperplane(t, b, Dim)).toArray,
-        bits, Dim)
+    val codeFor = lshCodeCols(bits, tables)
     // every vector lands in its own bucket AND all Hamming-1 neighbors —
     // symmetric multi-probe: two codes collide iff their probe balls meet,
     // widening the collision radius to Hamming ≤ 2. Only IDS flow through

@@ -920,6 +920,131 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One arrival for [[lshAdmitTws]]: a vector's per-table sign-LSH codes
+    * (`DedupQueries.lshSigCodes` — the same hyperplanes as q67's batch
+    * index), computed batch-side in the scan; the embedding itself NEVER
+    * reaches the stateful operator, only this ~16-byte code row. */
+  final case class LshSig(vec_id: Long, codes: Seq[Int])
+  final case class LshBucketArrival(bucket: Long, vec_id: Long, codes: Seq[Int])
+  /** A near-dup CANDIDATE pair: collides through the banded index's own
+    * criterion (some table's codes within Hamming ≤ 2). The exact cosine
+    * re-check is deliberately downstream — two point lookups in the
+    * vector store per candidate — because carrying 512-byte vectors into
+    * per-bucket state (× tables × probes copies) is the wrong trade at
+    * scale, while the candidate stream is 16 bytes/pair. */
+  final case class LshCandidate(vec_a: Long, vec_b: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class LshMember(vec_id: Long, codes: Seq[Int])
+
+  /** Streaming embedding near-dup admission — the embedding twin of
+    * [[MediaBandProcessor]] and the live form of batch q67: state per
+    * (table, probe-code) bucket is the ≤cap code rows already filed there,
+    * and an arriving vector reports every filed member whose SAME-TABLE
+    * codes sit within Hamming ≤ 2 — exactly the symmetric-multi-probe
+    * collision criterion the batch index implements by bucket equi-join.
+    * Cross-table/cross-bucket uniqueness costs no second stage: a pair is
+    * emitted only from its CANONICAL bucket — the smallest table where the
+    * two code vectors collide, and within it the smallest probe code both
+    * balls share (both full code rows are in hand at emission, so the
+    * canonical bucket is a pure function of the pair; a colliding pair
+    * shares ≥1 probe code by construction, so canonical emission loses
+    * nothing). Buckets are bounded by CURRENT filed size — the media
+    * twin's documented divergence from batch's final-size rule; both
+    * sides agree wherever no bucket saturates, and the table count is the
+    * q268 dial's to calibrate ([[lshAdmitTws]] takes it as a parameter,
+    * so a store recalibration moves ingestion with the batch index). At
+    * 100 TB the groupByKey shuffles tables × (1+bits) code rows per
+    * vector — the same fan-out the batch probe frame materializes — and
+    * an ingest pipeline drops a flagged vec_b on arrival after the
+    * two-lookup cosine confirm. */
+  class LshBucketProcessor(bits: Int,
+                           cap: Int = graft.operators.DedupQueries.MaxBucket)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LshBucketArrival, LshCandidate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var members: org.apache.spark.sql.streaming.ListState[LshMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[LshMember](
+        "lsh_bucket", Encoders.product[LshMember],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Long, rows: Iterator[LshBucketArrival],
+                                 timers: TimerValues): Iterator[LshCandidate] = {
+      val tbl = (bucket >> 24).toInt
+      val code = (bucket & ((1L << 24) - 1)).toInt
+      val filed = scala.collection.mutable.ArrayBuffer.empty[LshMember]
+      members.get().foreach(filed += _)
+      rows.toSeq.sortBy(_.vec_id).iterator.flatMap { r =>
+        if (filed.length >= cap) Iterator.empty
+        else {
+          val hits = filed.iterator.filter { m =>
+            StatefulOps.lshCanonicalBucket(m.codes, r.codes, bits) == ((tbl, code))
+          }.map { m =>
+            val (a, b) = if (m.vec_id < r.vec_id) (m.vec_id, r.vec_id)
+                         else (r.vec_id, m.vec_id)
+            LshCandidate(a, b)
+          }.toVector
+          val nv = LshMember(r.vec_id, r.codes)
+          filed += nv
+          members.appendValue(nv)
+          hits.iterator
+        }
+      }
+    }
+  }
+
+  /** The canonical bucket of a colliding pair: the smallest table index
+    * where the codes sit within Hamming ≤ 2 (probe balls meet), and
+    * within it the smallest probe code covered by BOTH balls — defined
+    * for every colliding pair, (-1, -1) otherwise. */
+  private[graft] def lshCanonicalBucket(a: Seq[Int], b: Seq[Int],
+                                        bits: Int): (Int, Int) = {
+    var t = 0
+    val n = math.min(a.length, b.length)
+    while (t < n) {
+      if (Integer.bitCount(a(t) ^ b(t)) <= 2) {
+        var best = -1
+        var i = -1
+        while (i < bits) {
+          val x = if (i < 0) a(t) else a(t) ^ (1 << i)
+          if (Integer.bitCount(x ^ b(t)) <= 1 && (best < 0 || x < best)) best = x
+          i += 1
+        }
+        return (t, best)
+      }
+      t += 1
+    }
+    (-1, -1)
+  }
+
+  /** Keyed embedding near-dup admission via transformWithState (Append:
+    * each candidate pair is reported exactly once, at its canonical
+    * bucket, when its later vector arrives). `sigs` carries the per-table
+    * codes from [[graft.operators.DedupQueries.lshSigCodes]]; the table
+    * count is `codes.length` — the calibrated reading of the q268 dial
+    * (or the store's installed version) decides how many codes the
+    * batch-side projection emits. */
+  def lshAdmitTws(sigs: Dataset[LshSig], bits: Int,
+                  cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[LshCandidate] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap { s =>
+        s.codes.zipWithIndex.flatMap { case (c, t) =>
+          (c +: (0 until bits).map(b => c ^ (1 << b))).map(pc =>
+            LshBucketArrival((t.toLong << 24) | (pc.toLong & 0xffffffL),
+              s.vec_id, s.codes))
+        }
+      }
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor(bits, cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One arrival for [[labelCensusTws]]: a vector's metadata label —
     * 16-byte id rows; the embedding itself never reaches the stateful
     * operator. */

@@ -1508,4 +1508,118 @@ class StreamingOpsSpec extends SparkSpec {
           s"q258 matches for label $lbl must be the census reading minus one")
       }
   }
+
+  // ---------- embedding LSH near-dup admission ----------
+
+  /** Drive [[StatefulOps.lshAdmitTws]] over a code stream and return the
+    * candidate pair set. */
+  private def runLshAdmit(name: String, sigs: Seq[StatefulOps.LshSig],
+                          bits: Int, nChunks: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{LshCandidate, LshSig}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LshSig]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.lshAdmitTws(input.toDS(), bits)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        sigs.grouped(math.max(sigs.length / nChunks, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.table(name).as[LshCandidate].collect()
+      .map(p => (p.vec_a, p.vec_b)).toSet
+  }
+
+  /** The downstream exact re-check a production admission performs with
+    * two point lookups per candidate: cosine over the collected vectors. */
+  private def cosConfirm(cands: Set[(Long, Long)],
+                         vecs: Map[Long, Array[Double]]): Set[(Long, Long)] =
+    cands.filter { case (a, b) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(va.map(x => x * x).sum)
+      val nb = math.sqrt(vb.map(x => x * x).sum)
+      dot / (na * nb) >= 0.35
+    }
+
+  test("embedding LSH admission tws equals batch q67 pairs and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.LshSig
+    import graft.operators.{DedupQueries, SimilarityQueries}
+
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+    val e = DedupQueries.normVecs(spark, sf)
+    val sigs = DedupQueries.lshSigCodes(e, bits)
+      .orderBy("vec_id").as[LshSig].collect().toSeq
+    val vecs = e.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    val batchPairs = DedupQueries.lshNearDupPairsFrom(e, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val a = runLshAdmit("lsh_admit_3", sigs, bits, 3)
+    val b = runLshAdmit("lsh_admit_7", sigs, bits, 7)
+    assert(a === b, "re-chunking the stream changed the candidate set")
+    val confirmed = cosConfirm(a, vecs)
+    assert(confirmed === batchPairs,
+      s"streamed+confirmed pairs diverged from batch q67: " +
+        s"only-stream=${confirmed -- batchPairs}, only-batch=${batchPairs -- confirmed}")
+  }
+
+  test("the calibrated table count flows through streaming LSH admission") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.LshSig
+    import graft.operators.{DedupQueries, SimilarityQueries}
+
+    // q268's drift scenario on the streaming side (the IndexLifecycleSpec
+    // table-pillar corpus): 12 cos-0.40 pairs on disjoint dim pairs whose
+    // first colliding table was measured against the fixed hyperplanes as
+    // 0 for three pairs, 1 for one, 2 for five, 3 for three. A single
+    // table admits only the first three; the dial's choice (3 tables)
+    // must admit nine — without the tables parameter a recalibration
+    // would move batch and leave ingestion silently blind.
+    val driftJs = Seq((8, 0), (17, 0), (22, 0), (30, 1),
+      (3, 2), (10, 2), (12, 2), (13, 2), (23, 2), (1, 3), (26, 3), (28, 3))
+    val ct = 0.40f
+    val st = math.sqrt(1 - 0.40 * 0.40).toFloat
+    val rows = driftJs.zipWithIndex.flatMap { case ((j, _), m) =>
+      val a = Array.fill(64)(0.0f); a(2 * j) = 1.0f
+      val b = Array.fill(64)(0.0f); b(2 * j) = ct; b(2 * j + 1) = st
+      Seq((10000L + 5 * m, a), (10001L + 5 * m, b))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotd(col("v"), col("v"))))
+    val bits = SimilarityQueries.codeBits(rows.length)
+    val vecs = e.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    def streamedAt(tables: Int): Set[(Long, Long)] = {
+      val sigs = DedupQueries.lshSigCodes(e, bits, tables)
+        .orderBy("vec_id").as[LshSig].collect().toSeq
+      cosConfirm(runLshAdmit(s"lsh_admit_t$tables", sigs, bits, 4), vecs)
+    }
+    val trueTwin = driftJs.indices
+      .map(m => (10000L + 5 * m, 10001L + 5 * m)).toSet
+
+    val atOne = streamedAt(1)
+    assert(atOne === driftJs.zipWithIndex.collect {
+      case ((_, 0), m) => (10000L + 5 * m, 10001L + 5 * m)
+    }.toSet, "one table must admit exactly the table-0 colliders")
+
+    val atChosen = streamedAt(3)
+    assert(atChosen.size === 9 && atChosen.subsetOf(trueTwin),
+      s"the dial's 3 tables must admit the nine pairs colliding by table 2: $atChosen")
+    // and the streamed set at the calibrated count equals batch q67 there
+    val batchAt3 = DedupQueries.lshNearDupPairsFrom(e, bits, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atChosen === batchAt3)
+  }
 }
