@@ -152,18 +152,42 @@ object TextQueries {
   private[graft] val HtmlTail1 = "</p></article><footer>(c) "
   private[graft] val HtmlTail2 = " - all rights reserved</footer></body></html>"
 
-  /** q269's extraction chain over any html column — segment to the
-    * article, drop script elements WITH content, strip remaining tags,
-    * collapse space runs. Dialect-portable regexes only (see the q269
-    * note); shared by the query and the adversarial fixture spec. */
-  private[graft] def extractMarkup(html: Column): Column =
+  /** q269's extraction chain over any html column, hardened to
+    * scraped-corpus reality (VERDICT r11 item 4):
+    *
+    *  1. comments and CDATA sections drop WHOLESALE first — a
+    *     commented-out `</article>` must not terminate the block, and
+    *     CDATA payloads are non-content;
+    *  2. segmentation takes EVERY `<article …>` block (attribute-bearing
+    *     opening tags included) via non-greedy `regexp_extract_all`,
+    *     joined by a space — repeated articles all contribute, and `(?s)`
+    *     lets blocks span lines (for nested articles the regex extractor
+    *     yields the leftmost-open to first-close span — the documented
+    *     regex-segmentation semantics, not a parse tree);
+    *  3. script AND style elements drop with their content even when the
+    *     content contains `<` (non-greedy span, not `[^<]*`);
+    *  4. remaining tags strip, whitespace runs (space/tab/newline/CR/FF —
+    *     an explicit class, byte-identical in Java and RE2 where `\\s`
+    *     differs on \\x0B) collapse to one space.
+    *
+    * Dialect-portable regexes only — `(?s)` + non-greedy are RE2∩Java;
+    * backreferences are NOT (RE2 lacks them), hence separate script and
+    * style passes. Shared by the query and the adversarial fixture spec. */
+  private[graft] def extractMarkup(html: Column): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(html, "(?s)<!--.*?-->", " "),
+      "(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
+    val body = concat_ws(" ",
+      regexp_extract_all(cleaned,
+        lit("(?s)<article[^>]*>(.*?)</article>"), lit(1)))
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_extract(html, "<article>(.*)</article>", 1),
-          "<script[^>]*>[^<]*</script>", " "),
+          regexp_replace(body, "(?s)<script[^>]*>.*?</script>", " "),
+          "(?s)<style[^>]*>.*?</style>", " "),
         "<[^>]*>", " "),
-      " +", " "))
+      "[ \\t\\n\\r\\f]+", " "))
+  }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -2637,16 +2661,27 @@ object TextQueries {
               |         concat('$HtmlPre', source, '$HtmlMid', text,
               |                '$HtmlTail1', source, '$HtmlTail2') AS html
               |  FROM documents
+              |), c AS (
+              |  SELECT doc_id, text, html,
+              |         regexp_replace(
+              |           regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+              |           '(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g') AS cleaned
+              |  FROM h
               |), x AS (
               |  SELECT doc_id, text, html,
               |         trim(regexp_replace(
               |           regexp_replace(
               |             regexp_replace(
-              |               regexp_extract(html, '<article>(.*)</article>', 1),
-              |               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+              |               regexp_replace(
+              |                 coalesce(array_to_string(
+              |                   regexp_extract_all(cleaned,
+              |                     '(?s)<article[^>]*>(.*?)</article>', 1),
+              |                   ' '), ''),
+              |                 '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              |               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
               |             '<[^>]*>', ' ', 'g'),
-              |           ' +', ' ', 'g')) AS extracted
-              |  FROM h
+              |           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS extracted
+              |  FROM c
               |)
               |SELECT doc_id,
               |       CAST(len(html) AS BIGINT) AS n_html_chars,
@@ -2667,9 +2702,17 @@ object TextQueries {
         "equals the original text exactly, so chrome removal provably " +
         "lost nothing — and content_ratio_ppm is the text-to-markup " +
         "density signal extraction pipelines gate on (chrome-heavy pages " +
-        "score low). Every regex sticks to dialect-portable constructs " +
-        "(explicit ' +' not \\\\s+, character classes over dotall flags) " +
-        "so Java and RE2 agree byte-for-byte. At 100 TB this is one " +
+        "score low). Hardened to scraped-corpus reality: comments and " +
+        "CDATA drop wholesale before segmentation (a commented-out close " +
+        "tag cannot terminate the block), attribute-bearing and repeated " +
+        "article tags all contribute (non-greedy regexp_extract_all, " +
+        "joined), (?s) spans multiline blocks, and script/style drop " +
+        "with content even when it contains '<'. Every regex sticks to " +
+        "dialect-portable constructs — (?s) and non-greedy are RE2-and-" +
+        "Java-common, whitespace collapses through an explicit class " +
+        "(Java and RE2 disagree on \\\\s at \\\\x0B), and NO " +
+        "backreferences (RE2 lacks them: separate script and style " +
+        "passes) — so both engines agree byte-for-byte. At 100 TB this is one " +
         "codegen'd scan pass — regexp_replace/extract are " +
         "whole-stage-codegen expressions, no UDF boundary — and the " +
         "envelope synthesis column swaps for the real crawl payload " +

@@ -71,7 +71,36 @@ class CurationSpec extends SparkSpec {
       // an empty article extracts to the empty string, not a crash
       ("<article></article>", ""),
       // no article at all extracts empty (regexp_extract's no-match form)
-      ("<p>orphan</p>", "")
+      ("<p>orphan</p>", ""),
+      // multiline block: (?s) spans newlines, runs of mixed whitespace
+      // (newline/tab) collapse to single spaces
+      ("<article class=\"post\">line one\n\tline two\r\nline three</article>",
+        "line one line two line three"),
+      // attribute-bearing article tag segments like the bare one
+      ("<article data-id=\"7\" class=\"a b\"><p>attr ok</p></article>",
+        "attr ok"),
+      // REPEATED articles all contribute, in order, chrome between dropped
+      ("<article>first</article><aside>ad</aside><article>second</article>",
+        "first second"),
+      // nested articles: the regex extractor yields the leftmost-open to
+      // first-close span — the nested opening tag strips as a tag, text
+      // after the inner close drops (documented segmentation semantics,
+      // not a parse tree)
+      ("<article>outer <article>inner</article> tail</article>",
+        "outer inner"),
+      // a commented-out close tag cannot terminate the block, and comment
+      // bodies vanish wholesale
+      ("<article>keep <!-- </article> fake --> going</article>",
+        "keep going"),
+      // CDATA payloads are non-content and drop wholesale
+      ("<article>a <![CDATA[ <raw> & markup ]]> b</article>", "a b"),
+      // script content containing '<' still drops with its element
+      ("<article><script>if(a<b){track();}</script>real</article>", "real"),
+      // style elements inside the article drop with their content
+      ("<article><style>.x{color:red}</style>styled</article>", "styled"),
+      // multiline script spans drop under (?s)
+      ("<article><script>\nvar a=1;\nif(a<2){go();}\n</script>body</article>",
+        "body")
     ).toDF("html", "expected")
     val got = rows.select(TextQueries.extractMarkup(col("html")).as("x"),
       col("expected")).collect()
