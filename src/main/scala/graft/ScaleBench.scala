@@ -1,0 +1,41 @@
+package graft
+
+/** Dev harness: time a fixed headline-query set against one corpus dir and
+  * print one parseable line per query — the scale-headroom evidence run
+  * (SCALE.md §growth): the bench top-10 plus the recall-scoreboard /
+  * calibration-dial families, whose ground-truth passes are the newest
+  * bounded plans. min-of-reps in a warm JVM, BenchOne's convention.
+  *
+  * Usage: runMain graft.ScaleBench <sfDir> [reps] [label]
+  */
+object ScaleBench {
+  val Headline: Seq[String] = Seq(
+    "q141_robust_outliers", "q236_pq_ann", "q249_ivfpq_ann",
+    "q86_kmeans_train", "q102_pagerank", "q184_basket_affinity",
+    "q41_dedup_ngram_jaccard", "q67_dedup_embedding_lsh",
+    "q130_quantized_ann", "q141b_robust_outliers_approx",
+    "q251_probe_depth_calibration", "q261_minhash_recall_eval",
+    "q262_simhash_recall_eval", "q263_media_simhash_recall_eval",
+    "q264_embedding_recall_eval", "q265_bucket_cap_dial",
+    "q266_media_cap_dial", "q268_lsh_table_dial")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val label = if (args.length > 2) args(2) else sfDir
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALEBENCH $label $name min=${times.min}%.3f " +
+        f"times=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: synthesize a scale-headroom corpus that mimics the driver
+  * testdata's statistics (TESTDATA.md; measured off sf0.1) at an arbitrary
+  * multiplier, so growth curves past sf0.1 can be measured even though the
+  * driver only generates up to sf0.1. `mult = 1` reproduces sf0.1-scale
+  * SIZES (5000 docs, 2000 embeddings, 600k lineitem...) with this
+  * generator's own deterministic values — bench sf0.1-vs-sfx1 validates
+  * the mimicry, sfx1-vs-sfx10 measures the growth exponent like-for-like
+  * on one generator.
+  *
+  * Mimicked statistics (measured): documents draw 10–100 tokens uniformly
+  * from the corpus's 31-word vocabulary, 5 langs, 20 sources; embeddings
+  * are unit-norm 64-dim vectors with per-dim spread ~1/8; lineitem keeps
+  * 4 lines/order, part/supp key cardinalities at 1/30 and 1/600 of rows,
+  * uniform flag/status mixes and a two-year shipdate span. `events` is
+  * deliberately not generated — no headline query reads it.
+  *
+  * Usage: runMain graft.ScaleCorpus <outDir> <mult>
+  */
+object ScaleCorpus {
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  private def h(salt: Int): Column = xxhash64(col("id"), lit(salt))
+  private def hm(salt: Int, m: Long): Column = pmod(h(salt), lit(m))
+
+  private def write(df: DataFrame, outDir: String, name: String,
+                    files: Int): Unit =
+    df.coalesce(files).write.mode("overwrite")
+      .parquet(s"$outDir/$name.parquet")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val mult = args(1).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val nLine = 600000L * mult
+    val nOrders = nLine / 4
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nPart = 20000L * mult
+
+    // documents: 10–100 tokens drawn per-position from the 31-word vocab
+    val vocabCol = array(Vocab.map(lit): _*)
+    val docs = spark.range(nDocs)
+      .withColumn("ntok", (hm(1, 91) + 10).cast("int"))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), col("ntok")),
+          i => element_at(vocabCol,
+            (pmod(xxhash64(col("id"), i, lit(2)), lit(Vocab.length)) + 1)
+              .cast("int")))).as("text"),
+        element_at(array(Langs.map(lit): _*),
+          (hm(3, Langs.length) + 1).cast("int")).as("lang"),
+        concat(lit("src"), hm(4, 20)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, outDir, "documents", math.max(1, mult))
+
+    // embeddings: unit-norm 64-dim vectors, uniform pre-normalization
+    val raw = transform(sequence(lit(1), lit(64)),
+      d => pmod(xxhash64(col("id"), d, lit(5)), lit(2000001L)).cast("double")
+        / 1000000.0d - 1.0d)
+    val vecs = spark.range(nVecs)
+      .withColumn("raw", raw)
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(col("id").as("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"),
+        hm(6, 10).cast("int").as("label"))
+    write(vecs, outDir, "embeddings", math.max(1, mult))
+
+    val day = 86400L * 1000000L // micros
+    val epoch95 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+
+    val lineitem = spark.range(nLine).select(
+      (col("id") / 4).cast("long").as("l_orderkey"),
+      hm(10, nPart).as("l_partkey"),
+      hm(11, nSupp).as("l_suppkey"),
+      (col("id") % 4 + 1).cast("int").as("l_linenumber"),
+      (hm(12, 50) + 1).cast("double").as("l_quantity"),
+      round(hm(13, 4910000).cast("double") / 100.0d + 900.0d, 2)
+        .as("l_extendedprice"),
+      (hm(14, 11).cast("double") / 100.0d).as("l_discount"),
+      (hm(15, 9).cast("double") / 100.0d).as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (hm(16, 3) + 1).cast("int")).as("l_returnflag"),
+      element_at(array(lit("O"), lit("F")),
+        (hm(17, 2) + 1).cast("int")).as("l_linestatus"),
+      timestamp_micros(unix_micros(epoch95) + hm(18, 730) * day)
+        .as("l_shipdate"))
+    write(lineitem, outDir, "lineitem", math.max(4, 4 * mult))
+
+    val orders = spark.range(nOrders).select(
+      col("id").as("o_orderkey"),
+      hm(20, nCust).as("o_custkey"),
+      element_at(array(lit("O"), lit("P"), lit("F")),
+        (hm(21, 3) + 1).cast("int")).as("o_orderstatus"),
+      round(hm(22, 49900000).cast("double") / 100.0d + 1000.0d, 2)
+        .as("o_totalprice"),
+      timestamp_micros(unix_micros(epoch95) + hm(23, 730) * day)
+        .as("o_orderdate"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (hm(24, 5) + 1).cast("int")).as("o_orderpriority"))
+    write(orders, outDir, "orders", math.max(2, mult))
+
+    val customer = spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      hm(30, 25).cast("int").as("c_nationkey"),
+      round(hm(31, 1000000).cast("double") / 100.0d, 2).as("c_acctbal"),
+      element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+        lit("HOUSEHOLD"), lit("MACHINERY")),
+        (hm(32, 5) + 1).cast("int")).as("c_mktsegment"))
+    write(customer, outDir, "customer", 1)
+
+    val supplier = spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      hm(40, 25).cast("int").as("s_nationkey"),
+      round(hm(41, 1000000).cast("double") / 100.0d, 2).as("s_acctbal"))
+    write(supplier, outDir, "supplier", 1)
+
+    val part = spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ",
+        element_at(array(lit("large"), lit("small"), lit("hot"), lit("cold"),
+          lit("steel")), (hm(50, 5) + 1).cast("int")),
+        element_at(array(lit("ring"), lit("bolt"), lit("screw"), lit("nut"),
+          lit("washer")), (hm(51, 5) + 1).cast("int"))).as("p_name"),
+      concat(lit("Brand#"), hm(52, 25)).as("p_brand"),
+      element_at(array(lit("LARGE"), lit("ECONOMY"), lit("STANDARD"),
+        lit("SMALL"), lit("PROMO")), (hm(53, 5) + 1).cast("int")).as("p_type"),
+      (hm(54, 50) + 1).cast("int").as("p_size"),
+      round(hm(55, 1000000).cast("double") / 100.0d + 900.0d, 2)
+        .as("p_retailprice"))
+    write(part, outDir, "part", 1)
+
+    // nation/region are fixed-cardinality — carry the driver's own
+    spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    spark.read.parquet("/root/testdata/sf0.1/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/region.parquet")
+
+    println(s"SCALECORPUS wrote mult=$mult to $outDir")
+    spark.stop()
+  }
+}
