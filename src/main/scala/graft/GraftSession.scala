@@ -37,5 +37,11 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the bounded top-k prune (TopPairs) groups by query_id — hundreds
+      // of groups per task at bench scale; the default 128-group fallback
+      // would silently degrade ObjectHashAggregate to sort-based (a full
+      // input sort — exactly what the heap aggregate exists to avoid).
+      // Buffers are k·16B, so even 16k groups is ~32 MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .config("spark.ui.enabled", "false")
 }

@@ -151,6 +151,18 @@ object Sketches {
     ColumnBridge.column(SimHashOfArray(ColumnBridge.expression(col)))
   }
 
+  /** Exact per-group top-k of (score, id) pairs under (score DESC, id ASC)
+    * — `array<struct<score,id>>` best-first, k-bounded heap buffer with
+    * map-side partial aggregation. The scale-correct replacement for the
+    * salted two-phase row_number prune: nothing ever sorts more than k
+    * elements and the exchange carries ≤ map_partitions·k pairs per
+    * group. See org.apache.spark.sql.graft.TopPairs. */
+  def topPairs(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, TopPairs}
+    ColumnBridge.column(TopPairs(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
+  }
+
   /** One-pass distinct rolling 8-byte shingle fingerprints of a binary
     * column (base-256 mod `p`), codegen'd — the scan-stage byte twin of
     * the token-shingle arrays feeding [[simhashArray]]/[[minhashArray]]. */

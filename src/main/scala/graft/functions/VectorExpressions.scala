@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, SignCodeD, ZOrderCode}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, DotProductL, SignCodeD, SqDistD, ZOrderCode}
 
 /** Column facade over the engine's native Catalyst vector expressions
   * (org.apache.spark.sql.graft.VectorExpressions). */
@@ -9,6 +9,17 @@ object VectorFunctions {
   /** Dot product of two `array<double>` columns — codegen'd, zero-alloc. */
   def dotd(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Squared L2 distance of two `array<double>` columns — one fused
+    * codegen loop; the native form of `aggregate(zip_with((a-b)²))`,
+    * which is an interpreted HOF on Spark 4's hot path. */
+  def sqdistd(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact integer dot product of two `array<long>` columns — the SQ8
+    * code-scan scorer; codegen'd. */
+  def dotl(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sign-LSH bucket code of an `array<double>` vector against `bits`
     * hyperplanes (row-major `bits × dim`) — one fused pass, codegen'd. */

@@ -273,9 +273,9 @@ object IndexLifecycle {
     * FLOORED to integer micros before the sum, integer mean) so the
     * lifecycle audit and the batch audit read the same dial. */
   def codebookErrU(vectors: DataFrame, codebook: DataFrame): DataFrame = {
-    val l2 = aggregate(
-      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // native fused Σ(a−b)² — see SimilarityQueries.pqCodesFrom; values
+    // are bit-identical to the declarative HOF form
+    val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     SimilarityQueries.pqSubsOf(vectors)
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"), (-col("cent_id")).as("negc"))

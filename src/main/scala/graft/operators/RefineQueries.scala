@@ -485,9 +485,9 @@ object RefineQueries {
     * (`StatefulOps.pqDriftTws` — StreamingOpsSpec stages these exact rows),
     * so the live and nightly monitors watch identical arithmetic. */
   private[graft] def pqErrU(s: SparkSession, dir: String): DataFrame = {
-    val l2 = aggregate(
-      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // native fused Σ(a−b)² — see pqCodesFrom: the HOF form is interpreted
+    // per (sub-vector × codebook row); values are bit-identical
+    val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     SimilarityQueries.pqSubs(s, dir)
       .join(broadcast(SimilarityQueries.pqCodebook(s, dir)), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"),

@@ -296,9 +296,12 @@ object SimilarityQueries {
     * through exactly the assignment q236 ships. */
   private[graft] def pqCodesFrom(s: SparkSession, dir: String,
                                  codebook: DataFrame): DataFrame = {
-    val l2 = aggregate(
-      zip_with(col("sv"), col("csub"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // native fused Σ(a−b)² — the declarative aggregate(zip_with(…)) form
+    // is an interpreted HOF evaluated once per (sub-vector × codebook row)
+    // inside this join: ~20M closure evals at 10× sf0.1, measured as the
+    // whole of the PQ build's cost. Same ascending-index IEEE sum, so
+    // codes (and every replay oracle) are bit-identical.
+    val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     pqSubs(s, dir).join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"),
         (-col("cent_id")).as("negc"), col("crk"))
@@ -348,15 +351,18 @@ object SimilarityQueries {
   private def adcPruneRerank(s: SparkSession, dir: String,
                              cand: DataFrame, depth: Int): DataFrame = {
     val e = normed(s, dir)
-    val salted = Window
-      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-      .orderBy(col("sc").desc, col("neighbor_id"))
-    val finalPrune = Window.partitionBy(col("query_id"))
-      .orderBy(col("sc").desc, col("neighbor_id"))
+    // k-bounded heap aggregate, NOT a row_number window: the window form
+    // must fully sort the N·Q candidate stream before its group limit can
+    // cut (measured 47 s of q236's 48 s at 10× sf0.1 — scoring the same
+    // rows costs 0.6 s), while the heap streams candidates at one
+    // comparison per non-surviving row, partial-aggregates map-side, and
+    // ships ≤ map_partitions·depth pairs per query through the exchange.
+    // Same (sc DESC, neighbor_id ASC) total order → identical survivors.
     val survivors = cand
-      .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= depth)
-      .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= depth)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.Sketches.topPairs(col("sc"), col("neighbor_id"),
+        depth).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val qv = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val rerank = Window.partitionBy(col("query_id"))
@@ -1172,19 +1178,21 @@ object SimilarityQueries {
       val base = quantized(s, dir)
       val q = base.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("cd").as("qcd"))
-      // integer candidate scores; only (query_id, neighbor_id, isc) ride on
-      val isc = aggregate(zip_with(col("cd"), col("qcd"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-        .orderBy(col("isc").desc, col("neighbor_id"))
-      val finalPrune = Window.partitionBy(col("query_id"))
-        .orderBy(col("isc").desc, col("neighbor_id"))
+      // integer candidate scores via the native fused dot (the HOF form
+      // is interpreted per candidate row); only (query_id, neighbor_id,
+      // isc) ride on. Pruning is the k-bounded heap aggregate, not a
+      // window — see adcPruneRerank: identical (isc DESC, id ASC)
+      // survivors (integer scores are exact in double), nothing sorts
+      // more than 32 elements. The cast is monotone and injective here:
+      // |isc| ≤ 64·255² ≪ 2^53.
+      val isc = graft.functions.VectorFunctions.dotl(col("cd"), col("qcd"))
       val survivors = base.select(col("vec_id"), col("cd"))
         .join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), isc.as("isc"))
-        .withColumn("prk1", row_number().over(salted)).filter(col("prk1") <= 32)
-        .withColumn("prk", row_number().over(finalPrune)).filter(col("prk") <= 32)
-        .select(col("query_id"), col("neighbor_id"))
+        .groupBy("query_id")
+        .agg(graft.functions.Sketches.topPairs(col("isc").cast("double"),
+          col("neighbor_id"), 32).as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
       // exact re-rank: survivors re-join vectors by id (query side is tiny
       // and broadcast; neighbor side is 32·|Q| rows against the corpus)
       val qv = base.filter(col("vec_id") % 50 === 0)

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -94,6 +94,156 @@ case class DotProductD(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ(aᵢ−bᵢ)² over two `array<double>` columns — the squared-L2 twin of
+  * [[DotProductD]]. The declarative form `aggregate(zip_with(a, b,
+  * (x,y) => (x−y)·(x−y)), …)` is an INTERPRETED HOF in the Spark 4
+  * evaluator (ZipWith/ArrayAggregate have no doGenCode): inside the PQ
+  * codebook-assignment join it ran once per (sub-vector × codebook row) —
+  * ~20M interpreted closures at 10× sf0.1, measured as the entirety of
+  * q236/q249's build cost (the q252 poison class, join-sized instead of
+  * plan-inference-sized). One fused codegen loop replaces it. */
+case class SqDistD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val nullScan = if (elementsMayBeNull) {
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |int $n = $a.numElements();
+         |${ev.isNull} = $n != $b.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ·bᵢ over two `array<long>` columns — the integer twin of
+  * [[DotProductD]] for the SQ8 code scan (q130), whose candidate scores
+  * must stay exact integer arithmetic (bit-deterministic tie-breaks).
+  * Replaces the same interpreted `aggregate(zip_with(…))` HOF class. */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dotl"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val nullScan = if (elementsMayBeNull) {
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |int $n = $a.numElements();
+         |${ev.isNull} = $n != $b.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductL =
     copy(left = newLeft, right = newRight)
 }
 
