@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // paths use. (SignCodeD is API-only: its hyperplane-array parameter
     // has no SQL literal form.)
     fn("graft_dot", classOf[DotProductD], 2)(c => DotProductD(c.head, c(1)))
+    fn("graft_sqdist", classOf[SqDistD], 2)(c => SqDistD(c.head, c(1)))
+    fn("graft_dotl", classOf[DotProductL], 2)(c => DotProductL(c.head, c(1)))
     fn("graft_zorder", classOf[ZOrderCode], 2)(c => ZOrderCode(c.head, c(1)))
     fn("graft_bloom_contains", classOf[BloomMightContain], 2)(c =>
       BloomMightContain(c.head, c(1)))
@@ -72,10 +74,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Rewrites `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` over
-  * `array<double>` inputs to [[DotProductD]] — semantics are identical
-  * (left-to-right fold, 0.0 + x == x, null on length mismatch / null
-  * element) and ~10× faster interpreted-HOF-free.
+/** Rewrites the declarative fold-over-zip patterns to their native
+  * codegen kernels — semantics identical (left-to-right fold, 0 + x == x,
+  * null on length mismatch / null element), interpreted-HOF-free:
+  *
+  *  - `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` over `array<double>`
+  *    → [[DotProductD]];
+  *  - `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, _ + _)` over
+  *    `array<double>` → [[SqDistD]] (the PQ assignment's squared L2 —
+  *    evaluated per (sub-vector × codebook row) inside a join, where the
+  *    interpreted form was measured as the whole of q236's 10× cost);
+  * The long twin ([[DotProductL]], q130's exact integer candidate scores)
+  * is deliberately NOT auto-rewritten: under ANSI mode (Spark 4's
+  * default) a long `x * y` fold THROWS on overflow where the kernel's
+  * Java arithmetic wraps — an explicit `dotl` call site accepts that
+  * contract, a silent rewrite of user code must not change it. The
+  * double patterns have no such divergence (IEEE, no overflow errors).
   *
   * The multiply/add operands must be exactly the variables bound by the
   * enclosing lambda's own argument list (matched by exprId): a fold body
@@ -98,6 +112,25 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             boundExactly(Seq(acc, v), Seq(accArg, vArg)) &&
             isIdentityFinish(finish) =>
         DotProductD(a, b)
+
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(
+                Multiply(Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                  Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+                Seq(xArg: NamedLambdaVariable, yArg: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _),
+            finish)
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            // BOTH factors must be the same (xArg − yArg): (x−y)·(y−x)
+            // or a captured variable is not a squared distance
+            x1.exprId == xArg.exprId && x2.exprId == xArg.exprId &&
+            y1.exprId == yArg.exprId && y2.exprId == yArg.exprId &&
+            boundExactly(Seq(acc, v), Seq(accArg, vArg)) &&
+            isIdentityFinish(finish) =>
+        SqDistD(a, b)
     }
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {

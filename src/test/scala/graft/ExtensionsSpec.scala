@@ -149,4 +149,62 @@ class ExtensionsSpec extends AnyFunSuite {
     // same-class instances with the same children still unify (dedup works)
     assert(safe == safeFn && safe.hashCode == safeFn.hashCode)
   }
+
+  test("HOF squared-distance pattern is rewritten to graft_sqdist and results match") {
+    val df = embDf
+    val hof = df.select(col("vec_id"),
+      aggregate(zip_with(col("v"), reverse(col("v")), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_sqdist"),
+      s"expected rewrite in:\n${hof.queryExecution.optimizedPlan}")
+    val native = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.sqdistd(col("v"), reverse(col("v"))).as("d2"))
+    val a = hof.orderBy("vec_id").collect().map(_.getDouble(1))
+    val b = native.orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(a.toSeq === b.toSeq, "rewrite must be bit-identical to the HOF fold")
+  }
+
+  test("graft_sqdist and graft_dotl are SQL-callable with HOF null semantics") {
+    val spark = extSpark
+    val r = spark.sql(
+      "SELECT graft_sqdist(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d").head()
+    assert(r.getDouble(0) === 8.0)
+    assert(spark.sql(
+      "SELECT graft_sqdist(array(1.0D), array(1.0D, 2.0D)) AS d").head().isNullAt(0),
+      "length mismatch must be null")
+    val l = spark.sql(
+      "SELECT graft_dotl(array(2L, 3L), array(5L, 7L)) AS d").head()
+    assert(l.getLong(0) === 31L)
+    assert(spark.sql(
+      "SELECT graft_dotl(array(1L), array(1L, 2L)) AS d").head().isNullAt(0))
+  }
+
+  test("the long dot fold is NOT auto-rewritten (ANSI overflow semantics stay the user's)") {
+    // Under ANSI (Spark 4 default) a long x*y fold throws on overflow;
+    // DotProductL wraps. Explicit dotl call sites accept that contract —
+    // a silent rewrite of user code must not change it.
+    val df = embDf.select(col("vec_id"),
+      transform(col("v"), x => (x * 100).cast("long")).as("cd"))
+    val hof = df.select(col("vec_id"),
+      aggregate(zip_with(col("cd"), col("cd"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("isc"))
+    assert(!hof.queryExecution.optimizedPlan.toString.contains("graft_dotl"),
+      s"long fold must stay declarative:\n${hof.queryExecution.optimizedPlan}")
+    // ...but the explicit kernel agrees with the fold wherever it evaluates
+    val native = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.dotl(col("cd"), col("cd")).as("isc"))
+    assert(hof.orderBy("vec_id").collect().map(_.getLong(1)).toSeq ===
+      native.orderBy("vec_id").collect().map(_.getLong(1)).toSeq)
+  }
+
+  test("a one-sided difference or cross-termed square is NOT rewritten to graft_sqdist") {
+    // (x−y)·(y−x) is −(x−y)² — matching it would silently flip sign
+    val df = embDf.select(col("vec_id"),
+      aggregate(zip_with(col("v"), reverse(col("v")), (x, y) => (x - y) * (y - x)),
+        lit(0.0), (acc, x) => acc + x).as("neg"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_sqdist"),
+      s"cross-termed square must not rewrite:\n${df.queryExecution.optimizedPlan}")
+    val v = df.orderBy("vec_id").head().getDouble(1)
+    assert(v <= 0.0, "the cross-termed fold is the NEGATED squared distance")
+  }
 }

@@ -262,6 +262,37 @@ class ScaleDesignSpec extends SparkSpec {
       s"q41 must build xxhash shingles with the native one-pass kernel:\n$p41")
   }
 
+  test("ANN hot paths score with native kernels and prune with the bounded heap aggregate") {
+    // Round-12 regression guards for the join-sized HOF poison: the PQ
+    // codebook-assignment L2 and the SQ8 candidate scores are interpreted
+    // aggregate(zip_with(…)) closures if anything re-introduces the
+    // declarative form — measured as the WHOLE of q236's cost at 10×
+    // sf0.1 (jstack: all samples in ZipWith.eval). And the candidate
+    // prune must be the k-bounded graft_top_pairs heap (O(n) streaming,
+    // map-side partials), never a row_number window that full-sorts the
+    // N·Q candidate stream.
+    Seq("q236_pq_ann", "q249_ivfpq_ann").foreach { q =>
+      val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("graft_sqdist"),
+        s"$q must assign codes with the native squared-L2 kernel:\n$p")
+      assert(p.contains("graft_top_pairs"),
+        s"$q must prune candidates with the bounded heap aggregate:\n$p")
+      assert(!p.toLowerCase.contains("zip_with"),
+        s"$q re-introduces an interpreted HOF on the hot path:\n$p")
+    }
+    val p130 = physicalPlan(SparkEntry.queries("q130_quantized_ann")(spark, sf))
+    assert(p130.contains("graft_dotl") && p130.contains("graft_top_pairs") &&
+      !p130.toLowerCase.contains("zip_with"),
+      s"q130 must score with graft_dotl and prune with graft_top_pairs:\n$p130")
+    // the heap aggregate must plan as ObjectHashAggregate — a silent
+    // sort-based fallback (the 128-group default threshold) would pay the
+    // very sort the heap exists to avoid; GraftSession raises the
+    // threshold and this pins that it holds where it matters
+    val p236 = physicalPlan(SparkEntry.queries("q236_pq_ann")(spark, sf))
+    assert(p236.contains("ObjectHashAggregate"),
+      s"graft_top_pairs must aggregate object-hash, not sort-based:\n$p236")
+  }
+
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF

@@ -653,4 +653,33 @@ class SketchSpec extends SparkSpec {
     val dial = SparkEntry.queries("q265_bucket_cap_dial")(spark, sf).collect()
     assert(dial.forall(_.getLong(dial.head.fieldIndex("gt_dropped")) == 0L))
   }
+
+  test("graft_top_pairs equals the sort-based top-k reference, ties and merges included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // heavy ties: score = id % 7 repeats ~143× per value, so the
+    // (score DESC, id ASC) tie-break does the ranking work; 11 partitions
+    // force the partial/merge path through serialize/deserialize
+    val rows = (0L until 1000L).map(id => (id % 13, id, (id % 7).toDouble))
+    val heap = rows.toDF("g", "id", "s").repartition(11)
+      .groupBy("g")
+      .agg(graft.functions.Sketches.topPairs(col("s"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(t => (t._3, t._2)).sortBy { case (s, id) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((s, id), i) => (g, i, s, id) }
+    }.toSet
+    assert(heap === ref,
+      s"heap top-k diverged from the sort reference:\nonly-heap=${heap -- ref}\nonly-ref=${ref -- heap}")
+    // groups smaller than k emit all members, best-first
+    val small = Seq((1L, 10L, 1.0), (1L, 11L, 3.0)).toDF("g", "id", "s")
+      .groupBy("g")
+      .agg(graft.functions.Sketches.topPairs(col("s"), col("id"), 5).as("top"))
+      .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0)).toSeq
+    assert(small == Seq(11L, 10L))
+  }
 }
