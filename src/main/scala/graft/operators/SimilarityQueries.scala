@@ -30,9 +30,10 @@ object SimilarityQueries {
     dotd(va, vb) / (na * nb)
 
   /** q43's exact top-k pipeline, pre-presentation: (query_id, neighbor_id,
-    * rk, c). ONE copy of the broadcast-query scan + salted two-phase top-k,
-    * shared by q43 itself and the q246/q247 recall evals — the eval grades
-    * the index against the PLAN it ships, not a lookalike. */
+    * rk, c). ONE copy of the broadcast-query scan + bounded-heap top-k
+    * ([[topKRanked]]), shared by q43 itself and the q246/q247 recall evals
+    * — the eval grades the index against the PLAN it ships, not a
+    * lookalike. */
   private[operators] def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
     val q = n.filter(col("vec_id") % 50 === 0)
@@ -40,17 +41,24 @@ object SimilarityQueries {
     val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
-    // Phase 1: per-(query, salt) partial top-k — bounded partitions.
-    val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    // Phase 2: exact top-k over the ≤ 64·k survivors per query.
-    val finalW = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    scored
-      .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
-      .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+    topKRanked(scored, K)
   }
+
+  /** Exact per-query top-k with rank over `scored(query_id, neighbor_id,
+    * c)` — the k-bounded `graft_top_pairs` heap aggregate (one comparison
+    * per non-surviving row, map-side partials, ≤ map_partitions·k pairs
+    * per query through the exchange, nothing sorts more than k elements).
+    * Replaces the salted two-phase row_number window, which had to fully
+    * sort the N·Q candidate stream before its group limit could cut;
+    * identical (c DESC, neighbor_id ASC) order — Double.compare inside
+    * the heap, so even NaN scores rank exactly as the window did. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.Sketches.topPairs(col("c"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rk"), col("col.score").as("c"))
 
   /** q66's probe depth — also the DEFAULT for every IVF-routed pipeline.
     * q251 calibrates the minimal depth meeting a recall floor; callers can
@@ -198,7 +206,7 @@ object SimilarityQueries {
                                      probes: Int = IvfProbes): DataFrame =
     rankTopK(ivfFilteredCandidates(s, dir, probes))
 
-  /** The EXACT label-filtered baseline — [[bruteTopK]]'s salted two-phase
+  /** The EXACT label-filtered baseline — [[bruteTopK]]'s bounded-heap
     * top-k with the label-equality predicate folded into the broadcast join
     * condition (pre-filter: at 100 TB this is the strategy for SELECTIVE
     * predicates, where the filtered corpus is small enough to scan; the
@@ -213,14 +221,7 @@ object SimilarityQueries {
         col("vec_id") =!= col("query_id") && col("lbl") === col("qlbl"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
-    val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    val finalW = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    scored
-      .withColumn("prk", row_number().over(salted)).filter(col("prk") <= K)
-      .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rk"), col("c"))
+    topKRanked(scored, K)
   }
 
   /** q44's sign-LSH top-k pipeline, pre-presentation: (query_id,
@@ -861,7 +862,7 @@ object SimilarityQueries {
               |ORDER BY query_id, rk""".stripMargin),
       "Exact ANN baseline: the small query set is broadcast against the " +
         "corpus scan (no corpus shuffle), then top-k is taken in two phases " +
-        "— a salted partial top-k (64-way) so no single reducer ever sees a " +
+        "— a k-bounded heap aggregate with map-side partials, so no reducer " +
         "query's full n scored rows, then a final top-k over 64·k survivors. " +
         "This is the plan that survives a 10^9-vector corpus; the window " +
         "never materializes a global per-query sort."
@@ -905,7 +906,7 @@ object SimilarityQueries {
         "cosine band [0.10, 0.30) — above random, below the near-dup " +
         "radius — ranked and cut to the 5 hardest. Same broadcast-anchor " +
         "scan shape as q43 with the band filter applied BEFORE the " +
-        "two-phase salted top-k, so the rank windows only ever see " +
+        "k-bounded heap prune, so the rank machinery only ever sees " +
         "in-band rows. Band edges are explicit DOUBLE compares on the " +
         "bit-identical dot/norm expression tree — no cross-engine edge " +
         "flicker. At 100 TB the band filter composes with the q44/q66 " +
@@ -919,13 +920,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
         .filter(col("c") >= lit(0.10) && col("c") < lit(0.30))
-      val salted = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      val finalW = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      scored
-        .withColumn("prk", row_number().over(salted)).filter(col("prk") <= 5)
-        .withColumn("rk", row_number().over(finalW).cast("long")).filter(col("rk") <= 5)
+      topKRanked(scored, 5)
         .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")
     },
@@ -1164,7 +1159,7 @@ object SimilarityQueries {
         "codes (8× less memory bandwidth than q43's float scan, and " +
         "EXACT cross-engine arithmetic — the candidate set is " +
         "bit-deterministic where a float candidate score would be a " +
-        "tie-break hazard), pruned to 32 per query with the salted " +
+        "tie-break hazard), pruned to 32 per query with the k-bounded " +
         "two-phase top-k, and only the 32 survivors' ids flow to the " +
         "float re-rank — both sides re-join the corpus BY ID for exact " +
         "cosine (q67's id-only candidate discipline: vectors never ride " +
@@ -1281,7 +1276,7 @@ object SimilarityQueries {
         "(bit-identical across engines — no reduction-order ambiguity), " +
         "and the 32 ADC survivors re-rank by exact cosine through an " +
         "id-only join (q67's discipline: full vectors never ride the " +
-        "prune shuffle). Candidate pruning uses the salted two-phase " +
+        "prune shuffle). Candidate pruning uses the k-bounded heap " +
         "top-k; recall loss lives only between ADC rank 32 and k, and " +
         "the oracle replays the identical pipeline so the check is " +
         "hash-exact, not recall-tolerant. At 100 TB the codebooks are " +
@@ -1690,7 +1685,7 @@ object SimilarityQueries {
         "the whole reason RRF won in production. Each arm keeps its " +
         "own scale shape: the BM25 arm moves only the 3 query terms' " +
         "postings, the dense arm broadcasts the 1-row query vector " +
-        "and takes top-30 via the q43 salted two-phase heap (never a " +
+        "and takes top-30 via the q43 k-bounded heap aggregate (never a " +
         "global per-query sort of the corpus); the fusion is a " +
         "FULL OUTER join of two ≤30-row frames — absence in one arm " +
         "is rank 0, contributing nothing. Both arms' rank orders are " +
@@ -1708,14 +1703,14 @@ object SimilarityQueries {
         .crossJoin(broadcast(q0))
         .select(col("vec_id").as("doc_id"),
           cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
-      val salted = Window.partitionBy(pmod(col("doc_id"), lit(64)))
-        .orderBy(col("c").desc, col("doc_id"))
-      val cr = sc.withColumn("rk1", row_number().over(salted))
-        .filter(col("rk1") <= 30)
-        .withColumn("cos_rank",
-          row_number().over(Window.orderBy(col("c").desc, col("doc_id"))).cast("long"))
-        .filter(col("cos_rank") <= 30)
-        .select(col("doc_id"), col("cos_rank"))
+      // global top-30 via the k-bounded heap aggregate (single group,
+      // map-side partials) — never a global sort of the scored corpus
+      val cr = sc
+        .agg(graft.functions.Sketches.topPairs(col("c"), col("doc_id"), 30)
+          .as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("cos_rank"))
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("dl"),

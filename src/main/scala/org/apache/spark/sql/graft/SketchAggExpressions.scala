@@ -577,9 +577,14 @@ final class TopPairsBuf(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** a strictly worse than b under (score DESC, id ASC). */
-  @inline private def worse(as: Double, ai: Long, bs: Double, bi: Long): Boolean =
-    as < bs || (as == bs && ai > bi)
+  /** a strictly worse than b under (score DESC, id ASC). Double.compare,
+    * not `<`: Spark's sort order totals NaN above every value and
+    * -0.0 below 0.0, and the heap must rank EXACTLY like the row_number
+    * window it replaces on any input, NaN cosines included. */
+  @inline private def worse(as: Double, ai: Long, bs: Double, bi: Long): Boolean = {
+    val c = java.lang.Double.compare(as, bs)
+    c < 0 || (c == 0 && ai > bi)
+  }
 
   def offer(s: Double, id: Long): Unit = {
     if (n < k) {
@@ -615,8 +620,10 @@ final class TopPairsBuf(val k: Int) {
     var i = 0
     while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
     scala.util.Sorting.stableSort(out,
-      (a: (Double, Long), b: (Double, Long)) =>
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      })
     out
   }
 }
