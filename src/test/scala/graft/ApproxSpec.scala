@@ -314,4 +314,34 @@ class ApproxSpec extends SparkSpec {
     assert(rows(SimilarityQueries.ivfFilteredTopKCalibrated(spark, sf, floorPpm = 1000001L))
       === rows(SimilarityQueries.ivfFilteredTopK(spark, sf, probes = 5)))
   }
+
+  test("the absolute-panel forms agree exactly with the share-based ones on shared panel rows") {
+    import graft.operators.DedupQueries
+    // q270 is q264 with the panel cut to the first 64 panel ids: on every
+    // shared panel vector the two scoreboards must be IDENTICAL (same
+    // exact side, same graded pair set — the cap only drops panel rows,
+    // never changes surviving ones), and q270 must cover exactly the
+    // sub-cap slice of q264's panel.
+    val full = SparkEntry.queries("q264_embedding_recall_eval")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val abs = SparkEntry.queries("q270_embedding_recall_eval_abs")(spark, sf)
+      .collect()
+    assert(abs.nonEmpty &&
+      abs.forall(_.getLong(0) < DedupQueries.AbsPanelIdCap))
+    abs.foreach { r =>
+      assert(full(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"panel vec ${r.getLong(0)} diverged between q264 and q270")
+    }
+    assert(full.keySet.filter(_ < DedupQueries.AbsPanelIdCap) ==
+      abs.map(_.getLong(0)).toSet)
+    // the absolute table dial keeps the dial contract: full sweep, one
+    // chosen row, and its reading feeds the same store pillar
+    val dial = SparkEntry.queries("q271_lsh_table_dial_abs")(spark, sf)
+      .collect()
+    assert(dial.map(_.getLong(0)).toSeq == (1L to 4L))
+    assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
+  }
 }
