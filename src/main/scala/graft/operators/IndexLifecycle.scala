@@ -151,8 +151,10 @@ object IndexLifecycle {
     val cc = dotd(col("v"), col("cv")) / (col("nrm") * col("cn"))
     n.crossJoin(broadcast(centroids))
       .groupBy("vec_id")
-      .agg(max(struct(cc.as("cc"), col("cent_id").as("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cent_id"))
+      // k=1 heap argmax — same (cc DESC, cent_id DESC) winner as the old
+      // max(struct); see SimilarityQueries.ivfAssignOf for the rationale
+      .agg(graft.functions.Sketches.topPairs(cc, -col("cent_id"), 1).as("tp"))
+      .select(col("vec_id"), (-element_at(col("tp.id"), 1)).as("cent_id"))
   }
 
   /** (cent_id, n, ppm) over ALL cells of `centroids` — zero-mass cells
@@ -278,11 +280,15 @@ object IndexLifecycle {
     val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     SimilarityQueries.pqSubsOf(vectors)
       .join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"), l2.as("l2"), (-col("cent_id")).as("negc"))
+      .select(col("vec_id"), col("m"), l2.as("l2"), col("cent_id"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("l2"), col("negc"))).as("b"))
+      // k=1 heap argmin — (−l2 DESC, −cent ASC) is min(struct(l2, negc));
+      // the winning error is recovered from the heap's score
+      .agg(graft.functions.Sketches.topPairs(-col("l2"), -col("cent_id"), 1)
+        .as("tp"))
       .select(col("vec_id"), col("m").cast("long").as("m"),
-        floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
+        floor(-element_at(col("tp.score"), 1) * 1000000d).cast("long")
+          .as("err_u"))
       .groupBy("m")
       .agg(count(lit(1)).as("n"),
         expr("sum(err_u) div nullif(count(1), 0)").as("merr_u"))

@@ -490,12 +490,15 @@ object RefineQueries {
     val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     SimilarityQueries.pqSubs(s, dir)
       .join(broadcast(SimilarityQueries.pqCodebook(s, dir)), "m")
-      .select(col("vec_id"), col("m"), l2.as("l2"),
-        (-col("cent_id")).as("negc"))
+      .select(col("vec_id"), col("m"), l2.as("l2"), col("cent_id"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("l2"), col("negc"))).as("b"))
+      // k=1 heap argmin — (−l2 DESC, −cent ASC) is min(struct(l2, negc));
+      // the winning error is recovered from the heap's score
+      .agg(graft.functions.Sketches.topPairs(-col("l2"), -col("cent_id"), 1)
+        .as("tp"))
       .select(col("vec_id"), col("m").cast("long").as("m"),
-        floor(col("b.l2") * 1000000d).cast("long").as("err_u"))
+        floor(-element_at(col("tp.score"), 1) * 1000000d).cast("long")
+          .as("err_u"))
   }
 
   /** q240's staged gram projection: n_tokens plus the hashed-3-gram array,

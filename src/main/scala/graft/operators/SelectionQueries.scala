@@ -50,10 +50,13 @@ object SelectionQueries {
     val cc = SimilarityQueries.cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     n.crossJoin(broadcast(cents))
       .groupBy("vec_id")
-      .agg(max(struct(cc.as("cc"), col("cent_id").as("cent_id"))).as("m"),
+      // k=1 heap argmax (same (cc DESC, cent_id DESC) winner as the old
+      // max(struct)) — the struct agg buffer forced a SortAggregate
+      // full-sort of the n×C join; see SimilarityQueries.ivfAssignOf
+      .agg(graft.functions.Sketches.topPairs(cc, -col("cent_id"), 1).as("tp"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-        col("m.cc").as("cc"), col("v"), col("nrm"))
+      .select(col("vec_id"), (-element_at(col("tp.id"), 1)).as("cent_id"),
+        element_at(col("tp.score"), 1).as("cc"), col("v"), col("nrm"))
   }
 
   /** The assignment pipeline in the oracles' DuckDB dialect — q66's replay
@@ -362,9 +365,10 @@ object SelectionQueries {
       def assign(df: DataFrame): DataFrame =
         df.crossJoin(broadcast(cents))
           .groupBy("vec_id")
-          .agg(max(struct(cc.as("cc"), col("cent_id").as("cent_id"))).as("m"),
+          .agg(graft.functions.Sketches.topPairs(cc, -col("cent_id"), 1)
+            .as("tp"),
             first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          .select(col("vec_id"), (-element_at(col("tp.id"), 1)).as("cent_id"),
             col("v"), col("nrm"))
       val aold = assign(old)
       val pairCos = SimilarityQueries.cosine(

@@ -117,10 +117,18 @@ object SimilarityQueries {
     val carried = corpus.columns.filterNot(_ == "vec_id").toSeq
     corpus.crossJoin(broadcast(cents))
       .groupBy("vec_id")
-      // tie-break equidistant centroids by cent_id (struct ordering) so
-      // cell assignment — and therefore q66's output — is deterministic
-      .agg(max_by(col("cent_id"), struct(centCos.as("c"), col("cent_id"))).as("cent_id"),
-        carried.map(c => first(col(c)).as(c)): _*)
+      // tie-break equidistant centroids by the LARGER cent_id (id = −cent
+      // under the heap's (score DESC, id ASC) order — same winner as the
+      // old max_by(struct(cc, cent_id))) so cell assignment — and
+      // therefore q66's output — is deterministic. The k=1 heap replaces
+      // the struct aggregation buffer, which Spark can only plan as a
+      // SortAggregate: a FULL SORT of the n×C assignment join, measured
+      // as 4–6 s of every assignment-shaped query at 10× sf0.1.
+      .agg(graft.functions.Sketches.topPairs(centCos, -col("cent_id"), 1)
+        .as("tp"), carried.map(c => first(col(c)).as(c)): _*)
+      .select(col("vec_id") +:
+        (-element_at(col("tp.id"), 1)).as("cent_id") +:
+        carried.map(col): _*)
   }
 
   /** The IVF pipeline against an ARBITRARY centroid frame `(cent_id, cv,
@@ -304,11 +312,18 @@ object SimilarityQueries {
     // codes (and every replay oracle) are bit-identical.
     val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
     pqSubs(s, dir).join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"), l2.as("l2"),
-        (-col("cent_id")).as("negc"), col("crk"))
+      .select(col("vec_id"), col("m"), l2.as("l2"), col("crk"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("l2"), col("negc"), col("crk"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.crk").as("crk"))
+      // k=1 heap argmin: (score = −l2 DESC, id = −crk ASC) picks the same
+      // entry as min(struct(l2, negc, crk)) — within a subspace crk is
+      // ranked BY cent_id ascending (pqCodebookOf's row_number), so
+      // negc ASC ⇔ cent DESC ⇔ crk DESC ⇔ −crk ASC, and (l2, negc, crk)
+      // has no further ties to break (crk unique per m). The struct agg
+      // buffer forced a SortAggregate full-sort of the ~n·4·C join.
+      .agg(graft.functions.Sketches.topPairs(-col("l2"), -col("crk"), 1)
+        .as("tp"))
+      .select(col("vec_id"), col("m"),
+        (-element_at(col("tp.id"), 1)).as("crk"))
       .groupBy("vec_id").agg(
         transform(sort_array(collect_list(struct(col("m"), col("crk")))),
           p => p("crk")).as("cd"))
