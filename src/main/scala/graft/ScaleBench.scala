@@ -11,7 +11,7 @@ package graft
 object ScaleBench {
   val Headline: Seq[String] = Seq(
     "q141_robust_outliers", "q236_pq_ann", "q249_ivfpq_ann",
-    "q86_kmeans_train", "q102_pagerank", "q184_basket_affinity",
+    "q66_knn_ivf", "q86_kmeans_train", "q102_pagerank", "q184_basket_affinity",
     "q41_dedup_ngram_jaccard", "q67_dedup_embedding_lsh",
     "q130_quantized_ann", "q141b_robust_outliers_approx",
     "q251_probe_depth_calibration", "q261_minhash_recall_eval",

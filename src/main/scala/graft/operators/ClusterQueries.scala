@@ -149,8 +149,14 @@ object ClusterQueries {
       val assigned = vs.crossJoin(broadcast(cc))
         .withColumn("d", col("vv") - lit(2.0) * dotd(col("v"), col("c")) + col("cc"))
         .groupBy("id")
-        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
-          min(col("d")).as("d"), first(col("v")).as("v"))
+        // k=1 heap argmin — same (d ASC, cid ASC) winner as min_by(cid,
+        // struct(d, cid)), whose struct agg buffer forced a SortAggregate
+        // full-sort of the n×k assignment join EVERY ROUND; the winning
+        // distance is recovered from the heap's score
+        .agg(graft.functions.Sketches.topPairs(-col("d"), col("cid"), 1)
+          .as("tp"), first(col("v")).as("v"))
+        .select(col("id"), element_at(col("tp.id"), 1).as("cid"),
+          (-element_at(col("tp.score"), 1)).as("d"), col("v"))
         .staged
       // coalesce: an empty corpus has no assignment cost — sum() is NULL
       // and getDouble would throw (DegenerateCorpusSpec); cost 0 converges
@@ -249,8 +255,10 @@ object ClusterQueries {
       "Distributed Lloyd's k-means (k=8) over the embedding corpus — the " +
         "trained-centroid index build q66's IVF note promises: " +
         "deterministic hash-order seeding, per-round broadcast assignment " +
-        "with map-side min_by collapse (one row per vector through the " +
-        "exchange), per-(cluster, dim) partial-agg re-averaging (k·dim " +
+        "with a map-side k=1 heap-argmin collapse (one row per vector " +
+        "through the exchange, hash-aggregated — never the struct-buffer " +
+        "min_by whose SortAggregate would re-sort the n×k join every " +
+        "round), per-(cluster, dim) partial-agg re-averaging (k·dim " +
         "cells per partition through the shuffle, never vectors), " +
         "relative-tolerance cost stop. Emits the per-cluster member count " +
         "and rounds-to-converge audit. Swap the q66 centroid sample for " +
@@ -271,7 +279,11 @@ object ClusterQueries {
         .crossJoin(broadcast(cc))
         .withColumn("d", col("vv") - lit(2.0) * dotd(col("v"), col("c")) + col("cc"))
         .groupBy("id")
-        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+        // k=1 heap argmin, same winner as min_by(cid, struct(d, cid)) —
+        // see kmeans' assignment step for the SortAggregate rationale
+        .agg(graft.functions.Sketches.topPairs(-col("d"), col("cid"), 1)
+          .as("tp"))
+        .select(col("id"), element_at(col("tp.id"), 1).as("cid"))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"))
         .withColumn("rounds", lit(costs.size.toLong))
@@ -329,8 +341,10 @@ object ClusterQueries {
         "richest member (max n_chars, doc_id as the total-order tiebreak) " +
         "and record how much the cluster collapses (n_members, " +
         "total_chars). One groupBy over the (doc, cluster) labels joined " +
-        "to per-doc metadata: max_by carries the winner through partial " +
-        "aggregation, so the shuffle moves one candidate row per cluster " +
+        "to per-doc metadata: a k=1 heap aggregate carries the winner " +
+        "through partial aggregation (hash-aggregated; a struct-ordered " +
+        "max_by buffer would force a SortAggregate over the membership " +
+        "frame), so the shuffle moves one candidate row per cluster " +
         "per partition — never the cluster's documents. Downstream, " +
         "anti-joining the corpus against (cluster members minus " +
         "canonicals) IS the dedup delete; the quality column is " +
@@ -341,10 +355,17 @@ object ClusterQueries {
         .join(graft.Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
       members
         .groupBy("cluster_id")
+        // k=1 heap argmax — same (n_chars DESC, doc_id ASC) winner as
+        // max_by(doc_id, struct(n_chars, -doc_id)), whose struct agg
+        // buffer forced a SortAggregate full-sort of the membership frame
         .agg(
-          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("canonical_doc"),
+          graft.functions.Sketches.topPairs(
+            col("n_chars").cast("double"), col("doc_id"), 1).as("tp"),
           count(lit(1)).as("n_members"),
           sum("n_chars").as("total_chars"))
+        .select(col("cluster_id"),
+          element_at(col("tp.id"), 1).as("canonical_doc"),
+          col("n_members"), col("total_chars"))
         .orderBy("cluster_id")
     },
 
@@ -414,9 +435,11 @@ object ClusterQueries {
         "labels as q81/q97 (nothing quadratic; the 64-doc shingle " +
         "frequency ceiling bounds bucket fan-out), the singleton " +
         "completion is a metadata-only left join on doc_id (labels exist " +
-        "only for clustered docs), and the keeper selection is max_by " +
-        "through partial aggregation — one candidate row per cluster per " +
-        "partition on the shuffle, never document bodies."
+        "only for clustered docs), and the keeper selection is a k=1 heap " +
+        "aggregate through partial aggregation (hash path, not a " +
+        "struct-buffer SortAggregate over the corpus-sized frame) — one " +
+        "candidate row per cluster per partition on the shuffle, never " +
+        "document bodies."
     ) { (s, dir) =>
       val labels = nearDupLabels(s, dir)
         .select(col("id").as("doc_id"), col("comp"))
@@ -426,11 +449,16 @@ object ClusterQueries {
           coalesce(col("comp"), col("doc_id")).as("cluster_id"),
           col("n_chars"))
         .groupBy("cluster_id")
+        // k=1 heap argmax, same winner as max_by(doc_id, struct(n_chars,
+        // -doc_id)) — q97's SortAggregate rationale, here over the FULL
+        // corpus frame (singletons included), where the forced sort is
+        // corpus-sized
         .agg(
-          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
-            .as("keep_doc"),
+          graft.functions.Sketches.topPairs(
+            col("n_chars").cast("double"), col("doc_id"), 1).as("tp"),
           count(lit(1)).cast("long").as("n_dups"))
-        .select(col("cluster_id"), col("keep_doc"), col("n_dups"),
+        .select(col("cluster_id"),
+          element_at(col("tp.id"), 1).as("keep_doc"), col("n_dups"),
           least(col("n_dups"), lit(4L)).cast("long").as("repeat_n"),
           expr("(1000000 * least(n_dups, 4)) div n_dups").as("keep_ppm"))
         .orderBy("cluster_id")
