@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, DotProductL, SignCodeD, SqDistD, ZOrderCode}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, DotProductL, ProjectD, SignCodeD, SqDistD, ZOrderCode}
 
 /** Column facade over the engine's native Catalyst vector expressions
   * (org.apache.spark.sql.graft.VectorExpressions). */
@@ -25,6 +25,12 @@ object VectorFunctions {
     * hyperplanes (row-major `bits × dim`) — one fused pass, codegen'd. */
   def signCode(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
     ColumnBridge.column(SignCodeD(ColumnBridge.expression(v), planes, bits, dim))
+
+  /** All `k` plane projections of an `array<double>` vector in one fused
+    * codegen pass (planes row-major `k × dim`) — SignCodeD's continuous
+    * twin, the random-projection kernel. */
+  def projd(v: Column, planes: Array[Double], k: Int, dim: Int): Column =
+    ColumnBridge.column(ProjectD(ColumnBridge.expression(v), planes, k, dim))
 
   /** 64-bit Z-order (Morton) key of two 32-bit dimension codes — the
     * two-dimensional layout sort key; codegen'd. */

@@ -970,22 +970,35 @@ object SimilarityQueries {
         "LSH family uses — the projection is the continuous form of " +
         "q44's codes (keep the dot product, don't threshold it), and at " +
         "scale it's what shrinks an ANN index 4× before quantization " +
-        "(q84) shrinks it further. Entirely ROW-LOCAL codegen'd map work " +
-        "— the plane matrix rides the plan as one literal, there is no " +
+        "(q84) shrinks it further. Entirely ROW-LOCAL map work through " +
+        "ONE fused graft_project kernel (the plane matrix lives in codegen " +
+        "references; 16 per-plane graft_dot literals would unroll 1024 " +
+        "doubles into the generated projection, and the transform/" +
+        "aggregate lambda-chain form is CodegenFallback in Spark 4 — " +
+        "~16·64 interpreted evals per scanned row); there is no " +
         "join and no shuffle before the presentation sort. Components " +
         "are emitted as floor-to-micros integers in a canonical CSV " +
         "(atomic driver-facing type; the float sum is the same " +
         "ascending-index IEEE tree on both engines)."
     ) { (s, dir) =>
-      val planes: Seq[Seq[Double]] = (0 until 16).map(j => hyperplane(0, j, 64))
+      // one fused graft_project pass (planes in codegen references; each
+      // element the same ascending-index IEEE sum as the aggregate(
+      // zip_with) fold it replaces, bit-identical) — the lambda chain over
+      // a typedlit plane matrix is CodegenFallback in Spark 4: ~16·64
+      // interpreted evals per row on the corpus scan
+      val flat: Array[Double] =
+        (0 until 16).flatMap(j => hyperplane(0, j, 64)).toArray
+      val comps: Seq[Column] = (1 to 16).map { i =>
+        floor(element_at(col("proj"), i) * lit(1000000.0))
+          .cast("long").cast("string")
+      }
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .select(col("vec_id"),
-          array_join(transform(typedlit(planes), pl =>
-            floor(aggregate(zip_with(col("v"), pl, (a, b) => a * b),
-              lit(0.0), (acc, x) => acc + x) * lit(1000000.0))
-              .cast("long").cast("string")), ",").as("proj_micros_csv"))
+          graft.functions.VectorFunctions.projd(col("v"), flat, 16, 64)
+            .as("proj"))
+        .select(col("vec_id"), concat_ws(",", comps: _*).as("proj_micros_csv"))
         .orderBy("vec_id")
     },
 

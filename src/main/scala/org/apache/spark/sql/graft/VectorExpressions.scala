@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
@@ -341,5 +341,96 @@ case class SignCodeD(child: Expression, planes: Array[Double], bits: Int, dim: I
     })
 
   override protected def withNewChildInternal(newChild: Expression): SignCodeD =
+    copy(child = newChild)
+}
+
+/** All `k` plane projections of a `dim`-element `array<double>` vector in
+  * ONE pass: element p is `v · planes[p]` — [[SignCodeD]]'s continuous twin
+  * (keep the dot products, don't threshold them), the random-projection /
+  * JL-reduction kernel. Same rationale as SignCodeD: k separate
+  * `DotProductD(v, typedlit(plane))` terms would unroll k·dim literal
+  * doubles into the generated projection (janino warm-up, vector re-read
+  * per plane), and the `transform(typedlit(planes), …aggregate(zip_with)…)`
+  * lambda chain is CodegenFallback — interpreted per element. Here the
+  * plane matrix lives in codegen `references` as one flat `double[]`.
+  *
+  * Each element sums in ascending index order — bit-identical to the
+  * `aggregate(zip_with(v, pl, a·b))` fold and to [[DotProductD]]. Null
+  * semantics match SignCodeD: null vector, wrong length, or (for
+  * `containsNull` arrays) any null element → null result.
+  *
+  * `planes` is row-major `k × dim`; instances are compared by the
+  * deterministic plane identity the caller bakes in, so the Array field's
+  * reference equality only costs CSE, never correctness.
+  */
+case class ProjectD(child: Expression, planes: Array[Double], k: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.length == k * dim, s"planes must be k*dim = ${k * dim}")
+  require(k > 0, "need at least one plane")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_project"
+
+  private def elementsMayBeNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
+    }
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      var s = 0.0
+      var d = 0
+      val off = p * dim
+      while (d < dim) { s += x.getDouble(d) * planes(off + d); d += 1 }
+      out(p) = s
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[]")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val nullScan = if (elementsMayBeNull) {
+        s"""
+           |for (int $j = 0; $j < $dim && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |${ev.isNull} = $a.numElements() != $dim;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double[] $out = new double[$k];
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $s += $a.getDouble($d) * $pl[$p * $dim + $d];
+         |    }
+         |    $out[$p] = $s;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectD =
     copy(child = newChild)
 }

@@ -179,6 +179,40 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_dotl(array(1L), array(1L, 2L)) AS d").head().isNullAt(0))
   }
 
+  test("graft_project equals the per-plane HOF fold reference, corpus + edges") {
+    val spark = extSpark
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planes: Seq[Seq[Double]] =
+      (0 until 16).map(j => operators.SimilarityQueries.hyperplane(0, j, 64))
+    val flat = planes.flatten.toArray
+    // reference model: per-plane aggregate(zip_with) fold — the declarative
+    // form q149 shipped before the kernel
+    val hof = df.select(col("vec_id") +:
+      planes.zipWithIndex.map { case (pl, i) =>
+        aggregate(zip_with(col("v"), typedlit(pl), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as(s"p$i")
+      }: _*)
+    val native = df.select(
+      col("vec_id") +: (0 until 16).map(i =>
+        element_at(graft.functions.VectorFunctions.projd(col("v"), flat, 16, 64),
+          i + 1).as(s"p$i")): _*)
+    val a = hof.orderBy("vec_id").collect()
+      .map(r => (0 until 16).map(i => r.getDouble(i + 1)))
+    val b = native.orderBy("vec_id").collect()
+      .map(r => (0 until 16).map(i => r.getDouble(i + 1)))
+    assert(a.toSeq === b.toSeq, "fused projection must be bit-identical to the fold")
+    // edges: wrong length and a null element both null out the whole array
+    val edge = df.limit(1).select(
+      graft.functions.VectorFunctions.projd(slice(col("v"), 1, 3), flat, 16, 64)
+        .as("short"),
+      graft.functions.VectorFunctions.projd(
+        transform(col("v"), (x, i) => when(i === 0, lit(null)).otherwise(x)),
+        flat, 16, 64).as("holed")).head()
+    assert(edge.isNullAt(0), "length mismatch must be null")
+    assert(edge.isNullAt(1), "null element must be null")
+  }
+
   test("the long dot fold is NOT auto-rewritten (ANSI overflow semantics stay the user's)") {
     // Under ANSI (Spark 4 default) a long x*y fold throws on overflow;
     // DotProductL wraps. Explicit dotl call sites accept that contract —

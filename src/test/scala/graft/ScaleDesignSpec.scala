@@ -291,6 +291,23 @@ class ScaleDesignSpec extends SparkSpec {
     val p236 = physicalPlan(SparkEntry.queries("q236_pq_ann")(spark, sf))
     assert(p236.contains("ObjectHashAggregate"),
       s"graft_top_pairs must aggregate object-hash, not sort-based:\n$p236")
+    // The nearest-centroid assignment is the same class of defect from the
+    // other direction: a min_by/max(struct) argmax carries a struct-typed
+    // aggregation buffer, which HashAggregate cannot hold — Spark silently
+    // plans a SortAggregate that full-sorts the n×C assignment join (4–6 s
+    // of every assignment-shaped query at 10× sf0.1). The k=1 heap is the
+    // same winner without the sort; no SortAggregate may appear anywhere
+    // in the IVF pipeline.
+    val p66 = physicalPlan(SparkEntry.queries("q66_knn_ivf")(spark, sf))
+    assert(p66.contains("graft_top_pairs"),
+      s"q66 must assign cells with the k=1 heap argmax:\n$p66")
+    assert(!p66.contains("SortAggregate"),
+      s"q66 re-introduces a struct-buffer SortAggregate on the assignment join:\n$p66")
+    // q149's projection must be the one fused kernel pass, not the
+    // CodegenFallback lambda chain over a literal plane matrix
+    val p149 = physicalPlan(SparkEntry.queries("q149_random_projection")(spark, sf))
+    assert(p149.contains("graft_project") && !p149.toLowerCase.contains("zip_with"),
+      s"q149 must project through the fused graft_project kernel:\n$p149")
   }
 
   test("catalog sweep: no plan contains a scale-killer, no job during construction") {
