@@ -46,46 +46,58 @@ object NotesDump {
       |CONSTANT per-query cost and `/query` (= ratio/10) is the signal; for
       |corpus-level queries the ratio itself is the signal.
       |
-      |This run measures the round-12 PQ-family fix already applied: the
-      |first 10× run caught the codebook-assignment L2 and SQ8 scoring as
-      |interpreted `aggregate(zip_with(…))` HOFs (jstack-confirmed: the
-      |whole of q236's 46 s sat in ZipWith.eval — the q252 poison class,
-      |join-sized) and the salted row_number prune as an O(n·log n) full
-      |sort of the N·Q candidate stream. Native `graft_sqdist`/`graft_dotl`
-      |kernels and the k-bounded `graft_top_pairs` heap aggregate replaced
-      |them: q236 46.3→10.1 s, q249 33.1→7.3 s, q130 11.6→1.1 s at 10×,
-      |and 2.4× each at sf0.1 (bit-identical results, oracles untouched).
+      |This table is the third same-session run and measures BOTH round-12
+      |10×-found fixes applied. The first 10× run caught the
+      |codebook-assignment L2 and SQ8 scoring as interpreted
+      |`aggregate(zip_with(…))` HOFs (jstack-confirmed: the whole of q236's
+      |46 s sat in ZipWith.eval — the q252 poison class, join-sized) and
+      |the salted row_number prune as an O(n·log n) full sort of the N·Q
+      |candidate stream; native `graft_sqdist`/`graft_dotl` kernels and the
+      |k-bounded `graft_top_pairs` heap aggregate replaced them (q236
+      |46.3→10.1 s, q249 33.1→7.3 s, q130 11.6→1.1 s at 10×). The second
+      |run exposed the remaining 4–6 s floor under every assignment-shaped
+      |query as the min_by/max(struct) argmax: a struct-typed aggregation
+      |buffer cannot live in a HashAggregate, so Spark silently planned a
+      |SortAggregate that FULL-SORTED the n×C assignment join (and Lloyd's
+      |paid it per round). The k=1 graft_top_pairs heap keeps the same
+      |winner without the sort: q236 10.1→3.6 s, q249 7.3→2.7 s, q251
+      |4.2→1.1 s, q261 20.1→9.4 s, q141 15.7→11.3 s at 10× — bit-identical
+      |results, oracles untouched, plan-pinned by ScaleDesignSpec (q66
+      |carries no SortAggregate).
       |
       || query | t(1×) s | t(10×) s | ratio | reading |
       ||---|---|---|---|---|
-      || q141_robust_outliers | 1.68 | 15.68 | 9.4× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
-      || q141b_robust_outliers_approx | 0.56 | 3.11 | 5.5× | the sketch sibling: ~2× better growth than exact q141, gap widens with scale |
-      || q236_pq_ann | 1.23 | 10.09 | 8.2× (0.8/query) | flat ADC scan is O(N) per query BY CONTRACT; post-fix the measured per-query cost is ~constant — the corpus-level form the production q249 replaces |
-      || q249_ivfpq_ann | 1.04 | 7.32 | 7.1× (0.7/query) | cell-pruned IVF-PQ: lowest growth of the ANN family and sublinear per query — the routing claim, measured |
-      || q130_quantized_ann | 0.58 | 1.15 | 2.0× (0.2/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
-      || q86_kmeans_train | 2.20 | 1.54 | 0.7× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
-      || q102_pagerank | 1.42 | 5.18 | 3.7× | staged integer PageRank: sublinear in edges (join fan-out grows, iterations fixed) |
-      || q184_basket_affinity | 0.69 | 1.98 | 2.9× | pair expansion bounded per order; shuffle grows linearly |
-      || q41_dedup_ngram_jaccard | 1.49 | 0.96 | 0.6× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
-      || q67_dedup_embedding_lsh | 1.29 | 3.96 | 3.1× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
-      || q251_probe_depth_calibration | 0.79 | 4.19 | 5.3× (0.5/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
-      || q261_minhash_recall_eval | 0.92 | 20.12 | 21.9× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): dfs grow linearly on the fixed 31-word vocab, so the product grows ~quadratically — exactly the regime the GtBucketCap df cutoff guards; a real corpus's open vocabulary keeps dfs flat |
-      || q262_simhash_recall_eval | 0.50 | 0.71 | 1.4× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
-      || q263_media_simhash_recall_eval | 0.82 | 1.65 | 2.0× | same, media signatures |
-      || q264_embedding_recall_eval | 0.37 | 7.50 | 20.4× (2.0/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; at 100 TB the panel is a fixed absolute sample, not a share |
-      || q265_bucket_cap_dial | 0.43 | 0.95 | 2.2× | one-pass multi-cap grading over the band index: flat |
-      || q266_media_cap_dial | 0.78 | 1.73 | 2.2× | same, media |
-      || q268_lsh_table_dial | 0.46 | 6.56 | 14.4× (1.4/query) | exact side shares q264's panel-cosine contract — same remedy (absolute panel) |
+      || q141_robust_outliers | 1.58 | 11.25 | 7.1× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
+      || q141b_robust_outliers_approx | 0.62 | 2.08 | 3.3× | the sketch sibling: ~2× better growth than exact q141, gap widens with scale |
+      || q236_pq_ann | 1.05 | 3.56 | 3.4× (0.34/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
+      || q249_ivfpq_ann | 1.03 | 2.68 | 2.6× (0.26/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
+      || q66_knn_ivf | 0.51 | 1.33 | 2.6× (0.26/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 exactly as designed |
+      || q130_quantized_ann | 0.51 | 0.97 | 1.9× (0.19/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
+      || q86_kmeans_train | 1.96 | 1.48 | 0.8× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
+      || q102_pagerank | 1.65 | 5.93 | 3.6× | staged integer PageRank: sublinear in edges (join fan-out grows, iterations fixed) |
+      || q184_basket_affinity | 0.74 | 1.71 | 2.3× | pair expansion bounded per order; shuffle grows linearly |
+      || q41_dedup_ngram_jaccard | 1.70 | 0.92 | 0.5× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
+      || q67_dedup_embedding_lsh | 1.18 | 3.14 | 2.7× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
+      || q251_probe_depth_calibration | 0.51 | 1.08 | 2.1× (0.21/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
+      || q261_minhash_recall_eval | 0.93 | 9.40 | 10.1× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): dfs grow linearly on the fixed 31-word vocab, so the product grows ~quadratically — exactly the regime the GtBucketCap df cutoff guards; a real corpus's open vocabulary keeps dfs flat |
+      || q262_simhash_recall_eval | 0.53 | 0.84 | 1.6× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
+      || q263_media_simhash_recall_eval | 0.91 | 1.32 | 1.4× | same, media signatures |
+      || q264_embedding_recall_eval | 0.40 | 5.10 | 12.9× (1.3/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
+      || q265_bucket_cap_dial | 0.49 | 0.74 | 1.5× | one-pass multi-cap grading over the band index: flat |
+      || q266_media_cap_dial | 0.78 | 1.29 | 1.7× | same, media |
+      || q268_lsh_table_dial | 0.37 | 4.84 | 13.2× (1.3/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
       |
-      |Headline: the ANN production path ranks exactly as designed at 10× —
-      |q249 (7.1×) < q236 (8.2×) < the pre-fix HOF forms (20.9×/13.6×,
-      |first run), with q130's re-rank layout at 2.0×. The scoreboard/dial
-      |family splits as documented: pigeonhole-band ground truth flat
-      |(1.4–2.2×), panel-cosine ground truth linear-per-panel-vector (the
-      |q42 contract; fixed absolute panels at 100 TB), and q261's
-      |inverted-index side the one the GtBucketCap bound exists to protect
-      |(its 21.9× here is a closed-vocabulary artifact of the synthetic
-      |corpus — df grows with corpus only because the vocab cannot).
+      |Headline: the ANN family now sits at 1.9–3.4× for 10× data with
+      |sublinear per-query cost across the board, ranked exactly as
+      |designed — q130 (1.9×) < q249 ≈ q66 (2.6×) < q236 (3.4×), all far
+      |below the pre-fix HOF/sort forms (20.9×/13.6× first run, 8.2×/7.1×
+      |second). The scoreboard/dial family splits as documented:
+      |pigeonhole-band ground truth flat (1.4–1.7×), panel-cosine ground
+      |truth linear-per-panel-vector (the q42 contract; q270/q271 ship the
+      |fixed-absolute-panel forms), and q261's inverted-index side the one
+      |the GtBucketCap bound exists to protect (its 10.1× here is a
+      |closed-vocabulary artifact of the synthetic corpus — df grows with
+      |corpus only because the vocab cannot).
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —
