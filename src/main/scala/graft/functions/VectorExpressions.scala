@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, DotProductL, ProjectD, SignCodeD, SqDistD, ZOrderCode}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, DotProductL, EqCountL, ProjectD, SignCodeD, SqDistD, ZOrderCode}
 
 /** Column facade over the engine's native Catalyst vector expressions
   * (org.apache.spark.sql.graft.VectorExpressions). */
@@ -25,6 +25,12 @@ object VectorFunctions {
     * hyperplanes (row-major `bits × dim`) — one fused pass, codegen'd. */
   def signCode(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
     ColumnBridge.column(SignCodeD(ColumnBridge.expression(v), planes, bits, dim))
+
+  /** Position-wise equality count of two `array<long>` columns — the
+    * MinHash signature-agreement scorer; codegen'd, with the exact
+    * semantics of the `aggregate(zip_with(…))` fold it replaces. */
+  def eqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(EqCountL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** All `k` plane projections of an `array<double>` vector in one fused
     * codegen pass (planes row-major `k × dim`) — SignCodeD's continuous

@@ -872,10 +872,13 @@ object DedupQueries {
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
       .distinct()
     cands
+      // native position-wise equality count — the aggregate(zip_with(…))
+      // fold is interpreted (CodegenFallback) in Spark 4, paid once per
+      // CANDIDATE PAIR × 64 signature positions on this bucket-expanded
+      // stream; graft_eq_count keeps the fold's exact semantics in one
+      // codegen loop
       .withColumn("n_match",
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorFunctions.eqCount(col("sa"), col("sb")))
       .filter(col("n_match") >= Sketches.NumMinHashes / 2) // est J >= 0.5
       .select(col("doc_a"), col("doc_b"),
         (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))

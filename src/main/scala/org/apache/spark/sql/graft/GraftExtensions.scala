@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_dot", classOf[DotProductD], 2)(c => DotProductD(c.head, c(1)))
     fn("graft_sqdist", classOf[SqDistD], 2)(c => SqDistD(c.head, c(1)))
     fn("graft_dotl", classOf[DotProductL], 2)(c => DotProductL(c.head, c(1)))
+    fn("graft_eq_count", classOf[EqCountL], 2)(c => EqCountL(c.head, c(1)))
     fn("graft_zorder", classOf[ZOrderCode], 2)(c => ZOrderCode(c.head, c(1)))
     fn("graft_bloom_contains", classOf[BloomMightContain], 2)(c =>
       BloomMightContain(c.head, c(1)))

@@ -247,6 +247,76 @@ case class DotProductL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Position-wise equality count of two `array<long>` columns — the MinHash
+  * signature-agreement scorer (estimated Jaccard = matches / signature
+  * length), native form of the `aggregate(zip_with(a, b, x==y ? 1 : 0))`
+  * fold that runs interpreted on Spark 4's candidate-pair hot path.
+  *
+  * Semantics are EXACTLY the HOF form's, which differ from
+  * [[DotProductL]]'s strictness: `zip_with` pads the shorter array with
+  * nulls and `when(x === y, 1)` sends a null comparison to `otherwise(0)`,
+  * so a length mismatch does NOT null the result — positions beyond the
+  * shorter array, and positions where either element is null, simply count
+  * zero. Only a null INPUT array yields null (a null array poisons the
+  * whole fold).
+  */
+case class EqCountL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_eq_count"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    if (elementsMayBeNull) {
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+          s += 1L
+        i += 1
+      }
+    } else {
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) s += 1L; i += 1 }
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val nullGuard =
+        if (elementsMayBeNull) s"!$a.isNullAt($i) && !$b.isNullAt($i) && "
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCountL =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-LSH bucket code of a `dim`-element `array<double>` vector against
   * `bits` fixed hyperplanes: bit b is set iff `v · planes[b] > 0`.
   *

@@ -213,6 +213,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.isNullAt(1), "null element must be null")
   }
 
+  test("graft_eq_count equals the when/zip_with fold reference, corpus + edges") {
+    val spark = extSpark
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x * 100).cast("long")).as("a"))
+      .withColumn("b", reverse(col("a")))
+    def hofCount(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => when(p === q, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+    val hof = df.select(col("vec_id"), hofCount(col("a"), col("b")).as("m"))
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    val native = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.eqCount(col("a"), col("b")).as("m"))
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    assert(hof.toSeq === native.toSeq)
+    // edge semantics are the FOLD's, not DotProductL's strictness: length
+    // mismatch counts only overlapping positions (zip_with pads with null,
+    // when() sends the null comparison to otherwise(0)); a null element
+    // counts 0; a null ARRAY nulls the result
+    val edge = df.limit(1).select(
+      hofCount(col("a"), slice(col("a"), 1, 3)).as("hm"),
+      graft.functions.VectorFunctions.eqCount(col("a"), slice(col("a"), 1, 3))
+        .as("nm"),
+      hofCount(col("a"),
+        transform(col("a"), (x, i) => when(i === 0, lit(null)).otherwise(x)))
+        .as("hh"),
+      graft.functions.VectorFunctions.eqCount(col("a"),
+        transform(col("a"), (x, i) => when(i === 0, lit(null)).otherwise(x)))
+        .as("nh"),
+      graft.functions.VectorFunctions.eqCount(lit(null).cast("array<bigint>"),
+        col("a")).as("nn")).head()
+    assert(edge.getLong(0) === 3L && edge.getLong(1) === 3L,
+      "length mismatch must count the overlapping prefix")
+    assert(edge.getLong(2) === edge.getLong(3),
+      "a null element must count 0, exactly as the fold does")
+    assert(edge.isNullAt(4), "a null array must null the count")
+    // SQL-callable through the injected registry
+    assert(spark.sql(
+      "SELECT graft_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m")
+      .head().getLong(0) === 2L)
+  }
+
   test("the long dot fold is NOT auto-rewritten (ANSI overflow semantics stay the user's)") {
     // Under ANSI (Spark 4 default) a long x*y fold throws on overflow;
     // DotProductL wraps. Explicit dotl call sites accept that contract —

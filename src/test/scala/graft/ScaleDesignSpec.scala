@@ -222,6 +222,10 @@ class ScaleDesignSpec extends SparkSpec {
     val p39 = physicalPlan(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf))
     assert(p39.contains("graft_minhash_array"),
       "q39 signatures must be row-local (scalar sketch, no explode+agg)")
+    // the signature-agreement score runs once per CANDIDATE PAIR — it must
+    // be the native codegen count, never the interpreted zip_with fold
+    assert(p39.contains("graft_eq_count") && !p39.toLowerCase.contains("zip_with"),
+      s"q39 must score signature agreement with graft_eq_count:\n$p39")
     // q252's byte twin of the same poison: the payload shingle build must
     // appear EXACTLY once — a filter or alias re-inlining the build turns
     // the O(L) native pass back into O(L·sites) work per row (the defect
