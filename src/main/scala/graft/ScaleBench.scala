@@ -15,6 +15,7 @@ object ScaleBench {
     "q41_dedup_ngram_jaccard", "q67_dedup_embedding_lsh",
     "q130_quantized_ann", "q141b_robust_outliers_approx",
     "q251_probe_depth_calibration", "q261_minhash_recall_eval",
+    "q272_minhash_recall_eval_abs",
     "q262_simhash_recall_eval", "q263_media_simhash_recall_eval",
     "q264_embedding_recall_eval", "q265_bucket_cap_dial",
     "q266_media_cap_dial", "q268_lsh_table_dial")

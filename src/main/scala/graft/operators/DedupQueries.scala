@@ -417,6 +417,117 @@ object DedupQueries {
       .orderBy("panel_doc")
   }
 
+  /** The MinHash-LSH recall scoreboard shared by q261 (20% share panel)
+    * and q272 (fixed absolute panel): exact side is every panel-touching
+    * pair at exact Jaccard ≥ 0.5 over the index's own shingle-fingerprint
+    * universe, found through the inverted shingle index (never a
+    * panel × corpus product) with the GtBucketCap df cutoff enforced and
+    * reported per panel doc as `gt_excluded_fps`; graded against the very
+    * q39 pair set the engine ships. `panelIdCap` switches the panel from
+    * the 20% share to the fixed absolute sample (the q270/q271 form). */
+  private[graft] def minhashScoreboard(s: SparkSession, dir: String,
+      panelIdCap: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bounded ground truth: shingle fps whose corpus document frequency
+    // exceeds GtBucketCap are excluded from BOTH intersections and sizes
+    // (q41's informative-shingle discipline — the predicate 2·∩ ≥
+    // |A|+|B|−∩ stays self-consistent over the reduced universe), and
+    // the exclusion is explicit: gt_excluded_fps counts each panel
+    // doc's shingles the bound removed (0 = complete ground truth).
+    // Without the bound, one boilerplate shingle shared by every doc
+    // makes the inverted-index exact side panel_share × n² at exactly
+    // the saturation the scoreboard exists to measure.
+    def isPanel(c: org.apache.spark.sql.Column) =
+      panelIdCap.foldLeft(c % 5 === 0)((p, cap) => p && c < cap)
+    val shEx = replayableShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val gtx = shEx.filter(isPanel(col("doc_id")))
+      .groupBy(col("doc_id").as("pa"))
+      .agg(count(when(col("df") > GtBucketCap, 1)).as("gt_excluded_fps"))
+    val shF = shEx.filter(col("df") <= GtBucketCap).select("doc_id", "s")
+    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shF.filter(isPanel(col("doc_id")))
+      .select(col("doc_id").as("pa"), col("s"))
+      .join(shF.select(col("doc_id").as("pb"), col("s")), "s")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+    val exact = inter
+      .join(sizes.select(col("doc_id").as("pa"), col("n").as("na")), "pa")
+      .join(sizes.select(col("doc_id").as("pb"), col("n").as("nb")), "pb")
+      .filter(lit(2) * col("c") >= col("na") + col("nb") - col("c"))
+      .select(col("pa"), col("pb"),
+        expr("c * 1000000 div (na + nb - c)").as("jac_ppm"))
+    val ap = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+      .withColumn("hit", lit(1))
+    exact.join(aps, Seq("pa", "pb"), "left")
+      .groupBy("pa")
+      .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
+        coalesce(max(when(col("hit").isNull, col("jac_ppm"))), lit(0L))
+          .as("worst_miss_ppm"))
+      .join(gtx, Seq("pa"))
+      .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
+        expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+        col("worst_miss_ppm"), col("gt_excluded_fps"))
+      .orderBy("panel_doc")
+  }
+
+  /** The q261/q272 oracle: [[minhashScoreboard]]'s exact replay in the
+    * DuckDB dialect, appended after `$replayShinglePrologueSql,
+    * $minhashPairSqlCtes`. `absCap` adds the fixed-absolute-panel bound
+    * to both panel-side scans. */
+  private def minhashScoreboardSqlTail(absCap: Option[Long]): String = {
+    val pp = absCap.map(c => s" AND sh.doc_id < $c").getOrElse("")
+    val pa = absCap.map(c => s" AND a.doc_id < $c").getOrElse("")
+    s"""aps AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM ap
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM ap
+       |), fdf AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY s
+       |), shf AS (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN fdf USING (s)
+       |  WHERE df <= $GtBucketCap
+       |), gtx AS (
+       |  SELECT sh.doc_id AS pa,
+       |         CAST(count(CASE WHEN df > $GtBucketCap THEN 1 END)
+       |              AS BIGINT) AS gt_excluded_fps
+       |  FROM sh JOIN fdf USING (s)
+       |  WHERE sh.doc_id % 5 = 0$pp GROUP BY 1
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS c
+       |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 5 = 0$pa
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT pa, pb, c * 1000000 // (sa.n + sb.n - c) AS jac_ppm
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = pa
+       |  JOIN sizes sb ON sb.doc_id = pb
+       |  WHERE 2 * c >= sa.n + sb.n - c
+       |), sbd AS (
+       |  SELECT pa,
+       |         CAST(count(*) AS BIGINT) AS exact_cnt,
+       |         CAST(count(h.a) AS BIGINT) AS hits,
+       |         CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
+       |           AS recall_ppm,
+       |         CAST(coalesce(max(CASE WHEN h.a IS NULL
+       |                                THEN jac_ppm END), 0) AS BIGINT)
+       |           AS worst_miss_ppm
+       |  FROM exact
+       |  LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pb
+       |  GROUP BY pa
+       |)
+       |SELECT sbd.pa AS panel_doc, exact_cnt, hits, recall_ppm,
+       |       worst_miss_ppm, gtx.gt_excluded_fps
+       |FROM sbd JOIN gtx ON gtx.pa = sbd.pa
+       |ORDER BY panel_doc""".stripMargin
+  }
+
   /** The q67 index replay in CTE form, appended after
     * [[SimilarityQueries.lshReplayPrologue]] (which defines `n` and
     * `codes`): Hamming≤1 probe expansion, bucket cap, in-bucket pairing,
@@ -1379,51 +1490,8 @@ object DedupQueries {
 
     GraftQuery(
       "q261_minhash_recall_eval",
-      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes, aps AS (
-              |  SELECT doc_a AS a, doc_b AS b FROM ap
-              |  UNION ALL
-              |  SELECT doc_b, doc_a FROM ap
-              |), fdf AS (
-              |  SELECT s, count(*) AS df FROM sh GROUP BY s
-              |), shf AS (
-              |  SELECT sh.doc_id, sh.s FROM sh JOIN fdf USING (s)
-              |  WHERE df <= $GtBucketCap
-              |), gtx AS (
-              |  SELECT sh.doc_id AS pa,
-              |         CAST(count(CASE WHEN df > $GtBucketCap THEN 1 END)
-              |              AS BIGINT) AS gt_excluded_fps
-              |  FROM sh JOIN fdf USING (s)
-              |  WHERE sh.doc_id % 5 = 0 GROUP BY 1
-              |), sizes AS (
-              |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
-              |), inter AS (
-              |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS c
-              |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
-              |  WHERE a.doc_id % 5 = 0
-              |  GROUP BY 1, 2
-              |), exact AS (
-              |  SELECT pa, pb, c * 1000000 // (sa.n + sb.n - c) AS jac_ppm
-              |  FROM inter
-              |  JOIN sizes sa ON sa.doc_id = pa
-              |  JOIN sizes sb ON sb.doc_id = pb
-              |  WHERE 2 * c >= sa.n + sb.n - c
-              |), sbd AS (
-              |  SELECT pa,
-              |         CAST(count(*) AS BIGINT) AS exact_cnt,
-              |         CAST(count(h.a) AS BIGINT) AS hits,
-              |         CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
-              |           AS recall_ppm,
-              |         CAST(coalesce(max(CASE WHEN h.a IS NULL
-              |                                THEN jac_ppm END), 0) AS BIGINT)
-              |           AS worst_miss_ppm
-              |  FROM exact
-              |  LEFT JOIN aps h ON h.a = exact.pa AND h.b = exact.pb
-              |  GROUP BY pa
-              |)
-              |SELECT sbd.pa AS panel_doc, exact_cnt, hits, recall_ppm,
-              |       worst_miss_ppm, gtx.gt_excluded_fps
-              |FROM sbd JOIN gtx ON gtx.pa = sbd.pa
-              |ORDER BY panel_doc""".stripMargin),
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes,
+              |${minhashScoreboardSqlTail(None)}""".stripMargin),
       "Recall scoreboard for the MinHash-LSH dedup index — the q246 " +
         "treatment applied to the near-dup surface: ground truth is EXACT " +
         "Jaccard ≥ 0.5 over the index's OWN shingle-fingerprint universe " +
@@ -1447,50 +1515,31 @@ object DedupQueries {
         "never silent on a boilerplate-saturated one. At 100 TB the " +
         "panel is a fixed absolute sample and this runs nightly beside " +
         "the ANN scoreboards — same posture, different index."
+    ) { (s, dir) => minhashScoreboard(s, dir) },
+
+    GraftQuery(
+      "q272_minhash_recall_eval_abs",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes,
+              |${minhashScoreboardSqlTail(Some(AbsPanelIdCap))}""".stripMargin),
+      "q261's recall scoreboard at the FIXED ABSOLUTE panel — the " +
+        "q270/q271 treatment applied to the near-dup eval family's last " +
+        "share-based panel: q261's exact side is the inverted-index bound " +
+        "Σ_s df_panel·df_corpus, and with a 20% SHARE panel both factors " +
+        "grow with the corpus (measured 10.1× at 10× data on the " +
+        "closed-vocab synthetic corpus, SCALE.md); pinning the panel at " +
+        "the first 64 panel ids (doc_id % 5 = 0 AND doc_id < 320) fixes " +
+        "df_panel, so the ground-truth pass is LINEAR in corpus df mass " +
+        "and the scoreboard runs nightly at any scale. Same bounded " +
+        "ground truth (GtBucketCap df cutoff, gt_excluded_fps " +
+        "accounting), same grading against the very q39 pair set the " +
+        "engine ships, same worst_miss_ppm diagnostic; panel recall " +
+        "estimates the share-based reading, and the scoreboards agree " +
+        "row-for-row on the shared panel (SketchSpec pins it). With " +
+        "q272 every scoreboard/dial whose exact side grows faster than " +
+        "the corpus ships its fixed-panel production form: q270 (q264), " +
+        "q271 (q268), q272 (q261)."
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      // bounded ground truth: shingle fps whose corpus document frequency
-      // exceeds GtBucketCap are excluded from BOTH intersections and sizes
-      // (q41's informative-shingle discipline — the predicate 2·∩ ≥
-      // |A|+|B|−∩ stays self-consistent over the reduced universe), and
-      // the exclusion is explicit: gt_excluded_fps counts each panel
-      // doc's shingles the bound removed (0 = complete ground truth).
-      // Without the bound, one boilerplate shingle shared by every doc
-      // makes the inverted-index exact side panel_share × n² at exactly
-      // the saturation the scoreboard exists to measure.
-      val shEx = replayableShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      val gtx = shEx.filter(col("doc_id") % 5 === 0)
-        .groupBy(col("doc_id").as("pa"))
-        .agg(count(when(col("df") > GtBucketCap, 1)).as("gt_excluded_fps"))
-      val shF = shEx.filter(col("df") <= GtBucketCap).select("doc_id", "s")
-      val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shF.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("pa"), col("s"))
-        .join(shF.select(col("doc_id").as("pb"), col("s")), "s")
-        .filter(col("pa") =!= col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
-      val exact = inter
-        .join(sizes.select(col("doc_id").as("pa"), col("n").as("na")), "pa")
-        .join(sizes.select(col("doc_id").as("pb"), col("n").as("nb")), "pb")
-        .filter(lit(2) * col("c") >= col("na") + col("nb") - col("c"))
-        .select(col("pa"), col("pb"),
-          expr("c * 1000000 div (na + nb - c)").as("jac_ppm"))
-      val ap = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
-        .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
-        .withColumn("hit", lit(1))
-      exact.join(aps, Seq("pa", "pb"), "left")
-        .groupBy("pa")
-        .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
-          coalesce(max(when(col("hit").isNull, col("jac_ppm"))), lit(0L))
-            .as("worst_miss_ppm"))
-        .join(gtx, Seq("pa"))
-        .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
-          expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
-          col("worst_miss_ppm"), col("gt_excluded_fps"))
-        .orderBy("panel_doc")
+      minhashScoreboard(s, dir, panelIdCap = Some(AbsPanelIdCap))
     },
 
     GraftQuery(

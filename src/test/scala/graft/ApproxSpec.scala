@@ -343,5 +343,24 @@ class ApproxSpec extends SparkSpec {
       .collect()
     assert(dial.map(_.getLong(0)).toSeq == (1L to 4L))
     assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
+    // q272 is q261 with the same panel cut: identical rows on the shared
+    // panel (exact_cnt, hits, recall_ppm, worst_miss_ppm, gt_excluded_fps),
+    // covering exactly the sub-cap slice of q261's panel
+    val full261 = SparkEntry.queries("q261_minhash_recall_eval")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val abs272 = SparkEntry.queries("q272_minhash_recall_eval_abs")(spark, sf)
+      .collect()
+    assert(abs272.nonEmpty &&
+      abs272.forall(_.getLong(0) < DedupQueries.AbsPanelIdCap))
+    abs272.foreach { r =>
+      assert(full261(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"panel doc ${r.getLong(0)} diverged between q261 and q272")
+    }
+    assert(full261.keySet.filter(_ < DedupQueries.AbsPanelIdCap) ==
+      abs272.map(_.getLong(0)).toSet)
   }
 }
