@@ -18,7 +18,8 @@ object ScaleBench {
     "q272_minhash_recall_eval_abs",
     "q262_simhash_recall_eval", "q263_media_simhash_recall_eval",
     "q264_embedding_recall_eval", "q265_bucket_cap_dial",
-    "q266_media_cap_dial", "q268_lsh_table_dial")
+    "q266_media_cap_dial", "q268_lsh_table_dial",
+    "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -40,6 +40,8 @@ object Calibration {
       .unionAll(chosenOf(
         DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir), bits, n),
         "lsh_tables", "tables", DedupQueries.LshTableFloorPpm))
+      .unionAll(chosenOf(DedupQueries.minhashCapDial(s, dir),
+        "minhash_cap", "cap", DedupQueries.CapRecallFloorPpm))
       .orderBy("param")
   }
 
@@ -50,11 +52,11 @@ object Calibration {
     * rode along with it. A nightly recalibration changes this frame only
     * by committing a new version; between installs it is stable however
     * the corpus moves (that movement is the drift audits' to flag). The
-    * four roots are the four pillar stores: IVF probes, text cap, media
-    * cap, LSH tables. */
+    * five roots are the five pillar stores: IVF probes, text cap, media
+    * cap, LSH tables, MinHash cap. */
   def manifestFromStore(s: SparkSession, probesRoot: String,
                         capTextRoot: String, capMediaRoot: String,
-                        tablesRoot: String): DataFrame = {
+                        tablesRoot: String, capMinhashRoot: String): DataFrame = {
     def row(param: String, value: Long, baseline: DataFrame, valueCol: String,
             floor: Long): DataFrame =
       baseline.filter(col("chosen") && col(valueCol) === value)
@@ -75,6 +77,10 @@ object Calibration {
         IndexLifecycle.readLshTables(s, tablesRoot).toLong,
         IndexLifecycle.readLshTablesBaseline(s, tablesRoot), "tables",
         DedupQueries.LshTableFloorPpm))
+      .unionAll(row("minhash_cap",
+        IndexLifecycle.readCap(s, capMinhashRoot).toLong,
+        IndexLifecycle.readCapBaseline(s, capMinhashRoot), "cap",
+        DedupQueries.CapRecallFloorPpm))
       .orderBy("param")
   }
 }

@@ -425,18 +425,23 @@ object DedupQueries {
     * reported per panel doc as `gt_excluded_fps`; graded against the very
     * q39 pair set the engine ships. `panelIdCap` switches the panel from
     * the 20% share to the fixed absolute sample (the q270/q271 form). */
-  private[graft] def minhashScoreboard(s: SparkSession, dir: String,
-      panelIdCap: Option[Long] = None): DataFrame = {
+  /** The panel's exact-Jaccard ground truth shared by the q261/q272
+    * scoreboards and the q273/q274 cap dials: `exact(pa, pb, jac_ppm)` —
+    * every panel-touching pair at exact Jaccard ≥ ½ over the df-bounded
+    * shingle-fp universe — and `gtx(pa, gt_excluded_fps)`, the per-panel-
+    * doc count of shingle slots the GtBucketCap df cutoff removed.
+    *
+    * Bounded ground truth: shingle fps whose corpus document frequency
+    * exceeds GtBucketCap are excluded from BOTH intersections and sizes
+    * (q41's informative-shingle discipline — the predicate 2·∩ ≥
+    * |A|+|B|−∩ stays self-consistent over the reduced universe), and
+    * the exclusion is explicit (0 = complete ground truth). Without the
+    * bound, one boilerplate shingle shared by every doc makes the
+    * inverted-index exact side panel_share × n² at exactly the
+    * saturation the scoreboard exists to measure. */
+  private[graft] def minhashPanelExact(s: SparkSession, dir: String,
+      panelIdCap: Option[Long]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // bounded ground truth: shingle fps whose corpus document frequency
-    // exceeds GtBucketCap are excluded from BOTH intersections and sizes
-    // (q41's informative-shingle discipline — the predicate 2·∩ ≥
-    // |A|+|B|−∩ stays self-consistent over the reduced universe), and
-    // the exclusion is explicit: gt_excluded_fps counts each panel
-    // doc's shingles the bound removed (0 = complete ground truth).
-    // Without the bound, one boilerplate shingle shared by every doc
-    // makes the inverted-index exact side panel_share × n² at exactly
-    // the saturation the scoreboard exists to measure.
     def isPanel(c: org.apache.spark.sql.Column) =
       panelIdCap.foldLeft(c % 5 === 0)((p, cap) => p && c < cap)
     val shEx = replayableShingles(Tables.documents(s, dir))
@@ -458,6 +463,12 @@ object DedupQueries {
       .filter(lit(2) * col("c") >= col("na") + col("nb") - col("c"))
       .select(col("pa"), col("pb"),
         expr("c * 1000000 div (na + nb - c)").as("jac_ppm"))
+    (exact, gtx)
+  }
+
+  private[graft] def minhashScoreboard(s: SparkSession, dir: String,
+      panelIdCap: Option[Long] = None): DataFrame = {
+    val (exact, gtx) = minhashPanelExact(s, dir, panelIdCap)
     val ap = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
       .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
@@ -526,6 +537,90 @@ object DedupQueries {
        |       worst_miss_ppm, gtx.gt_excluded_fps
        |FROM sbd JOIN gtx ON gtx.pa = sbd.pa
        |ORDER BY panel_doc""".stripMargin
+  }
+
+  /** The q273/q274 oracle: [[minhashCapDial]]'s exact replay in the
+    * DuckDB dialect, appended after `$replayShinglePrologueSql,
+    * $minhashPairSqlCtes` (whose `msig`/`bands` CTEs it reads). `absCap`
+    * adds the fixed-absolute-panel bound to every panel-side scan. */
+  private def minhashCapDialSqlTail(absCap: Option[Long]): String = {
+    val pp = absCap.map(c => s" AND sh.doc_id < $c").getOrElse("")
+    val pa = absCap.map(c => s" AND a.doc_id < $c").getOrElse("")
+    val pk = absCap.map(c => s" AND doc_id < $c").getOrElse("")
+    val pj = absCap.map(c => s" AND p.doc_id < $c").getOrElse("")
+    val capValues = CapSweep.map(c => s"($c::BIGINT)").mkString(", ")
+    s"""kb AS (
+       |  SELECT band, key, count(*) AS b FROM bands GROUP BY 1, 2
+       |), kp AS (
+       |  SELECT bd.band, bd.key, bd.doc_id, kb.b,
+       |         row_number() OVER (PARTITION BY bd.band, bd.key
+       |                            ORDER BY bd.doc_id) AS rk
+       |  FROM bands bd JOIN kb USING (band, key)
+       |), gtd AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN b > $GtBucketCap
+       |                                THEN b - $GtBucketCap ELSE 0 END), 0)
+       |              AS BIGINT) AS gt_dropped
+       |  FROM kp WHERE doc_id % 5 = 0$pk
+       |), fdf AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY s
+       |), gtxa AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN df > $GtBucketCap
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS gt_excluded_fps
+       |  FROM sh JOIN fdf USING (s)
+       |  WHERE sh.doc_id % 5 = 0$pp
+       |), shf AS (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN fdf USING (s)
+       |  WHERE df <= $GtBucketCap
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS c
+       |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 5 = 0$pa
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT pa, pb
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = pa
+       |  JOIN sizes sb ON sb.doc_id = pb
+       |  WHERE 2 * c >= sa.n + sb.n - c
+       |), est AS (
+       |  SELECT e.pa, e.pb,
+       |         sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) >= 32 AS est_ok
+       |  FROM exact e
+       |  JOIN msig ma ON ma.doc_id = e.pa
+       |  JOIN msig mb ON mb.doc_id = e.pb AND mb.i = ma.i
+       |  GROUP BY 1, 2
+       |), pp AS (
+       |  SELECT p.doc_id AS pa, c.doc_id AS pb, min(p.b) AS min_bsz
+       |  FROM kp p JOIN kp c USING (band, key)
+       |  WHERE p.doc_id % 5 = 0$pj AND c.doc_id <> p.doc_id
+       |    AND c.rk <= $GtBucketCap
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT est.pa, est.pb, pp.min_bsz, est.est_ok
+       |  FROM est LEFT JOIN pp ON pp.pa = est.pa AND pp.pb = est.pb
+       |), caps(cap) AS (VALUES $capValues),
+       |g AS (
+       |  SELECT cap,
+       |         CAST(count(j.pa) AS BIGINT) AS exact_cnt,
+       |         CAST(count(CASE WHEN j.min_bsz <= cap AND j.est_ok
+       |                         THEN 1 END) AS BIGINT) AS hits
+       |  FROM caps LEFT JOIN j ON TRUE
+       |  GROUP BY cap
+       |)
+       |SELECT cap, exact_cnt, hits,
+       |       CAST(coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |            AS BIGINT) AS recall_ppm,
+       |       coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |         >= $CapRecallFloorPpm AS meets_floor,
+       |       cap = coalesce(
+       |         min(CASE WHEN coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+       |                       >= $CapRecallFloorPpm THEN cap END) OVER (),
+       |         max(cap) OVER ()) AS chosen,
+       |       gtd.gt_dropped, gtxa.gt_excluded_fps
+       |FROM g CROSS JOIN gtd CROSS JOIN gtxa ORDER BY cap""".stripMargin
   }
 
   /** The q67 index replay in CTE form, appended after
@@ -970,12 +1065,21 @@ object DedupQueries {
     replayableShingles(docs)
       .select(col("doc_id"), Sketches.minhashArray(col("sh")).as("sig"))
 
+  /** (doc_id, keys: array<long>) — each document's 16 MinHash band keys
+    * as one row: the batch-side projection that feeds streaming MinHash
+    * admission (`StatefulOps.minhashAdmitTws`). The signature (and the
+    * document) stay in the scan; only the ~128-byte key row travels. */
+  private[graft] def minhashSigKeysFor(docs: DataFrame): DataFrame =
+    minhashSignaturesFor(docs).select(col("doc_id"),
+      transform(bandKeys(col("sig")), bk => bk("key")).as("keys"))
+
   /** q39's pair set, pre-presentation: (doc_a, doc_b, est_jaccard_ppm) —
     * banded candidates, bucket cap, signature-agreement score, est-J ≥ 0.5
     * cut. ONE copy shared by q39 itself and the q261 recall scoreboard
     * (the eval grades the pair set the engine ships, not a lookalike). */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val cands = minhashBuckets(s, dir)
+  private[graft] def minhashPairs(s: SparkSession, dir: String,
+                                  cap: Int = MaxBucket): DataFrame = {
+    val cands = minhashBuckets(s, dir, cap)
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
           struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
@@ -995,7 +1099,8 @@ object DedupQueries {
         (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))
   }
 
-  private[graft] def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBuckets(s: SparkSession, dir: String,
+                                    cap: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minhashSignatures(s, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -1003,10 +1108,96 @@ object DedupQueries {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "key")))
-      .filter(col("bsz").between(2, MaxBucket))
+      .filter(col("bsz").between(2, cap))
       .groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
   }
+
+  /** The MinHash cap dial shared by q273 (20% share panel) and q274
+    * (fixed absolute panel) — q265's calibration discipline applied to
+    * the MinHash index, completing the dial matrix (IVF probes, SimHash
+    * caps text/media, LSH tables, MinHash cap): q261 PRICES the shipped
+    * cap's recall loss, this dial SETS the cap. One shared pass serves
+    * every swept cap: each exact panel pair (q261's own ground truth —
+    * exact Jaccard ≥ ½ over the df-bounded shingle-fp universe) carries
+    * the size of its SMALLEST shared band bucket, and the banded index
+    * at cap c emits it iff that size ≤ c AND its 64-sample signature
+    * agreement clears q39's est-J ≥ ½ cut (`est_ok` — cap-independent,
+    * the estimation-error term the SimHash dials don't have because
+    * their re-check IS their ground-truth criterion; including it makes
+    * the dial's cap-64 row reproduce q261's aggregate micro recall, the
+    * SketchSpec identity pin). Both ground-truth bounds stay explicit:
+    * `gt_dropped` counts band-bucket candidate slots past `gtCap`,
+    * `gt_excluded_fps` the df-cutoff shingle slots — identical on every
+    * cap row because they describe the ground truth, not the swept cap. */
+  private[graft] def minhashCapDial(s: SparkSession, dir: String,
+                                    floorPpm: Long = CapRecallFloorPpm,
+                                    caps: Seq[Int] = CapSweep,
+                                    gtCap: Int = GtBucketCap,
+                                    panelIdCap: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def isPanel(c: org.apache.spark.sql.Column) =
+      panelIdCap.foldLeft(c % 5 === 0)((p, cap) => p && c < cap)
+    val bkt = Window.partitionBy("band", "key")
+    val sigs = minhashSignatures(s, dir)
+    val sized = sigs
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .withColumn("bsz", count(lit(1)).over(bkt))
+      .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
+    val panel = sized.filter(isPanel(col("doc_id")))
+      .select(col("band"), col("key"), col("doc_id").as("pa"), col("bsz"))
+    val gtDropped = panel
+      .agg(coalesce(sum(greatest(col("bsz") - lit(gtCap.toLong), lit(0L))),
+        lit(0L)).as("gt_dropped"))
+    val pc = sized.filter(col("rk") <= gtCap)
+      .select(col("band"), col("key"), col("doc_id").as("pb"))
+      .join(panel, Seq("band", "key"))
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(min(col("bsz")).as("min_bsz"))
+    val (exact, gtxRows) = minhashPanelExact(s, dir, panelIdCap)
+    val gtExcluded = gtxRows
+      .agg(coalesce(sum(col("gt_excluded_fps")), lit(0L)).as("gt_excluded_fps"))
+    val graded = exact
+      .join(pc, Seq("pa", "pb"), "left")
+      .join(sigs.select(col("doc_id").as("pa"), col("sig").as("siga")), "pa")
+      .join(sigs.select(col("doc_id").as("pb"), col("sig").as("sigb")), "pb")
+      .withColumn("est_ok",
+        graft.functions.VectorFunctions.eqCount(col("siga"), col("sigb")) >=
+          Sketches.NumMinHashes / 2)
+    val agged = graded.agg(count(lit(1)).as("exact_cnt"),
+      caps.map(c =>
+        sum(when(col("min_bsz") <= c && col("est_ok"), 1L)).as(s"h$c")): _*)
+    val all = Window.partitionBy(lit(1))
+    agged.select(col("exact_cnt"),
+      explode(array(caps.map(c => struct(lit(c.toLong).as("cap"),
+        coalesce(col(s"h$c"), lit(0L)).as("hits"))): _*)).as("cr"))
+      .select(col("cr.cap").as("cap"), col("exact_cnt"), col("cr.hits").as("hits"))
+      .withColumn("recall_ppm",
+        expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)"))
+      .withColumn("meets_floor", col("recall_ppm") >= lit(floorPpm))
+      .withColumn("chosen", col("cap") === coalesce(
+        min(when(col("recall_ppm") >= lit(floorPpm), col("cap"))).over(all),
+        max(col("cap")).over(all)))
+      .crossJoin(broadcast(gtDropped))
+      .crossJoin(broadcast(gtExcluded))
+      .orderBy("cap")
+  }
+
+  /** The dial reading as an OPERATING PARAMETER: the minimal swept cap
+    * whose panel recall meets `floorPpm` — q273's knee, consumed by the
+    * next index build. */
+  def calibratedMinhashCap(s: SparkSession, dir: String,
+                           floorPpm: Long = CapRecallFloorPpm): Int =
+    minhashCapDial(s, dir, floorPpm)
+      .filter(col("chosen")).select(col("cap")).head.getLong(0).toInt
+
+  /** q39's near-dup pairs at the dial-chosen cap — [[MaxBucket]] is now
+    * only the DEFAULT this entry point replaces. */
+  def minhashNearDupCalibrated(s: SparkSession, dir: String,
+                               floorPpm: Long = CapRecallFloorPpm): DataFrame =
+    minhashPairs(s, dir, calibratedMinhashCap(s, dir, floorPpm))
+      .orderBy("doc_a", "doc_b")
 
   /** q41's inverted-index buckets: shingles with document frequency above
     * [[MaxBucket]] are dropped (stopword-shingle cutoff) and per-doc sizes
@@ -1540,6 +1731,51 @@ object DedupQueries {
         "q271 (q268), q272 (q261)."
     ) { (s, dir) =>
       minhashScoreboard(s, dir, panelIdCap = Some(AbsPanelIdCap))
+    },
+
+    GraftQuery(
+      "q273_minhash_cap_dial",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes,
+              |${minhashCapDialSqlTail(None)}""".stripMargin),
+      "Bucket-cap dial for the MinHash-LSH index — q265's calibration " +
+        "discipline applied to the last uncalibrated operating parameter, " +
+        "completing the dial matrix: IVF probes (q251), SimHash caps " +
+        "(q265/q266), LSH tables (q268), MinHash cap (here). q261 PRICES " +
+        "the shipped cap's recall loss; this dial SETS the cap, sweeping " +
+        "16/32/64/128 against q261's own ground truth (exact Jaccard ≥ ½ " +
+        "over the df-bounded shingle-fp universe) and emitting the " +
+        "minimal cap meeting the 900000 ppm floor. One shared pass " +
+        "serves all caps: each exact pair carries its smallest shared " +
+        "band-bucket size (survives cap c iff ≤ c) AND its 64-sample " +
+        "signature-agreement verdict (est-J ≥ ½, q39's cut — " +
+        "cap-independent estimation error the SimHash dials don't have, " +
+        "because their re-check IS their ground-truth criterion); " +
+        "including it makes the cap-64 row reproduce q261's aggregate " +
+        "micro recall exactly (SketchSpec identity pin). Both " +
+        "ground-truth bounds are explicit per row: gt_dropped " +
+        "(band-bucket slots past GtBucketCap) and gt_excluded_fps " +
+        "(df-cutoff shingle slots) — the dial survives the saturation it " +
+        "measures. At 100 TB this runs beside the nightly q261 over the " +
+        "same panel; the chosen cap feeds minhashNearDupCalibrated " +
+        "(ApproxSpec closes the loop)."
+    ) { (s, dir) => minhashCapDial(s, dir) },
+
+    GraftQuery(
+      "q274_minhash_cap_dial_abs",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes,
+              |${minhashCapDialSqlTail(Some(AbsPanelIdCap))}""".stripMargin),
+      "q273's cap dial at the fixed absolute panel — the calibration a " +
+        "production fleet actually schedules: the dial's exact side " +
+        "inherits q272's linear-in-corpus-df bound instead of q273's " +
+        "share-based inverted-index product, so cap recalibration stays " +
+        "a nightly pass at any corpus size. Same one-pass min_bsz + " +
+        "est_ok grading, same floor, same minimal-cap choice rule, same " +
+        "explicit gt_dropped/gt_excluded_fps accounting; with q274 every " +
+        "dial in the matrix has a fixed-panel production form (q251's " +
+        "panel is already query-traffic-sized; q271 covers tables; here " +
+        "the cap)."
+    ) { (s, dir) =>
+      minhashCapDial(s, dir, panelIdCap = Some(AbsPanelIdCap))
     },
 
     GraftQuery(

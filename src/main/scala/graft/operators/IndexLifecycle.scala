@@ -414,6 +414,60 @@ object IndexLifecycle {
     DedupQueries.simhashNearDupPairsUnsorted(sigs, readCap(s, root))
       .orderBy("doc_a", "doc_b")
 
+  // ---------- MinHash cap pillar ----------
+  //
+  // The q273 dial chooses the MinHash index's bucket cap; the pillar gives
+  // that choice the same install/audit/rollback discipline as the SimHash
+  // cap — `capcfg`/`capdial` layout is shared with [[installCap]] (and so
+  // are [[readCap]]/[[readCapBaseline]]); only the dial that produces the
+  // evidence differs.
+
+  /** Install `cap` as `version`, recording the q273 dial over the corpus
+    * at `dir` as the install-time baseline. Same atomicity / idempotence
+    * contract as [[install]]. */
+  def installMinhashCap(s: SparkSession, root: String, version: Long,
+                        cap: Int, dir: String,
+                        interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+      DedupQueries.minhashCapDial(s, dir)
+        .write.mode("overwrite").parquet(staging.resolve("capdial").toString)
+    }
+
+  /** The installed MinHash cap's health on the CURRENT corpus — q273's
+    * dial recomputed, rows marked `installed`/`recalibrate` exactly as
+    * [[capDriftAudit]]. */
+  def minhashCapDriftAudit(s: SparkSession, root: String,
+                           dir: String): DataFrame = {
+    val cap = readCap(s, root).toLong
+    DedupQueries.minhashCapDial(s, dir)
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
+  }
+
+  /** The closed loop for the MinHash cap pillar — [[recalibrateCapIfSagging]]
+    * with q273's dial as the evidence source. */
+  def recalibrateMinhashCapIfSagging(s: SparkSession, root: String,
+                                     dir: String): Option[Long] = {
+    val audit = minhashCapDriftAudit(s, root, dir).collect()
+    if (!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate")))) None
+    else {
+      val chosen = audit.filter(_.getBoolean(audit.head.fieldIndex("chosen")))
+        .head.getLong(0).toInt
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installMinhashCap(s, root, next, chosen, dir)
+      Some(next)
+    }
+  }
+
+  /** q39's near-dup pairs through the installed cap — the store is the
+    * only path by which a recalibration changes what readers see. */
+  def minhashNearDupThroughStore(s: SparkSession, root: String,
+                                 dir: String): DataFrame =
+    DedupQueries.minhashPairs(s, dir, readCap(s, root))
+      .orderBy("doc_a", "doc_b")
+
   // ---------- probe-depth pillar ----------
   //
   // q251's dial chooses the IVF probe depth, but until now the choice was

@@ -1045,6 +1045,111 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One arrival for [[minhashAdmitTws]]: a document's 16 MinHash band
+    * keys (`DedupQueries.minhashSigKeysFor` — the same
+    * signature → band-key fold as q39's batch index), computed batch-side
+    * in the scan; neither the signature nor the document ever reaches the
+    * stateful operator, only this ~128-byte key row. */
+  final case class MinhashSig(doc_id: Long, keys: Seq[Long])
+  final case class MinhashBandArrival(bucket: Long, doc_id: Long,
+                                      keys: Seq[Long])
+  /** A near-dup CANDIDATE pair: collides through the banded index's own
+    * criterion (some band's keys agree). The signature-agreement score
+    * (eqCount ≥ 32 ⇔ est J ≥ ½, q39's cut) is deliberately downstream —
+    * two point lookups in the signature store per candidate — because
+    * carrying 512-byte signatures into per-bucket state is the wrong
+    * trade at scale, while the candidate stream is 16 bytes/pair. */
+  final case class MinhashCandidate(doc_a: Long, doc_b: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class MinhashMember(doc_id: Long, keys: Seq[Long])
+
+  /** Streaming MinHash near-dup admission — the text twin of
+    * [[LshBucketProcessor]] and the live form of batch q39's candidate
+    * generator, completing streaming parity across every banded near-dup
+    * index (SimHash text/media, embedding LSH, MinHash): state per
+    * (band, key) bucket is the ≤cap key rows already filed there, and an
+    * arriving document reports every filed member — same bucket means the
+    * band's keys already agree. Cross-band uniqueness costs no second
+    * stage: a pair is emitted only from its CANONICAL band — the smallest
+    * band index where the two key vectors agree (both full key rows are
+    * in hand at emission, so the canonical band is a pure function of the
+    * pair; a colliding pair agrees on ≥1 band by construction, so
+    * canonical emission loses nothing). Buckets are bounded by CURRENT
+    * filed size — the media twin's documented divergence from batch's
+    * final-size rule; both sides agree wherever no bucket saturates. At
+    * 100 TB the groupByKey shuffles 16 × ~136-byte key rows per document
+    * and an ingest pipeline drops a flagged doc_b on arrival after the
+    * two-lookup signature confirm. */
+  class MinhashBucketProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MinhashBandArrival, MinhashCandidate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var members: org.apache.spark.sql.streaming.ListState[MinhashMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[MinhashMember](
+        "mh_bucket", Encoders.product[MinhashMember],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Long, rows: Iterator[MinhashBandArrival],
+                                 timers: TimerValues): Iterator[MinhashCandidate] = {
+      val band = (bucket >>> 32).toInt
+      val filed = scala.collection.mutable.ArrayBuffer.empty[MinhashMember]
+      members.get().foreach(filed += _)
+      rows.toSeq.sortBy(_.doc_id).iterator.flatMap { r =>
+        if (filed.length >= cap) Iterator.empty
+        else {
+          val hits = filed.iterator.filter { m =>
+            StatefulOps.minhashCanonicalBand(m.keys, r.keys) == band
+          }.map { m =>
+            val (a, b) = if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                         else (r.doc_id, m.doc_id)
+            MinhashCandidate(a, b)
+          }.toVector
+          val nv = MinhashMember(r.doc_id, r.keys)
+          filed += nv
+          members.appendValue(nv)
+          hits.iterator
+        }
+      }
+    }
+  }
+
+  /** The smallest band index on which two key vectors agree — defined for
+    * every colliding pair, -1 otherwise. */
+  private[graft] def minhashCanonicalBand(a: Seq[Long], b: Seq[Long]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) == b(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Keyed MinHash near-dup admission via transformWithState (Append:
+    * each candidate pair is reported exactly once, at its canonical band,
+    * when its later document arrives). Band keys are < 2³¹
+    * (`DedupQueries.bandKeys` folds mod 2147483647) and the band index
+    * < 16, so `(band << 32) | key` is collision-free. */
+  def minhashAdmitTws(sigs: Dataset[MinhashSig],
+                      cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[MinhashCandidate] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap { s =>
+        s.keys.zipWithIndex.map { case (k, b) =>
+          MinhashBandArrival((b.toLong << 32) | k, s.doc_id, s.keys)
+        }
+      }
+      .groupByKey(_.bucket)
+      .transformWithState(new MinhashBucketProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One arrival for [[labelCensusTws]]: a vector's metadata label —
     * 16-byte id rows; the embedding itself never reaches the stateful
     * operator. */

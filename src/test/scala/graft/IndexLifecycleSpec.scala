@@ -551,13 +551,14 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.readLshTables(spark, root) === 3)
   }
 
-  test("the manifest read from the store equals the recomputed manifest (all four pillars installed)") {
+  test("the manifest read from the store equals the recomputed manifest (all five pillars installed)") {
     import graft.operators.{Calibration, DedupQueries, MultimodalQueries,
       SimilarityQueries}
     val base = Files.createTempDirectory("graft_manifest_store")
     val (pr, ct, cm, tr) = (base.resolve("probes").toString,
       base.resolve("captext").toString, base.resolve("capmedia").toString,
       base.resolve("tables").toString)
+    val cmh = base.resolve("capminhash").toString
     // install every pillar from the sf corpus at its dial's own choice
     IndexLifecycle.installProbes(spark, pr, 1L,
       SimilarityQueries.calibratedProbes(spark, sf), sf)
@@ -573,13 +574,43 @@ class IndexLifecycleSpec extends SparkSpec {
       MultimodalQueries.byteSimhashSigs(media))
     IndexLifecycle.installLshTables(spark, tr, 1L,
       DedupQueries.calibratedLshTables(spark, sf), sf)
+    IndexLifecycle.installMinhashCap(spark, cmh, 1L,
+      DedupQueries.calibratedMinhashCap(spark, sf), sf)
 
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     val recomputed = rows(Calibration.manifest(spark, sf))
-    val fromStore = rows(Calibration.manifestFromStore(spark, pr, ct, cm, tr))
+    val fromStore = rows(
+      Calibration.manifestFromStore(spark, pr, ct, cm, tr, cmh))
     assert(fromStore == recomputed,
       s"store manifest must equal the recomputed manifest:\n$fromStore\nvs\n$recomputed")
+  }
+
+  test("minhash cap pillar: install, read-through, replay no-op, drift audit green at install") {
+    import graft.operators.DedupQueries
+    val root = Files.createTempDirectory("graft_minhash_cap").toString
+    val chosen = DedupQueries.calibratedMinhashCap(spark, sf)
+    assert(IndexLifecycle.installMinhashCap(spark, root, 1L, chosen, sf))
+    assert(IndexLifecycle.readCap(spark, root) === chosen)
+    // readers see exactly the chosen-cap pair set, through the store alone
+    val through = IndexLifecycle.minhashNearDupThroughStore(spark, root, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = DedupQueries.minhashPairs(spark, sf, chosen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(through === direct)
+    // replayed install of a committed version is a strict no-op
+    assert(!IndexLifecycle.installMinhashCap(spark, root, 1L, chosen + 1, sf))
+    assert(IndexLifecycle.readCap(spark, root) === chosen)
+    // right after install the audit is green by construction
+    assert(IndexLifecycle.recalibrateMinhashCapIfSagging(spark, root, sf)
+      .isEmpty)
+    val audit = IndexLifecycle.minhashCapDriftAudit(spark, root, sf).collect()
+    assert(audit.count(_.getBoolean(audit.head.fieldIndex("installed"))) == 1)
+    assert(!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate"))))
+    // the install-time evidence rode along: its chosen row is the cap
+    val base = IndexLifecycle.readCapBaseline(spark, root).collect()
+    assert(base.filter(_.getBoolean(base.head.fieldIndex("chosen")))
+      .head.getLong(0).toInt === chosen)
   }
 }

@@ -524,10 +524,58 @@ class SketchSpec extends SparkSpec {
     val m = Calibration.manifest(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet == Set("ivf_probes", "simhash_cap_text",
-      "simhash_cap_media", "lsh_tables"))
+      "simhash_cap_media", "lsh_tables", "minhash_cap"))
     assert(m("ivf_probes") == SimilarityQueries.calibratedProbes(spark, sf).toLong)
     assert(m("simhash_cap_text") == DedupQueries.calibratedSimhashCap(spark, sf).toLong)
     assert(m("lsh_tables") == DedupQueries.calibratedLshTables(spark, sf).toLong)
+    assert(m("minhash_cap") == DedupQueries.calibratedMinhashCap(spark, sf).toLong)
+  }
+
+  test("the minhash cap dial's cap-64 row reproduces q261's aggregate micro recall") {
+    import graft.operators.DedupQueries
+    // at the shipped cap the dial's grading criterion (min shared bucket
+    // <= 64 AND est-J >= 1/2) is EXACTLY membership in the shipped q39
+    // pair set, so the cap-64 row must equal the q261 scoreboard's
+    // aggregate: same exact_cnt, same hits — two independently-built
+    // pipelines forced to agree on the shared reading
+    val dial = SparkEntry.queries("q273_minhash_cap_dial")(spark, sf).collect()
+    assert(dial.map(_.getLong(0)).toSeq == DedupQueries.CapSweep.map(_.toLong))
+    assert(dial.count(_.getBoolean(dial.head.fieldIndex("chosen"))) == 1)
+    val row64 = dial.find(_.getLong(0) == 64L).get
+    val sb = SparkEntry.queries("q261_minhash_recall_eval")(spark, sf).collect()
+    assert(row64.getLong(row64.fieldIndex("exact_cnt")) ==
+      sb.map(_.getLong(sb.head.fieldIndex("exact_cnt"))).sum)
+    assert(row64.getLong(row64.fieldIndex("hits")) ==
+      sb.map(_.getLong(sb.head.fieldIndex("hits"))).sum)
+    // the abs form keeps the dial contract on its smaller panel
+    val abs = SparkEntry.queries("q274_minhash_cap_dial_abs")(spark, sf).collect()
+    assert(abs.map(_.getLong(0)).toSeq == DedupQueries.CapSweep.map(_.toLong))
+    assert(abs.count(_.getBoolean(abs.head.fieldIndex("chosen"))) == 1)
+    val a64 = abs.find(_.getLong(0) == 64L).get
+    val sbAbs = SparkEntry.queries("q272_minhash_recall_eval_abs")(spark, sf)
+      .collect()
+    assert(a64.getLong(a64.fieldIndex("exact_cnt")) ==
+      sbAbs.map(_.getLong(sbAbs.head.fieldIndex("exact_cnt"))).sum)
+    assert(a64.getLong(a64.fieldIndex("hits")) ==
+      sbAbs.map(_.getLong(sbAbs.head.fieldIndex("hits"))).sum)
+  }
+
+  test("the calibrated minhash cap entry point serves the dial's corpus choice") {
+    import graft.operators.DedupQueries
+    val dial = SparkEntry.queries("q273_minhash_cap_dial")(spark, sf).collect()
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+      .head.getLong(0).toInt
+    assert(DedupQueries.calibratedMinhashCap(spark, sf) == chosen)
+    val served = DedupQueries.minhashNearDupCalibrated(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = DedupQueries.minhashPairs(spark, sf, chosen).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct,
+      "the calibrated entry point must serve exactly the chosen-cap pair set")
+    // the floor moves the choice: any recall clears a 0 floor, so the
+    // dial falls to the cheapest swept cap
+    assert(DedupQueries.calibratedMinhashCap(spark, sf, floorPpm = 0L) ==
+      DedupQueries.CapSweep.min)
   }
 
   test("the calibrated cap entry points serve the dial's corpus choice") {

@@ -1571,6 +1571,61 @@ class StreamingOpsSpec extends SparkSpec {
         s"only-stream=${confirmed -- batchPairs}, only-batch=${batchPairs -- confirmed}")
   }
 
+  // ---------- MinHash near-dup admission ----------
+
+  /** Drive [[StatefulOps.minhashAdmitTws]] over a band-key stream and
+    * return the candidate pair set. */
+  private def runMinhashAdmit(name: String, sigs: Seq[StatefulOps.MinhashSig],
+                              nChunks: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{MinhashCandidate, MinhashSig}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MinhashSig]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.minhashAdmitTws(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        sigs.grouped(math.max(sigs.length / nChunks, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.table(name).as[MinhashCandidate].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+  }
+
+  test("minhash admission tws equals batch q39 pairs and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.MinhashSig
+    import graft.operators.DedupQueries
+
+    val docs = Tables.documents(spark, sf)
+    val sigRows = DedupQueries.minhashSigKeysFor(docs)
+      .orderBy("doc_id").as[MinhashSig].collect().toSeq
+    // the downstream signature confirm a production admission performs
+    // with two point lookups per candidate: eqCount >= 32 (est J >= 1/2)
+    val sigMap = DedupQueries.minhashSignaturesFor(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def confirm(cands: Set[(Long, Long)]): Set[(Long, Long)] =
+      cands.filter { case (a, b) =>
+        sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y } >=
+          graft.functions.Sketches.NumMinHashes / 2
+      }
+
+    val batchPairs = SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val a = runMinhashAdmit("mh_admit_3", sigRows, 3)
+    val b = runMinhashAdmit("mh_admit_7", sigRows, 7)
+    assert(a === b, "re-chunking the stream changed the candidate set")
+    val confirmed = confirm(a)
+    assert(confirmed === batchPairs,
+      s"streamed+confirmed pairs diverged from batch q39: " +
+        s"only-stream=${confirmed -- batchPairs}, only-batch=${batchPairs -- confirmed}")
+  }
+
   test("the calibrated table count flows through streaming LSH admission") {
     import spark.implicits._
     import graft.streaming.StatefulOps.LshSig
