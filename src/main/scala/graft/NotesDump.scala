@@ -47,10 +47,11 @@ object NotesDump {
       |corpus-level queries the ratio itself is the signal.
       |
       |This table is the freshest same-session run and measures BOTH
-      |round-12 10×-found fixes plus the fixed-absolute-panel q272 (the
-      |q270/q271 treatment applied to the MinHash scoreboard — its 2.6×
-      |vs share-based q261's 10.1× on the same corpus pair IS the
-      |linearization, measured). The first 10× run caught the
+      |round-12 10×-found fixes plus the fixed-absolute-panel forms q272
+      |and q274 (the q270/q271 treatment applied to the MinHash scoreboard
+      |and cap dial — 2.6×/2.7× vs their share-based siblings' 11.0×/8.6×
+      |on the same corpus pair IS the linearization, measured). The first
+      |10× run caught the
       |codebook-assignment L2 and SQ8 scoring as interpreted
       |`aggregate(zip_with(…))` HOFs (jstack-confirmed: the whole of q236's
       |46 s sat in ZipWith.eval — the q252 poison class, join-sized) and
@@ -70,40 +71,43 @@ object NotesDump {
       |
       || query | t(1×) s | t(10×) s | ratio | reading |
       ||---|---|---|---|---|
-      || q141_robust_outliers | 1.38 | 9.96 | 7.2× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
-      || q141b_robust_outliers_approx | 0.58 | 2.14 | 3.7× | the sketch sibling: ~2× better growth than exact q141, gap widens with scale |
-      || q236_pq_ann | 0.93 | 3.77 | 4.1× (0.41/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
-      || q249_ivfpq_ann | 0.87 | 2.34 | 2.7× (0.27/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
-      || q66_knn_ivf | 0.46 | 1.35 | 3.0× (0.30/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 exactly as designed |
-      || q130_quantized_ann | 0.48 | 0.98 | 2.0× (0.20/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
-      || q86_kmeans_train | 2.09 | 1.35 | 0.6× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
-      || q102_pagerank | 1.58 | 5.62 | 3.6× | staged integer PageRank: sublinear in edges (join fan-out grows, iterations fixed) |
-      || q184_basket_affinity | 0.68 | 1.58 | 2.3× | pair expansion bounded per order; shuffle grows linearly |
-      || q41_dedup_ngram_jaccard | 1.32 | 0.87 | 0.7× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
-      || q67_dedup_embedding_lsh | 1.15 | 2.85 | 2.5× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
-      || q251_probe_depth_calibration | 0.46 | 0.95 | 2.1× (0.21/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
-      || q261_minhash_recall_eval | 0.80 | 8.09 | 10.1× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): a SHARE panel grows both factors with the corpus — quadratic on this closed 31-word vocab, exactly the regime the GtBucketCap df cutoff guards; the 100 TB form is q272 |
-      || q272_minhash_recall_eval_abs | 0.65 | 1.67 | 2.6× | the fixed-absolute-panel form: df_panel pinned by 64 docs, ground truth linear in corpus df mass — the q261 remedy, measured on the same corpus pair |
-      || q262_simhash_recall_eval | 0.46 | 0.68 | 1.5× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
-      || q263_media_simhash_recall_eval | 0.81 | 1.12 | 1.4× | same, media signatures |
-      || q264_embedding_recall_eval | 0.41 | 4.82 | 11.8× (1.2/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
-      || q265_bucket_cap_dial | 0.41 | 0.83 | 2.0× | one-pass multi-cap grading over the band index: flat |
-      || q266_media_cap_dial | 0.77 | 1.37 | 1.8× | same, media |
-      || q268_lsh_table_dial | 0.34 | 4.72 | 13.7× (1.4/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
+      || q141_robust_outliers | 2.39 | 11.59 | 4.9× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
+      || q141b_robust_outliers_approx | 0.74 | 2.83 | 3.8× | the sketch sibling: better growth than exact q141, gap widens with scale |
+      || q236_pq_ann | 1.48 | 6.62 | 4.5× (0.45/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
+      || q249_ivfpq_ann | 1.32 | 3.02 | 2.3× (0.23/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
+      || q66_knn_ivf | 0.57 | 1.85 | 3.3× (0.33/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 as designed |
+      || q130_quantized_ann | 0.61 | 1.32 | 2.2× (0.22/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
+      || q86_kmeans_train | 2.94 | 1.86 | 0.6× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
+      || q102_pagerank | 2.17 | 7.01 | 3.2× | staged integer PageRank: sublinear in edges (join fan-out grows, iterations fixed) |
+      || q184_basket_affinity | 1.03 | 2.16 | 2.1× | pair expansion bounded per order; shuffle grows linearly |
+      || q41_dedup_ngram_jaccard | 1.55 | 1.33 | 0.9× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
+      || q67_dedup_embedding_lsh | 1.40 | 4.26 | 3.0× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
+      || q251_probe_depth_calibration | 0.57 | 1.64 | 2.9× (0.29/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
+      || q261_minhash_recall_eval | 1.10 | 12.13 | 11.0× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): a SHARE panel grows both factors with the corpus — quadratic on this closed 31-word vocab, exactly the regime the GtBucketCap df cutoff guards; the 100 TB form is q272 |
+      || q272_minhash_recall_eval_abs | 0.92 | 2.41 | 2.6× | the fixed-absolute-panel form: df_panel pinned by 64 docs, ground truth linear in corpus df mass — the q261 remedy, measured on the same corpus pair |
+      || q273_minhash_cap_dial | 1.36 | 11.73 | 8.6× | the cap dial's exact side shares q261's share-panel inverted-index bound — super-linear BY CONTRACT on this closed vocab |
+      || q274_minhash_cap_dial_abs | 0.88 | 2.37 | 2.7× | the dial at the fixed absolute panel: linear — what a 100 TB fleet schedules nightly |
+      || q262_simhash_recall_eval | 0.64 | 0.97 | 1.5× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
+      || q263_media_simhash_recall_eval | 1.07 | 1.74 | 1.6× | same, media signatures |
+      || q264_embedding_recall_eval | 0.51 | 7.89 | 15.6× (1.6/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
+      || q265_bucket_cap_dial | 0.53 | 0.86 | 1.6× | one-pass multi-cap grading over the band index: flat |
+      || q266_media_cap_dial | 1.06 | 1.47 | 1.4× | same, media |
+      || q268_lsh_table_dial | 0.55 | 7.34 | 13.3× (1.3/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
       |
-      |Headline: the ANN family sits at 2.0–4.1× for 10× data with
+      |Headline: the ANN family sits at 2.2–4.5× for 10× data with
       |sublinear per-query cost across the board, ranked exactly as
-      |designed — q130 (2.0×) < q249 (2.7×) ≈ q66 (3.0×) < q236 (4.1×),
+      |designed — q130 (2.2×) ≈ q249 (2.3×) < q66 (3.3×) < q236 (4.5×),
       |all far below the pre-fix HOF/sort forms (20.9×/13.6× first run,
       |8.2×/7.1× second). The scoreboard/dial family splits as documented:
-      |pigeonhole-band ground truth flat (1.4–2.0×); the share-based
-      |panels grow super-linearly BY CONTRACT (q261 10.1×, q264 11.8×,
-      |q268 13.7×) and each now has its fixed-absolute-panel production
-      |sibling measured linear on the same corpus pair (q272 2.6×, q270 /
-      |q271 per their notes); q261's inverted-index side remains the one
-      |the GtBucketCap bound exists to protect (its 10.1× is a
-      |closed-vocabulary artifact of the synthetic corpus — df grows with
-      |corpus only because the vocab cannot).
+      |pigeonhole-band ground truth flat (1.4–1.6×); the share-based
+      |panels grow super-linearly BY CONTRACT (q261 11.0×, q264 15.6×,
+      |q268 13.3×, q273 8.6×) and each now has its fixed-absolute-panel
+      |production sibling measured linear on the same corpus pair
+      |(q272 2.6×, q274 2.7×; q270/q271 per their notes); q261's
+      |inverted-index side remains the one the GtBucketCap bound exists
+      |to protect (its growth is a closed-vocabulary artifact of the
+      |synthetic corpus — df grows with corpus only because the vocab
+      |cannot).
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —
