@@ -560,6 +560,42 @@ class SketchSpec extends SparkSpec {
       sbAbs.map(_.getLong(sbAbs.head.fieldIndex("hits"))).sum)
   }
 
+  test("the minhash cap dial moves with the floor and the chosen cap feeds the index (closed loop)") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // the q265 saturation scenario on the MinHash side: 70 byte-identical
+    // documents — every pair is a true duplicate (exact J = 1), every
+    // signature is identical, every band bucket holds 70. The shipped cap
+    // (64) drops everything; the dial must discover that 128 is the
+    // minimal working cap, and the pair builder at the dial's choice must
+    // recover what the default loses.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_sat").toString
+    (0L until 70L)
+      .map(id => (id, "alpha beta gamma delta epsilon", "en", "web", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dial = DedupQueries.minhashCapDial(spark, dir).collect()
+    val chosen = dial.filter(_.getBoolean(dial.head.fieldIndex("chosen")))
+    assert(chosen.length == 1 && chosen.head.getLong(0) == 128L,
+      "only cap 128 clears the 70-member buckets")
+    dial.foreach { r =>
+      val expect = if (r.getLong(0) >= 70L) 1000000L else 0L
+      assert(r.getLong(r.fieldIndex("recall_ppm")) == expect,
+        s"cap ${r.getLong(0)} recall")
+      // both ground-truth bounds are untouched on this corpus: buckets of
+      // 70 sit far under GtBucketCap, dfs of 70 far under the df cutoff
+      assert(r.getLong(r.fieldIndex("gt_dropped")) == 0L)
+      assert(r.getLong(r.fieldIndex("gt_excluded_fps")) == 0L)
+    }
+    // floor moves the choice: any recall clears a 0 floor
+    assert(DedupQueries.calibratedMinhashCap(spark, dir, floorPpm = 0L) ==
+      DedupQueries.CapSweep.min)
+    // closed loop: the default cap loses every pair, the dial-chosen cap
+    // recovers all 70*69/2 at full signature agreement
+    assert(DedupQueries.minhashPairs(spark, dir).count() == 0L)
+    assert(DedupQueries.minhashNearDupCalibrated(spark, dir).count() == 69L * 35L)
+  }
+
   test("the calibrated minhash cap entry point serves the dial's corpus choice") {
     import graft.operators.DedupQueries
     val dial = SparkEntry.queries("q273_minhash_cap_dial")(spark, sf).collect()
