@@ -42,6 +42,8 @@ object Calibration {
         "lsh_tables", "tables", DedupQueries.LshTableFloorPpm))
       .unionAll(chosenOf(DedupQueries.minhashCapDial(s, dir),
         "minhash_cap", "cap", DedupQueries.CapRecallFloorPpm))
+      .unionAll(chosenOf(MultimodalQueries.cdcCapDial(media),
+        "cdc_cap", "cap", DedupQueries.CapRecallFloorPpm))
       .orderBy("param")
   }
 
@@ -52,11 +54,12 @@ object Calibration {
     * rode along with it. A nightly recalibration changes this frame only
     * by committing a new version; between installs it is stable however
     * the corpus moves (that movement is the drift audits' to flag). The
-    * five roots are the five pillar stores: IVF probes, text cap, media
-    * cap, LSH tables, MinHash cap. */
+    * six roots are the six pillar stores: IVF probes, text cap, media
+    * cap, LSH tables, MinHash cap, CDC chunk cap. */
   def manifestFromStore(s: SparkSession, probesRoot: String,
                         capTextRoot: String, capMediaRoot: String,
-                        tablesRoot: String, capMinhashRoot: String): DataFrame = {
+                        tablesRoot: String, capMinhashRoot: String,
+                        capCdcRoot: String): DataFrame = {
     def row(param: String, value: Long, baseline: DataFrame, valueCol: String,
             floor: Long): DataFrame =
       baseline.filter(col("chosen") && col(valueCol) === value)
@@ -80,6 +83,10 @@ object Calibration {
       .unionAll(row("minhash_cap",
         IndexLifecycle.readCap(s, capMinhashRoot).toLong,
         IndexLifecycle.readCapBaseline(s, capMinhashRoot), "cap",
+        DedupQueries.CapRecallFloorPpm))
+      .unionAll(row("cdc_cap",
+        IndexLifecycle.readCap(s, capCdcRoot).toLong,
+        IndexLifecycle.readCapBaseline(s, capCdcRoot), "cap",
         DedupQueries.CapRecallFloorPpm))
       .orderBy("param")
   }

@@ -468,6 +468,59 @@ object IndexLifecycle {
     DedupQueries.minhashPairs(s, dir, readCap(s, root))
       .orderBy("doc_a", "doc_b")
 
+  // ---------- CDC chunk cap pillar ----------
+  //
+  // The q276 dial chooses the chunk index's bucket cap; the pillar gives
+  // that choice the same install/audit/rollback discipline as the other
+  // cap pillars — `capcfg`/`capdial` layout is shared with [[installCap]]
+  // (and so are [[readCap]]/[[readCapBaseline]]); only the dial that
+  // produces the evidence differs.
+
+  /** Install `cap` as `version`, recording the q276 dial over `media`
+    * as the install-time baseline. Same atomicity / idempotence contract
+    * as [[install]]. */
+  def installCdcCap(s: SparkSession, root: String, version: Long, cap: Int,
+                    media: DataFrame,
+                    interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+      MultimodalQueries.cdcCapDial(media)
+        .write.mode("overwrite").parquet(staging.resolve("capdial").toString)
+    }
+
+  /** The installed CDC cap's health on the CURRENT corpus — q276's dial
+    * recomputed, rows marked `installed`/`recalibrate` exactly as
+    * [[capDriftAudit]]. */
+  def cdcCapDriftAudit(s: SparkSession, root: String,
+                       media: DataFrame): DataFrame = {
+    val cap = readCap(s, root).toLong
+    MultimodalQueries.cdcCapDial(media)
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
+  }
+
+  /** The closed loop for the CDC cap pillar — [[recalibrateCapIfSagging]]
+    * with q276's dial as the evidence source. */
+  def recalibrateCdcCapIfSagging(s: SparkSession, root: String,
+                                 media: DataFrame): Option[Long] = {
+    val audit = cdcCapDriftAudit(s, root, media).collect()
+    if (!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate")))) None
+    else {
+      val chosen = audit.filter(_.getBoolean(audit.head.fieldIndex("chosen")))
+        .head.getLong(0).toInt
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installCdcCap(s, root, next, chosen, media)
+      Some(next)
+    }
+  }
+
+  /** q253's containment pairs through the installed cap — the store is
+    * the only path by which a recalibration changes what readers see. */
+  def cdcThroughStore(s: SparkSession, root: String,
+                      media: DataFrame): DataFrame =
+    MultimodalQueries.cdcContainmentPairs(media, readCap(s, root))
+
   // ---------- probe-depth pillar ----------
   //
   // q251's dial chooses the IVF probe depth, but until now the choice was

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,88 @@ object MultimodalQueries {
   /** q253's containment floor: a pair reports when the smaller doc shares
     * at least half its distinct chunks with the other. */
   private[graft] val CdcContainmentFloorPpm = 500000L
+
+  /** The q275/q276 ground-truth universe bound: the sweep's most
+    * permissive cap. Ground truth for the cap dial family is the index
+    * the DEEPEST swept cap builds (the LSH table dial's full-width-row
+    * pattern) — chunks more frequent than every swept cap are boilerplate
+    * BY THE SWEEP'S OWN DEFINITION, excluded from the reference universe
+    * with explicit `gt_excluded_cfps` accounting. The bound doubles as
+    * the cost guard: every ground-truth bucket holds ≤ this many docs,
+    * so the exact pass is linear in df-bounded chunk mass, never
+    * quadratic in a saturated bucket. (Declared before `all`: the oracle
+    * CTEs interpolate it at object init.) */
+  private[graft] val CdcGtCap: Int = DedupQueries.CapSweep.max
+
+  /** The CDC chunk universe in the oracles' dialect, appended after
+    * [[mediaBytesSqlCtes]]: `chunki` (one row per chunk INSTANCE — what a
+    * non-deduplicating store would persist), `chunks` (DISTINCT fps per
+    * doc) and `fdf` (per-fp corpus document frequency). ONE copy serves
+    * the q253 pairing, the q254 audit, the q275 scoreboard and the q276
+    * dial so the boundary replay can never drift between them. */
+  private def cdcChunkSqlCtes: String =
+    s"""pos AS (
+       |  SELECT doc_id, bv, unnest(range(1, len(bv) + 1)) AS i FROM bt
+       |), cid AS (
+       |  SELECT doc_id, i, bv[i] AS byte,
+       |         coalesce(sum(CASE WHEN i >= 8 AND
+       |             list_reduce(bv[i-7:i],
+       |               (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP})
+       |               % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS chunk_id
+       |  FROM pos
+       |), chunki AS (
+       |  SELECT doc_id, chunk_id,
+       |         list_reduce(list(byte ORDER BY i),
+       |           (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP}) AS cfp
+       |  FROM cid GROUP BY doc_id, chunk_id
+       |), chunks AS (
+       |  SELECT DISTINCT doc_id, cfp FROM chunki
+       |), fdf AS (
+       |  SELECT cfp, count(*) AS df FROM chunks GROUP BY cfp
+       |)""".stripMargin
+
+  /** q253's informative-universe pairing in CTE form, appended after
+    * [[cdcChunkSqlCtes]] — df cutoff (intersections AND sizes), in-bucket
+    * id pairing, containment cut — ending at `cpair(doc_a, doc_b, shared,
+    * containment_ppm)`. ONE copy serves q253 and the q275 scoreboard's
+    * grading side. */
+  private def cdcPairSqlCtes: String =
+    s"""surv AS (
+       |  SELECT c.doc_id, c.cfp, fdf.df FROM chunks c JOIN fdf USING (cfp)
+       |  WHERE df <= ${DedupQueries.MaxBucket}
+       |), ssz AS (
+       |  SELECT doc_id, count(*) n FROM surv GROUP BY doc_id
+       |), p2 AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |         CAST(count(*) AS BIGINT) shared
+       |  FROM surv a JOIN surv b
+       |    ON a.cfp = b.cfp AND a.doc_id < b.doc_id
+       |  WHERE a.df >= 2
+       |  GROUP BY 1, 2
+       |), cpair AS (
+       |  SELECT doc_a, doc_b, shared,
+       |         CAST(1000000 * shared // least(sa.n, sb.n) AS BIGINT)
+       |           AS containment_ppm
+       |  FROM p2 JOIN ssz sa ON sa.doc_id = p2.doc_a
+       |          JOIN ssz sb ON sb.doc_id = p2.doc_b
+       |  WHERE 1000000 * shared // least(sa.n, sb.n)
+       |          >= $CdcContainmentFloorPpm
+       |)""".stripMargin
+
+  /** The ground-truth chunk universe in the oracles' dialect, appended
+    * after [[cdcChunkSqlCtes]]: `chf` (the df ≤ [[CdcGtCap]] universe, df
+    * riding along) and `szr` (per-doc sizes over it) — q275/q276's exact
+    * side: the index the deepest swept cap builds. */
+  private def cdcGtSqlCtes: String =
+    s"""chf AS (
+       |  SELECT c.doc_id, c.cfp, fdf.df FROM chunks c JOIN fdf USING (cfp)
+       |  WHERE df <= $CdcGtCap
+       |), szr AS (
+       |  SELECT doc_id, count(*) nr FROM chf GROUP BY doc_id
+       |)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -346,63 +428,29 @@ object MultimodalQueries {
 
     GraftQuery(
       "q253_media_cdc_containment",
-      Some(s"""WITH $mediaBytesSqlCtes, pos AS (
-              |  SELECT doc_id, bv, unnest(range(1, len(bv) + 1)) AS i FROM bt
-              |), cid AS (
-              |  SELECT doc_id, i, bv[i] AS byte,
-              |         coalesce(sum(CASE WHEN i >= 8 AND
-              |             list_reduce(bv[i-7:i],
-              |               (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP})
-              |               % $CdcDivisor = 0 THEN 1 ELSE 0 END)
-              |           OVER (PARTITION BY doc_id ORDER BY i
-              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              |           0) AS chunk_id
-              |  FROM pos
-              |), chunks AS (
-              |  SELECT DISTINCT doc_id,
-              |         list_reduce(list(byte ORDER BY i),
-              |           (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP}) AS cfp
-              |  FROM cid GROUP BY doc_id, chunk_id
-              |), sizes AS (
-              |  SELECT doc_id, count(*) n FROM chunks GROUP BY doc_id
-              |), bounded AS (
-              |  SELECT doc_id, cfp FROM (
-              |    SELECT *, count(*) OVER (PARTITION BY cfp) bsz FROM chunks
-              |  ) WHERE bsz BETWEEN 2 AND ${DedupQueries.MaxBucket}
-              |), p2 AS (
-              |  SELECT a.doc_id doc_a, b.doc_id doc_b,
-              |         CAST(count(*) AS BIGINT) shared
-              |  FROM bounded a JOIN bounded b
-              |    ON a.cfp = b.cfp AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2
-              |)
-              |SELECT p2.doc_a, p2.doc_b, shared,
-              |       CAST(1000000 * shared // least(sa.n, sb.n) AS BIGINT)
-              |         AS containment_ppm
-              |FROM p2 JOIN sizes sa ON sa.doc_id = p2.doc_a
-              |        JOIN sizes sb ON sb.doc_id = p2.doc_b
-              |WHERE 1000000 * shared // least(sa.n, sb.n)
-              |        >= $CdcContainmentFloorPpm
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, $cdcPairSqlCtes
+              |SELECT doc_a, doc_b, shared, containment_ppm FROM cpair
               |ORDER BY doc_a, doc_b""".stripMargin),
       "Content-defined-chunking media dedup — the LARGE-payload sibling " +
         "q252's design notes promise: the native one-pass graft_cdc_chunks " +
         "expression cuts chunk boundaries where the SAME rolling 8-byte " +
         "fingerprint stream hits 0 mod 64 (expected ~64-byte chunks), " +
         "folds each chunk's bytes to one fingerprint, and a pair reports " +
-        "when the smaller doc shares >= 50% of its distinct chunks " +
-        "(containment, the storage-dedup metric). Content-defined beats " +
-        "fixed-size chunking on exactly one axis and it is the axis that " +
-        "matters: an INSERTION misaligns every fixed-size boundary after " +
-        "the edit, but CDC boundaries depend only on local window bytes, " +
-        "so the two streams re-synchronize at the first boundary past the " +
-        "edit and every later chunk matches (LBFS, SOSP'01 — " +
-        "MultimodalSpec pins this insert-resilience on planted payloads). " +
-        "Scale shape: chunk fingerprints are 8 bytes each, ~payload/64 " +
-        "per doc, computed in the scan; payloads never shuffle; the " +
-        "inverted chunk index is bucket-capped at 64 BEFORE pairing, " +
-        "which doubles as automatic common-chunk suppression (a shared " +
-        "envelope-header chunk lands in a saturated bucket and drops, " +
-        "like stopword shingles in q41). At 100 TB this is how you dedup " +
+        "when the smaller doc shares >= 50% of its INFORMATIVE chunks " +
+        "(containment, the storage-dedup metric; chunks above the 64-doc " +
+        "frequency cutoff leave intersections AND sizes — q41's stopword " +
+        "discipline chunk-shaped, so corpus-wide boilerplate neither " +
+        "pairs docs nor dilutes their denominators). Content-defined " +
+        "beats fixed-size chunking on exactly one axis and it is the " +
+        "axis that matters: an INSERTION misaligns every fixed-size " +
+        "boundary after the edit, but CDC boundaries depend only on " +
+        "local window bytes, so the two streams re-synchronize at the " +
+        "first boundary past the edit and every later chunk matches " +
+        "(LBFS, SOSP'01 — MultimodalSpec pins this insert-resilience on " +
+        "planted payloads). Scale shape: chunk fingerprints are 8 bytes " +
+        "each, ~payload/64 per doc, computed in the scan; payloads " +
+        "never shuffle; the df cutoff bounds every inverted-index " +
+        "bucket BEFORE pairing. At 100 TB this is how you dedup " +
         "video/audio blobs where whole-payload signatures are too coarse " +
         "and per-window shingles too fine — and the containment join " +
         "doubles as the storage-savings audit for chunk-store planning."
@@ -413,27 +461,10 @@ object MultimodalQueries {
 
     GraftQuery(
       "q254_media_chunk_store_audit",
-      Some(s"""WITH $mediaBytesSqlCtes, pos AS (
-              |  SELECT doc_id, bv, unnest(range(1, len(bv) + 1)) AS i FROM bt
-              |), cid AS (
-              |  SELECT doc_id, i, bv[i] AS byte,
-              |         coalesce(sum(CASE WHEN i >= 8 AND
-              |             list_reduce(bv[i-7:i],
-              |               (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP})
-              |               % $CdcDivisor = 0 THEN 1 ELSE 0 END)
-              |           OVER (PARTITION BY doc_id ORDER BY i
-              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              |           0) AS chunk_id
-              |  FROM pos
-              |), chunks AS (
-              |  SELECT doc_id, chunk_id,
-              |         list_reduce(list(byte ORDER BY i),
-              |           (a, x) -> (a * 256 + x) % ${DedupQueries.ShingleP}) AS cfp
-              |  FROM cid GROUP BY doc_id, chunk_id
-              |), fmt AS (
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, fmt AS (
               |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
               |         cfp
-              |  FROM chunks
+              |  FROM chunki
               |), agg AS (
               |  SELECT format,
               |         CAST(count(*) AS BIGINT) AS total_chunks,
@@ -711,6 +742,165 @@ object MultimodalQueries {
       media.mapPartitions(_.flatMap(resizeAndAudit))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q275_cdc_recall_eval",
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, $cdcPairSqlCtes,
+              |$cdcGtSqlCtes, gtx AS (
+              |  SELECT c.doc_id AS pa,
+              |         CAST(count(CASE WHEN df > $CdcGtCap
+              |                         THEN 1 END) AS BIGINT)
+              |           AS gt_excluded_cfps
+              |  FROM chunks c JOIN fdf USING (cfp)
+              |  WHERE c.doc_id % 5 = 0 GROUP BY 1
+              |), inter AS (
+              |  SELECT a.doc_id pa, b.doc_id pb, CAST(count(*) AS BIGINT) shared
+              |  FROM chf a JOIN chf b ON a.cfp = b.cfp AND a.doc_id <> b.doc_id
+              |  WHERE a.doc_id % 5 = 0
+              |  GROUP BY 1, 2
+              |), ex AS (
+              |  SELECT pa, pb,
+              |         CAST(1000000 * shared // least(ra.nr, rb.nr) AS BIGINT)
+              |           AS containment_ppm
+              |  FROM inter JOIN szr ra ON ra.doc_id = pa
+              |             JOIN szr rb ON rb.doc_id = pb
+              |  WHERE 1000000 * shared // least(ra.nr, rb.nr)
+              |          >= $CdcContainmentFloorPpm
+              |), aps AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM cpair
+              |  UNION ALL
+              |  SELECT doc_b, doc_a FROM cpair
+              |), sbd AS (
+              |  SELECT pa,
+              |         CAST(count(*) AS BIGINT) AS exact_cnt,
+              |         CAST(count(h.a) AS BIGINT) AS hits,
+              |         CAST(count(h.a) * 1000000 // count(*) AS BIGINT)
+              |           AS recall_ppm,
+              |         CAST(coalesce(max(CASE WHEN h.a IS NULL
+              |                                THEN containment_ppm END), 0)
+              |              AS BIGINT) AS worst_miss_ppm
+              |  FROM ex LEFT JOIN aps h ON h.a = ex.pa AND h.b = ex.pb
+              |  GROUP BY pa
+              |)
+              |SELECT sbd.pa AS panel_doc, exact_cnt, hits, recall_ppm,
+              |       worst_miss_ppm, gtx.gt_excluded_cfps
+              |FROM sbd JOIN gtx ON gtx.pa = sbd.pa
+              |ORDER BY panel_doc""".stripMargin),
+      "Recall scoreboard for the CDC chunk containment index — the LAST " +
+        "approximate index without one, completing the per-index " +
+        "scoreboard matrix (MinHash q261, SimHash text q262, SimHash " +
+        "media q263, embedding-LSH q264, IVF/PQ/IVF-PQ q246-q250): per " +
+        "panel doc, exact containment ground truth over the chunk " +
+        "universe the DEEPEST swept cap (128) builds — fps more frequent " +
+        "than every swept cap are boilerplate by the sweep's own " +
+        "definition, excluded from intersections AND sizes with the " +
+        "exclusion explicit as gt_excluded_cfps — graded against the " +
+        "very q253 pair set the engine ships. Every miss is a pair the " +
+        "shipped 64 cut dropped; worst_miss_ppm names the strongest " +
+        "one, which is exactly the evidence that moves the q276 dial. " +
+        "Scale shape: inverted-chunk-index exact side whose buckets the " +
+        "universe bound caps at 128 members (never panel x corpus, " +
+        "never quadratic in a saturated bucket), id-only grading join, " +
+        "payloads never leave the scan — the nightly read beside the " +
+        "q254 store audit."
+    ) { (s, dir) =>
+      cdcScoreboard(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
+    },
+
+    GraftQuery(
+      "q276_cdc_cap_dial",
+      Some {
+        val capValues =
+          DedupQueries.CapSweep.map(c => s"($c::BIGINT)").mkString(", ")
+        val capShares = DedupQueries.CapSweep.map(c =>
+          s"CAST(count(CASE WHEN a.df <= $c THEN 1 END) AS BIGINT) AS s$c")
+          .mkString(",\n         ")
+        val capSizes = DedupQueries.CapSweep.map(c =>
+          s"CAST(count(CASE WHEN df <= $c THEN 1 END) AS BIGINT) AS n$c")
+          .mkString(",\n         ")
+        val sideSizes = DedupQueries.CapSweep.map(c =>
+          s"sa.n$c AS na$c, sb.n$c AS nb$c").mkString(",\n         ")
+        val capCase = "CASE cap " + DedupQueries.CapSweep.map(c =>
+          s"WHEN $c THEN 1000000 * s$c // nullif(least(na$c, nb$c), 0) " +
+            s">= $CdcContainmentFloorPpm").mkString(" ") + " END"
+        s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes,
+           |$cdcGtSqlCtes, gtxa AS (
+           |  SELECT CAST(coalesce(sum(CASE WHEN df > $CdcGtCap
+           |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |           AS gt_excluded_cfps
+           |  FROM chunks c JOIN fdf USING (cfp)
+           |  WHERE c.doc_id % 5 = 0
+           |), szc AS (
+           |  SELECT doc_id,
+           |         $capSizes
+           |  FROM chf GROUP BY doc_id
+           |), pp AS (
+           |  SELECT a.doc_id pa, b.doc_id pb,
+           |         CAST(count(*) AS BIGINT) shared,
+           |         $capShares
+           |  FROM chf a JOIN chf b ON a.cfp = b.cfp AND a.doc_id <> b.doc_id
+           |  WHERE a.doc_id % 5 = 0
+           |  GROUP BY 1, 2
+           |), ex AS (
+           |  SELECT pp.*,
+           |         $sideSizes
+           |  FROM pp
+           |  JOIN szr ra ON ra.doc_id = pp.pa
+           |  JOIN szr rb ON rb.doc_id = pp.pb
+           |  JOIN szc sa ON sa.doc_id = pp.pa
+           |  JOIN szc sb ON sb.doc_id = pp.pb
+           |  WHERE 1000000 * pp.shared // least(ra.nr, rb.nr)
+           |          >= $CdcContainmentFloorPpm
+           |), caps(cap) AS (VALUES $capValues),
+           |g AS (
+           |  SELECT cap,
+           |         CAST(count(ex.pa) AS BIGINT) AS exact_cnt,
+           |         CAST(count(CASE WHEN $capCase
+           |                         THEN 1 END) AS BIGINT) AS hits
+           |  FROM caps LEFT JOIN ex ON TRUE
+           |  GROUP BY cap
+           |)
+           |SELECT cap, exact_cnt, hits,
+           |       CAST(coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+           |            AS BIGINT) AS recall_ppm,
+           |       coalesce(hits * 1000000 // nullif(exact_cnt, 0), 0)
+           |         >= ${DedupQueries.CapRecallFloorPpm} AS meets_floor,
+           |       cap = coalesce(
+           |         min(CASE WHEN coalesce(hits * 1000000
+           |                                  // nullif(exact_cnt, 0), 0)
+           |                       >= ${DedupQueries.CapRecallFloorPpm}
+           |                  THEN cap END) OVER (),
+           |         max(cap) OVER ()) AS chosen,
+           |       gtxa.gt_excluded_cfps
+           |FROM g CROSS JOIN gtxa ORDER BY cap""".stripMargin
+      },
+      "Bucket-cap dial for the CDC chunk index — the dial matrix's last " +
+        "cell (IVF probes q251, SimHash caps q265/q266, LSH tables " +
+        "q268/q271, MinHash cap q273/q274): sweeps the chunk index's " +
+        "informative-universe cutoff and emits the minimal one whose " +
+        "panel recall meets the floor. One shared pass grades every " +
+        "cap, but the survival rule generalizes the SimHash dials' " +
+        "smallest-shared-bucket trick twice over: CDC reports a pair on " +
+        "a containment THRESHOLD over the cap's own universe, not on " +
+        "any-bucket collision, so each exact pair carries per-cap " +
+        "conditional shared counts AND per-doc per-cap sizes, graded " +
+        "against q253's predicate verbatim — the cap-64 row reproduces " +
+        "q253's grading exactly and the cap-128 row IS the ground " +
+        "truth (recall 1000000 by construction, the full-width-row " +
+        "pattern of the q268 table dial; both MultimodalSpec pins). " +
+        "Recall is deliberately NOT monotone in the cap: a deeper cap " +
+        "admits boilerplate into denominators faster than it adds " +
+        "shared chunks, and pricing that trade is the dial's job. " +
+        "calibratedCdcCap/cdcContainmentCalibrated close the loop the " +
+        "way every other dial does. Exact side and gt_excluded_cfps " +
+        "accounting are q275's: 128-bounded inverted index, " +
+        "panel-scoped, id-only — a nightly calibration pass at any " +
+        "corpus size."
+    ) { (s, dir) =>
+      cdcCapDial(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")))
     }
   )
 
@@ -730,35 +920,185 @@ object MultimodalQueries {
           .as("dup_ppm"))
       .orderBy("format")
 
-  /** CDC containment pairs of any `(doc_id, payload)` frame — the full
-    * q253 pipeline, exposed so specs can grade the insert-resilience
-    * property on planted payloads through exactly the shipped plan. */
-  private[graft] def cdcContainmentPairs(media: org.apache.spark.sql.DataFrame)
+  /** (doc_id, cfp, df): each doc's DISTINCT chunk fingerprints with the
+    * fingerprint's corpus document frequency riding along — the chunk
+    * universe shared by the q253 pairing, the q275 scoreboard and the
+    * q276 dial. One payload walk in the scan; only 8-byte fps travel
+    * past it. */
+  private def cdcChunkFrame(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = media
-      .select(col("doc_id"), array_distinct(
+    media
+      .select(col("doc_id"), explode(array_distinct(
         graft.functions.Sketches.cdcChunks(
-          col("payload"), CdcDivisor, DedupQueries.ShingleP)).as("cfps"))
-      .select(col("doc_id"), size(col("cfps")).cast("long").as("n"),
-        explode(col("cfps")).as("cfp"))
-    val bounded = chunks
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("cfp")))
-      .filter(col("bsz").between(2, DedupQueries.MaxBucket))
-      .select(col("doc_id"), col("n"), col("cfp"))
-    bounded.select(col("doc_id").as("doc_a"), col("n").as("na"), col("cfp"))
-      .join(bounded.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("cfp")),
-        "cfp")
+          col("payload"), CdcDivisor, DedupQueries.ShingleP))).as("cfp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+  }
+
+  /** CDC containment pairs of any `(doc_id, payload)` frame — the full
+    * q253 pipeline, exposed so specs can grade the insert-resilience
+    * property on planted payloads through exactly the shipped plan.
+    * `cap` is the chunk index's informative-universe bound (q41's
+    * stopword discipline, chunk-shaped): fps whose document frequency
+    * exceeds it leave BOTH the intersections and the per-doc sizes, so
+    * containment stays self-consistent over the surviving universe —
+    * boilerplate chunks (shared envelope headers, corpus-wide
+    * boilerplate prose) neither pair docs nor dilute their denominators.
+    * [[cdcCapDial]] chooses the cap; [[DedupQueries.MaxBucket]] is only
+    * the default. */
+  private[graft] def cdcContainmentPairs(media: org.apache.spark.sql.DataFrame,
+                                         cap: Int = DedupQueries.MaxBucket)
+      : org.apache.spark.sql.DataFrame =
+    cdcContainmentPairsUnsorted(media, cap).orderBy("doc_a", "doc_b")
+
+  /** [[cdcContainmentPairs]] without the presentation sort — for the q275
+    * scoreboard, whose grading join is order-blind. */
+  private[graft] def cdcContainmentPairsUnsorted(
+      media: org.apache.spark.sql.DataFrame,
+      cap: Int = DedupQueries.MaxBucket): org.apache.spark.sql.DataFrame = {
+    val surv = cdcChunkFrame(media).filter(col("df") <= cap)
+    val sizes = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bounded = surv.filter(col("df") >= 2).select("doc_id", "cfp")
+    bounded.select(col("doc_id").as("doc_a"), col("cfp"))
+      .join(bounded.select(col("doc_id").as("doc_b"), col("cfp")), "cfp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("containment_ppm",
         expr("1000000 * shared div least(na, nb)"))
       .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment_ppm"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** The q275 recall scoreboard for the CDC chunk containment index —
+    * the last approximate index without one. Exact side: every
+    * panel-touching pair whose containment over the `gtCap`-bounded
+    * chunk universe (intersections AND sizes — the same informative-
+    * universe rule the index itself applies at its cap) clears the q253
+    * floor; fps above the bound are reported per panel doc as
+    * `gt_excluded_cfps`, never silently dropped. Found through the
+    * inverted chunk index, never a panel × corpus product. Graded
+    * against the very q253 pair set the engine ships, so every miss is
+    * a pair the shipped [[DedupQueries.MaxBucket]] cut dropped —
+    * `worst_miss_ppm` says how strong the strongest dropped pair was. */
+  private[graft] def cdcScoreboard(media: org.apache.spark.sql.DataFrame,
+                                   gtCap: Int = CdcGtCap)
+      : org.apache.spark.sql.DataFrame = {
+    val chunks = cdcChunkFrame(media)
+    val gtx = chunks.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id").as("pa"))
+      .agg(count(when(col("df") > gtCap, 1)).as("gt_excluded_cfps"))
+    val chF = chunks.filter(col("df") <= gtCap)
+    val sizesRed = chF.groupBy("doc_id").agg(count(lit(1)).as("nr"))
+    val exact = chF.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("pa"), col("cfp"))
+      .join(chF.select(col("doc_id").as("pb"), col("cfp")), "cfp")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("shared"))
+      .join(sizesRed.select(col("doc_id").as("pa"), col("nr").as("nra")), "pa")
+      .join(sizesRed.select(col("doc_id").as("pb"), col("nr").as("nrb")), "pb")
+      .withColumn("containment_ppm",
+        expr("1000000 * shared div least(nra, nrb)"))
+      .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
+    val ap = cdcContainmentPairsUnsorted(media).select(col("doc_a"), col("doc_b"))
+    val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+      .withColumn("hit", lit(1))
+    exact.join(aps, Seq("pa", "pb"), "left")
+      .groupBy("pa")
+      .agg(count(lit(1)).as("exact_cnt"), count(col("hit")).as("hits"),
+        coalesce(max(when(col("hit").isNull, col("containment_ppm"))), lit(0L))
+          .as("worst_miss_ppm"))
+      .join(gtx, Seq("pa"))
+      .select(col("pa").as("panel_doc"), col("exact_cnt"), col("hits"),
+        expr("hits * 1000000 div exact_cnt").as("recall_ppm"),
+        col("worst_miss_ppm"), col("gt_excluded_cfps"))
+      .orderBy("panel_doc")
+  }
+
+  /** The q276 bucket-cap dial for the CDC chunk index — the dial matrix's
+    * last cell. One shared pass grades every swept cap, but the survival
+    * rule generalizes the SimHash dials' smallest-shared-bucket trick
+    * twice over: a CDC pair survives cap c iff its cap-c shared count
+    * over its cap-c sizes still clears the containment floor — a
+    * THRESHOLD over the c-universe, not an any-bucket collision — so
+    * each exact pair carries per-cap conditional shared counts AND each
+    * doc per-cap conditional sizes, graded against q253's predicate
+    * verbatim. The cap-[[DedupQueries.MaxBucket]] row therefore
+    * reproduces q253's grading exactly, and the deepest row is the
+    * ground truth itself (recall_ppm = 1000000 by construction — the
+    * reference-point identity, both MultimodalSpec pins). Because
+    * denominators grow with the cap, recall is NOT monotone: a deeper
+    * cap can admit boilerplate into a doc's universe faster than it
+    * adds shared chunks, and the dial prices exactly that trade. Exact
+    * side and `gt_excluded_cfps` accounting are q275's. */
+  private[graft] def cdcCapDial(media: org.apache.spark.sql.DataFrame,
+                                floorPpm: Long = DedupQueries.CapRecallFloorPpm,
+                                caps: Seq[Int] = DedupQueries.CapSweep)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gtCap = caps.max
+    val chunks = cdcChunkFrame(media)
+    val gtExcluded = chunks.filter(col("doc_id") % 5 === 0)
+      .agg(coalesce(sum(when(col("df") > gtCap, 1L).otherwise(0L)), lit(0L))
+        .as("gt_excluded_cfps"))
+    val chF = chunks.filter(col("df") <= gtCap)
+    val szAggs = caps.map(c => count(when(col("df") <= c, 1)).as(s"n$c"))
+    val sizesC = chF.groupBy("doc_id").agg(szAggs.head, szAggs.tail: _*)
+    val pairAggs = count(lit(1)).as("shared") +:
+      caps.map(c => count(when(col("df") <= c, 1)).as(s"s$c"))
+    val perPair = chF.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("pa"), col("cfp"), col("df"))
+      .join(chF.select(col("doc_id").as("pb"), col("cfp")), "cfp")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb")
+      .agg(pairAggs.head, pairAggs.tail: _*)
+    val sa = sizesC.select(col("doc_id").as("pa") +:
+      caps.map(c => col(s"n$c").as(s"na$c")): _*)
+    val sb = sizesC.select(col("doc_id").as("pb") +:
+      caps.map(c => col(s"n$c").as(s"nb$c")): _*)
+    val exact = perPair.join(sa, "pa").join(sb, "pb")
+      .filter(expr(s"1000000 * shared div least(na$gtCap, nb$gtCap)") >=
+        CdcContainmentFloorPpm)
+    val agged = exact.agg(count(lit(1)).as("exact_cnt"),
+      caps.map(c => sum(when(
+        expr(s"1000000 * s$c div nullif(least(na$c, nb$c), 0)") >=
+          CdcContainmentFloorPpm, 1L)).as(s"h$c")): _*)
+    val all = Window.partitionBy(lit(1))
+    agged.select(col("exact_cnt"),
+      explode(array(caps.map(c => struct(lit(c.toLong).as("cap"),
+        coalesce(col(s"h$c"), lit(0L)).as("hits"))): _*)).as("cr"))
+      .select(col("cr.cap").as("cap"), col("exact_cnt"), col("cr.hits").as("hits"))
+      .withColumn("recall_ppm",
+        expr("coalesce(hits * 1000000 div nullif(exact_cnt, 0), 0)"))
+      .withColumn("meets_floor", col("recall_ppm") >= lit(floorPpm))
+      .withColumn("chosen", col("cap") === coalesce(
+        min(when(col("recall_ppm") >= lit(floorPpm), col("cap"))).over(all),
+        max(col("cap")).over(all)))
+      .crossJoin(broadcast(gtExcluded))
+      .orderBy("cap")
+  }
+
+  /** The q276 dial reading as an OPERATING PARAMETER: the minimal swept
+    * cap whose panel recall meets `floorPpm` — a scalar read off a
+    * caps-sized frame, consumed by the next chunk-index build. */
+  def calibratedCdcCap(s: SparkSession, dir: String,
+                       floorPpm: Long = DedupQueries.CapRecallFloorPpm): Int =
+    cdcCapDial(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")), floorPpm)
+      .filter(col("chosen")).select(col("cap")).head.getLong(0).toInt
+
+  /** q253's containment pairs at the dial-chosen cap —
+    * [[DedupQueries.MaxBucket]] is now only the DEFAULT this entry point
+    * replaces, completing the calibrated loop for the chunk index. */
+  def cdcContainmentCalibrated(s: SparkSession, dir: String,
+                               floorPpm: Long = DedupQueries.CapRecallFloorPpm)
+      : org.apache.spark.sql.DataFrame =
+    cdcContainmentPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload")),
+      calibratedCdcCap(s, dir, floorPpm))
 
   /** (doc_id, sim): byte-shingle SimHash signatures of any
     * `(doc_id, payload: binary)` frame — rolling 8-byte windows folded to

@@ -551,7 +551,7 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.readLshTables(spark, root) === 3)
   }
 
-  test("the manifest read from the store equals the recomputed manifest (all five pillars installed)") {
+  test("the manifest read from the store equals the recomputed manifest (all six pillars installed)") {
     import graft.operators.{Calibration, DedupQueries, MultimodalQueries,
       SimilarityQueries}
     val base = Files.createTempDirectory("graft_manifest_store")
@@ -559,6 +559,7 @@ class IndexLifecycleSpec extends SparkSpec {
       base.resolve("captext").toString, base.resolve("capmedia").toString,
       base.resolve("tables").toString)
     val cmh = base.resolve("capminhash").toString
+    val ccd = base.resolve("capcdc").toString
     // install every pillar from the sf corpus at its dial's own choice
     IndexLifecycle.installProbes(spark, pr, 1L,
       SimilarityQueries.calibratedProbes(spark, sf), sf)
@@ -576,15 +577,55 @@ class IndexLifecycleSpec extends SparkSpec {
       DedupQueries.calibratedLshTables(spark, sf), sf)
     IndexLifecycle.installMinhashCap(spark, cmh, 1L,
       DedupQueries.calibratedMinhashCap(spark, sf), sf)
+    IndexLifecycle.installCdcCap(spark, ccd, 1L,
+      MultimodalQueries.calibratedCdcCap(spark, sf), media)
 
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     val recomputed = rows(Calibration.manifest(spark, sf))
     val fromStore = rows(
-      Calibration.manifestFromStore(spark, pr, ct, cm, tr, cmh))
+      Calibration.manifestFromStore(spark, pr, ct, cm, tr, cmh, ccd))
     assert(fromStore == recomputed,
       s"store manifest must equal the recomputed manifest:\n$fromStore\nvs\n$recomputed")
+  }
+
+  test("cdc cap pillar: install, read-through, drift audit green at install, saturation recalibrates") {
+    import graft.operators.MultimodalQueries
+    val root = Files.createTempDirectory("graft_cdc_cap").toString
+    val media = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), MultimodalQueries.mediaPayload.as("payload"))
+    val chosen = MultimodalQueries.calibratedCdcCap(spark, sf)
+    assert(IndexLifecycle.installCdcCap(spark, root, 1L, chosen, media))
+    assert(IndexLifecycle.readCap(spark, root) === chosen)
+    // read-through equals the calibrated entry point
+    val viaStore = IndexLifecycle.cdcThroughStore(spark, root, media).collect()
+    val direct = MultimodalQueries.cdcContainmentCalibrated(spark, sf).collect()
+    assert(viaStore.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      "store read-through must serve exactly the calibrated pair set")
+    // drift audit is green right after install by construction
+    val audit = IndexLifecycle.cdcCapDriftAudit(spark, root, media).collect()
+    assert(!audit.exists(_.getBoolean(audit.head.fieldIndex("recalibrate"))),
+      "a freshly installed cap must not flag recalibration")
+    assert(IndexLifecycle.recalibrateCdcCapIfSagging(spark, root, media).isEmpty)
+    // a saturated corpus (one hot payload shared corpus-wide) sags the
+    // installed small cap below the floor; the closed loop re-installs
+    import spark.implicits._
+    def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) & 0xff).toByte
+      }
+    }
+    val hot = lcgBytes(3L, 2048)
+    val saturated = (0L until 100L).map(i => (i, hot.clone())).toDF("doc_id", "payload")
+    val root2 = Files.createTempDirectory("graft_cdc_cap2").toString
+    assert(IndexLifecycle.installCdcCap(spark, root2, 1L, 16, saturated))
+    val v2 = IndexLifecycle.recalibrateCdcCapIfSagging(spark, root2, saturated)
+    assert(v2 === Some(2L), "a sagging cap must recalibrate to a new version")
+    assert(IndexLifecycle.readCap(spark, root2) === 128,
+      "every bucket holds 100 members, so only the 128 cap meets the floor")
   }
 
   test("minhash cap pillar: install, read-through, replay no-op, drift audit green at install") {

@@ -520,15 +520,17 @@ class SketchSpec extends SparkSpec {
   }
 
   test("the calibration manifest carries each dial's chosen reading, one row per parameter") {
-    import graft.operators.{Calibration, DedupQueries, SimilarityQueries}
+    import graft.operators.{Calibration, DedupQueries, MultimodalQueries,
+      SimilarityQueries}
     val m = Calibration.manifest(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet == Set("ivf_probes", "simhash_cap_text",
-      "simhash_cap_media", "lsh_tables", "minhash_cap"))
+      "simhash_cap_media", "lsh_tables", "minhash_cap", "cdc_cap"))
     assert(m("ivf_probes") == SimilarityQueries.calibratedProbes(spark, sf).toLong)
     assert(m("simhash_cap_text") == DedupQueries.calibratedSimhashCap(spark, sf).toLong)
     assert(m("lsh_tables") == DedupQueries.calibratedLshTables(spark, sf).toLong)
     assert(m("minhash_cap") == DedupQueries.calibratedMinhashCap(spark, sf).toLong)
+    assert(m("cdc_cap") == MultimodalQueries.calibratedCdcCap(spark, sf).toLong)
   }
 
   test("the minhash cap dial's cap-64 row reproduces q261's aggregate micro recall") {
