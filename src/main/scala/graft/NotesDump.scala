@@ -46,12 +46,15 @@ object NotesDump {
       |CONSTANT per-query cost and `/query` (= ratio/10) is the signal; for
       |corpus-level queries the ratio itself is the signal.
       |
-      |This table is the freshest same-session run and measures BOTH
-      |round-12 10×-found fixes plus the fixed-absolute-panel forms q272
-      |and q274 (the q270/q271 treatment applied to the MinHash scoreboard
-      |and cap dial — 2.6×/2.7× vs their share-based siblings' 11.0×/8.6×
-      |on the same corpus pair IS the linearization, measured). The first
-      |10× run caught the
+      |This table is the freshest same-session run (2026-08-15, third
+      |pass) and now covers the CDC family — q253 containment plus its
+      |new q275 scoreboard and q276 cap dial, all flat (1.6–2.2×),
+      |measured proof that the informative-universe df bound keeps the
+      |chunk index AND its calibration passes linear. It also re-measures
+      |the fixed-absolute-panel forms q272/q274 (2.7×/2.5× vs their
+      |share-based siblings' 10.2×/9.6× on the same corpus pair IS the
+      |linearization). Earlier passes drove this round's kernel fixes:
+      |the first caught the
       |codebook-assignment L2 and SQ8 scoring as interpreted
       |`aggregate(zip_with(…))` HOFs (jstack-confirmed: the whole of q236's
       |46 s sat in ZipWith.eval — the q252 poison class, join-sized) and
@@ -71,43 +74,46 @@ object NotesDump {
       |
       || query | t(1×) s | t(10×) s | ratio | reading |
       ||---|---|---|---|---|
-      || q141_robust_outliers | 2.39 | 11.59 | 4.9× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
-      || q141b_robust_outliers_approx | 0.74 | 2.83 | 3.8× | the sketch sibling: better growth than exact q141, gap widens with scale |
-      || q236_pq_ann | 1.48 | 6.62 | 4.5× (0.45/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
-      || q249_ivfpq_ann | 1.32 | 3.02 | 2.3× (0.23/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
-      || q66_knn_ivf | 0.57 | 1.85 | 3.3× (0.33/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 as designed |
-      || q130_quantized_ann | 0.61 | 1.32 | 2.2× (0.22/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
-      || q86_kmeans_train | 2.94 | 1.86 | 0.6× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
-      || q102_pagerank | 2.17 | 7.01 | 3.2× | staged integer PageRank: sublinear in edges (join fan-out grows, iterations fixed) |
-      || q184_basket_affinity | 1.03 | 2.16 | 2.1× | pair expansion bounded per order; shuffle grows linearly |
-      || q41_dedup_ngram_jaccard | 1.55 | 1.33 | 0.9× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
-      || q67_dedup_embedding_lsh | 1.40 | 4.26 | 3.0× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
-      || q251_probe_depth_calibration | 0.57 | 1.64 | 2.9× (0.29/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
-      || q261_minhash_recall_eval | 1.10 | 12.13 | 11.0× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): a SHARE panel grows both factors with the corpus — quadratic on this closed 31-word vocab, exactly the regime the GtBucketCap df cutoff guards; the 100 TB form is q272 |
-      || q272_minhash_recall_eval_abs | 0.92 | 2.41 | 2.6× | the fixed-absolute-panel form: df_panel pinned by 64 docs, ground truth linear in corpus df mass — the q261 remedy, measured on the same corpus pair |
-      || q273_minhash_cap_dial | 1.36 | 11.73 | 8.6× | the cap dial's exact side shares q261's share-panel inverted-index bound — super-linear BY CONTRACT on this closed vocab |
-      || q274_minhash_cap_dial_abs | 0.88 | 2.37 | 2.7× | the dial at the fixed absolute panel: linear — what a 100 TB fleet schedules nightly |
-      || q262_simhash_recall_eval | 0.64 | 0.97 | 1.5× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
-      || q263_media_simhash_recall_eval | 1.07 | 1.74 | 1.6× | same, media signatures |
-      || q264_embedding_recall_eval | 0.51 | 7.89 | 15.6× (1.6/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
-      || q265_bucket_cap_dial | 0.53 | 0.86 | 1.6× | one-pass multi-cap grading over the band index: flat |
-      || q266_media_cap_dial | 1.06 | 1.47 | 1.4× | same, media |
-      || q268_lsh_table_dial | 0.55 | 7.34 | 13.3× (1.3/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
+      || q141_robust_outliers | 1.64 | 12.06 | 7.4× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
+      || q141b_robust_outliers_approx | 0.70 | 1.89 | 2.7× | the sketch sibling: better growth than exact q141, gap widens with scale |
+      || q236_pq_ann | 1.26 | 4.65 | 3.7× (0.37/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
+      || q249_ivfpq_ann | 1.01 | 3.11 | 3.1× (0.31/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
+      || q66_knn_ivf | 0.43 | 1.71 | 4.0× (0.40/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 as designed |
+      || q130_quantized_ann | 0.53 | 0.91 | 1.7× (0.17/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
+      || q86_kmeans_train | 1.98 | 2.69 | 1.4× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
+      || q102_pagerank | 1.43 | 8.51 | 5.9× | staged integer PageRank: edge fan-out grows with the denser synthetic graph; iterations fixed |
+      || q184_basket_affinity | 0.73 | 2.39 | 3.3× | pair expansion bounded per order; shuffle grows linearly |
+      || q41_dedup_ngram_jaccard | 1.29 | 1.08 | 0.8× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
+      || q67_dedup_embedding_lsh | 1.08 | 3.19 | 2.9× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
+      || q251_probe_depth_calibration | 0.64 | 1.02 | 1.6× (0.16/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
+      || q261_minhash_recall_eval | 0.89 | 8.99 | 10.2× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): a SHARE panel grows both factors with the corpus — quadratic on this closed 31-word vocab, exactly the regime the GtBucketCap df cutoff guards; the 100 TB form is q272 |
+      || q272_minhash_recall_eval_abs | 0.70 | 1.86 | 2.7× | the fixed-absolute-panel form: df_panel pinned by 64 docs, ground truth linear in corpus df mass — the q261 remedy, measured on the same corpus pair |
+      || q273_minhash_cap_dial | 0.92 | 8.80 | 9.6× | the cap dial's exact side shares q261's share-panel inverted-index bound — super-linear BY CONTRACT on this closed vocab |
+      || q274_minhash_cap_dial_abs | 0.72 | 1.82 | 2.5× | the dial at the fixed absolute panel: linear — what a 100 TB fleet schedules nightly |
+      || q262_simhash_recall_eval | 0.49 | 0.80 | 1.6× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
+      || q263_media_simhash_recall_eval | 0.82 | 1.40 | 1.7× | same, media signatures |
+      || q264_embedding_recall_eval | 0.41 | 5.04 | 12.3× (1.2/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
+      || q265_bucket_cap_dial | 0.40 | 0.87 | 2.2× | one-pass multi-cap grading over the band index: flat |
+      || q266_media_cap_dial | 0.64 | 1.33 | 2.1× | same, media |
+      || q268_lsh_table_dial | 0.37 | 5.38 | 14.7× (1.5/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
+      || q253_media_cdc_containment | 0.48 | 1.04 | 2.2× | informative-universe chunk index: the df cutoff bounds every bucket AND every denominator — flat |
+      || q275_cdc_recall_eval | 0.83 | 1.33 | 1.6× | CDC scoreboard: exact side rides the 128-bounded universe, so the ground-truth pass is as flat as the index it grades |
+      || q276_cdc_cap_dial | 0.67 | 1.16 | 1.7× | one-pass multi-cap CDC grading (per-cap shares AND sizes): flat — no abs-panel form needed, unlike the panel-cosine dials |
       |
-      |Headline: the ANN family sits at 2.2–4.5× for 10× data with
-      |sublinear per-query cost across the board, ranked exactly as
-      |designed — q130 (2.2×) ≈ q249 (2.3×) < q66 (3.3×) < q236 (4.5×),
-      |all far below the pre-fix HOF/sort forms (20.9×/13.6× first run,
-      |8.2×/7.1× second). The scoreboard/dial family splits as documented:
-      |pigeonhole-band ground truth flat (1.4–1.6×); the share-based
-      |panels grow super-linearly BY CONTRACT (q261 11.0×, q264 15.6×,
-      |q268 13.3×, q273 8.6×) and each now has its fixed-absolute-panel
-      |production sibling measured linear on the same corpus pair
-      |(q272 2.6×, q274 2.7×; q270/q271 per their notes); q261's
-      |inverted-index side remains the one the GtBucketCap bound exists
-      |to protect (its growth is a closed-vocabulary artifact of the
-      |synthetic corpus — df grows with corpus only because the vocab
-      |cannot).
+      |Headline: the ANN family sits at 1.7–4.0× for 10× data with
+      |sublinear per-query cost across the board — q130 (1.7×) < q249
+      |(3.1×) ≈ q236 (3.7×) ≈ q66 (4.0×), all far below the pre-fix
+      |HOF/sort forms (20.9×/13.6× first run, 8.2×/7.1× second). The
+      |scoreboard/dial family splits as documented: pigeonhole-band and
+      |df-bounded ground truth flat (1.6–2.2× — q262/q263/q265/q266 and
+      |the whole CDC family q253/q275/q276); the share-based panels grow
+      |super-linearly BY CONTRACT (q261 10.2×, q264 12.3×, q268 14.7×,
+      |q273 9.6×) and each has its fixed-absolute-panel production
+      |sibling measured linear on the same corpus pair (q272 2.7×, q274
+      |2.5×; q270/q271 per their notes); q261's inverted-index side
+      |remains the one the GtBucketCap bound exists to protect (its
+      |growth is a closed-vocabulary artifact of the synthetic corpus —
+      |df grows with corpus only because the vocab cannot).
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —

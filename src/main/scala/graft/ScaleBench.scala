@@ -19,7 +19,9 @@ object ScaleBench {
     "q262_simhash_recall_eval", "q263_media_simhash_recall_eval",
     "q264_embedding_recall_eval", "q265_bucket_cap_dial",
     "q266_media_cap_dial", "q268_lsh_table_dial",
-    "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs")
+    "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs",
+    "q253_media_cdc_containment", "q275_cdc_recall_eval",
+    "q276_cdc_cap_dial")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -901,6 +901,81 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A CDC near-dup CANDIDATE pair: the two docs share ≥ 1 informative
+    * chunk through the live inverted chunk index. The containment
+    * threshold (shared / min sizes ≥ 50%, q253's cut) is deliberately
+    * DOWNSTREAM — two chunk-manifest lookups per candidate — because a
+    * doc's whole chunk set in per-bucket state is the wrong trade at
+    * scale (n-chunk docs would carry their n-entry set into each of n
+    * buckets: quadratic state per doc, the very cost the MinHash twin's
+    * candidate/confirm split avoids for 512-byte signatures). A pair
+    * sharing k chunks surfaces up to k times; the confirm step's
+    * set-insert dedups for free. */
+  final case class CdcCandidate(doc_a: Long, doc_b: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class ChunkFiler(doc_id: Long)
+
+  /** Streaming CDC near-dup candidate generation — the live form of batch
+    * q253's candidate generator and the last banded index to gain an
+    * ingest-time twin (SimHash text/media, embedding LSH, MinHash, now
+    * CDC chunks): state per chunk fingerprint is the ≤cap doc ids already
+    * filed there (8 bytes each against an 8-byte key — the inverted chunk
+    * index's posting list, bounded exactly the way q276's dial calibrates
+    * the batch index), and an arriving (doc, chunk) reports every filed
+    * doc as a candidate. Buckets are bounded by CURRENT filed size — the
+    * media twin's documented divergence from batch's final-df rule; both
+    * sides agree wherever no bucket saturates, and the calibrated cap is
+    * the dial's to raise when they shouldn't diverge (StreamingOpsSpec
+    * pins both). At 100 TB the groupByKey shuffles 16-byte rows once,
+    * the candidate stream is 16 bytes/pair, and payload bytes never
+    * leave the scan stage. */
+  class CdcCandidateProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChunkArrival, CdcCandidate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var filers: org.apache.spark.sql.streaming.ListState[ChunkFiler] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      filers = getHandle.getListState[ChunkFiler](
+        "cdc_bucket", Encoders.product[ChunkFiler],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(cfp: Long, rows: Iterator[ChunkArrival],
+                                 timers: TimerValues): Iterator[CdcCandidate] = {
+      val filed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      filers.get().foreach(filed += _.doc_id)
+      rows.toSeq.sortBy(_.doc_id).iterator.flatMap { r =>
+        if (filed.length >= cap) Iterator.empty
+        else {
+          val hits = filed.iterator.map { d =>
+            val (a, b) = if (d < r.doc_id) (d, r.doc_id) else (r.doc_id, d)
+            CdcCandidate(a, b)
+          }.toVector
+          filed += r.doc_id
+          filers.appendValue(ChunkFiler(r.doc_id))
+          hits.iterator
+        }
+      }
+    }
+  }
+
+  /** Keyed CDC near-dup candidates via transformWithState (Append: a
+    * candidate surfaces when the pair's later doc files into a shared
+    * bucket; an ingest pipeline confirms containment with two manifest
+    * lookups and drops the contained doc on arrival). */
+  def cdcCandidateTws(chunks: Dataset[ChunkArrival],
+                      cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[CdcCandidate] = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    chunks
+      .groupByKey(_.cfp)
+      .transformWithState(new CdcCandidateProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Keyed media near-dup detection via transformWithState over the shared
     * band table (Append: each near-dup pair is reported exactly once, at
     * its canonical band, when its later doc arrives). */

@@ -1626,6 +1626,107 @@ class StreamingOpsSpec extends SparkSpec {
         s"only-stream=${confirmed -- batchPairs}, only-batch=${batchPairs -- confirmed}")
   }
 
+  test("cdc candidate tws: confirmed candidates equal batch q253 and the calibrated cap flows through") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{CdcCandidate, ChunkArrival}
+    import graft.operators.{DedupQueries, MultimodalQueries}
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+
+    def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) & 0xff).toByte
+      }
+    }
+    def chunkFrame(media: org.apache.spark.sql.DataFrame) = media
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Sketches.cdcChunks(col("payload"),
+          MultimodalQueries.CdcDivisor, DedupQueries.ShingleP))).as("cfp"))
+    // the downstream containment confirm a production ingest performs with
+    // two chunk-manifest lookups per candidate — q253's predicate verbatim
+    // over the cap's informative universe
+    def manifests(media: org.apache.spark.sql.DataFrame,
+                  cap: Int): Map[Long, Set[Long]] =
+      chunkFrame(media)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+        .filter(col("df") <= cap).collect()
+        .groupBy(_.getLong(0))
+        .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    def confirm(cands: Set[(Long, Long)],
+                mf: Map[Long, Set[Long]]): Set[(Long, Long)] =
+      cands.filter { case (a, b) =>
+        val sa = mf.getOrElse(a, Set.empty[Long])
+        val sb = mf.getOrElse(b, Set.empty[Long])
+        val m = math.min(sa.size, sb.size)
+        m > 0 && 1000000L * sa.intersect(sb).size / m >= 500000L
+      }
+    def runCands(name: String, arr: Seq[ChunkArrival], nChunks: Int,
+                 cap: Int): Set[(Long, Long)] = {
+      val input = MemoryStream[ChunkArrival]
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val q = StatefulOps.cdcCandidateTws(input.toDS(), cap)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          arr.grouped(math.max(arr.length / nChunks, 1))
+            .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.table(name).as[CdcCandidate].collect()
+        .map(p => (p.doc_a, p.doc_b)).toSet
+    }
+
+    // no-saturation corpus: two copies + an insertion variant + unrelated —
+    // the candidate set is chunking-invariant and, confirmed, equals q253
+    val base = lcgBytes(7L, 4096)
+    val ins = base.take(200) ++ lcgBytes(99L, 5) ++ base.drop(200)
+    val mediaA = Seq((1L, base), (2L, base.clone()), (3L, ins),
+      (4L, lcgBytes(777L, 4096)), (5L, lcgBytes(888L, 4096)))
+      .toDF("doc_id", "payload")
+    val arrA = chunkFrame(mediaA).select(col("cfp"), col("doc_id"))
+      .as[ChunkArrival].collect().sortBy(_.doc_id).toSeq
+    val a3 = runCands("cdc_cand_3", arrA, 3, DedupQueries.MaxBucket)
+    val a7 = runCands("cdc_cand_7", arrA, 7, DedupQueries.MaxBucket)
+    assert(a3 === a7, "re-chunking the stream changed the candidate set")
+    val batchA = MultimodalQueries.cdcContainmentPairs(mediaA).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confirmedA = confirm(a3, manifests(mediaA, DedupQueries.MaxBucket))
+    assert(confirmedA === batchA,
+      s"streamed+confirmed pairs diverged from batch q253: " +
+        s"only-stream=${confirmedA -- batchA}, only-batch=${batchA -- confirmedA}")
+
+    // q276's saturation scenario on the streaming side: 70 byte-identical
+    // payloads put every chunk in a df-70 bucket. At the default cap the
+    // stream files only the first 64 arrivals per bucket (current-size
+    // bound, the documented divergence) AND the confirm step rejects them
+    // all (the 64-universe manifests are empty — saturated buckets can't
+    // false-admit); the dial chooses 128 and the SAME processor at that
+    // cap, confirmed, equals batch q253 at the dial's choice.
+    val hot = lcgBytes(3L, 2048)
+    val mediaB = (0L until 70L).map(i => (i, hot.clone())).toDF("doc_id", "payload")
+    val dialB = MultimodalQueries.cdcCapDial(mediaB).collect()
+    val chosen = dialB.filter(_.getAs[Boolean]("chosen"))
+      .head.getAs[Long]("cap").toInt
+    assert(chosen === 128)
+    val arrB = chunkFrame(mediaB).select(col("cfp"), col("doc_id"))
+      .as[ChunkArrival].collect().sortBy(_.doc_id).toSeq
+    val def64 = runCands("cdc_cand_def", arrB, 5, DedupQueries.MaxBucket)
+    assert(def64 === (0L until 64L)
+      .flatMap(b => (0L until b).map(a => (a, b))).toSet,
+      "the default cap must surface only the first 64 filers per bucket")
+    assert(confirm(def64, manifests(mediaB, DedupQueries.MaxBucket)).isEmpty,
+      "the confirm step must reject saturated-bucket candidates at the default cap")
+    val at128 = runCands("cdc_cand_cal", arrB, 5, chosen)
+    val batchB = MultimodalQueries.cdcContainmentPairs(mediaB, chosen).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(confirm(at128, manifests(mediaB, chosen)) === batchB,
+      "streaming at the dial's cap must equal the batch pair set")
+  }
+
   test("the calibrated table count flows through streaming LSH admission") {
     import spark.implicits._
     import graft.streaming.StatefulOps.LshSig
