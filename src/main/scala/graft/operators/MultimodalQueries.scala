@@ -952,20 +952,28 @@ object MultimodalQueries {
     cdcContainmentPairsUnsorted(media, cap).orderBy("doc_a", "doc_b")
 
   /** [[cdcContainmentPairs]] without the presentation sort — for the q275
-    * scoreboard, whose grading join is order-blind. */
+    * scoreboard, whose grading join is order-blind. ONE payload walk: the
+    * per-doc size rides a doc_id window on the same frame (never a
+    * re-scanning sizes join), and in-bucket pairing is the q252
+    * collect_list expansion, never a self-join that would rebuild the
+    * chunk stream per branch (plan-pinned by ScaleDesignSpec). */
   private[graft] def cdcContainmentPairsUnsorted(
       media: org.apache.spark.sql.DataFrame,
       cap: Int = DedupQueries.MaxBucket): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val surv = cdcChunkFrame(media).filter(col("df") <= cap)
-    val sizes = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bounded = surv.filter(col("df") >= 2).select("doc_id", "cfp")
-    bounded.select(col("doc_id").as("doc_a"), col("cfp"))
-      .join(bounded.select(col("doc_id").as("doc_b"), col("cfp")), "cfp")
-      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    surv.filter(col("df") >= 2)
+      .groupBy("cfp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("n").as("na"), b("n").as("nb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("containment_ppm",
         expr("1000000 * shared div least(na, nb)"))
       .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
@@ -983,6 +991,41 @@ object MultimodalQueries {
     * against the very q253 pair set the engine ships, so every miss is
     * a pair the shipped [[DedupQueries.MaxBucket]] cut dropped —
     * `worst_miss_ppm` says how strong the strongest dropped pair was. */
+  /** The exact side shared by q275 and q276: DIRECTED panel-touching
+    * pairs `(pa, pb, shared, nra, nrb)` with per-pair shared counts over
+    * the df ≤ `gtCap` universe and reduced per-doc sizes — built with ONE
+    * payload walk: sizes ride a doc_id window, the panel × bucket
+    * expansion is bucket-local collect_list (q252's idiom), never a
+    * self-join that would rebuild the chunk stream per branch. `extra`
+    * appends per-member columns (the dial's per-cap sizes) that must
+    * travel through the expansion. */
+  private def cdcExactPairs(chunks: org.apache.spark.sql.DataFrame,
+                            gtCap: Int,
+                            extra: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chF = chunks.filter(col("df") <= gtCap)
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val memberCols = Seq(col("doc_id"), col("nr"), col("df")) ++
+      extra.map(col)
+    val pairCols = Seq(
+      (a: Column, b: Column) => a("doc_id").as("pa"),
+      (a: Column, b: Column) => b("doc_id").as("pb"),
+      (a: Column, b: Column) => a("nr").as("nra"),
+      (a: Column, b: Column) => b("nr").as("nrb"),
+      (a: Column, b: Column) => a("df").as("df")) ++
+      extra.flatMap(c => Seq(
+        (a: Column, b: Column) => a(c).as(s"a_$c"),
+        (a: Column, b: Column) => b(c).as(s"b_$c")))
+    chF.groupBy("cfp")
+      .agg(sort_array(collect_list(struct(memberCols: _*))).as("ds"))
+      .select(explode(flatten(transform(
+        filter(col("ds"), a => a("doc_id") % 5 === 0), a =>
+          transform(filter(col("ds"), b => b("doc_id") =!= a("doc_id")), b =>
+            struct(pairCols.map(f => f(a, b)): _*))))).as("p"))
+      .select(col("p.*"))
+  }
+
   private[graft] def cdcScoreboard(media: org.apache.spark.sql.DataFrame,
                                    gtCap: Int = CdcGtCap)
       : org.apache.spark.sql.DataFrame = {
@@ -990,21 +1033,21 @@ object MultimodalQueries {
     val gtx = chunks.filter(col("doc_id") % 5 === 0)
       .groupBy(col("doc_id").as("pa"))
       .agg(count(when(col("df") > gtCap, 1)).as("gt_excluded_cfps"))
-    val chF = chunks.filter(col("df") <= gtCap)
-    val sizesRed = chF.groupBy("doc_id").agg(count(lit(1)).as("nr"))
-    val exact = chF.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("pa"), col("cfp"))
-      .join(chF.select(col("doc_id").as("pb"), col("cfp")), "cfp")
-      .filter(col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("shared"))
-      .join(sizesRed.select(col("doc_id").as("pa"), col("nr").as("nra")), "pa")
-      .join(sizesRed.select(col("doc_id").as("pb"), col("nr").as("nrb")), "pb")
+    val exact = cdcExactPairs(chunks, gtCap)
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("shared"),
+        first(col("nra")).as("nra"), first(col("nrb")).as("nrb"))
       .withColumn("containment_ppm",
         expr("1000000 * shared div least(nra, nrb)"))
       .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
-    val ap = cdcContainmentPairsUnsorted(media).select(col("doc_a"), col("doc_b"))
-    val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
-      .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+    // symmetrize by exploding both orientations from ONE pass over the
+    // shipped pairs — a unionAll of two selects would rebuild the whole
+    // q253 pipeline (and its payload scan) per branch
+    val aps = cdcContainmentPairsUnsorted(media)
+      .select(explode(array(
+        struct(col("doc_a").as("pa"), col("doc_b").as("pb")),
+        struct(col("doc_b").as("pa"), col("doc_a").as("pb")))).as("s"))
+      .select(col("s.pa"), col("s.pb"))
       .withColumn("hit", lit(1))
     exact.join(aps, Seq("pa", "pb"), "left")
       .groupBy("pa")
@@ -1040,26 +1083,19 @@ object MultimodalQueries {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gtCap = caps.max
-    val chunks = cdcChunkFrame(media)
+    val doc = Window.partitionBy("doc_id")
+    val chunks = caps.foldLeft(cdcChunkFrame(media))((f, c) =>
+      f.withColumn(s"n$c", count(when(col("df") <= c, 1)).over(doc)))
     val gtExcluded = chunks.filter(col("doc_id") % 5 === 0)
       .agg(coalesce(sum(when(col("df") > gtCap, 1L).otherwise(0L)), lit(0L))
         .as("gt_excluded_cfps"))
-    val chF = chunks.filter(col("df") <= gtCap)
-    val szAggs = caps.map(c => count(when(col("df") <= c, 1)).as(s"n$c"))
-    val sizesC = chF.groupBy("doc_id").agg(szAggs.head, szAggs.tail: _*)
     val pairAggs = count(lit(1)).as("shared") +:
-      caps.map(c => count(when(col("df") <= c, 1)).as(s"s$c"))
-    val perPair = chF.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("pa"), col("cfp"), col("df"))
-      .join(chF.select(col("doc_id").as("pb"), col("cfp")), "cfp")
-      .filter(col("pa") =!= col("pb"))
+      (caps.map(c => sum(when(col("df") <= c, 1L)).as(s"s$c")) ++
+        caps.flatMap(c => Seq(first(col(s"a_n$c")).as(s"na$c"),
+          first(col(s"b_n$c")).as(s"nb$c"))))
+    val exact = cdcExactPairs(chunks, gtCap, extra = caps.map(c => s"n$c"))
       .groupBy("pa", "pb")
       .agg(pairAggs.head, pairAggs.tail: _*)
-    val sa = sizesC.select(col("doc_id").as("pa") +:
-      caps.map(c => col(s"n$c").as(s"na$c")): _*)
-    val sb = sizesC.select(col("doc_id").as("pb") +:
-      caps.map(c => col(s"n$c").as(s"nb$c")): _*)
-    val exact = perPair.join(sa, "pa").join(sb, "pb")
       .filter(expr(s"1000000 * shared div least(na$gtCap, nb$gtCap)") >=
         CdcContainmentFloorPpm)
     val agged = exact.agg(count(lit(1)).as("exact_cnt"),

@@ -236,6 +236,24 @@ class ScaleDesignSpec extends SparkSpec {
       s"q252 builds the byte-shingle array ${n252}x (want exactly 1):\n$p252")
     assert(!p252.contains("split(hex"),
       s"q252 must not take the hex-string detour on the Spark side:\n$p252")
+    // The CDC family walks payloads with the same one-pass kernel class;
+    // its pairing is the bucket-local collect_list expansion and its
+    // per-doc sizes ride windows on ONE frame — never a sizes join or a
+    // symmetrizing unionAll, each of which silently rebuilds the whole
+    // chunk stream (and its payload scan) per branch: q253 measured 4
+    // scans and q275 13 before this shape. The remaining builds are the
+    // irreducible independent consumers (q275: exact side + shipped
+    // grading side + gt-exclusion audit).
+    Seq(("q253_media_cdc_containment", 1),
+        ("q275_cdc_recall_eval", 3),
+        ("q276_cdc_cap_dial", 2)).foreach { case (q, want) =>
+      val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      val n = "graft_cdc_chunks".r.findAllIn(p).size
+      assert(n <= want,
+        s"$q builds the chunk stream ${n}x (want <= $want):\n$p")
+      assert(!p.contains("split(hex"),
+        s"$q must not take the hex-string detour on the Spark side:\n$p")
+    }
     // q260 composes BOTH shingle sources: each must still build exactly once
     val p260 = physicalPlan(
       SparkEntry.queries("q260_crossmodal_dedup_consensus")(spark, sf))
