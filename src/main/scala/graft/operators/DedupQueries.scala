@@ -403,8 +403,14 @@ object DedupQueries {
       .distinct()
       .withColumn("hd", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hd") <= 6)
-    val aps = pairs.select(col("doc_a").as("pa"), col("doc_b").as("pd"))
-      .unionAll(pairs.select(col("doc_b").as("pa"), col("doc_a").as("pd")))
+    // symmetrize by exploding both orientations from ONE pass — a unionAll
+    // of two selects rebuilds the whole pair pipeline (and its signature
+    // scan) per branch
+    val aps = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("pa"), col("doc_b").as("pd")),
+        struct(col("doc_b").as("pa"), col("doc_a").as("pd")))).as("s"))
+      .select(col("s.pa"), col("s.pd"))
       .withColumn("hit", lit(1))
     exact.join(aps, Seq("pa", "pd"), "left")
       .groupBy("pa")
@@ -469,9 +475,13 @@ object DedupQueries {
   private[graft] def minhashScoreboard(s: SparkSession, dir: String,
       panelIdCap: Option[Long] = None): DataFrame = {
     val (exact, gtx) = minhashPanelExact(s, dir, panelIdCap)
-    val ap = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val aps = ap.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
-      .unionAll(ap.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+    // symmetrize by exploding both orientations from ONE pass — a unionAll
+    // of two selects rebuilds the whole q39 pipeline per branch
+    val aps = minhashPairs(s, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("pa"), col("doc_b").as("pb")),
+        struct(col("doc_b").as("pa"), col("doc_a").as("pb")))).as("s"))
+      .select(col("s.pa"), col("s.pb"))
       .withColumn("hit", lit(1))
     exact.join(aps, Seq("pa", "pb"), "left")
       .groupBy("pa")
@@ -795,8 +805,13 @@ object DedupQueries {
                                          nVecs: Long,
                                          panelIdCap: Option[Long] = None): DataFrame = {
     val exact = panelExactCosine(e, nVecs, panelIdCap)
-    val aps = pairs.select(col("vec_a").as("pa"), col("vec_b").as("pd"))
-      .unionAll(pairs.select(col("vec_b").as("pa"), col("vec_a").as("pd")))
+    // symmetrize by exploding both orientations from ONE pass — a unionAll
+    // of two selects rebuilds the whole q67 pipeline per branch
+    val aps = pairs
+      .select(explode(array(
+        struct(col("vec_a").as("pa"), col("vec_b").as("pd")),
+        struct(col("vec_b").as("pa"), col("vec_a").as("pd")))).as("s"))
+      .select(col("s.pa"), col("s.pd"))
       .withColumn("hit", lit(1))
     exact.join(aps, Seq("pa", "pd"), "left")
       .groupBy("pa")
