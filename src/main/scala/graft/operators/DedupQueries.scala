@@ -2062,6 +2062,128 @@ object DedupQueries {
       val n = Tables.parquetRowCount(s, dir, "embeddings")
       lshTableDial(normVecs(s, dir), SimilarityQueries.codeBits(n), n,
         panelIdCap = Some(AbsPanelIdCap))
+    },
+
+    GraftQuery(
+      "q277_duplicate_span_extraction",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i,
+             |         array_to_string(w[i + 1 : i + 4], ' ') AS g
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT) - 3)) AS t(i)
+             |  WHERE len(w) >= 4
+             |), dup AS (
+             |  SELECT doc_id, i FROM (
+             |    SELECT doc_id, i,
+             |           row_number() OVER (PARTITION BY g
+             |                              ORDER BY doc_id, i) AS rn
+             |    FROM wins
+             |  ) WHERE rn > 1
+             |), isl AS (
+             |  SELECT doc_id, i,
+             |         CASE WHEN i > coalesce(max(i + 3) OVER (
+             |                PARTITION BY doc_id ORDER BY i
+             |                ROWS BETWEEN UNBOUNDED PRECEDING
+             |                         AND 1 PRECEDING), -2) + 1
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM dup
+             |), spans AS (
+             |  SELECT doc_id, gid, min(i) AS a, max(i) + 3 AS b
+             |  FROM (SELECT doc_id, i,
+             |               sum(brk) OVER (PARTITION BY doc_id
+             |                              ORDER BY i) AS gid
+             |        FROM isl)
+             |  GROUP BY doc_id, gid
+             |), audit AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |         CAST(sum(b - a + 1) AS BIGINT) AS dup_tokens
+             |  FROM spans GROUP BY doc_id
+             |), tokpos AS (
+             |  SELECT doc_id, i AS p, w[CAST(i + 1 AS INT)] AS tok
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT))) AS t(i)
+             |), cln AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+             |  FROM (SELECT t.doc_id, t.p, t.tok
+             |        FROM tokpos t LEFT JOIN spans s
+             |          ON s.doc_id = t.doc_id AND t.p BETWEEN s.a AND s.b
+             |        WHERE s.a IS NULL)
+             |  GROUP BY doc_id
+             |)
+             |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |       coalesce(a.n_spans, 0) AS n_spans,
+             |       coalesce(a.dup_tokens, 0) AS dup_tokens,
+             |       coalesce(c.txt, '') AS text_clean
+             |FROM toks t
+             |LEFT JOIN audit a USING (doc_id)
+             |LEFT JOIN cln c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      "Unaligned exact-substring span dedup — the full Lee et al. 2022 " +
+        "semantics q114's fixed tiling approximates: EVERY 4-token rolling " +
+        "window (stride 1, any offset) is keyed globally, only its first " +
+        "occurrence by (doc_id, offset) survives, overlapping duplicated " +
+        "windows merge into maximal spans (gaps-and-islands interval merge " +
+        "over window starts), and the cleaned text drops exactly the " +
+        "covered tokens — so a copied sentence is caught no matter where " +
+        "it lands in the target document, which is the case aligned tiling " +
+        "misses (a 1-token offset shifts every q114 tile). Self-repetition " +
+        "inside one document dedups the same way (windows at i and i+1 " +
+        "over a token run collide). One global shuffle keyed by the " +
+        "window: duplicate groups are bounded by dup multiplicity, never " +
+        "corpus size; at 100 TB the shuffle carries (xxhash64(window), " +
+        "doc_id, offset) — 24 bytes — with the q114 residual-check " +
+        "discipline (the oracle keeps the string key: same groups, same " +
+        "answer). The span merge and the clean-text anti-join are " +
+        "doc-local (spans-per-doc ≪ tokens), so both re-use the " +
+        "document partitioning and the whole pass stays linear."
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val wins = toks.filter(size(col("w")) >= 4)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), size(col("w")).cast("long") - 4)).as("i"),
+          col("w"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ",
+            slice(col("w"), (col("i") + 1).cast("int"), lit(4))).as("g"))
+      val dup = wins
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy("doc_id", "i")))
+        .filter(col("rn") > 1)
+        .select("doc_id", "i")
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val spans = dup
+        .withColumn("pmax", max(col("i") + 3).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("i") > coalesce(col("pmax"), lit(-2L)) + 1, 1L)
+            .otherwise(0L))
+        .withColumn("gid", sum(col("brk")).over(byDoc))
+        .groupBy("doc_id", "gid")
+        .agg(min("i").as("a"), (max(col("i")) + 3).as("b"))
+      val audit = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("b") - col("a") + 1).as("dup_tokens"))
+      val tokpos = toks
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      val cln = tokpos.as("t")
+        .join(spans.as("s"),
+          col("t.doc_id") === col("s.doc_id") &&
+            col("t.p") >= col("s.a") && col("t.p") <= col("s.b"),
+          "left_anti")
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+            x => x("tok"))).as("txt"))
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(audit, Seq("doc_id"), "left")
+        .join(cln, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("txt"), lit("")).as("text_clean"))
+        .orderBy("doc_id")
     }
   )
 }

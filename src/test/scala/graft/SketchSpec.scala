@@ -768,4 +768,35 @@ class SketchSpec extends SparkSpec {
       .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0)).toSeq
     assert(small == Seq(11L, 10L))
   }
+
+  test("q277 catches unaligned copied spans q114's tiling misses, and cleans exactly them") {
+    import spark.implicits._
+    // doc 1 copies a 6-token run of doc 0 at a 1-token offset, so NO
+    // 4-token-aligned tile of q114 matches — but the rolling windows at
+    // starts 1, 2, 3 do; doc 2 plants internal self-repetition (a 6-token
+    // run of one word: windows at 1 and 2 collide with the keeper at 0).
+    val d0 = "the quick brown fox jumps over the lazy dog tonight"
+    val d1 = "oh quick brown fox jumps over the rest is unique text here"
+    val d2 = "spam spam spam spam spam spam unique1 unique2 unique3 unique4"
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    Seq((0L, d0), (1L, d1), (2L, d2))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // q114's aligned tiles are blind to all three plants
+    val tiled = SparkEntry.queries("q114_span_dedup")(spark, dir).collect()
+    tiled.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"q114 should keep every aligned tile here, doc ${r.getLong(0)}"))
+    val rows = SparkEntry.queries("q277_duplicate_span_extraction")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // the global first occurrence (doc 0) is untouched
+    assert(rows(0L) == ((10L, 0L, 0L, d0)))
+    // doc 1: dup window starts {1,2,3} merge to ONE maximal span covering
+    // tokens 1..6 — the copied run goes, the unique tail stays
+    assert(rows(1L) == ((12L, 1L, 6L, "oh rest is unique text here")))
+    // doc 2: self-repetition dedups against its own keeper window at 0
+    assert(rows(2L) ==
+      ((10L, 1L, 5L, "spam unique1 unique2 unique3 unique4")))
+  }
 }
