@@ -2064,6 +2064,30 @@ object DedupQueries {
         panelIdCap = Some(AbsPanelIdCap))
     },
 
+    rollingWindowQuery,
+  )
+
+  /** (doc_id, i, g) — every stride-1 rolling 4-token window of every
+    * document, `i` its 0-based start offset: q277's generator, shared with
+    * the streaming twin's batch-side projection. Expects (doc_id, w). */
+  private[graft] def rollingWindows(toks: DataFrame): DataFrame =
+    toks.filter(size(col("w")) >= 4)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), size(col("w")).cast("long") - 4)).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ",
+          slice(col("w"), (col("i") + 1).cast("int"), lit(4))).as("g"))
+
+  /** (wh, doc_id, pos) — [[rollingWindows]] reduced to the 24-byte rows a
+    * 100 TB shuffle (and the streaming admission's state key) carries:
+    * xxhash64 of the window stands in for the string, q114's documented
+    * hash-for-string discipline. */
+  private[graft] def windowKeysFor(docs: DataFrame): DataFrame =
+    rollingWindows(docs.select(col("doc_id"), split(col("text"), " ").as("w")))
+      .select(xxhash64(col("g")).as("wh"), col("doc_id"), col("i").as("pos"))
+
+  private def rollingWindowQuery: GraftQuery =
     GraftQuery(
       "q277_duplicate_span_extraction",
       Some("""WITH toks AS (
@@ -2140,14 +2164,7 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val wins = toks.filter(size(col("w")) >= 4)
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), size(col("w")).cast("long") - 4)).as("i"),
-          col("w"))
-        .select(col("doc_id"), col("i"),
-          concat_ws(" ",
-            slice(col("w"), (col("i") + 1).cast("int"), lit(4))).as("g"))
-      val dup = wins
+      val dup = rollingWindows(toks)
         .withColumn("rn", row_number().over(
           Window.partitionBy("g").orderBy("doc_id", "i")))
         .filter(col("rn") > 1)
@@ -2185,5 +2202,4 @@ object DedupQueries {
           coalesce(col("txt"), lit("")).as("text_clean"))
         .orderBy("doc_id")
     }
-  )
 }

@@ -1279,4 +1279,70 @@ object StatefulOps {
       .transformWithState(new LabelCensusProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[spanAdmitTws]]: ONE stride-1 rolling window of one
+    * document — `wh` = xxhash64 of the window text
+    * (`DedupQueries.windowKeysFor`, computed batch-side in the scan: the
+    * window STRING never reaches the operator), `pos` its 0-based token
+    * offset, `epoch` the caller's arrival batch. */
+  final case class WindowArrival(wh: Long, doc_id: Long, pos: Long, epoch: Int)
+  final case class SpanDecision(doc_id: Long, pos: Long, epoch: Int,
+                                dup: Boolean)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class SpanOwner(doc_id: Long, pos: Long, epoch: Int)
+
+  /** Streaming exact-substring span admission — batch q277's live twin:
+    * the state store IS the rolling-window index (one 24-byte owner per
+    * DISTINCT window hash, partitioned by `wh`), an arriving window is a
+    * duplicate iff another (doc, offset) already owns its hash, and the
+    * downstream doc-local islands merge (q277's own second stage, or the
+    * spec's Scala re-derivation) turns each document's duplicated offsets
+    * into the maximal spans its cleaner strips. First-writer ownership is
+    * the batch keeper rule under the file's standing contract (cross-batch
+    * delivery order is the caller's; within a batch rows sort by
+    * (epoch, doc_id, pos)); a replayed OWNER row is recognized by value
+    * and re-admitted, so a restart that re-offers a committed batch
+    * changes no decision. State cardinality is the corpus's distinct
+    * window count — the admit-once digest discipline at a finer grain,
+    * hash-partitioned across executors, with the same bloom-front option
+    * ahead of the shuffle for the ~all-novel majority. */
+  class SpanAdmitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowArrival, SpanDecision] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var owner: org.apache.spark.sql.streaming.ValueState[SpanOwner] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[SpanOwner](
+        "owner", Encoders.product[SpanOwner],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(wh: Long, rows: Iterator[WindowArrival],
+                                 timers: TimerValues): Iterator[SpanDecision] = {
+      // one window hash's slice of one micro-batch — bounded by the
+      // corpus's duplicate multiplicity for that window, never doc size
+      rows.toSeq.sortBy(a => (a.epoch, a.doc_id, a.pos)).iterator.map { a =>
+        val dup = Option(owner.get()) match {
+          case None =>
+            owner.update(SpanOwner(a.doc_id, a.pos, a.epoch))
+            false
+          case Some(o) => o.doc_id != a.doc_id || o.pos != a.pos
+        }
+        SpanDecision(a.doc_id, a.pos, a.epoch, dup)
+      }
+    }
+  }
+
+  /** Keyed span admission via transformWithState (Append: every window
+    * arrival yields exactly one decision row, decided once). */
+  def spanAdmitTws(wins: Dataset[WindowArrival]): Dataset[SpanDecision] = {
+    import wins.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    wins
+      .groupByKey(_.wh)
+      .transformWithState(new SpanAdmitProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1778,4 +1778,78 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(atChosen === batchAt3)
   }
+
+  // ---------- exact-substring span admission ----------
+
+  /** Drive [[StatefulOps.spanAdmitTws]] over a window-key stream and
+    * return the duplicated (doc_id, pos) set. `replayLast` re-offers the
+    * final chunk after it committed — the restart race. */
+  private def runSpanAdmit(name: String, wins: Seq[StatefulOps.WindowArrival],
+                           nChunks: Int, replayLast: Boolean = false)
+      : Set[(Long, Long)] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{SpanDecision, WindowArrival}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WindowArrival]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.spanAdmitTws(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunks = wins.grouped(math.max(wins.length / nChunks, 1)).toSeq
+        chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        if (replayLast) { input.addData(chunks.last.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.table(name).as[SpanDecision].collect()
+      .filter(_.dup).map(d => (d.doc_id, d.pos)).toSet
+  }
+
+  test("span admission tws reproduces batch q277's spans and is batch-boundary-invariant") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.StatefulOps.WindowArrival
+
+    // window keys in the batch keeper order (global (doc_id, pos)),
+    // epoch = position in that order so any chunking delivers in-order
+    val keyRows = DedupQueries.windowKeysFor(Tables.documents(spark, sf))
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def arrivals(nChunks: Int): Seq[WindowArrival] = {
+      val per = math.max(keyRows.length / nChunks, 1)
+      keyRows.zipWithIndex.map { case ((wh, d, p), ix) =>
+        WindowArrival(wh, d, p, ix / per)
+      }.toSeq
+    }
+
+    val a = runSpanAdmit("span_admit_3", arrivals(3), 3)
+    val b = runSpanAdmit("span_admit_7", arrivals(7), 7)
+    assert(a === b, "re-chunking the stream changed the duplicate set")
+    // a replayed committed chunk changes no decision
+    val r = runSpanAdmit("span_admit_rp", arrivals(3), 3, replayLast = true)
+    assert(r === a, "replaying a committed chunk changed the duplicate set")
+
+    // the doc-local islands merge over the streamed duplicate offsets is
+    // exactly batch q277's span audit
+    def mergeSpans(ps: Seq[Long]): Seq[(Long, Long)] =
+      ps.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, i) =>
+        acc.lastOption match {
+          case Some((s0, e0)) if i <= e0 + 1 =>
+            acc.init :+ (s0, math.max(e0, i + 3))
+          case _ => acc :+ (i, i + 3)
+        }
+      }
+    val streamed = a.groupBy(_._1).map { case (d, ps) =>
+      val spans = mergeSpans(ps.map(_._2).toSeq)
+      d -> ((spans.length.toLong, spans.map { case (s0, e0) => e0 - s0 + 1 }.sum))
+    }
+    val batch = SparkEntry.queries("q277_duplicate_span_extraction")(spark, sf)
+      .collect().filter(_.getLong(2) > 0)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed === batch,
+      s"streamed spans diverged from batch q277: only-stream=" +
+        s"${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
 }
