@@ -2065,6 +2065,7 @@ object DedupQueries {
     },
 
     rollingWindowQuery,
+    contaminationRunQuery,
   )
 
   /** (doc_id, i, g) — every stride-1 rolling 4-token window of every
@@ -2087,10 +2088,50 @@ object DedupQueries {
     rollingWindows(docs.select(col("doc_id"), split(col("text"), " ").as("w")))
       .select(xxhash64(col("g")).as("wh"), col("doc_id"), col("i").as("pos"))
 
+  /** (doc_id, a, b) — duplicated window starts `(doc_id, i)` merged into
+    * maximal covered token intervals [a, b] (window width 4), the
+    * gaps-and-islands pass shared by q277's span audit and q278's
+    * contamination runs. Both windows are doc-local: the merge re-uses
+    * whatever partitioning delivered `dup` and moves only its rows. */
+  private def mergedSpans(dup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    dup
+      .withColumn("pmax", max(col("i") + 3).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("i") > coalesce(col("pmax"), lit(-2L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "gid")
+      .agg(min("i").as("a"), (max(col("i")) + 3).as("b"))
+      .select("doc_id", "a", "b")
+  }
+
+  /** The q277/q278 islands tail in the DuckDB dialect: `isl`/`spans` CTEs
+    * over a previously-defined `dup(doc_id, i)`. */
+  private def spanMergeSqlCtes: String =
+    """isl AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN i > coalesce(max(i + 3) OVER (
+      |                PARTITION BY doc_id ORDER BY i
+      |                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                         AND 1 PRECEDING), -2) + 1
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, gid, min(i) AS a, max(i) + 3 AS b
+      |  FROM (SELECT doc_id, i,
+      |               sum(brk) OVER (PARTITION BY doc_id
+      |                              ORDER BY i) AS gid
+      |        FROM isl)
+      |  GROUP BY doc_id, gid
+      |)""".stripMargin
+
   private def rollingWindowQuery: GraftQuery =
     GraftQuery(
       "q277_duplicate_span_extraction",
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
              |), wins AS (
              |  SELECT doc_id, i,
@@ -2104,22 +2145,7 @@ object DedupQueries {
              |                              ORDER BY doc_id, i) AS rn
              |    FROM wins
              |  ) WHERE rn > 1
-             |), isl AS (
-             |  SELECT doc_id, i,
-             |         CASE WHEN i > coalesce(max(i + 3) OVER (
-             |                PARTITION BY doc_id ORDER BY i
-             |                ROWS BETWEEN UNBOUNDED PRECEDING
-             |                         AND 1 PRECEDING), -2) + 1
-             |              THEN 1 ELSE 0 END AS brk
-             |  FROM dup
-             |), spans AS (
-             |  SELECT doc_id, gid, min(i) AS a, max(i) + 3 AS b
-             |  FROM (SELECT doc_id, i,
-             |               sum(brk) OVER (PARTITION BY doc_id
-             |                              ORDER BY i) AS gid
-             |        FROM isl)
-             |  GROUP BY doc_id, gid
-             |), audit AS (
+             |), $spanMergeSqlCtes, audit AS (
              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
              |         CAST(sum(b - a + 1) AS BIGINT) AS dup_tokens
              |  FROM spans GROUP BY doc_id
@@ -2169,16 +2195,7 @@ object DedupQueries {
           Window.partitionBy("g").orderBy("doc_id", "i")))
         .filter(col("rn") > 1)
         .select("doc_id", "i")
-      val byDoc = Window.partitionBy("doc_id").orderBy("i")
-      val spans = dup
-        .withColumn("pmax", max(col("i") + 3).over(
-          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("brk",
-          when(col("i") > coalesce(col("pmax"), lit(-2L)) + 1, 1L)
-            .otherwise(0L))
-        .withColumn("gid", sum(col("brk")).over(byDoc))
-        .groupBy("doc_id", "gid")
-        .agg(min("i").as("a"), (max(col("i")) + 3).as("b"))
+      val spans = mergedSpans(dup)
       val audit = spans.groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(col("b") - col("a") + 1).as("dup_tokens"))
@@ -2200,6 +2217,62 @@ object DedupQueries {
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           coalesce(col("txt"), lit("")).as("text_clean"))
+        .orderBy("doc_id")
+    }
+
+  private def contaminationRunQuery: GraftQuery =
+    GraftQuery(
+      "q278_contamination_runs",
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i,
+             |         array_to_string(w[i + 1 : i + 4], ' ') AS g
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT) - 3)) AS t(i)
+             |  WHERE len(w) >= 4
+             |), ev AS (
+             |  SELECT DISTINCT g FROM wins WHERE doc_id % 97 = 0
+             |), dup AS (
+             |  SELECT wins.doc_id, wins.i FROM wins JOIN ev USING (g)
+             |  WHERE wins.doc_id % 97 <> 0
+             |), $spanMergeSqlCtes
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+             |       CAST(max(b - a + 1) AS BIGINT) AS max_run_tokens,
+             |       CAST(sum(b - a + 1) AS BIGINT) AS covered_tokens
+             |FROM spans GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "Contamination-run audit — q76's decontamination upgraded from " +
+        "overlap COUNTS to overlap SEVERITY: the longest contiguous token " +
+        "run each training document shares verbatim with the eval set. " +
+        "40 scattered 4-grams and one 43-token verbatim eval passage both " +
+        "count 40 in q76, but only the passage is memorization-grade " +
+        "leakage (GPT-3 appendix C / PaLM's 'contaminated page' analyses " +
+        "rank by exactly this run length); the cleaner also needs the run " +
+        "boundaries to excise. Same generator as q277 (stride-1 rolling " +
+        "windows) with positions kept; eval-side DISTINCT window hashes " +
+        "broadcast to an inner join against the training window stream — " +
+        "the corpus never shuffles (q76's plan shape, 24-byte hash rows); " +
+        "surviving duplicated offsets merge doc-locally into maximal runs " +
+        "(the shared q277 islands pass). Output is per CONTAMINATED doc: " +
+        "run count, longest run, covered tokens — threshold on " +
+        "max_run_tokens to split 'shares a idiom' from 'contains the " +
+        "benchmark'. The oracle replays on window STRINGS — hash-green " +
+        "means zero 64-bit collisions on this corpus, checked every round."
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val wins = rollingWindows(toks)
+        .select(col("doc_id"), col("i"), xxhash64(col("g")).as("h"))
+      val evalW = wins.filter(col("doc_id") % 97 === 0)
+        .select("h").distinct()
+      val dup = wins.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalW), "h")
+        .select("doc_id", "i")
+      mergedSpans(dup).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"),
+          max(col("b") - col("a") + 1).as("max_run_tokens"),
+          sum(col("b") - col("a") + 1).as("covered_tokens"))
         .orderBy("doc_id")
     }
 }

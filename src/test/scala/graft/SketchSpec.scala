@@ -799,4 +799,32 @@ class SketchSpec extends SparkSpec {
     assert(rows(2L) ==
       ((10L, 1L, 5L, "spam unique1 unique2 unique3 unique4")))
   }
+
+  test("q278 ranks contamination by verbatim run length, not scattered overlap count") {
+    import spark.implicits._
+    // doc 0 is the eval member (0 % 97 == 0); doc 1 embeds a 7-token
+    // verbatim eval passage at offset 2 (ONE long run); doc 2 shares the
+    // same NUMBER of eval 4-grams but scattered as two short runs broken
+    // by novel tokens; doc 3 is clean and must be absent.
+    val ev = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
+    val d1 = "x1 x2 e3 e4 e5 e6 e7 e8 y1 y2"
+    val d2 = "e1 e2 e3 e4 z1 e5 e6 e7 e8 z2 e9 e10 e11 e12"
+    val d3 = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam").toString
+    Seq((0L, ev), (1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q278_contamination_runs")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // BOTH train docs share exactly 3 distinct eval 4-grams — q76's count
+    // cannot tell them apart; only the run structure can
+    // doc 1: dup window starts {2,3,4} merge to one 6-token verbatim run
+    assert(rows(1L) == ((1L, 6L, 6L)))
+    // doc 2: the same overlap count scattered as three 4-token idioms
+    assert(rows(2L) == ((3L, 4L, 12L)))
+    assert(!rows.contains(3L), "a clean doc must not be flagged")
+    assert(!rows.contains(0L), "eval docs are not graded against themselves")
+  }
 }
