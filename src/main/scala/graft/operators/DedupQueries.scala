@@ -2178,12 +2178,14 @@ object DedupQueries {
         "it lands in the target document, which is the case aligned tiling " +
         "misses (a 1-token offset shifts every q114 tile). Self-repetition " +
         "inside one document dedups the same way (windows at i and i+1 " +
-        "over a token run collide). One global shuffle keyed by the " +
-        "window: duplicate groups are bounded by dup multiplicity, never " +
-        "corpus size; at 100 TB the shuffle carries (xxhash64(window), " +
-        "doc_id, offset) — 24 bytes — with the q114 residual-check " +
-        "discipline (the oracle keeps the string key: same groups, same " +
-        "answer). The span merge and the clean-text anti-join are " +
+        "over a token run collide). One global shuffle, and the SHIPPED " +
+        "plan already keys it by xxhash64(window) — 24-byte (hash, " +
+        "doc_id, offset) rows, never the string, the same rows the " +
+        "streaming twin's state store admits by — with the q114 " +
+        "residual-check discipline (the oracle keeps the string key: " +
+        "hash-green means zero 64-bit collisions on this corpus, checked " +
+        "every round); duplicate groups are bounded by dup multiplicity, " +
+        "never corpus size. The span merge and the clean-text anti-join are " +
         "doc-local (spans-per-doc ≪ tokens), so both re-use the " +
         "document partitioning and the whole pass stays linear."
     ) { (s, dir) =>
@@ -2191,8 +2193,9 @@ object DedupQueries {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val dup = rollingWindows(toks)
+        .select(col("doc_id"), col("i"), xxhash64(col("g")).as("h"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("g").orderBy("doc_id", "i")))
+          Window.partitionBy("h").orderBy("doc_id", "i")))
         .filter(col("rn") > 1)
         .select("doc_id", "i")
       val spans = mergedSpans(dup)
