@@ -2198,28 +2198,31 @@ object DedupQueries {
           Window.partitionBy("h").orderBy("doc_id", "i")))
         .filter(col("rn") > 1)
         .select("doc_id", "i")
+      // ONE pass carries audit AND transform: merged spans are disjoint,
+      // so a left join tags each token with at most one covering span and
+      // a single aggregation yields counts (a span is counted at its
+      // start token — no countDistinct Expand) plus the cleaned text
+      // (collect_list drops the nulled covered tokens). The spans
+      // pipeline builds ONCE — a separate audit agg + anti-join
+      // referenced it twice and the optimizer duplicated the whole
+      // window-dedup shuffle under each (observed in this plan's first
+      // form).
       val spans = mergedSpans(dup)
-      val audit = spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("b") - col("a") + 1).as("dup_tokens"))
       val tokpos = toks
         .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
-      val cln = tokpos.as("t")
+      tokpos.as("t")
         .join(spans.as("s"),
           col("t.doc_id") === col("s.doc_id") &&
             col("t.p") >= col("s.a") && col("t.p") <= col("s.b"),
-          "left_anti")
+          "left")
+        .select(col("t.doc_id").as("doc_id"), col("p"), col("tok"), col("a"))
         .groupBy("doc_id")
-        .agg(concat_ws(" ",
-          transform(sort_array(collect_list(struct(col("p"), col("tok")))),
-            x => x("tok"))).as("txt"))
-      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-        .join(audit, Seq("doc_id"), "left")
-        .join(cln, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          coalesce(col("txt"), lit("")).as("text_clean"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("p") === col("a"), 1)).as("n_spans"),
+          count(col("a")).as("dup_tokens"),
+          concat_ws(" ", transform(sort_array(collect_list(
+              when(col("a").isNull, struct(col("p"), col("tok"))))),
+            x => x("tok"))).as("text_clean"))
         .orderBy("doc_id")
     }
 

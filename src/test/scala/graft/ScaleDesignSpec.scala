@@ -254,6 +254,19 @@ class ScaleDesignSpec extends SparkSpec {
       assert(!p.contains("split(hex"),
         s"$q must not take the hex-string detour on the Spark side:\n$p")
     }
+    // the rolling-window family: q277's one global shuffle must hash the
+    // window build exactly once (its first form referenced the spans frame
+    // twice and the optimizer duplicated the entire window-dedup pipeline
+    // under each consumer); q278's two builds are the irreducible
+    // independent consumers (broadcast eval set + train stream off one
+    // scan)
+    Seq(("q277_duplicate_span_extraction", 1),
+        ("q278_contamination_runs", 2)).foreach { case (q, want) =>
+      val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      val n = "xxhash64\\(concat_ws".r.findAllIn(p).size
+      assert(n <= want,
+        s"$q builds the rolling-window stream ${n}x (want <= $want):\n$p")
+    }
     // q260 composes BOTH shingle sources: each must still build exactly once
     val p260 = physicalPlan(
       SparkEntry.queries("q260_crossmodal_dedup_consensus")(spark, sf))
