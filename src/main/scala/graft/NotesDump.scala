@@ -99,6 +99,8 @@ object NotesDump {
       || q253_media_cdc_containment | 0.48 | 1.04 | 2.2× | informative-universe chunk index: the df cutoff bounds every bucket AND every denominator — flat |
       || q275_cdc_recall_eval | 0.83 | 1.33 | 1.6× | CDC scoreboard: exact side rides the 128-bounded universe, so the ground-truth pass is as flat as the index it grades |
       || q276_cdc_cap_dial | 0.67 | 1.16 | 1.7× | one-pass multi-cap CDC grading (per-cap shares AND sizes): flat — no abs-panel form needed, unlike the panel-cosine dials |
+      || q277_duplicate_span_extraction | 0.53 | 0.49 | 1.0× | unaligned span dedup (later-session back-to-back pair, single-pass form): one hash-keyed window shuffle + doc-local merges — linear by plan, fixed-overhead-dominated at these sizes |
+      || q278_contamination_runs | 0.78 | 0.79 | 1.0× | contamination runs (same-session pair): broadcast eval windows, corpus never shuffles, doc-local islands — flat |
       |
       |Headline: the ANN family sits at 1.7–4.0× for 10× data with
       |sublinear per-query cost across the board — q130 (1.7×) < q249

@@ -21,7 +21,8 @@ object ScaleBench {
     "q266_media_cap_dial", "q268_lsh_table_dial",
     "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs",
     "q253_media_cdc_containment", "q275_cdc_recall_eval",
-    "q276_cdc_cap_dial", "q277_duplicate_span_extraction")
+    "q276_cdc_cap_dial", "q277_duplicate_span_extraction",
+    "q278_contamination_runs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
