@@ -412,6 +412,28 @@ object SimilarityQueries {
     * exact re-rank touches 128 float vectors per query, never a cell. */
   private val IvfPqDepth = 128
 
+  /** Driver-safe budget for the probed-LUT build side: hint `broadcast`
+    * only while the frame's footer-derived size estimate fits. The qside
+    * frame carries one 4·(n/31)-double LUT per (query × probe) row, so it
+    * grows Θ(n²·probes/1550) bytes under the bench's corpus-share panel —
+    * past ~2 GiB the BroadcastExchange collect kills the driver
+    * (spark.driver.maxResultSize; measured: the hinted form died at the
+    * 100× corpus, 200k vectors → 4.1 GiB qside). Above budget the hint is
+    * dropped and the planner ships qside through the cent_id exchange — a
+    * shuffle hash join whose moved bytes are the same qside, split across
+    * executors instead of collected whole on the driver. At 100 TB with a
+    * FIXED query workload (panels are a bench contract, not a production
+    * posture) the estimate stays small and the broadcast plan survives. */
+  private val LutBroadcastBudgetBytes = 256L << 20
+
+  private def lutSideBytes(nVecs: Long, probes: Int): Long = {
+    val lutRow = 32L * (nVecs / 31 + 1) // 4 subspaces × (n/31) doubles
+    (nVecs / 50 + 1) * probes * lutRow
+  }
+
+  private def hintIfDriverSafe(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= LutBroadcastBudgetBytes) broadcast(df) else df
+
   /** q249's IVF-PQ top-k pipeline, pre-presentation: (query_id,
     * neighbor_id, rk, c) — the FAISS IVFPQ composition of the two index
     * pillars: q66's centroid cells gate WHICH vectors are scanned, q236's
@@ -432,8 +454,10 @@ object SimilarityQueries {
       .select(col("query_id"), col("cent_id"))
       .join(pqQueryLuts(s, dir), "query_id")
     // the cell-pruned ADC scan: candidates meet in an equi-join on
-    // cent_id (cell assignment is unique per vector, so no dedup needed)
-    val cand = coded.join(broadcast(qside), Seq("cent_id"))
+    // cent_id (cell assignment is unique per vector, so no dedup needed);
+    // the broadcast hint is footer-gated — see LutBroadcastBudgetBytes
+    val est = lutSideBytes(Tables.parquetRowCount(s, dir, "embeddings"), probes)
+    val cand = coded.join(hintIfDriverSafe(qside, est), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
     adcPruneRerank(s, dir, cand, depth = IvfPqDepth)
@@ -456,7 +480,10 @@ object SimilarityQueries {
     val qside = ivfQueryProbesFrom(s, dir, probes, cents)
       .select(col("query_id"), col("cent_id"))
       .join(pqQueryLutsFrom(s, dir, codebook), "query_id")
-    val cand = coded.join(broadcast(qside), Seq("cent_id"))
+    // installed pillars mirror the in-query strides (the store versions
+    // the same artifacts), so the footer-based LUT-side estimate carries
+    val est = lutSideBytes(Tables.parquetRowCount(s, dir, "embeddings"), probes)
+    val cand = coded.join(hintIfDriverSafe(qside, est), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
     adcPruneRerank(s, dir, cand, depth = IvfPqDepth)
