@@ -116,6 +116,36 @@ object NotesDump {
       |remains the one the GtBucketCap bound exists to protect (its
       |growth is a closed-vocabulary artifact of the synthetic corpus —
       |df grows with corpus only because the vocab cannot).
+      |
+      |## Second decade: sf1.0-equivalent → sf10-equivalent (100× data)
+      |
+      |`ScaleCorpus /tmp/sfx100 100` (200k vectors, 50k docs, 60M
+      |lineitem, 1.6 GB parquet), SPARK_DRIVER_MEM=48g; each pair below is
+      |min-of-2 warm-JVM runs measured back-to-back on sfx10 and sfx100
+      |(2026-08-16 run). This decade is where the BENCH CONTRACT itself
+      |goes quadratic for corpus-level ANN — panels are a corpus share
+      |(queries ∝ n) and the PQ codebook a corpus share (LUT rows ∝ n) —
+      |so the table separates the production-regime claims (fixed
+      |workload, fixed codebook: the linear rows) from the contract
+      |artifacts, and it caught one REAL defect: q249's probed-LUT
+      |broadcast collected 4.1 GiB to the driver and died on
+      |spark.driver.maxResultSize; the footer-gated hint (see
+      |`lutSideBytes`) now drops to a cent_id shuffle join above 256 MiB
+      |and q249 completes (driver crash → 268.6 s) with the sf-scale plan
+      |unchanged.
+      |
+      || query | t(10×) s | t(100×) s | ratio | reading |
+      ||---|---|---|---|---|
+      || q270_embedding_recall_eval_abs | 1.02 | 2.10 | 2.1× | the abs-panel linearization HOLDS into decade 2 — O(64·n) as designed |
+      || q271_lsh_table_dial_abs | 0.85 | 1.43 | 1.7× | same — nightly table recalibration stays flat |
+      || q272_minhash_recall_eval_abs | 2.64 | 11.89 | 4.5× | linear in df mass; above-linear residual is the closed-31-word-vocab artifact (df ∝ n because the vocab cannot grow) |
+      || q274_minhash_cap_dial_abs | 2.56 | 23.73 | 9.3× | the dial grades all caps against the SAME df-mass ground truth — the vocab artifact compounds across the cap sweep; on an open vocab df saturates and this flattens to q272's slope |
+      || q277_duplicate_span_extraction | 0.68 | 1.43 | 2.1× | unaligned span dedup: flat across BOTH decades |
+      || q278_contamination_runs | 0.96 | 2.85 | 3.0× | broadcast-eval contamination runs: linear |
+      || q141b_robust_outliers_approx | 3.20 | 18.33 | 5.7× | sketch percentiles: sublinear into decade 2 while exact q141 is the documented non-scaling form |
+      || q130_quantized_ann | 1.50 | 24.11 | 16.1× | SQ8 brute scan: queries×corpus BY CONTRACT — 1.6×/query, still sublinear per query |
+      || q236_pq_ann | 3.86 | 400.0 | 104× | flat ADC is O(queries·corpus) and the share-sized codebook makes LUT rows ∝ n on top — the contract's quadratic regime, measured; production fixes both factors (fixed workload, fixed 256-entry codebook) |
+      || q249_ivfpq_ann | 3.14 | 268.6 | 86× | WAS a driver crash before the broadcast gate; completes with cells pruned. Cell pruning saves 10× in candidates but share-sized LUT transport dominates here — with a fixed codebook/workload the broadcast plan survives and per-query cost is the decade-1 sublinear reading |
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —
