@@ -144,6 +144,7 @@ object NotesDump {
       || q278_contamination_runs | 0.96 | 2.85 | 3.0× | broadcast-eval contamination runs: linear |
       || q141b_robust_outliers_approx | 3.20 | 18.33 | 5.7× | sketch percentiles: sublinear into decade 2 while exact q141 is the documented non-scaling form |
       || q130_quantized_ann | 1.50 | 24.11 | 16.1× | SQ8 brute scan: queries×corpus BY CONTRACT — 1.6×/query, still sublinear per query |
+      || q66_knn_ivf | 1.83 | 84.9 | 46× | IVF exact: probes·cell_size ∝ n per query × queries ∝ n — quadratic by contract, but 3× cheaper than q249 HERE because its query side ships 512-byte vectors, not share-sized LUTs; with production's fixed codebook the PQ forms win back their decade-1 edge |
       || q236_pq_ann | 3.86 | 400.0 | 104× | flat ADC is O(queries·corpus) and the share-sized codebook makes LUT rows ∝ n on top — the contract's quadratic regime, measured; production fixes both factors (fixed workload, fixed 256-entry codebook) |
       || q249_ivfpq_ann | 3.14 | 268.6 | 86× | WAS a driver crash before the broadcast gate; completes with cells pruned. Cell pruning saves 10× in candidates but share-sized LUT transport dominates here — with a fixed codebook/workload the broadcast plan survives and per-query cost is the decade-1 sublinear reading |
       |""".stripMargin
