@@ -1852,4 +1852,50 @@ class StreamingOpsSpec extends SparkSpec {
       s"streamed spans diverged from batch q277: only-stream=" +
         s"${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
+
+  test("span admission ownership survives a restart from checkpoint") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{SpanDecision, WindowArrival}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_span_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[WindowArrival].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[WindowArrival]
+        val q = StatefulOps.spanAdmitTws(src)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // doc 0 claims window hash 42 before the restart
+    Seq(WindowArrival(42L, 0L, 7L, 0)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    // restart with no new input: commit log re-emits nothing
+    run()
+    assert(spark.read.parquet(outDir).as[SpanDecision].collect().toSeq ===
+      Seq(SpanDecision(0L, 7L, 0, dup = false)))
+    // after the restart the checkpointed owner must still win: a new doc
+    // arriving at the same hash is a duplicate (a reset state store would
+    // re-admit it), and the owner re-offered is still recognized by value
+    Seq(WindowArrival(42L, 5L, 1L, 1), WindowArrival(42L, 0L, 7L, 1)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val rows = spark.read.parquet(outDir).as[SpanDecision].collect()
+      .map(d => (d.doc_id, d.pos, d.dup))
+    assert(rows.length === 3 &&
+      rows.toSet === Set((0L, 7L, false), (5L, 1L, true)),
+      s"checkpointed ownership must persist across the restart: ${rows.toSeq}")
+  }
 }
