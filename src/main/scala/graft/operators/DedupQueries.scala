@@ -2185,9 +2185,14 @@ object DedupQueries {
         "residual-check discipline (the oracle keeps the string key: " +
         "hash-green means zero 64-bit collisions on this corpus, checked " +
         "every round); duplicate groups are bounded by dup multiplicity, " +
-        "never corpus size. The span merge and the clean-text anti-join are " +
-        "doc-local (spans-per-doc ≪ tokens), so both re-use the " +
-        "document partitioning and the whole pass stays linear."
+        "never corpus size. Matching is deliberately CASE-SENSITIVE — " +
+        "Lee et al.'s operator removes byte-exact substrings so the " +
+        "cleaned text is reconstructable from keeper offsets alone; " +
+        "normalization belongs to the FUZZY family (q39/q41/q278 " +
+        "lowercase because they grade similarity, not identity). The " +
+        "span merge and the clean-text anti-join are doc-local " +
+        "(spans-per-doc ≪ tokens), so both re-use the document " +
+        "partitioning and the whole pass stays linear."
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)

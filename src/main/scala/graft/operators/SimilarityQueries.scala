@@ -426,10 +426,16 @@ object SimilarityQueries {
     * posture) the estimate stays small and the broadcast plan survives. */
   private val LutBroadcastBudgetBytes = 256L << 20
 
-  private def lutSideBytes(nVecs: Long, probes: Int): Long = {
-    val lutRow = 32L * (nVecs / 31 + 1) // 4 subspaces × (n/31) doubles
-    (nVecs / 50 + 1) * probes * lutRow
-  }
+  /** One LUT row is 8 bytes per codebook row (the flattened table holds
+    * every (m, crk) dot as a double), and the qside frame repeats it once
+    * per (query × probe). */
+  private def lutSideBytesFor(nQueries: Long, probes: Int,
+                              codebookRows: Long): Long =
+    nQueries * probes * 8L * codebookRows
+
+  private def lutSideBytes(nVecs: Long, probes: Int): Long =
+    // in-query strides: ~2% of the corpus queries, 4 × ~n/31 codebook rows
+    lutSideBytesFor(nVecs / 50 + 1, probes, 4L * (nVecs / 31 + 1))
 
   private def hintIfDriverSafe(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes <= LutBroadcastBudgetBytes) broadcast(df) else df
@@ -480,9 +486,15 @@ object SimilarityQueries {
     val qside = ivfQueryProbesFrom(s, dir, probes, cents)
       .select(col("query_id"), col("cent_id"))
       .join(pqQueryLutsFrom(s, dir, codebook), "query_id")
-    // installed pillars mirror the in-query strides (the store versions
-    // the same artifacts), so the footer-based LUT-side estimate carries
-    val est = lutSideBytes(Tables.parquetRowCount(s, dir, "embeddings"), probes)
+    // the LUT width is a property of the INSTALLED codebook, not of the
+    // corpus — a swapped-in codebook larger than the in-query ~n/31
+    // stride must still be caught by the driver-safety gate, and a
+    // fixed-size production codebook must not needlessly demote the
+    // broadcast. One count() of the pillar-sized frame is the sanctioned
+    // control-plane read (codebooks are KBs–MBs, never corpus-scale).
+    val est = lutSideBytesFor(
+      Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1, probes,
+      codebook.count())
     val cand = coded.join(hintIfDriverSafe(qside, est), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))

@@ -1300,13 +1300,23 @@ object StatefulOps {
     * spec's Scala re-derivation) turns each document's duplicated offsets
     * into the maximal spans its cleaner strips. First-writer ownership is
     * the batch keeper rule under the file's standing contract (cross-batch
-    * delivery order is the caller's; within a batch rows sort by
-    * (epoch, doc_id, pos)); a replayed OWNER row is recognized by value
+    * delivery order is the caller's; within a batch the first-writer is
+    * the slice's (epoch, doc_id, pos) minimum); a replayed OWNER row is
+    * recognized by value
     * and re-admitted, so a restart that re-offers a committed batch
     * changes no decision. State cardinality is the corpus's distinct
     * window count — the admit-once digest discipline at a finer grain,
     * hash-partitioned across executors, with the same bloom-front option
-    * ahead of the shuffle for the ~all-novel majority. */
+    * ahead of the shuffle for the ~all-novel majority.
+    *
+    * Memory contract: once a hash has an owner, its slice streams through
+    * with ZERO buffering (each decision is row-independent), so a hot
+    * boilerplate window replayed millions of times per batch costs only
+    * iteration. Buffering happens solely on a hash's FIRST sight — the
+    * first-writer is the slice's (epoch, doc_id, pos) minimum, found in
+    * one pass while the compact 28-byte arrivals are held — and is
+    * bounded by that window's duplicate multiplicity WITHIN its debut
+    * batch, after which the hash is owned forever. */
   class SpanAdmitProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowArrival, SpanDecision] {
     import org.apache.spark.sql.Encoders
@@ -1319,20 +1329,37 @@ object StatefulOps {
         "owner", Encoders.product[SpanOwner],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
+    private def before(a: WindowArrival, b: WindowArrival): Boolean =
+      a.epoch < b.epoch || (a.epoch == b.epoch &&
+        (a.doc_id < b.doc_id || (a.doc_id == b.doc_id && a.pos < b.pos)))
+
     override def handleInputRows(wh: Long, rows: Iterator[WindowArrival],
-                                 timers: TimerValues): Iterator[SpanDecision] = {
-      // one window hash's slice of one micro-batch — bounded by the
-      // corpus's duplicate multiplicity for that window, never doc size
-      rows.toSeq.sortBy(a => (a.epoch, a.doc_id, a.pos)).iterator.map { a =>
-        val dup = Option(owner.get()) match {
-          case None =>
-            owner.update(SpanOwner(a.doc_id, a.pos, a.epoch))
-            false
-          case Some(o) => o.doc_id != a.doc_id || o.pos != a.pos
-        }
-        SpanDecision(a.doc_id, a.pos, a.epoch, dup)
+                                 timers: TimerValues): Iterator[SpanDecision] =
+      Option(owner.get()) match {
+        case Some(o) =>
+          // owned hash: every decision is row-independent, so the slice
+          // streams through lazily — no buffering however hot the window
+          rows.map(a => SpanDecision(a.doc_id, a.pos, a.epoch,
+            o.doc_id != a.doc_id || o.pos != a.pos))
+        case None =>
+          // debut: the first-writer is the slice's (epoch, doc_id, pos)
+          // minimum — one pass tracks it while holding the compact
+          // arrivals (no sort; memory is this window's duplicate
+          // multiplicity within its debut batch, see class doc)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[WindowArrival]
+          var min: WindowArrival = null
+          rows.foreach { a =>
+            buf += a
+            if (min == null || before(a, min)) min = a
+          }
+          if (min == null) Iterator.empty
+          else {
+            owner.update(SpanOwner(min.doc_id, min.pos, min.epoch))
+            val (od, op) = (min.doc_id, min.pos)
+            buf.iterator.map(a => SpanDecision(a.doc_id, a.pos, a.epoch,
+              a.doc_id != od || a.pos != op))
+          }
       }
-    }
   }
 
   /** Keyed span admission via transformWithState (Append: every window

@@ -804,7 +804,7 @@ class SketchSpec extends SparkSpec {
     import spark.implicits._
     // doc 0 is the eval member (0 % 97 == 0); doc 1 embeds a 7-token
     // verbatim eval passage at offset 2 (ONE long run); doc 2 shares the
-    // same NUMBER of eval 4-grams but scattered as two short runs broken
+    // same NUMBER of eval 4-grams but scattered as three short runs broken
     // by novel tokens; doc 3 is clean and must be absent.
     val ev = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
     val d1 = "x1 x2 e3 e4 e5 e6 e7 e8 y1 y2"
