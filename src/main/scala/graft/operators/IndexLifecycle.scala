@@ -230,6 +230,33 @@ object IndexLifecycle {
              probes: Int = SimilarityQueries.IvfProbes): DataFrame =
     SimilarityQueries.ivfTopKFrom(s, dir, readCentroids(s, root), probes)
 
+  // ---------- selection-family consumers of the centroid pillar ----------
+  //
+  // Retrieval is not the pillar's only reader: the SELECTION family
+  // (SemDeDup q230, prototypicality q232) and the FILTERED search (q255)
+  // cluster through the same centroid artifact. Routing them through the
+  // store means ONE hot-swap moves membership, pruning and retrieval
+  // together — a live-only copy of the cluster structure in any consumer
+  // would silently drift from the version the operators audit.
+
+  /** q230's SemDeDup verdict with cluster structure from the INSTALLED
+    * centroid pillar — the exact q230 pipeline over
+    * [[SelectionQueries.assignedFrom]]. */
+  def semDedupAt(s: SparkSession, root: String, dir: String): DataFrame =
+    SelectionQueries.semDedupOf(
+      SelectionQueries.assignedFrom(s, dir, readCentroids(s, root)))
+
+  /** q232's prototypicality pruning through the INSTALLED centroid
+    * pillar. */
+  def prototypicalityAt(s: SparkSession, root: String, dir: String): DataFrame =
+    SelectionQueries.prototypicalityOf(
+      SelectionQueries.assignedFrom(s, dir, readCentroids(s, root)))
+
+  /** q255's label-filtered search through the INSTALLED centroid pillar. */
+  def searchFiltered(s: SparkSession, root: String, dir: String,
+                     probes: Int = SimilarityQueries.IvfProbes): DataFrame =
+    SimilarityQueries.ivfFilteredTopKFrom(s, dir, readCentroids(s, root), probes)
+
   // ---------- the OTHER pillar: PQ codebooks ----------
   //
   // The composed IVF-PQ index (q249) has two trained artifacts — the

@@ -40,13 +40,20 @@ object SelectionQueries {
     * index already maintains. `cc` is the cosine to the assigned centroid
     * (q232's prototypicality score). Ties break toward the larger cent_id,
     * matching the replay oracle's ORDER BY cc DESC, cent_id DESC. */
-  private[operators] def assigned(s: SparkSession, dir: String): DataFrame = {
-    val CentStride = 50
+  private[operators] def assigned(s: SparkSession, dir: String): DataFrame =
+    assignedFrom(s, dir, SimilarityQueries.ivfCents(s, dir))
+
+  /** [[assigned]] against an ARBITRARY centroid frame `(cent_id, cv, cn)`
+    * — the versioned index store's seam into the SELECTION family: a
+    * centroid-pillar hot-swap (IndexLifecycle) moves SemDeDup and
+    * prototypicality membership through the installed artifact alone,
+    * through exactly the assignment q230/q232 ship. Retrieval
+    * ([[SimilarityQueries.ivfTopKFrom]]) and selection now read the SAME
+    * pillar, so one swap moves both — there is no second, live-only copy
+    * of the cluster structure left to drift. */
+  private[graft] def assignedFrom(s: SparkSession, dir: String,
+                                  cents: DataFrame): DataFrame = {
     val n = SimilarityQueries.normed(s, dir)
-    val cents = n.filter(
-      ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
-        % 2147483647L % CentStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val cc = SimilarityQueries.cosine(col("v"), col("cv"), col("nrm"), col("cn"))
     n.crossJoin(broadcast(cents))
       .groupBy("vec_id")
@@ -57,6 +64,41 @@ object SelectionQueries {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), (-element_at(col("tp.id"), 1)).as("cent_id"),
         element_at(col("tp.score"), 1).as("cc"), col("v"), col("nrm"))
+  }
+
+  /** q230's SemDeDup verdict over a GIVEN assignment frame — factored so
+    * the batch query (live centroids) and the store path
+    * ([[IndexLifecycle.semDedupAt]]) share one pipeline. */
+  private[graft] def semDedupOf(a: DataFrame): DataFrame = {
+    val csz = a.groupBy("cent_id").agg(count(lit(1)).cast("long").as("csize"))
+    val hi = a.select(col("cent_id"), col("vec_id").as("vec_hi"),
+      col("v").as("va"), col("nrm").as("na"))
+    val lo = a.select(col("cent_id"), col("vec_id").as("vec_lo"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = hi.join(lo, Seq("cent_id"))
+      .filter(col("vec_lo") < col("vec_hi"))
+      .filter(SimilarityQueries.cosine(
+        col("va"), col("vb"), col("na"), col("nb")) >= DupCos)
+      .select(col("vec_hi").as("vec_id")).distinct()
+      .withColumn("dr", lit(true))
+    a.join(csz, "cent_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("csize"),
+        col("dr").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** q232's prototypicality ranking over a GIVEN assignment frame — same
+    * factoring as [[semDedupOf]], for [[IndexLifecycle.prototypicalityAt]]. */
+  private[graft] def prototypicalityOf(a: DataFrame): DataFrame = {
+    val csz = a.groupBy("cent_id").agg(count(lit(1)).cast("long").as("csize"))
+    val w = Window.partitionBy("cent_id").orderBy(col("cc").desc, col("vec_id"))
+    a.join(csz, "cent_id")
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cent_id"), round(col("cc"), 4).as("proto_cos"),
+        col("proto_rank"), col("csize"),
+        (col("proto_rank") > expr("(csize + 9) div 10")).as("keep"))
+      .orderBy("vec_id")
   }
 
   /** The assignment pipeline in the oracles' DuckDB dialect — q66's replay
@@ -125,23 +167,7 @@ object SelectionQueries {
         "is the SAME artifact the IVF index maintains, so dedup rides the " +
         "index build, not a second corpus pass."
     ) { (s, dir) =>
-      val a = assigned(s, dir)
-      val csz = a.groupBy("cent_id").agg(count(lit(1)).cast("long").as("csize"))
-      val hi = a.select(col("cent_id"), col("vec_id").as("vec_hi"),
-        col("v").as("va"), col("nrm").as("na"))
-      val lo = a.select(col("cent_id"), col("vec_id").as("vec_lo"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val dropped = hi.join(lo, Seq("cent_id"))
-        .filter(col("vec_lo") < col("vec_hi"))
-        .filter(SimilarityQueries.cosine(
-          col("va"), col("vb"), col("na"), col("nb")) >= DupCos)
-        .select(col("vec_hi").as("vec_id")).distinct()
-        .withColumn("dr", lit(true))
-      a.join(csz, "cent_id")
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cent_id"), col("csize"),
-          col("dr").isNull.as("kept"))
-        .orderBy("vec_id")
+      semDedupOf(assigned(s, dir))
     },
 
     GraftQuery(
@@ -253,15 +279,7 @@ object SelectionQueries {
         "partitions stay bounded; the drop fraction is a policy knob the " +
         "note's 10% pins for replay."
     ) { (s, dir) =>
-      val a = assigned(s, dir)
-      val csz = a.groupBy("cent_id").agg(count(lit(1)).cast("long").as("csize"))
-      val w = Window.partitionBy("cent_id").orderBy(col("cc").desc, col("vec_id"))
-      a.join(csz, "cent_id")
-        .withColumn("proto_rank", row_number().over(w).cast("long"))
-        .select(col("vec_id"), col("cent_id"), round(col("cc"), 4).as("proto_cos"),
-          col("proto_rank"), col("csize"),
-          (col("proto_rank") > expr("(csize + 9) div 10")).as("keep"))
-        .orderBy("vec_id")
+      prototypicalityOf(assigned(s, dir))
     },
 
     GraftQuery(

@@ -189,8 +189,16 @@ object SimilarityQueries {
     * shared by the q255 search, the q258 supply audit and the q259 hybrid
     * (which rank, count and route the same frame respectively). */
   private[operators] def ivfFilteredCandidates(s: SparkSession, dir: String,
+                                               probes: Int = IvfProbes): DataFrame =
+    ivfFilteredCandidatesFrom(s, dir, ivfCents(s, dir), probes)
+
+  /** [[ivfFilteredCandidates]] against an ARBITRARY centroid frame — the
+    * store seam for the filtered search (q255), so a centroid-pillar
+    * hot-swap routes the label-constrained pipeline too, not only the
+    * plain one. */
+  private[graft] def ivfFilteredCandidatesFrom(s: SparkSession, dir: String,
+                                               cents: DataFrame,
                                                probes: Int = IvfProbes): DataFrame = {
-    val cents = ivfCents(s, dir)
     val assigned = ivfAssignOf(normedWithLabel(s, dir), cents)
     val qprobes = ivfQueryProbesFrom(s, dir, probes, cents)
       .join(broadcast(panelLabels(s, dir)), "query_id")
@@ -213,6 +221,13 @@ object SimilarityQueries {
   private[graft] def ivfFilteredTopK(s: SparkSession, dir: String,
                                      probes: Int = IvfProbes): DataFrame =
     rankTopK(ivfFilteredCandidates(s, dir, probes))
+
+  /** q255's filtered search through an ARBITRARY centroid frame — the
+    * [[ivfFilteredCandidatesFrom]] seam ranked to the shipped top-k. */
+  private[graft] def ivfFilteredTopKFrom(s: SparkSession, dir: String,
+                                         cents: DataFrame,
+                                         probes: Int = IvfProbes): DataFrame =
+    rankTopK(ivfFilteredCandidatesFrom(s, dir, cents, probes))
 
   /** The EXACT label-filtered baseline — [[bruteTopK]]'s bounded-heap
     * top-k with the label-equality predicate folded into the broadcast join

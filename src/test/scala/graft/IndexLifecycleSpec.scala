@@ -654,4 +654,45 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(base.filter(_.getBoolean(base.head.fieldIndex("chosen")))
       .head.getLong(0).toInt === chosen)
   }
+
+  test("a centroid-pillar swap moves SemDeDup, prototypicality and filtered search through the store alone") {
+    val root = Files.createTempDirectory("graft_sel_store").toString
+    val dir = Files.createTempDirectory("graft_sel_corpus").toString
+    val c = corpus
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // v1: trained and baselined on the OLD epoch only — two cells
+    IndexLifecycle.install(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2), asVec(oldEpoch(c)))
+
+    def sd() = IndexLifecycle.semDedupAt(spark, root, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    def pr() = IndexLifecycle.prototypicalityAt(spark, root, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(5))).toSeq
+    def fs() = IndexLifecycle.searchFiltered(spark, root, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the LIVE batch operators (LCG centroid sample) are the control: a
+    // pillar swap must not move them
+    def liveSd() = SparkEntry.queries("q230_semdedup")(spark, dir).collect()
+      .map(_.toSeq).toSeq
+
+    val (sd1, pr1, fs1, live1) = (sd(), pr(), fs(), liveSd())
+    assert(sd1.nonEmpty && sd1 == sd() && pr1 == pr() && fs1 == fs(),
+      "store-routed selection must be deterministic at a fixed version")
+    assert(sd1.map(_._2).toSet.size === 2 && pr1.map(_._2).toSet.size === 2,
+      "v1 membership must live in v1's two cells")
+
+    // swap: retrain on the full corpus with room for the new e2 cluster
+    IndexLifecycle.install(spark, root, 2L,
+      IndexLifecycle.train(spark, asVec(c), k = 3), asVec(c))
+    val (sd2, pr2, fs2, live2) = (sd(), pr(), fs(), liveSd())
+    assert(sd2.map(_._2).toSet.size === 3 && pr2.map(_._2).toSet.size === 3,
+      "the swap alone must re-cluster selection membership into v2's three cells")
+    assert(sd2 != sd1 && pr2 != pr1,
+      "selection verdicts must move with the installed pillar")
+    assert(fs2 == fs() && sd2 == sd(),
+      "the new version must serve deterministically too")
+    assert(live2 == live1,
+      "the live-centroid batch queries must be untouched by a store swap")
+  }
 }
