@@ -1372,4 +1372,91 @@ object StatefulOps {
       .transformWithState(new SpanAdmitProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One arrival for [[contaminationRunTws]]: ONE stride-1 rolling window
+    * of one TRAINING document whose hash matched the frozen eval index —
+    * membership is batch-side map work (the training window stream inner-
+    * joins the broadcast eval hash set, exactly q278's plan), so the
+    * operator only ever sees the contaminated fraction of the stream as
+    * 20-byte (doc_id, pos) rows; neither text nor hashes reach it.
+    * `epoch` is the caller's arrival batch, echoed in the reading. */
+  final case class EvalHit(doc_id: Long, pos: Long, epoch: Int)
+  final case class ContamReading(doc_id: Long, epoch: Int, n_runs: Long,
+                                 max_run_tokens: Long, covered_tokens: Long)
+  // public like AdmitState: Catalyst codegen cannot reference a private
+  // class and silently falls back to interpreted state (de)serialization
+  final case class RunSpan(a: Long, b: Long)
+
+  /** Streaming contamination monitor — batch q278's live twin: per
+    * training document, the state is its MERGED verbatim-overlap intervals
+    * [a, b] against the eval set (q277/q278's gaps-and-islands rule:
+    * touching or overlapping 4-token windows coalesce), and every
+    * micro-batch with hits emits the document's current severity reading
+    * (n_runs, max_run_tokens, covered_tokens) — the q278 verdict AT
+    * ADMISSION TIME, so a training-ingest pipeline can reject or excise a
+    * benchmark-bearing document before it lands, instead of auditing the
+    * corpus after the fact.
+    *
+    * Interval union is COMMUTATIVE and IDEMPOTENT: the final reading is
+    * invariant to arrival order, chunking, cross-batch delivery order AND
+    * duplicate delivery (a replayed window merges into the span it
+    * already covers) — like the drift monitors, there is no caller
+    * ordering contract at all, and StreamingOpsSpec pins 3-chunk ==
+    * 7-chunk == replayed == batch q278 on the final reading. Restart
+    * safety is the standard state-store contract (state rolls back with
+    * the batch), with idempotence as a second belt. At 100 TB the eval
+    * index is a broadcast of DISTINCT eval-window hashes (benchmarks are
+    * MBs; the corpus never shuffles for the membership test) and the only
+    * keyed movement is the contaminated hits on doc_id; per-doc state is
+    * its disjoint run list — bounded by the doc's token count / 5, and in
+    * practice by its eval overlap, which is exactly what the monitor
+    * exists to bound. */
+  class ContaminationRunProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvalHit, ContamReading] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
+
+    @transient private var runs: org.apache.spark.sql.streaming.ListState[RunSpan] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      runs = getHandle.getListState[RunSpan](
+        "runs", Encoders.product[RunSpan],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(doc: Long, rows: Iterator[EvalHit],
+                                 timers: TimerValues): Iterator[ContamReading] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[RunSpan]
+      runs.get().foreach(buf += _)
+      var epoch = Int.MinValue
+      rows.foreach { h =>
+        buf += RunSpan(h.pos, h.pos + 3)
+        if (h.epoch > epoch) epoch = h.epoch
+      }
+      val sorted = buf.sortInPlaceBy(s => (s.a, s.b))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[RunSpan]
+      sorted.foreach { s =>
+        if (merged.nonEmpty && s.a <= merged.last.b + 1)
+          merged(merged.length - 1) =
+            RunSpan(merged.last.a, math.max(merged.last.b, s.b))
+        else merged += s
+      }
+      runs.clear()
+      merged.foreach(runs.appendValue)
+      var mx = 0L; var cov = 0L
+      merged.foreach { s => val w = s.b - s.a + 1; if (w > mx) mx = w; cov += w }
+      Iterator.single(ContamReading(doc, epoch, merged.length.toLong, mx, cov))
+    }
+  }
+
+  /** Keyed contamination monitoring via transformWithState (Append: each
+    * micro-batch emits the hit documents' current readings; the latest
+    * reading per doc is the verdict). */
+  def contaminationRunTws(hits: Dataset[EvalHit]): Dataset[ContamReading] = {
+    import hits.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    hits
+      .groupByKey(_.doc_id)
+      .transformWithState(new ContaminationRunProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1898,4 +1898,117 @@ class StreamingOpsSpec extends SparkSpec {
       rows.toSet === Set((0L, 7L, false), (5L, 1L, true)),
       s"checkpointed ownership must persist across the restart: ${rows.toSeq}")
   }
+
+  /** Drive [[StatefulOps.contaminationRunTws]] over a hit stream and
+    * return the FINAL reading per document (the emission at each doc's
+    * highest epoch). `replayLast` re-offers the final chunk after it
+    * committed — idempotence under duplicate delivery. */
+  private def runContamMonitor(name: String, hits: Seq[StatefulOps.EvalHit],
+                               nChunks: Int, replayLast: Boolean = false)
+      : Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ContamReading, EvalHit}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvalHit]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.contaminationRunTws(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunks = hits.grouped(math.max(hits.length / nChunks, 1)).toSeq
+        chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        if (replayLast) { input.addData(chunks.last.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.table(name).as[ContamReading].collect()
+      .groupBy(_.doc_id).map { case (d, rs) =>
+        val last = rs.maxBy(_.epoch)
+        d -> ((last.n_runs, last.max_run_tokens, last.covered_tokens))
+      }
+  }
+
+  test("streaming contamination monitor: final readings equal batch q278 under any chunking") {
+    import org.apache.spark.sql.functions.{broadcast, col, lower}
+    import graft.operators.DedupQueries
+    import graft.streaming.StatefulOps.EvalHit
+
+    // batch-side prologue, exactly q278's: lowercased stride-1 windows,
+    // eval = the % 97 panel's DISTINCT hashes broadcast onto the rest
+    val wk = DedupQueries.windowKeysFor(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        lower(col("text")).as("text")))
+    val evalW = wk.filter(col("doc_id") % 97 === 0).select("wh").distinct()
+    val hitRows = wk.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalW), "wh")
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def arrivals(nChunks: Int): Seq[EvalHit] = {
+      val per = math.max(hitRows.length / nChunks, 1)
+      hitRows.zipWithIndex.map { case ((d, p), ix) =>
+        EvalHit(d, p, ix / per)
+      }.toSeq
+    }
+
+    val a = runContamMonitor("contam_3", arrivals(3), 3)
+    val b = runContamMonitor("contam_7", arrivals(7), 7)
+    assert(a === b, "re-chunking the stream changed a final reading")
+    // duplicate delivery of a committed chunk merges into covered spans
+    val r = runContamMonitor("contam_rp", arrivals(3), 3, replayLast = true)
+    assert(r === a, "replaying a committed chunk changed a final reading")
+
+    val batch = SparkEntry.queries("q278_contamination_runs")(spark, sf)
+      .collect().map(r2 => r2.getLong(0) ->
+        ((r2.getLong(1), r2.getLong(2), r2.getLong(3)))).toMap
+    assert(a === batch,
+      s"streamed verdicts diverged from batch q278: only-stream=" +
+        s"${a.toSet -- batch.toSet}, only-batch=${batch.toSet -- a.toSet}")
+  }
+
+  test("contamination run state survives a restart from checkpoint") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ContamReading, EvalHit}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val base = java.nio.file.Files.createTempDirectory("graft_contam_restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def run(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[EvalHit].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir).as[EvalHit]
+        val q = StatefulOps.contaminationRunTws(src)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "stream did not drain within timeout")
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // doc 9's first batch: two separated runs [0,3] and [5,8]
+    Seq(EvalHit(9L, 0L, 0), EvalHit(9L, 5L, 0)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    // restart with no new input: commit log re-emits nothing
+    run()
+    assert(spark.read.parquet(outDir).as[ContamReading].collect().toSeq ===
+      Seq(ContamReading(9L, 0, 2L, 4L, 8L)))
+    // after the restart, a bridging window at pos 4 must coalesce BOTH
+    // checkpointed runs into one 9-token run — a reset state store would
+    // read (1, 4, 4) instead
+    Seq(EvalHit(9L, 4L, 1)).toDS()
+      .repartition(1).write.mode("append").parquet(inDir)
+    run()
+    val last = spark.read.parquet(outDir).as[ContamReading].collect()
+      .maxBy(_.epoch)
+    assert((last.n_runs, last.max_run_tokens, last.covered_tokens) ===
+      ((1L, 9L, 9L)),
+      s"checkpointed runs must persist and merge across the restart: $last")
+  }
 }
