@@ -22,7 +22,8 @@ object ScaleBench {
     "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs",
     "q253_media_cdc_containment", "q275_cdc_recall_eval",
     "q276_cdc_cap_dial", "q277_duplicate_span_extraction",
-    "q278_contamination_runs")
+    "q278_contamination_runs",
+    "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -417,6 +417,13 @@ class ScaleDesignSpec extends SparkSpec {
         "dedicated ivfpq plan test pins"),
       "q250_ivfpq_recall_eval" ->
         "q43's + q249's hash-sampled broadcast sides (the eval runs both pipelines it grades)",
+      "q279_pq_ann_fixed" -> ("q236's shape under the fixed dials: the " +
+        "≤64-absolute-id panel broadcast (flat ADC scan IS the PQ " +
+        "contract) and the ≤256-entry capped codebook side"),
+      "q280_ivfpq_ann_fixed" -> ("⌊√n⌋ LCG-sampled centroid side " +
+        "(assignment + routing) and the ≤256-entry capped codebook side; " +
+        "the ADC scan itself is the broadcast cent_id equi-join the " +
+        "fixed-form plan test pins"),
       "q251_probe_depth_calibration" ->
         ("q43's + q66's hash/LCG-sampled broadcast sides: the dial sweeps " +
           "the already-sanctioned ivfTopK pipeline at each candidate depth " +
@@ -949,5 +956,33 @@ class ScaleDesignSpec extends SparkSpec {
     }
     assert(flatAdc.isEmpty,
       s"IVF-PQ must not fall back to q236's flat codes × LUT scan:\n$plan")
+  }
+
+  test("fixed-form ivfpq plan: cell-pruned scan with the qside broadcast retained") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec}
+    // q280's fixed workload bounds the qside LUT frame by construction
+    // (≤64 queries × probes rows × 4·256 doubles ≈ 2.6 MB at ANY corpus
+    // size), so the driver-safety gate must KEEP the broadcast hint: the
+    // cent_id candidate join plans as a BroadcastHashJoin — the share
+    // form's demotion to a shuffle join must never trigger here.
+    val plan = SparkEntry.queries("q280_ivfpq_ann_fixed")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"fixed IVF-PQ must never plan a CartesianProduct:\n$plan")
+    val bcastCell = plan.collect {
+      case j: BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cent_id")) => j
+    }
+    assert(bcastCell.nonEmpty,
+      s"fixed IVF-PQ must broadcast the bounded qside into the cent_id join:\n$plan")
+    // the native-kernel + heap-prune discipline carries over from the
+    // share forms to both fixed forms
+    Seq("q279_pq_ann_fixed", "q280_ivfpq_ann_fixed").foreach { q =>
+      val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("graft_sqdist") && p.contains("graft_top_pairs") &&
+        !p.toLowerCase.contains("zip_with"),
+        s"$q must keep the native-kernel hot path:\n$p")
+    }
   }
 }
