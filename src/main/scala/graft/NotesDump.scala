@@ -25,128 +25,136 @@ object NotesDump {
 
   /** Measured scale-headroom evidence (VERDICT r11 item 5) — kept in code
     * so SCALE.md regeneration preserves it. Data: `graft.ScaleCorpus`
-    * synthesizes a statistics-mimicking corpus (doc token/vocab/lang/source
+    * synthesizes a statistics-mimicking corpus (doc token/lang/source
     * distributions, unit-norm embeddings, TPC-H-ish key cardinalities and
-    * 4 lines/order — all measured off the driver's sf0.1) at mult=1 and
-    * mult=10 of sf0.1 sizes; `graft.ScaleBench` times the bench top-10 +
-    * the scoreboard/dial families on both (min of 3, warm JVM, local[32],
-    * 2026-08-15 run). mult=1 validates the mimicry against the driver's
-    * own sf0.1 bench (every query within noise of BENCH_r12's numbers). */
+    * 4 lines/order — measured off the driver's sf0.1) at mult=1/10/100 of
+    * sf0.1 sizes; since round 13 the document vocabulary is OPEN (Zipf(1)
+    * ranks over a type set ∝ mult — see ScaleCorpus) so df-mass-bounded
+    * forms measure their real slope instead of the closed-31-word
+    * artifact. `graft.ScaleBench` / `graft.BenchOne` time the headline
+    * set; min over same-day repeated runs (this box's co-tenant noise
+    * swung up to 5× between sessions during the round-13 window, and a
+    * long shared ScaleBench session accumulates pollution at sfx100 —
+    * fresh-JVM BenchOne re-measures confirmed the table's outliers). */
   private val growthEvidence: String =
     """
       |## Measured growth: sf0.1-equivalent → sf1.0-equivalent (10× data)
       |
       |Generator: `sbt "runMain graft.ScaleCorpus /tmp/sfx1 1"` and
       |`... /tmp/sfx10 10`; measurement: `sbt "runMain graft.ScaleBench <dir>"`.
-      |`ratio` = t(10×)/t(1×), min-of-3 in one warm JVM per corpus, both
-      |corpora measured back-to-back (this box's co-tenant noise swings ±40%,
-      |so cross-session ratios are not comparable; same-session ones are).
+      |`ratio` = t(10×)/t(1×). Round-13 re-measure (2026-08-16) on the OPEN-
+      |vocabulary corpus (Zipf(1) token ranks over a type set ∝ mult —
+      |30/309/3099 measured types at mult 1/10/100): each number is the
+      |min over two full back-to-back ScaleBench sessions (3 reps each), so
+      |six samples per cell — this window's co-tenant noise swung
+      |individual reps up to 5×, and min-of-many on BOTH sides is the
+      |honest steady-state estimator (noise only ever adds time).
       |For the ANN/recall queries the QUERY PANEL is a fixed share of the
       |corpus, so 10× data also means 10× queries — a ratio of ~10 there is
-      |CONSTANT per-query cost and `/query` (= ratio/10) is the signal; for
-      |corpus-level queries the ratio itself is the signal.
+      |CONSTANT per-query cost; for corpus-level queries the ratio itself
+      |is the signal. The r12 kernel history (native graft_sqdist/graft_dotl
+      |/graft_top_pairs replacing interpreted HOFs and the SortAggregate
+      |argmax; q236 46.3→3.6 s at 10×) is recorded in the r12 VERDICT and
+      |the ScaleDesignSpec plan pins that keep it from regressing.
       |
-      |This table is the freshest same-session run (2026-08-15, third
-      |pass) and now covers the CDC family — q253 containment plus its
-      |new q275 scoreboard and q276 cap dial, all flat (1.6–2.2×),
-      |measured proof that the informative-universe df bound keeps the
-      |chunk index AND its calibration passes linear. It also re-measures
-      |the fixed-absolute-panel forms q272/q274 (2.7×/2.5× vs their
-      |share-based siblings' 10.2×/9.6× on the same corpus pair IS the
-      |linearization). Earlier passes drove this round's kernel fixes:
-      |the first caught the
-      |codebook-assignment L2 and SQ8 scoring as interpreted
-      |`aggregate(zip_with(…))` HOFs (jstack-confirmed: the whole of q236's
-      |46 s sat in ZipWith.eval — the q252 poison class, join-sized) and
-      |the salted row_number prune as an O(n·log n) full sort of the N·Q
-      |candidate stream; native `graft_sqdist`/`graft_dotl` kernels and the
-      |k-bounded `graft_top_pairs` heap aggregate replaced them (q236
-      |46.3→10.1 s, q249 33.1→7.3 s, q130 11.6→1.1 s at 10×). The second
-      |run exposed the remaining 4–6 s floor under every assignment-shaped
-      |query as the min_by/max(struct) argmax: a struct-typed aggregation
-      |buffer cannot live in a HashAggregate, so Spark silently planned a
-      |SortAggregate that FULL-SORTED the n×C assignment join (and Lloyd's
-      |paid it per round). The k=1 graft_top_pairs heap keeps the same
-      |winner without the sort: q236 10.1→3.6 s, q249 7.3→2.7 s, q251
-      |4.2→1.1 s, q261 20.1→9.4 s, q141 15.7→11.3 s at 10× — bit-identical
-      |results, oracles untouched, plan-pinned by ScaleDesignSpec (q66
-      |carries no SortAggregate).
+      |The headline round-13 change: the closed 31-word vocabulary made
+      |EVERY shingle's df ∝ n, which is what drove q261 10.2× / q273 9.6×
+      |last round. On the open vocab the SAME share-panel forms measure
+      |2.0×/2.3× at this decade — the decade-1 "quadratic" was the corpus
+      |artifact, not the plan. (The Zipf HEAD still has df ∝ n, as real
+      |stopwords do, so the share forms do go super-linear at decade 2 —
+      |see below — which is exactly why the abs-panel siblings are the
+      |production contract.)
       |
       || query | t(1×) s | t(10×) s | ratio | reading |
       ||---|---|---|---|---|
-      || q141_robust_outliers | 1.64 | 12.06 | 7.4× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
-      || q141b_robust_outliers_approx | 0.70 | 1.89 | 2.7× | the sketch sibling: better growth than exact q141, gap widens with scale |
-      || q236_pq_ann | 1.26 | 4.65 | 3.7× (0.37/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q249 replaces |
-      || q249_ivfpq_ann | 1.01 | 3.11 | 3.1× (0.31/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
-      || q66_knn_ivf | 0.43 | 1.71 | 4.0× (0.40/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 as designed |
-      || q130_quantized_ann | 0.53 | 0.91 | 1.7× (0.17/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
-      || q86_kmeans_train | 1.98 | 2.69 | 1.4× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
-      || q102_pagerank | 1.43 | 8.51 | 5.9× | staged integer PageRank: edge fan-out grows with the denser synthetic graph; iterations fixed |
-      || q184_basket_affinity | 0.73 | 2.39 | 3.3× | pair expansion bounded per order; shuffle grows linearly |
-      || q41_dedup_ngram_jaccard | 1.29 | 1.08 | 0.8× | inverted index + df cutoff: bucket caps bound pair expansion — flat |
-      || q67_dedup_embedding_lsh | 1.08 | 3.19 | 2.9× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
-      || q251_probe_depth_calibration | 0.64 | 1.02 | 1.6× (0.16/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
-      || q261_minhash_recall_eval | 0.89 | 8.99 | 10.2× | exact side is Σ_fp df_panel·df_corpus (inverted-index bound): a SHARE panel grows both factors with the corpus — quadratic on this closed 31-word vocab, exactly the regime the GtBucketCap df cutoff guards; the 100 TB form is q272 |
-      || q272_minhash_recall_eval_abs | 0.70 | 1.86 | 2.7× | the fixed-absolute-panel form: df_panel pinned by 64 docs, ground truth linear in corpus df mass — the q261 remedy, measured on the same corpus pair |
-      || q273_minhash_cap_dial | 0.92 | 8.80 | 9.6× | the cap dial's exact side shares q261's share-panel inverted-index bound — super-linear BY CONTRACT on this closed vocab |
-      || q274_minhash_cap_dial_abs | 0.72 | 1.82 | 2.5× | the dial at the fixed absolute panel: linear — what a 100 TB fleet schedules nightly |
-      || q262_simhash_recall_eval | 0.49 | 0.80 | 1.6× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
-      || q263_media_simhash_recall_eval | 0.82 | 1.40 | 1.7× | same, media signatures |
-      || q264_embedding_recall_eval | 0.41 | 5.04 | 12.3× (1.2/query) | exact side is panel×corpus cosine BY CONTRACT — linear per panel vector; the 100 TB form is q270's fixed absolute panel |
-      || q265_bucket_cap_dial | 0.40 | 0.87 | 2.2× | one-pass multi-cap grading over the band index: flat |
-      || q266_media_cap_dial | 0.64 | 1.33 | 2.1× | same, media |
-      || q268_lsh_table_dial | 0.37 | 5.38 | 14.7× (1.5/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
-      || q253_media_cdc_containment | 0.48 | 1.04 | 2.2× | informative-universe chunk index: the df cutoff bounds every bucket AND every denominator — flat |
-      || q275_cdc_recall_eval | 0.83 | 1.33 | 1.6× | CDC scoreboard: exact side rides the 128-bounded universe, so the ground-truth pass is as flat as the index it grades |
-      || q276_cdc_cap_dial | 0.67 | 1.16 | 1.7× | one-pass multi-cap CDC grading (per-cap shares AND sizes): flat — no abs-panel form needed, unlike the panel-cosine dials |
-      || q277_duplicate_span_extraction | 0.53 | 0.49 | 1.0× | unaligned span dedup (later-session back-to-back pair, single-pass form): one hash-keyed window shuffle + doc-local merges — linear by plan, fixed-overhead-dominated at these sizes |
-      || q278_contamination_runs | 0.78 | 0.79 | 1.0× | contamination runs (same-session pair): broadcast eval windows, corpus never shuffles, doc-local islands — flat |
+      || q141_robust_outliers | 1.70 | 7.96 | 4.7× | exact median/MAD global sort — the documented non-scaling exact form; its 100 TB path is q141b |
+      || q141b_robust_outliers_approx | 0.65 | 1.84 | 2.8× | the sketch sibling: better growth than exact q141, gap widens with scale |
+      || q236_pq_ann | 1.03 | 3.63 | 3.5× (0.35/query) | flat ADC scan is O(N) per query BY CONTRACT; measured per-query cost is strongly sublinear — the corpus-level form the production q279 pins |
+      || q249_ivfpq_ann | 1.01 | 2.47 | 2.4× (0.25/query) | cell-pruned IVF-PQ: lowest growth of the PQ family and sublinear per query — the routing claim, measured |
+      || q66_knn_ivf | 0.48 | 1.42 | 2.9× (0.29/query) | the bare IVF pillar: heap-argmax assignment + cell-pruned probe — tracks q249 as designed |
+      || q130_quantized_ann | 0.53 | 0.84 | 1.6× (0.16/query) | SQ8 brute scan with the native integer-dot scorer: bandwidth-bound, strongly sublinear per query |
+      || q86_kmeans_train | 2.12 | 2.05 | 1.0× | broadcast-assignment Lloyd's: fixed k and iterations, overhead-dominated at these sizes |
+      || q102_pagerank | 1.58 | 12.19 | 7.7× | staged integer PageRank: edge fan-out grows with the denser synthetic graph; iterations fixed |
+      || q184_basket_affinity | 0.71 | 1.82 | 2.6× | pair expansion bounded per order; shuffle grows linearly |
+      || q41_dedup_ngram_jaccard | 2.62 | 3.36 | 1.3× | inverted index + df cutoff: bucket caps bound pair expansion — flat (t(1×) higher than r12: the open vocab leaves more informative shingles under the cutoff, the honest regime) |
+      || q67_dedup_embedding_lsh | 1.13 | 2.71 | 2.4× | banded LSH + capped buckets: mildly superlinear in bucket density, far under quadratic |
+      || q251_probe_depth_calibration | 0.57 | 1.00 | 1.8× (0.18/query) | dial replays q66 at 3 depths over the grown panel — sublinear per query |
+      || q261_minhash_recall_eval | 2.56 | 5.24 | 2.0× | the share-panel scoreboard on the OPEN vocab: last round's 10.2× was the closed-vocab df artifact; at this decade the df-bounded exact side is near-linear |
+      || q272_minhash_recall_eval_abs | 0.93 | 2.10 | 2.3× | the fixed-absolute-panel production form — same slope as the dial |
+      || q262_simhash_recall_eval | 0.51 | 0.85 | 1.7× | pigeonhole band scoreboard over 8-byte sigs: flat — the cheap nightly |
+      || q263_media_simhash_recall_eval | 0.71 | 1.00 | 1.4× | same, media signatures |
+      || q264_embedding_recall_eval | 0.44 | 4.46 | 10.1× (1.0/query) | exact side is panel×corpus cosine BY CONTRACT — constant per panel vector; the 100 TB form is q270's fixed absolute panel |
+      || q265_bucket_cap_dial | 0.47 | 0.70 | 1.5× | one-pass multi-cap grading over the band index: flat |
+      || q266_media_cap_dial | 0.59 | 1.01 | 1.7× | same, media |
+      || q268_lsh_table_dial | 0.37 | 4.39 | 11.9× (1.2/query) | exact side shares q264's panel-cosine contract — the 100 TB form is q271's fixed absolute panel |
+      || q273_minhash_cap_dial | 2.31 | 5.26 | 2.3× | the cap dial on the open vocab — last round's 9.6× was the same closed-vocab artifact |
+      || q274_minhash_cap_dial_abs | 0.87 | 1.97 | 2.3× | the dial at the fixed absolute panel: linear — what a 100 TB fleet schedules nightly |
+      || q253_media_cdc_containment | 0.39 | 1.87 | 4.8× | CDC chunk index: the open vocab diversifies payload bytes, so MORE informative chunks survive the df cutoff than on the closed corpus — growth is index mass, honest and near-linear in it |
+      || q275_cdc_recall_eval | 0.52 | 1.49 | 2.9× | CDC scoreboard rides the df-bounded universe |
+      || q276_cdc_cap_dial | 0.50 | 1.38 | 2.8× | one-pass multi-cap CDC grading (per-cap shares AND sizes) |
+      || q277_duplicate_span_extraction | 0.17 | 0.29 | 1.7× | unaligned span dedup: one hash-keyed window shuffle + doc-local merges — linear by plan, overhead-dominated here |
+      || q278_contamination_runs | 0.35 | 0.51 | 1.5× | broadcast eval windows, corpus never shuffles, doc-local islands — flat |
+      || q279_pq_ann_fixed | 0.63 | 1.20 | 1.9× | NEW round 13: q236 under the production dials (≤64 abs queries, ≤256-entry codebook) — linear-by-plan flat scan, overhead-dominated at this decade |
+      || q280_ivfpq_ann_fixed | 0.78 | 1.24 | 1.6× | NEW round 13: q249 under the production dials + ⌊√n⌋ cells — the lowest-growth ANN form on the board |
       |
-      |Headline: the ANN family sits at 1.7–4.0× for 10× data with
-      |sublinear per-query cost across the board — q130 (1.7×) < q249
-      |(3.1×) ≈ q236 (3.7×) ≈ q66 (4.0×), all far below the pre-fix
-      |HOF/sort forms (20.9×/13.6× first run, 8.2×/7.1× second). The
-      |scoreboard/dial family splits as documented: pigeonhole-band and
-      |df-bounded ground truth flat (1.6–2.2× — q262/q263/q265/q266 and
-      |the whole CDC family q253/q275/q276); the share-based panels grow
-      |super-linearly BY CONTRACT (q261 10.2×, q264 12.3×, q268 14.7×,
-      |q273 9.6×) and each has its fixed-absolute-panel production
-      |sibling measured linear on the same corpus pair (q272 2.7×, q274
-      |2.5×; q270/q271 per their notes); q261's inverted-index side
-      |remains the one the GtBucketCap bound exists to protect (its
-      |growth is a closed-vocabulary artifact of the synthetic corpus —
-      |df grows with corpus only because the vocab cannot).
+      |Headline: the ANN family sits at 1.6–3.5× for 10× data with
+      |sublinear per-query cost across the board, and the NEW fixed-dial
+      |production forms (q279 1.9×, q280 1.6×) grow slower than every
+      |share-contract sibling. The scoreboard/dial family now splits
+      |three ways: pigeonhole-band and df-bounded ground truth flat
+      |(1.4–1.7×), the minhash share forms near-linear on the open vocab
+      |(2.0–2.3× — the r12 "quadratic" was the closed-vocab df artifact),
+      |and the panel-cosine contracts super-linear by design (q264 10.1×,
+      |q268 11.9×) with their abs-panel production siblings measured flat.
       |
       |## Second decade: sf1.0-equivalent → sf10-equivalent (100× data)
       |
       |`ScaleCorpus /tmp/sfx100 100` (200k vectors, 50k docs, 60M
-      |lineitem, 1.6 GB parquet), SPARK_DRIVER_MEM=48g; each pair below is
-      |min-of-2 warm-JVM runs measured back-to-back on sfx10 and sfx100
-      |(2026-08-16 run). This decade is where the BENCH CONTRACT itself
-      |goes quadratic for corpus-level ANN — panels are a corpus share
-      |(queries ∝ n) and the PQ codebook a corpus share (LUT rows ∝ n) —
-      |so the table separates the production-regime claims (fixed
-      |workload, fixed codebook: the linear rows) from the contract
-      |artifacts, and it caught one REAL defect: q249's probed-LUT
-      |broadcast collected 4.1 GiB to the driver and died on
-      |spark.driver.maxResultSize; the footer-gated hint (see
-      |`lutSideBytes`) now drops to a cent_id shuffle join above 256 MiB
-      |and q249 completes (driver crash → 268.6 s) with the sf-scale plan
-      |unchanged.
+      |lineitem, 1.6 GB parquet, 3 099 vocabulary types),
+      |SPARK_DRIVER_MEM=48g; round-13 rows (2026-08-16) are min over two
+      |back-to-back ScaleBench subset sessions (2–3 reps) PLUS a fresh-JVM
+      |BenchOne min-of-4 — the shared sfx100 session accumulates GC/page
+      |pressure that inflated q270 to ~5 s where a fresh JVM pins 0.99 s,
+      |so every headline row was cross-checked fresh. Rows marked (r12)
+      |are the 2026-08-16 round-12 measurements on the identical
+      |embeddings/lineitem data (the vocab change touches only documents)
+      |— kept for the share-contract ANN regime, where the r13 lesson
+      |(q249's 4.1 GiB LUT broadcast driver crash → footer-gated hint →
+      |268.6 s completion) still stands.
       |
       || query | t(10×) s | t(100×) s | ratio | reading |
       ||---|---|---|---|---|
-      || q270_embedding_recall_eval_abs | 1.02 | 2.10 | 2.1× | the abs-panel linearization HOLDS into decade 2 — O(64·n) as designed |
-      || q271_lsh_table_dial_abs | 0.85 | 1.43 | 1.7× | same — nightly table recalibration stays flat |
-      || q272_minhash_recall_eval_abs | 2.64 | 11.89 | 4.5× | linear in df mass; above-linear residual is the closed-31-word-vocab artifact (df ∝ n because the vocab cannot grow) |
-      || q274_minhash_cap_dial_abs | 2.56 | 23.73 | 9.3× | the dial grades all caps against the SAME df-mass ground truth — the vocab artifact compounds across the cap sweep; on an open vocab df saturates and this flattens to q272's slope |
-      || q277_duplicate_span_extraction | 0.68 | 1.43 | 2.1× | unaligned span dedup: flat across BOTH decades |
-      || q278_contamination_runs | 0.96 | 2.85 | 3.0× | broadcast-eval contamination runs: linear |
-      || q141b_robust_outliers_approx | 3.20 | 18.33 | 5.7× | sketch percentiles: sublinear into decade 2 while exact q141 is the documented non-scaling form |
-      || q130_quantized_ann | 1.50 | 24.11 | 16.1× | SQ8 brute scan: queries×corpus BY CONTRACT — 1.6×/query, still sublinear per query |
-      || q66_knn_ivf | 1.83 | 84.9 | 46× | IVF exact: probes·cell_size ∝ n per query × queries ∝ n — quadratic by contract, but 3× cheaper than q249 HERE because its query side ships 512-byte vectors, not share-sized LUTs; with production's fixed codebook the PQ forms win back their decade-1 edge |
-      || q236_pq_ann | 3.86 | 400.0 | 104× | flat ADC is O(queries·corpus) and the share-sized codebook makes LUT rows ∝ n on top — the contract's quadratic regime, measured; production fixes both factors (fixed workload, fixed 256-entry codebook) |
-      || q249_ivfpq_ann | 3.14 | 268.6 | 86× | WAS a driver crash before the broadcast gate; completes with cells pruned. Cell pruning saves 10× in candidates but share-sized LUT transport dominates here — with a fixed codebook/workload the broadcast plan survives and per-query cost is the decade-1 sublinear reading |
+      || q270_embedding_recall_eval_abs | 0.55 | 0.99 | 1.8× | the abs-panel linearization HOLDS into decade 2 — O(64·n) as designed |
+      || q271_lsh_table_dial_abs | 0.42 | 0.76 | 1.8× | same — nightly table recalibration stays flat |
+      || q272_minhash_recall_eval_abs | 2.30 | 5.10 | 2.2× | ON THE OPEN VOCAB the r12 artifact reading (4.5×) flattens to the q270/q271 slope — VERDICT r12 item 2, closed |
+      || q274_minhash_cap_dial_abs | 2.16 | 4.88 | 2.3× | was 9.3× on the closed vocab; the cap sweep no longer compounds a df artifact — same slope as q272, as predicted |
+      || q261_minhash_recall_eval | 15.4 | 99.6 | 6.5× | the SHARE panel at decade 2: the Zipf head's df ∝ n (real stopword behavior) × panel ∝ n is super-linear BY CONTRACT — the regime the abs forms exist to replace (same-session pair; the box floor moved between sessions) |
+      || q273_minhash_cap_dial | 6.4 | 101.2 | 15.9× | share-panel dial, same contract regime as q261 |
+      || q253_media_cdc_containment | 1.87 | 3.06 | 1.6× | CDC containment: flat into decade 2 |
+      || q275_cdc_recall_eval | 1.49 | 3.67 | 2.5× | CDC scoreboard: df-bounded ground truth stays linear |
+      || q276_cdc_cap_dial | 1.38 | 3.56 | 2.6× | CDC cap dial: one-pass grading stays linear |
+      || q277_duplicate_span_extraction | 0.29 | 0.52 | 1.8× | unaligned span dedup: flat across BOTH decades, both vocabularies |
+      || q278_contamination_runs | 0.51 | 1.45 | 2.8× | broadcast-eval contamination runs: linear |
+      || q279_pq_ann_fixed | 1.31 | 5.54 | 4.2× | NEW: the fixed-dial flat-scan PQ — ~linear for 10× data where share-form q236 measured 104× (r12); the production regime, measured, not argued |
+      || q280_ivfpq_ann_fixed | 1.44 | 15.3 | 10.6× | NEW: fixed dials + ⌊√n⌋ cells — 17× cheaper than share-form q249's 268.6 s at the same corpus. Total is BUILD-dominated (n·√n assignment + n·256 codes, the amortizable index build); the QUERY side is probes·√n by plan — measured 714→2 128 scanned candidates/query for 10× data (≈√10), with the 2.6 MB qside broadcast retained under the driver-safety budget (plan-pinned) |
+      || q141b_robust_outliers_approx (r12) | 3.20 | 18.33 | 5.7× | sketch percentiles: sublinear into decade 2 while exact q141 is the documented non-scaling form |
+      || q130_quantized_ann (r12) | 1.50 | 24.11 | 16.1× | SQ8 brute scan: queries×corpus BY CONTRACT — 1.6×/query, still sublinear per query |
+      || q66_knn_ivf (r12) | 1.83 | 84.9 | 46× | IVF exact at share contract: probes·cell_size ∝ n per query × queries ∝ n — quadratic by contract; q280 is the fixed-dial remedy, measured above |
+      || q236_pq_ann (r12) | 3.86 | 400.0 | 104× | flat ADC with share-sized panel AND codebook — the contract's quadratic regime; q279 is the fixed-dial remedy, measured above (5.5 s at the same corpus) |
+      || q249_ivfpq_ann (r12) | 3.14 | 268.6 | 86× | WAS a driver crash before the broadcast gate; completes with cells pruned. Share-sized LUT transport dominates; q280 (fixed codebook/workload) keeps the broadcast plan and collapses this to 15.3 s |
+      |
+      |The round-12 prescription asked for the production ANN regime to be
+      |measured directly rather than argued from the share-form artifacts:
+      |q279/q280 are those measurements. Per-query scan sublinearity shows
+      |at the operator level — scanned candidates/query are probes·(n/⌊√n⌋)
+      |= 233/714/2 128 at mult 1/10/100 (measured from the corpus with the
+      |shipped stride rule), i.e. ×3.0 per decade for ×10 data — while
+      |wall-clock totals at these toy scales are dominated by the index
+      |BUILD (which production amortizes across millions of queries; the
+      |64-query panel here replays it per run). Both fixed forms are
+      |oracle-checked hash-exact at sf and plan-pinned (broadcast retained,
+      |native kernels, no CartesianProduct).
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —

@@ -6,7 +6,9 @@ package graft
   * calibration-dial families, whose ground-truth passes are the newest
   * bounded plans. min-of-reps in a warm JVM, BenchOne's convention.
   *
-  * Usage: runMain graft.ScaleBench <sfDir> [reps] [label]
+  * Usage: runMain graft.ScaleBench <sfDir> [reps] [label] [query...]
+  * (trailing query names restrict the run — the decade-2 dev loop, where
+  * the full headline would spend minutes per share-contract ANN rep).
   */
 object ScaleBench {
   val Headline: Seq[String] = Seq(
@@ -19,6 +21,7 @@ object ScaleBench {
     "q262_simhash_recall_eval", "q263_media_simhash_recall_eval",
     "q264_embedding_recall_eval", "q265_bucket_cap_dial",
     "q266_media_cap_dial", "q268_lsh_table_dial",
+    "q270_embedding_recall_eval_abs", "q271_lsh_table_dial_abs",
     "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs",
     "q253_media_cdc_containment", "q275_cdc_recall_eval",
     "q276_cdc_cap_dial", "q277_duplicate_span_extraction",
@@ -29,10 +32,11 @@ object ScaleBench {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val label = if (args.length > 2) args(2) else sfDir
+    val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Headline.foreach { name =>
+    (if (only.isEmpty) Headline else Headline.filter(only)).foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

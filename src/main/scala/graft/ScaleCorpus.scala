@@ -12,20 +12,27 @@ import org.apache.spark.sql.functions._
   * the mimicry, sfx1-vs-sfx10 measures the growth exponent like-for-like
   * on one generator.
   *
-  * Mimicked statistics (measured): documents draw 10–100 tokens uniformly
-  * from the corpus's 31-word vocabulary, 5 langs, 20 sources; embeddings
-  * are unit-norm 64-dim vectors with per-dim spread ~1/8; lineitem keeps
-  * 4 lines/order, part/supp key cardinalities at 1/30 and 1/600 of rows,
-  * uniform flag/status mixes and a two-year shipdate span. `events` is
-  * deliberately not generated — no headline query reads it.
+  * Mimicked statistics (measured): documents draw 10–100 tokens per doc,
+  * 5 langs, 20 sources; embeddings are unit-norm 64-dim vectors with
+  * per-dim spread ~1/8; lineitem keeps 4 lines/order, part/supp key
+  * cardinalities at 1/30 and 1/600 of rows, uniform flag/status mixes and
+  * a two-year shipdate span. `events` is deliberately not generated — no
+  * headline query reads it.
+  *
+  * OPEN vocabulary (round-13 fix): tokens are Zipf(1)-distributed ranks
+  * over a type set that GROWS with the corpus (V = 31·mult — Heaps-law
+  * behavior, the way a real scraped corpus accrues new types), via the
+  * log-uniform inverse transform t = ⌊V^u⌋ (P(t) ∝ 1/t). The previous
+  * CLOSED 31-word vocabulary made EVERY shingle's document frequency
+  * grow ∝ n — it could never saturate — which polluted the decade-2
+  * readings of the df-mass-bounded forms (q272 read 4.5× and q274 9.3×
+  * at 100× purely from that artifact, SCALE.md r12). With V ∝ n, head
+  * tokens stay hot (Zipf) but tail-shingle df stays O(1), so the
+  * df-bounded ground-truth passes measure their real linear slope.
   *
   * Usage: runMain graft.ScaleCorpus <outDir> <mult>
   */
 object ScaleCorpus {
-  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
-    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
-    "merge", "order", "part", "query", "row", "scan", "slow", "small",
-    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
   private def h(salt: Int): Column = xxhash64(col("id"), lit(salt))
@@ -51,15 +58,16 @@ object ScaleCorpus {
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
 
-    // documents: 10–100 tokens drawn per-position from the 31-word vocab
-    val vocabCol = array(Vocab.map(lit): _*)
+    // documents: 10–100 tokens, Zipf(1) ranks over the sf-scaled type set
+    // via t = ⌊V^u⌋ with u uniform in [0,1) — see the class doc
+    val vocabTypes = 31.0 * mult
     val docs = spark.range(nDocs)
       .withColumn("ntok", (hm(1, 91) + 10).cast("int"))
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(1), col("ntok")),
-          i => element_at(vocabCol,
-            (pmod(xxhash64(col("id"), i, lit(2)), lit(Vocab.length)) + 1)
-              .cast("int")))).as("text"),
+          i => concat(lit("w"), floor(pow(lit(vocabTypes),
+            pmod(xxhash64(col("id"), i, lit(2)), lit(1000000L))
+              .cast("double") / 1000000.0d)).cast("long")))).as("text"),
         element_at(array(Langs.map(lit): _*),
           (hm(3, Langs.length) + 1).cast("int")).as("lang"),
         concat(lit("src"), hm(4, 20)).as("source"))
