@@ -370,6 +370,74 @@ object IndexLifecycle {
     SimilarityQueries.ivfPqTopKFrom(s, dir,
       readCentroids(s, centsRoot), readCodebook(s, codebookRoot), probes)
 
+  // ---------- the SERVED index pillar: stored PQ codes ----------
+  //
+  // The centroid and codebook pillars version the QUANTIZERS; what a
+  // production deployment actually serves is the CODED TABLE derived
+  // from them — FAISS's .index file is quantizers + codes in one
+  // artifact. Every read-through above re-derives the codes from the
+  // corpus per query, which is correct but pays the whole index build on
+  // every search (measured: q280's decade-2 wall-clock is build-
+  // dominated). This pillar persists (vec_id, cd, cent_id) PARTITIONED
+  // BY cent_id next to copies of the EXACT centroid and codebook frames
+  // it was coded with, so one v=N directory is a self-consistent serving
+  // artifact — a query LUT can never address codes trained by a
+  // different book, and the probed-cell join prunes whole partitions of
+  // the stored scan. Same ATOMIC_MOVE discipline as every pillar.
+
+  private val PqCodesSchema = "vec_id BIGINT, cd ARRAY<BIGINT>, cent_id BIGINT"
+  private val PqCentsSchema = "cent_id BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE"
+  private val PqBookSchema =
+    "m INT, cent_id BIGINT, csub ARRAY<DOUBLE>, crk BIGINT"
+
+  /** Install the complete serving index coded from `dir` under the given
+    * quantizer frames. The codes are derived from the STAGED copies of
+    * the quantizers (the [[install]] rule: the recorded artifact provably
+    * describes what was installed, not an in-memory lineage that could
+    * recompute differently). */
+  def installPqIndex(s: SparkSession, root: String, version: Long,
+                     cents: DataFrame, codebook: DataFrame, dir: String,
+                     interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      cents.write.mode("overwrite")
+        .parquet(staging.resolve("centroids").toString)
+      codebook.write.mode("overwrite")
+        .parquet(staging.resolve("codebook").toString)
+      val sc = s.read.schema(PqCentsSchema)
+        .parquet(staging.resolve("centroids").toString)
+      val sb = s.read.schema(PqBookSchema)
+        .parquet(staging.resolve("codebook").toString)
+      SimilarityQueries.pqIndexRows(s, dir, sc, sb)
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(staging.resolve("codes").toString)
+    }
+
+  /** The latest committed serving index: (codes, centroids, codebook).
+    * Explicit schemas — an empty corpus installs an empty (file-less)
+    * artifact, which schema inference cannot read back. */
+  def readPqIndex(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed pq index under $root"))
+    (s.read.schema(PqCodesSchema).parquet(s"$root/v=$v/codes"),
+      s.read.schema(PqCentsSchema).parquet(s"$root/v=$v/centroids"),
+      s.read.schema(PqBookSchema).parquet(s"$root/v=$v/codebook"))
+  }
+
+  /** q249's search served FROM the installed index: stored codes, stored
+    * quantizers, zero per-query re-coding — the production read path.
+    * The qside broadcast is gated by the installed codebook's actual
+    * size (one count of the pillar-sized frame, the sanctioned
+    * control-plane read). */
+  def searchPqIndex(s: SparkSession, root: String, dir: String,
+                    probes: Int = SimilarityQueries.IvfProbes,
+                    panelIdCap: Option[Long] = None): DataFrame = {
+    val (codes, cents, book) = readPqIndex(s, root)
+    val nQueries = graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1
+    SimilarityQueries.ivfPqServe(s, dir, codes, cents, book, probes,
+      estBytes = nQueries * probes * 8L * book.count(), panelIdCap)
+  }
+
   // ---------- near-dup cap pillar ----------
 
   /** The latest committed bucket cap — the near-dup index's operating

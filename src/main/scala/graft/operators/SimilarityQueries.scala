@@ -500,13 +500,24 @@ object SimilarityQueries {
     * changes results only through the artifact it installs, through
     * exactly the q249 plan shape (codes ⋈ broadcast(probed LUTs) on
     * cent_id, ADC prune, exact re-rank). */
-  private[graft] def ivfPqTopKFrom(s: SparkSession, dir: String,
-                                   cents: DataFrame, codebook: DataFrame,
-                                   probes: Int = IvfProbes): DataFrame = {
-    val coded = pqCodesFrom(s, dir, codebook)
+  /** The complete IVF-PQ index rows `(vec_id, cd, cent_id)` for ARBITRARY
+    * quantizer frames — the artifact [[IndexLifecycle.installPqIndex]]
+    * persists: each vector's cell id plus its 4 PQ codes, the FAISS
+    * .index payload. ONE definition shared by the live pipeline
+    * ([[ivfPqTopKFrom]]) and the store's install path, so a coding tweak
+    * moves the served index and the per-query rebuild together. */
+  private[graft] def pqIndexRows(s: SparkSession, dir: String,
+                                 cents: DataFrame,
+                                 codebook: DataFrame): DataFrame =
+    pqCodesFrom(s, dir, codebook)
       .join(IndexLifecycle.assign(
           normed(s, dir).select(col("vec_id"), col("v")), cents),
         "vec_id")
+
+  private[graft] def ivfPqTopKFrom(s: SparkSession, dir: String,
+                                   cents: DataFrame, codebook: DataFrame,
+                                   probes: Int = IvfProbes): DataFrame = {
+    val coded = pqIndexRows(s, dir, cents, codebook)
     val qside = ivfQueryProbesFrom(s, dir, probes, cents)
       .select(col("query_id"), col("cent_id"))
       .join(pqQueryLutsFrom(s, dir, codebook), "query_id")
@@ -566,7 +577,7 @@ object SimilarityQueries {
     math.max(1L, nVecs / nlist)
   }
 
-  private def fixedCents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fixedCents(s: SparkSession, dir: String): DataFrame = {
     val stride = fixedCentStride(Tables.parquetRowCount(s, dir, "embeddings"))
     normed(s, dir).filter(
       ((col("vec_id") % 2147483647L) * 1103515245L + 12345L)
@@ -610,6 +621,30 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
     adcPruneRerank(s, dir, cand, depth = IvfPqDepth, Some(FixedPanelMaxId))
+  }
+
+  /** The IVF-PQ SERVE path: score an ALREADY-CODED index frame
+    * `coded(vec_id, cd, cent_id)` — read from the installed PQ-index
+    * pillar, never re-derived — against the query panel routed and
+    * LUT-ed through the SAME quantizer frames the codes were built with.
+    * This is the pipeline a production deployment actually runs per
+    * query batch: the corpus's float vectors are touched only by the
+    * exact re-rank's id-bounded lookup, the scan side carries 4 small
+    * codes per row, and the index build (q280's dominant decade-2 cost)
+    * is amortized into [[IndexLifecycle.installPqIndex]]. `estBytes`
+    * gates the qside broadcast exactly as the live forms do. */
+  private[graft] def ivfPqServe(s: SparkSession, dir: String,
+                                coded: DataFrame, cents: DataFrame,
+                                codebook: DataFrame, probes: Int,
+                                estBytes: Long,
+                                panelIdCap: Option[Long]): DataFrame = {
+    val qside = ivfQueryProbesFrom(s, dir, probes, cents, panelIdCap)
+      .select(col("query_id"), col("cent_id"))
+      .join(pqQueryLutsFrom(s, dir, codebook, panelIdCap), "query_id")
+    val cand = coded.join(hintIfDriverSafe(qside, estBytes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
+    adcPruneRerank(s, dir, cand, depth = IvfPqDepth, panelIdCap)
   }
 
   /** The recall scoreboard shared by q246 (IVF) and q247 (PQ): exact top-k
@@ -969,6 +1004,27 @@ object SimilarityQueries {
        |  JOIN n qn ON qn.vec_id = p.query_id
        |  WHERE p.prk <= $depth
        |)""".stripMargin
+
+  /** The q280/q281 oracle: one replay of the fixed-dial IVF-PQ pipeline.
+    * SHARED because the two queries are the same math by contract — q280
+    * derives the codes per run, q281 serves them from the installed
+    * pillar; the spec pins them row-identical, and a shared oracle means
+    * the contract cannot drift between them. */
+  private lazy val ivfPqFixedOracleSql: String =
+    s"""$pqAsgFixedSqlCtes, n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
+       |  FROM e
+       |), ${ivfPqFixedSqlCtes(IvfProbes, IvfPqDepth)}, reranked AS (
+       |  SELECT query_id, neighbor_id, c,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY c DESC, neighbor_id) rk
+       |  FROM rr
+       |)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) rk,
+       |       round(c, 4) AS cos
+       |FROM reranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
 
   /** (vec_id, v, nrm, cd): [[normed]] plus q84's per-dimension min-max int8
     * codes — ONE copy of the quantization expression tree, because both
@@ -2412,20 +2468,7 @@ object SimilarityQueries {
 
     GraftQuery(
       "q280_ivfpq_ann_fixed",
-      Some(s"""$pqAsgFixedSqlCtes, n AS (
-              |  SELECT vec_id, v,
-              |         sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) nrm
-              |  FROM e
-              |), ${ivfPqFixedSqlCtes(IvfProbes, IvfPqDepth)}, reranked AS (
-              |  SELECT query_id, neighbor_id, c,
-              |         row_number() OVER (PARTITION BY query_id
-              |                            ORDER BY c DESC, neighbor_id) rk
-              |  FROM rr
-              |)
-              |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) rk,
-              |       round(c, 4) AS cos
-              |FROM reranked WHERE rk <= $K
-              |ORDER BY query_id, rk""".stripMargin),
+      Some(ivfPqFixedOracleSql),
       "q249's IVF-PQ retrieval under the FIXED production dials — the " +
         "form whose growth curve answers the 100 TB question directly: " +
         "panel pinned at ≤" + (FixedPanelMaxId / 50) + " absolute ids, " +
@@ -2444,6 +2487,45 @@ object SimilarityQueries {
         "and integer-divided identically, so the replay is hash-exact."
     ) { (s, dir) =>
       ivfPqTopKFixed(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
+      "q281_ivfpq_index_serve",
+      Some(ivfPqFixedOracleSql),
+      "q280 served FROM the installed PQ-index pillar — the production " +
+        "READ path, separated from the index build the way a deployment " +
+        "actually runs: `IndexLifecycle.installPqIndex` persists the " +
+        "complete serving artifact once (codes (vec_id, 4 PQ codes) " +
+        "PARTITIONED BY cent_id, next to copies of the exact centroid " +
+        "and codebook frames they were coded with — FAISS's .index " +
+        "payload as a versioned ATOMIC_MOVE pillar), and each query " +
+        "batch then touches ONLY the stored code rows of its probed " +
+        "cells — Catalyst plans DYNAMIC PARTITION PRUNING on the stored " +
+        "scan from the broadcast qside join (plan-pinned), so serve-path " +
+        "I/O is probes·|cell| per batch, not |index| — plus an " +
+        "id-bounded exact re-rank; no per-query re-coding, " +
+        "no corpus-side float vectors on the scan. The install is " +
+        "memoized per corpus fingerprint (q78's staging discipline), so " +
+        "steady-state runs measure the serve path alone — at the 100× " +
+        "scale corpus that is the difference between q280's " +
+        "build-dominated total and a constant-workload scan of " +
+        "probes·√n code rows. Same fixed dials and the SAME oracle text " +
+        "as q280: stored codes and derived codes are one contract, " +
+        "pinned row-identical by IndexLifecycleSpec."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "pqindex",
+        graft.Tables.fingerprint(s, s"$dir/embeddings.parquet")) { out =>
+        IndexLifecycle.installPqIndex(s, out, 1L,
+          fixedCents(s, dir), pqCodebookFixed(s, dir), dir)
+        ()
+      }
+      val (codes, cents, book) = IndexLifecycle.readPqIndex(s, root)
+      ivfPqServe(s, dir, codes, cents, book, IvfProbes,
+        estBytes = lutSideBytesFor(64L, IvfProbes, 4L * FixedCodebookEntries),
+        panelIdCap = Some(FixedPanelMaxId))
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("c"), 4).as("cos"))
         .orderBy("query_id", "rk")

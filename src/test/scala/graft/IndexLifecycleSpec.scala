@@ -655,6 +655,54 @@ class IndexLifecycleSpec extends SparkSpec {
       .head.getLong(0).toInt === chosen)
   }
 
+  test("pq-index pillar: stored codes serve exactly the live pipeline; swap moves results; replay no-op") {
+    import graft.operators.SimilarityQueries
+    val root = Files.createTempDirectory("graft_pqindex_store").toString
+    val dir = Files.createTempDirectory("graft_pqindex_corpus").toString
+    val c = corpus
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // v1: quantizers trained on the OLD epoch, codes for the full corpus
+    val cents1 = IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2)
+    val book1 = IndexLifecycle.trainCodebook(asVec(oldEpoch(c)))
+    assert(IndexLifecycle.installPqIndex(spark, root, 1L, cents1, book1, dir))
+
+    def serve(): Seq[Seq[Any]] =
+      IndexLifecycle.searchPqIndex(spark, root, dir).collect()
+        .map(_.toSeq).toSeq
+    // the stored serve path IS the live pipeline over the same quantizers
+    val live1 = SimilarityQueries.ivfPqTopKFrom(spark, dir, cents1, book1)
+      .collect().map(_.toSeq).toSeq
+    val s1 = serve()
+    assert(s1.nonEmpty && s1 == live1,
+      "stored codes must serve exactly what the live pipeline derives")
+    assert(s1 == serve(), "a fixed version must serve deterministically")
+
+    // replayed install of a committed version is a strict no-op
+    assert(!IndexLifecycle.installPqIndex(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(c), k = 3), book1, dir))
+    assert(serve() == s1, "replay must not touch the committed artifact")
+
+    // v2: retrained quantizers — one swap moves the SERVED artifact (the
+    // codes re-cluster into the new cells) and the read path follows it,
+    // again exactly the live pipeline's output. The top-k ROWS may
+    // legitimately coincide across versions — the deep ADC prune + exact
+    // re-rank is designed to make results robust to quantizer changes —
+    // so the pin is on the served artifact and the live-equality, not on
+    // result churn.
+    val cents2 = IndexLifecycle.train(spark, asVec(c), k = 3)
+    val book2 = IndexLifecycle.trainCodebook(asVec(c))
+    assert(IndexLifecycle.installPqIndex(spark, root, 2L, cents2, book2, dir))
+    val (codes2, storedCents2, _) = IndexLifecycle.readPqIndex(spark, root)
+    assert(storedCents2.count() === 3L &&
+      codes2.select("cent_id").distinct().count() === 3L,
+      "the swap alone must re-cluster the stored codes into v2's cells")
+    val live2 = SimilarityQueries.ivfPqTopKFrom(spark, dir, cents2, book2)
+      .collect().map(_.toSeq).toSeq
+    assert(serve() == live2,
+      "the serve path must follow the newly installed version")
+  }
+
   test("a centroid-pillar swap moves SemDeDup, prototypicality and filtered search through the store alone") {
     val root = Files.createTempDirectory("graft_sel_store").toString
     val dir = Files.createTempDirectory("graft_sel_corpus").toString

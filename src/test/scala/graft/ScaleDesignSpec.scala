@@ -424,6 +424,10 @@ class ScaleDesignSpec extends SparkSpec {
         "(assignment + routing) and the ≤256-entry capped codebook side; " +
         "the ADC scan itself is the broadcast cent_id equi-join the " +
         "fixed-form plan test pins"),
+      "q281_ivfpq_index_serve" -> ("the installed pillar's ⌊√n⌋ centroid " +
+        "and ≤256-entry codebook frames broadcast for query routing/LUTs " +
+        "— pillar-sized artifacts, the codes themselves meet the qside " +
+        "in the stored-scan cent_id equi-join"),
       "q251_probe_depth_calibration" ->
         ("q43's + q66's hash/LCG-sampled broadcast sides: the dial sweeps " +
           "the already-sanctioned ivfTopK pipeline at each candidate depth " +
@@ -470,7 +474,10 @@ class ScaleDesignSpec extends SparkSpec {
     // round-trip IS the semantics); steady-state re-construction must still
     // be job-free.
     Seq("q78_json_roundtrip", "q79_csv_roundtrip", "q112_partitioned_prune",
-      "q140_text_roundtrip", "q224_orc_roundtrip", "q225_avro_ocf_roundtrip")
+      "q140_text_roundtrip", "q224_orc_roundtrip", "q225_avro_ocf_roundtrip",
+      // q281 installs its PQ-index pillar on first construction (the same
+      // memoized one-time staging); steady-state serving is job-free
+      "q281_ivfpq_index_serve")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -984,5 +991,26 @@ class ScaleDesignSpec extends SparkSpec {
         !p.toLowerCase.contains("zip_with"),
         s"$q must keep the native-kernel hot path:\n$p")
     }
+  }
+
+  test("stored PQ-index serve: dynamic partition pruning cuts the codes scan to probed cells") {
+    // q281 serves from the installed pillar, whose codes are PARTITIONED
+    // BY cent_id; the broadcast qside equi-join must plan a
+    // dynamicpruningexpression on the stored scan — at 100 TB with
+    // thousands of cells and a fixed query panel, this is what turns the
+    // serve path's I/O from |index| into probes·|cell| per batch.
+    val df = SparkEntry.queries("q281_ivfpq_index_serve")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"the stored codes scan must carry a DPP partition filter:\n$plan")
+    assert(plan.contains("graft_top_pairs") &&
+      !plan.toLowerCase.contains("zip_with"),
+      s"the serve path must keep the heap prune and native kernels:\n$plan")
+    // and the serve result IS q280 row-for-row (one contract, one oracle)
+    val served = df.collect().map(_.toSeq).toSeq
+    val derived = SparkEntry.queries("q280_ivfpq_ann_fixed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == derived,
+      "stored codes and per-run derived codes must serve identical results")
   }
 }
