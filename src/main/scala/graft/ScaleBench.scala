@@ -26,7 +26,7 @@ object ScaleBench {
     "q253_media_cdc_containment", "q275_cdc_recall_eval",
     "q276_cdc_cap_dial", "q277_duplicate_span_extraction",
     "q278_contamination_runs",
-    "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed")
+    "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed", "q281_ivfpq_index_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -410,6 +410,12 @@ object IndexLifecycle {
       SimilarityQueries.pqIndexRows(s, dir, sc, sb)
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(staging.resolve("codes").toString)
+      // baseline = the STAGED codes' own cell masses (the install rule:
+      // recorded evidence describes exactly the artifact installed)
+      val stagedCodes = s.read.schema(PqCodesSchema)
+        .parquet(staging.resolve("codes").toString)
+      cellPpm(stagedCodes.select("vec_id", "cent_id"), sc)
+        .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
     }
 
   /** The latest committed serving index: (codes, centroids, codebook).
@@ -436,6 +442,46 @@ object IndexLifecycle {
     val nQueries = graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1
     SimilarityQueries.ivfPqServe(s, dir, codes, cents, book, probes,
       estBytes = nQueries * probes * 8L * book.count(), panelIdCap)
+  }
+
+  /** Per-cell drift of the CURRENT corpus at `dir` vs the served index's
+    * install-time cell masses: (cent_id, baseline_ppm, current_ppm,
+    * shift_ppm, rebalance) — the q241 dial read against the stored
+    * artifact. A corpus that grew or shifted since install codes new
+    * arrivals into cells the served index sized differently; the flag is
+    * the rebuild trigger, exactly the centroid pillar's contract. */
+  def pqIndexDriftAudit(s: SparkSession, root: String,
+                        dir: String): DataFrame = {
+    val (_, cents, _) = readPqIndex(s, root)
+    val vectors = SimilarityQueries.normed(s, dir).select(col("vec_id"), col("v"))
+    val v = latestVersion(root).get
+    val current = cellPpm(assign(vectors, cents), cents)
+      .select(col("cent_id"), col("ppm").as("current_ppm"))
+    s.read.parquet(s"$root/v=$v/baseline")
+      .select(col("cent_id"), col("ppm").as("baseline_ppm"))
+      .join(current, "cent_id")
+      .withColumn("shift_ppm", abs(col("current_ppm") - col("baseline_ppm")))
+      .withColumn("rebalance", col("shift_ppm") > RebalancePpm)
+      .orderBy("cent_id")
+  }
+
+  /** The closed loop for the served index: audit against the current
+    * corpus; if any cell flags, retrain BOTH quantizers on it and
+    * install the next version's complete coded artifact atomically.
+    * Green right after a rebuild by construction. */
+  def rebuildPqIndexIfDrifted(s: SparkSession, root: String, dir: String,
+                              k: Int): Option[Long] = {
+    val flagged = pqIndexDriftAudit(s, root, dir)
+      .filter(col("rebalance")).limit(1).count() > 0
+    if (!flagged) None
+    else {
+      val vectors = SimilarityQueries.normed(s, dir)
+        .select(col("vec_id"), col("v"))
+      val next = latestVersion(root).getOrElse(0L) + 1
+      installPqIndex(s, root, next, train(s, vectors, k),
+        trainCodebook(vectors), dir)
+      Some(next)
+    }
   }
 
   // ---------- near-dup cap pillar ----------

@@ -703,6 +703,41 @@ class IndexLifecycleSpec extends SparkSpec {
       "the serve path must follow the newly installed version")
   }
 
+  test("pq-index pillar: audit green at install, corpus shift flags, rebuild-and-swap turns it green") {
+    val root = Files.createTempDirectory("graft_pqindex_drift").toString
+    val dir = Files.createTempDirectory("graft_pqindex_dcorpus").toString
+    val c = corpus
+
+    // v1: the served index describes the OLD epoch exactly
+    oldEpoch(c).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2),
+      IndexLifecycle.trainCodebook(asVec(oldEpoch(c))), dir))
+    val a1 = IndexLifecycle.pqIndexDriftAudit(spark, root, dir).collect()
+    assert(a1.nonEmpty &&
+      a1.forall(_.getLong(a1.head.fieldIndex("shift_ppm")) == 0L),
+      s"a freshly installed index must audit green:\n${a1.mkString("\n")}")
+    assert(IndexLifecycle.rebuildPqIndexIfDrifted(spark, root, dir, k = 3).isEmpty)
+
+    // the NEW epoch lands: e2 mass crowds one old cell far past the dial
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val a2 = IndexLifecycle.pqIndexDriftAudit(spark, root, dir).collect()
+    assert(a2.exists(_.getBoolean(a2.head.fieldIndex("rebalance"))),
+      s"a shifted corpus must flag the served index:\n${a2.mkString("\n")}")
+
+    // closed loop: retrain both quantizers, re-code, atomic swap — green
+    assert(IndexLifecycle.rebuildPqIndexIfDrifted(spark, root, dir, k = 3)
+      === Some(2L))
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+    val a3 = IndexLifecycle.pqIndexDriftAudit(spark, root, dir).collect()
+    assert(a3.nonEmpty &&
+      !a3.exists(_.getBoolean(a3.head.fieldIndex("rebalance"))),
+      s"post-rebuild audit must read green:\n${a3.mkString("\n")}")
+    // a second loop pass is a no-op
+    assert(IndexLifecycle.rebuildPqIndexIfDrifted(spark, root, dir, k = 3).isEmpty)
+  }
+
   test("a centroid-pillar swap moves SemDeDup, prototypicality and filtered search through the store alone") {
     val root = Files.createTempDirectory("graft_sel_store").toString
     val dir = Files.createTempDirectory("graft_sel_corpus").toString
