@@ -97,6 +97,7 @@ object NotesDump {
       || q278_contamination_runs | 0.35 | 0.51 | 1.5× | broadcast eval windows, corpus never shuffles, doc-local islands — flat |
       || q279_pq_ann_fixed | 0.63 | 1.20 | 1.9× | NEW round 13: q236 under the production dials (≤64 abs queries, ≤256-entry codebook) — linear-by-plan flat scan, overhead-dominated at this decade |
       || q280_ivfpq_ann_fixed | 0.78 | 1.24 | 1.6× | NEW round 13: q249 under the production dials + ⌊√n⌋ cells — the lowest-growth ANN form on the board |
+      || q281_ivfpq_index_serve | 1.04 | 1.55 | 1.5× | NEW round 13: the stored-index serve path (fresh-JVM min-of-5, rep 1's memoized install excluded as build) — flat at this decade, sublinear at the next (see below) |
       |
       |Headline: the ANN family sits at 1.6–3.5× for 10× data with
       |sublinear per-query cost across the board, and the NEW fixed-dial
