@@ -2066,6 +2066,7 @@ object DedupQueries {
 
     rollingWindowQuery,
     contaminationRunQuery,
+    decontaminateExciseQuery,
   )
 
   /** (doc_id, i, g) — every stride-1 rolling 4-token window of every
@@ -2284,6 +2285,93 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_runs"),
           max(col("b") - col("a") + 1).as("max_run_tokens"),
           sum(col("b") - col("a") + 1).as("covered_tokens"))
+        .orderBy("doc_id")
+    }
+
+  private def decontaminateExciseQuery: GraftQuery =
+    GraftQuery(
+      "q282_decontaminate_excise",
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i,
+             |         array_to_string(w[i + 1 : i + 4], ' ') AS g
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT) - 3)) AS t(i)
+             |  WHERE len(w) >= 4
+             |), ev AS (
+             |  SELECT DISTINCT g FROM wins WHERE doc_id % 97 = 0
+             |), dup AS (
+             |  SELECT wins.doc_id, wins.i FROM wins JOIN ev USING (g)
+             |  WHERE wins.doc_id % 97 <> 0
+             |), $spanMergeSqlCtes, audit AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+             |         CAST(sum(b - a + 1) AS BIGINT) AS excised_tokens
+             |  FROM spans GROUP BY doc_id
+             |), tokpos AS (
+             |  SELECT doc_id, i AS p, w[CAST(i + 1 AS INT)] AS tok
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT))) AS t(i)
+             |  WHERE doc_id % 97 <> 0
+             |), cln AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+             |  FROM (SELECT t.doc_id, t.p, t.tok
+             |        FROM tokpos t LEFT JOIN spans s
+             |          ON s.doc_id = t.doc_id AND t.p BETWEEN s.a AND s.b
+             |        WHERE s.a IS NULL)
+             |  GROUP BY doc_id
+             |)
+             |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |       coalesce(a.n_runs, 0) AS n_runs,
+             |       coalesce(a.excised_tokens, 0) AS excised_tokens,
+             |       coalesce(c.txt, '') AS text_clean
+             |FROM toks t
+             |LEFT JOIN audit a USING (doc_id)
+             |LEFT JOIN cln c USING (doc_id)
+             |WHERE t.doc_id % 97 <> 0
+             |ORDER BY t.doc_id""".stripMargin),
+      "Contamination EXCISION — the cleaner q278's severity audit exists " +
+        "to feed (GPT-3 appendix C removes the contaminated SEGMENTS and " +
+        "keeps the document; dropping whole docs at q76's any-overlap " +
+        "threshold wastes the clean remainder): every training document " +
+        "is returned with its verbatim eval-overlap runs stripped — " +
+        "q278's exact dup windows (lowercased stride-1 rolling windows " +
+        "against the broadcast DISTINCT eval-window hashes, corpus never " +
+        "shuffles for the membership test) merged to maximal runs by the " +
+        "shared q277 islands pass, then excised by q277's one-pass " +
+        "audit-and-transform tail (disjoint spans ⇒ each token joins at " +
+        "most one covering span; a single doc-local aggregation yields " +
+        "run count, excised tokens AND the cleaned text). Clean docs " +
+        "ride through whole — the output is the decontaminated training " +
+        "corpus plus its audit trail, not a flag list. Same linearity as " +
+        "its parents: one broadcast membership probe over the window " +
+        "stream, spans and reconstruction doc-local, eval docs excluded " +
+        "from the output by the panel predicate at the scan."
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val wins = rollingWindows(toks)
+        .select(col("doc_id"), col("i"), xxhash64(col("g")).as("h"))
+      val evalW = wins.filter(col("doc_id") % 97 === 0)
+        .select("h").distinct()
+      val dup = wins.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalW), "h")
+        .select("doc_id", "i")
+      val spans = mergedSpans(dup)
+      val tokpos = toks.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      tokpos.as("t")
+        .join(spans.as("s"),
+          col("t.doc_id") === col("s.doc_id") &&
+            col("t.p") >= col("s.a") && col("t.p") <= col("s.b"),
+          "left")
+        .select(col("t.doc_id").as("doc_id"), col("p"), col("tok"), col("a"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("p") === col("a"), 1)).as("n_runs"),
+          count(col("a")).as("excised_tokens"),
+          concat_ws(" ", transform(sort_array(collect_list(
+              when(col("a").isNull, struct(col("p"), col("tok"))))),
+            x => x("tok"))).as("text_clean"))
         .orderBy("doc_id")
     }
 }

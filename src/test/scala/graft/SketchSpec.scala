@@ -827,4 +827,30 @@ class SketchSpec extends SparkSpec {
     assert(!rows.contains(3L), "a clean doc must not be flagged")
     assert(!rows.contains(0L), "eval docs are not graded against themselves")
   }
+
+  test("q282 excises exactly the verbatim eval runs and keeps clean remainders whole") {
+    import spark.implicits._
+    // the q278 fixture: doc 0 is eval; doc 1 embeds one 6-token verbatim
+    // run; doc 2 three scattered 4-token idioms; doc 3 is clean
+    val ev = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
+    val d1 = "x1 x2 e3 e4 e5 e6 e7 e8 y1 y2"
+    val d2 = "e1 e2 e3 e4 z1 e5 e6 e7 e8 z2 e9 e10 e11 e12"
+    val d3 = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+    val dir = java.nio.file.Files.createTempDirectory("graft_excise").toString
+    Seq((0L, ev), (1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q282_decontaminate_excise")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: the copied passage goes, BOTH clean flanks stay
+    assert(rows(1L) == ((10L, 1L, 6L, "x1 x2 y1 y2")))
+    // doc 2: three idioms excised, the two novel separators survive
+    assert(rows(2L) == ((14L, 3L, 12L, "z1 z2")))
+    // doc 3: untouched — the excision form keeps clean docs whole, which
+    // is the point vs q76's drop-the-document threshold
+    assert(rows(3L) == ((10L, 0L, 0L, d3)))
+    assert(!rows.contains(0L), "eval docs never reach the training output")
+  }
 }
