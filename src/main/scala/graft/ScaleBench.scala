@@ -33,6 +33,10 @@ object ScaleBench {
     val reps = if (args.length > 1) args(1).toInt else 3
     val label = if (args.length > 2) args(2) else sfDir
     val only = args.drop(3).toSet
+    val unknown = only -- Headline.toSet
+    require(unknown.isEmpty,
+      s"unknown headline queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(valid: ${Headline.mkString(", ")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

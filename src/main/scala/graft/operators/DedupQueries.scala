@@ -313,7 +313,7 @@ object DedupQueries {
     * that pins the `sim` expression to ONE evaluation per row (Catalyst
     * cannot collapse a project through a Generate), which is what keeps
     * the shingle→simhash pipeline out of downstream join conditions. */
-  private def simhashBandKeys(sigs: DataFrame): DataFrame =
+  private[graft] def simhashBandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sim"),
       explode(array(SimhashBands.map { case (b, off, mask) =>
         struct(lit(b).as("band"),

@@ -366,9 +366,16 @@ object IndexLifecycle {
     * the LCG samples. */
   def searchPq(s: SparkSession, centsRoot: String, codebookRoot: String,
                dir: String,
-               probes: Int = SimilarityQueries.IvfProbes): DataFrame =
+               probes: Int = SimilarityQueries.IvfProbes): DataFrame = {
+    val book = readCodebook(s, codebookRoot)
+    // pillar-backed codebook: its one count() is the sanctioned KB-scale
+    // control-plane read, and passing it keeps the share-form footer
+    // fallback (which could needlessly demote a small installed book's
+    // broadcast) out of the pillar path
     SimilarityQueries.ivfPqTopKFrom(s, dir,
-      readCentroids(s, centsRoot), readCodebook(s, codebookRoot), probes)
+      readCentroids(s, centsRoot), book, probes,
+      knownCodebookRows = Some(book.count()))
+  }
 
   // ---------- the SERVED index pillar: stored PQ codes ----------
   //
@@ -395,6 +402,9 @@ object IndexLifecycle {
     * the quantizers (the [[install]] rule: the recorded artifact provably
     * describes what was installed, not an in-memory lineage that could
     * recompute differently). */
+  private val PqMetaSchema =
+    "codebook_rows BIGINT, cents_rows BIGINT, code_rows BIGINT"
+
   def installPqIndex(s: SparkSession, root: String, version: Long,
                      cents: DataFrame, codebook: DataFrame, dir: String,
                      interpose: String => Unit = _ => ()): Boolean =
@@ -407,41 +417,86 @@ object IndexLifecycle {
         .parquet(staging.resolve("centroids").toString)
       val sb = s.read.schema(PqBookSchema)
         .parquet(staging.resolve("codebook").toString)
-      SimilarityQueries.pqIndexRows(s, dir, sc, sb)
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(staging.resolve("codes").toString)
-      // baseline = the STAGED codes' own cell masses (the install rule:
-      // recorded evidence describes exactly the artifact installed)
-      val stagedCodes = s.read.schema(PqCodesSchema)
-        .parquet(staging.resolve("codes").toString)
-      cellPpm(stagedCodes.select("vec_id", "cent_id"), sc)
-        .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
+      writePqCodesAndMeta(s, staging,
+        SimilarityQueries.pqIndexRows(s, dir, sc, sb), sc, sb)
     }
+
+  /** The shared staging tail of every PQ-index install (full build,
+    * incremental append, takedown rewrite): write the code rows
+    * partitioned by cent_id, the install-time cell-mass baseline, and
+    * the 1-row `meta` sizing record — codebook_rows is what the serve
+    * path's broadcast gate reads, so a search never launches a job
+    * against the quantizer frames just to size a hint. All three derive
+    * from the STAGED artifacts (the install rule: recorded evidence
+    * describes exactly what was installed). */
+  private def writePqCodesAndMeta(s: SparkSession, staging: Path,
+                                  codeRows: DataFrame, sc: DataFrame,
+                                  sb: DataFrame): Unit = {
+    codeRows.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(staging.resolve("codes").toString)
+    val stagedCodes = s.read.schema(PqCodesSchema)
+      .parquet(staging.resolve("codes").toString)
+    cellPpm(stagedCodes.select("vec_id", "cent_id"), sc)
+      .write.mode("overwrite").parquet(staging.resolve("baseline").toString)
+    s.range(1).select(lit(sb.count()).as("codebook_rows"),
+        lit(sc.count()).as("cents_rows"),
+        lit(stagedCodes.count()).as("code_rows"))
+      .write.mode("overwrite").parquet(staging.resolve("meta").toString)
+  }
 
   /** The latest committed serving index: (codes, centroids, codebook).
     * Explicit schemas — an empty corpus installs an empty (file-less)
     * artifact, which schema inference cannot read back. */
   def readPqIndex(s: SparkSession, root: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val v = latestVersion(root).getOrElse(
+      : (DataFrame, DataFrame, DataFrame) =
+    readPqIndexAt(s, root, latestPqVersion(root))
+
+  /** The pinned version every multi-artifact read resolves ONCE: two
+    * `latestVersion` calls around a concurrent install would compare
+    * v=N artifacts against v=N+1's — a bogus verdict. */
+  private def latestPqVersion(root: String): Long =
+    latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed pq index under $root"))
+
+  /** A SPECIFIC committed version's serving index — every consumer that
+    * reads more than one artifact of the pillar goes through this so all
+    * its reads resolve to the same v=N directory. */
+  def readPqIndexAt(s: SparkSession, root: String, v: Long)
+      : (DataFrame, DataFrame, DataFrame) =
     (s.read.schema(PqCodesSchema).parquet(s"$root/v=$v/codes"),
       s.read.schema(PqCentsSchema).parquet(s"$root/v=$v/centroids"),
       s.read.schema(PqBookSchema).parquet(s"$root/v=$v/codebook"))
+
+  /** The installed codebook's row count from the version's `meta` record
+    * — the serve path's broadcast-gate input, knowable at install time
+    * and persisted there (VERDICT r13: a per-search count() of the
+    * quantizer frame was the one job the serve path didn't need).
+    * Pre-meta version directories fall back to the one count of the
+    * pillar-sized frame — the sanctioned control-plane read. */
+  private def pqMetaCodebookRows(s: SparkSession, root: String, v: Long,
+                                 book: DataFrame): Long = {
+    val meta = Paths.get(s"$root/v=$v/meta")
+    if (Files.exists(meta))
+      s.read.schema(PqMetaSchema).parquet(meta.toString)
+        .head.getLong(0)
+    else book.count()
   }
 
   /** q249's search served FROM the installed index: stored codes, stored
     * quantizers, zero per-query re-coding — the production read path.
-    * The qside broadcast is gated by the installed codebook's actual
-    * size (one count of the pillar-sized frame, the sanctioned
-    * control-plane read). */
+    * The qside broadcast is gated by the installed codebook's size read
+    * from the version's `meta` record: no Spark job runs before the
+    * query itself. */
   def searchPqIndex(s: SparkSession, root: String, dir: String,
                     probes: Int = SimilarityQueries.IvfProbes,
                     panelIdCap: Option[Long] = None): DataFrame = {
-    val (codes, cents, book) = readPqIndex(s, root)
+    val v = latestPqVersion(root)
+    val (codes, cents, book) = readPqIndexAt(s, root, v)
     val nQueries = graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1
     SimilarityQueries.ivfPqServe(s, dir, codes, cents, book, probes,
-      estBytes = nQueries * probes * 8L * book.count(), panelIdCap)
+      estBytes =
+        nQueries * probes * 8L * pqMetaCodebookRows(s, root, v, book),
+      panelIdCap)
   }
 
   /** Per-cell drift of the CURRENT corpus at `dir` vs the served index's
@@ -449,12 +504,15 @@ object IndexLifecycle {
     * shift_ppm, rebalance) — the q241 dial read against the stored
     * artifact. A corpus that grew or shifted since install codes new
     * arrivals into cells the served index sized differently; the flag is
-    * the rebuild trigger, exactly the centroid pillar's contract. */
+    * the rebuild trigger, exactly the centroid pillar's contract. The
+    * version is resolved ONCE — centroids and baseline always come from
+    * the same v=N directory, even with a concurrent install committing
+    * v=N+1 mid-audit. */
   def pqIndexDriftAudit(s: SparkSession, root: String,
                         dir: String): DataFrame = {
-    val (_, cents, _) = readPqIndex(s, root)
+    val v = latestPqVersion(root)
+    val (_, cents, _) = readPqIndexAt(s, root, v)
     val vectors = SimilarityQueries.normed(s, dir).select(col("vec_id"), col("v"))
-    val v = latestVersion(root).get
     val current = cellPpm(assign(vectors, cents), cents)
       .select(col("cent_id"), col("ppm").as("current_ppm"))
     s.read.parquet(s"$root/v=$v/baseline")
@@ -468,21 +526,88 @@ object IndexLifecycle {
   /** The closed loop for the served index: audit against the current
     * corpus; if any cell flags, retrain BOTH quantizers on it and
     * install the next version's complete coded artifact atomically.
-    * Green right after a rebuild by construction. */
+    * Green right after a rebuild by construction.
+    *
+    * `trainCents`/`trainBook` PRESERVE THE INSTALLED DIALS across the
+    * rebuild: an index installed with the fixed production quantizers
+    * (q281's ≤256-entry codebook, ⌊√n⌋ cells) must not silently swap its
+    * serving contract to the share-form ~n/31-entry trainer on the first
+    * drift — the one-byte-code / broadcast-survives-by-construction
+    * properties the fixed forms exist for would be lost. Callers pass
+    * the trainers the pillar was installed with; the defaults are the
+    * share-form q86/q236 trainers (the live q249 contract). */
   def rebuildPqIndexIfDrifted(s: SparkSession, root: String, dir: String,
-                              k: Int): Option[Long] = {
+                              k: Int,
+                              trainCents: Option[String => DataFrame] = None,
+                              trainBook: Option[String => DataFrame] = None)
+      : Option[Long] = {
     val flagged = pqIndexDriftAudit(s, root, dir)
       .filter(col("rebalance")).limit(1).count() > 0
     if (!flagged) None
     else {
-      val vectors = SimilarityQueries.normed(s, dir)
+      def vectors = SimilarityQueries.normed(s, dir)
         .select(col("vec_id"), col("v"))
+      val cents = trainCents.map(_(dir)).getOrElse(train(s, vectors, k))
+      val book = trainBook.map(_(dir)).getOrElse(trainCodebook(vectors))
       val next = latestVersion(root).getOrElse(0L) + 1
-      installPqIndex(s, root, next, train(s, vectors, k),
-        trainCodebook(vectors), dir)
+      installPqIndex(s, root, next, cents, book, dir)
       Some(next)
     }
   }
+
+  /** INCREMENTAL index maintenance — the append path a production corpus
+    * takes between quantizer drifts: code only the vec_ids NOT yet in
+    * the installed version against the INSTALLED quantizers (no retrain,
+    * no corpus-wide re-code) and commit stored-codes ∪ delta-codes as
+    * v=N+1 under the same ATOMIC_MOVE discipline. The delta discovery is
+    * an id-only anti-join (8-byte rows both sides); the carried-over
+    * codes are a stored-parquet copy, never re-derived from the corpus's
+    * float vectors — so append cost is O(new batch coding + index-sized
+    * copy), vs a full rebuild's O(retrain + corpus-wide re-code).
+    * Returns the new version, or None when no new vec_ids exist (the
+    * replay no-op). Quantizer drift still takes
+    * [[rebuildPqIndexIfDrifted]] — append extends cells, it never moves
+    * them. */
+  def appendPqIndex(s: SparkSession, root: String, dir: String): Option[Long] = {
+    val v = latestPqVersion(root)
+    val (codes, cents, book) = readPqIndexAt(s, root, v)
+    val fresh = SimilarityQueries.normed(s, dir)
+      .select(col("vec_id"), col("v"))
+      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
+    if (fresh.limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        // quantizers carry over BY COPY of the stored frames: the new
+        // version serves the exact artifact the codes address, and the
+        // delta is coded against the STAGED copies (the install rule)
+        cents.write.mode("overwrite")
+          .parquet(staging.resolve("centroids").toString)
+        book.write.mode("overwrite")
+          .parquet(staging.resolve("codebook").toString)
+        val sc = s.read.schema(PqCentsSchema)
+          .parquet(staging.resolve("centroids").toString)
+        val sb = s.read.schema(PqBookSchema)
+          .parquet(staging.resolve("codebook").toString)
+        writePqCodesAndMeta(s, staging,
+          codes.unionByName(SimilarityQueries.pqIndexRowsOf(fresh, sc, sb)
+            .select("vec_id", "cd", "cent_id")), sc, sb)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  /** The full maintenance decision a nightly pass runs: quantizer drift
+    * → complete rebuild (dial-preserving via the trainer seams); no
+    * drift but new arrivals → incremental append; neither → no-op.
+    * Returns (new version, "rebuild" | "append") when anything changed. */
+  def maintainPqIndex(s: SparkSession, root: String, dir: String, k: Int,
+                      trainCents: Option[String => DataFrame] = None,
+                      trainBook: Option[String => DataFrame] = None)
+      : Option[(Long, String)] =
+    rebuildPqIndexIfDrifted(s, root, dir, k, trainCents, trainBook)
+      .map((_, "rebuild"))
+      .orElse(appendPqIndex(s, root, dir).map((_, "append")))
 
   // ---------- near-dup cap pillar ----------
 

@@ -925,15 +925,24 @@ object MultimodalQueries {
     * universe shared by the q253 pairing, the q275 scoreboard and the
     * q276 dial. One payload walk in the scan; only 8-byte fps travel
     * past it. */
-  private def cdcChunkFrame(media: org.apache.spark.sql.DataFrame)
+  private[graft] def cdcChunkFrame(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    cdcDocChunks(media)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+  }
+
+  /** The df-less half of [[cdcChunkFrame]] — each doc's DISTINCT chunk
+    * fingerprints from ONE payload walk. The stored-postings pillar
+    * persists exactly this frame (df is a property of the WHOLE corpus,
+    * recomputed index-level at read; freezing it at install would serve
+    * stale frequencies after an append). */
+  private[graft] def cdcDocChunks(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     media
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.Sketches.cdcChunks(
           col("payload"), CdcDivisor, DedupQueries.ShingleP))).as("cfp"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
-  }
 
   /** CDC containment pairs of any `(doc_id, payload)` frame — the full
     * q253 pipeline, exposed so specs can grade the insert-resilience
@@ -959,9 +968,19 @@ object MultimodalQueries {
     * chunk stream per branch (plan-pinned by ScaleDesignSpec). */
   private[graft] def cdcContainmentPairsUnsorted(
       media: org.apache.spark.sql.DataFrame,
+      cap: Int = DedupQueries.MaxBucket): org.apache.spark.sql.DataFrame =
+    cdcContainmentPairsOfChunks(cdcChunkFrame(media), cap)
+
+  /** The containment tail over an ARBITRARY `(doc_id, cfp, df)` chunk
+    * frame — the seam the stored-postings pillar serves through: the
+    * pillar persists (doc_id, cfp) at install, recomputes `df` with an
+    * index-level window at read, and this tail prices containment over
+    * the surviving universe exactly as the live payload-walk path does. */
+  private[graft] def cdcContainmentPairsOfChunks(
+      chunks: org.apache.spark.sql.DataFrame,
       cap: Int = DedupQueries.MaxBucket): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val surv = cdcChunkFrame(media).filter(col("df") <= cap)
+    val surv = chunks.filter(col("df") <= cap)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     surv.filter(col("df") >= 2)
       .groupBy("cfp")

@@ -320,14 +320,24 @@ object SimilarityQueries {
     * changes the stored codes ONLY through the frame this method receives,
     * through exactly the assignment q236 ships. */
   private[graft] def pqCodesFrom(s: SparkSession, dir: String,
-                                 codebook: DataFrame): DataFrame = {
+                                 codebook: DataFrame): DataFrame =
+    pqCodesOf(pqSubs(s, dir), codebook)
+
+  /** [[pqCodesFrom]] over an ARBITRARY strided decomposition
+    * ([[pqSubsOf]] of any (vec_id, v) frame) — the seam incremental
+    * index maintenance codes NEW arrivals through: a delta batch is
+    * coded against the installed codebook by exactly the q236
+    * assignment, so appended codes are bit-identical to what a full
+    * rebuild under the same quantizers would derive. */
+  private[graft] def pqCodesOf(subs: DataFrame,
+                               codebook: DataFrame): DataFrame = {
     // native fused Σ(a−b)² — the declarative aggregate(zip_with(…)) form
     // is an interpreted HOF evaluated once per (sub-vector × codebook row)
     // inside this join: ~20M closure evals at 10× sf0.1, measured as the
     // whole of the PQ build's cost. Same ascending-index IEEE sum, so
     // codes (and every replay oracle) are bit-identical.
     val l2 = graft.functions.VectorFunctions.sqdistd(col("sv"), col("csub"))
-    pqSubs(s, dir).join(broadcast(codebook), "m")
+    subs.join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), l2.as("l2"), col("crk"))
       .groupBy("vec_id", "m")
       // k=1 heap argmin: (score = −l2 DESC, id = −crk ASC) picks the same
@@ -509,27 +519,43 @@ object SimilarityQueries {
   private[graft] def pqIndexRows(s: SparkSession, dir: String,
                                  cents: DataFrame,
                                  codebook: DataFrame): DataFrame =
-    pqCodesFrom(s, dir, codebook)
-      .join(IndexLifecycle.assign(
-          normed(s, dir).select(col("vec_id"), col("v")), cents),
-        "vec_id")
+    pqIndexRowsOf(normed(s, dir).select(col("vec_id"), col("v")),
+      cents, codebook)
+
+  /** [[pqIndexRows]] for an ARBITRARY (vec_id, v) frame — the seam
+    * [[IndexLifecycle.appendPqIndex]] codes a NEW-arrivals delta through:
+    * same strided decomposition, same code assignment, same cell
+    * assignment, so an appended batch's rows are bit-identical to the
+    * rows a full rebuild under the same installed quantizers derives. */
+  private[graft] def pqIndexRowsOf(vecs: DataFrame, cents: DataFrame,
+                                   codebook: DataFrame): DataFrame =
+    pqCodesOf(pqSubsOf(vecs), codebook)
+      .join(IndexLifecycle.assign(vecs, cents), "vec_id")
 
   private[graft] def ivfPqTopKFrom(s: SparkSession, dir: String,
                                    cents: DataFrame, codebook: DataFrame,
-                                   probes: Int = IvfProbes): DataFrame = {
+                                   probes: Int = IvfProbes,
+                                   knownCodebookRows: Option[Long] = None)
+      : DataFrame = {
     val coded = pqIndexRows(s, dir, cents, codebook)
     val qside = ivfQueryProbesFrom(s, dir, probes, cents)
       .select(col("query_id"), col("cent_id"))
       .join(pqQueryLutsFrom(s, dir, codebook), "query_id")
-    // the LUT width is a property of the INSTALLED codebook, not of the
+    // the LUT width is a property of the codebook frame, not of the
     // corpus — a swapped-in codebook larger than the in-query ~n/31
     // stride must still be caught by the driver-safety gate, and a
     // fixed-size production codebook must not needlessly demote the
-    // broadcast. One count() of the pillar-sized frame is the sanctioned
-    // control-plane read (codebooks are KBs–MBs, never corpus-scale).
+    // broadcast. Pillar-backed callers pass the known row count (read
+    // from install metadata or a one-count of the KB-scale parquet —
+    // the sanctioned control-plane read); a corpus-derived codebook
+    // lineage must NEVER be counted at plan construction (its count()
+    // would launch a corpus-scale job — the footer-only rule), so the
+    // fallback is the share-form 4·(n/31+1) footer estimate, exact for
+    // the live q249 trainer and an upper bound for anything smaller.
     val est = lutSideBytesFor(
       Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1, probes,
-      codebook.count())
+      knownCodebookRows.getOrElse(
+        4L * (Tables.parquetRowCount(s, dir, "embeddings") / 31 + 1)))
     val cand = coded.join(hintIfDriverSafe(qside, est), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))

@@ -738,6 +738,107 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.rebuildPqIndexIfDrifted(spark, root, dir, k = 3).isEmpty)
   }
 
+  test("pq-index pillar: append codes new arrivals against the installed quantizers, identical to a full rebuild on the union") {
+    val root = Files.createTempDirectory("graft_pqindex_append").toString
+    val dir = Files.createTempDirectory("graft_pqindex_acorpus").toString
+    // balanced two-cluster base and growth: the arrivals keep the cell
+    // masses (half e0, half e1), so the drift audit stays green and the
+    // maintenance pass must take the APPEND path, never a rebuild
+    def mk(ids: Range): DataFrame = {
+      import spark.implicits._
+      ids.map { i =>
+        val v = Array.fill(64)(0.0f)
+        v(i % 2) = 1.0f
+        v(10) = 0.01f * (i % 7)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def vecsAt(d: String): DataFrame =
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+
+    mk(0 until 80).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, root, 1L,
+      IndexLifecycle.train(spark, vecsAt(dir), k = 2),
+      IndexLifecycle.trainCodebook(vecsAt(dir)), dir))
+
+    // no new arrivals: append (and the whole maintenance pass) is a no-op
+    assert(IndexLifecycle.appendPqIndex(spark, root, dir).isEmpty)
+    assert(IndexLifecycle.maintainPqIndex(spark, root, dir, k = 2).isEmpty)
+
+    // the corpus doubles with the same distribution — green audit, so
+    // maintenance appends instead of rebuilding
+    mk(0 until 160).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val audit = IndexLifecycle.pqIndexDriftAudit(spark, root, dir).collect()
+    assert(!audit.exists(_.getBoolean(audit.head.fieldIndex("rebalance"))),
+      s"distribution-preserving growth must not flag:\n${audit.mkString("\n")}")
+    assert(IndexLifecycle.maintainPqIndex(spark, root, dir, k = 2)
+      === Some((2L, "append")))
+
+    // the appended version's codes are IDENTICAL to a full rebuild's on
+    // the union corpus under the same (v1-stored) quantizers
+    val (codes2, cents2, book2) = IndexLifecycle.readPqIndexAt(spark, root, 2L)
+    assert(codes2.count() === 160L)
+    val root2 = Files.createTempDirectory("graft_pqindex_rebuild").toString
+    assert(IndexLifecycle.installPqIndex(spark, root2, 1L, cents2, book2, dir))
+    val (codesR, _, _) = IndexLifecycle.readPqIndexAt(spark, root2, 1L)
+    def rows(df: DataFrame): Seq[Seq[Any]] =
+      df.orderBy("vec_id").collect().map(_.toSeq.map {
+        case w: Seq[_] => w.toList
+        case x => x
+      }).toSeq
+    assert(rows(codes2) == rows(codesR),
+      "append-installed codes must equal a full rebuild's on the union")
+    // and the serve paths agree row-for-row
+    assert(IndexLifecycle.searchPqIndex(spark, root, dir).collect().toSeq
+      == IndexLifecycle.searchPqIndex(spark, root2, dir).collect().toSeq)
+
+    // replayed append with no fresh arrivals: strict no-op
+    assert(IndexLifecycle.appendPqIndex(spark, root, dir).isEmpty)
+    assert(IndexLifecycle.latestVersion(root) === Some(2L))
+  }
+
+  test("a drift rebuild preserves the installed quantizer dials through the trainer seams") {
+    val root = Files.createTempDirectory("graft_pqindex_dials").toString
+    val dir = Files.createTempDirectory("graft_pqindex_dialcorpus").toString
+    val c = corpus
+    def vecsAt(d: String): DataFrame =
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+    // the installed dial: a 2-entry-per-subspace codebook cap (stand-in
+    // for q281's fixed 256 — at spec scale the production cap can't bind)
+    val capBook: String => DataFrame =
+      d => IndexLifecycle.trainCodebook(vecsAt(d)).filter(col("crk") <= 2)
+    val kCents: String => DataFrame =
+      d => IndexLifecycle.train(spark, vecsAt(d), k = 3)
+
+    oldEpoch(c).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, root, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(c)), k = 2),
+      capBook(dir), dir))
+
+    // the NEW epoch lands — drift flags, and the rebuild must re-apply
+    // the INSTALLED dials, not fall back to the share-form trainers
+    c.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.maintainPqIndex(spark, root, dir, k = 3,
+      trainCents = Some(kCents), trainBook = Some(capBook))
+      === Some((2L, "rebuild")))
+    val (_, cents2, book2) = IndexLifecycle.readPqIndexAt(spark, root, 2L)
+    assert(cents2.count() === 3L, "rebuild must apply the cents trainer")
+    val maxRk = book2.agg(max(col("crk"))).head.getLong(0)
+    assert(maxRk === 2L,
+      s"rebuild must preserve the installed codebook cap (max crk $maxRk)")
+    // green after the rebuild, and the new version serves
+    val a = IndexLifecycle.pqIndexDriftAudit(spark, root, dir).collect()
+    assert(!a.exists(_.getBoolean(a.head.fieldIndex("rebalance"))))
+    assert(IndexLifecycle.searchPqIndex(spark, root, dir).count() > 0)
+  }
+
   test("a centroid-pillar swap moves SemDeDup, prototypicality and filtered search through the store alone") {
     val root = Files.createTempDirectory("graft_sel_store").toString
     val dir = Files.createTempDirectory("graft_sel_corpus").toString
