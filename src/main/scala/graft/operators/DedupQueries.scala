@@ -2067,7 +2067,111 @@ object DedupQueries {
     rollingWindowQuery,
     contaminationRunQuery,
     decontaminateExciseQuery,
+    simhashPostingsServeQuery,
+    minhashPostingsServeQuery,
+    lshPostingsServeQuery,
   )
+
+  /** q283 — q40's pair set served FROM the stored postings pillar. */
+  private def simhashPostingsServeQuery: GraftQuery =
+    GraftQuery(
+      "q283_simhash_postings_serve",
+      Some(s"$replayShinglePrologueSql, $simhashBandTailSql"),
+      "q40 served FROM the installed SimHash postings pillar — the " +
+        "near-dup analogue of q281's build/serve split: " +
+        "IndexLifecycle.installSimhashPostings persists the signature " +
+        "frame (8 bytes/doc) and its 7-block pigeonhole posting lists " +
+        "PARTITIONED BY band as a versioned ATOMIC_MOVE artifact, and " +
+        "the serve path reconstructs exactly q40's pair set from those " +
+        "stored rows: union-bucket window bound, id-only in-bucket " +
+        "pairing, stored-signature Hamming re-check. NOTHING in the " +
+        "serve plan touches document text — the shingle walk and " +
+        "SimHash fold (the index build's whole cost) ran once at " +
+        "install, so steady-state reads are index-sized: posting rows " +
+        "are 20-byte (doc_id, key, band) triples, Σ bucket² is capped " +
+        "before any expansion, and a new batch admits against these " +
+        "lists batch-side (simhashBatchPairs — no corpus re-scan; " +
+        "IndexLifecycleSpec pins batch == full-rebuild-on-union). The " +
+        "install memoizes per corpus fingerprint (q78's staging " +
+        "discipline), so the bench measures the serve path, exactly " +
+        "q281's contract. Same oracle text as q40: stored and derived " +
+        "postings are ONE index, pinned row-identical by " +
+        "IndexLifecycleSpec stored==live twins."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "simhashpost",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installSimhashPostings(s, out, 1L,
+          textSimhashSigs(s, dir))
+        ()
+      }
+      IndexLifecycle.simhashPairsFromStore(s, root)
+    }
+
+  /** q284 — q39's pair set served FROM the stored postings pillar. */
+  private def minhashPostingsServeQuery: GraftQuery =
+    GraftQuery(
+      "q284_minhash_postings_serve",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes
+              |SELECT doc_a, doc_b, est_jaccard_ppm FROM ap
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "q39 served FROM the installed MinHash postings pillar: the " +
+        "signature frame (64 longs/doc) and its 16 band-key posting " +
+        "lists persist PARTITIONED BY band under ATOMIC_MOVE v=N; the " +
+        "serve path prices candidates from the stored lists (union-" +
+        "bucket cap, id-only pairing) and confirms with the stored " +
+        "signatures' native eq-count agreement — the shingle walk and " +
+        "64-way MinHash fold never re-run. This is the storage shape " +
+        "GPL-scale dedup pipelines actually operate (persisted MinHash " +
+        "index, nightly batch admission): a new batch signs ITSELF, " +
+        "probes the stored lists, and appends as v=N+1 with signatures " +
+        "recomputed for nobody (appendMinhashPostings — the q234 " +
+        "incremental discipline; IndexLifecycleSpec pins batch-admit == " +
+        "full-rebuild-on-union and append == rebuild). Install is " +
+        "memoized per corpus fingerprint so steady state measures the " +
+        "serve path; same oracle text as q39 — one index, stored or " +
+        "derived, pinned by stored==live twins."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "minhashpost",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installMinhashPostings(s, out, 1L,
+          minhashSignatures(s, dir))
+        ()
+      }
+      IndexLifecycle.minhashPairsFromStore(s, root)
+    }
+
+  /** q285 — q67's pair set served FROM the stored postings pillar. */
+  private def lshPostingsServeQuery: GraftQuery =
+    GraftQuery(
+      "q285_lsh_postings_serve",
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes
+              |SELECT vec_a, vec_b, round(c, 4) AS cos FROM lsc
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      "q67 served FROM the installed sign-LSH postings pillar: per-table " +
+        "BASE codes persist PARTITIONED BY table next to the (bits, " +
+        "tables) dials; the serve path derives the Hamming-1 probe balls " +
+        "from the stored codes (8 integer XORs per row — cheaper to " +
+        "re-derive than to 9× the stored artifact), bounds union " +
+        "buckets, pairs id-only, and re-checks exact cosine through an " +
+        "id-bounded lookup into the corpus — the embeddings scan feeds " +
+        "ONLY the re-check join (q281's re-rank discipline); the 4×8 " +
+        "hyperplane signature computation (the build) never re-runs. A " +
+        "new embedding batch codes ITSELF with the INSTALLED planes and " +
+        "admits against the stored lists (lshBatchPairs/" +
+        "appendLshPostings — IndexLifecycleSpec pins batch == " +
+        "full-rebuild-on-union). Install memoized per corpus " +
+        "fingerprint; same oracle text as q67 — one index either way, " +
+        "pinned by stored==live twins."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "lshpost",
+        Tables.fingerprint(s, s"$dir/embeddings.parquet")) { out =>
+        IndexLifecycle.installLshPostings(s, out, 1L, normVecs(s, dir),
+          SimilarityQueries.codeBits(
+            Tables.parquetRowCount(s, dir, "embeddings")))
+        ()
+      }
+      IndexLifecycle.lshPairsFromStore(s, root, dir)
+    }
 
   /** (doc_id, i, g) — every stride-1 rolling 4-token window of every
     * document, `i` its 0-based start offset: q277's generator, shared with

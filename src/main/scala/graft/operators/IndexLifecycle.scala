@@ -930,4 +930,488 @@ object IndexLifecycle {
         SimilarityQueries.codeBits(n), readLshTables(s, root))
       .orderBy("vec_a", "vec_b")
   }
+
+  // ---------- stored postings pillars: the banded near-dup indexes ----------
+  //
+  // The near-dup analogue of the PQ-index pillar (VERDICT r13 item 1):
+  // the cap/table pillars above version the OPERATING PARAMETER, but
+  // every *ThroughStore read still re-derives signatures and banded
+  // buckets from the corpus — the pay-the-index-build-per-read pattern
+  // the PQ-index pillar exists to end. These pillars persist the
+  // signature frame AND the banded posting lists (PARTITIONED BY
+  // band/tbl/bkt) next to the cap they are served at, under the same
+  // ATOMIC_MOVE v=N discipline, so
+  //   (a) a reader serves the q40/q39/q67/q253 pair sets from the stored
+  //       index — no text/payload/embedding re-scan, no signature
+  //       recompute; the only corpus touch left is LSH's id-bounded
+  //       exact-cosine lookup (q281's re-rank discipline);
+  //   (b) a NEW document batch admits against the stored postings: its
+  //       own signatures are computed batch-side, its band keys probe
+  //       the stored posting lists, and union-bucket capping reproduces
+  //       exactly what a full rebuild on the union corpus would decide
+  //       (the batch sibling of the streaming admitters);
+  //   (c) an append commits stored ∪ batch as v=N+1 with signatures
+  //       recomputed for NOBODY — the q234 incremental discipline.
+  // At 100 TB the stored posting lists are the index's own size (8-byte
+  // ids against small keys), the serve-path windows and joins shuffle
+  // only those rows, and install cost amortizes exactly as q281's.
+
+  private val SimhashSigsSchema = "doc_id BIGINT, sim BIGINT"
+  private val MinhashSigsSchema = "doc_id BIGINT, sig ARRAY<BIGINT>"
+  private val BandPostingsSchema = "doc_id BIGINT, key BIGINT, band INT"
+  private val LshCodesSchema = "vec_id BIGINT, code INT, tbl INT"
+  private val LshCfgSchema = "bits BIGINT, tables BIGINT"
+  private val CdcChunksSchema = "doc_id BIGINT, cfp BIGINT, bkt BIGINT"
+
+  private def noIndex(root: String): Nothing =
+    throw new IllegalStateException(s"no committed postings index under $root")
+
+  // ----- SimHash text postings (q40's index) -----
+
+  /** Install the SimHash near-dup index: the signature frame
+    * `sigs(doc_id, sim)`, its 7-block pigeonhole posting lists
+    * partitioned by band, and the bucket cap they are served at.
+    * Postings derive from the STAGED signature copy (the install rule). */
+  def installSimhashPostings(s: SparkSession, root: String, version: Long,
+                             sigs: DataFrame,
+                             cap: Int = DedupQueries.MaxBucket,
+                             interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      sigs.write.mode("overwrite").parquet(staging.resolve("sigs").toString)
+      val st = s.read.schema(SimhashSigsSchema)
+        .parquet(staging.resolve("sigs").toString)
+      DedupQueries.simhashBandKeys(st).select("doc_id", "key", "band")
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(staging.resolve("postings").toString)
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+    }
+
+  /** The latest committed SimHash index: (sigs, postings, cap) — all
+    * three resolved from ONE version directory. */
+  def readSimhashIndex(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, Int) = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    (s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs"),
+      s.read.schema(BandPostingsSchema).parquet(s"$root/v=$v/postings"),
+      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+  }
+
+  /** q40's pair set served FROM the stored posting lists: union-bucket
+    * window bound, id-only in-bucket pairing, stored-signature Hamming
+    * re-check — no document text, no shingle walk, no signature
+    * recompute anywhere in the plan. */
+  def simhashPairsFromStore(s: SparkSession, root: String): DataFrame = {
+    val (sigs, postings, cap) = readSimhashIndex(s, root)
+    pairsOfBuckets(boundedBuckets(postings, cap), "doc_a", "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Admit a NEW batch (its signatures computed batch-side — the store's
+    * corpus is never re-scanned): every q40 pair of the union corpus
+    * that TOUCHES the batch, decided under union-bucket capping exactly
+    * as a full rebuild would. Docs already in the store are ignored
+    * (admission is of new arrivals; a replay admits nothing). */
+  def simhashBatchPairs(s: SparkSession, root: String,
+                        batchSigs: DataFrame): DataFrame = {
+    val (sigs, postings, cap) = readSimhashIndex(s, root)
+    val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keys = DedupQueries.simhashBandKeys(fresh)
+      .select("doc_id", "key", "band")
+    val allSigs = sigs.unionByName(fresh.select("doc_id", "sim"))
+    bandedBatchPairs(postings, keys, cap, "doc_a", "doc_b")
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Commit stored ∪ batch as v=N+1 — signatures recomputed for nobody:
+    * the stored side is a parquet copy, the batch side arrives already
+    * signed, and the posting lists re-derive from the union SIGNATURE
+    * frame (an 8-byte-row index-level map, never a corpus scan).
+    * Returns the new version, or None when the batch brings no new
+    * doc_ids (the replay no-op). */
+  def appendSimhashPostings(s: SparkSession, root: String,
+                            batchSigs: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val sigs = s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (fresh.limit(1).count() == 0) None
+    else if (installSimhashPostings(s, root, v + 1,
+      sigs.unionByName(fresh.select("doc_id", "sim")), cap)) Some(v + 1)
+    else None
+  }
+
+  // ----- MinHash postings (q39's index) -----
+
+  /** Install the MinHash near-dup index: `sigs(doc_id, sig[64])`, its 16
+    * band-key posting lists partitioned by band, and the serving cap. */
+  def installMinhashPostings(s: SparkSession, root: String, version: Long,
+                             sigs: DataFrame,
+                             cap: Int = DedupQueries.MaxBucket,
+                             interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      sigs.write.mode("overwrite").parquet(staging.resolve("sigs").toString)
+      val st = s.read.schema(MinhashSigsSchema)
+        .parquet(staging.resolve("sigs").toString)
+      st.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.key").as("key"), col("bk.band").as("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(staging.resolve("postings").toString)
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+    }
+
+  /** The latest committed MinHash index: (sigs, postings, cap). */
+  def readMinhashIndex(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, Int) = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    (s.read.schema(MinhashSigsSchema).parquet(s"$root/v=$v/sigs"),
+      s.read.schema(BandPostingsSchema).parquet(s"$root/v=$v/postings"),
+      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+  }
+
+  /** q39's pair set served FROM the stored posting lists — id-only
+    * pairing, stored-signature agreement score, no shingle walk. */
+  def minhashPairsFromStore(s: SparkSession, root: String): DataFrame = {
+    val (sigs, postings, cap) = readMinhashIndex(s, root)
+    minhashConfirm(pairsOfBuckets(boundedBuckets(postings, cap),
+      "doc_a", "doc_b"), sigs)
+  }
+
+  private def minhashConfirm(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("n_match",
+        graft.functions.VectorFunctions.eqCount(col("sa"), col("sb")))
+      .filter(col("n_match") >= graft.functions.Sketches.NumMinHashes / 2)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_match") * lit(15625L)).as("est_jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Admit a NEW batch against the stored MinHash postings — every q39
+    * pair of the union corpus touching the batch, union-bucket capped. */
+  def minhashBatchPairs(s: SparkSession, root: String,
+                        batchSigs: DataFrame): DataFrame = {
+    val (sigs, postings, cap) = readMinhashIndex(s, root)
+    val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keys = fresh
+      .select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.key").as("key"), col("bk.band").as("band"))
+    minhashConfirm(bandedBatchPairs(postings, keys, cap, "doc_a", "doc_b"),
+      sigs.unionByName(fresh.select("doc_id", "sig")))
+  }
+
+  /** Commit stored ∪ batch MinHash signatures as v=N+1 (None when the
+    * batch brings no new doc_ids). */
+  def appendMinhashPostings(s: SparkSession, root: String,
+                            batchSigs: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val sigs = s.read.schema(MinhashSigsSchema).parquet(s"$root/v=$v/sigs")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (fresh.limit(1).count() == 0) None
+    else if (installMinhashPostings(s, root, v + 1,
+      sigs.unionByName(fresh.select("doc_id", "sig")), cap)) Some(v + 1)
+    else None
+  }
+
+  // ----- sign-LSH postings (q67's index) -----
+
+  /** Install the embedding LSH index: per-table BASE codes partitioned
+    * by table, plus (bits, tables) — probe expansion is 8 integer XORs
+    * per stored row, derived at read (persisting the probed expansion
+    * would 9× the artifact for work the reader does in one map). The
+    * float vectors are NOT stored: the exact re-check is an id-bounded
+    * corpus lookup, exactly q281's re-rank discipline. */
+  def installLshPostings(s: SparkSession, root: String, version: Long,
+                         vecs: DataFrame, bits: Int,
+                         tables: Int = DedupQueries.LshTables,
+                         interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      DedupQueries.lshSigCodes(vecs, bits, tables)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
+        .select(col("vec_id"), col("code"), col("tbl"))
+        .write.mode("overwrite").partitionBy("tbl")
+        .parquet(staging.resolve("codes").toString)
+      s.range(1).select(lit(bits.toLong).as("bits"),
+          lit(tables.toLong).as("tables"))
+        .write.mode("overwrite").parquet(staging.resolve("lshcfg").toString)
+    }
+
+  /** The latest committed LSH index: (codes, bits, tables). */
+  def readLshIndex(s: SparkSession, root: String): (DataFrame, Int, Int) = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val cfg = s.read.schema(LshCfgSchema).parquet(s"$root/v=$v/lshcfg").head
+    (s.read.schema(LshCodesSchema).parquet(s"$root/v=$v/codes"),
+      cfg.getLong(0).toInt, cfg.getLong(1).toInt)
+  }
+
+  /** Symmetric Hamming-1 multi-probe expansion of a stored code frame —
+    * the read-side twin of [[DedupQueries.lshBoundedKeys]]'s expansion. */
+  private def lshProbed(codes: DataFrame, bits: Int): DataFrame =
+    codes.select(col("vec_id"), col("tbl"),
+      explode(array(col("code") +:
+        (0 until bits).map(b => col("code").bitwiseXOR(lit(1 << b))): _*))
+        .as("code"))
+
+  /** q67's pair set served FROM the stored codes: probe expansion and
+    * bucket capping over the index artifact, exact cosine re-check via
+    * an id-bounded lookup into the corpus at `dir` — the embeddings scan
+    * feeds ONLY the re-check join, never a signature computation. */
+  def lshPairsFromStore(s: SparkSession, root: String, dir: String): DataFrame = {
+    val (codes, bits, _) = readLshIndex(s, root)
+    lshConfirm(
+      pairsOfBuckets(
+        boundedBuckets(lshProbed(codes, bits)
+          .withColumnRenamed("tbl", "band")
+          .withColumnRenamed("code", "key")
+          .withColumnRenamed("vec_id", "doc_id"), DedupQueries.MaxBucket),
+        "vec_a", "vec_b"),
+      DedupQueries.normVecs(s, dir))
+  }
+
+  private def lshConfirm(pairs: DataFrame, e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("c", dotd(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Admit a NEW embedding batch against the stored LSH postings: codes
+    * computed batch-side with the INSTALLED planes/width, probe balls
+    * meet the stored lists, exact re-check over `batchVecs` ∪ the
+    * id-bounded corpus lookup at `dir`. */
+  def lshBatchPairs(s: SparkSession, root: String, dir: String,
+                    batchVecs: DataFrame): DataFrame = {
+    val (codes, bits, tables) = readLshIndex(s, root)
+    val fresh = batchVecs.join(codes.select("vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+    val keys = lshProbed(
+      DedupQueries.lshSigCodes(fresh, bits, tables)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code"))),
+      bits)
+      .withColumnRenamed("tbl", "band").withColumnRenamed("code", "key")
+      .withColumnRenamed("vec_id", "doc_id")
+    val stored = lshProbed(codes, bits)
+      .withColumnRenamed("tbl", "band").withColumnRenamed("code", "key")
+      .withColumnRenamed("vec_id", "doc_id")
+    lshConfirm(
+      bandedBatchPairs(stored, keys, DedupQueries.MaxBucket, "vec_a", "vec_b"),
+      DedupQueries.normVecs(s, dir))
+  }
+
+  /** Commit stored ∪ batch LSH codes as v=N+1 — batch codes derive from
+    * the INSTALLED planes/width so old and new rows address one code
+    * family (None when the batch brings no new vec_ids). */
+  def appendLshPostings(s: SparkSession, root: String,
+                        batchVecs: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val cfg = s.read.schema(LshCfgSchema).parquet(s"$root/v=$v/lshcfg").head
+    val (bits, tables) = (cfg.getLong(0).toInt, cfg.getLong(1).toInt)
+    val codes = s.read.schema(LshCodesSchema).parquet(s"$root/v=$v/codes")
+    val fresh = batchVecs.join(codes.select("vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+    if (fresh.limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        codes.unionByName(
+            DedupQueries.lshSigCodes(fresh, bits, tables)
+              .select(col("vec_id"),
+                posexplode(col("codes")).as(Seq("tbl", "code")))
+              .select(col("vec_id"), col("code"), col("tbl")))
+          .write.mode("overwrite").partitionBy("tbl")
+          .parquet(staging.resolve("codes").toString)
+        s.range(1).select(lit(bits.toLong).as("bits"),
+            lit(tables.toLong).as("tables"))
+          .write.mode("overwrite").parquet(staging.resolve("lshcfg").toString)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  // ----- CDC chunk postings (q253's index) -----
+
+  /** Install the CDC chunk index: each doc's DISTINCT chunk fingerprints
+    * (ONE payload walk, at install time only) partitioned by a 16-way
+    * fingerprint bucket, plus the serving cap. `df` is deliberately NOT
+    * stored — document frequency is a property of the whole corpus,
+    * recomputed index-level at read so an append never serves stale
+    * frequencies. */
+  def installCdcPostings(s: SparkSession, root: String, version: Long,
+                         media: DataFrame,
+                         cap: Int = DedupQueries.MaxBucket,
+                         interpose: String => Unit = _ => ()): Boolean =
+    installVersion(root, version, interpose) { staging =>
+      MultimodalQueries.cdcDocChunks(media)
+        .withColumn("bkt", pmod(col("cfp"), lit(16L)))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(staging.resolve("chunks").toString)
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+    }
+
+  /** The latest committed CDC index: (chunks, cap). */
+  def readCdcIndex(s: SparkSession, root: String): (DataFrame, Int) = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    (s.read.schema(CdcChunksSchema).parquet(s"$root/v=$v/chunks")
+      .select("doc_id", "cfp"),
+      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+  }
+
+  /** q253's containment pairs served FROM the stored chunk postings —
+    * df and per-doc sizes recomputed index-level, no payload anywhere. */
+  def cdcPairsFromStore(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (chunks, cap) = readCdcIndex(s, root)
+    MultimodalQueries.cdcContainmentPairsOfChunks(
+      chunks.withColumn("df", count(lit(1)).over(Window.partitionBy("cfp"))),
+      cap)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Admit a NEW media batch against the stored chunk postings: the
+    * batch's chunks come from ITS payload walk only; df, surviving
+    * per-doc sizes and shared counts are priced over the stored ∪ batch
+    * union (index-level), and every union pair touching the batch is
+    * graded by exactly q253's containment rule. */
+  def cdcBatchPairs(s: SparkSession, root: String,
+                    batchMedia: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (chunks, cap) = readCdcIndex(s, root)
+    val fresh = MultimodalQueries.cdcDocChunks(batchMedia)
+      .join(chunks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val union = chunks.unionByName(fresh)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+    val surv = union.filter(col("df") <= cap)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .join(fresh.select("doc_id").distinct().withColumn("isb", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("isb", coalesce(col("isb"), lit(false)))
+    // candidate buckets: only fingerprints a batch doc owns can seed a
+    // pair touching the batch, and every shared chunk of such a pair IS
+    // batch-owned — the restriction is lossless for touching pairs
+    val hit = fresh.select("cfp").distinct()
+    surv.filter(col("df") >= 2).join(hit, Seq("cfp"))
+      .groupBy("cfp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"),
+        col("isb")))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("n").as("na"), b("n").as("nb"),
+            (a("isb") || b("isb")).as("touch")))))).as("p"))
+      .filter(col("p.touch"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("containment_ppm",
+        expr("1000000 * shared div least(na, nb)"))
+      .filter(col("containment_ppm") >= MultimodalQueries.CdcContainmentFloorPpm)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Commit stored ∪ batch chunk postings as v=N+1 — the stored side is
+    * a parquet copy, the batch side one batch-local payload walk (None
+    * when the batch brings no new doc_ids). */
+  def appendCdcPostings(s: SparkSession, root: String,
+                        batchMedia: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val chunks = s.read.schema(CdcChunksSchema).parquet(s"$root/v=$v/chunks")
+      .select("doc_id", "cfp")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val fresh = MultimodalQueries.cdcDocChunks(batchMedia)
+      .join(chunks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    if (fresh.limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        chunks.unionByName(fresh)
+          .withColumn("bkt", pmod(col("cfp"), lit(16L)))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(staging.resolve("chunks").toString)
+        s.range(1).select(lit(cap.toLong).as("cap"))
+          .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  // ----- shared banded-index machinery -----
+
+  /** Posting rows surviving the [2, cap] bucket bound — the window count
+    * rides the same (band, key) hash partitioning the downstream groupBy
+    * reuses, so bounding adds no exchange (the q40/q39 idiom). */
+  private def boundedBuckets(postings: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bsz").between(2, cap))
+      .select("doc_id", "band", "key")
+  }
+
+  /** In-bucket id pairing of a bounded posting frame: ids collect sorted
+    * per bucket, strictly-later elements pair (a < b holds — a doc posts
+    * once per bucket), duplicates across bands collapse once. */
+  private def pairsOfBuckets(bounded: DataFrame, aName: String,
+                             bName: String): DataFrame =
+    bounded.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as(aName), b.as(bName)))))).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .dropDuplicates(aName, bName)
+
+  /** Union-bucket batch admission for any banded index: stored postings
+    * restricted to the buckets the batch touches (lossless for pairs
+    * touching the batch — such a pair shares a bucket the batch posted
+    * into), union with the batch keys, capped at the UNION bucket size
+    * exactly as a full rebuild on the union corpus would cap, paired
+    * id-only, and filtered to pairs with ≥1 batch member. */
+  private def bandedBatchPairs(stored: DataFrame, batchKeys: DataFrame,
+                               cap: Int, aName: String,
+                               bName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hit = batchKeys.select("band", "key").distinct()
+    val members = stored.join(hit, Seq("band", "key"))
+      .unionByName(batchKeys.select("doc_id", "band", "key"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bsz").between(2, cap))
+      .join(batchKeys.select("doc_id").distinct().withColumn("isb", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("isb", coalesce(col("isb"), lit(false)))
+    members.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("isb")))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a("doc_id").as(aName), b("doc_id").as(bName),
+            (a("isb") || b("isb")).as("touch")))))).as("p"))
+      .filter(col("p.touch"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .dropDuplicates(aName, bName)
+  }
 }

@@ -901,6 +901,40 @@ object MultimodalQueries {
     ) { (s, dir) =>
       cdcCapDial(Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload")))
+    },
+
+    GraftQuery(
+      "q286_cdc_postings_serve",
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, $cdcPairSqlCtes
+              |SELECT doc_a, doc_b, shared, containment_ppm FROM cpair
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "q253 served FROM the installed CDC chunk postings pillar — the " +
+        "content-addressed store's own read path: " +
+        "IndexLifecycle.installCdcPostings walks each payload ONCE at " +
+        "install and persists the per-doc distinct chunk fingerprints " +
+        "(8 bytes each) partitioned by a 16-way fingerprint bucket " +
+        "under ATOMIC_MOVE v=N; the serve path recomputes df and " +
+        "per-doc surviving sizes with index-level windows over those " +
+        "stored rows and prices containment by exactly q253's rule — " +
+        "no payload byte anywhere in the serve plan (df is " +
+        "deliberately NOT frozen at install: document frequency is a " +
+        "corpus property, and an appended batch must move it). A new " +
+        "media batch walks ITS payloads only and admits against the " +
+        "stored lists (cdcBatchPairs/appendCdcPostings — " +
+        "IndexLifecycleSpec pins batch == full-rebuild-on-union). " +
+        "Install memoized per corpus fingerprint so steady state " +
+        "measures the serve path; same oracle text as q253 — stored " +
+        "and derived chunk sets are one index, pinned by stored==live " +
+        "twins."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "cdcpost",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installCdcPostings(s, out, 1L,
+          Tables.documents(s, dir)
+            .select(col("doc_id"), mediaPayload.as("payload")))
+        ()
+      }
+      IndexLifecycle.cdcPairsFromStore(s, root)
     }
   )
 

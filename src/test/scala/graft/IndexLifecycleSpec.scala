@@ -879,4 +879,155 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(live2 == live1,
       "the live-centroid batch queries must be untouched by a store swap")
   }
+
+  // ---------- stored postings pillars (SimHash / MinHash / LSH / CDC) ----------
+
+  private def rowSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case w: Seq[_] => w.toList
+      case x => x
+    }).toSet
+
+  private def mediaOf(dir: String): DataFrame = {
+    import graft.operators.MultimodalQueries
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), MultimodalQueries.mediaPayload.as("payload"))
+  }
+
+  test("stored postings serve exactly the live pair sets (all four families); replay no-op; cap swap moves results") {
+    import graft.operators.{DedupQueries, MultimodalQueries, SimilarityQueries}
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+
+    // SimHash
+    val shRoot = Files.createTempDirectory("graft_shpost").toString
+    val shSigs = DedupQueries.textSimhashSigs(spark, sf)
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 1L, shSigs))
+    val shLive = rowSet(SparkEntry.queries("q40_dedup_simhash")(spark, sf))
+    assert(shLive.nonEmpty &&
+      rowSet(IndexLifecycle.simhashPairsFromStore(spark, shRoot)) == shLive,
+      "stored SimHash postings must serve exactly q40's live pair set")
+    // replay no-op
+    assert(!IndexLifecycle.installSimhashPostings(spark, shRoot, 1L,
+      shSigs.limit(1)))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, shRoot)) == shLive)
+    // cap swap: readers follow the installed version's cap alone
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 2L, shSigs,
+      cap = 2))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, shRoot)) ==
+      rowSet(DedupQueries.simhashNearDupPairsUnsorted(shSigs, cap = 2)
+        .orderBy("doc_a", "doc_b")),
+      "a cap swap must move the served pairs exactly as the live cap does")
+
+    // MinHash
+    val mhRoot = Files.createTempDirectory("graft_mhpost").toString
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+      DedupQueries.minhashSignatures(spark, sf)))
+    val mhLive = rowSet(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf))
+    assert(mhLive.nonEmpty &&
+      rowSet(IndexLifecycle.minhashPairsFromStore(spark, mhRoot)) == mhLive,
+      "stored MinHash postings must serve exactly q39's live pair set")
+
+    // LSH
+    val lshRoot = Files.createTempDirectory("graft_lshpost").toString
+    assert(IndexLifecycle.installLshPostings(spark, lshRoot, 1L,
+      DedupQueries.normVecs(spark, sf), bits))
+    val lshLive = rowSet(SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf))
+    assert(lshLive.nonEmpty &&
+      rowSet(IndexLifecycle.lshPairsFromStore(spark, lshRoot, sf)) == lshLive,
+      "stored LSH codes must serve exactly q67's live pair set")
+
+    // CDC
+    val cdcRoot = Files.createTempDirectory("graft_cdcpost").toString
+    assert(IndexLifecycle.installCdcPostings(spark, cdcRoot, 1L, mediaOf(sf)))
+    val cdcLive = rowSet(
+      SparkEntry.queries("q253_media_cdc_containment")(spark, sf))
+    assert(cdcLive.nonEmpty &&
+      rowSet(IndexLifecycle.cdcPairsFromStore(spark, cdcRoot)) == cdcLive,
+      "stored CDC chunk postings must serve exactly q253's live pair set")
+  }
+
+  test("batch admission against stored postings == full rebuild on the union, touching pairs (all four families)") {
+    import graft.operators.{DedupQueries, MultimodalQueries, SimilarityQueries}
+    // store holds ~6/7 of the corpus; the remaining ~1/7 arrives as the
+    // new batch — expected pair sets are the LIVE full-corpus queries
+    // restricted to pairs with >=1 batch member
+    val isBatch = (c: String) => col(c) % 7 === 0
+    def touching(df: DataFrame, a: String, b: String): Set[Seq[Any]] =
+      rowSet(df.filter(isBatch(a) || isBatch(b)))
+
+    // SimHash
+    val shRoot = Files.createTempDirectory("graft_shadmit").toString
+    val shSigs = DedupQueries.textSimhashSigs(spark, sf)
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 1L,
+      shSigs.filter(col("doc_id") % 7 =!= 0)))
+    val shBatch = shSigs.filter(col("doc_id") % 7 === 0)
+    val shExp = touching(
+      SparkEntry.queries("q40_dedup_simhash")(spark, sf), "doc_a", "doc_b")
+    assert(shExp.nonEmpty &&
+      rowSet(IndexLifecycle.simhashBatchPairs(spark, shRoot, shBatch)) == shExp,
+      "SimHash batch admission must equal the union rebuild's touching pairs")
+    // append commits the union; the serve path then equals live q40
+    assert(IndexLifecycle.appendSimhashPostings(spark, shRoot, shBatch)
+      === Some(2L))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, shRoot)) ==
+      rowSet(SparkEntry.queries("q40_dedup_simhash")(spark, sf)))
+    // replayed append of already-stored docs: no-op
+    assert(IndexLifecycle.appendSimhashPostings(spark, shRoot, shBatch).isEmpty)
+
+    // MinHash
+    val mhRoot = Files.createTempDirectory("graft_mhadmit").toString
+    val mhSigs = DedupQueries.minhashSignatures(spark, sf)
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+      mhSigs.filter(col("doc_id") % 7 =!= 0)))
+    val mhBatch = mhSigs.filter(col("doc_id") % 7 === 0)
+    val mhExp = touching(
+      SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf), "doc_a", "doc_b")
+    assert(mhExp.nonEmpty &&
+      rowSet(IndexLifecycle.minhashBatchPairs(spark, mhRoot, mhBatch)) == mhExp,
+      "MinHash batch admission must equal the union rebuild's touching pairs")
+    assert(IndexLifecycle.appendMinhashPostings(spark, mhRoot, mhBatch)
+      === Some(2L))
+    assert(rowSet(IndexLifecycle.minhashPairsFromStore(spark, mhRoot)) ==
+      rowSet(SparkEntry.queries("q39_dedup_minhash_lsh")(spark, sf)))
+
+    // LSH — batch codes must come from the INSTALLED planes/width (the
+    // full-corpus code width, as a production store would have installed)
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+    val lshRoot = Files.createTempDirectory("graft_lshadmit").toString
+    val vecs = DedupQueries.normVecs(spark, sf)
+    assert(IndexLifecycle.installLshPostings(spark, lshRoot, 1L,
+      vecs.filter(col("vec_id") % 7 =!= 0), bits))
+    val lshBatch = vecs.filter(col("vec_id") % 7 === 0)
+    val lshExp = touching(
+      SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf), "vec_a", "vec_b")
+    assert(lshExp.nonEmpty &&
+      rowSet(IndexLifecycle.lshBatchPairs(spark, lshRoot, sf, lshBatch))
+        == lshExp,
+      "LSH batch admission must equal the union rebuild's touching pairs")
+    assert(IndexLifecycle.appendLshPostings(spark, lshRoot, lshBatch)
+      === Some(2L))
+    assert(rowSet(IndexLifecycle.lshPairsFromStore(spark, lshRoot, sf)) ==
+      rowSet(SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf)))
+
+    // CDC — df and sizes must be priced over the UNION, so containment
+    // verdicts match the full rebuild even where the batch moved df
+    val cdcRoot = Files.createTempDirectory("graft_cdcadmit").toString
+    val media = mediaOf(sf)
+    assert(IndexLifecycle.installCdcPostings(spark, cdcRoot, 1L,
+      media.filter(col("doc_id") % 7 =!= 0)))
+    val cdcBatch = media.filter(col("doc_id") % 7 === 0)
+    val cdcExp = touching(
+      SparkEntry.queries("q253_media_cdc_containment")(spark, sf),
+      "doc_a", "doc_b")
+    assert(cdcExp.nonEmpty &&
+      rowSet(IndexLifecycle.cdcBatchPairs(spark, cdcRoot, cdcBatch)) == cdcExp,
+      "CDC batch admission must equal the union rebuild's touching pairs")
+    assert(IndexLifecycle.appendCdcPostings(spark, cdcRoot, cdcBatch)
+      === Some(2L))
+    assert(rowSet(IndexLifecycle.cdcPairsFromStore(spark, cdcRoot)) ==
+      rowSet(SparkEntry.queries("q253_media_cdc_containment")(spark, sf)))
+    assert(IndexLifecycle.appendCdcPostings(spark, cdcRoot, cdcBatch).isEmpty)
+  }
 }
