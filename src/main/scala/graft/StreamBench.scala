@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev harness: measure the streaming-admission surface at scale — the
+  * tws operators are spec-verified (chunking invariance, restart
+  * exactly-once) but until round 14 had no measured growth row. This
+  * drives a corpus directory's documents through a file-source stream in
+  * a FIXED number of micro-batches (10 — chunk count held constant across
+  * scales so per-batch overhead divides out) into three admitters:
+  *
+  *  - `span`: stride-1 window hashes → [[graft.streaming.StatefulOps.spanAdmitTws]]
+  *    (state = one 24-byte owner per DISTINCT window hash);
+  *  - `contam`: window hashes × broadcast frozen eval index →
+  *    [[graft.streaming.StatefulOps.contaminationRunTws]] (state = merged
+  *    run intervals per CONTAMINATED doc);
+  *  - `minhash`: row-local signatures → 16 band keys →
+  *    [[graft.streaming.StatefulOps.minhashAdmitTws]] (state = ≤cap key
+  *    rows per band bucket).
+  *
+  * Reported per op: input rows (the operator's arrival count), wall
+  * seconds (fresh stream, RocksDB state store), rows/s, final state rows
+  * (`stateOperators.numRowsTotal` — THE bounded-state claim, measured)
+  * and output rows. The signature/window derivation runs inside the
+  * stream's scan stage, as an ingest pipeline would run it.
+  *
+  * Usage: runMain graft.StreamBench <sfDir> [label] [op...]
+  */
+object StreamBench {
+  val Ops: Seq[String] = Seq("span", "contam", "minhash")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir
+    val only = args.drop(2).toSet
+    val unknown = only -- Ops.toSet
+    require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")} " +
+      s"(valid: ${Ops.mkString(", ")})")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.StatefulOps
+
+    // the stream feed: the corpus's documents re-chunked into exactly 10
+    // files, one micro-batch each (constant chunking across scales)
+    val base = java.nio.file.Files.createTempDirectory("graft_streambench")
+    val feed = s"$base/feed"
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .repartition(10).write.mode("overwrite").parquet(feed)
+
+    def docsStream: DataFrame =
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+
+    def lowered(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), lower(col("text")).as("text"))
+
+    // frozen eval index for the contamination admitter — snapshotted
+    // batch-side once, exactly as a production pipeline snapshots its
+    // benchmark suite
+    lazy val evalW = DedupQueries.windowKeysFor(
+        lowered(Tables.documents(spark, dir).select("doc_id", "text")))
+      .filter(col("doc_id") % 97 === 0).select("wh").distinct()
+
+    def pipeline(op: String): DataFrame = op match {
+      case "span" =>
+        StatefulOps.spanAdmitTws(
+          DedupQueries.windowKeysFor(lowered(docsStream))
+            .withColumn("epoch", lit(0))
+            .as[StatefulOps.WindowArrival]).toDF()
+      case "contam" =>
+        StatefulOps.contaminationRunTws(
+          DedupQueries.windowKeysFor(lowered(docsStream))
+            .filter(col("doc_id") % 97 =!= 0)
+            .join(broadcast(evalW), "wh")
+            .select(col("doc_id"), col("pos"), lit(0).as("epoch"))
+            .as[StatefulOps.EvalHit]).toDF()
+      case "minhash" =>
+        StatefulOps.minhashAdmitTws(
+          DedupQueries.minhashSigKeysFor(docsStream)
+            .as[StatefulOps.MinhashSig]).toDF()
+    }
+
+    (if (only.isEmpty) Ops else Ops.filter(only)).foreach { op =>
+      val ckpt = s"$base/ckpt-$op"
+      val t0 = System.nanoTime()
+      val q = pipeline(op).writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq
+      q.stop()
+      val inRows = prog.map(_.numInputRows).sum
+      val outRows = prog.map(p => Option(p.sink)
+        .map(_.numOutputRows).getOrElse(0L)).filter(_ > 0).sum
+      val stateRows = prog.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption.map(_.numRowsTotal).getOrElse(-1L)
+      println(f"STREAMBENCH $label $op in_rows=$inRows sec=$sec%.3f " +
+        f"rows_per_sec=${inRows / math.max(sec, 1e-9)}%.0f " +
+        f"state_rows=$stateRows out_rows=$outRows batches=${prog.length}")
+    }
+    spark.stop()
+  }
+}

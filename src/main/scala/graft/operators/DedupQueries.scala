@@ -2070,7 +2070,65 @@ object DedupQueries {
     simhashPostingsServeQuery,
     minhashPostingsServeQuery,
     lshPostingsServeQuery,
+    spanOwnerTakedownQuery,
   )
+
+  /** q288 — span-ownership handoff after a takedown. */
+  private def spanOwnerTakedownQuery: GraftQuery =
+    GraftQuery(
+      "q288_span_owner_takedown",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i,
+             |         array_to_string(w[i + 1 : i + 4], ' ') AS g
+             |  FROM toks, unnest(range(0, CAST(len(w) AS BIGINT) - 3)) AS t(i)
+             |  WHERE len(w) >= 4
+             |), ob AS (
+             |  SELECT g, doc_id AS od, i AS op FROM (
+             |    SELECT g, doc_id, i,
+             |           row_number() OVER (PARTITION BY g
+             |                              ORDER BY doc_id, i) AS rn
+             |    FROM wins) WHERE rn = 1
+             |), na AS (
+             |  SELECT g, doc_id AS nd, i AS np FROM (
+             |    SELECT g, doc_id, i,
+             |           row_number() OVER (PARTITION BY g
+             |                              ORDER BY doc_id, i) AS rn
+             |    FROM wins WHERE doc_id % 31 <> 0) WHERE rn = 1
+             |)
+             |SELECT CAST(o.od AS BIGINT) AS doc_before,
+             |       CAST(o.op AS BIGINT) AS pos_before,
+             |       CAST(na.nd AS BIGINT) AS doc_after,
+             |       CAST(na.np AS BIGINT) AS pos_after
+             |FROM ob o LEFT JOIN na USING (g)
+             |WHERE o.od % 31 = 0
+             |ORDER BY doc_before, pos_before""".stripMargin),
+      "Takedown propagation through span ownership — the delete verb for " +
+        "q114/q277's keeper rule (each distinct rolling window's FIRST " +
+        "(doc, pos) occurrence is the canonical copy; later occurrences " +
+        "are suppressed duplicates): deleting a doc set (the " +
+        "deterministic doc_id % 31 panel) orphans every window it owned, " +
+        "and each orphaned window must hand its canonical copy to the " +
+        "next-earliest REMAINING occurrence — the previously-suppressed " +
+        "duplicate span re-surfaces as the new first owner (doc_after/" +
+        "pos_after; NULL when the window died with its only docs). " +
+        "Scale shape: ownership is a min-struct aggregate over the " +
+        "24-byte (wh, doc_id, pos) window index — the very state the " +
+        "streaming spanAdmitTws store holds — and the NEW-owner pass " +
+        "touches only the ORPHANED hashes' posting slices (a takedown " +
+        "is a tiny fraction of a 100 TB corpus; the operator is keyed " +
+        "on exactly that fraction, never a full re-own of the index). " +
+        "The oracle replays ownership on the window STRINGS (q277's " +
+        "discipline) — hash-green means zero 64-bit collisions."
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      IndexLifecycle.spanOwnershipHandoff(windowKeysFor(docs),
+          docs.filter(col("doc_id") % 31 === 0).select("doc_id"))
+        .orderBy("doc_before", "pos_before")
+    }
 
   /** q283 — q40's pair set served FROM the stored postings pillar. */
   private def simhashPostingsServeQuery: GraftQuery =
@@ -2451,31 +2509,57 @@ object DedupQueries {
         "stream, spans and reconstruction doc-local, eval docs excluded " +
         "from the output by the panel predicate at the scan."
     ) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val wins = rollingWindows(toks)
-        .select(col("doc_id"), col("i"), xxhash64(col("g")).as("h"))
-      val evalW = wins.filter(col("doc_id") % 97 === 0)
-        .select("h").distinct()
-      val dup = wins.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalW), "h")
-        .select("doc_id", "i")
-      val spans = mergedSpans(dup)
-      val tokpos = toks.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
-      tokpos.as("t")
-        .join(spans.as("s"),
-          col("t.doc_id") === col("s.doc_id") &&
-            col("t.p") >= col("s.a") && col("t.p") <= col("s.b"),
-          "left")
-        .select(col("t.doc_id").as("doc_id"), col("p"), col("tok"), col("a"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("p") === col("a"), 1)).as("n_runs"),
-          count(col("a")).as("excised_tokens"),
-          concat_ws(" ", transform(sort_array(collect_list(
-              when(col("a").isNull, struct(col("p"), col("tok"))))),
-            x => x("tok"))).as("text_clean"))
+      exciseAgainst(
+        Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0),
+        evalWindowHashes(
+          Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)))
         .orderBy("doc_id")
     }
+
+  /** The DISTINCT lowercased rolling-window hashes of an eval corpus —
+    * the frozen membership index q278/q282 broadcast onto the training
+    * stream (benchmarks are MBs; this frame is what a production
+    * pipeline snapshots once per eval-suite release). */
+  private[graft] def evalWindowHashes(evalDocs: DataFrame): DataFrame =
+    rollingWindows(evalDocs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
+      .select(xxhash64(col("g")).as("h")).distinct()
+
+  /** q282's excision pipeline against a FROZEN eval-window hash index —
+    * the seam the batch query and the streaming admission stage
+    * (`StatefulOps.decontaminateAdmit`) share, so cleaned text at
+    * admission time is bit-identical to the after-the-fact audit:
+    * lowercased stride-1 window hashes probe the broadcast eval set (the
+    * corpus side never shuffles for membership), surviving offsets merge
+    * doc-locally to maximal runs, and one doc-local aggregation emits
+    * (doc_id, n_tokens, n_runs, excised_tokens, text_clean) — clean docs
+    * ride through whole. Everything is doc-local past the broadcast
+    * probe, so the pipeline is chunking-invariant by construction: any
+    * partition of `docs` processed against the same `evalW` unions to
+    * the whole corpus's verdict. */
+  private[graft] def exciseAgainst(docs: DataFrame,
+                                   evalW: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val dup = rollingWindows(toks)
+      .select(col("doc_id"), col("i"), xxhash64(col("g")).as("h"))
+      .join(broadcast(evalW), "h")
+      .select("doc_id", "i")
+    val spans = mergedSpans(dup)
+    val tokpos = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+    tokpos.as("t")
+      .join(spans.as("s"),
+        col("t.doc_id") === col("s.doc_id") &&
+          col("t.p") >= col("s.a") && col("t.p") <= col("s.b"),
+        "left")
+      .select(col("t.doc_id").as("doc_id"), col("p"), col("tok"), col("a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("p") === col("a"), 1)).as("n_runs"),
+        count(col("a")).as("excised_tokens"),
+        concat_ws(" ", transform(sort_array(collect_list(
+            when(col("a").isNull, struct(col("p"), col("tok"))))),
+          x => x("tok"))).as("text_clean"))
+  }
 }

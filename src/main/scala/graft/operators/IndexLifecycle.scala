@@ -1358,6 +1358,173 @@ object IndexLifecycle {
     }
   }
 
+  // ---------- takedown / delete propagation ----------
+  //
+  // The pipeline can admit, dedup, index and excise — takedown is the
+  // missing verb (VERDICT r13 item 3): a real 100 TB corpus gets delete
+  // requests, and deleting the source rows is not enough while installed
+  // artifacts still serve the doc. Each operator below produces the next
+  // version of ONE pillar with the deleted ids gone, under the same
+  // ATOMIC_MOVE discipline — so readers swap from "doc present" to "doc
+  // absent" atomically, with rollback by version like every other swap.
+  // The deleted-id frame is id-only (8-byte rows) everywhere; the only
+  // rewritten bytes are the index artifacts themselves.
+
+  /** Remove `deleted(vec_id)` from the served PQ index: v=N+1 carries
+    * the surviving codes (id-only anti-join, partition layout kept), the
+    * SAME quantizers by copy, and a recomputed baseline/meta — deleting
+    * rows must not poison the drift dial with the old corpus's masses.
+    * None when no deleted id is in the stored codes (replay no-op). */
+  def takedownPqIndex(s: SparkSession, root: String,
+                      deleted: DataFrame): Option[Long] = {
+    val v = latestPqVersion(root)
+    val (codes, cents, book) = readPqIndexAt(s, root, v)
+    val del = deleted.select(col("vec_id")).distinct()
+    if (codes.join(del, Seq("vec_id"), "left_semi").limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        cents.write.mode("overwrite")
+          .parquet(staging.resolve("centroids").toString)
+        book.write.mode("overwrite")
+          .parquet(staging.resolve("codebook").toString)
+        val sc = s.read.schema(PqCentsSchema)
+          .parquet(staging.resolve("centroids").toString)
+        val sb = s.read.schema(PqBookSchema)
+          .parquet(staging.resolve("codebook").toString)
+        writePqCodesAndMeta(s, staging,
+          codes.join(del, Seq("vec_id"), "left_anti")
+            .select("vec_id", "cd", "cent_id"), sc, sb)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  /** Remove `deleted(doc_id)` from the SimHash postings pillar — v=N+1
+    * reinstalls the surviving signatures (postings re-derive, cap
+    * carries). None when nothing stored is deleted. */
+  def takedownSimhashPostings(s: SparkSession, root: String,
+                              deleted: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val sigs = s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val del = deleted.select(col("doc_id")).distinct()
+    if (sigs.join(del, Seq("doc_id"), "left_semi").limit(1).count() == 0) None
+    else if (installSimhashPostings(s, root, v + 1,
+      sigs.join(del, Seq("doc_id"), "left_anti"), cap)) Some(v + 1)
+    else None
+  }
+
+  /** Remove `deleted(doc_id)` from the MinHash postings pillar. */
+  def takedownMinhashPostings(s: SparkSession, root: String,
+                              deleted: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val sigs = s.read.schema(MinhashSigsSchema).parquet(s"$root/v=$v/sigs")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val del = deleted.select(col("doc_id")).distinct()
+    if (sigs.join(del, Seq("doc_id"), "left_semi").limit(1).count() == 0) None
+    else if (installMinhashPostings(s, root, v + 1,
+      sigs.join(del, Seq("doc_id"), "left_anti"), cap)) Some(v + 1)
+    else None
+  }
+
+  /** Remove `deleted(vec_id)` from the LSH postings pillar — surviving
+    * codes carry by copy (no re-hashing), dials carry. */
+  def takedownLshPostings(s: SparkSession, root: String,
+                          deleted: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val cfg = s.read.schema(LshCfgSchema).parquet(s"$root/v=$v/lshcfg").head
+    val codes = s.read.schema(LshCodesSchema).parquet(s"$root/v=$v/codes")
+    val del = deleted.select(col("vec_id")).distinct()
+    if (codes.join(del, Seq("vec_id"), "left_semi").limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        codes.join(del, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("tbl")
+          .parquet(staging.resolve("codes").toString)
+        s.range(1).select(lit(cfg.getLong(0)).as("bits"),
+            lit(cfg.getLong(1)).as("tables"))
+          .write.mode("overwrite").parquet(staging.resolve("lshcfg").toString)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  /** Remove `deleted(doc_id)` from the CDC chunk postings pillar —
+    * surviving chunk rows carry by copy (no payload walk); df re-prices
+    * at read as always, so containment verdicts follow the deletion. */
+  def takedownCdcPostings(s: SparkSession, root: String,
+                          deleted: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val chunks = s.read.schema(CdcChunksSchema).parquet(s"$root/v=$v/chunks")
+      .select("doc_id", "cfp")
+    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
+    val del = deleted.select(col("doc_id")).distinct()
+    if (chunks.join(del, Seq("doc_id"), "left_semi").limit(1).count() == 0) None
+    else {
+      val next = v + 1
+      val done = installVersion(root, next, _ => ()) { staging =>
+        chunks.join(del, Seq("doc_id"), "left_anti")
+          .withColumn("bkt", pmod(col("cfp"), lit(16L)))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(staging.resolve("chunks").toString)
+        s.range(1).select(lit(cap.toLong).as("cap"))
+          .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+      }
+      if (done) Some(next) else None
+    }
+  }
+
+  /** The content-addressed chunk store's takedown ledger under
+    * [[graft.streaming.StatefulOps.chunkAdmitTws]]'s canonical-copy
+    * contract (owner = min-doc first writer, duplicates bump a refcount
+    * toward the owner's bytes): per chunk fingerprint, owner and
+    * refcount before/after deleting `deleted(doc_id)` — `gc` marks the
+    * fingerprints whose last reference died (the store deletes those
+    * bytes); a surviving chunk whose OWNER died hands its canonical copy
+    * to the next-earliest remaining filer. One groupBy over the 16-byte
+    * (doc_id, cfp) manifest rows — payload bytes never move. */
+  def chunkStoreTakedown(chunks: DataFrame, deleted: DataFrame): DataFrame =
+    chunks
+      .join(deleted.select(col("doc_id")).distinct()
+        .withColumn("del", lit(true)), Seq("doc_id"), "left")
+      .withColumn("del", coalesce(col("del"), lit(false)))
+      .groupBy("cfp")
+      .agg(min(col("doc_id")).as("owner_before"),
+        count(lit(1)).as("refcount_before"),
+        min(when(!col("del"), col("doc_id"))).as("owner_after"),
+        count(when(!col("del"), 1)).as("refcount_after"))
+      .withColumn("gc", col("refcount_after") === 0)
+
+  /** Span-ownership handoff after a takedown: q114/q277's keeper rule
+    * owns each distinct rolling window at its FIRST (doc, pos)
+    * occurrence — deleting an owner must re-surface the next-earliest
+    * occurrence as the new canonical copy (its duplicate span stops
+    * being suppressed). Input is the (wh, doc_id, pos) window index;
+    * output one row per ORPHANED hash: old owner, new owner (NULL when
+    * the window died with its only docs). The new-owner pass touches
+    * ONLY the orphaned hashes' posting slices — at 100 TB a takedown is
+    * a tiny fraction of the corpus, and this is keyed on exactly that
+    * fraction. */
+  def spanOwnershipHandoff(wins: DataFrame, deleted: DataFrame): DataFrame = {
+    val del = deleted.select(col("doc_id")).distinct()
+    val orphaned = wins.groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .select(col("wh"), col("o.doc_id").as("doc_before"),
+        col("o.pos").as("pos_before"))
+      .join(del.withColumnRenamed("doc_id", "doc_before"),
+        Seq("doc_before"), "left_semi")
+    val next = wins.join(orphaned.select("wh"), Seq("wh"))
+      .join(del, Seq("doc_id"), "left_anti")
+      .groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("n"))
+      .select(col("wh"), col("n.doc_id").as("doc_after"),
+        col("n.pos").as("pos_after"))
+    orphaned.join(next, Seq("wh"), "left")
+      .select("doc_before", "pos_before", "doc_after", "pos_after")
+  }
+
   // ----- shared banded-index machinery -----
 
   /** Posting rows surviving the [2, cap] bucket bound — the window count

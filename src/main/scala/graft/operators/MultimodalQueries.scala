@@ -935,6 +935,48 @@ object MultimodalQueries {
         ()
       }
       IndexLifecycle.cdcPairsFromStore(s, root)
+    },
+
+    GraftQuery(
+      "q287_chunk_store_takedown",
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, m AS (
+              |  SELECT cfp,
+              |         CAST(min(doc_id) AS BIGINT) AS owner_before,
+              |         CAST(count(*) AS BIGINT) AS refcount_before,
+              |         CAST(min(CASE WHEN doc_id % 31 <> 0 THEN doc_id END)
+              |           AS BIGINT) AS owner_after,
+              |         CAST(count(CASE WHEN doc_id % 31 <> 0 THEN 1 END)
+              |           AS BIGINT) AS refcount_after
+              |  FROM chunks GROUP BY cfp
+              |)
+              |SELECT CAST(cfp AS BIGINT) AS cfp, owner_before,
+              |       refcount_before, owner_after, refcount_after,
+              |       refcount_after = 0 AS gc
+              |FROM m ORDER BY cfp""".stripMargin),
+      "Takedown propagation through the content-addressed chunk store — " +
+        "the delete verb the admit path (chunkAdmitTws: novel chunks " +
+        "persist bytes under the min-doc first writer, duplicates bump a " +
+        "refcount toward that canonical copy) implies but r13 lacked: " +
+        "deleting a doc set (here the deterministic doc_id % 31 panel) " +
+        "must decrement every chunk it referenced, GC the chunks whose " +
+        "LAST reference died (gc=true rows — the store deletes those " +
+        "bytes), and hand ownership of surviving chunks whose OWNER died " +
+        "to the next-earliest remaining filer (owner_after > " +
+        "owner_before where owner_before % 31 = 0). One groupBy over the " +
+        "16-byte (doc_id, cfp) manifest rows computes the whole ledger — " +
+        "before/after counts ride the same pass as conditional " +
+        "aggregates, payload bytes never move, and the chunk " +
+        "decomposition itself is the shared one-pass native CDC walk " +
+        "(q253/q254's), replayed verbatim by the oracle. At 100 TB this " +
+        "is the nightly takedown batch: deleted ids broadcast onto the " +
+        "manifest scan, ledger keyed by fingerprint across the store's " +
+        "partitions, the gc list IS the store's delete workload."
+    ) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload"))
+      IndexLifecycle.chunkStoreTakedown(cdcDocChunks(media),
+          media.filter(col("doc_id") % 31 === 0).select("doc_id"))
+        .orderBy("cfp")
     }
   )
 

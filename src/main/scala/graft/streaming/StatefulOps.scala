@@ -1459,4 +1459,39 @@ object StatefulOps {
       .transformWithState(new ContaminationRunProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Admission-time decontamination — q282's excision at INGEST, the live
+    * twin [[contaminationRunTws]]'s verdict stream exists to feed: a
+    * training-ingest pipeline wants the CLEANED TEXT as documents arrive,
+    * not an after-the-fact audit. Each micro-batch of `docs(doc_id,
+    * text)` runs exactly the shared batch machinery
+    * ([[graft.operators.DedupQueries.exciseAgainst]]): lowercased
+    * stride-1 window hashes probe the broadcast FROZEN eval index `evalW`
+    * (benchmarks are MBs — the stream never shuffles for membership),
+    * duplicated offsets merge doc-locally to maximal runs, and the
+    * one-pass audit-and-transform tail lands (doc_id, n_tokens, n_runs,
+    * excised_tokens, text_clean) under `outDir/batch=<id>`.
+    *
+    * Documents arrive whole, and everything past the broadcast probe is
+    * doc-local — so the landed corpus is chunking-invariant by
+    * construction and row-identical to batch q282 on the union of all
+    * batches (StreamingOpsSpec pins 3-chunk == 7-chunk == batch, and
+    * restart). Exactly-once is the idempotent-foreachBatch discipline:
+    * each batch OVERWRITES its own `batch=<id>` directory, and the
+    * excision is a pure function of (batch, frozen evalW), so a replayed
+    * epoch rewrites byte-identical files — the same replay contract as
+    * the transactional sink, at directory granularity. */
+  def decontaminateAdmit(docs: org.apache.spark.sql.DataFrame,
+                         evalW: org.apache.spark.sql.DataFrame,
+                         outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.DedupQueries.exciseAgainst(batch.toDF(), evalW)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -1030,4 +1030,118 @@ class IndexLifecycleSpec extends SparkSpec {
       rowSet(SparkEntry.queries("q253_media_cdc_containment")(spark, sf)))
     assert(IndexLifecycle.appendCdcPostings(spark, cdcRoot, cdcBatch).isEmpty)
   }
+
+  test("takedown: a deleted doc vanishes from every serve path (pq codes + all four postings pillars)") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, SimilarityQueries}
+
+    // --- PQ index: delete two coded vectors; the new version serves the
+    // survivors only, quantizers untouched, audit baseline re-priced
+    val pqRoot = Files.createTempDirectory("graft_td_pq").toString
+    val pqDir = Files.createTempDirectory("graft_td_pqc").toString
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(s"$pqDir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, pqRoot, 1L,
+      IndexLifecycle.train(spark, asVec(corpus), k = 3),
+      IndexLifecycle.trainCodebook(asVec(corpus)), pqDir))
+    val del = Seq(7L, 41L).toDF("vec_id")
+    // unknown ids: replay no-op
+    assert(IndexLifecycle.takedownPqIndex(spark, pqRoot,
+      Seq(999L).toDF("vec_id")).isEmpty)
+    assert(IndexLifecycle.takedownPqIndex(spark, pqRoot, del) === Some(2L))
+    val (codes2, _, _) = IndexLifecycle.readPqIndexAt(spark, pqRoot, 2L)
+    assert(codes2.count() === 78L &&
+      codes2.filter(col("vec_id").isin(7L, 41L)).count() === 0L,
+      "deleted vec_ids must leave the stored codes")
+    val served = IndexLifecycle.searchPqIndex(spark, pqRoot, pqDir)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && !served.contains(7L) && !served.contains(41L),
+      "a deleted vec must never be served as a neighbor")
+    // a second takedown of the same ids is a no-op
+    assert(IndexLifecycle.takedownPqIndex(spark, pqRoot, del).isEmpty)
+
+    // --- postings pillars: takedown == rebuild on the post-deletion
+    // corpus, for each family (the strongest equality available)
+    val byDoc = col("doc_id") % 5 === 2
+    val byVec = col("vec_id") % 5 === 2
+
+    val shRoot = Files.createTempDirectory("graft_td_sh").toString
+    val shSigs = DedupQueries.textSimhashSigs(spark, sf)
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 1L, shSigs))
+    assert(IndexLifecycle.takedownSimhashPostings(spark, shRoot,
+      shSigs.filter(byDoc).select("doc_id")) === Some(2L))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, shRoot)) ==
+      rowSet(DedupQueries.simhashNearDupPairsUnsorted(shSigs.filter(!byDoc))
+        .orderBy("doc_a", "doc_b")),
+      "SimHash takedown must equal a rebuild on the post-deletion corpus")
+
+    val mhRoot = Files.createTempDirectory("graft_td_mh").toString
+    val mhSigs = DedupQueries.minhashSignatures(spark, sf)
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L, mhSigs))
+    assert(IndexLifecycle.takedownMinhashPostings(spark, mhRoot,
+      mhSigs.filter(byDoc).select("doc_id")) === Some(2L))
+    assert(rowSet(IndexLifecycle.minhashPairsFromStore(spark, mhRoot)) ==
+      rowSet(IndexLifecycle.minhashPairsFromStore(spark, {
+        val r = Files.createTempDirectory("graft_td_mh2").toString
+        IndexLifecycle.installMinhashPostings(spark, r, 1L,
+          mhSigs.filter(!byDoc)); r
+      })),
+      "MinHash takedown must equal a rebuild on the post-deletion corpus")
+
+    val lshRoot = Files.createTempDirectory("graft_td_lsh").toString
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+    val vecs = DedupQueries.normVecs(spark, sf)
+    assert(IndexLifecycle.installLshPostings(spark, lshRoot, 1L, vecs, bits))
+    assert(IndexLifecycle.takedownLshPostings(spark, lshRoot,
+      vecs.filter(byVec).select("vec_id")) === Some(2L))
+    assert(rowSet(IndexLifecycle.lshPairsFromStore(spark, lshRoot, sf)) ==
+      rowSet(DedupQueries.lshNearDupPairsFrom(vecs.filter(!byVec), bits)
+        .orderBy("vec_a", "vec_b")),
+      "LSH takedown must equal a rebuild on the post-deletion corpus")
+
+    val cdcRoot = Files.createTempDirectory("graft_td_cdc").toString
+    val media = mediaOf(sf)
+    assert(IndexLifecycle.installCdcPostings(spark, cdcRoot, 1L, media))
+    assert(IndexLifecycle.takedownCdcPostings(spark, cdcRoot,
+      media.filter(byDoc).select("doc_id")) === Some(2L))
+    assert(rowSet(IndexLifecycle.cdcPairsFromStore(spark, cdcRoot)) ==
+      rowSet(graft.operators.MultimodalQueries
+        .cdcContainmentPairs(media.filter(!byDoc))),
+      "CDC takedown must equal a rebuild on the post-deletion corpus")
+  }
+
+  test("takedown: chunk refcounts GC at zero and span ownership hands to the next-earliest occurrence") {
+    import spark.implicits._
+    // chunk store: cfp 100 solely doc 1's (gc), cfp 200 owned by doc 1
+    // but also filed by docs 3 and 5 (handoff + decrement), cfp 300
+    // untouched by the deletion
+    val chunks = Seq((1L, 100L), (1L, 200L), (3L, 200L), (5L, 200L),
+      (3L, 300L)).toDF("doc_id", "cfp")
+    val ledger = IndexLifecycle.chunkStoreTakedown(chunks,
+        Seq(1L).toDF("doc_id"))
+      .orderBy("cfp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(ledger === Seq(
+      (100L, 1L, 1L, -1L, 0L, true),   // last reference died: GC
+      (200L, 1L, 3L, 3L, 2L, false),   // owner handoff to doc 3
+      (300L, 3L, 1L, 3L, 1L, false)))  // untouched
+
+    // span ownership: wh 10 owned by deleted doc 1, doc 4 re-surfaces;
+    // wh 20 owned by doc 1 alone — dies; wh 30 owned by surviving doc 2
+    // (NOT orphaned — must not appear)
+    val wins = Seq((10L, 1L, 5L), (10L, 4L, 9L), (20L, 1L, 7L),
+      (30L, 2L, 0L)).toDF("wh", "doc_id", "pos")
+    val handoff = IndexLifecycle.spanOwnershipHandoff(wins,
+        Seq(1L).toDF("doc_id"))
+      .orderBy("doc_before", "pos_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(handoff === Seq(
+      (1L, 5L, 4L, 9L),    // suppressed duplicate re-surfaces
+      (1L, 7L, -1L, -1L))) // window died with its only doc
+  }
 }

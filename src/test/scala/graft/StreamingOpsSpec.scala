@@ -2011,4 +2011,65 @@ class StreamingOpsSpec extends SparkSpec {
       ((1L, 9L, 9L)),
       s"checkpointed runs must persist and merge across the restart: $last")
   }
+
+  test("admission-time excision: streamed cleaned corpus == batch q282 under any chunking, accumulating across a restart") {
+    import graft.operators.DedupQueries
+
+    val docs = Tables.documents(spark, sf)
+    val evalW = DedupQueries.evalWindowHashes(
+      docs.filter(col("doc_id") % 97 === 0))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text")
+    val batchExp = SparkEntry.queries("q282_decontaminate_excise")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batchExp.nonEmpty)
+
+    def landed(outDir: String): Set[Seq[Any]] =
+      spark.read
+        .schema("doc_id BIGINT, n_tokens BIGINT, n_runs BIGINT, " +
+          "excised_tokens BIGINT, text_clean STRING")
+        .parquet(outDir)
+        .select("doc_id", "n_tokens", "n_runs", "excised_tokens", "text_clean")
+        .collect().map(_.toSeq).toSet
+
+    // docs stream in as whole files, one micro-batch per file — the
+    // chunking knob; the landed union must be chunking-invariant
+    def runChunks(nFiles: Int): Set[Seq[Any]] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_excise")
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      train.repartition(nFiles).write.mode("overwrite").parquet(inDir)
+      val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = StatefulOps.decontaminateAdmit(src, evalW, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      landed(outDir)
+    }
+    val out3 = runChunks(3)
+    assert(out3 == batchExp,
+      "the streamed cleaned corpus must equal batch q282 row-for-row")
+    assert(runChunks(7) == out3, "re-chunking the stream changed the corpus")
+
+    // restart: a drained checkpoint re-lands nothing; the second wave
+    // accumulates to exactly the full-corpus verdict
+    val base = java.nio.file.Files.createTempDirectory("graft_excise_rs")
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def drain(): Unit = {
+      val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = StatefulOps.decontaminateAdmit(src, evalW, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    train.filter(col("doc_id") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(inDir)
+    drain()
+    val wave1 = landed(outDir)
+    drain() // restart with no new input: nothing re-lands
+    assert(landed(outDir) == wave1,
+      "a restarted drained stream must land nothing new")
+    train.filter(col("doc_id") % 2 === 0)
+      .repartition(2).write.mode("append").parquet(inDir)
+    drain()
+    assert(landed(outDir) == batchExp,
+      "the post-restart union must equal the full batch verdict")
+  }
 }
