@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev harness: measure the stored-index maintenance economics at scale —
+  * the three numbers the postings/PQ pillars exist to improve, per corpus
+  * decade:
+  *
+  *  - `build`: one full pillar install (the amortized cost);
+  *  - `serve`: the pair set served FROM the store (no signature
+  *    recompute; min-of-reps in a warm JVM);
+  *  - `admit64`: a FIXED 64-document (or 64-vector) batch admitted
+  *    against the stored postings — the nightly-ingest unit of work,
+  *    which must grow SUBLINEARLY in corpus size for the incremental
+  *    discipline to be real (the batch's own signing is constant; only
+  *    the stored-list probe grows, and it is index-sized 16–20-byte
+  *    rows, never corpus text).
+  *
+  * Plus the PQ-index pair: `pq_rebuild` (full installPqIndex under the
+  * fixed production dials — q281's artifact) vs `pq_append64` (64 new
+  * vectors coded against the installed quantizers and committed as
+  * v=N+1) — the append ≪ rebuild claim as a measurement.
+  *
+  * Usage: runMain graft.IndexMaintBench <sfDir> [label] [reps] [op...]
+  * (ops: simhash minhash lsh cdc pq)
+  */
+object IndexMaintBench {
+  val Ops: Seq[String] = Seq("simhash", "minhash", "lsh", "cdc", "pq")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val only = args.drop(3).toSet
+    val unknown = only -- Ops.toSet
+    require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")} " +
+      s"(valid: ${Ops.mkString(", ")})")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{DedupQueries, IndexLifecycle, MultimodalQueries,
+      SimilarityQueries}
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def minOf(f: => Long): (Double, Long) =
+      (1 to reps).map(_ => timed(f)).minBy(_._1)
+    def report(op: String, build: Double, serve: (Double, Long),
+               admit: (Double, Long)): Unit =
+      println(f"INDEXMAINT $label $op build=$build%.3f serve=${serve._1}%.3f " +
+        f"serve_rows=${serve._2} admit64=${admit._1}%.3f " +
+        f"admit64_rows=${admit._2}")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_maintbench")
+    // the FIXED new batch: 64 docs' text under fresh ids — constant work
+    // at every corpus size (the nightly-ingest unit)
+    val batchDocs = Tables.documents(spark, dir).orderBy("doc_id").limit(64)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val run = if (only.isEmpty) Ops else Ops.filter(only)
+
+    if (run.contains("simhash")) {
+      val root = s"$base/sh"
+      val (b, _) = timed {
+        IndexLifecycle.installSimhashPostings(spark, root, 1L,
+          DedupQueries.textSimhashSigs(spark, dir)); 0L
+      }
+      val bs = DedupQueries.textSimhashSigsFor(batchDocs)
+      report("simhash", b,
+        minOf(IndexLifecycle.simhashPairsFromStore(spark, root).count()),
+        minOf(IndexLifecycle.simhashBatchPairs(spark, root, bs).count()))
+    }
+    if (run.contains("minhash")) {
+      val root = s"$base/mh"
+      val (b, _) = timed {
+        IndexLifecycle.installMinhashPostings(spark, root, 1L,
+          DedupQueries.minhashSignatures(spark, dir)); 0L
+      }
+      val bs = DedupQueries.minhashSignaturesFor(batchDocs)
+      report("minhash", b,
+        minOf(IndexLifecycle.minhashPairsFromStore(spark, root).count()),
+        minOf(IndexLifecycle.minhashBatchPairs(spark, root, bs).count()))
+    }
+    if (run.contains("lsh")) {
+      val root = s"$base/lsh"
+      val n = Tables.parquetRowCount(spark, dir, "embeddings")
+      val bits = SimilarityQueries.codeBits(n)
+      val (b, _) = timed {
+        IndexLifecycle.installLshPostings(spark, root, 1L,
+          DedupQueries.normVecs(spark, dir), bits); 0L
+      }
+      val bv = DedupQueries.normVecs(spark, dir).orderBy("vec_id").limit(64)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("v"),
+          col("nrm"))
+      report("lsh", b,
+        minOf(IndexLifecycle.lshPairsFromStore(spark, root, dir).count()),
+        minOf(IndexLifecycle.lshBatchPairs(spark, root, dir, bv).count()))
+    }
+    if (run.contains("cdc")) {
+      val root = s"$base/cdc"
+      val media = Tables.documents(spark, dir)
+        .select(col("doc_id"), MultimodalQueries.mediaPayload.as("payload"))
+      val (b, _) = timed {
+        IndexLifecycle.installCdcPostings(spark, root, 1L, media); 0L
+      }
+      val bm = media.orderBy("doc_id").limit(64)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("payload"))
+      report("cdc", b,
+        minOf(IndexLifecycle.cdcPairsFromStore(spark, root).count()),
+        minOf(IndexLifecycle.cdcBatchPairs(spark, root, bm).count()))
+    }
+    if (run.contains("pq")) {
+      // append ≪ rebuild: v1 installs on the corpus minus its last 64
+      // vectors, the full corpus then lands, and append codes ONLY the
+      // 64 new ids against the installed quantizers
+      val root = s"$base/pq"
+      val pqDir = s"$base/pqcorpus"
+      val vecs = Tables.embeddings(spark, dir)
+      val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
+      vecs.filter(col("vec_id") <= maxId - 64)
+        .write.mode("overwrite").parquet(s"$pqDir/embeddings.parquet")
+      val (b0, _) = timed {
+        IndexLifecycle.installPqIndex(spark, root, 1L,
+          SimilarityQueries.fixedCents(spark, pqDir),
+          SimilarityQueries.pqCodebookFixed(spark, pqDir), pqDir); 0L
+      }
+      vecs.write.mode("overwrite").parquet(s"$pqDir/embeddings.parquet")
+      val (ap, _) = timed {
+        IndexLifecycle.appendPqIndex(spark, root, pqDir); 0L
+      }
+      // the comparable full rebuild on the SAME (full) corpus
+      val (rb, _) = timed {
+        IndexLifecycle.installPqIndex(spark, s"$base/pq2", 1L,
+          SimilarityQueries.fixedCents(spark, pqDir),
+          SimilarityQueries.pqCodebookFixed(spark, pqDir), pqDir); 0L
+      }
+      println(f"INDEXMAINT $label pq build_n_minus_64=$b0%.3f " +
+        f"append64=$ap%.3f full_rebuild=$rb%.3f")
+    }
+    spark.stop()
+  }
+}

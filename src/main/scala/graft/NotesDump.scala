@@ -18,6 +18,7 @@ object NotesDump {
       out ++= s"| `${q.name}` | $oracle | $note |\n"
     }
     out ++= growthEvidence
+    out ++= maintenanceEvidence
     out ++= kafkaBinding
     java.nio.file.Files.writeString(java.nio.file.Paths.get(target), out.toString)
     println(s"[notesdump] wrote $target (${SparkEntry.catalog.size} queries)")
@@ -167,6 +168,76 @@ object NotesDump {
       |three forms are oracle-checked hash-exact at sf (q281 shares q280's
       |oracle text — stored and derived codes are one contract, pinned
       |row-identical by spec).
+      |""".stripMargin
+
+  /** Round-14 measurements: the streaming-admission surface and the
+    * stored-index maintenance economics — kept in code so SCALE.md
+    * regeneration preserves them. */
+  private val maintenanceEvidence: String =
+    """
+      |## Streaming admission, measured (round 14)
+      |
+      |`sbt "runMain graft.StreamBench <dir> <label>"` — the corpus's
+      |documents re-chunked into a FIXED 10 micro-batches (chunk count held
+      |constant across scales so per-batch overhead divides out), RocksDB
+      |state store, signature/window derivation inside the stream's scan
+      |stage as an ingest pipeline runs it. 2026-08-16 back-to-back pair
+      |(x1 ran first in the fresh JVM and absorbs codegen/RocksDB warm-up —
+      |compare state_rows structurally and rows/s at x10):
+      |
+      || op | x1 docs/s | x10 docs/s | x1 state rows | x10 state rows | state = | bounded by |
+      ||---|---|---|---|---|---|---|
+      || spanAdmitTws | 139 (warm-up-dominated) | 3 115 | 119 672 | 2 247 618 | one 24-byte owner per DISTINCT window hash | corpus distinct-window count (the index itself) — grows with data, hash-partitioned across executors |
+      || contaminationRunTws | 421 | 3 850 | 4 283 | 20 898 | merged run intervals per CONTAMINATED doc | eval-overlap mass only: 4.2k/20.9k state rows for 5k/50k docs — the ~92% clean majority never creates state |
+      || minhashAdmitTws | 477 | 2 794 | 79 964 | 799 973 | ≤cap member rows per (band, key) bucket | 16 × docs exactly (79 964 ≈ 16·5 000 minus empty docs) — the banded index, capped per bucket |
+      |
+      |Readings: state sizes land exactly where the docstrings claim —
+      |span state = the distinct-window index, contamination state = the
+      |contaminated fraction only, minhash state = 16 rows/doc with the
+      |cap bounding every bucket. Throughput grows with batch size
+      |(3.1-3.9k docs/s at x10 on local[16] with 5k-doc batches) because
+      |per-micro-batch overhead amortizes — the 100 TB posture is bigger
+      |batches, the same bounded state.
+      |
+      |## Stored-index maintenance economics (round 14)
+      |
+      |`sbt "runMain graft.IndexMaintBench <dir> <label>"` — per postings
+      |pillar: one full install (`build`, the amortized cost), the pair
+      |set served FROM the store (`serve`, min-of-reps warm), and a FIXED
+      |64-doc/64-vector batch admitted against the stored postings
+      |(`admit64`, min-of-reps — the nightly-ingest unit, which must stay
+      |sublinear in corpus size). Same-day x1→x10→x100 runs, 2026-08-16:
+      |
+      || pillar | build x1→x10→x100 | serve x1→x10→x100 | admit64 x1→x10→x100 | reading |
+      ||---|---|---|---|---|
+      || SimHash postings (q283) | 4.8→5.9→11.2 s | 0.69→1.46→1.70 s | 0.71→1.03→3.29 s | serve near-FLAT across two decades (index-sized banding, ~zero pairs on the open-vocab corpus); fixed-batch admission 4.6× for 100× data — only the probed stored lists grow (x100 admit pairs drop to 0: the clones' Zipf-head band buckets saturate past the cap, the bound doing its job) |
+      || MinHash postings (q284) | 1.1→2.0→8.7 s | 0.34→0.64→2.92 s | 0.63→1.01→3.81 s | signature recompute gone from every read; admission probes 16 keys/doc against stored lists — 6× for 100× data |
+      || sign-LSH postings (q285) | 0.56→0.85 s | 0.96→3.26→291 s | 1.06→1.83 s | serve grows with the PAIR OUTPUT, not signature work: 2 682→96 377→millions of cos≥0.35 candidates in the uniform synthetic cloud. Fresh-JVM live q67 at x100 is 268 s — stored serve ≈ live because candidate CONFIRM (shared by both) dominates; the pillar's savings are the signature build, which this geometry makes negligible. The production lever for pair-volume regimes is the cap/table dials, not storage |
+      || CDC chunk postings (q286) | 0.68→1.33→3.0 s | 0.34→2.21→5.26 s | 0.56→1.24→3.18 s | install owns the payload walk; serve re-prices df index-level — 15× wall for 100× data; admission 5.7× for 100× |
+      |
+      |PQ-index incremental maintenance (fixed production dials, q281's
+      |artifact): `appendPqIndex` codes ONLY the new vec_ids against the
+      |installed quantizers, carries the stored codes by FILE COPY, and
+      |appends the delta rows into the copied cent_id layout. The first
+      |measurement of this round exposed why the copy matters: a Spark
+      |REWRITE of the carried codes made append ≈ rebuild at x100 (48.5 s
+      |vs 45.8 s — the corpus-sized partitioned shuffle+write, not the
+      |coding, was the cost); after the file-copy rework, same day:
+      |
+      || corpus | full rebuild | append (64 new vecs) | reading |
+      ||---|---|---|---|
+      || x10 (20k vecs) | 5.8 s | 4.97 s | anti-join discovery + baseline re-read ≈ the small rebuild |
+      || x100 (200k) | 27.2 s | 11.7 s | append 2.3× cheaper and the gap widens with n: remaining append cost is the read-only baseline/meta aggregation over the staged artifact, vs the rebuild's corpus-wide re-code + full shuffle write |
+      |
+      |Serve-query growth at the catalog level (ScaleBench min-of-3; rep 1
+      |pays the memoized install — the build/serve split, q281's
+      |discipline): q283 0.82→1.93→1.10 s, q284 0.54→1.19→1.67 s (both
+      |noise-flat across the second decade), q285 1.45→4.39→291 s
+      |(pair-volume regime, see table), q286 0.61→5.11→3.48 s (the x10
+      |min was noise-inflated — reps 8.9/5.1/29.5), q287 takedown ledger
+      |0.26→3.70→0.92 s, q288 span handoff 0.58→1.09→3.79 s for
+      |10×/100× data (individual reps swung up to 13× on this box's
+      |co-tenant noise; min-of-3 shown).
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —

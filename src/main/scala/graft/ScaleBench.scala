@@ -26,7 +26,10 @@ object ScaleBench {
     "q253_media_cdc_containment", "q275_cdc_recall_eval",
     "q276_cdc_cap_dial", "q277_duplicate_span_extraction",
     "q278_contamination_runs",
-    "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed", "q281_ivfpq_index_serve")
+    "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed", "q281_ivfpq_index_serve",
+    "q283_simhash_postings_serve", "q284_minhash_postings_serve",
+    "q285_lsh_postings_serve", "q286_cdc_postings_serve",
+    "q287_chunk_store_takedown", "q288_span_owner_takedown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -345,7 +345,13 @@ object DedupQueries {
   /** (doc_id, sim) — q40's token-shingle SimHash signatures, shared by
     * q40, the q260 consensus and the q262 scoreboard. */
   private[graft] def textSimhashSigs(s: SparkSession, dir: String): DataFrame =
-    replayableShingles(Tables.documents(s, dir))
+    textSimhashSigsFor(Tables.documents(s, dir))
+
+  /** Signature build for any (doc_id, text) frame — the index build and
+    * a new batch's probe share this path (the MinHash
+    * [[minhashSignaturesFor]] twin). */
+  private[graft] def textSimhashSigsFor(docs: DataFrame): DataFrame =
+    replayableShingles(docs)
       .select(col("doc_id"), Sketches.simhashArray(col("sh")).as("sim"))
 
   /** Ground-truth bucket cap for the scoreboard/dial family's EXACT side.

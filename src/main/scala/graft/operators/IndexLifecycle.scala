@@ -434,6 +434,14 @@ object IndexLifecycle {
                                   sb: DataFrame): Unit = {
     codeRows.write.mode("overwrite").partitionBy("cent_id")
       .parquet(staging.resolve("codes").toString)
+    writePqBaselineAndMeta(s, staging, sc, sb)
+  }
+
+  /** Baseline + meta over whatever codes are ALREADY staged — read-only
+    * aggregation (no shuffle write), shared by the full install, the
+    * append and the takedown. */
+  private def writePqBaselineAndMeta(s: SparkSession, staging: Path,
+                                     sc: DataFrame, sb: DataFrame): Unit = {
     val stagedCodes = s.read.schema(PqCodesSchema)
       .parquet(staging.resolve("codes").toString)
     cellPpm(stagedCodes.select("vec_id", "cent_id"), sc)
@@ -476,9 +484,7 @@ object IndexLifecycle {
   private def pqMetaCodebookRows(s: SparkSession, root: String, v: Long,
                                  book: DataFrame): Long = {
     val meta = Paths.get(s"$root/v=$v/meta")
-    if (Files.exists(meta))
-      s.read.schema(PqMetaSchema).parquet(meta.toString)
-        .head.getLong(0)
+    if (Files.exists(meta)) scalarsAt(s, root, v, "meta", PqMetaSchema).head
     else book.count()
   }
 
@@ -558,19 +564,24 @@ object IndexLifecycle {
   /** INCREMENTAL index maintenance — the append path a production corpus
     * takes between quantizer drifts: code only the vec_ids NOT yet in
     * the installed version against the INSTALLED quantizers (no retrain,
-    * no corpus-wide re-code) and commit stored-codes ∪ delta-codes as
-    * v=N+1 under the same ATOMIC_MOVE discipline. The delta discovery is
-    * an id-only anti-join (8-byte rows both sides); the carried-over
-    * codes are a stored-parquet copy, never re-derived from the corpus's
-    * float vectors — so append cost is O(new batch coding + index-sized
-    * copy), vs a full rebuild's O(retrain + corpus-wide re-code).
-    * Returns the new version, or None when no new vec_ids exist (the
-    * replay no-op). Quantizer drift still takes
-    * [[rebuildPqIndexIfDrifted]] — append extends cells, it never moves
-    * them. */
+    * no corpus-wide re-code) and commit stored ∪ delta as v=N+1 under
+    * the same ATOMIC_MOVE discipline. The delta discovery is an id-only
+    * anti-join (8-byte rows both sides); the stored codes and quantizer
+    * frames carry over by FILE COPY — round-14 measurement showed a
+    * Spark rewrite of the carried codes dominates the append at scale
+    * (48.5 s append vs 45.8 s rebuild at the 100× corpus: the corpus-
+    * sized partitioned shuffle+write, not the coding, was the cost), so
+    * the delta's rows are APPENDED into the copied cent_id partition
+    * layout and only the baseline/meta aggregation re-reads the staged
+    * artifact (read-only, no shuffle write). On shared immutable storage
+    * a deployment replaces the copy with manifest references; the
+    * local-FS store materializes it. Returns the new version, or None
+    * when no new vec_ids exist (the replay no-op). Quantizer drift still
+    * takes [[rebuildPqIndexIfDrifted]] — append extends cells, it never
+    * moves them. */
   def appendPqIndex(s: SparkSession, root: String, dir: String): Option[Long] = {
     val v = latestPqVersion(root)
-    val (codes, cents, book) = readPqIndexAt(s, root, v)
+    val (codes, _, _) = readPqIndexAt(s, root, v)
     val fresh = SimilarityQueries.normed(s, dir)
       .select(col("vec_id"), col("v"))
       .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -578,23 +589,32 @@ object IndexLifecycle {
     else {
       val next = v + 1
       val done = installVersion(root, next, _ => ()) { staging =>
-        // quantizers carry over BY COPY of the stored frames: the new
-        // version serves the exact artifact the codes address, and the
-        // delta is coded against the STAGED copies (the install rule)
-        cents.write.mode("overwrite")
-          .parquet(staging.resolve("centroids").toString)
-        book.write.mode("overwrite")
-          .parquet(staging.resolve("codebook").toString)
+        Seq("codes", "centroids", "codebook").foreach { a =>
+          copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a))
+        }
         val sc = s.read.schema(PqCentsSchema)
           .parquet(staging.resolve("centroids").toString)
         val sb = s.read.schema(PqBookSchema)
           .parquet(staging.resolve("codebook").toString)
-        writePqCodesAndMeta(s, staging,
-          codes.unionByName(SimilarityQueries.pqIndexRowsOf(fresh, sc, sb)
-            .select("vec_id", "cd", "cent_id")), sc, sb)
+        // the delta codes against the STAGED quantizer copies (the
+        // install rule), appended into the carried partition layout
+        SimilarityQueries.pqIndexRowsOf(fresh, sc, sb)
+          .select("vec_id", "cd", "cent_id")
+          .write.mode("append").partitionBy("cent_id")
+          .parquet(staging.resolve("codes").toString)
+        writePqBaselineAndMeta(s, staging, sc, sb)
       }
       if (done) Some(next) else None
     }
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    val st = Files.walk(src)
+    try st.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally st.close()
   }
 
   /** The full maintenance decision a nightly pass runs: quantizer drift
@@ -966,6 +986,22 @@ object IndexLifecycle {
   private def noIndex(root: String): Nothing =
     throw new IllegalStateException(s"no committed postings index under $root")
 
+  /** One-row config artifacts (caps, dials, meta) are IMMUTABLE once
+    * their version directory commits — memoized per (root, version,
+    * artifact) so steady-state serve-path construction never launches a
+    * Spark job (the catalog sweep's rule: the first read pays one job,
+    * every re-plan after that is job-free, exactly the footer-cache
+    * discipline `Tables.parquetRowCount` follows). */
+  private val scalarCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, String), Seq[Long]]
+
+  private def scalarsAt(s: SparkSession, root: String, v: Long,
+                        artifact: String, schema: String): Seq[Long] =
+    scalarCache.getOrElseUpdate((root, v, artifact), {
+      val row = s.read.schema(schema).parquet(s"$root/v=$v/$artifact").head
+      (0 until row.length).map(row.getLong)
+    })
+
   // ----- SimHash text postings (q40's index) -----
 
   /** Install the SimHash near-dup index: the signature frame
@@ -994,7 +1030,7 @@ object IndexLifecycle {
     val v = latestVersion(root).getOrElse(noIndex(root))
     (s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs"),
       s.read.schema(BandPostingsSchema).parquet(s"$root/v=$v/postings"),
-      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+      scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
   }
 
   /** q40's pair set served FROM the stored posting lists: union-bucket
@@ -1035,22 +1071,37 @@ object IndexLifecycle {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Commit stored ∪ batch as v=N+1 — signatures recomputed for nobody:
-    * the stored side is a parquet copy, the batch side arrives already
-    * signed, and the posting lists re-derive from the union SIGNATURE
-    * frame (an 8-byte-row index-level map, never a corpus scan).
-    * Returns the new version, or None when the batch brings no new
-    * doc_ids (the replay no-op). */
+  /** Commit stored ∪ batch as v=N+1 — signatures recomputed for nobody
+    * and the stored artifacts carried by FILE COPY (the appendPqIndex
+    * lesson: rewriting the carried index through Spark dominates an
+    * append at scale); only the batch's delta rows are written, appended
+    * into the copied partition layout, with the delta's postings derived
+    * from its STAGED signature copy (the install rule). Returns the new
+    * version, or None when the batch brings no new doc_ids (the replay
+    * no-op). */
   def appendSimhashPostings(s: SparkSession, root: String,
                             batchSigs: DataFrame): Option[Long] = {
     val v = latestVersion(root).getOrElse(noIndex(root))
     val sigs = s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs")
-    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
     val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
     if (fresh.limit(1).count() == 0) None
-    else if (installSimhashPostings(s, root, v + 1,
-      sigs.unionByName(fresh.select("doc_id", "sim")), cap)) Some(v + 1)
-    else None
+    else {
+      val done = installVersion(root, v + 1, _ => ()) { staging =>
+        Seq("sigs", "postings", "capcfg").foreach { a =>
+          copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a))
+        }
+        fresh.select("doc_id", "sim").write.mode("overwrite")
+          .parquet(staging.resolve("delta").toString)
+        val sd = s.read.schema(SimhashSigsSchema)
+          .parquet(staging.resolve("delta").toString)
+        sd.write.mode("append").parquet(staging.resolve("sigs").toString)
+        DedupQueries.simhashBandKeys(sd).select("doc_id", "key", "band")
+          .write.mode("append").partitionBy("band")
+          .parquet(staging.resolve("postings").toString)
+        deleteRecursively(staging.resolve("delta"))
+      }
+      if (done) Some(v + 1) else None
+    }
   }
 
   // ----- MinHash postings (q39's index) -----
@@ -1079,7 +1130,7 @@ object IndexLifecycle {
     val v = latestVersion(root).getOrElse(noIndex(root))
     (s.read.schema(MinhashSigsSchema).parquet(s"$root/v=$v/sigs"),
       s.read.schema(BandPostingsSchema).parquet(s"$root/v=$v/postings"),
-      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+      scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
   }
 
   /** q39's pair set served FROM the stored posting lists — id-only
@@ -1114,18 +1165,33 @@ object IndexLifecycle {
       sigs.unionByName(fresh.select("doc_id", "sig")))
   }
 
-  /** Commit stored ∪ batch MinHash signatures as v=N+1 (None when the
-    * batch brings no new doc_ids). */
+  /** Commit stored ∪ batch MinHash signatures as v=N+1 — file-copy
+    * carry + delta-only writes, [[appendSimhashPostings]]'s discipline
+    * (None when the batch brings no new doc_ids). */
   def appendMinhashPostings(s: SparkSession, root: String,
                             batchSigs: DataFrame): Option[Long] = {
     val v = latestVersion(root).getOrElse(noIndex(root))
     val sigs = s.read.schema(MinhashSigsSchema).parquet(s"$root/v=$v/sigs")
-    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
     val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
     if (fresh.limit(1).count() == 0) None
-    else if (installMinhashPostings(s, root, v + 1,
-      sigs.unionByName(fresh.select("doc_id", "sig")), cap)) Some(v + 1)
-    else None
+    else {
+      val done = installVersion(root, v + 1, _ => ()) { staging =>
+        Seq("sigs", "postings", "capcfg").foreach { a =>
+          copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a))
+        }
+        fresh.select("doc_id", "sig").write.mode("overwrite")
+          .parquet(staging.resolve("delta").toString)
+        val sd = s.read.schema(MinhashSigsSchema)
+          .parquet(staging.resolve("delta").toString)
+        sd.write.mode("append").parquet(staging.resolve("sigs").toString)
+        sd.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
+          .select(col("doc_id"), col("bk.key").as("key"), col("bk.band").as("band"))
+          .write.mode("append").partitionBy("band")
+          .parquet(staging.resolve("postings").toString)
+        deleteRecursively(staging.resolve("delta"))
+      }
+      if (done) Some(v + 1) else None
+    }
   }
 
   // ----- sign-LSH postings (q67's index) -----
@@ -1154,9 +1220,9 @@ object IndexLifecycle {
   /** The latest committed LSH index: (codes, bits, tables). */
   def readLshIndex(s: SparkSession, root: String): (DataFrame, Int, Int) = {
     val v = latestVersion(root).getOrElse(noIndex(root))
-    val cfg = s.read.schema(LshCfgSchema).parquet(s"$root/v=$v/lshcfg").head
+    val cfg = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)
     (s.read.schema(LshCodesSchema).parquet(s"$root/v=$v/codes"),
-      cfg.getLong(0).toInt, cfg.getLong(1).toInt)
+      cfg(0).toInt, cfg(1).toInt)
   }
 
   /** Symmetric Hamming-1 multi-probe expansion of a stored code frame —
@@ -1198,8 +1264,11 @@ object IndexLifecycle {
 
   /** Admit a NEW embedding batch against the stored LSH postings: codes
     * computed batch-side with the INSTALLED planes/width, probe balls
-    * meet the stored lists, exact re-check over `batchVecs` ∪ the
-    * id-bounded corpus lookup at `dir`. */
+    * meet the stored lists, exact re-check over the id-bounded corpus
+    * lookup at `dir` ∪ `batchVecs(vec_id, v, nrm)` itself — a truly new
+    * vector's floats exist only in the batch until it is appended, so
+    * the confirm side must union both (dedup by id covers re-offered
+    * batches whose rows already landed at `dir`). */
   def lshBatchPairs(s: SparkSession, root: String, dir: String,
                     batchVecs: DataFrame): DataFrame = {
     val (codes, bits, tables) = readLshIndex(s, root)
@@ -1216,36 +1285,36 @@ object IndexLifecycle {
       .withColumnRenamed("vec_id", "doc_id")
     lshConfirm(
       bandedBatchPairs(stored, keys, DedupQueries.MaxBucket, "vec_a", "vec_b"),
-      DedupQueries.normVecs(s, dir))
+      DedupQueries.normVecs(s, dir)
+        .unionByName(fresh.select("vec_id", "v", "nrm"))
+        .dropDuplicates("vec_id"))
   }
 
   /** Commit stored ∪ batch LSH codes as v=N+1 — batch codes derive from
     * the INSTALLED planes/width so old and new rows address one code
-    * family (None when the batch brings no new vec_ids). */
+    * family; file-copy carry + delta-only writes (None when the batch
+    * brings no new vec_ids). */
   def appendLshPostings(s: SparkSession, root: String,
                         batchVecs: DataFrame): Option[Long] = {
     val v = latestVersion(root).getOrElse(noIndex(root))
-    val cfg = s.read.schema(LshCfgSchema).parquet(s"$root/v=$v/lshcfg").head
-    val (bits, tables) = (cfg.getLong(0).toInt, cfg.getLong(1).toInt)
+    val cfg = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)
+    val (bits, tables) = (cfg(0).toInt, cfg(1).toInt)
     val codes = s.read.schema(LshCodesSchema).parquet(s"$root/v=$v/codes")
     val fresh = batchVecs.join(codes.select("vec_id").distinct(),
       Seq("vec_id"), "left_anti")
     if (fresh.limit(1).count() == 0) None
     else {
-      val next = v + 1
-      val done = installVersion(root, next, _ => ()) { staging =>
-        codes.unionByName(
-            DedupQueries.lshSigCodes(fresh, bits, tables)
-              .select(col("vec_id"),
-                posexplode(col("codes")).as(Seq("tbl", "code")))
-              .select(col("vec_id"), col("code"), col("tbl")))
-          .write.mode("overwrite").partitionBy("tbl")
+      val done = installVersion(root, v + 1, _ => ()) { staging =>
+        Seq("codes", "lshcfg").foreach { a =>
+          copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a))
+        }
+        DedupQueries.lshSigCodes(fresh, bits, tables)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
+          .select(col("vec_id"), col("code"), col("tbl"))
+          .write.mode("append").partitionBy("tbl")
           .parquet(staging.resolve("codes").toString)
-        s.range(1).select(lit(bits.toLong).as("bits"),
-            lit(tables.toLong).as("tables"))
-          .write.mode("overwrite").parquet(staging.resolve("lshcfg").toString)
       }
-      if (done) Some(next) else None
+      if (done) Some(v + 1) else None
     }
   }
 
@@ -1275,7 +1344,7 @@ object IndexLifecycle {
     val v = latestVersion(root).getOrElse(noIndex(root))
     (s.read.schema(CdcChunksSchema).parquet(s"$root/v=$v/chunks")
       .select("doc_id", "cfp"),
-      s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt)
+      scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
   }
 
   /** q253's containment pairs served FROM the stored chunk postings —
@@ -1332,29 +1401,28 @@ object IndexLifecycle {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Commit stored ∪ batch chunk postings as v=N+1 — the stored side is
-    * a parquet copy, the batch side one batch-local payload walk (None
-    * when the batch brings no new doc_ids). */
+  /** Commit stored ∪ batch chunk postings as v=N+1 — the stored side
+    * carries by file copy, the batch side is one batch-local payload
+    * walk appended into the copied bucket layout (None when the batch
+    * brings no new doc_ids). */
   def appendCdcPostings(s: SparkSession, root: String,
                         batchMedia: DataFrame): Option[Long] = {
     val v = latestVersion(root).getOrElse(noIndex(root))
     val chunks = s.read.schema(CdcChunksSchema).parquet(s"$root/v=$v/chunks")
       .select("doc_id", "cfp")
-    val cap = s.read.parquet(s"$root/v=$v/capcfg").head.getLong(0).toInt
     val fresh = MultimodalQueries.cdcDocChunks(batchMedia)
       .join(chunks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     if (fresh.limit(1).count() == 0) None
     else {
-      val next = v + 1
-      val done = installVersion(root, next, _ => ()) { staging =>
-        chunks.unionByName(fresh)
-          .withColumn("bkt", pmod(col("cfp"), lit(16L)))
-          .write.mode("overwrite").partitionBy("bkt")
+      val done = installVersion(root, v + 1, _ => ()) { staging =>
+        Seq("chunks", "capcfg").foreach { a =>
+          copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a))
+        }
+        fresh.withColumn("bkt", pmod(col("cfp"), lit(16L)))
+          .write.mode("append").partitionBy("bkt")
           .parquet(staging.resolve("chunks").toString)
-        s.range(1).select(lit(cap.toLong).as("cap"))
-          .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
       }
-      if (done) Some(next) else None
+      if (done) Some(v + 1) else None
     }
   }
 

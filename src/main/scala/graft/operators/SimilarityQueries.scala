@@ -591,7 +591,7 @@ object SimilarityQueries {
   /** [[pqCodebook]] capped at [[FixedCodebookEntries]] ranks per
     * subspace — ranks stay contiguous 1..min(256, sample), so codes and
     * LUTs address it exactly as they address the share-form codebook. */
-  private[operators] def pqCodebookFixed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebookFixed(s: SparkSession, dir: String): DataFrame =
     pqCodebook(s, dir).filter(col("crk") <= FixedCodebookEntries)
 
   /** √n-scaled centroid stride for the fixed IVF form: nlist =

@@ -1010,6 +1010,16 @@ class IndexLifecycleSpec extends SparkSpec {
       === Some(2L))
     assert(rowSet(IndexLifecycle.lshPairsFromStore(spark, lshRoot, sf)) ==
       rowSet(SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf)))
+    // a TRULY new vector (id absent from the corpus dir) must still
+    // confirm — its floats live only in the batch until it is appended
+    val v0 = vecs.orderBy("vec_id").head.getLong(0)
+    val clone = vecs.orderBy("vec_id").limit(1)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("v"),
+        col("nrm"))
+    val cp = IndexLifecycle.lshBatchPairs(spark, lshRoot, sf, clone).collect()
+    assert(cp.exists(r => r.getLong(0) == v0 &&
+        r.getLong(1) == v0 + 1000000000L),
+      s"a new vector must pair with its identical source: ${cp.toSeq}")
 
     // CDC — df and sizes must be priced over the UNION, so containment
     // verdicts match the full rebuild even where the batch moved df

@@ -476,8 +476,11 @@ class ScaleDesignSpec extends SparkSpec {
     Seq("q78_json_roundtrip", "q79_csv_roundtrip", "q112_partitioned_prune",
       "q140_text_roundtrip", "q224_orc_roundtrip", "q225_avro_ocf_roundtrip",
       // q281 installs its PQ-index pillar on first construction (the same
-      // memoized one-time staging); steady-state serving is job-free
-      "q281_ivfpq_index_serve")
+      // memoized one-time staging); steady-state serving is job-free —
+      // as do the four stored-postings pillars (q283-q286)
+      "q281_ivfpq_index_serve", "q283_simhash_postings_serve",
+      "q284_minhash_postings_serve", "q285_lsh_postings_serve",
+      "q286_cdc_postings_serve")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
