@@ -2077,7 +2077,109 @@ object DedupQueries {
     minhashPostingsServeQuery,
     lshPostingsServeQuery,
     spanOwnerTakedownQuery,
+    simhashBatchAdmitQuery,
+    minhashBatchAdmitQuery,
+    lshBatchAdmitQuery,
   )
+
+  /** q289 — incremental batch admission against the stored SimHash
+    * postings, oracle-checked. */
+  private def simhashBatchAdmitQuery: GraftQuery =
+    GraftQuery(
+      "q289_simhash_batch_admit",
+      Some(s"""$replayShinglePrologueSql, $simhashBandPairCtes
+              |SELECT doc_a, doc_b, hamming FROM sp
+              |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "The nightly-ingest unit of the q283 pillar, oracle-checked: the " +
+        "store holds ~6/7 of the corpus (the deterministic doc_id % 7 " +
+        "complement, installed once and memoized), the remaining ~1/7 " +
+        "arrives as the NEW batch, signs ITSELF batch-side, and probes " +
+        "the stored posting lists under UNION-bucket capping — the " +
+        "oracle replays the full-corpus q40 index and keeps exactly the " +
+        "pairs touching the batch, so hash-green IS the proof that " +
+        "incremental admission equals a full rebuild on the union, " +
+        "re-verified on every corpus every round (the IndexLifecycleSpec " +
+        "twin pins the same identity in-process). Scale shape: batch " +
+        "signing is batch-sized, the stored-list probe joins 20-byte " +
+        "posting rows restricted to the buckets the batch touches " +
+        "(lossless for touching pairs — such a pair shares a bucket the " +
+        "batch posted into), and the corpus text is never re-scanned — " +
+        "measured near-flat admit64 across two decades (SCALE.md " +
+        "maintenance table)."
+    ) { (s, dir) =>
+      val sigs = textSimhashSigs(s, dir)
+      val root = RelationalQueries.staged(s, "shadmit",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installSimhashPostings(s, out, 1L,
+          sigs.filter(col("doc_id") % 7 =!= 0))
+        ()
+      }
+      IndexLifecycle.simhashBatchPairs(s, root,
+        sigs.filter(col("doc_id") % 7 === 0))
+    }
+
+  /** q290 — incremental batch admission against the stored MinHash
+    * postings, oracle-checked. */
+  private def minhashBatchAdmitQuery: GraftQuery =
+    GraftQuery(
+      "q290_minhash_batch_admit",
+      Some(s"""$replayShinglePrologueSql, $minhashPairSqlCtes
+              |SELECT doc_a, doc_b, est_jaccard_ppm FROM ap
+              |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "q289's MinHash sibling: the new batch's 64-way signatures and 16 " +
+        "band keys compute batch-side, stored lists are probed under " +
+        "union-bucket capping, and the stored∪batch signature frames " +
+        "confirm agreement (native eq-count, est-J ≥ ½) — the oracle " +
+        "replays the full-corpus q39 index restricted to pairs touching " +
+        "the batch, so incremental == rebuild-on-union is hash-checked " +
+        "per corpus per round. This is the GPL-scale nightly dedup " +
+        "admission (persisted MinHash index + batch probe) as one " +
+        "oracle-checked operator."
+    ) { (s, dir) =>
+      val sigs = minhashSignatures(s, dir)
+      val root = RelationalQueries.staged(s, "mhadmit",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installMinhashPostings(s, out, 1L,
+          sigs.filter(col("doc_id") % 7 =!= 0))
+        ()
+      }
+      IndexLifecycle.minhashBatchPairs(s, root,
+        sigs.filter(col("doc_id") % 7 === 0))
+    }
+
+  /** q291 — incremental batch admission against the stored LSH codes,
+    * oracle-checked. */
+  private def lshBatchAdmitQuery: GraftQuery =
+    GraftQuery(
+      "q291_lsh_batch_admit",
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes
+              |SELECT vec_a, vec_b, round(c, 4) AS cos FROM lsc
+              |WHERE vec_a % 7 = 0 OR vec_b % 7 = 0
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      "q289's embedding sibling: the new vector batch codes ITSELF with " +
+        "the INSTALLED hyperplanes/width (old and new rows address one " +
+        "code family), probe balls meet the stored per-table lists under " +
+        "union-bucket capping, and the exact cosine re-check unions the " +
+        "id-bounded corpus lookup with the batch's own floats — a truly " +
+        "new vector exists only in the batch until appended. Oracle: the " +
+        "full-corpus q67 replay restricted to pairs touching the batch — " +
+        "incremental == rebuild-on-union, hash-checked per corpus per " +
+        "round."
+    ) { (s, dir) =>
+      val vecs = normVecs(s, dir)
+      val bits = SimilarityQueries.codeBits(
+        Tables.parquetRowCount(s, dir, "embeddings"))
+      val root = RelationalQueries.staged(s, "lshadmit",
+        Tables.fingerprint(s, s"$dir/embeddings.parquet")) { out =>
+        IndexLifecycle.installLshPostings(s, out, 1L,
+          vecs.filter(col("vec_id") % 7 =!= 0), bits)
+        ()
+      }
+      IndexLifecycle.lshBatchPairs(s, root, dir,
+        vecs.filter(col("vec_id") % 7 === 0))
+    }
 
   /** q288 — span-ownership handoff after a takedown. */
   private def spanOwnerTakedownQuery: GraftQuery =

@@ -977,6 +977,36 @@ object MultimodalQueries {
       IndexLifecycle.chunkStoreTakedown(cdcDocChunks(media),
           media.filter(col("doc_id") % 31 === 0).select("doc_id"))
         .orderBy("cfp")
+    },
+
+    GraftQuery(
+      "q292_cdc_batch_admit",
+      Some(s"""WITH $mediaBytesSqlCtes, $cdcChunkSqlCtes, $cdcPairSqlCtes
+              |SELECT doc_a, doc_b, shared, containment_ppm FROM cpair
+              |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "q289's media sibling: the new media batch walks ITS payloads " +
+        "only; df, surviving per-doc sizes and shared counts are priced " +
+        "over the stored ∪ batch union with index-level windows (df is " +
+        "never frozen at install — a batch must move it), and candidate " +
+        "buckets restrict to fingerprints a batch doc owns — lossless " +
+        "for touching pairs, since every shared chunk of such a pair IS " +
+        "batch-owned. Oracle: the full-corpus q253 replay restricted to " +
+        "pairs touching the batch — incremental containment admission " +
+        "== rebuild-on-union, hash-checked per corpus per round. At " +
+        "100 TB this is the chunk store's nightly PUT-batch dedup " +
+        "decision, priced without re-walking a single stored payload."
+    ) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), mediaPayload.as("payload"))
+      val root = RelationalQueries.staged(s, "cdcadmit",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installCdcPostings(s, out, 1L,
+          media.filter(col("doc_id") % 7 =!= 0))
+        ()
+      }
+      IndexLifecycle.cdcBatchPairs(s, root,
+        media.filter(col("doc_id") % 7 === 0))
     }
   )
 

@@ -480,7 +480,9 @@ class ScaleDesignSpec extends SparkSpec {
       // as do the four stored-postings pillars (q283-q286)
       "q281_ivfpq_index_serve", "q283_simhash_postings_serve",
       "q284_minhash_postings_serve", "q285_lsh_postings_serve",
-      "q286_cdc_postings_serve")
+      "q286_cdc_postings_serve", "q289_simhash_batch_admit",
+      "q290_minhash_batch_admit", "q291_lsh_batch_admit",
+      "q292_cdc_batch_admit")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
