@@ -1426,6 +1426,120 @@ object IndexLifecycle {
     }
   }
 
+  // ----- serving-parameter lifecycle for the postings pillars -----
+  //
+  // Each postings pillar serves at an operating parameter recorded in
+  // its own version (capcfg / lshcfg), and the standalone dial pillars'
+  // audit/recalibrate discipline applies here too — the difference is
+  // WHAT a recalibration rewrites: the cap families' signature/posting
+  // artifacts are cap-INDEPENDENT (the cap binds at serve time), so a
+  // cap swap commits v=N+1 with the SAME files by copy and only a new
+  // capcfg; the LSH table count shapes the code artifact itself, so its
+  // recalibration is the one that honestly re-codes.
+
+  /** The installed SimHash postings pillar's serving-cap health — the
+    * q265 dial over the STORED signature frame (the pillar carries
+    * everything this dial needs: no corpus access at all), rows marked
+    * `installed`/`recalibrate` exactly as [[capDriftAudit]]. */
+  def simhashPostingsCapAudit(s: SparkSession, root: String): DataFrame = {
+    val (sigs, _, cap) = readSimhashIndex(s, root)
+    DedupQueries.bucketCapDial(sigs)
+      .withColumn("installed", col("cap") === cap.toLong)
+      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+  }
+
+  /** Closed loop for the SimHash postings pillar's cap: a sagging cap
+    * commits the dial's new choice as v=N+1 with sigs/postings carried
+    * by file copy — a serve-parameter swap never rewrites the index. */
+  def recalibrateSimhashPostingsCap(s: SparkSession,
+                                    root: String): Option[Long] =
+    chosenIfSagging(simhashPostingsCapAudit(s, root), "cap")
+      .flatMap(capOnlyVersion(s, root, Seq("sigs", "postings"), _))
+
+  /** The installed MinHash postings pillar's serving-cap health — q273's
+    * dial (ground truth needs the corpus shingles at `dir`) read against
+    * the stored cap. */
+  def minhashPostingsCapAudit(s: SparkSession, root: String,
+                              dir: String): DataFrame = {
+    val (_, _, cap) = readMinhashIndex(s, root)
+    DedupQueries.minhashCapDial(s, dir)
+      .withColumn("installed", col("cap") === cap.toLong)
+      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+  }
+
+  /** Closed loop for the MinHash postings pillar's cap — copy-carry. */
+  def recalibrateMinhashPostingsCap(s: SparkSession, root: String,
+                                    dir: String): Option[Long] =
+    chosenIfSagging(minhashPostingsCapAudit(s, root, dir), "cap")
+      .flatMap(capOnlyVersion(s, root, Seq("sigs", "postings"), _))
+
+  /** The installed CDC postings pillar's serving-cap health — q276's
+    * dial over `media` read against the stored cap. */
+  def cdcPostingsCapAudit(s: SparkSession, root: String,
+                          media: DataFrame): DataFrame = {
+    val (_, cap) = readCdcIndex(s, root)
+    MultimodalQueries.cdcCapDial(media)
+      .withColumn("installed", col("cap") === cap.toLong)
+      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+  }
+
+  /** Closed loop for the CDC postings pillar's cap — copy-carry. */
+  def recalibrateCdcPostingsCap(s: SparkSession, root: String,
+                                media: DataFrame): Option[Long] =
+    chosenIfSagging(cdcPostingsCapAudit(s, root, media), "cap")
+      .flatMap(capOnlyVersion(s, root, Seq("chunks"), _))
+
+  /** The installed LSH postings pillar's table-count health — q268's
+    * dial read against the stored count. */
+  def lshPostingsTablesAudit(s: SparkSession, root: String,
+                             dir: String): DataFrame = {
+    val (_, bits, tables) = readLshIndex(s, root)
+    val n = graft.Tables.parquetRowCount(s, dir, "embeddings")
+    DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir), bits, n)
+      .withColumn("installed", col("tables") === tables.toLong)
+      .withColumn("recalibrate",
+        col("tables") === tables.toLong && !col("meets_floor"))
+  }
+
+  /** Closed loop for the LSH table count: unlike the cap families, the
+    * table count SHAPES the code artifact, so a recalibration honestly
+    * re-codes the corpus at the chosen count (bits carried). */
+  def recalibrateLshPostingsTables(s: SparkSession, root: String,
+                                   dir: String): Option[Long] =
+    chosenIfSagging(lshPostingsTablesAudit(s, root, dir), "tables")
+      .flatMap { t =>
+        val v = latestVersion(root).getOrElse(noIndex(root))
+        val (_, bits, _) = readLshIndex(s, root)
+        if (installLshPostings(s, root, v + 1,
+          DedupQueries.normVecs(s, dir), bits, t)) Some(v + 1)
+        else None
+      }
+
+  /** The dial's chosen value when the INSTALLED row sags — None when the
+    * audit reads green (shared by every postings-pillar recalibration;
+    * the ≤sweep-sized collect is the sanctioned control-plane read). */
+  private def chosenIfSagging(audit: DataFrame,
+                              valueCol: String): Option[Int] = {
+    val rows = audit.collect()
+    if (!rows.exists(r => r.getBoolean(r.fieldIndex("recalibrate")))) None
+    else Some(rows.filter(r => r.getBoolean(r.fieldIndex("chosen")))
+      .head.getLong(rows.head.fieldIndex(valueCol)).toInt)
+  }
+
+  /** v=N+1 carrying `carried` artifacts by file copy with only a new
+    * serving cap — the cap-independent pillars' recalibration commit. */
+  private def capOnlyVersion(s: SparkSession, root: String,
+                             carried: Seq[String], cap: Int): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    val done = installVersion(root, v + 1, _ => ()) { staging =>
+      carried.foreach(a =>
+        copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a)))
+      s.range(1).select(lit(cap.toLong).as("cap"))
+        .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
+    }
+    if (done) Some(v + 1) else None
+  }
+
   // ---------- takedown / delete propagation ----------
   //
   // The pipeline can admit, dedup, index and excise — takedown is the

@@ -1121,6 +1121,70 @@ class IndexLifecycleSpec extends SparkSpec {
       "CDC takedown must equal a rebuild on the post-deletion corpus")
   }
 
+  test("postings-pillar serving caps audit and recalibrate through the store; a cap swap carries the artifact by copy") {
+    import graft.operators.{DedupQueries, SimilarityQueries}
+
+    // SimHash: the full drift loop on the planted saturation fixture —
+    // this dial reads ONLY the stored signature frame, no corpus at all
+    val root = Files.createTempDirectory("graft_postcap").toString
+    assert(IndexLifecycle.installSimhashPostings(spark, root, 1L,
+      sigsOf(healthyRows), cap = 16))
+    val a1 = IndexLifecycle.simhashPostingsCapAudit(spark, root).collect()
+    assert(!a1.exists(_.getBoolean(a1.head.fieldIndex("recalibrate"))),
+      s"healthy install must audit green:\n${a1.mkString("\n")}")
+    assert(IndexLifecycle.recalibrateSimhashPostingsCap(spark, root).isEmpty)
+
+    // the saturated family ARRIVES THROUGH THE APPEND PATH — drift
+    // reaches the pillar the way production drift does
+    assert(IndexLifecycle.appendSimhashPostings(spark, root,
+      sigsOf(driftedRows)) === Some(2L))
+    val a2 = IndexLifecycle.simhashPostingsCapAudit(spark, root).collect()
+    assert(a2.exists(_.getBoolean(a2.head.fieldIndex("recalibrate"))),
+      s"the appended saturation must flag the serving cap:\n${a2.mkString("\n")}")
+
+    // recalibrate: v3 carries sigs/postings by copy, only capcfg moves —
+    // and the serve path recovers the planted family through the store
+    assert(IndexLifecycle.recalibrateSimhashPostingsCap(spark, root)
+      === Some(3L))
+    val (_, _, cap3) = IndexLifecycle.readSimhashIndex(spark, root)
+    assert(cap3 === 128)
+    assert(IndexLifecycle.simhashPairsFromStore(spark, root).count()
+      === 69L * 35L + 10L,
+      "the recalibrated cap must recover the saturated family")
+    val a3 = IndexLifecycle.simhashPostingsCapAudit(spark, root).collect()
+    assert(!a3.exists(_.getBoolean(a3.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle.recalibrateSimhashPostingsCap(spark, root).isEmpty)
+
+    // MinHash / CDC / LSH: green-at-install + no-op loop on the sf corpus
+    val mhRoot = Files.createTempDirectory("graft_postcap_mh").toString
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+      DedupQueries.minhashSignatures(spark, sf)))
+    val ma = IndexLifecycle.minhashPostingsCapAudit(spark, mhRoot, sf).collect()
+    assert(ma.exists(_.getBoolean(ma.head.fieldIndex("installed"))) &&
+      !ma.exists(_.getBoolean(ma.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle.recalibrateMinhashPostingsCap(spark, mhRoot, sf)
+      .isEmpty)
+
+    val cdcRoot = Files.createTempDirectory("graft_postcap_cdc").toString
+    val media = mediaOf(sf)
+    assert(IndexLifecycle.installCdcPostings(spark, cdcRoot, 1L, media))
+    val ca = IndexLifecycle.cdcPostingsCapAudit(spark, cdcRoot, media).collect()
+    assert(ca.exists(_.getBoolean(ca.head.fieldIndex("installed"))) &&
+      !ca.exists(_.getBoolean(ca.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle.recalibrateCdcPostingsCap(spark, cdcRoot, media)
+      .isEmpty)
+
+    val lshRoot = Files.createTempDirectory("graft_postcap_lsh").toString
+    assert(IndexLifecycle.installLshPostings(spark, lshRoot, 1L,
+      DedupQueries.normVecs(spark, sf), SimilarityQueries.codeBits(
+        Tables.parquetRowCount(spark, sf, "embeddings"))))
+    val la = IndexLifecycle.lshPostingsTablesAudit(spark, lshRoot, sf).collect()
+    assert(la.exists(_.getBoolean(la.head.fieldIndex("installed"))) &&
+      !la.exists(_.getBoolean(la.head.fieldIndex("recalibrate"))))
+    assert(IndexLifecycle.recalibrateLshPostingsTables(spark, lshRoot, sf)
+      .isEmpty)
+  }
+
   test("takedown: chunk refcounts GC at zero and span ownership hands to the next-earliest occurrence") {
     import spark.implicits._
     // chunk store: cfp 100 solely doc 1's (gc), cfp 200 owned by doc 1
