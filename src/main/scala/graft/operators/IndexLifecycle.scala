@@ -1437,83 +1437,117 @@ object IndexLifecycle {
   // capcfg; the LSH table count shapes the code artifact itself, so its
   // recalibration is the one that honestly re-codes.
 
+  // Every recalibration resolves its version ONCE and audits, carries
+  // and commits against that same v=N directory — two `latestVersion`
+  // reads around a concurrent install would audit v=N and carry v=N+1's
+  // files (the r13 drift-audit race, pre-empted here).
+
   /** The installed SimHash postings pillar's serving-cap health — the
     * q265 dial over the STORED signature frame (the pillar carries
     * everything this dial needs: no corpus access at all), rows marked
     * `installed`/`recalibrate` exactly as [[capDriftAudit]]. */
-  def simhashPostingsCapAudit(s: SparkSession, root: String): DataFrame = {
-    val (sigs, _, cap) = readSimhashIndex(s, root)
+  def simhashPostingsCapAudit(s: SparkSession, root: String): DataFrame =
+    simhashPostingsCapAuditAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)))
+
+  private def simhashPostingsCapAuditAt(s: SparkSession, root: String,
+                                        v: Long): DataFrame = {
+    val sigs = s.read.schema(SimhashSigsSchema).parquet(s"$root/v=$v/sigs")
+    val cap = scalarsAt(s, root, v, "capcfg", "cap BIGINT").head
     DedupQueries.bucketCapDial(sigs)
-      .withColumn("installed", col("cap") === cap.toLong)
-      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
   }
 
   /** Closed loop for the SimHash postings pillar's cap: a sagging cap
     * commits the dial's new choice as v=N+1 with sigs/postings carried
     * by file copy — a serve-parameter swap never rewrites the index. */
   def recalibrateSimhashPostingsCap(s: SparkSession,
-                                    root: String): Option[Long] =
-    chosenIfSagging(simhashPostingsCapAudit(s, root), "cap")
-      .flatMap(capOnlyVersion(s, root, Seq("sigs", "postings"), _))
+                                    root: String): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    chosenIfSagging(simhashPostingsCapAuditAt(s, root, v), "cap")
+      .flatMap(capOnlyVersion(s, root, v, Seq("sigs", "postings"), _))
+  }
 
   /** The installed MinHash postings pillar's serving-cap health — q273's
     * dial (ground truth needs the corpus shingles at `dir`) read against
     * the stored cap. */
   def minhashPostingsCapAudit(s: SparkSession, root: String,
-                              dir: String): DataFrame = {
-    val (_, _, cap) = readMinhashIndex(s, root)
+                              dir: String): DataFrame =
+    minhashPostingsCapAuditAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), dir)
+
+  private def minhashPostingsCapAuditAt(s: SparkSession, root: String,
+                                        v: Long, dir: String): DataFrame = {
+    val cap = scalarsAt(s, root, v, "capcfg", "cap BIGINT").head
     DedupQueries.minhashCapDial(s, dir)
-      .withColumn("installed", col("cap") === cap.toLong)
-      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
   }
 
   /** Closed loop for the MinHash postings pillar's cap — copy-carry. */
   def recalibrateMinhashPostingsCap(s: SparkSession, root: String,
-                                    dir: String): Option[Long] =
-    chosenIfSagging(minhashPostingsCapAudit(s, root, dir), "cap")
-      .flatMap(capOnlyVersion(s, root, Seq("sigs", "postings"), _))
+                                    dir: String): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    chosenIfSagging(minhashPostingsCapAuditAt(s, root, v, dir), "cap")
+      .flatMap(capOnlyVersion(s, root, v, Seq("sigs", "postings"), _))
+  }
 
   /** The installed CDC postings pillar's serving-cap health — q276's
     * dial over `media` read against the stored cap. */
   def cdcPostingsCapAudit(s: SparkSession, root: String,
-                          media: DataFrame): DataFrame = {
-    val (_, cap) = readCdcIndex(s, root)
+                          media: DataFrame): DataFrame =
+    cdcPostingsCapAuditAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), media)
+
+  private def cdcPostingsCapAuditAt(s: SparkSession, root: String, v: Long,
+                                    media: DataFrame): DataFrame = {
+    val cap = scalarsAt(s, root, v, "capcfg", "cap BIGINT").head
     MultimodalQueries.cdcCapDial(media)
-      .withColumn("installed", col("cap") === cap.toLong)
-      .withColumn("recalibrate", col("cap") === cap.toLong && !col("meets_floor"))
+      .withColumn("installed", col("cap") === cap)
+      .withColumn("recalibrate", col("cap") === cap && !col("meets_floor"))
   }
 
   /** Closed loop for the CDC postings pillar's cap — copy-carry. */
   def recalibrateCdcPostingsCap(s: SparkSession, root: String,
-                                media: DataFrame): Option[Long] =
-    chosenIfSagging(cdcPostingsCapAudit(s, root, media), "cap")
-      .flatMap(capOnlyVersion(s, root, Seq("chunks"), _))
+                                media: DataFrame): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    chosenIfSagging(cdcPostingsCapAuditAt(s, root, v, media), "cap")
+      .flatMap(capOnlyVersion(s, root, v, Seq("chunks"), _))
+  }
 
   /** The installed LSH postings pillar's table-count health — q268's
     * dial read against the stored count. */
   def lshPostingsTablesAudit(s: SparkSession, root: String,
-                             dir: String): DataFrame = {
-    val (_, bits, tables) = readLshIndex(s, root)
+                             dir: String): DataFrame =
+    lshPostingsTablesAuditAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), dir)
+
+  private def lshPostingsTablesAuditAt(s: SparkSession, root: String,
+                                       v: Long, dir: String): DataFrame = {
+    val cfg = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)
     val n = graft.Tables.parquetRowCount(s, dir, "embeddings")
-    DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir), bits, n)
-      .withColumn("installed", col("tables") === tables.toLong)
+    DedupQueries.lshTableDial(DedupQueries.normVecs(s, dir), cfg(0).toInt, n)
+      .withColumn("installed", col("tables") === cfg(1))
       .withColumn("recalibrate",
-        col("tables") === tables.toLong && !col("meets_floor"))
+        col("tables") === cfg(1) && !col("meets_floor"))
   }
 
   /** Closed loop for the LSH table count: unlike the cap families, the
     * table count SHAPES the code artifact, so a recalibration honestly
-    * re-codes the corpus at the chosen count (bits carried). */
+    * re-codes the corpus at the chosen count (bits carried from the
+    * audited version). */
   def recalibrateLshPostingsTables(s: SparkSession, root: String,
-                                   dir: String): Option[Long] =
-    chosenIfSagging(lshPostingsTablesAudit(s, root, dir), "tables")
+                                   dir: String): Option[Long] = {
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    chosenIfSagging(lshPostingsTablesAuditAt(s, root, v, dir), "tables")
       .flatMap { t =>
-        val v = latestVersion(root).getOrElse(noIndex(root))
-        val (_, bits, _) = readLshIndex(s, root)
+        val bits = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)(0).toInt
         if (installLshPostings(s, root, v + 1,
           DedupQueries.normVecs(s, dir), bits, t)) Some(v + 1)
         else None
       }
+  }
 
   /** The dial's chosen value when the INSTALLED row sags — None when the
     * audit reads green (shared by every postings-pillar recalibration;
@@ -1526,11 +1560,11 @@ object IndexLifecycle {
       .head.getLong(rows.head.fieldIndex(valueCol)).toInt)
   }
 
-  /** v=N+1 carrying `carried` artifacts by file copy with only a new
-    * serving cap — the cap-independent pillars' recalibration commit. */
-  private def capOnlyVersion(s: SparkSession, root: String,
+  /** v+1 carrying `carried` artifacts of version `v` by file copy with
+    * only a new serving cap — the cap-independent pillars'
+    * recalibration commit, pinned to the audited version. */
+  private def capOnlyVersion(s: SparkSession, root: String, v: Long,
                              carried: Seq[String], cap: Int): Option[Long] = {
-    val v = latestVersion(root).getOrElse(noIndex(root))
     val done = installVersion(root, v + 1, _ => ()) { staging =>
       carried.foreach(a =>
         copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a)))
