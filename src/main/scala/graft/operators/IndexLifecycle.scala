@@ -991,16 +991,26 @@ object IndexLifecycle {
     * artifact) so steady-state serve-path construction never launches a
     * Spark job (the catalog sweep's rule: the first read pays one job,
     * every re-plan after that is job-free, exactly the footer-cache
-    * discipline `Tables.parquetRowCount` follows). */
-  private val scalarCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, String), Seq[Long]]
+    * discipline `Tables.parquetRowCount` follows). The key carries the
+    * version directory's commit fingerprint (its ATOMIC_MOVE rename
+    * stamps a fresh mtime), so a root deleted and reinstalled at the
+    * same path/version — cleanup, external rebuild, a long-lived JVM
+    * reusing temp roots — misses the stale entry instead of silently
+    * serving the dead install's scalars (the r14 advisory); the one
+    * stat per read is driver-side metadata, never a Spark job. Bounded:
+    * a full cache resets rather than growing without limit. */
+  private val scalarCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String, Long), Seq[Long]]
 
   private def scalarsAt(s: SparkSession, root: String, v: Long,
-                        artifact: String, schema: String): Seq[Long] =
-    scalarCache.getOrElseUpdate((root, v, artifact), {
+                        artifact: String, schema: String): Seq[Long] = {
+    val fp = Files.getLastModifiedTime(Paths.get(s"$root/v=$v")).toMillis
+    if (scalarCache.size > 4096) scalarCache.clear()
+    scalarCache.getOrElseUpdate((root, v, artifact, fp), {
       val row = s.read.schema(schema).parquet(s"$root/v=$v/$artifact").head
       (0 until row.length).map(row.getLong)
     })
+  }
 
   // ----- SimHash text postings (q40's index) -----
 
@@ -1550,14 +1560,18 @@ object IndexLifecycle {
   }
 
   /** The dial's chosen value when the INSTALLED row sags — None when the
-    * audit reads green (shared by every postings-pillar recalibration;
-    * the ≤sweep-sized collect is the sanctioned control-plane read). */
+    * audit reads green, and ALSO None when the sweep flags a sag but
+    * elects no viable replacement (every swept value misses the floor —
+    * the r14 advisory: "no viable value" is a verdict, not a crash; the
+    * caller keeps serving the installed value and the audit keeps
+    * flagging). Shared by every postings-pillar recalibration; the
+    * ≤sweep-sized collect is the sanctioned control-plane read. */
   private def chosenIfSagging(audit: DataFrame,
                               valueCol: String): Option[Int] = {
     val rows = audit.collect()
     if (!rows.exists(r => r.getBoolean(r.fieldIndex("recalibrate")))) None
-    else Some(rows.filter(r => r.getBoolean(r.fieldIndex("chosen")))
-      .head.getLong(rows.head.fieldIndex(valueCol)).toInt)
+    else rows.find(r => r.getBoolean(r.fieldIndex("chosen")))
+      .map(_.getLong(rows.head.fieldIndex(valueCol)).toInt)
   }
 
   /** v+1 carrying `carried` artifacts of version `v` by file copy with

@@ -546,16 +546,16 @@ object SimilarityQueries {
     // stride must still be caught by the driver-safety gate, and a
     // fixed-size production codebook must not needlessly demote the
     // broadcast. Pillar-backed callers pass the known row count (read
-    // from install metadata or a one-count of the KB-scale parquet —
-    // the sanctioned control-plane read); a corpus-derived codebook
-    // lineage must NEVER be counted at plan construction (its count()
-    // would launch a corpus-scale job — the footer-only rule), so the
-    // fallback is the share-form 4·(n/31+1) footer estimate, exact for
-    // the live q249 trainer and an upper bound for anything smaller.
+    // from install metadata, the job-free path); when none is passed
+    // the frame is measured with ONE count() — every caller of this
+    // swapped-in-frame seam holds a KB-scale installed artifact, so
+    // the count is the sanctioned control-plane read, and a footer
+    // guess here could underestimate a larger-than-share-form book and
+    // hint an unsafe broadcast (the r14 advisory). Corpus-derived
+    // codebook lineages take [[ivfPqTopK]], which never reaches this.
     val est = lutSideBytesFor(
       Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1, probes,
-      knownCodebookRows.getOrElse(
-        4L * (Tables.parquetRowCount(s, dir, "embeddings") / 31 + 1)))
+      knownCodebookRows.getOrElse(codebook.count()))
     val cand = coded.join(hintIfDriverSafe(qside, est), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("sc"))
