@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -1217,5 +1219,155 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(handoff === Seq(
       (1L, 5L, 4L, 9L),    // suppressed duplicate re-surfaces
       (1L, 7L, -1L, -1L))) // window died with its only doc
+  }
+
+  // ---------- manifest-referenced segment store (r15) ----------
+
+  private def bytesUnder(p: java.nio.file.Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val st = Files.walk(p)
+    try st.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size).sum
+    finally st.close()
+  }
+
+  private def segDirsOf(root: String): Set[String] = {
+    val segs = java.nio.file.Paths.get(root, "segments")
+    if (!Files.exists(segs)) return Set.empty
+    val st = Files.list(segs)
+    try st.iterator().asScala.map(_.getFileName.toString).toSet
+    finally st.close()
+  }
+
+  private def manifestRefs(root: String, v: Long): Set[String] = {
+    val mf = java.nio.file.Paths.get(root, s"v=$v", "manifest.tsv")
+    Files.readAllLines(mf).asScala.map(_.split("\t", 2)(1)).toSet
+  }
+
+  private def filesUnderRefs(root: String, refs: Set[String]): Long =
+    refs.toSeq.map { r =>
+      val st = Files.walk(java.nio.file.Paths.get(root, r))
+      try st.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }.sum.toLong
+
+  test("append commits are delta-sized manifest references; prune + compaction bound disk and file count; orphan GC is age-gated") {
+    import graft.operators.DedupQueries
+    val root = Files.createTempDirectory("graft_manifest").toString
+    val sigs = DedupQueries.textSimhashSigs(spark, sf)
+
+    // v1: full install of ~4/7 of the corpus
+    assert(IndexLifecycle.installSimhashPostings(spark, root, 1L,
+      sigs.filter(col("doc_id") % 7 >= 3)))
+    val segsV1 = segDirsOf(root)
+    val bytesV1 = bytesUnder(java.nio.file.Paths.get(root))
+
+    // three appends (doc_id % 7 == 0, 1, 2) — each commit must reference
+    // the carried segments (zero copied bytes) and add only delta segments
+    (0 until 3).foreach { m =>
+      val before = manifestRefs(root, 1L + m)
+      assert(IndexLifecycle.appendSimhashPostings(spark, root,
+        sigs.filter(col("doc_id") % 7 === m)) === Some(2L + m))
+      val after = manifestRefs(root, 2L + m)
+      assert(before.subsetOf(after),
+        "an append must carry every prior segment by reference")
+      // the commit directory itself holds only KB-scale scalars+manifest
+      assert(bytesUnder(java.nio.file.Paths.get(root, s"v=${2L + m}")) < 65536,
+        "a version directory must hold no data bytes — segments only")
+    }
+    // the store holds ONE copy of the carried index: every v1 segment
+    // directory is still the same on-disk artifact (never re-written)
+    assert(segsV1.subsetOf(segDirsOf(root)))
+    // served pairs after the three appends == live full corpus
+    val live = rowSet(SparkEntry.queries("q40_dedup_simhash")(spark, sf))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live)
+
+    // file count: appends accumulated >= 4 postings segments; compaction
+    // folds them into one segment per artifact with fewer files
+    val refsBefore = manifestRefs(root, 4L)
+    assert(refsBefore.size >= 8,
+      s"3 appends over 2 artifacts must accumulate segments: $refsBefore")
+    val filesBefore = filesUnderRefs(root, refsBefore)
+    assert(IndexLifecycle.compactSimhashPostings(spark, root) === Some(5L))
+    val refsAfter = manifestRefs(root, 5L)
+    assert(refsAfter.size === 2,
+      s"compaction must leave one segment per artifact: $refsAfter")
+    assert(filesUnderRefs(root, refsAfter) < filesBefore,
+      "compaction must shrink the physical file count")
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live,
+      "a compacted version must serve identical pairs")
+    // idempotence: single-segment artifacts have nothing to compact
+    assert(IndexLifecycle.compactSimhashPostings(spark, root).isEmpty)
+
+    // retention: keep only the compacted head; the superseded delta
+    // segments (referenced by dropped manifests only) are reclaimed and
+    // disk returns to ~one index (compacted segments + KB of scalars)
+    val (vDel, sDel) = IndexLifecycle.pruneVersions(root, keep = 1)
+    assert(vDel === 4 && sDel >= 8, s"prune deleted ($vDel, $sDel)")
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live,
+      "a pruned store must serve the latest version unchanged")
+    assert(segDirsOf(root) == refsAfter.map(_.stripPrefix("segments/")),
+      "after prune, disk holds exactly the kept manifest's segments")
+    assert(bytesUnder(java.nio.file.Paths.get(root)) < 2 * bytesV1,
+      "disk after appends+compact+prune must be ~one index, not one per version")
+
+    // orphan GC: a segment no manifest references (a failed or racing
+    // commit's debris) is reclaimed only past the age gate
+    val orphan = Files.createTempDirectory(
+      java.nio.file.Paths.get(root, "segments"), "sigs-orphan")
+    Files.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    assert(IndexLifecycle.gcOrphanSegments(root, minAgeMs = 3600000L) === 0,
+      "a fresh unreferenced segment may be an in-flight commit: not swept")
+    assert(IndexLifecycle.gcOrphanSegments(root, minAgeMs = 0L) === 1)
+    assert(!Files.exists(orphan))
+    assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live)
+  }
+
+  test("pq append rolls the baseline forward incrementally — audit equals a rebuilt store's") {
+    val root = Files.createTempDirectory("graft_pq_manifest").toString
+    val dir = Files.createTempDirectory("graft_pq_mcorpus").toString
+    def mk(ids: Range): DataFrame = {
+      import spark.implicits._
+      ids.map { i =>
+        val v = Array.fill(64)(0.0f)
+        v(i % 2) = 1.0f
+        v(10) = 0.01f * (i % 7)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def vecsAt(d: String): DataFrame =
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+    mk(0 until 80).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, root, 1L,
+      IndexLifecycle.train(spark, vecsAt(dir), k = 2),
+      IndexLifecycle.trainCodebook(vecsAt(dir)), dir))
+    mk(0 until 160).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.appendPqIndex(spark, root, dir) === Some(2L))
+    // append carried quantizers and prior codes by reference
+    assert(manifestRefs(root, 1L).subsetOf(manifestRefs(root, 2L)))
+    assert(bytesUnder(java.nio.file.Paths.get(root, "v=2")) < 65536)
+    // the incrementally-rolled baseline prices drift exactly as a full
+    // rebuild's install-time baseline does
+    val (_, cents2, book2) = IndexLifecycle.readPqIndexAt(spark, root, 2L)
+    val rebuilt = Files.createTempDirectory("graft_pq_mrebuild").toString
+    assert(IndexLifecycle.installPqIndex(spark, rebuilt, 1L, cents2, book2, dir))
+    def audit(r: String) = IndexLifecycle.pqIndexDriftAudit(spark, r, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(audit(root) == audit(rebuilt),
+      "incremental baseline must equal the rebuild's install-time baseline")
+    // compaction folds the two code segments; search identical; prune
+    // reclaims the superseded deltas
+    val before = IndexLifecycle.searchPqIndex(spark, root, dir).collect().toSeq
+    assert(IndexLifecycle.compactPqIndex(spark, root) === Some(3L))
+    assert(IndexLifecycle.searchPqIndex(spark, root, dir).collect().toSeq
+      == before)
+    IndexLifecycle.pruneVersions(root, keep = 1)
+    assert(IndexLifecycle.searchPqIndex(spark, root, dir).collect().toSeq
+      == before)
   }
 }
