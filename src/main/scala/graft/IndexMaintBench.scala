@@ -22,11 +22,36 @@ import org.apache.spark.sql.functions._
   * vectors coded against the installed quantizers and committed as
   * v=N+1) — the append ≪ rebuild claim as a measurement.
   *
+  * The `store` op measures the manifest-store economics themselves
+  * (VERDICT r15 item 1/3): bytes committed per append (must be
+  * delta-sized — the r14 layout copied the whole index per version),
+  * physical file count after 8 appends with and without compaction, and
+  * disk after retention prune (must return to ~one index).
+  *
   * Usage: runMain graft.IndexMaintBench <sfDir> [label] [reps] [op...]
-  * (ops: simhash minhash lsh cdc pq)
+  * (ops: simhash minhash lsh cdc pq store)
   */
 object IndexMaintBench {
-  val Ops: Seq[String] = Seq("simhash", "minhash", "lsh", "cdc", "pq")
+  val Ops: Seq[String] = Seq("simhash", "minhash", "lsh", "cdc", "pq", "store")
+
+  private[graft] def bytesUnder(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val st = java.nio.file.Files.walk(p)
+    try st.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size).sum
+    finally st.close()
+  }
+
+  private[graft] def parquetFilesUnder(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val st = java.nio.file.Files.walk(p)
+    try st.iterator().asScala
+      .count(q => q.getFileName.toString.endsWith(".parquet")).toLong
+    finally st.close()
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -128,9 +153,12 @@ object IndexMaintBench {
           SimilarityQueries.pqCodebookFixed(spark, pqDir), pqDir); 0L
       }
       vecs.write.mode("overwrite").parquet(s"$pqDir/embeddings.parquet")
+      val rootP = java.nio.file.Paths.get(root)
+      val preAppend = bytesUnder(rootP)
       val (ap, _) = timed {
         IndexLifecycle.appendPqIndex(spark, root, pqDir); 0L
       }
+      val appendBytes = bytesUnder(rootP) - preAppend
       // the comparable full rebuild on the SAME (full) corpus
       val (rb, _) = timed {
         IndexLifecycle.installPqIndex(spark, s"$base/pq2", 1L,
@@ -138,7 +166,46 @@ object IndexMaintBench {
           SimilarityQueries.pqCodebookFixed(spark, pqDir), pqDir); 0L
       }
       println(f"INDEXMAINT $label pq build_n_minus_64=$b0%.3f " +
-        f"append64=$ap%.3f full_rebuild=$rb%.3f")
+        f"append64=$ap%.3f full_rebuild=$rb%.3f " +
+        f"append_commit_bytes=$appendBytes index_bytes=$preAppend")
+    }
+    if (run.contains("store")) {
+      // manifest-store economics on the SimHash pillar (the mechanism is
+      // shared by all five pillars): 8 sequential 8-doc appends, then
+      // compaction, then retention prune
+      val root = s"$base/storeecon"
+      val rootP = java.nio.file.Paths.get(root)
+      IndexLifecycle.installSimhashPostings(spark, root, 1L,
+        DedupQueries.textSimhashSigs(spark, dir))
+      val installBytes = bytesUnder(rootP)
+      var appendSecs = 0.0
+      var appendBytes = 0L
+      (0 until 8).foreach { k =>
+        val b = DedupQueries.textSimhashSigsFor(
+          Tables.documents(spark, dir).orderBy("doc_id").limit(8)
+            .select((col("doc_id") + 1000000000L + 100L * k).as("doc_id"),
+              col("text")))
+        val pre = bytesUnder(rootP)
+        val (t, _) = timed {
+          IndexLifecycle.appendSimhashPostings(spark, root, b); 0L }
+        appendSecs += t
+        appendBytes += bytesUnder(rootP) - pre
+      }
+      val servePre =
+        IndexLifecycle.simhashPairsFromStore(spark, root).count()
+      val filesBefore = parquetFilesUnder(rootP)
+      val diskBefore = bytesUnder(rootP)
+      IndexLifecycle.compactSimhashPostings(spark, root)
+      IndexLifecycle.pruneVersions(root, keep = 1)
+      val servePost =
+        IndexLifecycle.simhashPairsFromStore(spark, root).count()
+      println(f"INDEXMAINT $label store install_bytes=$installBytes " +
+        f"append8_secs=$appendSecs%.3f append8_commit_bytes=$appendBytes " +
+        f"files_after_appends=$filesBefore " +
+        f"files_after_compact_prune=${parquetFilesUnder(rootP)} " +
+        f"disk_after_appends=$diskBefore " +
+        f"disk_after_compact_prune=${bytesUnder(rootP)} " +
+        f"serve_rows_stable=${servePre == servePost}")
     }
     spark.stop()
   }
