@@ -90,4 +90,39 @@ object Calibration {
         DedupQueries.CapRecallFloorPpm))
       .orderBy("param")
   }
+
+  /** [[manifestFromStore]] with every pillar resolved through ONE
+    * release ([[IndexLifecycle.readRelease]]) — the coherent form: a
+    * recalibration of any single pillar cannot move one row of this
+    * frame mid-sequence; all six rows report the release's pinned
+    * versions until the next release pins new ones. Pin names follow
+    * the manifest's param names. */
+  def manifestFromRelease(s: SparkSession, relRoot: String): DataFrame = {
+    val pins = IndexLifecycle.readRelease(relRoot)
+    def row(param: String, value: Long, baseline: DataFrame, valueCol: String,
+            floor: Long): DataFrame =
+      baseline.filter(col("chosen") && col(valueCol) === value)
+        .select(lit(param).as("param"), col(valueCol).as("value"),
+          col("recall_ppm"), lit(floor).as("floor_ppm"))
+    def capRow(param: String): DataFrame = {
+      val (root, v) = pins(param)
+      row(param, IndexLifecycle.readCapAt(s, root, v).toLong,
+        IndexLifecycle.readCapBaselineAt(s, root, v), "cap",
+        DedupQueries.CapRecallFloorPpm)
+    }
+    val (pRoot, pV) = pins("ivf_probes")
+    val (tRoot, tV) = pins("lsh_tables")
+    row("ivf_probes", IndexLifecycle.readProbesAt(s, pRoot, pV).toLong,
+        IndexLifecycle.readProbesBaselineAt(s, pRoot, pV), "probes",
+        SimilarityQueries.ProbeRecallFloorPpm)
+      .unionAll(capRow("simhash_cap_text"))
+      .unionAll(capRow("simhash_cap_media"))
+      .unionAll(row("lsh_tables",
+        IndexLifecycle.readLshTablesAt(s, tRoot, tV).toLong,
+        IndexLifecycle.readLshTablesBaselineAt(s, tRoot, tV), "tables",
+        DedupQueries.LshTableFloorPpm))
+      .unionAll(capRow("minhash_cap"))
+      .unionAll(capRow("cdc_cap"))
+      .orderBy("param")
+  }
 }

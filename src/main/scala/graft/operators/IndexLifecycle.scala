@@ -502,8 +502,13 @@ object IndexLifecycle {
     * query itself. */
   def searchPqIndex(s: SparkSession, root: String, dir: String,
                     probes: Int = SimilarityQueries.IvfProbes,
-                    panelIdCap: Option[Long] = None): DataFrame = {
-    val v = latestPqVersion(root)
+                    panelIdCap: Option[Long] = None): DataFrame =
+    searchPqIndexAtVersion(s, root, latestPqVersion(root), dir, probes,
+      panelIdCap)
+
+  private def searchPqIndexAtVersion(s: SparkSession, root: String, v: Long,
+                                     dir: String, probes: Int,
+                                     panelIdCap: Option[Long]): DataFrame = {
     val (codes, cents, book) = readPqIndexAt(s, root, v)
     val nQueries = graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1
     SimilarityQueries.ivfPqServe(s, dir, codes, cents, book, probes,
@@ -1823,6 +1828,107 @@ object IndexLifecycle {
       writeManifest(staging, carriedRefs(root, v, carried))
     }
     if (done) Some(v + 1) else None
+  }
+
+  // ---------- cross-pillar coherent release ----------
+  //
+  // Search and selection consumers compose MULTIPLE pillars — q249/q255
+  // read centroids + codebook, q281 the pq index, the near-dup serves
+  // their caps/tables — and each pillar swaps independently, so a
+  // retrain of one can serve a MIXED version set to a reader that
+  // resolves the pillars at different instants (VERDICT r14 item 6). A
+  // RELEASE is a versioned manifest pinning one coherent
+  // (pillar → version) tuple, committed under the same installVersion
+  // ATOMIC_MOVE discipline: cutting a release is atomic, reading one is
+  // a pure function of the release version, and a consumer that resolves
+  // every pillar through one release can never observe a mid-swap mix —
+  // pillar installs keep happening underneath, they just don't serve
+  // until the next release pins them.
+
+  private val ReleaseFile = "release.tsv"
+
+  /** Cut release `version`: pin each named pillar's CURRENT latest
+    * version. Atomic + idempotent like every install. */
+  def cutRelease(root: String, version: Long,
+                 pillars: Map[String, String]): Boolean =
+    installVersion(root, version, _ => ()) { staging =>
+      val lines = pillars.toSeq.sortBy(_._1).map { case (name, proot) =>
+        val v = latestVersion(proot).getOrElse(noIndex(proot))
+        s"$name\t$proot\t$v"
+      }
+      Files.write(staging.resolve(ReleaseFile), lines.asJava)
+      ()
+    }
+
+  /** The latest release's pinned (store root, version) per pillar. */
+  def readRelease(root: String): Map[String, (String, Long)] =
+    releaseAt(root, latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed release under $root")))
+
+  /** A SPECIFIC release's pins — driver-side NIO on a KB file. */
+  def releaseAt(root: String, v: Long): Map[String, (String, Long)] =
+    Files.readAllLines(Paths.get(s"$root/v=$v/$ReleaseFile")).asScala
+      .map { l =>
+        val t = l.split("\t", 3); t(0) -> ((t(1), t(2).toLong))
+      }.toMap
+
+  /** The centroid frame of a SPECIFIC pillar version. */
+  def readCentroidsAt(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v/centroids")
+
+  /** The codebook frame of a SPECIFIC pillar version. */
+  def readCodebookAt(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v/codebook")
+
+  /** The serving cap of a SPECIFIC pillar version. */
+  def readCapAt(s: SparkSession, root: String, v: Long): Int =
+    scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt
+
+  /** A SPECIFIC version's install-time cap dial. */
+  def readCapBaselineAt(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v/capdial")
+
+  /** The probe depth of a SPECIFIC pillar version. */
+  def readProbesAt(s: SparkSession, root: String, v: Long): Int =
+    scalarsAt(s, root, v, "probescfg", "probes BIGINT").head.toInt
+
+  /** A SPECIFIC version's install-time probe dial. */
+  def readProbesBaselineAt(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v/probesdial")
+
+  /** The LSH table count of a SPECIFIC pillar version. */
+  def readLshTablesAt(s: SparkSession, root: String, v: Long): Int =
+    scalarsAt(s, root, v, "tablescfg", "tables BIGINT").head.toInt
+
+  /** A SPECIFIC version's install-time table dial. */
+  def readLshTablesBaselineAt(s: SparkSession, root: String,
+                              v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v/tablesdial")
+
+  /** q249's two-pillar search with BOTH quantizer frames resolved from
+    * ONE release — a concurrent centroid or codebook swap cannot serve
+    * this reader a mixed pair; it serves the pinned pair until the next
+    * release pins the new one. Expects pins named "centroids" and
+    * "codebook". */
+  def searchPqAtRelease(s: SparkSession, relRoot: String, dir: String,
+                        probes: Int = SimilarityQueries.IvfProbes)
+      : DataFrame = {
+    val pins = readRelease(relRoot)
+    val (cRoot, cV) = pins("centroids")
+    val (bRoot, bV) = pins("codebook")
+    val book = readCodebookAt(s, bRoot, bV)
+    SimilarityQueries.ivfPqTopKFrom(s, dir,
+      readCentroidsAt(s, cRoot, cV), book, probes,
+      knownCodebookRows = Some(book.count()))
+  }
+
+  /** q281's stored-index serve at a release's pinned "pq_index" version
+    * — the steady-state production read path with release coherence. */
+  def searchPqIndexAtRelease(s: SparkSession, relRoot: String, dir: String,
+                             probes: Int = SimilarityQueries.IvfProbes,
+                             panelIdCap: Option[Long] = None): DataFrame = {
+    val (root, v) = readRelease(relRoot)("pq_index")
+    searchPqIndexAtVersion(s, root, v, dir, probes, panelIdCap)
   }
 
   // ---------- takedown / delete propagation ----------

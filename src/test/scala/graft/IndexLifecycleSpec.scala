@@ -590,6 +590,91 @@ class IndexLifecycleSpec extends SparkSpec {
       Calibration.manifestFromStore(spark, pr, ct, cm, tr, cmh, ccd))
     assert(fromStore == recomputed,
       s"store manifest must equal the recomputed manifest:\n$fromStore\nvs\n$recomputed")
+
+    // --- release coherence over the six dial pillars ---
+    val rel = base.resolve("release").toString
+    val pillars = Map("ivf_probes" -> pr, "simhash_cap_text" -> ct,
+      "simhash_cap_media" -> cm, "lsh_tables" -> tr,
+      "minhash_cap" -> cmh, "cdc_cap" -> ccd)
+    assert(IndexLifecycle.cutRelease(rel, 1L, pillars))
+    assert(!IndexLifecycle.cutRelease(rel, 1L, pillars)) // replay no-op
+    val fromRelease = rows(Calibration.manifestFromRelease(spark, rel))
+    assert(fromRelease == fromStore,
+      "a release cut at head must report exactly the store manifest")
+    // a single-pillar recalibration moves the STORE manifest but cannot
+    // move one row of the release's frame mid-sequence
+    IndexLifecycle.installCap(spark, ct, 2L,
+      DedupQueries.calibratedSimhashCap(spark, sf),
+      DedupQueries.textSimhashSigs(spark, sf))
+    assert(rows(Calibration.manifestFromRelease(spark, rel)) == fromRelease,
+      "an interposed pillar swap must not move a pinned release's manifest")
+    // the next release picks up the new head coherently
+    assert(IndexLifecycle.cutRelease(rel, 2L, pillars))
+    assert(rows(Calibration.manifestFromRelease(spark, rel)) ==
+      rows(Calibration.manifestFromStore(spark, pr, ct, cm, tr, cmh, ccd)))
+  }
+
+  test("release-pinned search reads one coherent quantizer pair across interposed single-pillar swaps") {
+    import graft.operators.SimilarityQueries
+    val base = Files.createTempDirectory("graft_release_search")
+    val (centsRoot, bookRoot, pqRoot, rel) =
+      (base.resolve("cents").toString, base.resolve("book").toString,
+        base.resolve("pqindex").toString, base.resolve("rel").toString)
+    val dir = base.resolve("corpus").toString
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val old = asVec(oldEpoch(corpus))
+    val full = asVec(corpus)
+    assert(IndexLifecycle.install(spark, centsRoot, 1L,
+      IndexLifecycle.train(spark, old, k = 2), old))
+    assert(IndexLifecycle.installCodebook(spark, bookRoot, 1L,
+      IndexLifecycle.trainCodebook(old), old))
+    assert(IndexLifecycle.installPqIndex(spark, pqRoot, 1L,
+      IndexLifecycle.readCentroids(spark, centsRoot),
+      IndexLifecycle.readCodebook(spark, bookRoot), dir))
+    assert(IndexLifecycle.cutRelease(rel, 1L, Map(
+      "centroids" -> centsRoot, "codebook" -> bookRoot,
+      "pq_index" -> pqRoot)))
+
+    def liveRows() =
+      IndexLifecycle.searchPqAtRelease(spark, rel, dir).collect().toSeq
+    def servedRows() =
+      IndexLifecycle.searchPqIndexAtRelease(spark, rel, dir).collect().toSeq
+    val live1 = liveRows()
+    val served1 = servedRows()
+    assert(live1.nonEmpty && served1.nonEmpty)
+
+    // interposed CODEBOOK swap: at both install stages the release must
+    // keep serving the pinned v1 pair — never v1 centroids + v2 codebook
+    assert(IndexLifecycle.installCodebook(spark, bookRoot, 2L,
+      IndexLifecycle.trainCodebook(full), full,
+      interpose = stage => {
+        assert(liveRows() == live1,
+          s"release must serve the pinned pair at codebook-swap '$stage'")
+      }))
+    assert(liveRows() == live1,
+      "release must serve the pinned pair after the codebook swap commits")
+    // interposed CENTROID swap too — still the coherent v1 pair
+    assert(IndexLifecycle.install(spark, centsRoot, 2L,
+      IndexLifecycle.train(spark, full, k = 3), full))
+    assert(liveRows() == live1 && servedRows() == served1,
+      "release must pin every pillar until the next release is cut")
+
+    // the next release serves the new coherent pair — and equals a
+    // direct read of the new versions composed together
+    assert(IndexLifecycle.installPqIndex(spark, pqRoot, 2L,
+      IndexLifecycle.readCentroids(spark, centsRoot),
+      IndexLifecycle.readCodebook(spark, bookRoot), dir))
+    assert(IndexLifecycle.cutRelease(rel, 2L, Map(
+      "centroids" -> centsRoot, "codebook" -> bookRoot,
+      "pq_index" -> pqRoot)))
+    val book2 = IndexLifecycle.readCodebook(spark, bookRoot)
+    assert(liveRows() ==
+      SimilarityQueries.ivfPqTopKFrom(spark, dir,
+        IndexLifecycle.readCentroids(spark, centsRoot), book2,
+        knownCodebookRows = Some(book2.count())).collect().toSeq)
+    assert(servedRows() ==
+      IndexLifecycle.searchPqIndex(spark, pqRoot, dir).collect().toSeq)
   }
 
   test("cdc cap pillar: install, read-through, drift audit green at install, saturation recalibrates") {
