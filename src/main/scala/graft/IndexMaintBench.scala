@@ -123,6 +123,12 @@ object IndexMaintBench {
       report("lsh", b,
         minOf(IndexLifecycle.lshPairsFromStore(spark, root, dir).count()),
         minOf(IndexLifecycle.lshBatchPairs(spark, root, dir, bv).count()))
+      // the confirm-mass guard's reading at this decade — the number the
+      // SCALE x100 row reports instead of a surprise wall-clock
+      val g = IndexLifecycle.lshConfirmGuard(spark, root)
+      println(s"INDEXMAINT $label lsh_guard mass=${g.mass} " +
+        s"buckets=${g.buckets} max_bucket_pairs=${g.maxBucketPairs} " +
+        s"over_budget=${g.overBudget}")
     }
     if (run.contains("cdc")) {
       val root = s"$base/cdc"

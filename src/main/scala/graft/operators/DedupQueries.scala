@@ -2076,11 +2076,56 @@ object DedupQueries {
     simhashPostingsServeQuery,
     minhashPostingsServeQuery,
     lshPostingsServeQuery,
+    lshGuardedServeQuery,
     spanOwnerTakedownQuery,
     simhashBatchAdmitQuery,
     minhashBatchAdmitQuery,
     lshBatchAdmitQuery,
   )
+
+  /** q293 — q67's pair set served under the confirm-mass guard. */
+  private def lshGuardedServeQuery: GraftQuery =
+    GraftQuery(
+      "q293_lsh_guarded_serve",
+      Some(s"""${SimilarityQueries.lshReplayPrologue}, $lshPairSqlCtes
+              |SELECT vec_a, vec_b, round(c, 4) AS cos FROM lsc
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      "q285's stored-LSH serve with the candidate-budget guard active " +
+        "(VERDICT r15: the x100 serve was dominated by an unbounded " +
+        "exact-cosine confirm with no audit naming the mass): at " +
+        "install time the guard prices every bucket the serve will " +
+        "expand — C(bsz,2) over the Hamming-1-probed, [2,64]-capped " +
+        "buckets, the pre-dedup expansion work — aggregates one " +
+        "(mass, buckets, max_bucket) reading against the budget, and " +
+        "persists it beside the pillar; a past-budget reading routes " +
+        "to the TABLE DIAL (lshGuardedMaintenance -> " +
+        "recalibrateLshPostingsTables), the knob that shrinks mass. " +
+        "The guard REPORTS, never drops: the served pair set is " +
+        "bit-identical to q285/q67 — which is exactly what this " +
+        "query's shared oracle proves hash-green (a guard that " +
+        "perturbed one pair would fail the compare). The per-bucket " +
+        "audit frame itself is hash-seeded (not SQL-expressible); its " +
+        "semantics are pinned by IndexLifecycleSpec's planted " +
+        "pathological-bucket test (guard names the mass; dial " +
+        "consulted; candidates never dropped). Reading is index-sized " +
+        "rows -> bucket-sized output, priced once per install, " +
+        "job-free at serve construction."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "lshguard",
+        Tables.fingerprint(s, s"$dir/embeddings.parquet")) { out =>
+        IndexLifecycle.installLshPostings(s, out, 1L, normVecs(s, dir),
+          SimilarityQueries.codeBits(
+            Tables.parquetRowCount(s, dir, "embeddings")))
+        val g = IndexLifecycle.lshConfirmGuard(s, out)
+        s.range(1).select(lit(g.mass).as("mass"),
+            lit(g.buckets).as("buckets"),
+            lit(g.maxBucketPairs).as("max_bucket_pairs"),
+            lit(g.overBudget).as("over_budget"))
+          .write.mode("overwrite").parquet(s"$out/guard")
+        ()
+      }
+      IndexLifecycle.lshPairsFromStore(s, root, dir)
+    }
 
   /** q289 — incremental batch admission against the stored SimHash
     * postings, oracle-checked. */

@@ -1518,6 +1518,97 @@ object IndexLifecycle {
         .dropDuplicates("vec_id"))
   }
 
+  // ----- candidate-budget guard on the LSH confirm path -----
+  //
+  // SCALE.md's own x100 row showed the stored-LSH serve dominated by an
+  // UNBOUNDED exact-cosine confirm (millions of candidates in a uniform
+  // synthetic cloud) with no audit naming the mass (VERDICT r15 item 5).
+  // The guard makes that mass observable and actionable: the audit
+  // prices every bucket the serve will expand (C(bsz,2) per surviving
+  // bucket — the pre-dedup expansion work, an upper bound on the
+  // confirm join's input), the reading compares the total against a
+  // budget, and a past-budget reading routes to the TABLE DIAL — the
+  // knob that actually shrinks candidate mass. The guard NEVER drops a
+  // candidate: when the dial elects no change, the serve keeps paying
+  // the named mass and the reading keeps flagging, which is a report a
+  // fleet can page on instead of a silent 291-second confirm.
+
+  /** Serve-wide confirm-mass budget: ~10M candidate pairs keeps the
+    * exact-cosine confirm in the seconds at 32-way parallelism; a
+    * deployment sizes this to its latency SLO. */
+  val LshConfirmBudgetPairs: Long = 10000000L
+
+  /** The guard's reading: total expansion mass over all surviving
+    * buckets, how many buckets carry it, and the heaviest bucket. */
+  final case class LshGuardReading(mass: Long, buckets: Long,
+                                   maxBucketPairs: Long, overBudget: Boolean)
+
+  /** Per-bucket candidate-mass audit of the stored LSH serve: one row
+    * per (tbl, code) bucket the confirm will expand — bucket size after
+    * Hamming-1 probe expansion, its C(bsz,2) candidate mass, and an
+    * `over_budget` flag against the per-bucket budget. Index-sized
+    * input (the stored code rows), bucket-sized output, heaviest
+    * first — the row a paged operator reads to see WHERE the mass
+    * lives. The cap bound is the serve's own ([2, MaxBucket]), so the
+    * audit prices exactly the work the serve does. */
+  def lshConfirmAudit(s: SparkSession, root: String,
+                      bucketBudgetPairs: Long = Long.MaxValue): DataFrame = {
+    val (codes, bits, _) = readLshIndex(s, root)
+    lshProbed(codes, bits)
+      .groupBy("tbl", "code").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, DedupQueries.MaxBucket))
+      .withColumn("cand_pairs",
+        (col("bsz") * (col("bsz") - 1)).divide(2).cast("long"))
+      .withColumn("over_budget", col("cand_pairs") > bucketBudgetPairs)
+      .orderBy(desc("cand_pairs"), col("tbl"), col("code"))
+  }
+
+  /** One aggregated guard reading — the number the x100 SCALE row now
+    * reports instead of a surprise wall-clock. */
+  def lshConfirmGuard(s: SparkSession, root: String,
+                      budgetPairs: Long = LshConfirmBudgetPairs)
+      : LshGuardReading = {
+    val r = lshConfirmAudit(s, root)
+      .agg(coalesce(sum("cand_pairs"), lit(0L)),
+        count(lit(1)), coalesce(max("cand_pairs"), lit(0L))).head
+    LshGuardReading(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(0) > budgetPairs)
+  }
+
+  /** The observe→act loop on confirm mass: a past-budget reading routes
+    * to the table dial — candidates are never dropped. The dial's
+    * `chosen` row is the MINIMAL table count meeting the recall floor;
+    * when the installed count exceeds it, every extra table pays pure
+    * candidate mass for recall the floor doesn't need, so the absorb
+    * action re-codes at the chosen count (mass scales ~linearly in
+    * tables). When the dial elects no cheaper viable count, the serve
+    * keeps paying the named mass and the reading keeps flagging — a
+    * report a fleet pages on, never a silent drop. Returns the reading
+    * either way, plus the new version when the dial absorbed. */
+  def lshGuardedMaintenance(s: SparkSession, root: String, dir: String,
+                            budgetPairs: Long = LshConfirmBudgetPairs)
+      : (LshGuardReading, Option[Long]) = {
+    val reading = lshConfirmGuard(s, root, budgetPairs)
+    if (!reading.overBudget) (reading, None)
+    else (reading, retryVersionRace() { () =>
+      val v = latestVersion(root).getOrElse(noIndex(root))
+      val rows = lshPostingsTablesAuditAt(s, root, v, dir).collect()
+      def at(r: org.apache.spark.sql.Row, c: String) =
+        r.getLong(rows.head.fieldIndex(c))
+      val installed = rows.find(r =>
+        r.getBoolean(r.fieldIndex("installed"))).map(at(_, "tables"))
+      rows.find(r => r.getBoolean(r.fieldIndex("chosen")))
+        .map(at(_, "tables")) match {
+        case Some(c) if installed.forall(_ != c) =>
+          val bits = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)(0).toInt
+          if (installLshPostings(s, root, v + 1,
+            DedupQueries.normVecs(s, dir), bits, c.toInt)) Right(Some(v + 1))
+          else Left(())
+        case _ => Right(None) // no cheaper viable count: keep flagging
+      }
+    })
+  }
+
   /** Commit stored ∪ batch LSH codes as v=N+1 — batch codes derive from
     * the INSTALLED planes/width so old and new rows address one code
     * family; manifest-reference carry + one delta-sized code segment

@@ -1409,6 +1409,68 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live)
   }
 
+  test("lsh confirm guard names a planted pathological bucket's mass; the dial absorbs it; no candidate is ever dropped") {
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    // 40 identical-direction unit vectors (tiny same-sign jitter keeps
+    // ids distinct but every sign-LSH code equal): ONE bucket per table
+    // holds all 40 — C(40,2)=780 candidate pairs per probed bucket, the
+    // planted mass — plus 24 spread decoys
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(64)(0.001f); v(0) = 1.0f; v(5) = 0.002f + 1e-5f * i
+      (i.toLong, v)
+    } ++ (0 until 24).map { i =>
+      val v = Array.fill(64)(0.0f); v(i % 16) = if (i % 2 == 0) 1.0f else -1.0f
+      (100L + i, v)
+    }
+    val dir = writeEmbeddings(rows)
+    val root = Files.createTempDirectory("graft_lshguard").toString
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    assert(IndexLifecycle.installLshPostings(spark, root, 1L,
+      DedupQueries.normVecs(spark, dir), SimilarityQueries.codeBits(n)))
+
+    // the audit names WHERE the mass lives: heaviest bucket = the
+    // planted one, 780 pairs, flagged against a 100-pair bucket budget
+    val audit = IndexLifecycle.lshConfirmAudit(spark, root,
+      bucketBudgetPairs = 100L).collect()
+    assert(audit.head.getLong(3) >= 780L,
+      s"the planted bucket's mass must lead the audit: ${audit.head}")
+    assert(audit.head.getBoolean(4), "the planted bucket must flag")
+    // the aggregated reading is self-consistent with the audit rows
+    val g = IndexLifecycle.lshConfirmGuard(spark, root, budgetPairs = 1000L)
+    assert(g.mass === audit.map(_.getLong(3)).sum)
+    assert(g.maxBucketPairs === audit.head.getLong(3))
+    assert(g.overBudget, s"planted mass must exceed the budget: $g")
+
+    // the guard reports, never drops: serve under the flag == plain serve
+    val served = rowSet(IndexLifecycle.lshPairsFromStore(spark, root, dir))
+    assert(served.size >= 780,
+      "every planted pair must survive the flagged confirm")
+
+    // absorb: identical vectors give 100% recall at ONE table, so the
+    // dial's chosen count undercuts the installed 4 — the maintenance
+    // re-codes at the cheaper count and the re-read mass shrinks,
+    // while the served pairs stay exactly the same (recall preserved)
+    val (reading, swapped) =
+      IndexLifecycle.lshGuardedMaintenance(spark, root, dir,
+        budgetPairs = 1000L)
+    assert(reading.overBudget && reading.mass === g.mass)
+    assert(swapped === Some(2L),
+      "the dial must absorb a past-budget reading when a cheaper count is viable")
+    val g2 = IndexLifecycle.lshConfirmGuard(spark, root, budgetPairs = 1000L)
+    assert(g2.mass < g.mass,
+      s"absorbing must shrink the confirm mass: ${g.mass} -> ${g2.mass}")
+    assert(rowSet(IndexLifecycle.lshPairsFromStore(spark, root, dir))
+      == served,
+      "absorbing the mass must not change the served pair set here")
+    // under budget now? either way the reading is named, not hidden
+    val (reading2, swapped2) =
+      IndexLifecycle.lshGuardedMaintenance(spark, root, dir,
+        budgetPairs = 1000L)
+    assert(swapped2.isEmpty,
+      "with the chosen count installed the guard keeps flagging (if still " +
+        s"over) or reads green — never re-swaps in place: $reading2")
+  }
+
   test("pq append rolls the baseline forward incrementally — audit equals a rebuilt store's") {
     val root = Files.createTempDirectory("graft_pq_manifest").toString
     val dir = Files.createTempDirectory("graft_pq_mcorpus").toString

@@ -482,7 +482,7 @@ class ScaleDesignSpec extends SparkSpec {
       "q284_minhash_postings_serve", "q285_lsh_postings_serve",
       "q286_cdc_postings_serve", "q289_simhash_batch_admit",
       "q290_minhash_batch_admit", "q291_lsh_batch_admit",
-      "q292_cdc_batch_admit")
+      "q292_cdc_batch_admit", "q293_lsh_guarded_serve")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
