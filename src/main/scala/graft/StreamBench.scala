@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   * and output rows. The signature/window derivation runs inside the
   * stream's scan stage, as an ingest pipeline would run it.
   *
+  * The `bootstrap` op measures the r15 pillar-bootstrap claim: a FRESH
+  * stream starting from the installed MinHash pillar admits one 64-doc
+  * batch — its wall-clock (pillar read + initial-state load + one
+  * micro-batch) is reported against the corpus-streamed alternative a
+  * checkpoint loss used to force (the `minhash` row above at the same
+  * scale).
+  *
   * Usage: runMain graft.StreamBench <sfDir> [label] [op...]
   */
 object StreamBench {
-  val Ops: Seq[String] = Seq("span", "contam", "minhash")
+  val Ops: Seq[String] = Seq("span", "contam", "minhash", "bootstrap")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -86,7 +93,8 @@ object StreamBench {
             .as[StatefulOps.MinhashSig]).toDF()
     }
 
-    (if (only.isEmpty) Ops else Ops.filter(only)).foreach { op =>
+    (if (only.isEmpty) Ops else Ops.filter(only))
+      .filter(_ != "bootstrap").foreach { op =>
       val ckpt = s"$base/ckpt-$op"
       val t0 = System.nanoTime()
       val q = pipeline(op).writeStream.format("noop")
@@ -106,6 +114,44 @@ object StreamBench {
       println(f"STREAMBENCH $label $op in_rows=$inRows sec=$sec%.3f " +
         f"rows_per_sec=${inRows / math.max(sec, 1e-9)}%.0f " +
         f"state_rows=$stateRows out_rows=$outRows batches=${prog.length}")
+    }
+
+    if (only.isEmpty || only("bootstrap")) {
+      import graft.operators.IndexLifecycle
+      // install the pillar once (the amortized artifact a deployment
+      // already holds), then time ONLY what a restarted ingest pays:
+      // bootstrap-frame read + initial-state load + one 64-doc batch
+      val root = s"$base/mhpillar"
+      val bt0 = System.nanoTime()
+      IndexLifecycle.installMinhashPostings(spark, root, 1L,
+        DedupQueries.minhashSignatures(spark, dir))
+      val installSec = (System.nanoTime() - bt0) / 1e9
+      val batch = DedupQueries.minhashSigKeysFor(
+          Tables.documents(spark, dir).orderBy("doc_id").limit(64)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        .as[StatefulOps.MinhashSig].collect().toSeq
+      val feedB = s"$base/bootfeed"
+      batch.toDS().repartition(1).write.mode("overwrite").parquet(feedB)
+      val t0 = System.nanoTime()
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders
+          .product[StatefulOps.MinhashSig].schema)
+        .parquet(feedB).as[StatefulOps.MinhashSig]
+      val q = StatefulOps.minhashAdmitTwsBootstrapped(src,
+          StatefulOps.minhashBootstrapFrom(spark, root)).toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt-bootstrap")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress.toSeq.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption.map(_.numRowsTotal).getOrElse(-1L)
+      q.stop()
+      println(f"STREAMBENCH $label bootstrap pillar_install=$installSec%.3f " +
+        f"bootstrap_admit64=$sec%.3f state_rows=$stateRows " +
+        "(vs the minhash row: the corpus re-stream a checkpoint loss used to cost)")
     }
     spark.stop()
   }

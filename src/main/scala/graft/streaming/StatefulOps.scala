@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Arbitrary-state streaming operators (SURVEY.md §2.2 "streaming" —
@@ -798,8 +798,14 @@ object StatefulOps {
     * groupByKey shuffles 24-byte (bucket, doc_id, sim) rows once and an
     * ingest pipeline drops a flagged doc_b on arrival — admit-once over
     * media content, without ever holding two payloads in one place. */
+  /** One bucket's pre-filed members for a BOOTSTRAPPED start — the state
+    * shape the stored SimHash postings pillar persists (q283), so a fresh
+    * stream can begin from the installed index instead of re-streaming
+    * the corpus after a checkpoint loss (VERDICT r15 item 2). */
+  final case class BucketBootstrap(bucket: Long, members: Seq[BucketMember])
+
   class MediaBandProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MediaBandArrival, NearDupPair] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, MediaBandArrival, NearDupPair, BucketBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -809,6 +815,13 @@ object StatefulOps {
       members = getHandle.getListState[BucketMember](
         "bucket", Encoders.product[BucketMember],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Pre-file the stored members in the batch filing order (doc_id
+      * ascending, the order a corpus-streaming run would have filed),
+      * truncated at the cap exactly as live filing is. */
+    override def handleInitialState(bucket: Long, init: BucketBootstrap,
+                                    timers: TimerValues): Unit =
+      init.members.sortBy(_.doc_id).take(cap).foreach(members.appendValue)
 
     override def handleInputRows(bucket: Long, rows: Iterator[MediaBandArrival],
                                  timers: TimerValues): Iterator[NearDupPair] = {
@@ -867,8 +880,12 @@ object StatefulOps {
     * shuffles 16-byte rows once, keyed by fingerprint across the store's
     * partitions — payload bytes travel only for admitted chunks, to the
     * store partition that owns them. */
+  /** One fingerprint's canonical first writer for a BOOTSTRAPPED start —
+    * derivable from the stored CDC chunk pillar (q286). */
+  final case class ChunkOwnerBootstrap(cfp: Long, owner: Long)
+
   class ChunkAdmitProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChunkArrival, ChunkDecision] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, ChunkArrival, ChunkDecision, ChunkOwnerBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -877,6 +894,10 @@ object StatefulOps {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       owner = getHandle.getValueState[Long](
         "owner", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(cfp: Long, init: ChunkOwnerBootstrap,
+                                    timers: TimerValues): Unit =
+      owner.update(init.owner)
 
     override def handleInputRows(cfp: Long, rows: Iterator[ChunkArrival],
                                  timers: TimerValues): Iterator[ChunkDecision] =
@@ -930,8 +951,12 @@ object StatefulOps {
     * pins both). At 100 TB the groupByKey shuffles 16-byte rows once,
     * the candidate stream is 16 bytes/pair, and payload bytes never
     * leave the scan stage. */
+  /** One fingerprint's filed doc ids for a BOOTSTRAPPED start — the
+    * stored CDC chunk pillar's posting list (q286). */
+  final case class CdcFilersBootstrap(cfp: Long, filers: Seq[Long])
+
   class CdcCandidateProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChunkArrival, CdcCandidate] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, ChunkArrival, CdcCandidate, CdcFilersBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -941,6 +966,11 @@ object StatefulOps {
       filers = getHandle.getListState[ChunkFiler](
         "cdc_bucket", Encoders.product[ChunkFiler],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(cfp: Long, init: CdcFilersBootstrap,
+                                    timers: TimerValues): Unit =
+      init.filers.sorted.take(cap)
+        .foreach(d => filers.appendValue(ChunkFiler(d)))
 
     override def handleInputRows(cfp: Long, rows: Iterator[ChunkArrival],
                                  timers: TimerValues): Iterator[CdcCandidate] = {
@@ -1033,9 +1063,14 @@ object StatefulOps {
     * vector — the same fan-out the batch probe frame materializes — and
     * an ingest pipeline drops a flagged vec_b on arrival after the
     * two-lookup cosine confirm. */
+  /** One probed bucket's pre-filed members for a BOOTSTRAPPED start —
+    * derivable from the stored LSH code pillar (q285) by the same probe
+    * expansion the arrival generation performs. */
+  final case class LshBucketBootstrap(bucket: Long, members: Seq[LshMember])
+
   class LshBucketProcessor(bits: Int,
                            cap: Int = graft.operators.DedupQueries.MaxBucket)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LshBucketArrival, LshCandidate] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, LshBucketArrival, LshCandidate, LshBucketBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -1045,6 +1080,10 @@ object StatefulOps {
       members = getHandle.getListState[LshMember](
         "lsh_bucket", Encoders.product[LshMember],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(bucket: Long, init: LshBucketBootstrap,
+                                    timers: TimerValues): Unit =
+      init.members.sortBy(_.vec_id).take(cap).foreach(members.appendValue)
 
     override def handleInputRows(bucket: Long, rows: Iterator[LshBucketArrival],
                                  timers: TimerValues): Iterator[LshCandidate] = {
@@ -1156,8 +1195,14 @@ object StatefulOps {
     * 100 TB the groupByKey shuffles 16 × ~136-byte key rows per document
     * and an ingest pipeline drops a flagged doc_b on arrival after the
     * two-lookup signature confirm. */
+  /** One band bucket's pre-filed members for a BOOTSTRAPPED start —
+    * derivable from the stored MinHash postings pillar (q284): the
+    * member's full key vector folds from the stored signature. */
+  final case class MinhashBucketBootstrap(bucket: Long,
+                                          members: Seq[MinhashMember])
+
   class MinhashBucketProcessor(cap: Int = graft.operators.DedupQueries.MaxBucket)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MinhashBandArrival, MinhashCandidate] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, MinhashBandArrival, MinhashCandidate, MinhashBucketBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -1167,6 +1212,10 @@ object StatefulOps {
       members = getHandle.getListState[MinhashMember](
         "mh_bucket", Encoders.product[MinhashMember],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(bucket: Long, init: MinhashBucketBootstrap,
+                                    timers: TimerValues): Unit =
+      init.members.sortBy(_.doc_id).take(cap).foreach(members.appendValue)
 
     override def handleInputRows(bucket: Long, rows: Iterator[MinhashBandArrival],
                                  timers: TimerValues): Iterator[MinhashCandidate] = {
@@ -1223,6 +1272,218 @@ object StatefulOps {
       .groupByKey(_.bucket)
       .transformWithState(new MinhashBucketProcessor(cap),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---------- admitter bootstrap from the stored pillars ----------
+  //
+  // Every tws admitter above starts from empty state, so a checkpoint
+  // loss forces a restarted ingest stream to RE-STREAM the whole corpus
+  // to rebuild its window/bucket index — even though the stored postings
+  // pillars (q283–q286) persist exactly that state shape (VERDICT r15
+  // item 2). These entry points wire `transformWithState` initial state:
+  // the bootstrap frame derives from the installed pillar with one
+  // index-sized read (groupBy bucket — the same shuffle key the stream
+  // uses), the processor pre-files it in the batch filing order
+  // (id-ascending, cap-truncated exactly like live filing), and the
+  // fresh stream admits its first batch with decisions identical to a
+  // checkpointed stream that had streamed the corpus. Re-offered docs
+  // already in the pillar are the batch-side anti-join's to drop, as in
+  // q289–q292's admission contract.
+
+  /** [[mediaNearDupTws]] starting from pre-filed bucket state. */
+  def mediaNearDupTwsBootstrapped(sigs: Dataset[MediaSig],
+                                  initial: Dataset[BucketBootstrap],
+                                  cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[NearDupPair] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap(s => graft.operators.DedupQueries.SimhashBands.map {
+        case (b, off, mask) =>
+          MediaBandArrival((b.toLong << 10) | ((s.sim >>> off) & mask),
+            s.doc_id, s.sim)
+      })
+      .groupByKey(_.bucket)
+      .transformWithState(new MediaBandProcessor(cap),
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.bucket))
+  }
+
+  /** The SimHash admitter's initial state FROM the installed pillar —
+    * postings joined to stored signatures, grouped per bucket (one
+    * index-sized shuffle; no text, no signature recompute). */
+  def simhashBootstrapFrom(s: SparkSession,
+                           root: String): Dataset[BucketBootstrap] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (sigs, postings, _) =
+      graft.operators.IndexLifecycle.readSimhashIndex(s, root)
+    postings.join(sigs, "doc_id")
+      .select(shiftleft(col("band").cast("long"), 10)
+          .bitwiseOR(col("key")).as("bucket"),
+        struct(col("doc_id"), col("sim")).as("m"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .as[BucketBootstrap]
+  }
+
+  /** [[minhashAdmitTws]] starting from pre-filed band-bucket state. */
+  def minhashAdmitTwsBootstrapped(sigs: Dataset[MinhashSig],
+                                  initial: Dataset[MinhashBucketBootstrap],
+                                  cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[MinhashCandidate] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap { s =>
+        s.keys.zipWithIndex.map { case (k, b) =>
+          MinhashBandArrival((b.toLong << 32) | k, s.doc_id, s.keys)
+        }
+      }
+      .groupByKey(_.bucket)
+      .transformWithState(new MinhashBucketProcessor(cap),
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.bucket))
+  }
+
+  /** The MinHash admitter's initial state FROM the installed pillar —
+    * each member's full key vector folds from the stored signature
+    * (`bandKeys`), never from text. */
+  def minhashBootstrapFrom(s: SparkSession,
+                           root: String): Dataset[MinhashBucketBootstrap] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (sigs, postings, _) =
+      graft.operators.IndexLifecycle.readMinhashIndex(s, root)
+    val keyed = sigs.select(col("doc_id"),
+      transform(graft.operators.DedupQueries.bandKeys(col("sig")),
+        bk => bk("key")).as("keys"))
+    postings.join(keyed, "doc_id")
+      .select(shiftleft(col("band").cast("long"), 32)
+          .bitwiseOR(col("key")).as("bucket"),
+        struct(col("doc_id"), col("keys")).as("m"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .as[MinhashBucketBootstrap]
+  }
+
+  /** [[lshAdmitTws]] starting from pre-filed probe-bucket state. */
+  def lshAdmitTwsBootstrapped(sigs: Dataset[LshSig], bits: Int,
+                              initial: Dataset[LshBucketBootstrap],
+                              cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[LshCandidate] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    sigs
+      .flatMap { s =>
+        s.codes.zipWithIndex.flatMap { case (c, t) =>
+          (c +: (0 until bits).map(b => c ^ (1 << b))).map(pc =>
+            LshBucketArrival((t.toLong << 24) | (pc.toLong & 0xffffffL),
+              s.vec_id, s.codes))
+        }
+      }
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor(bits, cap),
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.bucket))
+  }
+
+  /** The LSH admitter's initial state FROM the installed pillar: the
+    * stored base codes probe-expand exactly as arrivals do (8 XORs per
+    * row), and each member carries its full per-table code vector
+    * (pivoted from the stored rows) — embeddings never load. */
+  def lshBootstrapFrom(s: SparkSession,
+                       root: String): Dataset[LshBucketBootstrap] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (codes, bits, _) = graft.operators.IndexLifecycle.readLshIndex(s, root)
+    val codeVecs = codes.groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("tbl"), col("code")))),
+        x => x("code")).as("codes"))
+    codes
+      .select(col("vec_id"), col("tbl"),
+        explode(array(col("code") +:
+          (0 until bits).map(b => col("code").bitwiseXOR(lit(1 << b))): _*))
+          .as("pc"))
+      .join(codeVecs, "vec_id")
+      .select(shiftleft(col("tbl").cast("long"), 24)
+          .bitwiseOR(col("pc").cast("long").bitwiseAND(lit(0xffffffL)))
+          .as("bucket"),
+        struct(col("vec_id"), col("codes")).as("m"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .as[LshBucketBootstrap]
+  }
+
+  /** [[chunkAdmitTws]] starting from pre-filed fingerprint owners. */
+  def chunkAdmitTwsBootstrapped(chunks: Dataset[ChunkArrival],
+                                initial: Dataset[ChunkOwnerBootstrap])
+      : Dataset[ChunkDecision] = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    chunks
+      .groupByKey(_.cfp)
+      .transformWithState(new ChunkAdmitProcessor,
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.cfp))
+  }
+
+  /** [[cdcCandidateTws]] starting from pre-filed posting lists. */
+  def cdcCandidateTwsBootstrapped(chunks: Dataset[ChunkArrival],
+                                  initial: Dataset[CdcFilersBootstrap],
+                                  cap: Int = graft.operators.DedupQueries.MaxBucket)
+      : Dataset[CdcCandidate] = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    chunks
+      .groupByKey(_.cfp)
+      .transformWithState(new CdcCandidateProcessor(cap),
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.cfp))
+  }
+
+  /** The chunk-store admitter's initial owners FROM the installed CDC
+    * pillar (min-doc first writer per fingerprint — the batch rule). */
+  def chunkOwnerBootstrapFrom(s: SparkSession,
+                              root: String): Dataset[ChunkOwnerBootstrap] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (chunks, _) = graft.operators.IndexLifecycle.readCdcIndex(s, root)
+    chunks.groupBy("cfp").agg(min(col("doc_id")).as("owner"))
+      .as[ChunkOwnerBootstrap]
+  }
+
+  /** The CDC candidate admitter's initial posting lists FROM the
+    * installed pillar. */
+  def cdcFilersBootstrapFrom(s: SparkSession,
+                             root: String): Dataset[CdcFilersBootstrap] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (chunks, _) = graft.operators.IndexLifecycle.readCdcIndex(s, root)
+    chunks.groupBy("cfp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("filers"))
+      .as[CdcFilersBootstrap]
+  }
+
+  /** [[spanAdmitTws]] starting from a pre-owned window index. */
+  def spanAdmitTwsBootstrapped(wins: Dataset[WindowArrival],
+                               initial: Dataset[SpanOwnerBootstrap])
+      : Dataset[SpanDecision] = {
+    import wins.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    wins
+      .groupByKey(_.wh)
+      .transformWithState(new SpanAdmitProcessor,
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.wh))
+  }
+
+  /** The span admitter's initial owners from any (wh, doc_id, pos)
+    * window index — the q114/q277 keeper rule (min (doc, pos) per
+    * distinct hash) applied to the stored index frame. */
+  def spanOwnersBootstrap(wins: org.apache.spark.sql.DataFrame)
+      : Dataset[SpanOwnerBootstrap] = {
+    import wins.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    wins.groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .select(col("wh"), col("o.doc_id").as("doc_id"),
+        col("o.pos").as("pos"), lit(0).as("epoch"))
+      .as[SpanOwnerBootstrap]
   }
 
   /** One arrival for [[labelCensusTws]]: a vector's metadata label —
@@ -1317,8 +1578,14 @@ object StatefulOps {
     * one pass while the compact 28-byte arrivals are held — and is
     * bounded by that window's duplicate multiplicity WITHIN its debut
     * batch, after which the hash is owned forever. */
+  /** One window hash's canonical owner for a BOOTSTRAPPED start — the
+    * q114/q277 keeper index's row (min (doc, pos) per distinct window),
+    * exactly the state a corpus-streamed run would hold. */
+  final case class SpanOwnerBootstrap(wh: Long, doc_id: Long, pos: Long,
+                                      epoch: Int)
+
   class SpanAdmitProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowArrival, SpanDecision] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, WindowArrival, SpanDecision, SpanOwnerBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -1328,6 +1595,10 @@ object StatefulOps {
       owner = getHandle.getValueState[SpanOwner](
         "owner", Encoders.product[SpanOwner],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(wh: Long, init: SpanOwnerBootstrap,
+                                    timers: TimerValues): Unit =
+      owner.update(SpanOwner(init.doc_id, init.pos, init.epoch))
 
     private def before(a: WindowArrival, b: WindowArrival): Boolean =
       a.epoch < b.epoch || (a.epoch == b.epoch &&

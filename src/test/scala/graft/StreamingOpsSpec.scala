@@ -2072,4 +2072,221 @@ class StreamingOpsSpec extends SparkSpec {
     assert(landed(outDir) == batchExp,
       "the post-restart union must equal the full batch verdict")
   }
+
+  // ---------- admitter bootstrap from the stored pillars (r15) ----------
+
+  /** Drive one bootstrapped admitter over a batch-only stream. */
+  private def runBootstrapped[I: org.apache.spark.sql.Encoder,
+                              O: org.apache.spark.sql.Encoder](
+      name: String, batch: Seq[I], nChunks: Int)(
+      mk: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O])
+      : Seq[O] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[I]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = mk(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batch.grouped(math.max(batch.length / nChunks, 1))
+          .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.table(name).as[O].collect().toSeq
+  }
+
+  test("a fresh stream bootstrapped from the installed pillar admits the batch with decisions == batch admission (simhash/minhash/lsh)") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, IndexLifecycle, SimilarityQueries}
+    import graft.streaming.StatefulOps.{LshCandidate, LshSig, MediaSig,
+      MinhashCandidate, MinhashSig, NearDupPair}
+
+    def touching(q: String, a: String, b: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, sf)
+        .filter(col(a) % 7 === 0 || col(b) % 7 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // --- SimHash text: pillar on ~6/7, the 1/7 batch streams in ---
+    val shRoot = java.nio.file.Files.createTempDirectory("boot_sh").toString
+    val shSigs = DedupQueries.textSimhashSigs(spark, sf)
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 1L,
+      shSigs.filter(col("doc_id") % 7 =!= 0)))
+    val shBatch = shSigs.filter(col("doc_id") % 7 === 0)
+      .orderBy("doc_id").as[MediaSig].collect().toSeq
+    val shPairs = runBootstrapped[MediaSig, NearDupPair](
+      "boot_sh_q", shBatch, 3)(in =>
+      StatefulOps.mediaNearDupTwsBootstrapped(in,
+        StatefulOps.simhashBootstrapFrom(spark, shRoot)))
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    val shExp = touching("q40_dedup_simhash", "doc_a", "doc_b")
+    assert(shExp.nonEmpty && shPairs === shExp,
+      s"bootstrapped SimHash admission diverged from batch q289 truth: " +
+        s"only-stream=${shPairs -- shExp}, only-batch=${shExp -- shPairs}")
+
+    // --- MinHash: candidates + the two-lookup signature confirm ---
+    val mhRoot = java.nio.file.Files.createTempDirectory("boot_mh").toString
+    val docs = Tables.documents(spark, sf)
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+      DedupQueries.minhashSignatures(spark, sf)
+        .filter(col("doc_id") % 7 =!= 0)))
+    val mhBatch = DedupQueries.minhashSigKeysFor(
+        docs.filter(col("doc_id") % 7 === 0))
+      .orderBy("doc_id").as[MinhashSig].collect().toSeq
+    val sigMap = DedupQueries.minhashSignaturesFor(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mhCands = runBootstrapped[MinhashSig, MinhashCandidate](
+      "boot_mh_q", mhBatch, 3)(in =>
+      StatefulOps.minhashAdmitTwsBootstrapped(in,
+        StatefulOps.minhashBootstrapFrom(spark, mhRoot)))
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    val mhConfirmed = mhCands.filter { case (a, b) =>
+      sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y } >=
+        graft.functions.Sketches.NumMinHashes / 2
+    }
+    val mhExp = touching("q39_dedup_minhash_lsh", "doc_a", "doc_b")
+    assert(mhExp.nonEmpty && mhConfirmed === mhExp,
+      s"bootstrapped MinHash admission diverged from batch q290 truth: " +
+        s"only-stream=${mhConfirmed -- mhExp}, only-batch=${mhExp -- mhConfirmed}")
+
+    // --- embedding LSH: candidates + the exact cosine confirm; codes
+    // come from the INSTALLED full-corpus width, as in q291 ---
+    val lshRoot = java.nio.file.Files.createTempDirectory("boot_lsh").toString
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    val bits = SimilarityQueries.codeBits(n)
+    val e = DedupQueries.normVecs(spark, sf)
+    assert(IndexLifecycle.installLshPostings(spark, lshRoot, 1L,
+      e.filter(col("vec_id") % 7 =!= 0), bits))
+    val lshBatch = DedupQueries.lshSigCodes(
+        e.filter(col("vec_id") % 7 === 0), bits)
+      .orderBy("vec_id").as[LshSig].collect().toSeq
+    val vecs = e.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val lshCands = runBootstrapped[LshSig, LshCandidate](
+      "boot_lsh_q", lshBatch, 3)(in =>
+      StatefulOps.lshAdmitTwsBootstrapped(in, bits,
+        StatefulOps.lshBootstrapFrom(spark, lshRoot)))
+      .map(p => (p.vec_a, p.vec_b)).toSet
+    val lshConfirmed = lshCands.filter { case (a, b) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum)) >= 0.35
+    }
+    val lshExp = SparkEntry.queries("q67_dedup_embedding_lsh")(spark, sf)
+      .filter(col("vec_a") % 7 === 0 || col("vec_b") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshExp.nonEmpty && lshConfirmed === lshExp,
+      s"bootstrapped LSH admission diverged from batch q291 truth: " +
+        s"only-stream=${lshConfirmed -- lshExp}, only-batch=${lshExp -- lshConfirmed}")
+  }
+
+  test("cdc and span admitters bootstrap from their stored state — decisions equal the corpus-streamed run's") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, IndexLifecycle, MultimodalQueries}
+    import graft.streaming.StatefulOps.{CdcCandidate, ChunkArrival,
+      ChunkDecision, SpanDecision, WindowArrival}
+    import org.apache.spark.sql.expressions.Window
+
+    def lcgBytes(seed: Long, nb: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(nb) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) & 0xff).toByte
+      }
+    }
+    def chunkFrame(media: org.apache.spark.sql.DataFrame) = media
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Sketches.cdcChunks(col("payload"),
+          MultimodalQueries.CdcDivisor, DedupQueries.ShingleP))).as("cfp"))
+
+    // docs 1,2,4 are stored; 3 (an insertion variant of 1/2) and 5 arrive
+    val base = lcgBytes(7L, 4096)
+    val ins = base.take(200) ++ lcgBytes(99L, 5) ++ base.drop(200)
+    val media = Seq((1L, base), (2L, base.clone()), (3L, ins),
+      (4L, lcgBytes(777L, 4096)), (5L, lcgBytes(888L, 4096)))
+      .toDF("doc_id", "payload")
+    val stored = media.filter(col("doc_id").isin(1L, 2L, 4L))
+    val cdcRoot = java.nio.file.Files.createTempDirectory("boot_cdc").toString
+    assert(IndexLifecycle.installCdcPostings(spark, cdcRoot, 1L, stored))
+    val batchArr = chunkFrame(media.filter(col("doc_id").isin(3L, 5L)))
+      .select(col("cfp"), col("doc_id")).as[ChunkArrival]
+      .collect().sortBy(_.doc_id).toSeq
+
+    // candidates: bootstrapped batch-only == batch q253 pairs touching 3/5
+    val cands = runBootstrapped[ChunkArrival, CdcCandidate](
+      "boot_cdc_q", batchArr, 3)(in =>
+      StatefulOps.cdcCandidateTwsBootstrapped(in,
+        StatefulOps.cdcFilersBootstrapFrom(spark, cdcRoot)))
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    val manifests = chunkFrame(media)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+      .filter(col("df") <= DedupQueries.MaxBucket).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(_.getLong(1)).toSet }
+    val confirmed = cands.filter { case (a, b) =>
+      val sa = manifests.getOrElse(a, Set.empty[Long])
+      val sb = manifests.getOrElse(b, Set.empty[Long])
+      val m = math.min(sa.size, sb.size)
+      m > 0 && 1000000L * sa.intersect(sb).size / m >= 500000L
+    }
+    val cdcExp = MultimodalQueries.cdcContainmentPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => Set(3L, 5L)(a) || Set(3L, 5L)(b) }.toSet
+    assert(cdcExp.nonEmpty && confirmed === cdcExp,
+      s"bootstrapped CDC admission diverged from batch q292 truth: " +
+        s"only-stream=${confirmed -- cdcExp}, only-batch=${cdcExp -- confirmed}")
+
+    // chunk-store admission: bootstrapped owners = stored min-doc rule;
+    // a batch chunk is novel iff its fingerprint was never stored
+    val decisions = runBootstrapped[ChunkArrival, ChunkDecision](
+      "boot_chunk_q", batchArr, 3)(in =>
+      StatefulOps.chunkAdmitTwsBootstrapped(in,
+        StatefulOps.chunkOwnerBootstrapFrom(spark, cdcRoot)))
+    val storedOwners = chunkFrame(stored).groupBy("cfp")
+      .agg(min(col("doc_id")).as("o")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchMin = batchArr.groupBy(_.cfp)
+      .map { case (c, as) => c -> as.map(_.doc_id).min }
+    decisions.foreach { d =>
+      storedOwners.get(d.cfp) match {
+        case Some(o) =>
+          assert(!d.novel && d.first_doc_id == o,
+            s"stored fingerprint must keep its canonical owner: $d")
+        case None =>
+          assert(d.first_doc_id == batchMin(d.cfp) &&
+            d.novel == (d.doc_id == batchMin(d.cfp) &&
+              d.novel), s"unseen fingerprint must admit min-doc first: $d")
+      }
+    }
+    assert(decisions.exists(_.novel) && decisions.exists(!_.novel),
+      "the batch must exercise both novel and duplicate chunk decisions")
+
+    // span: bootstrapped batch-only decisions == the corpus-streamed
+    // run's decisions on the SAME batch slice (the checkpoint-equivalence
+    // the bootstrap exists for)
+    val keyRows = DedupQueries.windowKeysFor(Tables.documents(spark, sf))
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val storedWins = keyRows.filter(_._2 % 7 != 0)
+    val batchWins = keyRows.filter(_._2 % 7 == 0)
+      .map { case (wh, d, p) => WindowArrival(wh, d, p, 1) }.toSeq
+    val bootDecisions = runBootstrapped[WindowArrival, SpanDecision](
+      "boot_span_q", batchWins, 3)(in =>
+      StatefulOps.spanAdmitTwsBootstrapped(in,
+        StatefulOps.spanOwnersBootstrap(
+          storedWins.toSeq.toDF("wh", "doc_id", "pos"))))
+      .map(d => (d.doc_id, d.pos, d.dup)).toSet
+    val fullStream = runBootstrapped[WindowArrival, SpanDecision](
+      "full_span_q",
+      storedWins.map { case (wh, d, p) => WindowArrival(wh, d, p, 0) }.toSeq
+        ++ batchWins, 5)(in => StatefulOps.spanAdmitTws(in))
+      .filter(_.epoch == 1).map(d => (d.doc_id, d.pos, d.dup)).toSet
+    assert(bootDecisions.nonEmpty && bootDecisions === fullStream,
+      s"bootstrapped span decisions diverged from the corpus-streamed " +
+        s"run: only-boot=${bootDecisions -- fullStream}, " +
+        s"only-full=${fullStream -- bootDecisions}")
+  }
 }
