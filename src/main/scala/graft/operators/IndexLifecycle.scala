@@ -1271,8 +1271,19 @@ object IndexLifecycle {
     * as a full rebuild would. Docs already in the store are ignored
     * (admission is of new arrivals; a replay admits nothing). */
   def simhashBatchPairs(s: SparkSession, root: String,
-                        batchSigs: DataFrame): DataFrame = {
-    val (sigs, postings, cap) = readSimhashIndex(s, root)
+                        batchSigs: DataFrame): DataFrame =
+    simhashBatchPairsAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), batchSigs)
+
+  /** [[simhashBatchPairs]] pinned to a SPECIFIC store version — the
+    * replay-determinism seam: an ingest batch that recorded the version
+    * it admitted against re-derives the same decisions on replay even
+    * though the pillar has advanced since. */
+  def simhashBatchPairsAt(s: SparkSession, root: String, v: Long,
+                          batchSigs: DataFrame): DataFrame = {
+    val sigs = readArtifact(s, root, v, "sigs", SimhashSigsSchema)
+    val postings = readArtifact(s, root, v, "postings", BandPostingsSchema)
+    val cap = scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt
     val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
     val keys = DedupQueries.simhashBandKeys(fresh)
       .select("doc_id", "key", "band")

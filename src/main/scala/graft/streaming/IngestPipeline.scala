@@ -1,0 +1,272 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{DedupQueries, IndexLifecycle}
+
+/** The COMPOSED training-ingest admission pipeline (VERDICT r15 item 4):
+  * the admission stages exist separately — decontamination
+  * ([[StatefulOps.decontaminateAdmit]]), dedup admitters, token budgets,
+  * postings append — but production runs them in ONE order on ONE
+  * checkpointed stream. Each micro-batch of `(doc_id, lang, text)` runs:
+  *
+  *   1. DECONTAMINATE — q282's excision against the frozen eval-window
+  *      index (broadcast membership probe; doc-local transform);
+  *   2. EXACT-DEDUP ADMIT — the verbatim grain: a doc whose CLEANED
+  *      text's digest matches an ADMITTED doc's is rejected (q38/q69's
+  *      first-writer keeper, at arrival order; the span-grain excision
+  *      operators q114/q277 compose here identically when a deployment
+  *      wants sub-document granularity);
+  *   3. NEAR-DUP ADMIT — SimHash pairs of the cleaned batch against the
+  *      ADMITTED postings pillar plus the batch itself
+  *      ([[IndexLifecycle.simhashBatchPairsAt]], q289's union-capped
+  *      admission), greedily resolved in arrival order so only ADMITTED
+  *      docs block (a rejected near-dup never shadows a later arrival —
+  *      the chunking-invariance requirement);
+  *   4. TOKEN-BUDGET ADMIT — per-lang running budget over the cleaned
+  *      BPE-ish token count (q69's tokenizer), admit-in-arrival-order;
+  *      a rejected doc consumes nothing and never blocks anyone;
+  *   5. POSTINGS APPEND + MANIFEST — the admitted docs' signatures
+  *      commit into the pillar (so the next batch admits against them),
+  *      their digests land in the digest store, and ONE per-batch
+  *      admission manifest records every doc's verdict and why.
+  *
+  * Exactly-once is the idempotent-foreachBatch discipline
+  * ([[StatefulOps.decontaminateAdmit]]'s contract, extended to a
+  * pipeline with CROSS-BATCH state): every landed artifact is
+  * partitioned `batch=<id>` and OVERWRITTEN whole; the pillar version
+  * the batch admitted against is recorded at first processing and
+  * re-read on replay (the pillar itself has advanced — decisions must
+  * not); budget and digest state re-derive from manifests with
+  * batch < id only. So a replayed epoch recomputes bit-identical
+  * decisions and rewrites byte-identical files, and the pillar append
+  * replays as its documented anti-join no-op.
+  *
+  * Scale: stages 1–3's heavy work (excision, signatures, banded pairs)
+  * is distributed and batch-sized; only the per-doc FEATURE rows and the
+  * admission-touching PAIRS are collected for the greedy resolution —
+  * admission-sized driver work, the q289 discipline (a batch's verdicts
+  * are a sequential function of arrival order; the corpus never moves).
+  * The greedy's blocking state is the ADMITTED corpus alone, which is
+  * why the decisions are chunking-invariant: any split of the same
+  * arrival order yields the same admitted set (wherever no banded
+  * bucket saturates — the standing streaming-admission caveat). */
+object IngestPipeline {
+
+  /** One doc's admission verdict — the manifest row. */
+  final case class IngestDecision(doc_id: Long, lang: String,
+                                  n_tokens: Long, excised_tokens: Long,
+                                  clean_tokens: Long, exact_dup: Boolean,
+                                  near_dup: Boolean, over_budget: Boolean,
+                                  admitted: Boolean)
+
+  /** Start the composed checkpointed ingest: `docs` streams
+    * (doc_id, lang, text); artifacts land under `base`
+    * (manifest/, digests/, pillarv/, pillar/). */
+  def ingestAdmit(docs: DataFrame, evalW: DataFrame, budgetPerLang: Long,
+                  base: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(batch.sparkSession, batch.toDF(), id, evalW,
+          budgetPerLang, base)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** The SAME stages composed over one corpus frame in one pass (empty
+    * initial state) — the batch sibling the spec pins the stream to,
+    * row-for-row. Returns the manifest ordered by doc_id. */
+  def ingestAdmitBatch(s: SparkSession, docs: DataFrame, evalW: DataFrame,
+                       budgetPerLang: Long): DataFrame = {
+    import s.implicits._
+    val feats = features(s, docs, evalW).persist()
+    try {
+      val pairs = DedupQueries.simhashNearDupPairsUnsorted(
+          DedupQueries.textSimhashSigsFor(
+            feats.select(col("doc_id"), col("text_clean").as("text"))))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
+      greedy(collectFeats(feats), Set.empty, pairs, ids,
+        scala.collection.mutable.Map.empty, budgetPerLang)
+        .toDS().toDF().orderBy("doc_id")
+    } finally { feats.unpersist(); () }
+  }
+
+  // ---------- per-batch machinery ----------
+
+  /** Stage-1 output plus the stage-2/4 features: (doc_id, lang,
+    * n_tokens, excised_tokens, text_clean, digest, clean_tokens). */
+  private def features(s: SparkSession, docs: DataFrame,
+                       evalW: DataFrame): DataFrame =
+    DedupQueries.exciseAgainst(docs.select("doc_id", "text"), evalW)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("digest", sha2(col("text_clean"), 256))
+      .withColumn("clean_tokens",
+        size(regexp_extract_all(lower(col("text_clean")),
+          lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long"))
+
+  private final case class Feat(doc_id: Long, lang: String, n_tokens: Long,
+                                excised: Long, digest: String,
+                                cleanTokens: Long)
+
+  private def collectFeats(feats: DataFrame): Seq[Feat] =
+    feats.select("doc_id", "lang", "n_tokens", "excised_tokens", "digest",
+        "clean_tokens")
+      .collect()
+      .map(r => Feat(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+      .sortBy(_.doc_id).toSeq
+
+  /** The arrival-order greedy over one batch: blocking state is the
+    * ADMITTED corpus only (stored digests + stored-side pair partners,
+    * both admitted by construction of the stores) plus the docs this
+    * walk admits. */
+  private def greedy(feats: Seq[Feat], storedDigestHits: Set[String],
+                     pairs: Seq[(Long, Long)], batchIds: Set[Long],
+                     consumed: scala.collection.mutable.Map[String, Long],
+                     budget: Long): Seq[IngestDecision] = {
+    // pair partners per batch doc: stored partners always block (the
+    // pillar holds admitted docs only); batch partners block iff they
+    // are EARLIER arrivals that this walk admits
+    val storedBlocked = scala.collection.mutable.Set.empty[Long]
+    val batchBlockers = scala.collection.mutable
+      .Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    pairs.foreach { case (x, y) =>
+      (batchIds(x), batchIds(y)) match {
+        case (true, true) =>
+          val (early, late) = if (x < y) (x, y) else (y, x)
+          batchBlockers(late) = early :: batchBlockers(late)
+        case (true, false) => storedBlocked += x
+        case (false, true) => storedBlocked += y
+        case _ => ()
+      }
+    }
+    val admittedHere = scala.collection.mutable.Set.empty[Long]
+    val admittedDigests = scala.collection.mutable.Set.empty[String]
+    feats.map { f =>
+      val exactDup = storedDigestHits(f.digest) ||
+        admittedDigests(f.digest)
+      val nearDup = storedBlocked(f.doc_id) ||
+        batchBlockers(f.doc_id).exists(admittedHere)
+      val used = consumed.getOrElse(f.lang, 0L)
+      val overBudget = used + f.cleanTokens > budget
+      val admitted = !exactDup && !nearDup && !overBudget
+      if (admitted) {
+        admittedHere += f.doc_id
+        admittedDigests += f.digest
+        consumed(f.lang) = used + f.cleanTokens
+      }
+      IngestDecision(f.doc_id, f.lang, f.n_tokens, f.excised, f.cleanTokens,
+        exactDup, nearDup, overBudget, admitted)
+    }
+  }
+
+  /** private[graft]: the spec re-drives a committed epoch through this
+    * seam to pin replay determinism without forcing a mid-commit crash. */
+  private[graft] def processBatch(s: SparkSession, batch: DataFrame, id: Long,
+                                  evalW: DataFrame, budget: Long,
+                                  base: String): Unit = {
+    import s.implicits._
+    val root = s"$base/pillar"
+    ensurePillar(s, root)
+    val vPre = pinnedVersion(s, base, id, root)
+    val feats = features(s, batch, evalW).persist()
+    try {
+      val batchSigs = DedupQueries.textSimhashSigsFor(
+        feats.select(col("doc_id"), col("text_clean").as("text")))
+      val pairs = IndexLifecycle.simhashBatchPairsAt(s, root, vPre, batchSigs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val storedHits = feats.select("digest")
+        .join(digestsBefore(s, base, id), Seq("digest"), "left_semi")
+        .distinct().collect().map(_.getString(0)).toSet
+      val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
+      val consumed = scala.collection.mutable.Map.empty[String, Long]
+      consumedBefore(s, base, id).foreach { case (l, n) => consumed(l) = n }
+      val decisions = greedy(collectFeats(feats), storedHits, pairs, ids,
+        consumed, budget)
+
+      decisions.toDS().toDF().coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/manifest/batch=$id")
+      val admitted = decisions.filter(_.admitted).map(_.doc_id).toSet
+      decisions.filter(d => admitted(d.doc_id))
+        .map(_.doc_id).toDF("doc_id")
+        .join(feats.select("doc_id", "digest"), "doc_id")
+        .select("digest").coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/digests/batch=$id")
+      if (admitted.nonEmpty) {
+        IndexLifecycle.appendSimhashPostings(s, root,
+          batchSigs.join(admitted.toSeq.toDF("doc_id"), Seq("doc_id"),
+            "left_semi"))
+        ()
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Install an empty v=1 pillar when none exists — the pipeline's
+    * zero-state start. */
+  private def ensurePillar(s: SparkSession, root: String): Unit =
+    if (IndexLifecycle.latestVersion(root).isEmpty) {
+      import s.implicits._
+      IndexLifecycle.installSimhashPostings(s, root, 1L,
+        Seq.empty[(Long, Long)].toDF("doc_id", "sim"))
+      ()
+    }
+
+  /** The pillar version batch `id` admits against — recorded at first
+    * processing, re-read on replay so a replayed epoch decides against
+    * the SAME store state even though the pillar advanced. */
+  private def pinnedVersion(s: SparkSession, base: String, id: Long,
+                            root: String): Long = {
+    val dir = s"$base/pillarv/batch=$id"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      s.read.schema("v BIGINT").parquet(dir).head.getLong(0)
+    else {
+      val v = IndexLifecycle.latestVersion(root).getOrElse(1L)
+      s.range(1).select(lit(v).as("v")).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      v
+    }
+  }
+
+  /** Digests of every doc admitted by batches BEFORE `id` — the `batch`
+    * partition column the sink layout provides is the replay filter. */
+  private def digestsBefore(s: SparkSession, base: String,
+                            id: Long): DataFrame = {
+    val dir = s"$base/digests"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      return s.range(0).select(lit("").as("digest"))
+    s.read.schema("digest STRING").parquet(dir)
+      .withColumn("batch",
+        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+      .filter(col("batch") < id).select("digest")
+  }
+
+  /** Per-lang tokens consumed by batches BEFORE `id`, re-derived from
+    * their manifests (never from mutable driver state). */
+  private def consumedBefore(s: SparkSession, base: String,
+                             id: Long): Map[String, Long] = {
+    val dir = s"$base/manifest"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      return Map.empty
+    s.read.parquet(dir)
+      .withColumn("batch",
+        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+      .filter(col("batch") < id && col("admitted"))
+      .groupBy("lang").agg(sum("clean_tokens").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** The union manifest of a (possibly restarted) run, ordered by
+    * doc_id — what the spec compares against [[ingestAdmitBatch]]. */
+  def manifestOf(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"$base/manifest")
+      .select("doc_id", "lang", "n_tokens", "excised_tokens",
+        "clean_tokens", "exact_dup", "near_dup", "over_budget", "admitted")
+      .orderBy("doc_id")
+}

@@ -2289,4 +2289,104 @@ class StreamingOpsSpec extends SparkSpec {
         s"run: only-boot=${bootDecisions -- fullStream}, " +
         s"only-full=${fullStream -- bootDecisions}")
   }
+
+  test("composed ingest admission: streamed == batch composition row-for-row, chunking-invariant, restart and replay exactly-once") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.IngestPipeline
+
+    val all = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    // plant one verbatim copy (doc 900001 = doc 1's text) so the
+    // exact-dedup stage provably decides on this corpus
+    val train = all.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(all.filter(col("doc_id") === 1L)
+        .select(lit(900001L).as("doc_id"), col("lang"), col("text")))
+    val evalW = DedupQueries.evalWindowHashes(
+      all.filter(col("doc_id") % 97 === 0))
+
+    // a budget that BINDS: 60% of the largest per-lang admitted token
+    // mass under no budget pressure, so over_budget decisions exist
+    val free = IngestPipeline.ingestAdmitBatch(spark, train, evalW,
+      Long.MaxValue)
+    val budget = free.filter(col("admitted"))
+      .groupBy("lang").agg(sum("clean_tokens").as("n"))
+      .agg(max("n")).head.getLong(0) * 6 / 10
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batchManifest = rows(
+      IngestPipeline.ingestAdmitBatch(spark, train, evalW, budget))
+    // every stage must actually decide something on this corpus
+    Seq("exact_dup", "near_dup", "over_budget").foreach { c =>
+      assert(batchManifest.nonEmpty &&
+        IngestPipeline.ingestAdmitBatch(spark, train, evalW, budget)
+          .filter(col(c)).limit(1).count() > 0,
+        s"the corpus must exercise the $c stage")
+    }
+
+    val ordered = train.orderBy("doc_id").collect()
+    def runStreamed(nChunks: Int): (String, Seq[Seq[Any]]) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_ingest_$nChunks").toString
+      val feed = s"$base/feed"; val ckpt = s"$base/ckpt"
+      def drain(): Unit = {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = spark.readStream
+            .schema("doc_id BIGINT, lang STRING, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+          val q = IngestPipeline.ingestAdmit(src, evalW, budget, base, ckpt)
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // chunks arrive as sequential doc_id ranges — the file's delivery
+      // contract (cross-batch arrival order is the caller's)
+      ordered.grouped(math.max(ordered.length / nChunks, 1)).foreach { c =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(c.toIndexedSeq, 1), train.schema)
+          .coalesce(1).write.mode("append").parquet(feed)
+        drain()
+      }
+      (base, rows(IngestPipeline.manifestOf(spark, base)))
+    }
+
+    val (base3, streamed3) = runStreamed(3)
+    assert(streamed3 === batchManifest,
+      "3-chunk streamed manifest must equal the batch composition " +
+        "row-for-row")
+    val (_, streamed7) = runStreamed(7)
+    assert(streamed7 === batchManifest,
+      "7-chunk streamed manifest must equal the batch composition " +
+        "row-for-row")
+
+    // restart with no new input: the commit log re-fires nothing
+    val preRestart = rows(IngestPipeline.manifestOf(spark, base3))
+    val src = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base3/feed")
+    val q = IngestPipeline.ingestAdmit(src, evalW, budget, base3,
+      s"$base3/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(IngestPipeline.manifestOf(spark, base3)) === preRestart,
+      "a restarted drained ingest must decide nothing new")
+
+    // REPLAY a committed epoch (the crash-between-write-and-commit race):
+    // re-driving batch 1 against the ADVANCED pillar must rewrite
+    // byte-identical decisions — the pinned store version, the
+    // batch<id-filtered digest/budget state — and the pillar append must
+    // replay as its anti-join no-op
+    val vBefore = graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillar")
+    val chunk1 = ordered.grouped(math.max(ordered.length / 3, 1)).toSeq(1)
+    IngestPipeline.processBatch(spark,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk1.toIndexedSeq, 1), train.schema),
+      1L, evalW, budget, base3)
+    assert(rows(IngestPipeline.manifestOf(spark, base3)) === preRestart,
+      "a replayed committed epoch must rewrite identical decisions")
+    assert(graft.operators.IndexLifecycle.latestVersion(s"$base3/pillar")
+      === vBefore,
+      "a replayed epoch's pillar append must be the anti-join no-op")
+  }
 }
