@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * (ops: simhash minhash lsh cdc pq store)
   */
 object IndexMaintBench {
-  val Ops: Seq[String] = Seq("simhash", "minhash", "lsh", "cdc", "pq", "store")
+  val Ops: Seq[String] =
+    Seq("simhash", "minhash", "lsh", "lshguard", "cdc", "pq", "store")
 
   private[graft] def bytesUnder(p: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._
@@ -125,6 +126,17 @@ object IndexMaintBench {
         minOf(IndexLifecycle.lshBatchPairs(spark, root, dir, bv).count()))
       // the confirm-mass guard's reading at this decade — the number the
       // SCALE x100 row reports instead of a surprise wall-clock
+      val g = IndexLifecycle.lshConfirmGuard(spark, root)
+      println(s"INDEXMAINT $label lsh_guard mass=${g.mass} " +
+        s"buckets=${g.buckets} max_bucket_pairs=${g.maxBucketPairs} " +
+        s"over_budget=${g.overBudget}")
+    }
+    if (run.contains("lshguard") && !run.contains("lsh")) {
+      // the guard reading alone (no serve timing): install + one audit agg
+      val root = s"$base/lshg"
+      val n = Tables.parquetRowCount(spark, dir, "embeddings")
+      IndexLifecycle.installLshPostings(spark, root, 1L,
+        DedupQueries.normVecs(spark, dir), SimilarityQueries.codeBits(n))
       val g = IndexLifecycle.lshConfirmGuard(spark, root)
       println(s"INDEXMAINT $label lsh_guard mass=${g.mass} " +
         s"buckets=${g.buckets} max_bucket_pairs=${g.maxBucketPairs} " +

@@ -19,6 +19,7 @@ object NotesDump {
     }
     out ++= growthEvidence
     out ++= maintenanceEvidence
+    out ++= manifestEvidence
     out ++= kafkaBinding
     java.nio.file.Files.writeString(java.nio.file.Paths.get(target), out.toString)
     println(s"[notesdump] wrote $target (${SparkEntry.catalog.size} queries)")
@@ -238,6 +239,83 @@ object NotesDump {
       |0.26→3.70→0.92 s, q288 span handoff 0.58→1.09→3.79 s for
       |10×/100× data (individual reps swung up to 13× on this box's
       |co-tenant noise; min-of-3 shown).
+      |""".stripMargin
+
+  /** Round-15 measurements: the manifest-referenced segment store's
+    * economics, the LSH confirm-mass guard's readings, and the
+    * pillar-bootstrapped streaming restart — kept in code so SCALE.md
+    * regeneration preserves them. */
+  private val manifestEvidence: String =
+    """
+      |## Manifest-store economics (round 15)
+      |
+      |Round 15 replaced the copy-per-version commit (every append and cap
+      |swap materialized a full file copy of the index) with manifest
+      |commits over immutable segments: a version directory holds
+      |`manifest.tsv` → write-once segment references plus KB scalars, so
+      |an append commits O(delta) bytes and a cap swap commits ZERO data
+      |bytes. `sbt "runMain graft.IndexMaintBench <dir> <label> 2 store
+      |pq"` — same-day x1→x10→x100, 2026-08-16 (x1 = sf0.1, x10/x100 =
+      |open-vocab ScaleCorpus; all gates and q281/q283–q293 oracle-green
+      |through the new store):
+      |
+      || measure | x1 | x10 | x100 | reading |
+      ||---|---|---|---|---|
+      || SimHash pillar install bytes | 272 KB | 2.66 MB | 24.6 MB | the index itself, linear in corpus |
+      || 8 sequential 8-doc appends, commit bytes | 64.3 KB | 64.4 KB | 64.4 KB | FLAT across two decades — the r15 claim as a number: an append writes its delta segments and a manifest, never a copy of the index (r14's layout would have written 8 × install bytes ≈ 197 MB at x100) |
+      || disk after 8 appends | 1.24× install | 1.02× install | 1.003× install | one copy of the index regardless of version count |
+      || parquet files after 8 appends → after compact+prune | 90 → 18 | 162 → 27 | 210 → 33 | the LSM discipline: file count tracks data size, not append count; compacted version serves identical pairs (serve_rows_stable=true at every decade) |
+      || PQ append64 commit bytes vs index bytes | 34.7 KB / 120 KB | 50 KB / 600 KB | 58 KB / 7.64 MB | delta-sized and near-flat while the index grows 64×; the baseline rolls forward incrementally (prior cell masses + delta counts), never re-reading carried codes |
+      || PQ append64 vs full rebuild, wall | 3.1 s / 2.8 s | 3.0 s / 4.6 s | 6.5 s / 32.2 s | append 5.0× cheaper at x100 and the gap widens with n — r14's file-copy layout measured 2.3× (11.7 s / 27.2 s): dropping the copy roughly doubled the append advantage |
+      |
+      |## LSH confirm-mass guard (round 15)
+      |
+      |SCALE.md's own r14 x100 row showed the stored-LSH serve dominated by
+      |an unbounded exact-cosine confirm (291 s) with no audit naming the
+      |mass. The guard prices every bucket the serve will expand (C(bsz,2)
+      |over Hamming-1-probed, [2,64]-capped buckets) and reads the total
+      |against a 10M-pair budget; a past-budget reading routes to the table
+      |dial, whose `chosen` (minimal floor-meeting) count shrinks mass
+      |~linearly when it undercuts the installed one — candidates are never
+      |dropped, and q293 (guarded serve) shares q67/q285's oracle so
+      |hash-green proves the active guard perturbs nothing. Readings:
+      |
+      || corpus | confirm mass (pairs) | buckets | max bucket | over budget |
+      ||---|---|---|---|---|
+      || x1 | 1 083 666 | 4 094 | 1 953 | no |
+      || x10 | 14 083 470 | 64 843 | 2 016 | YES |
+      || x100 | 172 240 824 | 483 125 | 2 016 | YES — this is the r14 advisory's 291-second serve, now a named, paged-on number instead of a surprise wall-clock |
+      |
+      |Max bucket saturates at C(64,2)=2016 (the cap bound working); the
+      |mass grows with BUCKET COUNT in the uniform synthetic cloud —
+      |exactly the regime the dial's table count absorbs
+      |(IndexLifecycleSpec's planted pin: 4→1 tables quarters the mass with
+      |the served pair set unchanged).
+      |
+      |## Pillar-bootstrapped streaming restart (round 15)
+      |
+      |`sbt "runMain graft.StreamBench <dir> <label> minhash bootstrap"` —
+      |a FRESH stream starting from the installed MinHash pillar
+      |(transformWithState initial state) admits one 64-doc batch, vs the
+      |corpus re-stream a checkpoint loss used to force:
+      |
+      || corpus | corpus re-stream (10 batches) | bootstrapped admit64 | state rows (both) |
+      ||---|---|---|---|
+      || sf0.001 | 10.5 s | 3.0 s | 7 660 |
+      || x1 | 14.6 s | 7.5 s | 76 516 |
+      || x10 | 23.2 s | 25.6 s | 799 973 |
+      |
+      |Honest reading: both paths converge to the STATE-STORE LOAD (the
+      |identical final state-row counts are the equivalence evidence), so
+      |at x10 — 800k RocksDB rows against ~50-token synthetic docs — the
+      |bootstrap buys no wall-clock. What it removes is the corpus
+      |dependency: the re-stream re-reads and re-signs every document
+      |(cost grows with TEXT volume — at production document sizes the
+      |signature scan dominates), while the bootstrap reads only the
+      |index-sized pillar rows, whatever the documents weigh. The
+      |correctness pin (StreamingOpsSpec): bootstrapped batch decisions ==
+      |batch-admission truth == the corpus-streamed run's, for all four
+      |banded families plus chunk owners and span owners.
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —
