@@ -2077,11 +2077,50 @@ object DedupQueries {
     minhashPostingsServeQuery,
     lshPostingsServeQuery,
     lshGuardedServeQuery,
+    simhashLifecycleServeQuery,
     spanOwnerTakedownQuery,
     simhashBatchAdmitQuery,
     minhashBatchAdmitQuery,
     lshBatchAdmitQuery,
   )
+
+  /** q294 — q40's pairs served after the FULL store lifecycle. */
+  private def simhashLifecycleServeQuery: GraftQuery =
+    GraftQuery(
+      "q294_simhash_lifecycle_serve",
+      Some(s"$replayShinglePrologueSql, $simhashBandTailSql"),
+      "The manifest store's whole lifecycle as ONE oracle-checked row " +
+        "(VERDICT r15 items 1+3): install the SimHash pillar on ~4/7 of " +
+        "the corpus, admit the remaining three doc families as " +
+        "SEQUENTIAL APPENDS (each commit writes delta-sized segments and " +
+        "a manifest referencing every carried segment — zero copied " +
+        "bytes), COMPACT the accumulated delta segments into one " +
+        "consolidated segment per artifact, PRUNE retention down to the " +
+        "compacted head (old version dirs deleted, superseded segments " +
+        "reclaimed), then serve. Same oracle text as q40/q283: if any " +
+        "step — reference carry, delta append, compaction rewrite, " +
+        "segment reclamation — dropped or duplicated one posting row, " +
+        "the hash compare would name it on every corpus every round. " +
+        "Memoized per corpus fingerprint (q78's staging discipline), so " +
+        "the bench measures the steady-state serve over the compacted " +
+        "single-segment layout; IndexMaintBench's store op carries the " +
+        "byte/file-count economics at x1/x10/x100."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "shlife",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        val sigs = textSimhashSigs(s, dir)
+        IndexLifecycle.installSimhashPostings(s, out, 1L,
+          sigs.filter(col("doc_id") % 7 >= 3))
+        (0 until 3).foreach { m =>
+          IndexLifecycle.appendSimhashPostings(s, out,
+            sigs.filter(col("doc_id") % 7 === m))
+        }
+        IndexLifecycle.compactSimhashPostings(s, out)
+        IndexLifecycle.pruneVersions(out, keep = 1)
+        ()
+      }
+      IndexLifecycle.simhashPairsFromStore(s, root)
+    }
 
   /** q293 — q67's pair set served under the confirm-mass guard. */
   private def lshGuardedServeQuery: GraftQuery =

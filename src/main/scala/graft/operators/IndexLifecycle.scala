@@ -510,7 +510,11 @@ object IndexLifecycle {
                                      dir: String, probes: Int,
                                      panelIdCap: Option[Long]): DataFrame = {
     val (codes, cents, book) = readPqIndexAt(s, root, v)
-    val nQueries = graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1
+    // a capped panel bounds the query count by construction (the % 50
+    // stride under the cap — q279/q280's fixed-workload posture); only
+    // the share-form panel scales with the corpus footer count
+    val nQueries = panelIdCap.map(_ / 50 + 1).getOrElse(
+      graft.Tables.parquetRowCount(s, dir, "embeddings") / 50 + 1)
     SimilarityQueries.ivfPqServe(s, dir, codes, cents, book, probes,
       estBytes =
         nQueries * probes * 8L * pqMetaCodebookRows(s, root, v, book),

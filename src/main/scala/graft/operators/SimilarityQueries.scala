@@ -2558,6 +2558,40 @@ object SimilarityQueries {
     },
 
     GraftQuery(
+      "q295_release_pinned_pq_serve",
+      Some(ivfPqFixedOracleSql),
+      "q281's stored-index serve resolved through a RELEASE " +
+        "(IndexLifecycle.cutRelease / searchPqIndexAtRelease — VERDICT " +
+        "r15 item 6): the search pins the pillar version through one " +
+        "atomically-cut release manifest instead of reading latest, so " +
+        "a concurrent retrain of any pillar can never serve this reader " +
+        "a mid-swap mix — installs keep landing underneath; they serve " +
+        "only when the next release pins them. Same fixed dials and the " +
+        "SAME oracle text as q280/q281: the release adds a coherence " +
+        "indirection, never a result change, which is exactly what " +
+        "hash-green proves. The release read is driver-side NIO on a KB " +
+        "manifest (no Spark job at serve construction); the serve plan " +
+        "is q281's own (DPP on the stored codes scan, id-bounded " +
+        "re-rank). Install + release cut memoized per corpus " +
+        "fingerprint; IndexLifecycleSpec pins the interposed-swap " +
+        "coherence this query's plumbing rides on."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "pqrel",
+        graft.Tables.fingerprint(s, s"$dir/embeddings.parquet")) { out =>
+        IndexLifecycle.installPqIndex(s, s"$out/pq", 1L,
+          fixedCents(s, dir), pqCodebookFixed(s, dir), dir)
+        IndexLifecycle.cutRelease(s"$out/rel", 1L,
+          Map("pq_index" -> s"$out/pq"))
+        ()
+      }
+      IndexLifecycle.searchPqIndexAtRelease(s, s"$root/rel", dir,
+        IvfProbes, panelIdCap = Some(FixedPanelMaxId))
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    },
+
+    GraftQuery(
       "q250_ivfpq_recall_eval",
       Some(s"""$pqAsgSqlCtes, $exactTopKTailSqlCtes,
               |${ivfPqSqlCtes(IvfProbes, IvfPqDepth)}, approx AS (

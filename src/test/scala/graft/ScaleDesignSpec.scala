@@ -428,6 +428,10 @@ class ScaleDesignSpec extends SparkSpec {
         "and ≤256-entry codebook frames broadcast for query routing/LUTs " +
         "— pillar-sized artifacts, the codes themselves meet the qside " +
         "in the stored-scan cent_id equi-join"),
+      "q295_release_pinned_pq_serve" -> ("q281's exact serve plan reached " +
+        "through the release pin — same pillar-sized centroid/codebook " +
+        "broadcasts, same stored-scan cent_id equi-join; the release " +
+        "resolution is driver-side NIO and never appears in the plan"),
       "q251_probe_depth_calibration" ->
         ("q43's + q66's hash/LCG-sampled broadcast sides: the dial sweeps " +
           "the already-sanctioned ivfTopK pipeline at each candidate depth " +
@@ -482,7 +486,8 @@ class ScaleDesignSpec extends SparkSpec {
       "q284_minhash_postings_serve", "q285_lsh_postings_serve",
       "q286_cdc_postings_serve", "q289_simhash_batch_admit",
       "q290_minhash_batch_admit", "q291_lsh_batch_admit",
-      "q292_cdc_batch_admit", "q293_lsh_guarded_serve")
+      "q292_cdc_batch_admit", "q293_lsh_guarded_serve",
+      "q294_simhash_lifecycle_serve", "q295_release_pinned_pq_serve")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
