@@ -316,6 +316,15 @@ object NotesDump {
       |correctness pin (StreamingOpsSpec): bootstrapped batch decisions ==
       |batch-admission truth == the corpus-streamed run's, for all four
       |banded families plus chunk owners and span owners.
+      |
+      |## Round-15 serve-query growth (ScaleBench min-of-3; rep 1 pays the
+      |## memoized install — the build/serve split)
+      |
+      || query | x1 (catalog bench) | x10 | x100 | reading |
+      ||---|---|---|---|---|
+      || q294 lifecycle serve (install→3 appends→compact→prune) | 0.41 s | 1.28 s | 0.75 s | steady-state serve over the COMPACTED single-segment layout is flat across two decades (index-sized banding; at x1 it even undercuts q283's multi-file serve); rep-1 build 16.3→21.9 s carries the whole lifecycle |
+      || q295 release-pinned PQ serve | 0.47 s | 1.16 s | 3.38 s | the release indirection is driver-side NIO — growth matches q281's stored-serve curve (sublinear probes·√n scan); rep-1 59 s at x100 is the amortized install |
+      || q293 guarded LSH serve | 0.97 s | — | — | plan-identical to q285 (the guard prices at install, not at serve); its decade rows are q285's, its mass readings the guard table above |
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —

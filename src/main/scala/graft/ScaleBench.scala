@@ -29,7 +29,9 @@ object ScaleBench {
     "q279_pq_ann_fixed", "q280_ivfpq_ann_fixed", "q281_ivfpq_index_serve",
     "q283_simhash_postings_serve", "q284_minhash_postings_serve",
     "q285_lsh_postings_serve", "q286_cdc_postings_serve",
-    "q287_chunk_store_takedown", "q288_span_owner_takedown")
+    "q287_chunk_store_takedown", "q288_span_owner_takedown",
+    "q293_lsh_guarded_serve", "q294_simhash_lifecycle_serve",
+    "q295_release_pinned_pq_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
