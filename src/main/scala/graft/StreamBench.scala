@@ -32,10 +32,18 @@ import org.apache.spark.sql.functions._
   * checkpoint loss used to force (the `minhash` row above at the same
   * scale).
   *
+  * The `ingest` op measures the COMPOSED admission pipeline
+  * ([[graft.streaming.IngestPipeline]]) end-to-end: decontaminate →
+  * exact-dedup → near-dup → budget → postings append, 10 checkpointed
+  * micro-batches over the corpus, reporting docs/s and the per-stage
+  * rejection mix — the r15 composed-ingest surface measured, not just
+  * spec'd.
+  *
   * Usage: runMain graft.StreamBench <sfDir> [label] [op...]
   */
 object StreamBench {
-  val Ops: Seq[String] = Seq("span", "contam", "minhash", "bootstrap")
+  val Ops: Seq[String] = Seq("span", "contam", "minhash", "bootstrap",
+    "ingest")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -94,7 +102,7 @@ object StreamBench {
     }
 
     (if (only.isEmpty) Ops else Ops.filter(only))
-      .filter(_ != "bootstrap").foreach { op =>
+      .filter(op => op != "bootstrap" && op != "ingest").foreach { op =>
       val ckpt = s"$base/ckpt-$op"
       val t0 = System.nanoTime()
       val q = pipeline(op).writeStream.format("noop")
@@ -152,6 +160,36 @@ object StreamBench {
       println(f"STREAMBENCH $label bootstrap pillar_install=$installSec%.3f " +
         f"bootstrap_admit64=$sec%.3f state_rows=$stateRows " +
         "(vs the minhash row: the corpus re-stream a checkpoint loss used to cost)")
+    }
+
+    if (only.isEmpty || only("ingest")) {
+      import graft.streaming.IngestPipeline
+      val ibase = s"$base/ingest"
+      val evalW = DedupQueries.evalWindowHashes(
+        Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
+      val feedI = s"$base/ingestfeed"
+      // unbounded budget: this row measures throughput, not policy —
+      // the budget stage still runs its arithmetic on every doc
+      Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "lang", "text")
+        .repartition(10).write.mode("overwrite").parquet(feedI)
+      val t0 = System.nanoTime()
+      val src = spark.readStream
+        .schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(feedI)
+      val q = IngestPipeline.ingestAdmit(src, evalW, Long.MaxValue,
+        ibase, s"$base/ingestckpt")
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val m = IngestPipeline.manifestOf(spark, ibase)
+        .agg(count(lit(1)), count(when(col("admitted"), 1)),
+          count(when(col("exact_dup"), 1)), count(when(col("near_dup"), 1)),
+          coalesce(sum(col("excised_tokens")), lit(0L))).head
+      println(f"STREAMBENCH $label ingest docs=${m.getLong(0)} sec=$sec%.3f " +
+        f"docs_per_sec=${m.getLong(0) / math.max(sec, 1e-9)}%.0f " +
+        f"admitted=${m.getLong(1)} exact_dup=${m.getLong(2)} " +
+        f"near_dup=${m.getLong(3)} excised_tokens=${m.getLong(4)} batches=10")
     }
     spark.stop()
   }
