@@ -183,7 +183,8 @@ object IngestPipeline {
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       val storedHits = feats.select("digest")
-        .join(digestsBefore(s, base, id), Seq("digest"), "left_semi")
+        .join(digestsBefore(s, base, id, pinnedTakedownSeq(s, base, id)),
+          Seq("digest"), "left_semi")
         .distinct().collect().map(_.getString(0)).toSet
       val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
       val consumed = scala.collection.mutable.Map.empty[String, Long]
@@ -197,7 +198,7 @@ object IngestPipeline {
       decisions.filter(d => admitted(d.doc_id))
         .map(_.doc_id).toDF("doc_id")
         .join(feats.select("doc_id", "digest"), "doc_id")
-        .select("digest").coalesce(1).write.mode("overwrite")
+        .select("doc_id", "digest").coalesce(1).write.mode("overwrite")
         .parquet(s"$base/digests/batch=$id")
       if (admitted.nonEmpty) {
         IndexLifecycle.appendSimhashPostings(s, root,
@@ -234,17 +235,87 @@ object IngestPipeline {
     }
   }
 
-  /** Digests of every doc admitted by batches BEFORE `id` — the `batch`
-    * partition column the sink layout provides is the replay filter. */
-  private def digestsBefore(s: SparkSession, base: String,
-                            id: Long): DataFrame = {
+  /** Digests of every doc admitted by batches BEFORE `id` and not since
+    * taken down (tombstone sequences ≤ `tdSeq` — the pinned takedown
+    * horizon, so a replayed epoch sees the same blocking set it first
+    * decided against). The `batch` partition column the sink layout
+    * provides is the replay filter. */
+  private def digestsBefore(s: SparkSession, base: String, id: Long,
+                            tdSeq: Long): DataFrame = {
     val dir = s"$base/digests"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      return s.range(0).select(lit("").as("digest"))
-    s.read.schema("digest STRING").parquet(dir)
+      return s.range(0).select(lit(0L).as("doc_id"), lit("").as("digest"))
+    val live = s.read.schema("doc_id BIGINT, digest STRING").parquet(dir)
       .withColumn("batch",
         regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
-      .filter(col("batch") < id).select("digest")
+      .filter(col("batch") < id).select("doc_id", "digest")
+    val td = takedownsThrough(s, base, tdSeq)
+    if (td.isEmpty) live
+    else live.join(td.get, Seq("doc_id"), "left_anti")
+  }
+
+  /** Tombstoned doc_ids across takedown sequences ≤ `seq`. */
+  private def takedownsThrough(s: SparkSession, base: String,
+                               seq: Long): Option[DataFrame] = {
+    val dir = s"$base/takedowns"
+    if (seq <= 0 ||
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
+    else Some(s.read.schema("doc_id BIGINT").parquet(dir)
+      .withColumn("seq",
+        regexp_extract(input_file_name(), "seq=(\\d+)", 1).cast("long"))
+      .filter(col("seq") <= seq).select("doc_id"))
+  }
+
+  private def committedTakedownSeqs(base: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(base, "takedowns")
+    if (!java.nio.file.Files.exists(dir)) return Seq.empty
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("seq=")).map(_.stripPrefix("seq=").toLong)
+        .toSeq
+    } finally st.close()
+  }
+
+  /** The takedown horizon batch `id` decides against — recorded at first
+    * processing (the max committed tombstone sequence), re-read on
+    * replay: a takedown landing AFTER a batch committed must not change
+    * that batch's replayed decisions. */
+  private def pinnedTakedownSeq(s: SparkSession, base: String,
+                                id: Long): Long = {
+    val dir = s"$base/tdv/batch=$id"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      s.read.schema("seq BIGINT").parquet(dir).head.getLong(0)
+    else {
+      val seq = committedTakedownSeqs(base).maxOption.getOrElse(0L)
+      s.range(1).select(lit(seq).as("seq")).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      seq
+    }
+  }
+
+  /** TAKEDOWN PROPAGATION for the composed ingest — the delete verb that
+    * closes the admission lifecycle: the deleted docs leave the postings
+    * pillar (so future batches' near-dup stage stops pairing against
+    * them — [[IndexLifecycle.takedownSimhashPostings]]'s consolidated
+    * survivor commit) and a doc_id tombstone sequence masks their
+    * digests (so a re-offered verbatim copy of REMOVED content is
+    * admittable again — removed content is not duplicate content).
+    * Admission manifests stay untouched: decisions already made are
+    * historical facts, and consumed budget is NOT refunded (the budget
+    * accounts what was ingested over time). Replay stays deterministic
+    * both ways: in-flight and replayed epochs decide against their
+    * PINNED pillar version and takedown horizon, so a takedown landing
+    * mid-stream changes only batches first processed after it. Returns
+    * the committed tombstone sequence. */
+  def ingestTakedown(s: SparkSession, base: String,
+                     deleted: DataFrame): Long = {
+    val seq = committedTakedownSeqs(base).maxOption.getOrElse(0L) + 1
+    deleted.select(col("doc_id")).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/takedowns/seq=$seq")
+    IndexLifecycle.takedownSimhashPostings(s, s"$base/pillar", deleted)
+    seq
   }
 
   /** Per-lang tokens consumed by batches BEFORE `id`, re-derived from

@@ -2389,4 +2389,76 @@ class StreamingOpsSpec extends SparkSpec {
       === vBefore,
       "a replayed epoch's pillar append must be the anti-join no-op")
   }
+
+  test("ingest takedown: removed content re-admits; replayed epochs keep their pinned takedown horizon") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.IngestPipeline
+
+    val all = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val evalW = DedupQueries.evalWindowHashes(
+      all.filter(col("doc_id") % 97 === 0))
+    val baseDocs = all.filter(col("doc_id") % 97 =!= 0 &&
+      col("doc_id") <= 60)
+    val x = baseDocs.filter(col("doc_id") === 1L)
+    def copyOf(id: Long) =
+      x.select(lit(id).as("doc_id"), col("lang"), col("text"))
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_td").toString
+    val feed = s"$base/feed"; val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema("doc_id BIGINT, lang STRING, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = IngestPipeline.ingestAdmit(src, evalW, Long.MaxValue,
+          base, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    def verdictOf(id: Long): (Boolean, Boolean, Boolean) = {
+      val r = IngestPipeline.manifestOf(spark, base)
+        .filter(col("doc_id") === id).head
+      (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+        r.getAs[Boolean]("admitted"))
+    }
+
+    // wave 0: the corpus, doc 1 admitted; wave 1: a verbatim copy of
+    // doc 1 is rejected as an exact duplicate
+    baseDocs.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert(verdictOf(1L) === ((false, false, true)))
+    copyOf(900001L).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    val wave1 = verdictOf(900001L)
+    assert(wave1 === ((true, true, false)),
+      s"a verbatim copy of admitted content must be rejected: $wave1")
+
+    // takedown doc 1: pillar survivor commit + digest tombstone
+    val vBefore = graft.operators.IndexLifecycle
+      .latestVersion(s"$base/pillar").get
+    assert(IngestPipeline.ingestTakedown(spark, base,
+      Seq(1L).toDF("doc_id")) === 1L)
+    assert(graft.operators.IndexLifecycle
+      .latestVersion(s"$base/pillar").get === vBefore + 1)
+
+    // wave 2: re-offered verbatim copy of the REMOVED content admits —
+    // neither the tombstoned digest nor the taken-down postings block it
+    copyOf(900002L).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert(verdictOf(900002L) === ((false, false, true)),
+      s"removed content re-offered must be admittable: ${verdictOf(900002L)}")
+
+    // replaying wave 1's committed epoch still rejects the first copy —
+    // its pinned takedown horizon (seq 0) and pillar version predate the
+    // takedown, so history does not rewrite
+    IngestPipeline.processBatch(spark, copyOf(900001L).toDF(), 1L, evalW,
+      Long.MaxValue, base)
+    assert(verdictOf(900001L) === ((true, true, false)),
+      "a replayed pre-takedown epoch must keep its original decisions")
+  }
 }
