@@ -732,18 +732,22 @@ object IndexLifecycle {
       .reduce(_ unionByName _)
 
   /** Retention: delete all version directories older than the newest
-    * `keep`, then every segment those dropped manifests referenced that
-    * no KEPT manifest still references — provably dead bytes only (an
-    * unreferenced segment still being staged by an in-flight commit is
-    * NOT touched here; that is [[gcOrphanSegments]]'s age-gated job).
-    * Legacy materialized versions referenced by a kept manifest are kept
-    * too. Returns (version dirs deleted, segment dirs deleted). Readers
-    * pinned to a dropped version lose it — retention is an explicit
-    * maintenance verb, run when no reader holds versions that old. */
-  def pruneVersions(root: String, keep: Int = 2): (Int, Int) = {
+    * `keep` (and not in `pinned` — a RELEASE that pins an old version
+    * keeps it servable; pass [[releasePinnedVersions]]), then every
+    * segment those dropped manifests referenced that no KEPT manifest
+    * still references — provably dead bytes only (an unreferenced
+    * segment still being staged by an in-flight commit is NOT touched
+    * here; that is [[gcOrphanSegments]]'s age-gated job). Legacy
+    * materialized versions referenced by a kept manifest are kept too.
+    * Returns (version dirs deleted, segment dirs deleted). Readers
+    * pinned to a dropped, unpinned version lose it — retention is an
+    * explicit maintenance verb, run when no reader holds versions that
+    * old. */
+  def pruneVersions(root: String, keep: Int = 2,
+                    pinned: Set[Long] = Set.empty): (Int, Int) = {
     val vs = versionsOf(Paths.get(root)).sorted
-    val keptVs = vs.takeRight(keep.max(1))
-    val dropVs = vs.dropRight(keep.max(1))
+    val keptVs = (vs.takeRight(keep.max(1)) ++ vs.filter(pinned)).distinct
+    val dropVs = vs.filterNot(keptVs.contains)
     def refs(v: Seq[Long]): Set[String] =
       v.flatMap(x => manifestEntries(root, x).getOrElse(Nil).map(_._2)).toSet
     val keptRefs = refs(keptVs)
@@ -1977,6 +1981,16 @@ object IndexLifecycle {
       .map { l =>
         val t = l.split("\t", 3); t(0) -> ((t(1), t(2).toLong))
       }.toMap
+
+  /** Every version of `pillarRoot` pinned by ANY committed release under
+    * `relRoot` — the retention exclusion set: [[pruneVersions]] must not
+    * reclaim a version a release still serves. */
+  def releasePinnedVersions(relRoot: String,
+                            pillarRoot: String): Set[Long] =
+    versionsOf(Paths.get(relRoot))
+      .flatMap(v => releaseAt(relRoot, v).values
+        .collect { case (r, pv) if r == pillarRoot => pv })
+      .toSet
 
   /** The centroid frame of a SPECIFIC pillar version. */
   def readCentroidsAt(s: SparkSession, root: String, v: Long): DataFrame =

@@ -673,8 +673,31 @@ class IndexLifecycleSpec extends SparkSpec {
       SimilarityQueries.ivfPqTopKFrom(spark, dir,
         IndexLifecycle.readCentroids(spark, centsRoot), book2,
         knownCodebookRows = Some(book2.count())).collect().toSeq)
-    assert(servedRows() ==
+    val served2 = servedRows()
+    assert(served2 ==
       IndexLifecycle.searchPqIndex(spark, pqRoot, dir).collect().toSeq)
+
+    // retention must respect release pins: with BOTH releases committed,
+    // a keep=1 prune may not reclaim pq v=1 (release 1 still serves it)
+    val pins = IndexLifecycle.releasePinnedVersions(rel, pqRoot)
+    assert(pins === Set(1L, 2L))
+    assert(IndexLifecycle.pruneVersions(pqRoot, keep = 1, pinned = pins)
+      === ((0, 0)), "every version is release-pinned: nothing to prune")
+    val (r1root, r1v) = IndexLifecycle.releaseAt(rel, 1L)("pq_index")
+    assert(IndexLifecycle.readPqIndexAt(spark, r1root, r1v)
+      ._1.limit(1).count() === 1L,
+      "the old release's pinned version must stay servable after the prune")
+    // an unpinned prune would have reclaimed v=1 — guard the guard:
+    // after retiring release 1, the same prune reclaims it and the
+    // latest release still serves
+    IndexLifecycle.pruneVersions(rel, keep = 1)
+    val pins2 = IndexLifecycle.releasePinnedVersions(rel, pqRoot)
+    assert(pins2 === Set(2L))
+    val (vDel, _) =
+      IndexLifecycle.pruneVersions(pqRoot, keep = 1, pinned = pins2)
+    assert(vDel === 1, "retiring the old release frees its pinned version")
+    assert(servedRows() == served2,
+      "the surviving release must serve unchanged after the prune")
   }
 
   test("cdc cap pillar: install, read-through, drift audit green at install, saturation recalibrates") {
