@@ -2448,7 +2448,7 @@ object DedupQueries {
     * gaps-and-islands pass shared by q277's span audit and q278's
     * contamination runs. Both windows are doc-local: the merge re-uses
     * whatever partitioning delivered `dup` and moves only its rows. */
-  private def mergedSpans(dup: DataFrame): DataFrame = {
+  private[graft] def mergedSpans(dup: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     dup

@@ -1682,8 +1682,14 @@ object StatefulOps {
     * its disjoint run list — bounded by the doc's token count / 5, and in
     * practice by its eval overlap, which is exactly what the monitor
     * exists to bound. */
+  /** One contaminated doc's merged overlap runs for a BOOTSTRAPPED
+    * start — the q278 batch audit's span frame, so a restarted monitor
+    * resumes from the corpus's known contamination instead of an empty
+    * ledger. */
+  final case class ContamBootstrap(doc_id: Long, runs: Seq[RunSpan])
+
   class ContaminationRunProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvalHit, ContamReading] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, EvalHit, ContamReading, ContamBootstrap] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues}
 
@@ -1693,6 +1699,13 @@ object StatefulOps {
       runs = getHandle.getListState[RunSpan](
         "runs", Encoders.product[RunSpan],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Interval union is commutative and idempotent, so pre-filing the
+      * audited runs as-is reproduces exactly the state a corpus-streamed
+      * run would hold (they are already merged and disjoint). */
+    override def handleInitialState(doc: Long, init: ContamBootstrap,
+                                    timers: TimerValues): Unit =
+      init.runs.sortBy(s => (s.a, s.b)).foreach(runs.appendValue)
 
     override def handleInputRows(doc: Long, rows: Iterator[EvalHit],
                                  timers: TimerValues): Iterator[ContamReading] = {
@@ -1729,6 +1742,30 @@ object StatefulOps {
       .groupByKey(_.doc_id)
       .transformWithState(new ContaminationRunProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[contaminationRunTws]] starting from a pre-filed run ledger. */
+  def contaminationRunTwsBootstrapped(hits: Dataset[EvalHit],
+                                      initial: Dataset[ContamBootstrap])
+      : Dataset[ContamReading] = {
+    import hits.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    hits
+      .groupByKey(_.doc_id)
+      .transformWithState(new ContaminationRunProcessor,
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_.doc_id))
+  }
+
+  /** The contamination monitor's initial state from a batch (doc_id, a,
+    * b) merged-span frame — the q278 audit's own output shape. */
+  def contamBootstrap(spans: org.apache.spark.sql.DataFrame)
+      : Dataset[ContamBootstrap] = {
+    import spans.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("a"), col("b"))))
+        .as("runs"))
+      .as[ContamBootstrap]
   }
 
   /** Admission-time decontamination — q282's excision at INGEST, the live

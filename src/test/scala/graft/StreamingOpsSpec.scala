@@ -2461,4 +2461,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(verdictOf(900001L) === ((true, true, false)),
       "a replayed pre-takedown epoch must keep its original decisions")
   }
+
+  test("contamination monitor bootstraps from the batch audit's span frame — later hits merge into the pre-filed ledger") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.StatefulOps.{ContamReading, EvalHit}
+
+    def lowered(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), lower(col("text")).as("text"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val evalW = DedupQueries.windowKeysFor(
+        lowered(docs.filter(col("doc_id") % 97 === 0)))
+      .select("wh").distinct()
+    val hits = DedupQueries.windowKeysFor(
+        lowered(docs.filter(col("doc_id") % 97 =!= 0)))
+      .join(broadcast(evalW), "wh")
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(hits.nonEmpty, "the corpus must have eval overlap")
+
+    // the PRIOR state: every even-position hit, merged by the batch
+    // machinery (as if those hits streamed before the checkpoint loss);
+    // the stream then delivers only the odd-position remainder
+    val pre = hits.filter(_._2 % 2 == 0)
+    val post = hits.filter(_._2 % 2 == 1)
+    assert(pre.nonEmpty && post.nonEmpty)
+    val preSpans = DedupQueries.mergedSpans(pre.toDF("doc_id", "i"))
+    val streamed = runBootstrapped[EvalHit, ContamReading]("contam_boot",
+      post.map { case (d, p) => EvalHit(d, p, 1) }, 3)(in =>
+      StatefulOps.contaminationRunTwsBootstrapped(in,
+        StatefulOps.contamBootstrap(preSpans)))
+      .groupBy(_.doc_id)
+      .map { case (d, rs) => d -> rs.last }
+      .map { case (d, r) => (d, r.n_runs, r.max_run_tokens,
+        r.covered_tokens) }.toSet
+
+    // the batch truth over ALL hits, restricted to docs the stream
+    // actually touched (a doc whose hits were all pre-filed emits no
+    // reading — its ledger sits silently, exactly a checkpointed run)
+    val touched = post.map(_._1).toSet
+    val batch = SparkEntry.queries("q278_contamination_runs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => touched(t._1)).toSet
+    assert(streamed === batch,
+      s"bootstrapped monitor readings must equal the batch audit: " +
+        s"only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+  }
 }
