@@ -175,6 +175,7 @@ object IngestPipeline {
     val root = s"$base/pillar"
     ensurePillar(s, root)
     val vPre = pinnedVersion(s, base, id, root)
+    val tdPre = pinnedTakedownSeq(s, base, id)
     val feats = features(s, batch, evalW).persist()
     try {
       val batchSigs = DedupQueries.textSimhashSigsFor(
@@ -183,8 +184,7 @@ object IngestPipeline {
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       val storedHits = feats.select("digest")
-        .join(digestsBefore(s, base, id, pinnedTakedownSeq(s, base, id)),
-          Seq("digest"), "left_semi")
+        .join(digestsBefore(s, base, id, tdPre), Seq("digest"), "left_semi")
         .distinct().collect().map(_.getString(0)).toSet
       val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
       val consumed = scala.collection.mutable.Map.empty[String, Long]
@@ -201,9 +201,16 @@ object IngestPipeline {
         .select("doc_id", "digest").coalesce(1).write.mode("overwrite")
         .parquet(s"$base/digests/batch=$id")
       if (admitted.nonEmpty) {
+        // mask the append with takedowns AFTER the pinned horizon: on a
+        // crash-replay that interleaved with a takedown, the deleted docs
+        // are absent from the current pillar and the plain anti-join
+        // would resurrect them — decisions keep the pinned horizon, the
+        // append honors every takedown committed since
+        val admittedSigs = batchSigs
+          .join(admitted.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
         IndexLifecycle.appendSimhashPostings(s, root,
-          batchSigs.join(admitted.toSeq.toDF("doc_id"), Seq("doc_id"),
-            "left_semi"))
+          takedownsAfter(s, base, tdPre).fold(admittedSigs)(td =>
+            admittedSigs.join(td, Seq("doc_id"), "left_anti")))
         ()
       }
     } finally { feats.unpersist(); () }
@@ -219,21 +226,57 @@ object IngestPipeline {
       ()
     }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.delete(x); () })
+      finally st.close()
+    }
+
+  /** A per-batch artifact directory counts as committed only with its
+    * `_SUCCESS` marker — a crash mid-write leaves a created-but-
+    * footer-less directory, and treating THAT as committed wedges every
+    * replay on an unreadable frame (the exact crash-recovery scenario
+    * these directories exist to serve). */
+  private def committedDir(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** Read-or-commit one pinned scalar at `dir` with the store's own
+    * staging + ATOMIC_MOVE discipline: the value is written to a private
+    * staging path and renamed into place, so a crash can never leave a
+    * half-written pin that an exists-check would route to the read path
+    * (uncommitted debris from a pre-rename crash is deleted and
+    * rewritten). On a lost rename race the committed pin wins and is
+    * re-read — one batch, one pin, whatever the interleaving. */
+  private def pinnedScalar(s: SparkSession, dir: String, colName: String)
+                          (compute: => Long): Long = {
+    def readPin(): Long =
+      s.read.schema(s"$colName BIGINT").parquet(dir).head.getLong(0)
+    if (committedDir(dir)) return readPin()
+    val target = java.nio.file.Paths.get(dir)
+    deleteRecursively(target) // footer-less debris of a crashed write
+    val v = compute
+    java.nio.file.Files.createDirectories(target.getParent)
+    val staging = java.nio.file.Files
+      .createTempDirectory(target.getParent, ".pin-")
+    val data = staging.resolve("d")
+    s.range(1).select(lit(v).as(colName)).coalesce(1)
+      .write.mode("overwrite").parquet(data.toString)
+    try java.nio.file.Files.move(data, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException => () } // race lost
+    deleteRecursively(staging)
+    readPin()
+  }
+
   /** The pillar version batch `id` admits against — recorded at first
     * processing, re-read on replay so a replayed epoch decides against
     * the SAME store state even though the pillar advanced. */
   private def pinnedVersion(s: SparkSession, base: String, id: Long,
-                            root: String): Long = {
-    val dir = s"$base/pillarv/batch=$id"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      s.read.schema("v BIGINT").parquet(dir).head.getLong(0)
-    else {
-      val v = IndexLifecycle.latestVersion(root).getOrElse(1L)
-      s.range(1).select(lit(v).as("v")).coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      v
-    }
-  }
+                            root: String): Long =
+    pinnedScalar(s, s"$base/pillarv/batch=$id", "v")(
+      IndexLifecycle.latestVersion(root).getOrElse(1L))
 
   /** Digests of every doc admitted by batches BEFORE `id` and not since
     * taken down (tombstone sequences ≤ `tdSeq` — the pinned takedown
@@ -283,16 +326,25 @@ object IngestPipeline {
     * replay: a takedown landing AFTER a batch committed must not change
     * that batch's replayed decisions. */
   private def pinnedTakedownSeq(s: SparkSession, base: String,
-                                id: Long): Long = {
-    val dir = s"$base/tdv/batch=$id"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      s.read.schema("seq BIGINT").parquet(dir).head.getLong(0)
-    else {
-      val seq = committedTakedownSeqs(base).maxOption.getOrElse(0L)
-      s.range(1).select(lit(seq).as("seq")).coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      seq
-    }
+                                id: Long): Long =
+    pinnedScalar(s, s"$base/tdv/batch=$id", "seq")(
+      committedTakedownSeqs(base).maxOption.getOrElse(0L))
+
+  /** Tombstoned doc_ids with takedown sequence STRICTLY AFTER `seq` —
+    * the takedowns that landed after a batch pinned its horizon. A
+    * replayed epoch masks its pillar append with these: the takedown
+    * already removed those docs from the pillar, so a replay whose
+    * anti-join sees them absent would silently RE-APPEND (resurrect)
+    * deleted content — the append must stay a no-op for them while the
+    * batch's admission decisions keep their pinned horizon. */
+  private def takedownsAfter(s: SparkSession, base: String,
+                             seq: Long): Option[DataFrame] = {
+    val dir = s"$base/takedowns"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
+    else Some(s.read.schema("doc_id BIGINT").parquet(dir)
+      .withColumn("seq",
+        regexp_extract(input_file_name(), "seq=(\\d+)", 1).cast("long"))
+      .filter(col("seq") > seq).select("doc_id"))
   }
 
   /** TAKEDOWN PROPAGATION for the composed ingest — the delete verb that

@@ -2462,6 +2462,59 @@ class StreamingOpsSpec extends SparkSpec {
       "a replayed pre-takedown epoch must keep its original decisions")
   }
 
+  test("ingest crash recovery: a footer-less pin directory rewrites instead of wedging; a replayed append never resurrects taken-down docs") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, IndexLifecycle}
+    import graft.streaming.IngestPipeline
+
+    val all = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val evalW = DedupQueries.evalWindowHashes(
+      all.filter(col("doc_id") % 97 === 0))
+    val docs0 = all.filter(col("doc_id") % 97 =!= 0 && col("doc_id") <= 40)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_crash").toString
+
+    IngestPipeline.processBatch(spark, docs0.toDF(), 0L, evalW,
+      Long.MaxValue, base)
+    assert(IngestPipeline.manifestOf(spark, base)
+      .filter(col("doc_id") === 1L && col("admitted")).count() === 1L)
+
+    // CRASH SIMULATION 1: batch 1's pin directory was created but the
+    // parquet write never finished (no _SUCCESS, no footers). The replay
+    // must treat it as absent and rewrite it — not throw on .head.
+    val wedge = java.nio.file.Paths.get(s"$base/pillarv/batch=1")
+    java.nio.file.Files.createDirectories(wedge)
+    val docs1 = all.filter(col("doc_id") % 97 =!= 0 &&
+      col("doc_id") > 40 && col("doc_id") <= 60)
+    IngestPipeline.processBatch(spark, docs1.toDF(), 1L, evalW,
+      Long.MaxValue, base)
+    assert(java.nio.file.Files.exists(wedge.resolve("_SUCCESS")),
+      "the recovered pin must commit with its _SUCCESS marker")
+    assert(IngestPipeline.manifestOf(spark, base)
+      .filter(col("doc_id").isin(docs1.select("doc_id").collect()
+        .map(_.getLong(0)).toSeq: _*)).count() === docs1.count(),
+      "the recovered batch must land its full manifest")
+
+    // CRASH SIMULATION 2: batch 1 committed its append, a takedown of
+    // one of its admitted docs lands, THEN batch 1 replays (the
+    // crash-between-append-and-checkpoint window). The replayed append
+    // must not resurrect the deleted doc: the takedown removed it from
+    // the pillar, so the plain anti-join would see it as fresh.
+    val victim = docs1.select("doc_id").orderBy("doc_id").head.getLong(0)
+    IngestPipeline.ingestTakedown(spark, base, Seq(victim).toDF("doc_id"))
+    val vAfterTd = IndexLifecycle.latestVersion(s"$base/pillar").get
+    def storedHas(id: Long): Boolean =
+      IndexLifecycle.readSimhashIndex(spark, s"$base/pillar")._1
+        .filter(col("doc_id") === id).count() > 0
+    assert(!storedHas(victim), "the takedown must remove the victim")
+    IngestPipeline.processBatch(spark, docs1.toDF(), 1L, evalW,
+      Long.MaxValue, base)
+    assert(IndexLifecycle.latestVersion(s"$base/pillar").get === vAfterTd,
+      "the replayed epoch's masked append must be a version no-op")
+    assert(!storedHas(victim),
+      "a replayed append must never resurrect a taken-down doc")
+  }
+
   test("contamination monitor bootstraps from the batch audit's span frame — later hits merge into the pre-filed ledger") {
     import spark.implicits._
     import graft.operators.DedupQueries
