@@ -39,10 +39,14 @@ import graft.operators.{DedupQueries, IndexLifecycle}
   * partitioned `batch=<id>` and OVERWRITTEN whole; the pillar version
   * the batch admitted against is recorded at first processing and
   * re-read on replay (the pillar itself has advanced — decisions must
-  * not); budget and digest state re-derive from manifests with
-  * batch < id only. So a replayed epoch recomputes bit-identical
+  * not); budget and digest state re-derive from durable per-batch
+  * artifacts with batch < id only, resolved as one consolidated
+  * SNAPSHOT plus a bounded tail (per-batch read cost O(snapEvery),
+  * not O(batches)). So a replayed epoch recomputes bit-identical
   * decisions and rewrites byte-identical files, and the pillar append
-  * replays as its documented anti-join no-op.
+  * replays as its documented anti-join no-op. Retention on the ingest
+  * pillar excludes [[ingestPinnedVersions]] — the versions committed
+  * epochs re-decide against on replay.
   *
   * Scale: stages 1–3's heavy work (excision, signatures, banded pairs)
   * is distributed and batch-sized; only the per-doc FEATURE rows and the
@@ -62,16 +66,22 @@ object IngestPipeline {
                                   near_dup: Boolean, over_budget: Boolean,
                                   admitted: Boolean)
 
+  /** Default admission-state snapshot cadence (batches). */
+  val SnapEvery: Int = 8
+
   /** Start the composed checkpointed ingest: `docs` streams
     * (doc_id, lang, text); artifacts land under `base`
-    * (manifest/, digests/, pillarv/, pillar/). */
+    * (manifest/, digests/, pillarv/, snap/, pillar/). Every `snapEvery`
+    * batches the pipeline lands a consolidated admission-state snapshot
+    * so per-batch state reads stay O(snapEvery), not O(batches). */
   def ingestAdmit(docs: DataFrame, evalW: DataFrame, budgetPerLang: Long,
-                  base: String, checkpoint: String)
+                  base: String, checkpoint: String,
+                  snapEvery: Int = SnapEvery)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         processBatch(batch.sparkSession, batch.toDF(), id, evalW,
-          budgetPerLang, base)
+          budgetPerLang, base, snapEvery)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -170,7 +180,8 @@ object IngestPipeline {
     * seam to pin replay determinism without forcing a mid-commit crash. */
   private[graft] def processBatch(s: SparkSession, batch: DataFrame, id: Long,
                                   evalW: DataFrame, budget: Long,
-                                  base: String): Unit = {
+                                  base: String,
+                                  snapEvery: Int = SnapEvery): Unit = {
     import s.implicits._
     val root = s"$base/pillar"
     ensurePillar(s, root)
@@ -213,6 +224,7 @@ object IngestPipeline {
             admittedSigs.join(td, Seq("doc_id"), "left_anti")))
         ()
       }
+      maybeSnapshot(s, base, id, snapEvery)
     } finally { feats.unpersist(); () }
   }
 
@@ -278,24 +290,164 @@ object IngestPipeline {
     pinnedScalar(s, s"$base/pillarv/batch=$id", "v")(
       IndexLifecycle.latestVersion(root).getOrElse(1L))
 
+  // ---------- bounded admission-state bookkeeping ----------
+  //
+  // The pipeline's only per-batch growth terms were digestsBefore /
+  // consumedBefore re-reading EVERY prior batch=N partition (VERDICT r15
+  // item 3): correct and replay-safe, but a long-running ingest paid an
+  // O(batches) listing + scan tax per micro-batch. Every `snapEvery`
+  // batches the pipeline now lands a consolidated SNAPSHOT of the
+  // admission state (`snap/upto=N`: the RAW admitted digest set and the
+  // per-lang consumed totals of all batches < N), and the per-batch
+  // reads resolve one snapshot + the ≤snapEvery tail partitions, listed
+  // driver-side by NIO — O(snapEvery) per batch, however long the run.
+  // Replay determinism is untouched: a snapshot is a PURE FUNCTION of
+  // the immutable per-batch partitions below its boundary, so whichever
+  // committed snapshot ≤ id a replayed epoch resolves, the derived state
+  // is bit-identical to the partition-by-partition read it replaces —
+  // and takedown masking stays at read time under the epoch's PINNED
+  // horizon (baking a mask into the snapshot would freeze one horizon
+  // for every future epoch). The snapshot write itself is index-sized
+  // (40-byte digest rows) and amortized O(size/snapEvery) per batch; the
+  // per-batch READ cost is what had to stop growing.
+
+  private def emptyDigests(s: SparkSession): DataFrame =
+    s.range(0).select(lit(0L).as("doc_id"), lit("").as("digest"))
+
+  /** Committed `batch=N` subdirectories of `base/sub` with
+    * `from <= N < until`, listed driver-side (never a directory-glob
+    * Spark scan — the unbounded listing was the growth term). */
+  private def committedBatchDirs(base: String, sub: String, from: Long,
+                                 until: Long): Seq[String] = {
+    val dir = java.nio.file.Paths.get(base, sub)
+    if (!java.nio.file.Files.exists(dir)) return Seq.empty
+    val st = java.nio.file.Files.list(dir)
+    val ids =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filter(n => n >= from && n < until)
+          .toSeq.sorted
+      } finally st.close()
+    ids.map(n => s"$base/$sub/batch=$n").filter(committedDir)
+  }
+
+  /** Committed snapshot boundaries, ascending. */
+  private def snapshotUptos(base: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(base, "snap")
+    if (!java.nio.file.Files.exists(dir)) return Seq.empty
+    val st = java.nio.file.Files.list(dir)
+    val us =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("upto="))
+          .map(_.stripPrefix("upto=").toLong).toSeq.sorted
+      } finally st.close()
+    us.filter(u => committedDir(s"$base/snap/upto=$u/digests") &&
+      committedDir(s"$base/snap/upto=$u/consumed"))
+  }
+
+  /** The newest committed snapshot usable by batch `id` (boundary ≤ id).
+    * Any usable snapshot derives identical state — the choice moves only
+    * how many tail partitions the read unions. */
+  private def snapshotFor(base: String, id: Long): Option[Long] =
+    snapshotUptos(base).filter(_ <= id).maxOption
+
+  /** Raw (takedown-unmasked) digests admitted by batches BEFORE `id`:
+    * one snapshot + the tail partitions past its boundary. */
+  private def rawDigestsBefore(s: SparkSession, base: String,
+                               id: Long): DataFrame = {
+    val snapUpto = snapshotFor(base, id)
+    val tail = committedBatchDirs(base, "digests", snapUpto.getOrElse(0L), id)
+    val parts = snapUpto.map(u =>
+        s.read.schema("doc_id BIGINT, digest STRING")
+          .parquet(s"$base/snap/upto=$u/digests")).toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(s.read.schema("doc_id BIGINT, digest STRING")
+         .parquet(tail: _*)))
+    if (parts.isEmpty) emptyDigests(s) else parts.reduce(_ unionByName _)
+  }
+
   /** Digests of every doc admitted by batches BEFORE `id` and not since
     * taken down (tombstone sequences ≤ `tdSeq` — the pinned takedown
     * horizon, so a replayed epoch sees the same blocking set it first
-    * decided against). The `batch` partition column the sink layout
-    * provides is the replay filter. */
+    * decided against). */
   private def digestsBefore(s: SparkSession, base: String, id: Long,
                             tdSeq: Long): DataFrame = {
-    val dir = s"$base/digests"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      return s.range(0).select(lit(0L).as("doc_id"), lit("").as("digest"))
-    val live = s.read.schema("doc_id BIGINT, digest STRING").parquet(dir)
-      .withColumn("batch",
-        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
-      .filter(col("batch") < id).select("doc_id", "digest")
-    val td = takedownsThrough(s, base, tdSeq)
-    if (td.isEmpty) live
-    else live.join(td.get, Seq("doc_id"), "left_anti")
+    val live = rawDigestsBefore(s, base, id)
+    takedownsThrough(s, base, tdSeq).fold(live)(td =>
+      live.join(td, Seq("doc_id"), "left_anti"))
   }
+
+  /** Per-lang consumed totals of batches BEFORE `id` as a frame:
+    * snapshot totals + the tail manifests' sums. */
+  private def rawConsumedBefore(s: SparkSession, base: String,
+                                id: Long): DataFrame = {
+    val snapUpto = snapshotFor(base, id)
+    val tail = committedBatchDirs(base, "manifest", snapUpto.getOrElse(0L), id)
+    val parts = snapUpto.map(u =>
+        s.read.schema("lang STRING, n BIGINT")
+          .parquet(s"$base/snap/upto=$u/consumed")).toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(s.read
+         .schema("lang STRING, clean_tokens BIGINT, admitted BOOLEAN")
+         .parquet(tail: _*)
+         .filter(col("admitted"))
+         .groupBy("lang").agg(sum("clean_tokens").as("n"))))
+    if (parts.isEmpty) s.range(0).select(lit("").as("lang"), lit(0L).as("n"))
+    else parts.reduce(_ unionByName _).groupBy("lang")
+      .agg(sum("n").as("n"))
+  }
+
+  /** Land the consolidated admission-state snapshot at boundary
+    * `id + 1` when the cadence fires. The consolidation is a rolling
+    * fold — previous snapshot + its tail, never a rescan of history —
+    * committed by staging + ATOMIC_MOVE and idempotent (a committed
+    * snapshot's content is a pure function of the immutable per-batch
+    * partitions below its boundary, so a replayed boundary keeps it). */
+  private def maybeSnapshot(s: SparkSession, base: String, id: Long,
+                            snapEvery: Int): Unit = {
+    val upto = id + 1
+    if (snapEvery <= 0 || upto % snapEvery != 0) return
+    val target = java.nio.file.Paths.get(s"$base/snap/upto=$upto")
+    if (committedDir(target.resolve("digests").toString) &&
+      committedDir(target.resolve("consumed").toString)) return
+    deleteRecursively(target)
+    java.nio.file.Files.createDirectories(target.getParent)
+    val staging = java.nio.file.Files
+      .createTempDirectory(target.getParent, ".snap-")
+    val data = staging.resolve("d")
+    rawDigestsBefore(s, base, upto).write.mode("overwrite")
+      .parquet(data.resolve("digests").toString)
+    rawConsumedBefore(s, base, upto).coalesce(1).write.mode("overwrite")
+      .parquet(data.resolve("consumed").toString)
+    try java.nio.file.Files.move(data, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException => () } // race lost
+    deleteRecursively(staging)
+  }
+
+  /** Every pillar version some committed ingest epoch pinned — the
+    * retention exclusion set for the ingest pillar, exactly
+    * [[IndexLifecycle.releasePinnedVersions]]'s role for releases: a
+    * keep=N prune must not reclaim a version a replayed epoch would
+    * re-decide against (that would break the replay-determinism
+    * contract the pins exist to keep). */
+  def ingestPinnedVersions(s: SparkSession, base: String): Set[Long] = {
+    val dirs = committedBatchDirs(base, "pillarv", 0L, Long.MaxValue)
+    if (dirs.isEmpty) Set.empty
+    else s.read.schema("v BIGINT").parquet(dirs: _*)
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Retention for the ingest pillar with the epoch pins excluded. */
+  def pruneIngestPillar(s: SparkSession, base: String,
+                        keep: Int = 2): (Int, Int) =
+    IndexLifecycle.pruneVersions(s"$base/pillar", keep,
+      ingestPinnedVersions(s, base))
 
   /** Tombstoned doc_ids across takedown sequences ≤ `seq`. */
   private def takedownsThrough(s: SparkSession, base: String,
@@ -371,19 +523,12 @@ object IngestPipeline {
   }
 
   /** Per-lang tokens consumed by batches BEFORE `id`, re-derived from
-    * their manifests (never from mutable driver state). */
+    * durable state (snapshot + tail manifests — never from mutable
+    * driver state). */
   private def consumedBefore(s: SparkSession, base: String,
-                             id: Long): Map[String, Long] = {
-    val dir = s"$base/manifest"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      return Map.empty
-    s.read.parquet(dir)
-      .withColumn("batch",
-        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
-      .filter(col("batch") < id && col("admitted"))
-      .groupBy("lang").agg(sum("clean_tokens").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
+                             id: Long): Map[String, Long] =
+    rawConsumedBefore(s, base, id).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** The union manifest of a (possibly restarted) run, ordered by
     * doc_id — what the spec compares against [[ingestAdmitBatch]]. */

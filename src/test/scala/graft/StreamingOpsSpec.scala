@@ -2335,7 +2335,11 @@ class StreamingOpsSpec extends SparkSpec {
           val src = spark.readStream
             .schema("doc_id BIGINT, lang STRING, text STRING")
             .option("maxFilesPerTrigger", 1).parquet(feed)
-          val q = IngestPipeline.ingestAdmit(src, evalW, budget, base, ckpt)
+          // snapEvery = 2: every run crosses admission-state snapshot
+          // boundaries, so chunking-invariance and replay determinism
+          // are proven THROUGH the snapshot + tail read path
+          val q = IngestPipeline.ingestAdmit(src, evalW, budget, base, ckpt,
+            snapEvery = 2)
           try q.processAllAvailable() finally q.stop()
         } finally spark.conf
           .unset("spark.sql.streaming.stateStore.providerClass")
@@ -2388,6 +2392,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(graft.operators.IndexLifecycle.latestVersion(s"$base3/pillar")
       === vBefore,
       "a replayed epoch's pillar append must be the anti-join no-op")
+
+    // replay ACROSS a snapshot boundary: batch 2 (snapEvery=2 put a
+    // committed snapshot at upto=2) re-derives its blocking state from
+    // snapshot + tail and must still rewrite identical decisions
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$base3/snap/upto=2/digests/_SUCCESS")),
+      "the snapshot cadence must have landed a committed upto=2 snapshot")
+    val chunk2 = ordered.grouped(math.max(ordered.length / 3, 1)).toSeq(2)
+    IngestPipeline.processBatch(spark,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk2.toIndexedSeq, 1), train.schema),
+      2L, evalW, budget, base3)
+    assert(rows(IngestPipeline.manifestOf(spark, base3)) === preRestart,
+      "a replay across the snapshot boundary must rewrite identical " +
+        "decisions")
+
+    // epoch-pin-aware retention: every committed epoch's pinned pillar
+    // version must survive a keep=1 prune, or replay determinism dies
+    val pins = IngestPipeline.ingestPinnedVersions(spark, base3)
+    val latest = graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillar").get
+    assert(pins.nonEmpty && pins.min < latest,
+      s"the run must have pinned versions older than the head: " +
+        s"$pins vs $latest")
+    // advance the pillar once more so the prune has an UNPINNED,
+    // non-head version to actually reclaim
+    graft.operators.IndexLifecycle.appendSimhashPostings(spark,
+      s"$base3/pillar", Seq((999999L, 123L)).toDF("doc_id", "sim"))
+    val (vDropped, _) = IngestPipeline.pruneIngestPillar(spark, base3,
+      keep = 1)
+    assert(vDropped >= 1,
+      "the prune must reclaim the unpinned non-head version")
+    pins.foreach { v =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$base3/pillar/v=$v")),
+        s"pinned version v=$v must survive the keep=1 prune")
+    }
+    IngestPipeline.processBatch(spark,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk1.toIndexedSeq, 1), train.schema),
+      1L, evalW, budget, base3)
+    assert(rows(IngestPipeline.manifestOf(spark, base3)) === preRestart,
+      "replay after a pin-respecting prune must still rewrite identical " +
+        "decisions")
   }
 
   test("ingest takedown: removed content re-admits; replayed epochs keep their pinned takedown horizon") {
