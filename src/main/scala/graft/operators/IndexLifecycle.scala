@@ -1247,22 +1247,33 @@ object IndexLifecycle {
       writeManifest(staging, Seq("sigs" -> sigSeg, "postings" -> postSeg))
     }
 
-  /** The latest committed SimHash index: (sigs, postings, cap) — all
-    * three resolved from ONE version manifest. */
-  def readSimhashIndex(s: SparkSession, root: String)
-      : (DataFrame, DataFrame, Int) = {
-    val v = latestVersion(root).getOrElse(noIndex(root))
+  /** The SimHash index artifacts at a SPECIFIC version: (sigs,
+    * postings, cap) — all three resolved from ONE version manifest. */
+  def readSimhashIndexAt(s: SparkSession, root: String, v: Long)
+      : (DataFrame, DataFrame, Int) =
     (readArtifact(s, root, v, "sigs", SimhashSigsSchema),
       readArtifact(s, root, v, "postings", BandPostingsSchema),
       scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
-  }
+
+  /** The latest committed SimHash index: (sigs, postings, cap). */
+  def readSimhashIndex(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, Int) =
+    readSimhashIndexAt(s, root, latestVersion(root).getOrElse(noIndex(root)))
 
   /** q40's pair set served FROM the stored posting lists: union-bucket
     * window bound, id-only in-bucket pairing, stored-signature Hamming
     * re-check — no document text, no shingle walk, no signature
     * recompute anywhere in the plan. */
-  def simhashPairsFromStore(s: SparkSession, root: String): DataFrame = {
-    val (sigs, postings, cap) = readSimhashIndex(s, root)
+  def simhashPairsFromStore(s: SparkSession, root: String): DataFrame =
+    simhashPairsFromStoreAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)))
+
+  /** [[simhashPairsFromStore]] pinned to a SPECIFIC store version — the
+    * seam release-resolved serves read through, so a concurrent append
+    * or swap can never move a pinned reader. */
+  def simhashPairsFromStoreAt(s: SparkSession, root: String,
+                              v: Long): DataFrame = {
+    val (sigs, postings, cap) = readSimhashIndexAt(s, root, v)
     pairsOfBuckets(boundedBuckets(postings, cap), "doc_a", "doc_b")
       .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
@@ -1368,19 +1379,28 @@ object IndexLifecycle {
       .select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.key").as("key"), col("bk.band").as("band"))
 
-  /** The latest committed MinHash index: (sigs, postings, cap). */
-  def readMinhashIndex(s: SparkSession, root: String)
-      : (DataFrame, DataFrame, Int) = {
-    val v = latestVersion(root).getOrElse(noIndex(root))
+  /** The MinHash index artifacts at a SPECIFIC version. */
+  def readMinhashIndexAt(s: SparkSession, root: String, v: Long)
+      : (DataFrame, DataFrame, Int) =
     (readArtifact(s, root, v, "sigs", MinhashSigsSchema),
       readArtifact(s, root, v, "postings", BandPostingsSchema),
       scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
-  }
+
+  /** The latest committed MinHash index: (sigs, postings, cap). */
+  def readMinhashIndex(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, Int) =
+    readMinhashIndexAt(s, root, latestVersion(root).getOrElse(noIndex(root)))
 
   /** q39's pair set served FROM the stored posting lists — id-only
     * pairing, stored-signature agreement score, no shingle walk. */
-  def minhashPairsFromStore(s: SparkSession, root: String): DataFrame = {
-    val (sigs, postings, cap) = readMinhashIndex(s, root)
+  def minhashPairsFromStore(s: SparkSession, root: String): DataFrame =
+    minhashPairsFromStoreAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)))
+
+  /** [[minhashPairsFromStore]] pinned to a SPECIFIC store version. */
+  def minhashPairsFromStoreAt(s: SparkSession, root: String,
+                              v: Long): DataFrame = {
+    val (sigs, postings, cap) = readMinhashIndexAt(s, root, v)
     minhashConfirm(pairsOfBuckets(boundedBuckets(postings, cap),
       "doc_a", "doc_b"), sigs)
   }
@@ -1464,13 +1484,17 @@ object IndexLifecycle {
       writeManifest(staging, Seq("codes" -> codeSeg))
     }
 
-  /** The latest committed LSH index: (codes, bits, tables). */
-  def readLshIndex(s: SparkSession, root: String): (DataFrame, Int, Int) = {
-    val v = latestVersion(root).getOrElse(noIndex(root))
+  /** The LSH index artifacts at a SPECIFIC version. */
+  def readLshIndexAt(s: SparkSession, root: String,
+                     v: Long): (DataFrame, Int, Int) = {
     val cfg = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)
     (readArtifact(s, root, v, "codes", LshCodesSchema),
       cfg(0).toInt, cfg(1).toInt)
   }
+
+  /** The latest committed LSH index: (codes, bits, tables). */
+  def readLshIndex(s: SparkSession, root: String): (DataFrame, Int, Int) =
+    readLshIndexAt(s, root, latestVersion(root).getOrElse(noIndex(root)))
 
   /** Symmetric Hamming-1 multi-probe expansion of a stored code frame —
     * the read-side twin of [[DedupQueries.lshBoundedKeys]]'s expansion. */
@@ -1484,8 +1508,14 @@ object IndexLifecycle {
     * bucket capping over the index artifact, exact cosine re-check via
     * an id-bounded lookup into the corpus at `dir` — the embeddings scan
     * feeds ONLY the re-check join, never a signature computation. */
-  def lshPairsFromStore(s: SparkSession, root: String, dir: String): DataFrame = {
-    val (codes, bits, _) = readLshIndex(s, root)
+  def lshPairsFromStore(s: SparkSession, root: String, dir: String): DataFrame =
+    lshPairsFromStoreAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), dir)
+
+  /** [[lshPairsFromStore]] pinned to a SPECIFIC store version. */
+  def lshPairsFromStoreAt(s: SparkSession, root: String, v: Long,
+                          dir: String): DataFrame = {
+    val (codes, bits, _) = readLshIndexAt(s, root, v)
     lshConfirm(
       pairsOfBuckets(
         boundedBuckets(lshProbed(codes, bits)
@@ -1681,19 +1711,28 @@ object IndexLifecycle {
       writeManifest(staging, Seq("chunks" -> chunkSeg))
     }
 
-  /** The latest committed CDC index: (chunks, cap). */
-  def readCdcIndex(s: SparkSession, root: String): (DataFrame, Int) = {
-    val v = latestVersion(root).getOrElse(noIndex(root))
+  /** The CDC index artifacts at a SPECIFIC version. */
+  def readCdcIndexAt(s: SparkSession, root: String,
+                     v: Long): (DataFrame, Int) =
     (readArtifact(s, root, v, "chunks", CdcChunksSchema)
       .select("doc_id", "cfp"),
       scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt)
-  }
+
+  /** The latest committed CDC index: (chunks, cap). */
+  def readCdcIndex(s: SparkSession, root: String): (DataFrame, Int) =
+    readCdcIndexAt(s, root, latestVersion(root).getOrElse(noIndex(root)))
 
   /** q253's containment pairs served FROM the stored chunk postings —
     * df and per-doc sizes recomputed index-level, no payload anywhere. */
-  def cdcPairsFromStore(s: SparkSession, root: String): DataFrame = {
+  def cdcPairsFromStore(s: SparkSession, root: String): DataFrame =
+    cdcPairsFromStoreAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)))
+
+  /** [[cdcPairsFromStore]] pinned to a SPECIFIC store version. */
+  def cdcPairsFromStoreAt(s: SparkSession, root: String,
+                          v: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (chunks, cap) = readCdcIndex(s, root)
+    val (chunks, cap) = readCdcIndexAt(s, root, v)
     MultimodalQueries.cdcContainmentPairsOfChunks(
       chunks.withColumn("df", count(lit(1)).over(Window.partitionBy("cfp"))),
       cap)
@@ -2049,6 +2088,63 @@ object IndexLifecycle {
                              panelIdCap: Option[Long] = None): DataFrame = {
     val (root, v) = readRelease(relRoot)("pq_index")
     searchPqIndexAtVersion(s, root, v, dir, probes, panelIdCap)
+  }
+
+  // ----- release-resolved near-dup serves (VERDICT r15 item 2) -----
+  //
+  // The four postings-pair serves read latest-version only until this
+  // round — a mid-swap reader of the one genuinely MULTI-pillar
+  // consumer (q260's cross-modal consensus, which composes the text AND
+  // media SimHash pillars) could see text pairs from v=N and media
+  // pairs from v=N+1, exactly the mix releases exist to prevent. Each
+  // serve below resolves its pillar version(s) through ONE release pin,
+  // so pillar installs keep landing underneath without ever moving a
+  // released reader.
+
+  /** q40's stored-pair serve at a release's pinned version. */
+  def simhashPairsAtRelease(s: SparkSession, relRoot: String,
+                            pillar: String = "simhash"): DataFrame = {
+    val (root, v) = readRelease(relRoot)(pillar)
+    simhashPairsFromStoreAt(s, root, v)
+  }
+
+  /** q39's stored-pair serve at a release's pinned version. */
+  def minhashPairsAtRelease(s: SparkSession, relRoot: String,
+                            pillar: String = "minhash"): DataFrame = {
+    val (root, v) = readRelease(relRoot)(pillar)
+    minhashPairsFromStoreAt(s, root, v)
+  }
+
+  /** q67's stored-pair serve at a release's pinned version. */
+  def lshPairsAtRelease(s: SparkSession, relRoot: String, dir: String,
+                        pillar: String = "lsh"): DataFrame = {
+    val (root, v) = readRelease(relRoot)(pillar)
+    lshPairsFromStoreAt(s, root, v, dir)
+  }
+
+  /** q253's stored containment serve at a release's pinned version. */
+  def cdcPairsAtRelease(s: SparkSession, relRoot: String,
+                        pillar: String = "cdc"): DataFrame = {
+    val (root, v) = readRelease(relRoot)(pillar)
+    cdcPairsFromStoreAt(s, root, v)
+  }
+
+  /** q260's cross-modal consensus with BOTH SimHash pillars (token-
+    * shingle text, byte-shingle media) resolved from ONE release — the
+    * multi-pillar read that motivated release coherence: however the
+    * two pillars swap underneath, a reader of one release can never
+    * compose pairs from mixed versions. Expects pins named
+    * `text_simhash` and `media_simhash`. */
+  def crossModalConsensusAtRelease(s: SparkSession, relRoot: String,
+                                   textPillar: String = "text_simhash",
+                                   mediaPillar: String = "media_simhash")
+      : DataFrame = {
+    val pins = readRelease(relRoot)
+    val (tr, tv) = pins(textPillar)
+    val (mr, mv) = pins(mediaPillar)
+    MultimodalQueries.crossModalConsensus(
+      simhashPairsFromStoreAt(s, tr, tv),
+      simhashPairsFromStoreAt(s, mr, mv))
   }
 
   // ---------- takedown / delete propagation ----------

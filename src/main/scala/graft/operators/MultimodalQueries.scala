@@ -606,20 +606,65 @@ object MultimodalQueries {
         "scale, not corpus scale — and at 100 TB it is the cheap final " +
         "equi-join after two already-sublinear candidate generators."
     ) { (s, dir) =>
-      val tp = DedupQueries.simhashNearDupPairs(
-        DedupQueries.textSimhashSigs(s, dir))
-        .select(col("doc_a"), col("doc_b"), col("hamming").as("text_hamming"))
-      val mp = byteSimhashPairs(Tables.documents(s, dir)
-        .select(col("doc_id"), mediaPayload.as("payload")))
-        .select(col("doc_a"), col("doc_b"), col("hamming").as("media_hamming"))
-      tp.join(mp, Seq("doc_a", "doc_b"), "full_outer")
-        .select(col("doc_a"), col("doc_b"),
-          when(col("text_hamming").isNotNull && col("media_hamming").isNotNull,
-            "both")
-            .when(col("text_hamming").isNotNull, "text_only")
-            .otherwise("media_only").as("modality"),
-          col("text_hamming"), col("media_hamming"))
-        .orderBy("doc_a", "doc_b")
+      crossModalConsensus(
+        DedupQueries.simhashNearDupPairs(
+          DedupQueries.textSimhashSigs(s, dir)),
+        byteSimhashPairs(Tables.documents(s, dir)
+          .select(col("doc_id"), mediaPayload.as("payload"))))
+    },
+
+    GraftQuery(
+      "q296_crossmodal_release_consensus",
+      Some(s"""WITH tp AS (
+              |  ${DedupQueries.replayShinglePrologueSql},
+              |${DedupQueries.simhashBandTailSql}
+              |), mp AS (
+              |  $mediaSimhashOracleSql
+              |)
+              |SELECT coalesce(tp.doc_a, mp.doc_a) AS doc_a,
+              |       coalesce(tp.doc_b, mp.doc_b) AS doc_b,
+              |       CASE WHEN tp.doc_a IS NOT NULL AND mp.doc_a IS NOT NULL
+              |              THEN 'both'
+              |            WHEN tp.doc_a IS NOT NULL THEN 'text_only'
+              |            ELSE 'media_only' END AS modality,
+              |       tp.hamming AS text_hamming, mp.hamming AS media_hamming
+              |FROM tp FULL OUTER JOIN mp
+              |  ON tp.doc_a = mp.doc_a AND tp.doc_b = mp.doc_b
+              |ORDER BY 1, 2""".stripMargin),
+      "q260's cross-modal consensus served through ONE release (VERDICT " +
+        "r15 item 2): the consensus is the engine's one genuinely " +
+        "MULTI-pillar near-dup consumer — it composes the token-shingle " +
+        "TEXT SimHash pillar with the byte-shingle MEDIA SimHash pillar " +
+        "— and until this round each side resolved its pillar version " +
+        "independently at read time, so a reader concurrent with a " +
+        "pillar swap could classify pairs against text v=N and media " +
+        "v=N+1 (a 'both' pair degrading to 'text_only' mid-read, the " +
+        "exact mix releases exist to prevent). Both pillars now install " +
+        "under the manifest store, ONE release pins the coherent " +
+        "(text_simhash, media_simhash) version tuple atomically, and " +
+        "the serve resolves both through that release " +
+        "(crossModalConsensusAtRelease over simhashPairsFromStoreAt). " +
+        "Same oracle text as q260 — hash-green proves the two-pillar " +
+        "release indirection perturbs no pair; the IndexLifecycleSpec " +
+        "interposed-swap twin proves a concurrent single-pillar install " +
+        "(staged AND committed) moves nothing until the next cut. " +
+        "Memoized per corpus fingerprint; the serve is two stored-pair " +
+        "reads + one pair-set-sized full-outer join — no text or " +
+        "payload re-scan anywhere."
+    ) { (s, dir) =>
+      val root = RelationalQueries.staged(s, "xmrel",
+        Tables.fingerprint(s, s"$dir/documents.parquet")) { out =>
+        IndexLifecycle.installSimhashPostings(s, s"$out/text", 1L,
+          DedupQueries.textSimhashSigs(s, dir))
+        IndexLifecycle.installSimhashPostings(s, s"$out/media", 1L,
+          byteSimhashSigs(Tables.documents(s, dir)
+            .select(col("doc_id"), mediaPayload.as("payload"))))
+        IndexLifecycle.cutRelease(s"$out/rel", 1L,
+          Map("text_simhash" -> s"$out/text",
+            "media_simhash" -> s"$out/media"))
+        ()
+      }
+      IndexLifecycle.crossModalConsensusAtRelease(s, s"$root/rel")
     },
 
     GraftQuery(
@@ -1294,6 +1339,25 @@ object MultimodalQueries {
   private[graft] def byteSimhashPairsUnsorted(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     DedupQueries.simhashNearDupPairsUnsorted(byteSimhashSigs(media))
+
+  /** q260's consensus classification over any text-side and media-side
+    * pair frames `(doc_a, doc_b, hamming)` — ONE definition serves the
+    * live q260 composition and the release-resolved stored-pillar serve
+    * ([[IndexLifecycle.crossModalConsensusAtRelease]]). */
+  private[graft] def crossModalConsensus(tp: org.apache.spark.sql.DataFrame,
+                                         mp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tp.select(col("doc_a"), col("doc_b"), col("hamming").as("text_hamming"))
+      .join(mp.select(col("doc_a"), col("doc_b"),
+        col("hamming").as("media_hamming")), Seq("doc_a", "doc_b"),
+        "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("text_hamming").isNotNull && col("media_hamming").isNotNull,
+          "both")
+          .when(col("text_hamming").isNotNull, "text_only")
+          .otherwise("media_only").as("modality"),
+        col("text_hamming"), col("media_hamming"))
+      .orderBy("doc_a", "doc_b")
 
   final case class AudioRow(doc_id: Long, payload: Array[Byte])
   final case class AudioFeatures(doc_id: Long, sample_rate: Long,

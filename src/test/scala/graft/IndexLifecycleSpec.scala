@@ -1540,4 +1540,58 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.searchPqIndex(spark, root, dir).collect().toSeq
       == before)
   }
+
+  test("cross-modal consensus resolves BOTH pillars through one release; interposed single-pillar swaps move nothing") {
+    import graft.operators.{DedupQueries, MultimodalQueries}
+    val base = Files.createTempDirectory("graft_xm_release")
+    val (tRoot, mRoot, rel) = (base.resolve("text").toString,
+      base.resolve("media").toString, base.resolve("rel").toString)
+    val docs = Tables.documents(spark, sf)
+    val media = docs.select(col("doc_id"),
+      MultimodalQueries.mediaPayload.as("payload"))
+    val tSigs = DedupQueries.textSimhashSigs(spark, sf)
+    val mSigs = MultimodalQueries.byteSimhashSigs(media)
+
+    assert(IndexLifecycle.installSimhashPostings(spark, tRoot, 1L, tSigs))
+    assert(IndexLifecycle.installSimhashPostings(spark, mRoot, 1L, mSigs))
+    assert(IndexLifecycle.cutRelease(rel, 1L,
+      Map("text_simhash" -> tRoot, "media_simhash" -> mRoot)))
+    def consensus() = IndexLifecycle
+      .crossModalConsensusAtRelease(spark, rel).collect().toSeq
+    val c1 = consensus()
+    assert(c1.nonEmpty)
+    // the release serve equals the live q260 composition exactly
+    assert(c1 == MultimodalQueries.crossModalConsensus(
+      IndexLifecycle.simhashPairsFromStore(spark, tRoot),
+      IndexLifecycle.simhashPairsFromStore(spark, mRoot)).collect().toSeq)
+    // the single-pillar release serves agree with their stores too
+    assert(IndexLifecycle.simhashPairsAtRelease(spark, rel, "text_simhash")
+      .collect().toSeq ==
+      IndexLifecycle.simhashPairsFromStore(spark, tRoot).collect().toSeq)
+
+    // interposed MEDIA swap (half the corpus): at 'staged' AND
+    // 'installed' the release must keep composing the pinned v1 pair —
+    // never text v1 + media v2, the mid-swap mix releases exist to kill
+    assert(IndexLifecycle.installSimhashPostings(spark, mRoot, 2L,
+      mSigs.filter(col("doc_id") % 2 === 0),
+      interpose = stage => {
+        assert(consensus() == c1,
+          s"release must compose the pinned pair at media-swap '$stage'")
+      }))
+    assert(consensus() == c1,
+      "release must compose the pinned pair after the media swap commits")
+    // sanity: the LATEST-version composition did move — the pin is load-
+    // bearing, not vacuously green
+    assert(MultimodalQueries.crossModalConsensus(
+      IndexLifecycle.simhashPairsFromStore(spark, tRoot),
+      IndexLifecycle.simhashPairsFromStore(spark, mRoot)).collect().toSeq
+      != c1, "the head composition must differ after the media swap")
+
+    // the next cut picks up the new head coherently
+    assert(IndexLifecycle.cutRelease(rel, 2L,
+      Map("text_simhash" -> tRoot, "media_simhash" -> mRoot)))
+    assert(consensus() == MultimodalQueries.crossModalConsensus(
+      IndexLifecycle.simhashPairsFromStore(spark, tRoot),
+      IndexLifecycle.simhashPairsFromStore(spark, mRoot)).collect().toSeq)
+  }
 }

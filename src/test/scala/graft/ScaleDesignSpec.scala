@@ -487,7 +487,8 @@ class ScaleDesignSpec extends SparkSpec {
       "q286_cdc_postings_serve", "q289_simhash_batch_admit",
       "q290_minhash_batch_admit", "q291_lsh_batch_admit",
       "q292_cdc_batch_admit", "q293_lsh_guarded_serve",
-      "q294_simhash_lifecycle_serve", "q295_release_pinned_pq_serve")
+      "q294_simhash_lifecycle_serve", "q295_release_pinned_pq_serve",
+      "q296_crossmodal_release_consensus")
       .foreach(q => SparkEntry.queries(q)(spark, sf))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
