@@ -1099,8 +1099,15 @@ object DedupQueries {
     * cut. ONE copy shared by q39 itself and the q261 recall scoreboard
     * (the eval grades the pair set the engine ships, not a lookalike). */
   private[graft] def minhashPairs(s: SparkSession, dir: String,
-                                  cap: Int = MaxBucket): DataFrame = {
-    val cands = minhashBuckets(s, dir, cap)
+                                  cap: Int = MaxBucket): DataFrame =
+    minhashPairsOfSigs(minhashSignatures(s, dir), cap)
+
+  /** [[minhashPairs]] over any prebuilt signature frame — the composed
+    * ingest pipeline's batch sibling probes its own cleaned-text
+    * signatures through exactly the q39 pair plan. */
+  private[graft] def minhashPairsOfSigs(sigs: DataFrame,
+                                        cap: Int = MaxBucket): DataFrame = {
+    val cands = minhashBucketsOfSigs(sigs, cap)
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
           struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
@@ -1121,9 +1128,12 @@ object DedupQueries {
   }
 
   private[graft] def minhashBuckets(s: SparkSession, dir: String,
-                                    cap: Int = MaxBucket): DataFrame = {
+                                    cap: Int = MaxBucket): DataFrame =
+    minhashBucketsOfSigs(minhashSignatures(s, dir), cap)
+
+  private[graft] def minhashBucketsOfSigs(sigs: DataFrame,
+                                          cap: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = minhashSignatures(s, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))

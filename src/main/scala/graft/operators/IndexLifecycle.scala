@@ -1419,8 +1419,15 @@ object IndexLifecycle {
   /** Admit a NEW batch against the stored MinHash postings — every q39
     * pair of the union corpus touching the batch, union-bucket capped. */
   def minhashBatchPairs(s: SparkSession, root: String,
-                        batchSigs: DataFrame): DataFrame = {
-    val (sigs, postings, cap) = readMinhashIndex(s, root)
+                        batchSigs: DataFrame): DataFrame =
+    minhashBatchPairsAt(s, root,
+      latestVersion(root).getOrElse(noIndex(root)), batchSigs)
+
+  /** [[minhashBatchPairs]] pinned to a SPECIFIC store version — the
+    * replay-determinism seam, [[simhashBatchPairsAt]]'s MinHash twin. */
+  def minhashBatchPairsAt(s: SparkSession, root: String, v: Long,
+                          batchSigs: DataFrame): DataFrame = {
+    val (sigs, postings, cap) = readMinhashIndexAt(s, root, v)
     val fresh = batchSigs.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
     minhashConfirm(
       bandedBatchPairs(postings, minhashPostingsOf(fresh), cap,

@@ -59,29 +59,51 @@ import graft.operators.{DedupQueries, IndexLifecycle}
   * bucket saturates — the standing streaming-admission caveat). */
 object IngestPipeline {
 
-  /** One doc's admission verdict — the manifest row. */
+  /** One doc's admission verdict — the manifest row. `dup_families`
+    * names every near-dup family that blocked the doc (comma-joined,
+    * sorted; empty when none — the per-family rejection reason);
+    * `span_excised` is the token mass the span grain removed as
+    * already-admitted duplicate spans (0 when the grain is off). */
   final case class IngestDecision(doc_id: Long, lang: String,
                                   n_tokens: Long, excised_tokens: Long,
                                   clean_tokens: Long, exact_dup: Boolean,
                                   near_dup: Boolean, over_budget: Boolean,
-                                  admitted: Boolean)
+                                  admitted: Boolean, span_excised: Long,
+                                  dup_families: String)
+
+  /** Which admission stages the composed pipeline runs. `families`
+    * selects the near-dup pillars consulted (any subset of
+    * [[Families]], each probing and appending its OWN stored postings
+    * pillar under the same pinned-version replay discipline);
+    * `spanGrain` adds the q114/q277 sub-document grain — spans already
+    * admitted are EXCISED from an arriving doc (shrinking what the
+    * budget charges) instead of rejecting the doc whole. A deployment
+    * fixes the stage set per ingest base; the stage semantics compose,
+    * they don't interact. */
+  final case class IngestStages(families: Seq[String] = Seq("simhash"),
+                                spanGrain: Boolean = false)
+
+  /** The near-dup families the pipeline can compose. */
+  val Families: Seq[String] = Seq("simhash", "minhash")
 
   /** Default admission-state snapshot cadence (batches). */
   val SnapEvery: Int = 8
 
   /** Start the composed checkpointed ingest: `docs` streams
     * (doc_id, lang, text); artifacts land under `base`
-    * (manifest/, digests/, pillarv/, snap/, pillar/). Every `snapEvery`
-    * batches the pipeline lands a consolidated admission-state snapshot
-    * so per-batch state reads stay O(snapEvery), not O(batches). */
+    * (manifest, digests, spans, per-family pillar + pin dirs, snap). Every
+    * `snapEvery` batches the pipeline lands a consolidated
+    * admission-state snapshot so per-batch state reads stay
+    * O(snapEvery), not O(batches). */
   def ingestAdmit(docs: DataFrame, evalW: DataFrame, budgetPerLang: Long,
                   base: String, checkpoint: String,
-                  snapEvery: Int = SnapEvery)
+                  snapEvery: Int = SnapEvery,
+                  stages: IngestStages = IngestStages())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         processBatch(batch.sparkSession, batch.toDF(), id, evalW,
-          budgetPerLang, base, snapEvery)
+          budgetPerLang, base, snapEvery, stages)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -91,21 +113,40 @@ object IngestPipeline {
     * initial state) — the batch sibling the spec pins the stream to,
     * row-for-row. Returns the manifest ordered by doc_id. */
   def ingestAdmitBatch(s: SparkSession, docs: DataFrame, evalW: DataFrame,
-                       budgetPerLang: Long): DataFrame = {
+                       budgetPerLang: Long,
+                       stages: IngestStages = IngestStages()): DataFrame = {
     import s.implicits._
+    requireStages(stages)
     val feats = features(s, docs, evalW).persist()
     try {
-      val pairs = DedupQueries.simhashNearDupPairsUnsorted(
-          DedupQueries.textSimhashSigsFor(
-            feats.select(col("doc_id"), col("text_clean").as("text"))))
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cleaned = feats.select(col("doc_id"), col("text_clean").as("text"))
+      val famPairs = stages.families.map { f =>
+        val pairs = (f match {
+          case "simhash" => DedupQueries.simhashNearDupPairsUnsorted(
+            DedupQueries.textSimhashSigsFor(cleaned))
+          case "minhash" => DedupQueries.minhashPairsOfSigs(
+            DedupQueries.minhashSignaturesFor(cleaned))
+        }).select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        f -> pairs
+      }
       val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
-      greedy(collectFeats(feats), Set.empty, pairs, ids,
+      val (storedRuns, pairRuns) =
+        if (!stages.spanGrain) (NoRuns, NoPairRuns)
+        else spanRunsOf(s, winsOf(feats), emptySpans(s))
+      greedy(collectFeats(feats), Set.empty, famPairs, ids,
+        storedRuns, pairRuns, stages.spanGrain,
         scala.collection.mutable.Map.empty, budgetPerLang)
         .toDS().toDF().orderBy("doc_id")
     } finally { feats.unpersist(); () }
   }
+
+  private def requireStages(stages: IngestStages): Unit =
+    require(stages.families.nonEmpty &&
+      stages.families.forall(Families.contains) &&
+      stages.families.distinct == stages.families,
+      s"families must be a non-empty subset of $Families: " +
+        s"${stages.families}")
 
   // ---------- per-batch machinery ----------
 
@@ -132,48 +173,139 @@ object IngestPipeline {
         r.getLong(3), r.getString(4), r.getLong(5)))
       .sortBy(_.doc_id).toSeq
 
+  private val NoRuns = Map.empty[Long, Seq[(Long, Long)]]
+  private val NoPairRuns = Map.empty[(Long, Long), Seq[(Long, Long)]]
+
+  /** Union of inclusive token intervals — driver-side merge of the
+    * per-source duplicate runs (each source's runs arrive pre-merged
+    * from the distributed islands pass; across sources they can
+    * overlap, and covered-token mass is the measure of the UNION). */
+  private def mergeRuns(runs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    runs.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((pa, pb) :: tail, (a, b)) if a <= pb + 1 =>
+        (pa, math.max(pb, b)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+
   /** The arrival-order greedy over one batch: blocking state is the
-    * ADMITTED corpus only (stored digests + stored-side pair partners,
-    * both admitted by construction of the stores) plus the docs this
-    * walk admits. */
+    * ADMITTED corpus only (stored digests / pair partners / span
+    * windows — all admitted by construction of the stores) plus the
+    * docs this walk admits. Every enabled near-dup family votes
+    * independently (`dup_families` records who blocked); the span grain
+    * EXCISES instead of rejecting — a doc's budget charge is its clean
+    * tokens minus the merged mass of spans already admitted (stored
+    * runs always apply; same-batch pair runs apply per admitted earlier
+    * arrival). */
   private def greedy(feats: Seq[Feat], storedDigestHits: Set[String],
-                     pairs: Seq[(Long, Long)], batchIds: Set[Long],
+                     famPairs: Seq[(String, Seq[(Long, Long)])],
+                     batchIds: Set[Long],
+                     storedSpanRuns: Map[Long, Seq[(Long, Long)]],
+                     pairSpanRuns: Map[(Long, Long), Seq[(Long, Long)]],
+                     spanGrain: Boolean,
                      consumed: scala.collection.mutable.Map[String, Long],
                      budget: Long): Seq[IngestDecision] = {
-    // pair partners per batch doc: stored partners always block (the
-    // pillar holds admitted docs only); batch partners block iff they
-    // are EARLIER arrivals that this walk admits
-    val storedBlocked = scala.collection.mutable.Set.empty[Long]
-    val batchBlockers = scala.collection.mutable
-      .Map.empty[Long, List[Long]].withDefaultValue(Nil)
-    pairs.foreach { case (x, y) =>
-      (batchIds(x), batchIds(y)) match {
-        case (true, true) =>
-          val (early, late) = if (x < y) (x, y) else (y, x)
-          batchBlockers(late) = early :: batchBlockers(late)
-        case (true, false) => storedBlocked += x
-        case (false, true) => storedBlocked += y
-        case _ => ()
+    // pair partners per batch doc and family: stored partners always
+    // block (the pillar holds admitted docs only); batch partners block
+    // iff they are EARLIER arrivals that this walk admits
+    val fams = famPairs.map { case (fam, pairs) =>
+      val storedBlocked = scala.collection.mutable.Set.empty[Long]
+      val batchBlockers = scala.collection.mutable
+        .Map.empty[Long, List[Long]].withDefaultValue(Nil)
+      pairs.foreach { case (x, y) =>
+        (batchIds(x), batchIds(y)) match {
+          case (true, true) =>
+            val (early, late) = if (x < y) (x, y) else (y, x)
+            batchBlockers(late) = early :: batchBlockers(late)
+          case (true, false) => storedBlocked += x
+          case (false, true) => storedBlocked += y
+          case _ => ()
+        }
       }
+      (fam, storedBlocked, batchBlockers)
     }
+    // per doc: the earlier same-batch docs holding span runs against it
+    val spanBlockers: Map[Long, Seq[Long]] =
+      pairSpanRuns.keys.toSeq.groupBy(_._1)
+        .map { case (late, ks) => late -> ks.map(_._2) }
     val admittedHere = scala.collection.mutable.Set.empty[Long]
     val admittedDigests = scala.collection.mutable.Set.empty[String]
     feats.map { f =>
       val exactDup = storedDigestHits(f.digest) ||
         admittedDigests(f.digest)
-      val nearDup = storedBlocked(f.doc_id) ||
-        batchBlockers(f.doc_id).exists(admittedHere)
+      val hitFams = fams.collect {
+        case (fam, sb, bb)
+          if sb(f.doc_id) || bb(f.doc_id).exists(admittedHere) => fam
+      }.sorted
+      val nearDup = hitFams.nonEmpty
+      val spanExcised =
+        if (!spanGrain) 0L
+        else mergeRuns(storedSpanRuns.getOrElse(f.doc_id, Nil) ++
+            spanBlockers.getOrElse(f.doc_id, Nil).filter(admittedHere)
+              .flatMap(e => pairSpanRuns((f.doc_id, e))))
+          .map { case (a, b) => b - a + 1 }.sum
+      val charge = f.cleanTokens - spanExcised
       val used = consumed.getOrElse(f.lang, 0L)
-      val overBudget = used + f.cleanTokens > budget
+      val overBudget = used + charge > budget
       val admitted = !exactDup && !nearDup && !overBudget
       if (admitted) {
         admittedHere += f.doc_id
         admittedDigests += f.digest
-        consumed(f.lang) = used + f.cleanTokens
+        consumed(f.lang) = used + charge
       }
       IngestDecision(f.doc_id, f.lang, f.n_tokens, f.excised, f.cleanTokens,
-        exactDup, nearDup, overBudget, admitted)
+        exactDup, nearDup, overBudget, admitted, spanExcised,
+        hitFams.mkString(","))
     }
+  }
+
+  // ---------- span-grain machinery ----------
+  //
+  // The q114/q277 grain at admission: a doc whose CLEANED text repeats
+  // spans of already-ADMITTED content has those spans excised (the
+  // budget charges only novel mass) instead of being rejected whole.
+  // Chunking invariance demands one filing rule the distributed pass
+  // can evaluate without knowing admission outcomes: an admitted doc
+  // blocks with its ARRIVAL windows (post-decontamination, pre-span-
+  // excision) — the spans it itself lost are already blocked by their
+  // true owner, so the only semantic cost is ≤3-token over-blocking at
+  // excised-run boundaries (a boundary window's exact 4-gram survives
+  // in no admitted doc, but its text IS corpus content that arrived).
+  // Driver payload is merged INTERVAL lists (the islands output), not
+  // positions — admission-sized for real corpora; a pathological batch
+  // of maximally self-similar docs degrades toward doc-sized lists,
+  // the same bound the reference's ≤500-record batch contract caps.
+
+  /** (wh, doc_id, pos) rolling windows of the batch's cleaned text. */
+  private def winsOf(feats: DataFrame): DataFrame =
+    DedupQueries.windowKeysFor(
+      feats.select(col("doc_id"), col("text_clean").as("text")))
+
+  /** Merged duplicate-span runs of each batch doc against (a) the
+    * stored admitted-window frame and (b) EARLIER same-batch docs —
+    * distributed islands merge, driver-collected as interval lists
+    * keyed (doc) and (late, early). */
+  private def spanRunsOf(s: SparkSession, wins: DataFrame,
+                         storedSpans: DataFrame)
+      : (Map[Long, Seq[(Long, Long)]],
+         Map[(Long, Long), Seq[(Long, Long)]]) = {
+    val storedDup = wins
+      .join(storedSpans.select("wh").distinct(), Seq("wh"))
+      .select(col("doc_id"), col("pos").as("i")).distinct()
+    val storedRuns = DedupQueries.mergedSpans(storedDup)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSeq }
+    val early = wins.select(col("wh"), col("doc_id").as("early")).distinct()
+    val pairDup = wins.join(early, "wh")
+      .filter(col("early") < col("doc_id"))
+      .select(struct(col("doc_id").as("late"), col("early")).as("doc_id"),
+        col("pos").as("i"))
+      .distinct()
+    val pairRuns = DedupQueries.mergedSpans(pairDup)
+      .select(col("doc_id.late"), col("doc_id.early"), col("a"), col("b"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSeq }
+    (storedRuns, pairRuns)
   }
 
   /** private[graft]: the spec re-drives a committed epoch through this
@@ -181,62 +313,128 @@ object IngestPipeline {
   private[graft] def processBatch(s: SparkSession, batch: DataFrame, id: Long,
                                   evalW: DataFrame, budget: Long,
                                   base: String,
-                                  snapEvery: Int = SnapEvery): Unit = {
+                                  snapEvery: Int = SnapEvery,
+                                  stages: IngestStages = IngestStages())
+      : Unit = {
     import s.implicits._
-    val root = s"$base/pillar"
-    ensurePillar(s, root)
-    val vPre = pinnedVersion(s, base, id, root)
+    requireStages(stages)
+    stages.families.foreach(f => ensurePillar(s, base, f))
     val tdPre = pinnedTakedownSeq(s, base, id)
+    // one pinned pillar version per enabled family — each family's
+    // replay re-decides against ITS recorded store state
+    val famPins = stages.families.map(f =>
+      f -> pinnedScalar(s, familyPinDir(base, f, id), "v")(
+        IndexLifecycle.latestVersion(familyRoot(base, f)).getOrElse(1L)))
+      .toMap
     val feats = features(s, batch, evalW).persist()
     try {
-      val batchSigs = DedupQueries.textSimhashSigsFor(
-        feats.select(col("doc_id"), col("text_clean").as("text")))
-      val pairs = IndexLifecycle.simhashBatchPairsAt(s, root, vPre, batchSigs)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cleaned = feats.select(col("doc_id"), col("text_clean").as("text"))
+      val famSigs = stages.families.map { f =>
+        f -> (f match {
+          case "simhash" => DedupQueries.textSimhashSigsFor(cleaned)
+          case "minhash" => DedupQueries.minhashSignaturesFor(cleaned)
+        })
+      }.toMap
+      val famPairs = stages.families.map { f =>
+        val root = familyRoot(base, f)
+        val pairs = (f match {
+          case "simhash" =>
+            IndexLifecycle.simhashBatchPairsAt(s, root, famPins(f), famSigs(f))
+          case "minhash" =>
+            IndexLifecycle.minhashBatchPairsAt(s, root, famPins(f), famSigs(f))
+        }).select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        f -> pairs
+      }
       val storedHits = feats.select("digest")
         .join(digestsBefore(s, base, id, tdPre), Seq("digest"), "left_semi")
         .distinct().collect().map(_.getString(0)).toSet
       val ids = feats.select("doc_id").collect().map(_.getLong(0)).toSet
+      val wins = if (stages.spanGrain) Some(winsOf(feats)) else None
+      val (storedRuns, pairRuns) = wins match {
+        case Some(w) => spanRunsOf(s, w, spansBefore(s, base, id, tdPre))
+        case None => (NoRuns, NoPairRuns)
+      }
       val consumed = scala.collection.mutable.Map.empty[String, Long]
       consumedBefore(s, base, id).foreach { case (l, n) => consumed(l) = n }
-      val decisions = greedy(collectFeats(feats), storedHits, pairs, ids,
-        consumed, budget)
+      val decisions = greedy(collectFeats(feats), storedHits, famPairs, ids,
+        storedRuns, pairRuns, stages.spanGrain, consumed, budget)
 
       decisions.toDS().toDF().coalesce(1).write.mode("overwrite")
         .parquet(s"$base/manifest/batch=$id")
       val admitted = decisions.filter(_.admitted).map(_.doc_id).toSet
+      val admittedDf = admitted.toSeq.toDF("doc_id")
       decisions.filter(d => admitted(d.doc_id))
         .map(_.doc_id).toDF("doc_id")
         .join(feats.select("doc_id", "digest"), "doc_id")
         .select("doc_id", "digest").coalesce(1).write.mode("overwrite")
         .parquet(s"$base/digests/batch=$id")
+      // the span store files each admitted doc's ARRIVAL windows —
+      // written every batch (possibly empty) so the tail read's
+      // partition contract matches the digest store's
+      wins.foreach(w =>
+        w.join(admittedDf, Seq("doc_id"), "left_semi")
+          .select("doc_id", "wh").distinct()
+          .write.mode("overwrite").parquet(s"$base/spans/batch=$id"))
       if (admitted.nonEmpty) {
-        // mask the append with takedowns AFTER the pinned horizon: on a
+        // mask each append with takedowns AFTER the pinned horizon: on a
         // crash-replay that interleaved with a takedown, the deleted docs
         // are absent from the current pillar and the plain anti-join
         // would resurrect them — decisions keep the pinned horizon, the
         // append honors every takedown committed since
-        val admittedSigs = batchSigs
-          .join(admitted.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
-        IndexLifecycle.appendSimhashPostings(s, root,
-          takedownsAfter(s, base, tdPre).fold(admittedSigs)(td =>
-            admittedSigs.join(td, Seq("doc_id"), "left_anti")))
-        ()
+        val mask = takedownsAfter(s, base, tdPre)
+        stages.families.foreach { f =>
+          val admittedSigs = famSigs(f)
+            .join(admittedDf, Seq("doc_id"), "left_semi")
+          val masked = mask.fold(admittedSigs)(td =>
+            admittedSigs.join(td, Seq("doc_id"), "left_anti"))
+          f match {
+            case "simhash" =>
+              IndexLifecycle.appendSimhashPostings(s, familyRoot(base, f),
+                masked)
+            case "minhash" =>
+              IndexLifecycle.appendMinhashPostings(s, familyRoot(base, f),
+                masked)
+          }
+          ()
+        }
       }
       maybeSnapshot(s, base, id, snapEvery)
     } finally { feats.unpersist(); () }
   }
 
+  /** Each family's pillar root and per-batch pin directory. */
+  private def familyRoot(base: String, fam: String): String = fam match {
+    case "simhash" => s"$base/pillar"
+    case "minhash" => s"$base/pillarm"
+  }
+
+  private def familyPinSub(fam: String): String = fam match {
+    case "simhash" => "pillarv"
+    case "minhash" => "pillarvm"
+  }
+
+  private def familyPinDir(base: String, fam: String, id: Long): String =
+    s"$base/${familyPinSub(fam)}/batch=$id"
+
   /** Install an empty v=1 pillar when none exists — the pipeline's
     * zero-state start. */
-  private def ensurePillar(s: SparkSession, root: String): Unit =
+  private def ensurePillar(s: SparkSession, base: String,
+                           fam: String): Unit = {
+    import s.implicits._
+    val root = familyRoot(base, fam)
     if (IndexLifecycle.latestVersion(root).isEmpty) {
-      import s.implicits._
-      IndexLifecycle.installSimhashPostings(s, root, 1L,
-        Seq.empty[(Long, Long)].toDF("doc_id", "sim"))
+      fam match {
+        case "simhash" =>
+          IndexLifecycle.installSimhashPostings(s, root, 1L,
+            Seq.empty[(Long, Long)].toDF("doc_id", "sim"))
+        case "minhash" =>
+          IndexLifecycle.installMinhashPostings(s, root, 1L,
+            Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sig"))
+      }
       ()
     }
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -282,13 +480,6 @@ object IngestPipeline {
     readPin()
   }
 
-  /** The pillar version batch `id` admits against — recorded at first
-    * processing, re-read on replay so a replayed epoch decides against
-    * the SAME store state even though the pillar advanced. */
-  private def pinnedVersion(s: SparkSession, base: String, id: Long,
-                            root: String): Long =
-    pinnedScalar(s, s"$base/pillarv/batch=$id", "v")(
-      IndexLifecycle.latestVersion(root).getOrElse(1L))
 
   // ---------- bounded admission-state bookkeeping ----------
   //
@@ -347,7 +538,8 @@ object IngestPipeline {
           .map(_.stripPrefix("upto=").toLong).toSeq.sorted
       } finally st.close()
     us.filter(u => committedDir(s"$base/snap/upto=$u/digests") &&
-      committedDir(s"$base/snap/upto=$u/consumed"))
+      committedDir(s"$base/snap/upto=$u/consumed") &&
+      committedDir(s"$base/snap/upto=$u/spans"))
   }
 
   /** The newest committed snapshot usable by batch `id` (boundary ≤ id).
@@ -383,7 +575,9 @@ object IngestPipeline {
   }
 
   /** Per-lang consumed totals of batches BEFORE `id` as a frame:
-    * snapshot totals + the tail manifests' sums. */
+    * snapshot totals + the tail manifests' sums. The charge per
+    * admitted doc is clean_tokens minus span_excised — exactly what the
+    * greedy consumed at decision time. */
   private def rawConsumedBefore(s: SparkSession, base: String,
                                 id: Long): DataFrame = {
     val snapUpto = snapshotFor(base, id)
@@ -393,13 +587,44 @@ object IngestPipeline {
           .parquet(s"$base/snap/upto=$u/consumed")).toSeq ++
       (if (tail.isEmpty) Seq.empty
        else Seq(s.read
-         .schema("lang STRING, clean_tokens BIGINT, admitted BOOLEAN")
+         .schema("lang STRING, clean_tokens BIGINT, " +
+           "span_excised BIGINT, admitted BOOLEAN")
          .parquet(tail: _*)
          .filter(col("admitted"))
-         .groupBy("lang").agg(sum("clean_tokens").as("n"))))
+         .groupBy("lang")
+         .agg(sum(col("clean_tokens") -
+           coalesce(col("span_excised"), lit(0L))).as("n"))))
     if (parts.isEmpty) s.range(0).select(lit("").as("lang"), lit(0L).as("n"))
     else parts.reduce(_ unionByName _).groupBy("lang")
       .agg(sum("n").as("n"))
+  }
+
+  private def emptySpans(s: SparkSession): DataFrame =
+    s.range(0).select(lit(0L).as("doc_id"), lit(0L).as("wh"))
+
+  /** Raw (takedown-unmasked) admitted-window rows (doc_id, wh) of
+    * batches BEFORE `id` — snapshot + tail, the digest store's twin. */
+  private def rawSpansBefore(s: SparkSession, base: String,
+                             id: Long): DataFrame = {
+    val snapUpto = snapshotFor(base, id)
+    val tail = committedBatchDirs(base, "spans", snapUpto.getOrElse(0L), id)
+    val parts = snapUpto.map(u =>
+        s.read.schema("doc_id BIGINT, wh BIGINT")
+          .parquet(s"$base/snap/upto=$u/spans")).toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(s.read.schema("doc_id BIGINT, wh BIGINT")
+         .parquet(tail: _*)))
+    if (parts.isEmpty) emptySpans(s) else parts.reduce(_ unionByName _)
+  }
+
+  /** Admitted windows visible to batch `id` under its pinned takedown
+    * horizon — a taken-down doc's windows stop blocking (removed
+    * content is not duplicate content, the digest-store rule). */
+  private def spansBefore(s: SparkSession, base: String, id: Long,
+                          tdSeq: Long): DataFrame = {
+    val live = rawSpansBefore(s, base, id)
+    takedownsThrough(s, base, tdSeq).fold(live)(td =>
+      live.join(td, Seq("doc_id"), "left_anti"))
   }
 
   /** Land the consolidated admission-state snapshot at boundary
@@ -414,7 +639,8 @@ object IngestPipeline {
     if (snapEvery <= 0 || upto % snapEvery != 0) return
     val target = java.nio.file.Paths.get(s"$base/snap/upto=$upto")
     if (committedDir(target.resolve("digests").toString) &&
-      committedDir(target.resolve("consumed").toString)) return
+      committedDir(target.resolve("consumed").toString) &&
+      committedDir(target.resolve("spans").toString)) return
     deleteRecursively(target)
     java.nio.file.Files.createDirectories(target.getParent)
     val staging = java.nio.file.Files
@@ -424,6 +650,8 @@ object IngestPipeline {
       .parquet(data.resolve("digests").toString)
     rawConsumedBefore(s, base, upto).coalesce(1).write.mode("overwrite")
       .parquet(data.resolve("consumed").toString)
+    rawSpansBefore(s, base, upto).write.mode("overwrite")
+      .parquet(data.resolve("spans").toString)
     try java.nio.file.Files.move(data, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileSystemException => () } // race lost
@@ -436,18 +664,19 @@ object IngestPipeline {
     * keep=N prune must not reclaim a version a replayed epoch would
     * re-decide against (that would break the replay-determinism
     * contract the pins exist to keep). */
-  def ingestPinnedVersions(s: SparkSession, base: String): Set[Long] = {
-    val dirs = committedBatchDirs(base, "pillarv", 0L, Long.MaxValue)
+  def ingestPinnedVersions(s: SparkSession, base: String,
+                           fam: String = "simhash"): Set[Long] = {
+    val dirs = committedBatchDirs(base, familyPinSub(fam), 0L, Long.MaxValue)
     if (dirs.isEmpty) Set.empty
     else s.read.schema("v BIGINT").parquet(dirs: _*)
       .distinct().collect().map(_.getLong(0)).toSet
   }
 
-  /** Retention for the ingest pillar with the epoch pins excluded. */
-  def pruneIngestPillar(s: SparkSession, base: String,
-                        keep: Int = 2): (Int, Int) =
-    IndexLifecycle.pruneVersions(s"$base/pillar", keep,
-      ingestPinnedVersions(s, base))
+  /** Retention for one family's ingest pillar, epoch pins excluded. */
+  def pruneIngestPillar(s: SparkSession, base: String, keep: Int = 2,
+                        fam: String = "simhash"): (Int, Int) =
+    IndexLifecycle.pruneVersions(familyRoot(base, fam), keep,
+      ingestPinnedVersions(s, base, fam))
 
   /** Tombstoned doc_ids across takedown sequences ≤ `seq`. */
   private def takedownsThrough(s: SparkSession, base: String,
@@ -535,6 +764,7 @@ object IngestPipeline {
   def manifestOf(s: SparkSession, base: String): DataFrame =
     s.read.parquet(s"$base/manifest")
       .select("doc_id", "lang", "n_tokens", "excised_tokens",
-        "clean_tokens", "exact_dup", "near_dup", "over_budget", "admitted")
+        "clean_tokens", "exact_dup", "near_dup", "over_budget", "admitted",
+        "span_excised", "dup_families")
       .orderBy("doc_id")
 }

@@ -2438,6 +2438,147 @@ class StreamingOpsSpec extends SparkSpec {
         "decisions")
   }
 
+  test("composed ingest with pluggable families and the span grain: streamed == batch row-for-row with every configured stage deciding") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    import graft.streaming.IngestPipeline
+    import graft.streaming.IngestPipeline.IngestStages
+
+    val stages = IngestStages(families = Seq("simhash", "minhash"),
+      spanGrain = true)
+    val all = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val evalW = DedupQueries.evalWindowHashes(
+      all.filter(col("doc_id") % 97 === 0))
+    val baseDocs = all.filter(col("doc_id") % 97 =!= 0 &&
+      col("doc_id") <= 120)
+
+    // pick two clean admitted source docs to build the plants from
+    val free0 = IngestPipeline.ingestAdmitBatch(spark, baseDocs, evalW,
+      Long.MaxValue, stages)
+    val srcIds = free0
+      .filter(col("admitted") && col("excised_tokens") === 0 &&
+        col("span_excised") === 0 && col("n_tokens").between(40, 120))
+      .orderBy("doc_id").limit(2).collect().map(_.getLong(0))
+    assert(srcIds.length === 2, "need two clean admitted source docs")
+    val Array(srcA, srcB) = srcIds
+    def docRow(id: Long) = baseDocs.filter(col("doc_id") === id)
+      .select("lang", "text").head
+    val (langA, textA) = (docRow(srcA).getString(0), docRow(srcA).getString(1))
+    val (langB, textB) = (docRow(srcB).getString(0), docRow(srcB).getString(1))
+    val toksB = textB.toLowerCase.split(" ")
+    // 910001: verbatim copy of srcA            -> exact-dedup stage
+    // 910002: srcA with its last token swapped -> both near-dup families
+    // 910003: srcB's first 12 tokens + a unique tail -> span grain
+    //         excises the duplicated prefix, doc still admits
+    val plants = Seq(
+      (910001L, langA, textA),
+      (910002L, langA,
+        (textA.toLowerCase.split(" ").dropRight(1) :+ "zzplantedtail")
+          .mkString(" ")),
+      (910003L, langB,
+        (toksB.take(12) ++ (0 until 40).map(i => s"zzq$i")).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val train = baseDocs.unionByName(plants)
+
+    val free = IngestPipeline.ingestAdmitBatch(spark, train, evalW,
+      Long.MaxValue, stages)
+    val budget = free.filter(col("admitted"))
+      .groupBy("lang")
+      .agg(sum(col("clean_tokens") - col("span_excised")).as("n"))
+      .agg(max("n")).head.getLong(0) * 6 / 10
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batchManifest = rows(
+      IngestPipeline.ingestAdmitBatch(spark, train, evalW, budget, stages))
+
+    // EVERY configured stage decides, with per-family reasons recorded
+    // (plant verdicts read off the unlimited-budget run — the plants
+    // arrive last, so the binding budget would shadow their stage)
+    val m = free.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(910001L).getAs[Boolean]("exact_dup"),
+      "the verbatim plant must be an exact duplicate")
+    assert(m(910002L).getAs[Boolean]("near_dup") &&
+      m(910002L).getAs[String]("dup_families") === "minhash,simhash",
+      s"the near-dup plant must be blocked by BOTH families: " +
+        s"${m(910002L)}")
+    assert(m(910003L).getAs[Boolean]("admitted") &&
+      m(910003L).getAs[Long]("span_excised") === 12L,
+      s"the span plant must admit with its 12-token prefix excised: " +
+        s"${m(910003L)}")
+    assert(batchManifest.nonEmpty &&
+      IngestPipeline.ingestAdmitBatch(spark, train, evalW, budget, stages)
+        .filter(col("over_budget")).limit(1).count() > 0,
+      "the binding budget must reject something")
+    assert(IngestPipeline.ingestAdmitBatch(spark, train, evalW, budget,
+        stages).filter(col("excised_tokens") > 0).limit(1).count() > 0,
+      "the corpus must exercise decontamination")
+
+    val ordered = train.orderBy("doc_id").collect()
+    def runStreamed(nChunks: Int): (String, Seq[Seq[Any]]) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_ingest_fam_$nChunks").toString
+      val feed = s"$base/feed"; val ckpt = s"$base/ckpt"
+      def drain(): Unit = {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = spark.readStream
+            .schema("doc_id BIGINT, lang STRING, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+          val q = IngestPipeline.ingestAdmit(src, evalW, budget, base, ckpt,
+            snapEvery = 2, stages = stages)
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      ordered.grouped(math.max(ordered.length / nChunks, 1)).foreach { c =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(c.toIndexedSeq, 1), train.schema)
+          .coalesce(1).write.mode("append").parquet(feed)
+        drain()
+      }
+      (base, rows(IngestPipeline.manifestOf(spark, base)))
+    }
+
+    val (base3, streamed3) = runStreamed(3)
+    assert(streamed3 === batchManifest,
+      "3-chunk streamed manifest (all stages) must equal the batch " +
+        "composition row-for-row")
+    val (_, streamed7) = runStreamed(7)
+    assert(streamed7 === batchManifest,
+      "7-chunk streamed manifest (all stages) must equal the batch " +
+        "composition row-for-row")
+
+    // both family pillars advanced, and the span store landed
+    assert(graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillar").get > 1L)
+    assert(graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillarm").get > 1L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$base3/spans/batch=0/_SUCCESS")))
+
+    // replay a committed epoch with all stages: identical decisions,
+    // every family append the anti-join no-op
+    val preReplay = rows(IngestPipeline.manifestOf(spark, base3))
+    val vSim = graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillar")
+    val vMin = graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillarm")
+    val chunk1 = ordered.grouped(math.max(ordered.length / 3, 1)).toSeq(1)
+    IngestPipeline.processBatch(spark,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk1.toIndexedSeq, 1), train.schema),
+      1L, evalW, budget, base3, stages = stages)
+    assert(rows(IngestPipeline.manifestOf(spark, base3)) === preReplay,
+      "a replayed committed epoch must rewrite identical decisions " +
+        "under all stages")
+    assert(graft.operators.IndexLifecycle
+      .latestVersion(s"$base3/pillar") === vSim &&
+      graft.operators.IndexLifecycle
+        .latestVersion(s"$base3/pillarm") === vMin,
+      "every family's replayed append must be the anti-join no-op")
+  }
+
   test("ingest takedown: removed content re-admits; replayed epochs keep their pinned takedown horizon") {
     import spark.implicits._
     import graft.operators.DedupQueries
