@@ -2378,6 +2378,127 @@ object IndexLifecycle {
       .select("doc_before", "pos_before", "doc_after", "pos_after")
   }
 
+  // ---------- nightly maintenance driver ----------
+  //
+  // The maintenance verbs exist separately (audits, recalibrations,
+  // appends, compaction, retention, orphan GC); production runs them as
+  // ONE nightly pass over every installed pillar (VERDICT r15 item 5).
+  // Per pillar, in order: (1) APPEND pending arrivals — so the audit
+  // that follows covers them (drift arrives through the append path,
+  // the discipline the recalibration specs pin); (2) AUDIT and
+  // recalibrate the serving parameter when it sags (the LSH pillar
+  // additionally prices its confirm-mass guard and routes a past-budget
+  // reading to the table dial); (3) COMPACT when an artifact resolves
+  // to multiple delta segments; (4) PRUNE retention respecting release
+  // AND ingest pins; (5) GC aged orphan segments. The report frame
+  // carries one row per action TAKEN (plus the guard's reading whenever
+  // it flags — the page a fleet watches), so a re-run over a quiescent
+  // store returns an EMPTY report: the no-op proof is a row count.
+
+  /** One pillar's description for [[nightlyMaintenance]] — the name is
+    * the report key; context fields are what its audit needs. */
+  sealed trait PillarSpec { def name: String; def root: String }
+  final case class SimhashPillar(name: String, root: String,
+                                 pending: Option[DataFrame] = None)
+    extends PillarSpec
+  final case class MinhashPillar(name: String, root: String, dir: String,
+                                 pending: Option[DataFrame] = None)
+    extends PillarSpec
+  final case class LshPillar(name: String, root: String, dir: String,
+                             pending: Option[DataFrame] = None,
+                             budgetPairs: Long = LshConfirmBudgetPairs)
+    extends PillarSpec
+  final case class CdcPillar(name: String, root: String, media: DataFrame,
+                             pending: Option[DataFrame] = None)
+    extends PillarSpec
+  final case class PqPillar(name: String, root: String, dir: String,
+                            k: Int) extends PillarSpec
+
+  /** The full nightly pass. `relRoots` are release stores whose pins
+    * retention must honor; `extraPins` adds per-pillar-name exclusions
+    * (e.g. [[graft.streaming.IngestPipeline.ingestPinnedVersions]] for
+    * an ingest base's pillar). Returns the report frame
+    * (pillar, action, detail, new_version). */
+  def nightlyMaintenance(s: SparkSession, pillars: Seq[PillarSpec],
+                         relRoots: Seq[String] = Nil,
+                         extraPins: Map[String, Set[Long]] = Map.empty,
+                         keep: Int = 2,
+                         orphanMinAgeMs: Long = 3600000L): DataFrame = {
+    import s.implicits._
+    val rows = scala.collection.mutable
+      .Buffer.empty[(String, String, String, Option[Long])]
+    def rec(p: String, a: String, d: String, v: Option[Long]): Unit = {
+      rows += ((p, a, d, v)); ()
+    }
+    pillars.foreach { p =>
+      // 1. pending arrivals commit first — the audit must cover them
+      p match {
+        case SimhashPillar(n, r, Some(b)) =>
+          appendSimhashPostings(s, r, b)
+            .foreach(v => rec(n, "append", "new arrivals committed", Some(v)))
+        case MinhashPillar(n, r, _, Some(b)) =>
+          appendMinhashPostings(s, r, b)
+            .foreach(v => rec(n, "append", "new arrivals committed", Some(v)))
+        case LshPillar(n, r, _, Some(b), _) =>
+          appendLshPostings(s, r, b)
+            .foreach(v => rec(n, "append", "new arrivals committed", Some(v)))
+        case CdcPillar(n, r, _, Some(b)) =>
+          appendCdcPostings(s, r, b)
+            .foreach(v => rec(n, "append", "new arrivals committed", Some(v)))
+        case _ => ()
+      }
+      // 2. audit → recalibrate (or guard-route, or PQ drift/growth)
+      p match {
+        case SimhashPillar(n, r, _) =>
+          recalibrateSimhashPostingsCap(s, r)
+            .foreach(v => rec(n, "recalibrate", "serving cap re-chosen",
+              Some(v)))
+        case MinhashPillar(n, r, d, _) =>
+          recalibrateMinhashPostingsCap(s, r, d)
+            .foreach(v => rec(n, "recalibrate", "serving cap re-chosen",
+              Some(v)))
+        case CdcPillar(n, r, m, _) =>
+          recalibrateCdcPostingsCap(s, r, m)
+            .foreach(v => rec(n, "recalibrate", "serving cap re-chosen",
+              Some(v)))
+        case LshPillar(n, r, d, _, budget) =>
+          val (reading, acted) = lshGuardedMaintenance(s, r, d, budget)
+          if (reading.overBudget)
+            rec(n, "guard",
+              s"confirm mass ${reading.mass} pairs over budget " +
+                s"(${reading.buckets} buckets, max ${reading.maxBucketPairs})" +
+                acted.fold(" — no cheaper table count viable, still " +
+                  "flagging")(_ => " — table dial absorbed"), acted)
+        case PqPillar(n, r, d, k) =>
+          maintainPqIndex(s, r, d, k).foreach { case (v, how) =>
+            rec(n, how,
+              if (how == "rebuild") "quantizer drift — dial-preserving " +
+                "rebuild" else "new arrivals coded and committed", Some(v))
+          }
+      }
+      // 3. compact when fragmented
+      (p match {
+        case _: SimhashPillar => compactSimhashPostings(s, p.root)
+        case _: MinhashPillar => compactMinhashPostings(s, p.root)
+        case _: LshPillar => compactLshPostings(s, p.root)
+        case _: CdcPillar => compactCdcPostings(s, p.root)
+        case _: PqPillar => compactPqIndex(s, p.root)
+      }).foreach(v =>
+        rec(p.name, "compact", "delta segments consolidated", Some(v)))
+      // 4. retention under every pin source
+      val pins = relRoots.flatMap(rr => releasePinnedVersions(rr, p.root))
+        .toSet ++ extraPins.getOrElse(p.name, Set.empty)
+      val (dv, dsg) = pruneVersions(p.root, keep, pins)
+      if (dv > 0 || dsg > 0)
+        rec(p.name, "prune",
+          s"$dv versions, $dsg segments reclaimed", None)
+      // 5. aged commit debris
+      val g = gcOrphanSegments(p.root, orphanMinAgeMs)
+      if (g > 0) rec(p.name, "gc", s"$g orphan segments reclaimed", None)
+    }
+    rows.toSeq.toDF("pillar", "action", "detail", "new_version")
+  }
+
   // ----- shared banded-index machinery -----
 
   /** Posting rows surviving the [2, cap] bucket bound — the window count

@@ -1541,6 +1541,73 @@ class IndexLifecycleSpec extends SparkSpec {
       == before)
   }
 
+  test("nightly maintenance driver: one pass performs exactly the expected actions; a re-run is an empty report") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val base = Files.createTempDirectory("graft_nightly")
+
+    // SimHash pillar: 6/7 of the corpus installed, 1/7 pending as the
+    // nightly batch; plus one AGED orphan segment (failed-commit debris)
+    val shRoot = base.resolve("sh").toString
+    val sigs = DedupQueries.textSimhashSigs(spark, sf)
+    assert(IndexLifecycle.installSimhashPostings(spark, shRoot, 1L,
+      sigs.filter(col("doc_id") % 7 =!= 0)))
+    val orphan = Files.createTempDirectory(
+      java.nio.file.Paths.get(shRoot, "segments"), "sigs-orphan")
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 7200000L))
+
+    // MinHash pillar: fully installed and quiescent — the driver must
+    // touch nothing
+    val mhRoot = base.resolve("mh").toString
+    assert(IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+      DedupQueries.minhashSignatures(spark, sf)))
+
+    // PQ pillar: installed (and baselined) on the OLD epoch; the corpus
+    // then drifts to the full distribution — the audit must flag and
+    // the driver must route to the rebuild
+    val pqRoot = base.resolve("pq").toString
+    val dir = base.resolve("corpus").toString
+    oldEpoch(corpus).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IndexLifecycle.installPqIndex(spark, pqRoot, 1L,
+      IndexLifecycle.train(spark, asVec(oldEpoch(corpus)), k = 2),
+      IndexLifecycle.trainCodebook(asVec(oldEpoch(corpus))), dir))
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    val pillars = Seq(
+      IndexLifecycle.SimhashPillar("sh", shRoot,
+        Some(sigs.filter(col("doc_id") % 7 === 0))),
+      IndexLifecycle.MinhashPillar("mh", mhRoot, sf),
+      IndexLifecycle.PqPillar("pq", pqRoot, dir, k = 2))
+    def run() = IndexLifecycle
+      .nightlyMaintenance(spark, pillars, keep = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    val r1 = run()
+    // sh: append the pending batch → the appended store is fragmented →
+    // compact → keep=1 prunes the superseded versions → the aged orphan
+    // is reclaimed; pq: drift rebuild + prune of the old version;
+    // mh: quiescent, not one row
+    assert(r1.toSet === Set(("sh", "append"), ("sh", "compact"),
+      ("sh", "prune"), ("sh", "gc"), ("pq", "rebuild"), ("pq", "prune")),
+      s"unexpected action set: $r1")
+    assert(!Files.exists(orphan), "the aged orphan must be reclaimed")
+    // the pass left a healthy store: the serve equals a fresh rebuild
+    assert(IndexLifecycle.simhashPairsFromStore(spark, shRoot)
+      .collect().toSeq ==
+      DedupQueries.simhashNearDupPairsUnsorted(sigs)
+        .orderBy("doc_a", "doc_b").collect().toSeq,
+      "post-maintenance serve must equal a rebuild on the full corpus")
+
+    val r2 = run()
+    assert(r2.isEmpty,
+      s"a re-run over the quiescent store must report nothing: $r2")
+  }
+
   test("cross-modal consensus resolves BOTH pillars through one release; interposed single-pillar swaps move nothing") {
     import graft.operators.{DedupQueries, MultimodalQueries}
     val base = Files.createTempDirectory("graft_xm_release")
