@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintBench {
   val Ops: Seq[String] =
-    Seq("simhash", "minhash", "lsh", "lshguard", "cdc", "pq", "store")
+    Seq("simhash", "minhash", "lsh", "lshguard", "cdc", "pq", "store",
+      "nightly")
 
   private[graft] def bytesUnder(p: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._
@@ -224,6 +225,44 @@ object IndexMaintBench {
         f"disk_after_appends=$diskBefore " +
         f"disk_after_compact_prune=${bytesUnder(rootP)} " +
         f"serve_rows_stable=${servePre == servePost}")
+    }
+    if (run.contains("nightly")) {
+      // one nightlyMaintenance pass over a three-pillar store in its
+      // steady nightly posture: SimHash holding all but a 64-doc batch
+      // (pending tonight), MinHash quiescent, PQ with 64 new vectors to
+      // append — the full audit → append → compact → prune → gc walk as
+      // ONE measured verb, plus the quiescent re-run (the pass's floor:
+      // pure audit cost)
+      val shRoot = s"$base/nsh"
+      val mhRoot = s"$base/nmh"
+      val pqRoot = s"$base/npq"
+      val pqDir = s"$base/npqcorpus"
+      val sigs = DedupQueries.textSimhashSigs(spark, dir)
+      val batch = DedupQueries.textSimhashSigsFor(batchDocs)
+      IndexLifecycle.installSimhashPostings(spark, shRoot, 1L, sigs)
+      IndexLifecycle.installMinhashPostings(spark, mhRoot, 1L,
+        DedupQueries.minhashSignatures(spark, dir))
+      val vecs = Tables.embeddings(spark, dir)
+      val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
+      vecs.filter(col("vec_id") <= maxId - 64)
+        .write.mode("overwrite").parquet(s"$pqDir/embeddings.parquet")
+      IndexLifecycle.installPqIndex(spark, pqRoot, 1L,
+        SimilarityQueries.fixedCents(spark, pqDir),
+        SimilarityQueries.pqCodebookFixed(spark, pqDir), pqDir)
+      vecs.write.mode("overwrite").parquet(s"$pqDir/embeddings.parquet")
+      val pillars = Seq(
+        IndexLifecycle.SimhashPillar("sh", shRoot, Some(batch)),
+        IndexLifecycle.MinhashPillar("mh", mhRoot, dir),
+        IndexLifecycle.PqPillar("pq", pqRoot, pqDir,
+          k = SimilarityQueries.fixedCents(spark, pqDir).count().toInt))
+      val (t1, n1) = timed {
+        IndexLifecycle.nightlyMaintenance(spark, pillars, keep = 1).count()
+      }
+      val (t2, n2) = timed {
+        IndexLifecycle.nightlyMaintenance(spark, pillars, keep = 1).count()
+      }
+      println(f"INDEXMAINT $label nightly pass_secs=$t1%.3f actions=$n1 " +
+        f"rerun_secs=$t2%.3f rerun_actions=$n2")
     }
     spark.stop()
   }

@@ -30,7 +30,21 @@ import org.apache.spark.sql.functions._
   * tokens stay hot (Zipf) but tail-shingle df stays O(1), so the
   * df-bounded ground-truth passes measure their real linear slope.
   *
-  * Usage: runMain graft.ScaleCorpus <outDir> <mult>
+  * Optional flags after mult (the BASE corpora stay untouched so decade
+  * readings remain comparable across rounds; the variants serve specific
+  * measurements):
+  *  - `ingest`: appends PLANTED duplicate/contaminated families to the
+  *    documents table (the spec corpora's planted-family discipline) so
+  *    the composed ingest pipeline's rejection stages actually pay at
+  *    scale — verbatim copies (exact-dedup), suffix-perturbed near-dups,
+  *    and eval-overlapping contaminated docs. Planted ids sit above the
+  *    original range, so they arrive AFTER their originals.
+  *  - `longdocs`: draws 100–1000 tokens per doc (10× the default) — the
+  *    text-heavy regime where the streaming-admitter pillar bootstrap's
+  *    corpus-independence is worth wall-clock, measured by StreamBench's
+  *    bootstrap-vs-restream pair.
+  *
+  * Usage: runMain graft.ScaleCorpus <outDir> <mult> [ingest] [longdocs]
   */
 object ScaleCorpus {
   private val Langs = Seq("de", "en", "es", "fr", "zh")
@@ -46,6 +60,9 @@ object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val mult = args(1).toInt
+    val flags = args.drop(2).toSet
+    require(flags.subsetOf(Set("ingest", "longdocs")),
+      s"unknown flags: ${flags -- Set("ingest", "longdocs")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,8 +78,10 @@ object ScaleCorpus {
     // documents: 10–100 tokens, Zipf(1) ranks over the sf-scaled type set
     // via t = ⌊V^u⌋ with u uniform in [0,1) — see the class doc
     val vocabTypes = 31.0 * mult
-    val docs = spark.range(nDocs)
-      .withColumn("ntok", (hm(1, 91) + 10).cast("int"))
+    val baseDocs = spark.range(nDocs)
+      .withColumn("ntok",
+        if (flags("longdocs")) (hm(1, 901) + 100).cast("int")
+        else (hm(1, 91) + 10).cast("int"))
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(1), col("ntok")),
           i => concat(lit("w"), floor(pow(lit(vocabTypes),
@@ -72,6 +91,30 @@ object ScaleCorpus {
           (hm(3, Langs.length) + 1).cast("int")).as("lang"),
         concat(lit("src"), hm(4, 20)).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+    // the ingest variant's planted rejection families: verbatim copies
+    // (~9% of docs), suffix-perturbed near-dups (~9%), and docs carrying
+    // a full eval doc's text (+ fresh tail) so decontamination excises
+    // hard — each family's ids sit above nDocs, arriving after the
+    // originals they duplicate
+    val docs =
+      if (!flags("ingest")) baseDocs
+      else {
+        def reshape(d: DataFrame, offset: Long, suffix: String): DataFrame =
+          d.select((col("doc_id") + offset).as("doc_id"),
+            (if (suffix.isEmpty) col("text")
+             else concat(col("text"), lit(suffix))).as("text"),
+            col("lang"), col("source"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        baseDocs
+          .unionByName(reshape(
+            baseDocs.filter(col("doc_id") % 11 === 0), nDocs, ""))
+          .unionByName(reshape(
+            baseDocs.filter(col("doc_id") % 11 === 5), 2 * nDocs,
+            " nd1 nd2"))
+          .unionByName(reshape(
+            baseDocs.filter(col("doc_id") % 97 === 0), 3 * nDocs,
+            " c1 c2 c3"))
+      }
     write(docs, outDir, "documents", math.max(1, mult))
 
     // embeddings: unit-norm 64-dim vectors, uniform pre-normalization

@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
   val Ops: Seq[String] = Seq("span", "contam", "minhash", "bootstrap",
-    "ingest")
+    "ingest", "ingest50")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -102,7 +102,8 @@ object StreamBench {
     }
 
     (if (only.isEmpty) Ops else Ops.filter(only))
-      .filter(op => op != "bootstrap" && op != "ingest").foreach { op =>
+      .filter(op => op != "bootstrap" && op != "ingest" && op != "ingest50")
+      .foreach { op =>
       val ckpt = s"$base/ckpt-$op"
       val t0 = System.nanoTime()
       val q = pipeline(op).writeStream.format("noop")
@@ -190,6 +191,53 @@ object StreamBench {
         f"docs_per_sec=${m.getLong(0) / math.max(sec, 1e-9)}%.0f " +
         f"admitted=${m.getLong(1)} exact_dup=${m.getLong(2)} " +
         f"near_dup=${m.getLong(3)} excised_tokens=${m.getLong(4)} batches=10")
+    }
+
+    if (only.isEmpty || only("ingest50")) {
+      // the per-batch PLANNING cost over a long run — the r15 growth
+      // term: digest/budget state re-derived per batch. With the
+      // admission-state snapshots (snapEvery=8) the last-10-batch
+      // average must sit flat against the first 10; snapEvery=0
+      // (snapshots off) shows the O(batches) tail the snapshots kill.
+      // Fixed-size 10-doc batches driven through processBatch directly:
+      // the growth term lives in the state reads, not the stream engine.
+      import graft.streaming.IngestPipeline
+      val train = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "lang", "text")
+      val schema = train.schema
+      val docs50 = train.orderBy("doc_id").limit(500).collect()
+      val chunks = docs50.grouped(10).toSeq.take(50)
+      val evalW50 = DedupQueries.evalWindowHashes(
+        Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
+      def drive(b: String, snap: Int, compact: Boolean,
+                nBatches: Int): Seq[Double] =
+        chunks.take(nBatches).zipWithIndex.map { case (c, i) =>
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(c.toIndexedSeq, 1), schema)
+          val t0 = System.nanoTime()
+          IngestPipeline.processBatch(spark, df, i.toLong, evalW50,
+            Long.MaxValue, b, snapEvery = snap)
+          if (compact && (i + 1) % 8 == 0)
+            graft.operators.IndexLifecycle
+              .compactSimhashPostings(spark, s"$b/pillar")
+          (System.nanoTime() - t0) / 1e9
+        }
+      drive(s"$base/ingest50_warm", 8, compact = false, 10) // JIT warmup
+      // three postures: snapshots + interleaved pillar compaction (the
+      // production pairing — nightlyMaintenance's compact step bounds
+      // the segment fan-in the appends accrue), snapshots alone, and
+      // neither (the r15 O(batches) growth term, shown for contrast)
+      Seq((8, true), (8, false), (0, false)).foreach { case (snap, cpt) =>
+        val times = drive(s"$base/ingest50_${snap}_$cpt", snap, cpt,
+          chunks.length)
+        val first10 = times.take(10).sum / 10
+        val last10 = times.takeRight(10).sum / 10
+        println(f"STREAMBENCH $label ingest50 snap=$snap compact=$cpt " +
+          f"batches=${times.length} docs_per_batch=10 " +
+          f"first10_avg=$first10%.3f last10_avg=$last10%.3f " +
+          f"last_over_first=${last10 / math.max(first10, 1e-9)}%.2f")
+      }
     }
     spark.stop()
   }
