@@ -255,14 +255,17 @@ object IndexMaintBench {
         IndexLifecycle.MinhashPillar("mh", mhRoot, dir),
         IndexLifecycle.PqPillar("pq", pqRoot, pqDir,
           k = SimilarityQueries.fixedCents(spark, pqDir).count().toInt))
-      val (t1, n1) = timed {
-        IndexLifecycle.nightlyMaintenance(spark, pillars, keep = 1).count()
+      def pass(): (Double, Seq[String]) = {
+        val t0 = System.nanoTime()
+        val acts = IndexLifecycle.nightlyMaintenance(spark, pillars, keep = 1)
+          .collect().map(r => s"${r.getString(0)}:${r.getString(1)}").toSeq
+        ((System.nanoTime() - t0) / 1e9, acts)
       }
-      val (t2, n2) = timed {
-        IndexLifecycle.nightlyMaintenance(spark, pillars, keep = 1).count()
-      }
-      println(f"INDEXMAINT $label nightly pass_secs=$t1%.3f actions=$n1 " +
-        f"rerun_secs=$t2%.3f rerun_actions=$n2")
+      val (t1, a1) = pass()
+      val (t2, a2) = pass()
+      println(f"INDEXMAINT $label nightly pass_secs=$t1%.3f " +
+        f"actions=${a1.size}[${a1.mkString(",")}] " +
+        f"rerun_secs=$t2%.3f rerun_actions=${a2.size}[${a2.mkString(",")}]")
     }
     spark.stop()
   }

@@ -20,6 +20,7 @@ object NotesDump {
     out ++= growthEvidence
     out ++= maintenanceEvidence
     out ++= manifestEvidence
+    out ++= round16Evidence
     out ++= kafkaBinding
     java.nio.file.Files.writeString(java.nio.file.Paths.get(target), out.toString)
     println(s"[notesdump] wrote $target (${SparkEntry.catalog.size} queries)")
@@ -346,6 +347,112 @@ object NotesDump {
       || q294 lifecycle serve (install→3 appends→compact→prune) | 0.41 s | 1.28 s | 0.75 s | steady-state serve over the COMPACTED single-segment layout is flat across two decades (index-sized banding; at x1 it even undercuts q283's multi-file serve); rep-1 build 16.3→21.9 s carries the whole lifecycle |
       || q295 release-pinned PQ serve | 0.47 s | 1.16 s | 3.38 s | the release indirection is driver-side NIO — growth matches q281's stored-serve curve (sublinear probes·√n scan); rep-1 59 s at x100 is the amortized install |
       || q293 guarded LSH serve | 0.97 s | — | — | plan-identical to q285 (the guard prices at install, not at serve); its decade rows are q285's, its mass readings the guard table above |
+      |""".stripMargin
+
+  /** Round-16 measurements: bounded ingest bookkeeping, planted-family
+    * rejection cost at both decades, the text-heavy bootstrap, and the
+    * nightly maintenance pass — kept in code so SCALE.md regeneration
+    * preserves them. */
+  private val round16Evidence: String =
+    """
+      |## Bounded ingest bookkeeping (round 16)
+      |
+      |The composed pipeline's only per-batch growth terms were the
+      |digest/budget state reads (O(batches) partitions re-read per
+      |micro-batch) and the near-dup pillar's append-segment fan-in.
+      |Round 16 bounds the first with admission-state snapshots (every
+      |snapEvery batches; reads resolve one snapshot + a ≤snapEvery
+      |NIO-listed tail) and leaves the second to the compaction verb the
+      |nightly pass already runs. `sbt "runMain graft.StreamBench
+      |/root/testdata/sf0.001 sf0.001 ingest50"` — 50 fixed-size 10-doc
+      |batches through processBatch after a 10-batch JIT warmup,
+      |last-10-batch average over first-10-batch average:
+      |
+      || posture | first10 avg | last10 avg | last/first |
+      ||---|---|---|---|
+      || snapshots + pillar compaction every 8 (the production pairing — nightlyMaintenance's compact step) | 2.57 s | 2.40 s | 0.93 — FLAT |
+      || snapshots alone | 2.35 s | 6.14 s | 2.61 — residual slope is the pillar's append-segment fan-in (50 appends → ~100 scan nodes per probe), the LSM term compaction owns |
+      || neither (the r15 layout) | 2.16 s | 6.96 s | 3.22 — the O(batches) growth the snapshots kill |
+      |
+      |Epoch-pin-aware retention closes the other r15 gap: every committed
+      |epoch's pinned pillar version joins `pruneVersions`' exclusion set
+      |(`ingestPinnedVersions`, releasePinnedVersions' twin), so a keep=1
+      |prune can reclaim unpinned versions while replayed epochs keep
+      |re-deciding against their recorded store state (StreamingOpsSpec
+      |pins replay green ACROSS a snapshot boundary and across a prune).
+      |
+      |## Ingest rejection cost at scale (round 16)
+      |
+      |r15's x10 ingest row rejected nothing (the open-vocab corpus has no
+      |duplicate families — SCALE.md's own caveat) and x100 was
+      |unmeasured. The `ScaleCorpus <dir> <mult> ingest` variant plants
+      |~9% verbatim copies, ~9% suffix-perturbed near-dups and ~1%
+      |eval-carrying contaminated docs (ids above the original range, so
+      |they arrive after the content they duplicate), leaving the BASE
+      |corpora byte-comparable across rounds. `StreamBench ingest` over
+      |10 checkpointed micro-batches, unbounded budget, 2026-08-17:
+      |
+      || corpus | docs | wall | docs/s | admitted | exact_dup | near_dup | excised tokens |
+      ||---|---|---|---|---|---|---|---|
+      || x10 planted | 58 997 | 79.8 s | 740 | 51 053 | 5 157 | 7 023 | 202 719 |
+      || x100 planted | 589 972 | 109.9 s | 5 368 | 538 045 | 51 768 | 445 | 1 288 647 |
+      |
+      |Reading: every rejection stage pays at both decades and throughput
+      |still amortizes (740 → 5 368 docs/s — per-batch fixed cost divided
+      |by 10× the batch size). The honest x100 number is near_dup=445
+      |against ~45k planted near-dups: the 9–10-bit SimHash band keys put
+      |~1 000 docs in an average band bucket at 589k docs, far past the
+      |DEFAULT cap of 64, so the [2, cap] bound drops the saturated
+      |buckets — the standing bucket-saturation caveat surfacing as a
+      |measured recall collapse. This is exactly the regime the
+      |serving-cap dial + recalibrate loop (and the nightly pass that
+      |runs it) exists to absorb; exact-dedup and decontamination are
+      |cap-free and keep rejecting (51.8k digests, 1.29M tokens excised).
+      |
+      |## Text-heavy bootstrap (round 16)
+      |
+      |r15's honest caveat: at x10 the pillar bootstrap bought no
+      |wall-clock (25.6 s vs 23.2 s re-stream — both converge to the
+      |RocksDB load of 800k state rows) because the ~50-token synthetic
+      |docs make the re-stream's signature scan nearly free. The
+      |`longdocs` ScaleCorpus variant (100–1 000 tokens per doc, 10× the
+      |default — still short of real web documents) measures the regime
+      |the bootstrap exists for:
+      |
+      || corpus | corpus re-stream (10 batches) | bootstrapped admit64 | state rows (both) |
+      ||---|---|---|---|
+      || x10 longdocs | 91.4 s | 28.6 s | 799 968 |
+      |
+      |3.2× — the corpus-independence win as a number: the re-stream pays
+      |the signature scan over 10× the text while the bootstrap's
+      |pillar-read + state load is unchanged from the short-doc corpus
+      |(28.6 s vs 25.6 s). The store-API bound stands: initial state
+      |loads through transformWithState's per-key writes, so the ~25 s
+      |RocksDB floor at 800k rows is not ours to batch away — the
+      |crossover is therefore text volume, and it sits at roughly 2× the
+      |synthetic doc length (x10 short-docs broke even; 10× text wins
+      |3.2×). Real scraped corpora sit well past it.
+      |
+      |## Nightly maintenance pass (round 16)
+      |
+      |`sbt "runMain graft.IndexMaintBench /tmp/sfx10 sfx10 1 nightly"` —
+      |ONE `nightlyMaintenance` walk over a three-pillar store in its
+      |steady posture (SimHash holding all but tonight's 64-doc batch;
+      |MinHash quiescent; PQ with 64 new vectors to code):
+      |
+      || pass | wall | actions |
+      ||---|---|---|
+      || nightly | 21.0 s | 8 — sh:append, sh:compact, sh:prune, mh:recalibrate, mh:prune, pq:append, pq:compact, pq:prune |
+      || re-run (quiescent) | 10.5 s | 0 — the audit-only floor |
+      |
+      |The first x10 run exposed (and fixed) a version-churn bug: when a
+      |dial flags a sag but its chosen value EQUALS the installed one
+      |(the no-viable-replacement fallback), `chosenIfSagging` reinstalled
+      |the same cap as a new version every pass — now it returns None and
+      |the audit keeps flagging, `lshGuardedMaintenance`'s
+      |`installed.forall(_ != c)` rule applied to all four cap/table
+      |recalibrations. The measured re-run going 2 → 0 actions is the fix
+      |as a number.
       |""".stripMargin
 
   /** The one functional gap vs the reference, with its drop-in recipe —

@@ -1958,18 +1958,26 @@ object IndexLifecycle {
     }
 
   /** The dial's chosen value when the INSTALLED row sags — None when the
-    * audit reads green, and ALSO None when the sweep flags a sag but
-    * elects no viable replacement (every swept value misses the floor —
-    * the r14 advisory: "no viable value" is a verdict, not a crash; the
-    * caller keeps serving the installed value and the audit keeps
-    * flagging). Shared by every postings-pillar recalibration; the
-    * ≤sweep-sized collect is the sanctioned control-plane read. */
+    * audit reads green, when the sweep flags a sag but elects no viable
+    * replacement (every swept value misses the floor — the r14
+    * advisory: "no viable value" is a verdict, not a crash), and when
+    * the chosen value EQUALS the installed one (the sweep's fallback
+    * choice — reinstalling the same value would commit a new version
+    * every nightly pass forever, pure version churn; the caller keeps
+    * serving the installed value and the audit keeps flagging, exactly
+    * [[lshGuardedMaintenance]]'s `installed.forall(_ != c)` rule).
+    * Shared by every postings-pillar recalibration; the ≤sweep-sized
+    * collect is the sanctioned control-plane read. */
   private def chosenIfSagging(audit: DataFrame,
                               valueCol: String): Option[Int] = {
     val rows = audit.collect()
+    val installed = rows
+      .find(r => r.getBoolean(r.fieldIndex("installed")))
+      .map(_.getLong(rows.head.fieldIndex(valueCol)).toInt)
     if (!rows.exists(r => r.getBoolean(r.fieldIndex("recalibrate")))) None
     else rows.find(r => r.getBoolean(r.fieldIndex("chosen")))
       .map(_.getLong(rows.head.fieldIndex(valueCol)).toInt)
+      .filter(c => !installed.contains(c))
   }
 
   /** v+1 carrying `carried` artifacts of version `v` by MANIFEST
