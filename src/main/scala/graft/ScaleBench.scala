@@ -31,7 +31,7 @@ object ScaleBench {
     "q285_lsh_postings_serve", "q286_cdc_postings_serve",
     "q287_chunk_store_takedown", "q288_span_owner_takedown",
     "q293_lsh_guarded_serve", "q294_simhash_lifecycle_serve",
-    "q295_release_pinned_pq_serve")
+    "q295_release_pinned_pq_serve", "q296_crossmodal_release_consensus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

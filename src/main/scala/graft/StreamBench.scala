@@ -170,7 +170,14 @@ object StreamBench {
         Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
       val feedI = s"$base/ingestfeed"
       // unbounded budget: this row measures throughput, not policy —
-      // the budget stage still runs its arithmetic on every doc
+      // the budget stage still runs its arithmetic on every doc.
+      // SPARK_GRAFT_INGEST_FAMILIES picks the near-dup family set
+      // (comma-joined): "minhash" is the corpus-scale configuration —
+      // its 31-bit band keys don't saturate where SimHash's 9–10-bit
+      // pigeonhole bands do (the x100 planted-corpus reading).
+      val fams = sys.env.get("SPARK_GRAFT_INGEST_FAMILIES")
+        .map(_.split(",").toSeq).getOrElse(Seq("simhash"))
+      val stages = IngestPipeline.IngestStages(families = fams)
       Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
         .select("doc_id", "lang", "text")
         .repartition(10).write.mode("overwrite").parquet(feedI)
@@ -179,7 +186,7 @@ object StreamBench {
         .schema("doc_id BIGINT, lang STRING, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(feedI)
       val q = IngestPipeline.ingestAdmit(src, evalW, Long.MaxValue,
-        ibase, s"$base/ingestckpt")
+        ibase, s"$base/ingestckpt", stages = stages)
       q.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
@@ -187,7 +194,8 @@ object StreamBench {
         .agg(count(lit(1)), count(when(col("admitted"), 1)),
           count(when(col("exact_dup"), 1)), count(when(col("near_dup"), 1)),
           coalesce(sum(col("excised_tokens")), lit(0L))).head
-      println(f"STREAMBENCH $label ingest docs=${m.getLong(0)} sec=$sec%.3f " +
+      println(f"STREAMBENCH $label ingest families=${fams.mkString("+")} " +
+        f"docs=${m.getLong(0)} sec=$sec%.3f " +
         f"docs_per_sec=${m.getLong(0) / math.max(sec, 1e-9)}%.0f " +
         f"admitted=${m.getLong(1)} exact_dup=${m.getLong(2)} " +
         f"near_dup=${m.getLong(3)} excised_tokens=${m.getLong(4)} batches=10")
