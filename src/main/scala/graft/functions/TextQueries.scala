@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{GraftQuery, Tables}
+import graft.Staging.StagingOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1350,6 +1351,12 @@ object TextQueries {
           explode(transform(sequence(lit(1), size(col("hw")) - 1),
             i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
             .as("s"))
+        // materialized once — the count side and the scoring join both read
+        // the staged stream (the note's own 100 TB posture, now the plan:
+        // the single-plan form derived the tokenize+hash pass twice, since
+        // the count side's partial agg sits below its exchange and
+        // ReuseExchange cannot fire)
+        .staged
       val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
       st.join(cnt, "s")
         .groupBy("doc_id")

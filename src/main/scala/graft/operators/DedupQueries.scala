@@ -459,6 +459,11 @@ object DedupQueries {
     val shEx = replayableShingles(Tables.documents(s, dir))
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      // materialized once: gtx, the size census and BOTH sides of the
+      // intersection join consume this stream — un-staged, the shingle
+      // walk + df window re-evaluated per consumer (4-5 scans of the
+      // corpus in q273/q274's plans)
+      .staged
     val gtx = shEx.filter(isPanel(col("doc_id")))
       .groupBy(col("doc_id").as("pa"))
       .agg(count(when(col("df") > GtBucketCap, 1)).as("gt_excluded_fps"))
@@ -1170,12 +1175,19 @@ object DedupQueries {
     def isPanel(c: org.apache.spark.sql.Column) =
       panelIdCap.foldLeft(c % 5 === 0)((p, cap) => p && c < cap)
     val bkt = Window.partitionBy("band", "key")
-    val sigs = minhashSignatures(s, dir)
+    // signature frame staged: the 64-way MinHash walk feeds the band
+    // sizing AND two agreement-join probes (siga/sigb) — one evaluation
+    // instead of three (the frame is exactly what the postings pillar
+    // stores, index-sized, never corpus text)
+    val sigs = minhashSignatures(s, dir).staged
     val sized = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .withColumn("bsz", count(lit(1)).over(bkt))
       .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
+      // band rows sized+ranked once: the panel slice and the cap slice
+      // both read this frame
+      .staged
     val panel = sized.filter(isPanel(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("pa"), col("bsz"))
     val gtDropped = panel
@@ -1234,30 +1246,49 @@ object DedupQueries {
     * [[MaxBucket]] are dropped (stopword-shingle cutoff) and per-doc sizes
     * are counted AFTER the cutoff, so |A∩B| and |A|+|B| stay consistent —
     * Jaccard over informative shingles, mirrored exactly by the oracle. */
-  private[graft] def jaccardBuckets(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardBuckets(s: SparkSession, dir: String): DataFrame =
+    jaccardBucketsAll(s, dir).filter(size(col("docs")) > 1)
+
+  /** Post-cutoff buckets INCLUDING singletons, id-only: (h, docs:
+    * array<doc_id> sorted). The bucket aggregation rides the SAME
+    * hash-partitioning the df window established (one exchange of the
+    * shingle stream, not two): the old shape interposed a per-doc size
+    * window — a second full-stream exchange + sort keyed by doc_id —
+    * between the cap filter and the bucket agg just to carry `n` into the
+    * bucket lists; [[jaccardPairs]] now recovers the sizes from the
+    * buckets themselves (n = how many post-cutoff buckets contain the
+    * doc — the singletons make that identity exact). */
+  private def jaccardBucketsAll(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val filtered = shingles(s, dir)
+    shingles(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= MaxBucket)
-    filtered
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .groupBy("h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
   }
 
   /** q41's near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.8) without the
-    * presentation sort — the edge list q81's cluster operator consumes. */
+    * presentation sort — the edge list q81's cluster operator consumes.
+    * The bucket frame is staged (one evaluation of the shingle walk +
+    * inverted index) and consumed twice: per-doc post-cutoff sizes, and
+    * in-bucket pair expansion — the "materialize the stream once, both
+    * passes read the staging table" posture q99's note documents, here as
+    * the index-sized bucket frame rather than the raw stream. */
   private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardBuckets(s, dir)
+    import graft.Staging.StagingOps
+    val buckets = jaccardBucketsAll(s, dir).staged
+    val sizes = buckets
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = buckets.filter(size(col("docs")) > 1)
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-            a("n").as("na"), b("n").as("nb")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jac",
         col("c") * lit(1.0) / ((col("na") + col("nb")) - col("c")))
       .filter(col("jac") >= 0.8)
@@ -2209,8 +2240,12 @@ object DedupQueries {
           sigs.filter(col("doc_id") % 7 =!= 0))
         ()
       }
+      // the batch's signature walk staged once: inside the probe it feeds
+      // the band keys AND both confirm-join sides (three evaluations in
+      // the single-plan form; the streaming twin gets the same effect from
+      // its per-epoch signature frame)
       IndexLifecycle.simhashBatchPairs(s, root,
-        sigs.filter(col("doc_id") % 7 === 0))
+        Staging.stage(sigs.filter(col("doc_id") % 7 === 0)))
     }
 
   /** q290 — incremental batch admission against the stored MinHash
@@ -2239,8 +2274,10 @@ object DedupQueries {
           sigs.filter(col("doc_id") % 7 =!= 0))
         ()
       }
+      // staged for the same reason as q289: one 64-way signature walk of
+      // the batch, not three
       IndexLifecycle.minhashBatchPairs(s, root,
-        sigs.filter(col("doc_id") % 7 === 0))
+        Staging.stage(sigs.filter(col("doc_id") % 7 === 0)))
     }
 
   /** q291 — incremental batch admission against the stored LSH codes,

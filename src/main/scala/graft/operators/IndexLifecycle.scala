@@ -1556,8 +1556,14 @@ object IndexLifecycle {
   def lshBatchPairs(s: SparkSession, root: String, dir: String,
                     batchVecs: DataFrame): DataFrame = {
     val (codes, bits, tables) = readLshIndex(s, root)
-    val fresh = batchVecs.join(codes.select("vec_id").distinct(),
-      Seq("vec_id"), "left_anti")
+    // batch-sized, staged: the batch's code walk and the confirm union
+    // side read one evaluation. Safe to stage here (unlike the simhash/
+    // minhash twins, which the streaming ingest calls per micro-batch and
+    // where an unreleasable checkpoint per epoch would accumulate): this
+    // verb is batch-only — q291 and IndexMaintBench.
+    val fresh = graft.Staging.stage(
+      batchVecs.join(codes.select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti"))
     val keys = lshProbed(
       DedupQueries.lshSigCodes(fresh, bits, tables)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code"))),
@@ -1755,8 +1761,13 @@ object IndexLifecycle {
                     batchMedia: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (chunks, cap) = readCdcIndex(s, root)
-    val fresh = MultimodalQueries.cdcDocChunks(batchMedia)
-      .join(chunks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // batch-sized, staged: the union, the batch-membership flag and the
+    // touched-bucket census all read the batch's payload chunk walk once
+    // (batch-only verb — q292 and IndexMaintBench — so the staged block
+    // cannot accumulate per streaming epoch)
+    val fresh = graft.Staging.stage(
+      MultimodalQueries.cdcDocChunks(batchMedia)
+        .join(chunks.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
     val union = chunks.unionByName(fresh)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
     val surv = union.filter(col("df") <= cap)

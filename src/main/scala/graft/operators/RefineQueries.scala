@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging.StagingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -420,6 +421,10 @@ object RefineQueries {
         explode(transform(sequence(lit(1), size(col("hw")) - 1),
           i => xxhash64(element_at(col("hw"), i), element_at(col("hw"), i + 1))))
           .as("s"))
+      // materialized once — count side and scoring join both read the
+      // staged gram stream instead of re-running the tokenize+hash pass
+      // (q99's staged-stream posture; serves q239 AND q239b)
+      .staged
     val cnt = st.groupBy("s").agg(count(lit(1)).as("c"))
     st.join(cnt, "s")
       .groupBy("doc_id", "lang")

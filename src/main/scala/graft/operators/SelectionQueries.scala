@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Staging.StagingOps
 import graft.functions.TextQueries.{base31Fold, base31FoldSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -233,6 +234,12 @@ object SelectionQueries {
           slice(col("fw"), lit(1), size(col("fw")) - 1),
           slice(col("fw"), lit(2), size(col("fw")) - 1),
           (a, b) => (a * 31 + b) % 1000000007L % Buckets)).as("b"))
+        // materialized once: the stats aggregation and the scoring join
+        // both consume the gram stream, and in the single-plan form the
+        // per-word char-level fold ran TWICE over the corpus (the stats
+        // side's partial agg sits below its exchange, so ReuseExchange
+        // cannot dedupe it) — the same staged-stream posture q99 documents
+        .staged
       val stats = bk.groupBy("b").agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
         count(lit(1)).as("r"))

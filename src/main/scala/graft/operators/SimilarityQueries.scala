@@ -236,11 +236,20 @@ object SimilarityQueries {
     * predicates, where the filtered corpus is small enough to scan; the
     * IVF post-filter above is the strategy for broad ones). Exact side of
     * the q256 scoreboard. */
-  private[operators] def bruteFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def bruteFilteredTopK(s: SparkSession, dir: String,
+                                           excludeQ: Option[DataFrame] = None): DataFrame = {
     val nl = normedWithLabel(s, dir)
-    val q = nl.filter(col("vec_id") % 50 === 0)
+    val panel = nl.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("lbl").as("qlbl"))
+    // Prune the PANEL before the corpus×panel broadcast join, not the
+    // ranked output after it: an anti-join above the rank window cannot be
+    // pushed below it, so q259's fallback used to score the exact top-k
+    // for EVERY panel query and throw the routed ones away. Dropping the
+    // excluded queries here shrinks the scored stream (the dominant cost,
+    // corpus × panel-same-label cosine) by the routed fraction.
+    val q = excludeQ.foldLeft(panel)((p, ex) =>
+      p.join(broadcast(ex), Seq("query_id"), "left_anti"))
     val scored = nl.join(broadcast(q),
         col("vec_id") =!= col("query_id") && col("lbl") === col("qlbl"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -2907,14 +2916,26 @@ object SimilarityQueries {
         "the broadcast join condition, and the strategy knee (supply ≥ " +
         "k) is the same dial a per-filter over-fetch factor would turn."
     ) { (s, dir) =>
-      val cand = ivfFilteredCandidates(s, dir)
-      val okQ = cand.groupBy("query_id").agg(count(lit(1)).as("supply"))
-        .filter(col("supply") >= K).select("query_id")
-      val post = rankTopK(cand)
-        .join(okQ, Seq("query_id"), "left_semi")
+      // ONE evaluation of the candidate scan (assignment + probe join +
+      // cosine — the dominant subtree), staged as the ≤ K·|panel|-row
+      // top-k frame. The old shape evaluated it twice: once under the
+      // supply aggregate, once under the rank window — two full copies of
+      // the BroadcastNestedLoopJoin assignment kernel in the plan. The
+      // supply audit needs no second scan because row_number emits exactly
+      // K rows for a query iff its candidate supply is ≥ K (rk ≤ K keeps
+      // min(supply, K) rows), so `count == K` over the staged top-k IS
+      // `supply >= K` — same routing set, proven by the same oracle text.
+      val ranked = graft.Staging.stage(rankTopK(ivfFilteredCandidates(s, dir)))
+      val okQ = ranked.groupBy("query_id").agg(count(lit(1)).as("nk"))
+        .filter(col("nk") === K).select("query_id")
+      val post = ranked
+        .join(broadcast(okQ), Seq("query_id"), "left_semi")
         .withColumn("strategy", lit("postfilter"))
-      val pre = bruteFilteredTopK(s, dir)
-        .join(okQ, Seq("query_id"), "left_anti")
+      // The brute fallback scores ONLY the starved queries: the anti-join
+      // moves from above the fallback's rank (unpushable) into its panel
+      // build, so the corpus×panel cosine stream shrinks by the routed
+      // fraction instead of being computed for everyone and discarded.
+      val pre = bruteFilteredTopK(s, dir, excludeQ = Some(okQ))
         .withColumn("strategy", lit("prefilter"))
       post.unionAll(pre)
         .select(col("query_id"), col("neighbor_id"), col("rk"),
