@@ -391,9 +391,11 @@ object DedupQueries {
                                        gtCap: Int = GtBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bkt = Window.partitionBy("band", "key")
-    val keyed = simhashBandKeys(sigs)
+    // staged: the panel slice and the gtCap slice both consume the sized
+    // band frame (bucketCapDial's discipline; batch-only callers)
+    val keyed = graft.Staging.stage(simhashBandKeys(sigs)
       .withColumn("bsz", count(lit(1)).over(bkt))
-      .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
+      .withColumn("rk", row_number().over(bkt.orderBy("doc_id"))))
     val panelKeys = keyed.filter(col("doc_id") % 5 === 0)
       .select(col("band"), col("key"), col("doc_id").as("pa"),
         col("sim").as("sim_a"), col("bsz"))
@@ -866,8 +868,13 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val bkt = Window.partitionBy("band", "key")
     val keyed = simhashBandKeys(sigs)
-    val sized = keyed.withColumn("bsz", count(lit(1)).over(bkt))
-      .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
+    // sized band frame staged: the panel slice and the gtCap slice both
+    // consume it — one evaluation of the signature walk + band windows
+    // (batch-only callers: q265/q266, the lifecycle cap audits,
+    // Calibration)
+    val sized = graft.Staging.stage(
+      keyed.withColumn("bsz", count(lit(1)).over(bkt))
+        .withColumn("rk", row_number().over(bkt.orderBy("doc_id"))))
     val panel = sized.filter(col("doc_id") % 5 === 0)
       .select(col("band"), col("key"), col("doc_id").as("pa"),
         col("sim").as("sim_a"), col("bsz"))
@@ -1866,8 +1873,10 @@ object DedupQueries {
         "quadratic). The scoreboard join carries id pairs only, and " +
         "at 100 TB this runs nightly beside q261 over the same panel."
     ) { (s, dir) =>
-      simhashScoreboard(textSimhashSigs(s, dir),
-        simhashNearDupPairsUnsorted(textSimhashSigs(s, dir)))
+      // ONE signature walk: the scoreboard's ground-truth side and the
+      // graded pair set both read the staged frame
+      val sigs = Staging.stage(textSimhashSigs(s, dir))
+      simhashScoreboard(sigs, simhashNearDupPairsUnsorted(sigs))
     },
 
     GraftQuery(

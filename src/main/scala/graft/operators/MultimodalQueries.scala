@@ -687,8 +687,11 @@ object MultimodalQueries {
     ) { (s, dir) =>
       val media = Tables.documents(s, dir)
         .select(col("doc_id"), mediaPayload.as("payload"))
-      DedupQueries.simhashScoreboard(byteSimhashSigs(media),
-        byteSimhashPairsUnsorted(media))
+      // ONE payload signature walk: ground-truth side and graded pair set
+      // read the staged byte-shingle signatures (q262's discipline)
+      val sigs = graft.Staging.stage(byteSimhashSigs(media))
+      DedupQueries.simhashScoreboard(sigs,
+        DedupQueries.simhashNearDupPairsUnsorted(sigs))
     },
 
     GraftQuery(
