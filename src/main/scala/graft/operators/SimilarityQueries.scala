@@ -2951,7 +2951,11 @@ object SimilarityQueries {
   private[graft] def probeDepthDial(s: SparkSession, dir: String,
                                     floorPpm: Long = ProbeRecallFloorPpm,
                                     depths: Seq[Int] = ProbeDepths): DataFrame = {
-    val exact = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    // the exact ground truth staged once: the depth sweep graded it once
+    // PER SWEPT DEPTH (3 evaluations of the brute panel×corpus scorer in
+    // q251's plan — 36 scans); the frame is K·|panel| rows
+    val exact = graft.Staging.stage(
+      bruteTopK(s, dir).select(col("query_id"), col("neighbor_id")))
     val perDepth = depths.map { d =>
       exact
         .join(ivfTopK(s, dir, d)

@@ -327,14 +327,19 @@ object IngestPipeline {
         IndexLifecycle.latestVersion(familyRoot(base, f)).getOrElse(1L)))
       .toMap
     val feats = features(s, batch, evalW).persist()
+    val cleaned = feats.select(col("doc_id"), col("text_clean").as("text"))
+    // persisted for the epoch and RELEASED in the finally (a localCheckpoint
+    // here could never be released and would accumulate per epoch): the
+    // probe consumes each family's signature frame three times (band keys +
+    // both confirm sides) and the append twice more (no-op probe + delta
+    // write) — one signature walk per family per epoch instead of ~5
+    val famSigs = stages.families.map { f =>
+      f -> (f match {
+        case "simhash" => DedupQueries.textSimhashSigsFor(cleaned)
+        case "minhash" => DedupQueries.minhashSignaturesFor(cleaned)
+      }).persist()
+    }.toMap
     try {
-      val cleaned = feats.select(col("doc_id"), col("text_clean").as("text"))
-      val famSigs = stages.families.map { f =>
-        f -> (f match {
-          case "simhash" => DedupQueries.textSimhashSigsFor(cleaned)
-          case "minhash" => DedupQueries.minhashSignaturesFor(cleaned)
-        })
-      }.toMap
       val famPairs = stages.families.map { f =>
         val root = familyRoot(base, f)
         val pairs = (f match {
@@ -400,7 +405,11 @@ object IngestPipeline {
         }
       }
       maybeSnapshot(s, base, id, snapEvery)
-    } finally { feats.unpersist(); () }
+    } finally {
+      famSigs.values.foreach { d => d.unpersist(); () }
+      feats.unpersist()
+      ()
+    }
   }
 
   /** Each family's pillar root and per-batch pin directory. */
