@@ -1193,7 +1193,8 @@ object DedupQueries {
       .withColumn("bsz", count(lit(1)).over(bkt))
       .withColumn("rk", row_number().over(bkt.orderBy("doc_id")))
       // band rows sized+ranked once: the panel slice and the cap slice
-      // both read this frame
+      // both read this frame (dropping this staging alone re-measured
+      // WORSE — q274 med 1.07→1.45 in the V0/V1 A/B)
       .staged
     val panel = sized.filter(isPanel(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("pa"), col("bsz"))
