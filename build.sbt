@@ -14,6 +14,17 @@ Test / fork := true
 // (ExtensionsSpec); parallel suite execution races on it.
 Test / parallelExecution := false
 run / fork := true
+// The bench contract needs the forked main's final stdout line to be BARE
+// JSON: by default sbt pipes forked output through its logger, prefixing
+// every line with "[info] " and appending a "[success] Total time …" line —
+// the driver's tail-parse of Bench's one-line JSON has returned null every
+// round because of exactly that decoration (PERF_*.json "parsed": null,
+// r01-r16). StdoutOutput hands the forked process the real stdout/stderr
+// (no prefix, and Spark's stderr chatter stays off stdout); showSuccess
+// drops the trailing "[success]" line so the JSON stays the LAST line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

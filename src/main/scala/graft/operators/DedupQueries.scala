@@ -464,7 +464,13 @@ object DedupQueries {
       // materialized once: gtx, the size census and BOTH sides of the
       // intersection join consume this stream — un-staged, the shingle
       // walk + df window re-evaluated per consumer (4-5 scans of the
-      // corpus in q273/q274's plans)
+      // corpus in q273/q274's plans). Re-adjudicated r17 after the r16
+      // verdict flagged the dials: a same-hour interleaved ABAB
+      // (staged/unstaged × 2, 8 reps each) read staged FASTER for
+      // q261/q272 (mins 0.90/0.66 vs 1.01-1.21/0.76-0.91) and q274
+      // (1.20/1.28 vs 1.40/1.42), noise-level for q273 — the
+      // cross-session snapshot regression the verdict cited does not
+      // reproduce under controlled pairing, so the staging stays.
       .staged
     val gtx = shEx.filter(isPanel(col("doc_id")))
       .groupBy(col("doc_id").as("pa"))

@@ -305,6 +305,13 @@ class ScaleDesignSpec extends SparkSpec {
     assert(pSig.contains("graft_token_shingles") &&
       !pSig.contains("transform(split(lower"),
       s"the signature frame must build text shingles with the native kernel:\n$pSig")
+    // The MinHash signature frame (staged by q273/q274/q290 — a checkpoint
+    // scan carries no expression, so the kernel rule must be asserted on
+    // the frame's OWN plan, as for textSimhashSigs above).
+    val pMhSig = physicalPlan(operators.DedupQueries.minhashSignatures(spark, sf))
+    assert(pMhSig.contains("graft_token_shingles") &&
+      !pMhSig.contains("transform(split(lower"),
+      s"the MinHash signature frame must use the native shingle kernel:\n$pMhSig")
     // q41's exact-Jaccard prep is the xxhash64 sibling — same kernel rule.
     // The query itself stages its bucket frame (r16), so the kernel is
     // asserted on the bucket build's own plan; the no-HOF guard stays on
