@@ -721,6 +721,13 @@ object IndexLifecycle {
       case None => Seq(s"v=$v/$artifact")
     }
 
+  /** Whether v=N's manifest carries `artifact` — the derived probe-ready
+    * layouts (balls/buckets/doccnt) are optional: a version committed by
+    * an older writer lacks them and the serve falls back to deriving the
+    * same frame from the base artifact. Driver-side NIO, never a job. */
+  private def hasArtifact(root: String, v: Long, artifact: String): Boolean =
+    manifestEntries(root, v).exists(_.exists(_._1 == artifact))
+
   /** One artifact of v=N as a DataFrame: per-segment scans unioned, so a
     * partition filter (band/tbl/bkt/cent_id) prunes inside EVERY
     * segment. Explicit schema — an empty pillar has file-less segments
@@ -1179,6 +1186,18 @@ object IndexLifecycle {
   private val LshCodesSchema = "vec_id BIGINT, code INT, tbl INT"
   private val LshCfgSchema = "bits BIGINT, tables BIGINT"
   private val CdcChunksSchema = "doc_id BIGINT, cfp BIGINT, bkt BIGINT"
+  // Probe-ready serve layouts (r17, guide §6 "layout determines how well
+  // readers skip data"): derived WHOLLY from the version's base artifact
+  // and rebuilt at every commit that changes it, so a serve never
+  // re-expands probes or re-counts buckets. `balls` holds the LSH serve's
+  // Hamming-1-expanded, [2, MaxBucket]-bounded bucket id-lists; `buckets`/
+  // `doccnt` hold the CDC serve's df-annotated member lists and per-doc
+  // df-census, both df-bounded at the dial sweep's max so a zero-byte cap
+  // swap (capOnlyVersion) can CARRY them for any servable cap.
+  private val LshBallsSchema = "band INT, key INT, ids ARRAY<BIGINT>"
+  private val CdcBucketsSchema =
+    "cfp BIGINT, df BIGINT, ds ARRAY<BIGINT>, bkt BIGINT"
+  private val CdcDocCntSchema = "doc_id BIGINT, df BIGINT, cnt BIGINT"
 
   // each pillar's big artifacts as (name, schema, partition cols) — the
   // shared descriptor the takedown and compaction verbs operate over
@@ -1188,8 +1207,15 @@ object IndexLifecycle {
   private val MinhashArts = Seq(
     ("sigs", MinhashSigsSchema, Seq.empty[String]),
     ("postings", BandPostingsSchema, Seq("band")))
-  private val LshArts = Seq(("codes", LshCodesSchema, Seq("tbl")))
-  private val CdcArts = Seq(("chunks", CdcChunksSchema, Seq("bkt")))
+  private val LshArts = Seq(
+    ("codes", LshCodesSchema, Seq("tbl")),
+    // derived serve layout: always a single segment (rebuilt whole at
+    // every codes-changing commit), so compaction carries it by reference
+    ("balls", LshBallsSchema, Seq("band")))
+  private val CdcArts = Seq(
+    ("chunks", CdcChunksSchema, Seq("bkt")),
+    ("buckets", CdcBucketsSchema, Seq("bkt")),
+    ("doccnt", CdcDocCntSchema, Seq.empty[String]))
   private val PqArts = Seq(
     ("codes", PqCodesSchema, Seq("cent_id")),
     ("centroids", PqCentsSchema, Seq.empty[String]),
@@ -1485,11 +1511,33 @@ object IndexLifecycle {
           .select(col("vec_id"), col("code"), col("tbl"))
           .write.mode("overwrite").partitionBy("tbl")
           .parquet(p.toString))
+      val ballSeg = writeLshBalls(s, root,
+        s.read.schema(LshCodesSchema).parquet(s"$root/$codeSeg"), bits)
       s.range(1).select(lit(bits.toLong).as("bits"),
           lit(tables.toLong).as("tables"))
         .write.mode("overwrite").parquet(staging.resolve("lshcfg").toString)
-      writeManifest(staging, Seq("codes" -> codeSeg))
+      writeManifest(staging, Seq("codes" -> codeSeg, "balls" -> ballSeg))
     }
+
+  /** The LSH serve's probe-ready layout, derived from a version's FULL
+    * code set: Hamming-1 probe balls expanded, buckets bounded to the
+    * serve's own [2, MaxBucket], ids collected sorted — the rows
+    * [[lshPairsFromStoreAt]] pairs directly, with no per-serve expansion
+    * or bucket-count window. Bucket membership is a whole-index property
+    * (a takedown can pull an over-cap bucket back under the bound), so
+    * every codes-changing commit rebuilds this segment whole; a cap/dial
+    * carry or compaction references it unchanged. */
+  private def lshBallsOf(codes: DataFrame, bits: Int): DataFrame =
+    ballsOfBounded(boundedBuckets(lshProbed(codes, bits)
+      .withColumnRenamed("tbl", "band")
+      .withColumnRenamed("code", "key")
+      .withColumnRenamed("vec_id", "doc_id"), DedupQueries.MaxBucket))
+
+  private def writeLshBalls(s: SparkSession, root: String,
+                            codes: DataFrame, bits: Int): String =
+    writeSegment(root, "balls")(p =>
+      lshBallsOf(codes, bits)
+        .write.mode("overwrite").partitionBy("band").parquet(p.toString))
 
   /** The LSH index artifacts at a SPECIFIC version. */
   def readLshIndexAt(s: SparkSession, root: String,
@@ -1519,17 +1567,22 @@ object IndexLifecycle {
     lshPairsFromStoreAt(s, root,
       latestVersion(root).getOrElse(noIndex(root)), dir)
 
-  /** [[lshPairsFromStore]] pinned to a SPECIFIC store version. */
+  /** [[lshPairsFromStore]] pinned to a SPECIFIC store version. The
+    * candidate side reads the stored probe-ready `balls` lists (r17):
+    * no Hamming-1 re-expansion and no bucket-count window in the serve
+    * plan — stored rows pair directly, then the exact cosine re-check
+    * runs as before. Versions committed by older writers (no balls
+    * artifact) fall back to deriving the same frame from codes. */
   def lshPairsFromStoreAt(s: SparkSession, root: String, v: Long,
                           dir: String): DataFrame = {
-    val (codes, bits, _) = readLshIndexAt(s, root, v)
-    lshConfirm(
-      pairsOfBuckets(
-        boundedBuckets(lshProbed(codes, bits)
-          .withColumnRenamed("tbl", "band")
-          .withColumnRenamed("code", "key")
-          .withColumnRenamed("vec_id", "doc_id"), DedupQueries.MaxBucket),
-        "vec_a", "vec_b"),
+    val balls =
+      if (hasArtifact(root, v, "balls"))
+        readArtifact(s, root, v, "balls", LshBallsSchema)
+      else {
+        val (codes, bits, _) = readLshIndexAt(s, root, v)
+        lshBallsOf(codes, bits)
+      }
+    lshConfirm(pairsOfBalls(balls, "vec_a", "vec_b"),
       DedupQueries.normVecs(s, dir))
   }
 
@@ -1615,10 +1668,22 @@ object IndexLifecycle {
     * audit prices exactly the work the serve does. */
   def lshConfirmAudit(s: SparkSession, root: String,
                       bucketBudgetPairs: Long = Long.MaxValue): DataFrame = {
-    val (codes, bits, _) = readLshIndex(s, root)
-    lshProbed(codes, bits)
-      .groupBy("tbl", "code").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, DedupQueries.MaxBucket))
+    val v = latestVersion(root).getOrElse(noIndex(root))
+    // the audit prices exactly the serve's buckets — which the store now
+    // keeps probe-ready, so the reading is a scan of bucket-sized rows
+    // (legacy versions derive the same frame from codes)
+    val sized =
+      if (hasArtifact(root, v, "balls"))
+        readArtifact(s, root, v, "balls", LshBallsSchema)
+          .select(col("band").as("tbl"), col("key").as("code"),
+            size(col("ids")).cast("long").as("bsz"))
+      else {
+        val (codes, bits, _) = readLshIndexAt(s, root, v)
+        lshProbed(codes, bits)
+          .groupBy("tbl", "code").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz").between(2, DedupQueries.MaxBucket))
+      }
+    sized
       .withColumn("cand_pairs",
         (col("bsz") * (col("bsz") - 1)).divide(2).cast("long"))
       .withColumn("over_budget", col("cand_pairs") > bucketBudgetPairs)
@@ -1692,10 +1757,17 @@ object IndexLifecycle {
             .select(col("vec_id"), col("code"), col("tbl"))
             .write.mode("overwrite").partitionBy("tbl")
             .parquet(p.toString))
+        // probe-ready balls rebuild whole over stored ∪ delta: bucket
+        // membership under the [2, cap] bound is a union property, not a
+        // per-segment one (a batch member can push a stored bucket into —
+        // or past — the bound)
+        val ballSeg = writeLshBalls(s, root, codes.unionByName(
+          s.read.schema(LshCodesSchema).parquet(s"$root/$codeSeg")), bits)
         val done = installVersion(root, v + 1, _ => ()) { staging =>
           copyTree(Paths.get(s"$root/v=$v/lshcfg"), staging.resolve("lshcfg"))
           writeManifest(staging,
-            carriedRefs(root, v, Seq("codes")) :+ ("codes" -> codeSeg))
+            carriedRefs(root, v, Seq("codes")) :+ ("codes" -> codeSeg)
+              :+ ("balls" -> ballSeg))
         }
         if (done) Right(Some(v + 1)) else Left(())
       }
@@ -1719,10 +1791,51 @@ object IndexLifecycle {
           .withColumn("bkt", pmod(col("cfp"), lit(16L)))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(p.toString))
+      val derived = writeCdcServeLayout(s, root,
+        s.read.schema(CdcChunksSchema).parquet(s"$root/$chunkSeg")
+          .select("doc_id", "cfp"))
       s.range(1).select(lit(cap.toLong).as("cap"))
         .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
-      writeManifest(staging, Seq("chunks" -> chunkSeg))
+      writeManifest(staging, ("chunks" -> chunkSeg) +: derived)
     }
+
+  /** Every serving cap the CDC pillar can carry its probe-ready layout
+    * for: the dial sweep's max. df above this bound never reaches any
+    * servable universe, so the stored lists and census can omit it —
+    * which is what keeps a corpus-wide boilerplate chunk from storing an
+    * n-doc id list. A custom cap past the bound serves via the fallback
+    * (df re-priced from chunks). */
+  private val CdcStoredDfBound: Int = DedupQueries.CapSweep.max
+
+  /** The CDC serve's probe-ready layout, derived from a version's FULL
+    * chunk set and CAP-INDEPENDENT (both frames carry `df`, bounded at
+    * [[CdcStoredDfBound]], so any servable cap binds at read by a pushed
+    * df filter and a zero-byte cap swap carries the segments):
+    *  - `buckets(cfp, df, ds)` — per-fingerprint sorted member lists for
+    *    df ∈ [2, bound], the rows the serve pairs directly;
+    *  - `doccnt(doc_id, df, cnt)` — per-doc census of chunk df values,
+    *    whose df ≤ cap partial sums are exactly the serve's per-doc
+    *    surviving sizes (previously a full-posting window per serve).
+    * df is a whole-corpus property, so every chunks-changing commit
+    * rebuilds both segments whole — the same one-window pass a single
+    * serve used to pay, paid once per commit instead. */
+  private def writeCdcServeLayout(s: SparkSession, root: String,
+                                  chunks: DataFrame): Seq[(String, String)] = {
+    import org.apache.spark.sql.expressions.Window
+    val withDf = chunks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("cfp")))
+    val bucketSeg = writeSegment(root, "buckets")(p =>
+      withDf.filter(col("df").between(2, CdcStoredDfBound))
+        .groupBy("cfp", "df")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .withColumn("bkt", pmod(col("cfp"), lit(16L)))
+        .write.mode("overwrite").partitionBy("bkt").parquet(p.toString))
+    val cntSeg = writeSegment(root, "doccnt")(p =>
+      withDf.filter(col("df") <= CdcStoredDfBound)
+        .groupBy("doc_id", "df").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p.toString))
+    Seq("buckets" -> bucketSeg, "doccnt" -> cntSeg)
+  }
 
   /** The CDC index artifacts at a SPECIFIC version. */
   def readCdcIndexAt(s: SparkSession, root: String,
@@ -1741,15 +1854,33 @@ object IndexLifecycle {
     cdcPairsFromStoreAt(s, root,
       latestVersion(root).getOrElse(noIndex(root)))
 
-  /** [[cdcPairsFromStore]] pinned to a SPECIFIC store version. */
+  /** [[cdcPairsFromStore]] pinned to a SPECIFIC store version. The serve
+    * reads the stored probe-ready layout (r17): member lists pair
+    * directly under a pushed df ≤ cap filter and per-doc sizes come from
+    * the stored census — no corpus-wide df window and no per-doc size
+    * window in the serve plan. Legacy versions (or a custom cap past the
+    * stored bound) fall back to re-pricing df from the chunk rows. */
   def cdcPairsFromStoreAt(s: SparkSession, root: String,
                           v: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (chunks, cap) = readCdcIndexAt(s, root, v)
-    MultimodalQueries.cdcContainmentPairsOfChunks(
-      chunks.withColumn("df", count(lit(1)).over(Window.partitionBy("cfp"))),
-      cap)
-      .orderBy("doc_a", "doc_b")
+    val cap = scalarsAt(s, root, v, "capcfg", "cap BIGINT").head.toInt
+    if (cap <= CdcStoredDfBound && hasArtifact(root, v, "buckets") &&
+      hasArtifact(root, v, "doccnt")) {
+      val buckets = readArtifact(s, root, v, "buckets", CdcBucketsSchema)
+        .filter(col("df") <= cap)
+      val sizes = readArtifact(s, root, v, "doccnt", CdcDocCntSchema)
+        .filter(col("df") <= cap)
+        .groupBy("doc_id").agg(sum(col("cnt")).as("n"))
+      MultimodalQueries.cdcContainmentPairsOfBuckets(buckets, sizes)
+        .orderBy("doc_a", "doc_b")
+    } else {
+      val (chunks, _) = readCdcIndexAt(s, root, v)
+      MultimodalQueries.cdcContainmentPairsOfChunks(
+        chunks.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("cfp"))),
+        cap)
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Admit a NEW media batch against the stored chunk postings: the
@@ -1818,10 +1949,17 @@ object IndexLifecycle {
           fresh.withColumn("bkt", pmod(col("cfp"), lit(16L)))
             .write.mode("overwrite").partitionBy("bkt")
             .parquet(p.toString))
+        // df is a whole-corpus property: the probe-ready layout rebuilds
+        // over stored ∪ delta (the same window pass one un-staged serve
+        // used to pay per read)
+        val derived = writeCdcServeLayout(s, root, chunks.unionByName(
+          s.read.schema(CdcChunksSchema).parquet(s"$root/$chunkSeg")
+            .select("doc_id", "cfp")))
         val done = installVersion(root, v + 1, _ => ()) { staging =>
           copyTree(Paths.get(s"$root/v=$v/capcfg"), staging.resolve("capcfg"))
           writeManifest(staging,
-            carriedRefs(root, v, Seq("chunks")) :+ ("chunks" -> chunkSeg))
+            (carriedRefs(root, v, Seq("chunks")) :+
+              ("chunks" -> chunkSeg)) ++ derived)
         }
         if (done) Right(Some(v + 1)) else Left(())
       }
@@ -1928,7 +2066,12 @@ object IndexLifecycle {
       chosenIfSagging(cdcPostingsCapAuditAt(s, root, v, media), "cap") match {
         case None => Right(None)
         case Some(cap) =>
-          capOnlyVersion(s, root, v, Seq("chunks"), cap)
+          // the probe-ready layout is cap-independent (df-bounded at the
+          // sweep max), so a cap swap carries it by reference too —
+          // guarded on presence so a legacy version doesn't mint a
+          // phantom reference
+          capOnlyVersion(s, root, v, Seq("chunks") ++
+            Seq("buckets", "doccnt").filter(hasArtifact(root, v, _)), cap)
             .map(n => Some(n)).toRight(())
       }
     }
@@ -2237,19 +2380,64 @@ object IndexLifecycle {
       Seq("capcfg"))
 
   /** Remove `deleted(vec_id)` from the LSH postings pillar — surviving
-    * codes consolidate into one segment (no re-hashing), dials carry. */
+    * codes consolidate into one segment (no re-hashing), dials carry.
+    * The probe-ready balls rebuild from the SURVIVOR set (not an id
+    * anti-join on the lists: a deletion can pull an over-cap bucket back
+    * under the serve bound, which only a whole-index re-census sees). */
   def takedownLshPostings(s: SparkSession, root: String,
                           deleted: DataFrame): Option[Long] =
-    takedownPostingsPillar(s, root, deleted, "vec_id", LshArts,
-      Seq("lshcfg"))
+    retryVersionRace() { () =>
+      val v = latestVersion(root).getOrElse(noIndex(root))
+      val del = deleted.select(col("vec_id")).distinct()
+      val codes = readArtifact(s, root, v, "codes", LshCodesSchema)
+      val hit = codes.join(del, Seq("vec_id"), "left_semi")
+        .limit(1).count() > 0
+      if (!hit) Right(None)
+      else {
+        val codeSeg = writeSegment(root, "codes")(p =>
+          codes.join(del, Seq("vec_id"), "left_anti")
+            .write.mode("overwrite").partitionBy("tbl").parquet(p.toString))
+        val bits = scalarsAt(s, root, v, "lshcfg", LshCfgSchema)(0).toInt
+        val ballSeg = writeLshBalls(s, root,
+          s.read.schema(LshCodesSchema).parquet(s"$root/$codeSeg"), bits)
+        val done = installVersion(root, v + 1, _ => ()) { staging =>
+          copyTree(Paths.get(s"$root/v=$v/lshcfg"), staging.resolve("lshcfg"))
+          writeManifest(staging,
+            Seq("codes" -> codeSeg, "balls" -> ballSeg))
+        }
+        if (done) Right(Some(v + 1)) else Left(())
+      }
+    }
 
   /** Remove `deleted(doc_id)` from the CDC chunk postings pillar —
     * surviving chunk rows consolidate (no payload walk); df re-prices
-    * at read as always, so containment verdicts follow the deletion. */
+    * over the survivors, so containment verdicts follow the deletion.
+    * The probe-ready layout rebuilds from the survivor set (df is a
+    * whole-corpus property: a deletion moves every cohabiting chunk's
+    * df, which no per-list anti-join can see). */
   def takedownCdcPostings(s: SparkSession, root: String,
                           deleted: DataFrame): Option[Long] =
-    takedownPostingsPillar(s, root, deleted, "doc_id", CdcArts,
-      Seq("capcfg"))
+    retryVersionRace() { () =>
+      val v = latestVersion(root).getOrElse(noIndex(root))
+      val del = deleted.select(col("doc_id")).distinct()
+      val chunks = readArtifact(s, root, v, "chunks", CdcChunksSchema)
+      val hit = chunks.join(del, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0
+      if (!hit) Right(None)
+      else {
+        val chunkSeg = writeSegment(root, "chunks")(p =>
+          chunks.join(del, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").partitionBy("bkt").parquet(p.toString))
+        val derived = writeCdcServeLayout(s, root,
+          s.read.schema(CdcChunksSchema).parquet(s"$root/$chunkSeg")
+            .select("doc_id", "cfp"))
+        val done = installVersion(root, v + 1, _ => ()) { staging =>
+          copyTree(Paths.get(s"$root/v=$v/capcfg"), staging.resolve("capcfg"))
+          writeManifest(staging, (("chunks" -> chunkSeg)) +: derived)
+        }
+        if (done) Right(Some(v + 1)) else Left(())
+      }
+    }
 
   /** The shared takedown commit: for each (artifact, schema, partition
     * cols), anti-join the deleted ids and write ONE survivor segment;
@@ -2532,18 +2720,29 @@ object IndexLifecycle {
       .select("doc_id", "band", "key")
   }
 
+  /** Bounded posting rows grouped to the probe-ready bucket-list grain —
+    * the frame the `balls` serve segment stores. */
+  private def ballsOfBounded(bounded: DataFrame): DataFrame =
+    bounded.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+
+  /** In-bucket id pairing of a (band, key, ids) bucket-list frame:
+    * strictly-later elements pair (a < b holds — a doc posts once per
+    * bucket), duplicates across bands collapse once. */
+  private def pairsOfBalls(balls: DataFrame, aName: String,
+                           bName: String): DataFrame =
+    balls.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as(aName), b.as(bName)))))).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .dropDuplicates(aName, bName)
+
   /** In-bucket id pairing of a bounded posting frame: ids collect sorted
     * per bucket, strictly-later elements pair (a < b holds — a doc posts
     * once per bucket), duplicates across bands collapse once. */
   private def pairsOfBuckets(bounded: DataFrame, aName: String,
                              bName: String): DataFrame =
-    bounded.groupBy("band", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as(aName), b.as(bName)))))).as("p"))
-      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
-      .dropDuplicates(aName, bName)
+    pairsOfBalls(ballsOfBounded(bounded), aName, bName)
 
   /** Union-bucket batch admission for any banded index: stored postings
     * restricted to the buckets the batch touches (lossless for pairs

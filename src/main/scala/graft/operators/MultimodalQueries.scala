@@ -1153,6 +1153,35 @@ object MultimodalQueries {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment_ppm"))
   }
 
+  /** The containment tail over the stored PROBE-READY layout (r17): the
+    * pillar persists per-fingerprint sorted member lists
+    * `buckets(cfp, df, ds)` and the per-doc df census whose partial sums
+    * are the surviving sizes `sizes(doc_id, n)` — this tail pairs the
+    * stored lists directly (q252's collect-free expansion: the lists ARE
+    * stored) and attaches sizes at the PAIR grain, where
+    * [[cdcContainmentPairsOfChunks]] carried them per member through the
+    * expansion. Same arithmetic, same rows: shared counts by list
+    * pairing, containment over least(na, nb), q253's floor. */
+  private[graft] def cdcContainmentPairsOfBuckets(
+      buckets: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    buckets
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .withColumn("containment_ppm",
+        expr("1000000 * shared div least(na, nb)"))
+      .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("containment_ppm"))
+
   /** The q275 recall scoreboard for the CDC chunk containment index —
     * the last approximate index without one. Exact side: every
     * panel-touching pair whose containment over the `gtCap`-bounded
