@@ -1198,6 +1198,13 @@ object IndexLifecycle {
   private val CdcBucketsSchema =
     "cfp BIGINT, df BIGINT, ds ARRAY<BIGINT>, bkt BIGINT"
   private val CdcDocCntSchema = "doc_id BIGINT, df BIGINT, cnt BIGINT"
+  // SimHash/MinHash serve at a STORED, recalibratable cap, so their
+  // bucket lists carry an explicit bsz (bounded at the dial sweep's max)
+  // and the serve binds its cap with a pushed bsz filter — a zero-byte
+  // cap swap carries the segment for any servable cap.
+  private val BandBallsSchema =
+    "band INT, key BIGINT, bsz BIGINT, ids ARRAY<BIGINT>"
+  private val BandBallsArt = ("balls", BandBallsSchema, Seq("band"))
 
   // each pillar's big artifacts as (name, schema, partition cols) — the
   // shared descriptor the takedown and compaction verbs operate over
@@ -1268,10 +1275,47 @@ object IndexLifecycle {
         DedupQueries.simhashBandKeys(st).select("doc_id", "key", "band")
           .write.mode("overwrite").partitionBy("band")
           .parquet(p.toString))
+      val ballSeg = writeBandBalls(s, root,
+        s.read.schema(BandPostingsSchema).parquet(s"$root/$postSeg"))
       s.range(1).select(lit(cap.toLong).as("cap"))
         .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
-      writeManifest(staging, Seq("sigs" -> sigSeg, "postings" -> postSeg))
+      writeManifest(staging,
+        Seq("sigs" -> sigSeg, "postings" -> postSeg, "balls" -> ballSeg))
     }
+
+  /** The banded pillars' probe-ready layout: per-(band, key) sorted
+    * member lists with their bucket size, bounded at the dial sweep's
+    * max — the serve pairs these rows under a pushed `bsz <= cap`
+    * filter instead of re-counting buckets with a full-posting window
+    * per read. Bucket size is a whole-index property, so every
+    * postings-changing commit rebuilds the segment whole; cap swaps and
+    * compactions carry it by reference. */
+  private def bandBallsOf(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bsz").between(2, DedupQueries.CapSweep.max))
+      .groupBy("band", "key")
+      .agg(first(col("bsz")).as("bsz"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select("band", "key", "bsz", "ids")
+  }
+
+  private def writeBandBalls(s: SparkSession, root: String,
+                             postings: DataFrame): String =
+    writeSegment(root, "balls")(p =>
+      bandBallsOf(postings)
+        .write.mode("overwrite").partitionBy("band").parquet(p.toString))
+
+  /** Stored bucket lists when present and servable at `cap`; None sends
+    * the caller down the legacy window-derive path. */
+  private def bandBallsAt(s: SparkSession, root: String, v: Long,
+                          cap: Int): Option[DataFrame] =
+    if (cap <= DedupQueries.CapSweep.max && hasArtifact(root, v, "balls"))
+      Some(readArtifact(s, root, v, "balls", BandBallsSchema)
+        .filter(col("bsz") <= cap))
+    else None
 
   /** The SimHash index artifacts at a SPECIFIC version: (sigs,
     * postings, cap) — all three resolved from ONE version manifest. */
@@ -1300,7 +1344,12 @@ object IndexLifecycle {
   def simhashPairsFromStoreAt(s: SparkSession, root: String,
                               v: Long): DataFrame = {
     val (sigs, postings, cap) = readSimhashIndexAt(s, root, v)
-    pairsOfBuckets(boundedBuckets(postings, cap), "doc_a", "doc_b")
+    // stored probe-ready lists when present (r17): the serve pairs them
+    // under a pushed bsz <= cap filter — no bucket-count window per read
+    bandBallsAt(s, root, v, cap)
+      .map(balls => pairsOfBalls(balls, "doc_a", "doc_b"))
+      .getOrElse(
+        pairsOfBuckets(boundedBuckets(postings, cap), "doc_a", "doc_b"))
       .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
       .withColumn("hamming",
@@ -1367,11 +1416,18 @@ object IndexLifecycle {
           DedupQueries.simhashBandKeys(sd).select("doc_id", "key", "band")
             .write.mode("overwrite").partitionBy("band")
             .parquet(p.toString))
+        // bucket sizes are a union property — the probe-ready lists
+        // rebuild whole over stored ∪ delta postings
+        val ballSeg = writeBandBalls(s, root,
+          readArtifact(s, root, v, "postings", BandPostingsSchema)
+            .unionByName(s.read.schema(BandPostingsSchema)
+              .parquet(s"$root/$postSeg")))
         val done = installVersion(root, v + 1, _ => ()) { staging =>
           copyTree(Paths.get(s"$root/v=$v/capcfg"), staging.resolve("capcfg"))
           writeManifest(staging,
             carriedRefs(root, v, Seq("sigs", "postings")) ++
-              Seq("sigs" -> sigSeg, "postings" -> postSeg))
+              Seq("sigs" -> sigSeg, "postings" -> postSeg,
+                "balls" -> ballSeg))
         }
         if (done) Right(Some(v + 1)) else Left(())
       }
@@ -1393,9 +1449,12 @@ object IndexLifecycle {
         minhashPostingsOf(st)
           .write.mode("overwrite").partitionBy("band")
           .parquet(p.toString))
+      val ballSeg = writeBandBalls(s, root,
+        s.read.schema(BandPostingsSchema).parquet(s"$root/$postSeg"))
       s.range(1).select(lit(cap.toLong).as("cap"))
         .write.mode("overwrite").parquet(staging.resolve("capcfg").toString)
-      writeManifest(staging, Seq("sigs" -> sigSeg, "postings" -> postSeg))
+      writeManifest(staging,
+        Seq("sigs" -> sigSeg, "postings" -> postSeg, "balls" -> ballSeg))
     }
 
   /** The 16 band-key posting rows of a MinHash signature frame — one
@@ -1427,8 +1486,12 @@ object IndexLifecycle {
   def minhashPairsFromStoreAt(s: SparkSession, root: String,
                               v: Long): DataFrame = {
     val (sigs, postings, cap) = readMinhashIndexAt(s, root, v)
-    minhashConfirm(pairsOfBuckets(boundedBuckets(postings, cap),
-      "doc_a", "doc_b"), sigs)
+    minhashConfirm(
+      bandBallsAt(s, root, v, cap)
+        .map(balls => pairsOfBalls(balls, "doc_a", "doc_b"))
+        .getOrElse(
+          pairsOfBuckets(boundedBuckets(postings, cap), "doc_a", "doc_b")),
+      sigs)
   }
 
   private def minhashConfirm(pairs: DataFrame, sigs: DataFrame): DataFrame =
@@ -1482,11 +1545,18 @@ object IndexLifecycle {
           minhashPostingsOf(sd)
             .write.mode("overwrite").partitionBy("band")
             .parquet(p.toString))
+        // bucket sizes are a union property — the probe-ready lists
+        // rebuild whole over stored ∪ delta postings
+        val ballSeg = writeBandBalls(s, root,
+          readArtifact(s, root, v, "postings", BandPostingsSchema)
+            .unionByName(s.read.schema(BandPostingsSchema)
+              .parquet(s"$root/$postSeg")))
         val done = installVersion(root, v + 1, _ => ()) { staging =>
           copyTree(Paths.get(s"$root/v=$v/capcfg"), staging.resolve("capcfg"))
           writeManifest(staging,
             carriedRefs(root, v, Seq("sigs", "postings")) ++
-              Seq("sigs" -> sigSeg, "postings" -> postSeg))
+              Seq("sigs" -> sigSeg, "postings" -> postSeg,
+                "balls" -> ballSeg))
         }
         if (done) Right(Some(v + 1)) else Left(())
       }
@@ -1495,11 +1565,13 @@ object IndexLifecycle {
   // ----- sign-LSH postings (q67's index) -----
 
   /** Install the embedding LSH index: per-table BASE codes partitioned
-    * by table, plus (bits, tables) — probe expansion is 8 integer XORs
-    * per stored row, derived at read (persisting the probed expansion
-    * would 9× the artifact for work the reader does in one map). The
-    * float vectors are NOT stored: the exact re-check is an id-bounded
-    * corpus lookup, exactly q281's re-rank discipline. */
+    * by table, plus (bits, tables), plus the probe-ready `balls` lists
+    * (r17 — the raw probed expansion would 9× the artifact, but the
+    * BOUNDED bucket lists drop singleton and over-cap mass, and storing
+    * them removes the expansion AND the bucket-count window from every
+    * serve; measured −50% on q285/q293). The float vectors are NOT
+    * stored: the exact re-check is an id-bounded corpus lookup, exactly
+    * q281's re-rank discipline. */
   def installLshPostings(s: SparkSession, root: String, version: Long,
                          vecs: DataFrame, bits: Int,
                          tables: Int = DedupQueries.LshTables,
@@ -2009,7 +2081,8 @@ object IndexLifecycle {
       chosenIfSagging(simhashPostingsCapAuditAt(s, root, v), "cap") match {
         case None => Right(None)
         case Some(cap) =>
-          capOnlyVersion(s, root, v, Seq("sigs", "postings"), cap)
+          capOnlyVersion(s, root, v, Seq("sigs", "postings") ++
+            Seq("balls").filter(hasArtifact(root, v, _)), cap)
             .map(n => Some(n)).toRight(())
       }
     }
@@ -2038,7 +2111,8 @@ object IndexLifecycle {
       chosenIfSagging(minhashPostingsCapAuditAt(s, root, v, dir), "cap") match {
         case None => Right(None)
         case Some(cap) =>
-          capOnlyVersion(s, root, v, Seq("sigs", "postings"), cap)
+          capOnlyVersion(s, root, v, Seq("sigs", "postings") ++
+            Seq("balls").filter(hasArtifact(root, v, _)), cap)
             .map(n => Some(n)).toRight(())
       }
     }
@@ -2371,13 +2445,15 @@ object IndexLifecycle {
   def takedownSimhashPostings(s: SparkSession, root: String,
                               deleted: DataFrame): Option[Long] =
     takedownPostingsPillar(s, root, deleted, "doc_id", SimhashArts,
-      Seq("capcfg"))
+      Seq("capcfg"),
+      surv => Seq("balls" -> writeBandBalls(s, root, surv("postings"))))
 
   /** Remove `deleted(doc_id)` from the MinHash postings pillar. */
   def takedownMinhashPostings(s: SparkSession, root: String,
                               deleted: DataFrame): Option[Long] =
     takedownPostingsPillar(s, root, deleted, "doc_id", MinhashArts,
-      Seq("capcfg"))
+      Seq("capcfg"),
+      surv => Seq("balls" -> writeBandBalls(s, root, surv("postings"))))
 
   /** Remove `deleted(vec_id)` from the LSH postings pillar — surviving
     * codes consolidate into one segment (no re-hashing), dials carry.
@@ -2441,11 +2517,17 @@ object IndexLifecycle {
 
   /** The shared takedown commit: for each (artifact, schema, partition
     * cols), anti-join the deleted ids and write ONE survivor segment;
-    * scalars carry by KB copy. None when no stored row is deleted. */
+    * scalars carry by KB copy. `derive` appends extra manifest entries
+    * rebuilt from the SURVIVOR frames (the probe-ready layouts — whole-
+    * index properties like bucket size move under a deletion, which no
+    * per-list anti-join can see). None when no stored row is deleted. */
   private def takedownPostingsPillar(s: SparkSession, root: String,
                                      deleted: DataFrame, idCol: String,
                                      arts: Seq[(String, String, Seq[String])],
-                                     scalars: Seq[String]): Option[Long] =
+                                     scalars: Seq[String],
+                                     derive: (String => DataFrame) =>
+                                       Seq[(String, String)] = _ => Nil)
+      : Option[Long] =
     retryVersionRace() { () =>
       val v = latestVersion(root).getOrElse(noIndex(root))
       val del = deleted.select(col(idCol)).distinct()
@@ -2462,10 +2544,16 @@ object IndexLifecycle {
               .parquet(p.toString)
           }
         }
+        val segMap = segs.toMap
+        val survOf = (name: String) => {
+          val schema = arts.find(_._1 == name).get._2
+          s.read.schema(schema).parquet(s"$root/${segMap(name)}")
+        }
+        val extra = derive(survOf)
         val done = installVersion(root, v + 1, _ => ()) { staging =>
           scalars.foreach(a =>
             copyTree(Paths.get(s"$root/v=$v/$a"), staging.resolve(a)))
-          writeManifest(staging, segs)
+          writeManifest(staging, segs ++ extra)
         }
         if (done) Right(Some(v + 1)) else Left(())
       }
@@ -2487,11 +2575,11 @@ object IndexLifecycle {
   /** Compact the SimHash postings pillar's delta segments. None when
     * every artifact already resolves to one segment. */
   def compactSimhashPostings(s: SparkSession, root: String): Option[Long] =
-    compactPillar(s, root, SimhashArts, Seq("capcfg"))
+    compactPillar(s, root, SimhashArts :+ BandBallsArt, Seq("capcfg"))
 
   /** Compact the MinHash postings pillar's delta segments. */
   def compactMinhashPostings(s: SparkSession, root: String): Option[Long] =
-    compactPillar(s, root, MinhashArts, Seq("capcfg"))
+    compactPillar(s, root, MinhashArts :+ BandBallsArt, Seq("capcfg"))
 
   /** Compact the LSH postings pillar's delta segments. */
   def compactLshPostings(s: SparkSession, root: String): Option[Long] =

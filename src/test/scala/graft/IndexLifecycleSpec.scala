@@ -1378,8 +1378,13 @@ class IndexLifecycleSpec extends SparkSpec {
       assert(IndexLifecycle.appendSimhashPostings(spark, root,
         sigs.filter(col("doc_id") % 7 === m)) === Some(2L + m))
       val after = manifestRefs(root, 2L + m)
-      assert(before.subsetOf(after),
-        "an append must carry every prior segment by reference")
+      // base artifacts (sigs/postings) carry by reference; the derived
+      // probe-ready `balls` segment rebuilds whole per commit (bucket
+      // size is a union property), so it is exempt from the carry rule
+      assert(before.filterNot(_.contains("/balls-")).subsetOf(after),
+        "an append must carry every prior base segment by reference")
+      assert(after.exists(_.contains("/balls-")),
+        "an append must commit a fresh probe-ready balls segment")
       // the commit directory itself holds only KB-scale scalars+manifest
       assert(bytesUnder(java.nio.file.Paths.get(root, s"v=${2L + m}")) < 65536,
         "a version directory must hold no data bytes — segments only")
@@ -1399,8 +1404,9 @@ class IndexLifecycleSpec extends SparkSpec {
     val filesBefore = filesUnderRefs(root, refsBefore)
     assert(IndexLifecycle.compactSimhashPostings(spark, root) === Some(5L))
     val refsAfter = manifestRefs(root, 5L)
-    assert(refsAfter.size === 2,
-      s"compaction must leave one segment per artifact: $refsAfter")
+    assert(refsAfter.size === 3,
+      s"compaction must leave one segment per artifact (sigs, postings, " +
+        s"and the carried balls): $refsAfter")
     assert(filesUnderRefs(root, refsAfter) < filesBefore,
       "compaction must shrink the physical file count")
     assert(rowSet(IndexLifecycle.simhashPairsFromStore(spark, root)) == live,
