@@ -1202,43 +1202,55 @@ object MultimodalQueries {
     * appends per-member columns (the dial's per-cap sizes) that must
     * travel through the expansion. */
   private def cdcExactPairs(chunks: org.apache.spark.sql.DataFrame,
-                            gtCap: Int,
-                            extra: Seq[String] = Nil)
+                            gtCap: Int)
+      : org.apache.spark.sql.DataFrame =
+    chunks.filter(col("df") <= gtCap)
+      .groupBy("cfp")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("df"), explode(flatten(transform(
+        filter(col("ds"), a => a % 5 === 0), a =>
+          transform(filter(col("ds"), b => b =!= a), b =>
+            struct(a.as("pa"), b.as("pb")))))).as("p"))
+      .select(col("p.pa"), col("p.pb"), col("df"))
+
+  /** Per-doc census over the df-annotated chunk frame: surviving sizes
+    * at every needed cap plus the gtCap-excluded count, in ONE map-side-
+    * combined aggregation. r17 (VERDICT #5): the old form carried each
+    * member's per-cap sizes through the bucket expansion as window
+    * columns on every chunk row — shuffling the full chunk stream by
+    * doc_id and fattening every collect_list struct by |caps| columns.
+    * Pre-aggregating to the doc grain and joining at the PAIR grain
+    * moves doc-sized and pair-sized rows instead (§2.3 shuffle fewer
+    * bytes); the census is staged because the scoreboard/dial read it
+    * from 3 branches (gt-exclusion audit + both pair sides) and it is
+    * doc-grain tiny — the r16 small-frames staging rule. */
+  private def cdcDocCensus(chunks: org.apache.spark.sql.DataFrame,
+                           gtCap: Int, caps: Seq[Int])
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val chF = chunks.filter(col("df") <= gtCap)
-      .withColumn("nr", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val memberCols = Seq(col("doc_id"), col("nr"), col("df")) ++
-      extra.map(col)
-    val pairCols = Seq(
-      (a: Column, b: Column) => a("doc_id").as("pa"),
-      (a: Column, b: Column) => b("doc_id").as("pb"),
-      (a: Column, b: Column) => a("nr").as("nra"),
-      (a: Column, b: Column) => b("nr").as("nrb"),
-      (a: Column, b: Column) => a("df").as("df")) ++
-      extra.flatMap(c => Seq(
-        (a: Column, b: Column) => a(c).as(s"a_$c"),
-        (a: Column, b: Column) => b(c).as(s"b_$c")))
-    chF.groupBy("cfp")
-      .agg(sort_array(collect_list(struct(memberCols: _*))).as("ds"))
-      .select(explode(flatten(transform(
-        filter(col("ds"), a => a("doc_id") % 5 === 0), a =>
-          transform(filter(col("ds"), b => b("doc_id") =!= a("doc_id")), b =>
-            struct(pairCols.map(f => f(a, b)): _*))))).as("p"))
-      .select(col("p.*"))
+    val sizeCols = caps.map(c =>
+      count(when(col("df") <= c, 1)).as(s"n$c")) :+
+      count(when(col("df") > gtCap, 1)).as("gt_excluded_cfps")
+    graft.Staging.stage(
+      chunks.groupBy("doc_id")
+        .agg(count(when(col("df") <= gtCap, 1)).as("nr"), sizeCols: _*))
   }
 
   private[graft] def cdcScoreboard(media: org.apache.spark.sql.DataFrame,
                                    gtCap: Int = CdcGtCap)
       : org.apache.spark.sql.DataFrame = {
     val chunks = cdcChunkFrame(media)
-    val gtx = chunks.filter(col("doc_id") % 5 === 0)
-      .groupBy(col("doc_id").as("pa"))
-      .agg(count(when(col("df") > gtCap, 1)).as("gt_excluded_cfps"))
+    // one staged doc-grain census serves the gt-exclusion audit and both
+    // size attachments (pair grain) — the nr window and its full-stream
+    // doc_id exchange are gone from the exact side (r17, §2.3)
+    val census = cdcDocCensus(chunks, gtCap, Nil)
+    val gtx = census.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("pa"), col("gt_excluded_cfps"))
     val exact = cdcExactPairs(chunks, gtCap)
       .groupBy("pa", "pb")
-      .agg(count(lit(1)).as("shared"),
-        first(col("nra")).as("nra"), first(col("nrb")).as("nrb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(census.select(col("doc_id").as("pa"), col("nr").as("nra")), "pa")
+      .join(census.select(col("doc_id").as("pb"), col("nr").as("nrb")), "pb")
       .withColumn("containment_ppm",
         expr("1000000 * shared div least(nra, nrb)"))
       .filter(col("containment_ppm") >= CdcContainmentFloorPpm)
@@ -1285,19 +1297,23 @@ object MultimodalQueries {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gtCap = caps.max
-    val doc = Window.partitionBy("doc_id")
-    val chunks = caps.foldLeft(cdcChunkFrame(media))((f, c) =>
-      f.withColumn(s"n$c", count(when(col("df") <= c, 1)).over(doc)))
-    val gtExcluded = chunks.filter(col("doc_id") % 5 === 0)
-      .agg(coalesce(sum(when(col("df") > gtCap, 1L).otherwise(0L)), lit(0L))
+    val chunks = cdcChunkFrame(media)
+    // per-cap per-doc sizes pre-aggregated to the doc grain and joined at
+    // the PAIR grain (r17, §2.3): the old form rode |caps| window columns
+    // on every chunk row through the bucket expansion
+    val census = cdcDocCensus(chunks, gtCap, caps)
+    val gtExcluded = census.filter(col("doc_id") % 5 === 0)
+      .agg(coalesce(sum(col("gt_excluded_cfps")), lit(0L))
         .as("gt_excluded_cfps"))
     val pairAggs = count(lit(1)).as("shared") +:
-      (caps.map(c => sum(when(col("df") <= c, 1L)).as(s"s$c")) ++
-        caps.flatMap(c => Seq(first(col(s"a_n$c")).as(s"na$c"),
-          first(col(s"b_n$c")).as(s"nb$c"))))
-    val exact = cdcExactPairs(chunks, gtCap, extra = caps.map(c => s"n$c"))
+      caps.map(c => sum(when(col("df") <= c, 1L)).as(s"s$c"))
+    val exact = cdcExactPairs(chunks, gtCap)
       .groupBy("pa", "pb")
       .agg(pairAggs.head, pairAggs.tail: _*)
+      .join(census.select(col("doc_id").as("pa") +:
+        caps.map(c => col(s"n$c").as(s"na$c")): _*), "pa")
+      .join(census.select(col("doc_id").as("pb") +:
+        caps.map(c => col(s"n$c").as(s"nb$c")): _*), "pb")
       .filter(expr(s"1000000 * shared div least(na$gtCap, nb$gtCap)") >=
         CdcContainmentFloorPpm)
     val agged = exact.agg(count(lit(1)).as("exact_cnt"),

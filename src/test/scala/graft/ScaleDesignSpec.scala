@@ -237,16 +237,16 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p252.contains("split(hex"),
       s"q252 must not take the hex-string detour on the Spark side:\n$p252")
     // The CDC family walks payloads with the same one-pass kernel class;
-    // its pairing is the bucket-local collect_list expansion and its
-    // per-doc sizes ride windows on ONE frame — never a sizes join or a
-    // symmetrizing unionAll, each of which silently rebuilds the whole
-    // chunk stream (and its payload scan) per branch: q253 measured 4
-    // scans and q275 13 before this shape. The remaining builds are the
-    // irreducible independent consumers (q275: exact side + shipped
-    // grading side + gt-exclusion audit).
+    // its pairing is the bucket-local collect_list expansion. Sizes come
+    // from the STAGED doc-grain census (r17): a sizes join against an
+    // unstaged branch would silently rebuild the whole chunk stream per
+    // branch (q253 measured 4 scans and q275 13 before this shape), but
+    // a checkpoint-scan census carries no kernel to rebuild — so the
+    // walk counts in the consuming plans tightened (q275: exact side +
+    // shipped grading side; q276: exact side only).
     Seq(("q253_media_cdc_containment", 1),
-        ("q275_cdc_recall_eval", 3),
-        ("q276_cdc_cap_dial", 2)).foreach { case (q, want) =>
+        ("q275_cdc_recall_eval", 2),
+        ("q276_cdc_cap_dial", 1)).foreach { case (q, want) =>
       val p = physicalPlan(SparkEntry.queries(q)(spark, sf))
       val n = "graft_cdc_chunks".r.findAllIn(p).size
       assert(n <= want,
@@ -556,7 +556,9 @@ class ScaleDesignSpec extends SparkSpec {
         "q251_probe_depth_calibration",
         "q273_minhash_cap_dial", "q274_minhash_cap_dial_abs",
         "q289_simhash_batch_admit", "q290_minhash_batch_admit",
-        "q291_lsh_batch_admit", "q292_cdc_batch_admit")
+        "q291_lsh_batch_admit", "q292_cdc_batch_admit",
+        // r17: the CDC scoreboard/dial stage their doc-grain size census
+        "q275_cdc_recall_eval", "q276_cdc_cap_dial")
     val (iterative, declarative) =
       SparkEntry.catalog.partition(q => iterativeOk(q.name) || stagedOk(q.name))
     try {
