@@ -16,16 +16,27 @@ object BenchSome {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      // a query that cannot run must fail LOUDLY here and skip its timed
+      // loop (not throw uncaught mid-list): print the cause, mark the row
+      // FAILED, continue to the next query
+      val warmOk =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          t.printStackTrace()
+          println(s"BENCHSOME $n FAILED (warm-up): $t")
+          false
+        }
+      if (warmOk) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sorted = times.sorted
+        val med = sorted(sorted.size / 2)
+        println(f"BENCHSOME $n min=${sorted.head}%.3f med=$med%.3f " +
+          f"times=${times.map(t => f"$t%.3f").mkString(",")}")
       }
-      val sorted = times.sorted
-      val med = sorted(sorted.size / 2)
-      println(f"BENCHSOME $n min=${sorted.head}%.3f med=$med%.3f " +
-        f"times=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

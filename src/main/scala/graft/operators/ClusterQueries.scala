@@ -867,28 +867,39 @@ object ClusterQueries {
   def pageRankMicros(edges0: DataFrame, iters: Int): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).staged
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).staged
-    // Attach the out-degree to the edge list ONCE: `d` is round-invariant,
-    // and the old per-round `.join(deg, "src")` rebuilt the same broadcast
-    // relation every iteration — iters joins collapse to one here, and
-    // each round is exactly one join + one map-side-combined sum. Same
-    // integer per-edge arithmetic, bit-identical fixed point.
-    val edgesD = edges.join(deg, "src").staged
-    Staging.release(edges)
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    var i = 0
-    while (i < iters) {
-      val prev = ranks
-      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
-        .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
-        .groupBy("dst").agg(sum("c").as("sc"))
-        .select(col("dst").as("node"), (lit(150000L) + col("sc")).as("r"))
-        .staged
-      if (i > 0) Staging.release(prev)
-      i += 1
+    val ranks0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    if (iters == 0) {
+      // no round ever consumes the degree-annotated edge list — don't
+      // stage it (r17, ADVICE: the unconditional build was a wasted
+      // staging job plus a leaked checkpoint on this path)
+      Staging.release(edges)
+      ranks0
+    } else {
+      // Attach the out-degree to the edge list ONCE: `d` is round-
+      // invariant, and the old per-round `.join(deg, "src")` rebuilt the
+      // same broadcast relation every iteration — iters joins collapse to
+      // one here, and each round is exactly one join + one map-side-
+      // combined sum. Same integer per-edge arithmetic, bit-identical
+      // fixed point.
+      val edgesD = edges.join(deg, "src").staged
+      Staging.release(edges)
+      var ranks = ranks0
+      var i = 0
+      while (i < iters) {
+        val prev = ranks
+        ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+          .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
+          .groupBy("dst").agg(sum("c").as("sc"))
+          .select(col("dst").as("node"), (lit(150000L) + col("sc")).as("r"))
+          .staged
+        if (i > 0) Staging.release(prev)
+        i += 1
+      }
+      // the returned ranks is independently checkpointed (iters ≥ 1), so
+      // the inputs can be released now — connectedComponents' discipline
+      Staging.release(edgesD)
+      Staging.release(deg)
+      ranks
     }
-    // the returned ranks is independently checkpointed (iters ≥ 1), so the
-    // inputs can be released now — same discipline as connectedComponents
-    if (iters > 0) { Staging.release(edgesD); Staging.release(deg) }
-    ranks
   }
 }

@@ -332,14 +332,18 @@ object IngestPipeline {
     // here could never be released and would accumulate per epoch): the
     // probe consumes each family's signature frame three times (band keys +
     // both confirm sides) and the append twice more (no-op probe + delta
-    // write) — one signature walk per family per epoch instead of ~5
-    val famSigs = stages.families.map { f =>
-      f -> (f match {
-        case "simhash" => DedupQueries.textSimhashSigsFor(cleaned)
-        case "minhash" => DedupQueries.minhashSignaturesFor(cleaned)
-      }).persist()
-    }.toMap
+    // write) — one signature walk per family per epoch instead of ~5.
+    // Built INSIDE the try (r17, ADVICE): a throw while constructing or
+    // persist-marking the frames must still reach the finally, or feats'
+    // persisted blocks leak for the session.
+    var famSigs = Map.empty[String, org.apache.spark.sql.DataFrame]
     try {
+      famSigs = stages.families.map { f =>
+        f -> (f match {
+          case "simhash" => DedupQueries.textSimhashSigsFor(cleaned)
+          case "minhash" => DedupQueries.minhashSignaturesFor(cleaned)
+        }).persist()
+      }.toMap
       val famPairs = stages.families.map { f =>
         val root = familyRoot(base, f)
         val pairs = (f match {
